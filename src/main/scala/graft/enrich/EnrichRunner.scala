@@ -1,0 +1,125 @@
+package graft.enrich
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import graft.model.AiConfig
+
+import scala.util.{Failure, Success}
+
+/** The external-map executors (SURVEY.md §2.9) — the one part of the
+  * engine that is necessarily opaque to Catalyst. Everything upstream
+  * (template expansion, filters) and downstream (assembly, ordering)
+  * stays in Column space; only the enrichment call itself runs in
+  * `mapPartitions`, with per-partition client init, rate limiting,
+  * retries, and error quarantine.
+  *
+  * Scale design: a 1000-executor cluster runs one limiter per task with
+  * budget rate/numPartitions (documented relaxation of the reference's
+  * process-global window, main.py:606-629). No driver round-trips, no
+  * collect; failure rows are kept (quarantined), not silently dropped
+  * like the reference (main.py:487-502) — at 100 TB silent drops are
+  * unauditable.
+  */
+object EnrichRunner {
+
+  /** E2+E3+E1 ungrouped path (`main.py:513-522`): fully parallel map.
+    * Appends `response` (null on failure) and `error` (null on success).
+    * Row-order within partitions is preserved; callers that need the
+    * original order sort on their index column afterwards (W2). */
+  def mapWithResponse(
+      df: DataFrame,
+      promptCol: String,
+      enricher: Enricher,
+      config: AiConfig,
+      rateLimitPerMinute: Option[Int] = None): DataFrame = {
+    val schema = StructType(df.schema.fields)
+      .add("response", StringType).add("error", StringType)
+    val promptIdx = df.schema.fieldIndex(promptCol)
+    val numParts = math.max(1, df.rdd.getNumPartitions)
+    val perPartitionRate = rateLimitPerMinute.map(r => math.max(1, r / numParts))
+    val cfg = config
+    val enc = Encoders.row(schema)
+    df.mapPartitions { it =>
+      enricher.open()
+      val limiter = perPartitionRate.map(new SlidingWindowRateLimiter(_))
+      it.map { r =>
+        limiter.foreach(_.acquire())
+        val prompt = Option(r.get(promptIdx)).map(_.toString).getOrElse("")
+        RetryPolicy.withRetries(cfg.retryAttempts)(
+          () => enricher.enrich(Seq(Message("user", prompt)), cfg)) match {
+          case Success(resp) => Row.fromSeq(r.toSeq :+ resp :+ null)
+          case Failure(e)    => Row.fromSeq(r.toSeq :+ null :+ e.getMessage)
+        }
+      }
+    }(enc)
+  }
+
+  /** Split an enriched frame into (successes, quarantine) — E3 done
+    * right: the reference drops failed rows (main.py:487-502); we keep
+    * them routable to a dead-letter sink. */
+  def quarantine(enriched: DataFrame): (DataFrame, DataFrame) =
+    (enriched.filter(col("error").isNull).drop("error"),
+     enriched.filter(col("error").isNotNull))
+
+  /** A3/E5/E7 grouped path: parallel across groups, strictly sequential
+    * and ordered within a group, threading conversation history
+    * (`main.py:403-439,508-512`).
+    *
+    * Implementation is a secondary sort, not `collect_list`: repartition
+    * by group key, sort partitions by (key, order), then stream each
+    * key-run through the fold in `mapPartitions`. Nothing is
+    * materialized per group — a conversation with 10M rows streams — and
+    * parallelism = shuffle partitions, exactly the reference's
+    * "parallel across groups" model (main.py:341-348) at cluster scale.
+    *
+    * Output appends: response, turn_number (1-based user turn), and
+    * history_chars (total user-prompt chars before this row).
+    */
+  def runConversations(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[String],
+      promptCol: String,
+      enricher: Enricher,
+      config: AiConfig,
+      systemPrompt: Option[String] = None): DataFrame = {
+    val schema = StructType(df.schema.fields)
+      .add("response", StringType).add("turn_number", LongType)
+      .add("history_chars", LongType)
+    val keyIdx = df.schema.fieldIndex(groupCol)
+    val promptIdx = df.schema.fieldIndex(promptCol)
+    val cfg = config
+    val sys = systemPrompt
+    val enc = Encoders.row(schema)
+    df.repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol) +: orderCols.map(col): _*)
+      .mapPartitions { it =>
+        enricher.open()
+        var currentKey: Any = null
+        var started = false
+        var history = Vector.empty[Message]
+        var turn = 0L
+        var userChars = 0L
+        it.map { r =>
+          val k = r.get(keyIdx)
+          if (!started || k != currentKey) {           // new conversation run
+            currentKey = k; started = true
+            history = sys.map(s => Message("system", s)).toVector
+            turn = 0L; userChars = 0L
+          }
+          val prompt = Option(r.get(promptIdx)).map(_.toString).getOrElse("")
+          val priorChars = userChars
+          val messages = history :+ Message("user", prompt)
+          val resp = RetryPolicy.withRetries(cfg.retryAttempts)(
+            () => enricher.enrich(messages, cfg)) match {
+            case Success(s) => s
+            case Failure(e) => null
+          }
+          history = messages :+ Message("assistant", Option(resp).getOrElse(""))
+          turn += 1; userChars += prompt.length
+          Row.fromSeq(r.toSeq :+ resp :+ turn :+ priorChars)
+        }
+      }(enc)
+  }
+}

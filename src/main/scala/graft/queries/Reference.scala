@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.enrich.{ConversationalTestEnricher, DeterministicEnricher, EnrichRunner}
+import graft.model._
+import graft.operators.CoreOps
+import graft.pipeline.BatchPipeline
+
+/** The reference engine's own pipeline semantics (SURVEY.md §2.2/2.7/2.9)
+  * as oracle-checked queries: template expansion F1, group-key F2,
+  * sanitization F3, row indexing W1 + order restore W2, result assembly
+  * E6, the parallel enrichment map E2 (deterministic test enricher), and
+  * the grouped conversation fold A3/E5/E7.
+  */
+object Reference {
+
+  /** q10: F1 template expansion — placeholder substitution, null →
+    * "None" (Python str(None)), unknown placeholders survive verbatim,
+    * doubles templated via exact decimal render. Pure codegen'd
+    * expression chain; no shuffle. */
+  def q10Template(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tpl = "Summarize order {o_orderkey} (priority {prio}) for customer {o_custkey}: " +
+      "total {total_str}. Keep {unknown_col} verbatim."
+    val o = Tables.load(s, dir, "orders")
+      .withColumn("prio", nullif($"o_orderpriority", lit("3-MEDIUM")))
+      .withColumn("total_str", $"o_totalprice".cast(DecimalType(12, 2)).cast("string"))
+    o.select($"o_orderkey", CoreOps.expandTemplate(tpl, o.columns.toSeq).as("prompt"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q10Sql: String =
+    """SELECT o_orderkey,
+      |  replace(replace(replace(replace(
+      |    'Summarize order {o_orderkey} (priority {prio}) for customer {o_custkey}: total {total_str}. Keep {unknown_col} verbatim.',
+      |    '{o_orderkey}', CAST(o_orderkey AS VARCHAR)),
+      |    '{prio}', COALESCE(NULLIF(o_orderpriority, '3-MEDIUM'), 'None')),
+      |    '{o_custkey}', CAST(o_custkey AS VARCHAR)),
+      |    '{total_str}', CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)) AS prompt
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** q11: F2 group-key semantics — present-null → "None", absent column
+    * → "unknown" — driving a hash aggregation. */
+  def q11GroupKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+      .withColumn("grp_src", nullif($"o_orderpriority", lit("3-MEDIUM")))
+    o.groupBy(
+        CoreOps.groupKey(o, Some("grp_src")).as("grp"),
+        CoreOps.groupKey(o, Some("no_such_column")).as("grp_missing"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"grp")
+  }
+
+  val q11Sql: String =
+    """SELECT COALESCE(NULLIF(o_orderpriority, '3-MEDIUM'), 'None') AS grp,
+      |  'unknown' AS grp_missing, COUNT(*) AS n
+      |FROM orders GROUP BY 1, 2 ORDER BY grp""".stripMargin
+
+  /** q12: F3 sanitization of a dirty composite name. */
+  def q12Sanitize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "part")
+      .select($"p_partkey",
+        CoreOps.sanitizeName(concat($"p_name", lit("/"), $"p_brand", lit("#"), $"p_type"))
+          .as("safe_name"))
+      .orderBy($"p_partkey")
+  }
+
+  val q12Sql: String =
+    """SELECT p_partkey,
+      |  CASE WHEN TRIM(regexp_replace(p_name || '/' || p_brand || '#' || p_type,
+      |    '[^A-Za-z0-9 _-]', '', 'g')) = '' THEN 'unknown'
+      |  ELSE TRIM(regexp_replace(p_name || '/' || p_brand || '#' || p_type,
+      |    '[^A-Za-z0-9 _-]', '', 'g')) END AS safe_name
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** q13: W1 deterministic row index + W2 order restore. */
+  def q13RowIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_linenumber")
+    CoreOps.restoreOrder(
+      CoreOps.withRowIndexByOrder(li, "row_index", $"l_orderkey", $"l_linenumber"))
+  }
+
+  val q13Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS row_index
+      |FROM lineitem ORDER BY row_index""".stripMargin
+
+  /** q14: the flagship — full BatchPipeline (EP2, main.py:308-357) in
+    * ungrouped mode: index → row_{i} groups → template → deterministic
+    * enrichment via mapPartitions → assembly → order restore. The
+    * enrichment itself runs through the real EnrichRunner/ RetryPolicy
+    * machinery; its deterministic semantics make the whole pipeline
+    * SQL-expressible for the oracle. */
+  def q14Pipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cfg = PipelineConfig(
+      ai = AiConfig.test(),
+      mapping = MappingConfig(mainContent = "o_orderpriority", groupBy = None),
+      prompt = PromptTemplate("Order {o_orderkey} priority {o_orderpriority}"),
+      output = OutputConfig(includePrompt = true, includeTimestamp = false))
+    val (results, _) = BatchPipeline.run(
+      Tables.load(s, dir, "orders"), cfg, DeterministicEnricher(),
+      orderCols = Seq($"o_orderkey"))
+    results
+  }
+
+  val q14Sql: String =
+    """WITH base AS (
+      |  SELECT *,
+      |    replace(replace('Order {o_orderkey} priority {o_orderpriority}',
+      |      '{o_orderkey}', CAST(o_orderkey AS VARCHAR)),
+      |      '{o_orderpriority}', o_orderpriority) AS prompt,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS row_index
+      |  FROM orders)
+      |SELECT 'row_' || CAST(row_index - 1 AS VARCHAR) AS "group",
+      |  o_orderpriority AS main_content,
+      |  o_custkey, o_orderdate, o_orderkey, o_orderpriority, o_orderstatus, o_totalprice,
+      |  prompt,
+      |  '[gpt-test] ' || upper(substr(prompt, 1, 64)) AS response,
+      |  row_index
+      |FROM base ORDER BY row_index""".stripMargin
+
+  /** q15: A3/E5/E7 grouped conversation fold — parallel across customer
+    * groups, strictly ordered within, history threaded through a
+    * secondary-sort streaming fold (no per-group materialization). The
+    * stateful test enricher surfaces turn number and accumulated context
+    * chars, which the oracle reproduces with window functions. */
+  def q15ConversationFold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+      .withColumn("prompt", concat(lit("Summarize order "), $"o_orderkey".cast("string")))
+    EnrichRunner.runConversations(o, "o_custkey", Seq("o_orderdate", "o_orderkey"),
+        "prompt", ConversationalTestEnricher(), AiConfig.test())
+      .select($"o_custkey", $"o_orderkey", $"turn_number", $"history_chars", $"response")
+      .orderBy($"o_custkey", $"turn_number")
+  }
+
+  val q15Sql: String =
+    """WITH base AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS turn_number,
+      |    CAST(COALESCE(SUM(LENGTH('Summarize order ' || CAST(o_orderkey AS VARCHAR)))
+      |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS history_chars
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |SELECT o_custkey, o_orderkey, turn_number, history_chars,
+      |  '[gpt-test] turn=' || CAST(turn_number AS VARCHAR) ||
+      |    ' ctx=' || CAST(history_chars AS VARCHAR) AS response
+      |FROM base ORDER BY o_custkey, turn_number""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_template" -> (q10Template _),
+    "q11_group_key" -> (q11GroupKey _),
+    "q12_sanitize" -> (q12Sanitize _),
+    "q13_row_index" -> (q13RowIndex _),
+    "q14_pipeline" -> (q14Pipeline _),
+    "q15_conversation_fold" -> (q15ConversationFold _))
+
+  val oracle: Map[String, String] = Map(
+    "q10_template" -> q10Sql,
+    "q11_group_key" -> q11Sql,
+    "q12_sanitize" -> q12Sql,
+    "q13_row_index" -> q13Sql,
+    "q14_pipeline" -> q14Sql,
+    "q15_conversation_fold" -> q15Sql)
+}

@@ -1,0 +1,104 @@
+package graft
+
+import graft.enrich._
+import graft.model.{AiConfig, MappingConfig, OutputConfig, PipelineConfig, PromptTemplate}
+import graft.pipeline.BatchPipeline
+import org.apache.spark.sql.functions._
+
+class EnrichSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rate limiter enforces the trailing-60s window (E1, main.py:606-629)") {
+    var now = 0L
+    var slept = Vector.empty[Long]
+    val rl = new SlidingWindowRateLimiter(2, () => now, ms => { slept :+= ms; now += ms })
+    rl.acquire(); now += 1000
+    rl.acquire()              // 2 in window — full
+    val waited = rl.acquire() // must wait until t=60000 (oldest at t=0 expires)
+    assert(waited == 59000L && slept == Vector(59000L))
+    now += 1000 // t=61000: the t=1000 entry has left the window — no wait
+    assert(rl.acquire() == 0L)
+  }
+
+  test("retry classification + backoff match main.py:571-604") {
+    import RetryPolicy._
+    assert(classify(new RuntimeException("Rate limit exceeded 429")) == RateLimited)
+    assert(classify(new RuntimeException("Invalid API key")) == Fatal)
+    assert(classify(new RuntimeException("insufficient quota")) == Fatal)
+    assert(classify(new RuntimeException("connection reset")) == Transient)
+    assert(backoffMs(RateLimited, 0) == 2000L && backoffMs(RateLimited, 2) == 8000L)
+    assert(backoffMs(Transient, 0) == 1000L && backoffMs(Transient, 2) == 4000L)
+  }
+
+  test("withRetries retries transient, stops on fatal") {
+    var calls = 0
+    val ok = RetryPolicy.withRetries(3, _ => ())(() => {
+      calls += 1; if (calls < 3) throw new RuntimeException("rate limit") else "done"
+    })
+    assert(ok.isSuccess && calls == 3)
+    var fatalCalls = 0
+    val bad = RetryPolicy.withRetries(5, _ => ())(() => {
+      fatalCalls += 1; throw new RuntimeException("invalid api key")
+    })
+    assert(bad.isFailure && fatalCalls == 1)
+  }
+
+  test("mapWithResponse quarantines failures instead of dropping (E3)") {
+    val df = (1 to 20).map(i => (i.toLong, s"prompt $i")).toDF("id", "prompt").repartition(1)
+    val enriched = EnrichRunner.mapWithResponse(df, "prompt",
+      new FlakyEnricher(DeterministicEnricher(), failEvery = 5, transient = false),
+      AiConfig.test())
+    val (ok, bad) = EnrichRunner.quarantine(enriched)
+    assert(ok.count() + bad.count() == 20)
+    assert(bad.count() == 4) // every 5th call fails fatally (no retry)
+    assert(bad.select("error").as[String].head().contains("api key"))
+  }
+
+  test("conversation fold threads system prompt + full history in order") {
+    val df = Seq((1, 1L, "a"), (1, 2L, "bb"), (1, 3L, "ccc"), (2, 1L, "dddd"))
+      .toDF("grp", "seq", "prompt")
+    // enricher that snapshots the whole message list deterministically
+    val snapshot = new Enricher {
+      def enrich(ms: Seq[Message], c: AiConfig): String =
+        ms.map(m => s"${m.role}:${m.content}").mkString("|")
+    }
+    val out = EnrichRunner.runConversations(df, "grp", Seq("seq"), "prompt",
+        snapshot, AiConfig.test(), systemPrompt = Some("SYS"))
+      .orderBy("grp", "seq")
+      .select("response", "turn_number", "history_chars")
+      .as[(String, Long, Long)].collect()
+    assert(out(0)._1 == "system:SYS|user:a")
+    assert(out(1)._1 == "system:SYS|user:a|assistant:system:SYS|user:a|user:bb")
+    assert(out(2)._2 == 3L && out(2)._3 == 3L) // prior chars: "a"+"bb"
+    assert(out(3)._1 == "system:SYS|user:dddd" && out(3)._2 == 1L) // fresh state per group
+  }
+
+  test("BatchPipeline grouped mode + file-order mode run end-to-end") {
+    val df = Seq(("AI", "Teachers", "High"), ("Python", "Students", "Medium"))
+      .toDF("topic", "audience", "priority")
+    val cfg = PipelineConfig(
+      ai = AiConfig.test(),
+      mapping = MappingConfig(mainContent = "topic", groupBy = Some("priority")),
+      prompt = PromptTemplate("Write an article about {topic} for {audience}"),
+      output = OutputConfig(includePrompt = true, includeTimestamp = true))
+    val (results, bad) = BatchPipeline.run(df, cfg, DeterministicEnricher())
+    val rows = results.collect()
+    assert(rows.length == 2 && bad.count() == 0)
+    assert(results.columns.toSeq == Seq("group", "main_content", "audience", "priority",
+      "topic", "prompt", "response", "timestamp", "row_index"))
+    assert(rows(0).getAs[String]("response").startsWith("[gpt-test] WRITE AN ARTICLE ABOUT AI"))
+    assert(rows(0).getAs[String]("group") == "High")
+  }
+
+  test("config validation enforces the frontend's rules (V1-V4)") {
+    intercept[IllegalArgumentException](AiConfig.test().copy(temperature = 3.0).validated)
+    intercept[IllegalArgumentException](
+      AiConfig("openai", "gpt-4", apiKey = "bad").validated)
+    assert(AiConfig("openai", "gpt-4", apiKey = "sk-x", rateLimit = 999).validated.rateLimit == 60)
+    intercept[IllegalArgumentException](PromptTemplate("no placeholders").validated)
+    assert(PromptTemplate("{a} and {b} and {a}").placeholders == Seq("a", "b"))
+    intercept[IllegalArgumentException](
+      PipelineConfig(AiConfig.test(), MappingConfig("zzz"), PromptTemplate("{a}"))
+        .validateAgainst(Seq("a", "b")))
+  }
+}
