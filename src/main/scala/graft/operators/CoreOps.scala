@@ -63,12 +63,13 @@ object CoreOps {
       if (d.schema(c).dataType.typeName == "string") d.withColumn(c, trim(col(c))) else d
     }
 
-  /** W1, deterministic flavor: row index from a total ordering on explicit
-    * key columns. Scales: `row_number` over a global window is a single-
-    * partition sort, so use only when the result must be a dense 1..N
+  /** W1, deterministic flavor: 0-based row index (reference `_row_index`
+    * semantics, main.py:366-369) from a total ordering on explicit key
+    * columns. Scales: `row_number` over a global window is a single-
+    * partition sort, so use only when the result must be a dense 0..N-1
     * index; for scale-out order keys prefer the keys themselves. */
   def withRowIndexByOrder(df: DataFrame, name: String, orderCols: Column*): DataFrame =
-    df.withColumn(name, row_number().over(Window.orderBy(orderCols: _*)).cast(LongType))
+    df.withColumn(name, (row_number().over(Window.orderBy(orderCols: _*)) - 1).cast(LongType))
 
   /** W1, file-order flavor (`main.py:362,366-369`): index rows by their
     * physical input order. Uses `zipWithIndex` (one extra count job to

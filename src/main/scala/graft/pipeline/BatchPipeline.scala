@@ -43,7 +43,7 @@ object BatchPipeline {
     val keyed = cfg.mapping.groupBy match {
       case Some(_) => indexed.withColumn("group", CoreOps.groupKey(indexed, cfg.mapping.groupBy))
       case None => indexed.withColumn("group",
-        concat(lit("row_"), (col("row_index") - 1).cast("string")))
+        concat(lit("row_"), col("row_index").cast("string")))
     }
     val templated = keyed.withColumn("prompt",
       CoreOps.expandTemplate(cfg.prompt.template, originalCols))

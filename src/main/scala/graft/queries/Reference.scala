@@ -88,7 +88,7 @@ object Reference {
 
   val q13Sql: String =
     """SELECT l_orderkey, l_linenumber,
-      |  CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS row_index
+      |  CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS BIGINT) AS row_index
       |FROM lineitem ORDER BY row_index""".stripMargin
 
   /** q14: the flagship — full BatchPipeline (EP2, main.py:308-357) in
@@ -116,9 +116,9 @@ object Reference {
       |    replace(replace('Order {o_orderkey} priority {o_orderpriority}',
       |      '{o_orderkey}', CAST(o_orderkey AS VARCHAR)),
       |      '{o_orderpriority}', o_orderpriority) AS prompt,
-      |    CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS row_index
+      |    CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS row_index
       |  FROM orders)
-      |SELECT 'row_' || CAST(row_index - 1 AS VARCHAR) AS "group",
+      |SELECT 'row_' || CAST(row_index AS VARCHAR) AS "group",
       |  o_orderpriority AS main_content,
       |  o_custkey, o_orderdate, o_orderkey, o_orderpriority, o_orderstatus, o_totalprice,
       |  prompt,

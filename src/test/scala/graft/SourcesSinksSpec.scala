@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.sinks.Sinks
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+/** Parser edge cases from the reference's own error branches
+  * (FIXTURES.md; main.py:117-285) + sink round-trips. */
+class SourcesSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft_src")
+    val p = dir.resolve(name)
+    Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    p.toString
+  }
+
+  test("CSV: README worked example parses with header schema") {
+    val p = tmp("t.csv", "topic,audience,priority\nAI,Teachers,High\nPython,Students,Medium\n")
+    val df = Sources.load(spark, p)
+    assert(df.columns.toSeq == Seq("topic", "audience", "priority"))
+    assert(df.count() == 2)
+  }
+
+  test("CSV: fully-empty rows dropped; no-data and bad extension rejected") {
+    val p = tmp("t.csv", "a,b\n1,2\n,\n ,\n3,4\n")
+    assert(Sources.load(spark, p).count() == 2)
+    val empty = tmp("e.csv", "a,b\n,\n")
+    intercept[Sources.SourceError](Sources.csv(spark, empty))
+    intercept[Sources.SourceError](Sources.load(spark, "/tmp/zzz.xlsx"))
+  }
+
+  test("JSON: array of objects parses; nested values become structs") {
+    val p = tmp("t.json", """[{"topic":"AI","n":1},{"topic":"ML","n":2}]""")
+    val df = Sources.json(spark, p)
+    assert(df.count() == 2 && df.columns.sorted.toSeq == Seq("n", "topic"))
+  }
+
+  test("JSON: key audit reports rows with missing keys (main.py:187-200)") {
+    val p = tmp("t.json", """[{"a":1,"b":2},{"a":3}]""")
+    val audit = Sources.jsonKeyAudit(Sources.json(spark, p)).collect()
+    assert(audit.length == 1)
+    assert(audit(0).getAs[scala.collection.Seq[String]]("missing_keys").toSeq == Seq("b"))
+  }
+
+  test("TXT sniffing follows main.py:226-238 exactly") {
+    assert(Sources.sniffDelimiter("id,name,dept") == Some(","))
+    assert(Sources.sniffDelimiter("hello, this is prose, with spaces") == None)
+    assert(Sources.sniffDelimiter("id|name|dept") == Some("|"))
+    assert(Sources.sniffDelimiter("id\tname\tdept") == Some("\t"))
+    assert(Sources.sniffDelimiter("just a plain line") == None)
+  }
+
+  test("TXT structured: pipe-delimited with headers; invalid headers rejected") {
+    val p = tmp("t.txt", "id|name\n1|alice\n2|bob\n")
+    val df = Sources.txt(spark, p)
+    assert(df.columns.toSeq == Seq("id", "name") && df.count() == 2)
+    val bad = tmp("b.txt", "id|bad name\n1|x\n")
+    intercept[Sources.SourceError](Sources.txt(spark, bad))
+  }
+
+  test("TXT simple: one row per non-blank line, single content column") {
+    val p = tmp("t.txt", "Write about AI for students\nExplain recursion simply\n\nSummarize the water cycle\n")
+    val df = Sources.txt(spark, p)
+    assert(df.columns.toSeq == Seq("content") && df.count() == 3)
+  }
+
+  test("CSV sink round-trip: export then re-ingest is identity on rows") {
+    val df = Seq(("g1", "mc", "x1", "r1"), ("g2", "mc2", "x2", "r2"))
+      .toDF("group", "main_content", "extra", "response")
+    val out = Files.createTempDirectory("graft_csv").toString + "/out"
+    Sinks.writeCsv(df, out, singleFile = true)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.columns.toSeq == Seq("group", "main_content", "extra", "response"))
+    assert(back.count() == 2)
+    assert(back.orderBy("group").collect().map(_.toSeq).toSeq ==
+      df.orderBy("group").collect().map(_.toSeq).toSeq)
+  }
+
+  test("JSON sink writes export layout; readable back") {
+    val df = Seq(("g1", "m", "v", "resp", 1L)).toDF("group", "main_content", "zz", "response", "row_index")
+    val out = Files.createTempDirectory("graft_json").toString + "/out"
+    Sinks.writeJson(df, out, singleFile = true)
+    val back = spark.read.json(out)
+    assert(back.columns.sorted.toSeq == Seq("group", "main_content", "response", "zz"))
+  }
+
+  test("individual sink: one file per row, sanitized names, sections (S8)") {
+    val df = Seq(
+      (0L, "High/Risk", "mc1", "resp1", "input-a"),
+      (1L, "###", "mc2", "resp2", "input-b"))
+      .toDF("row_index", "group", "main_content", "response", "acol")
+    val dir = Files.createTempDirectory("graft_ind").toString + "/files"
+    Sinks.writeIndividual(df, dir, includeInput = true, includeTimestamp = false)
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.toSeq == Seq("result_001_HighRisk.txt", "result_002_unknown.txt"))
+    val content = new String(Files.readAllBytes(Paths.get(dir, "result_001_HighRisk.txt")), StandardCharsets.UTF_8)
+    assert(content.contains("INPUT:") && content.contains("ACOL: input-a") &&
+      content.contains("RESPONSE:\nresp1"))
+  }
+
+  test("zip assembles both-mode export tree") {
+    val df = Seq(("g", "m", "r", 1L)).toDF("group", "main_content", "response", "row_index")
+    val dir = Files.createTempDirectory("graft_zip").toString
+    Sinks.writeBoth(df, s"$dir/export")
+    Sinks.zipDirectory(s"$dir/export", s"$dir/results.zip")
+    assert(new java.io.File(s"$dir/results.zip").length() > 0)
+    val zf = new java.util.zip.ZipFile(s"$dir/results.zip")
+    try {
+      import scala.jdk.CollectionConverters._
+      val names = zf.entries().asScala.map(_.getName).toSeq
+      assert(names.exists(_.startsWith("individual/")) &&
+        names.exists(_.startsWith("consolidated/")))
+    } finally zf.close()
+  }
+}
