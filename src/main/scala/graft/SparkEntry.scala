@@ -16,8 +16,10 @@ object SparkEntry {
     queries("q01_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.Reference.queries
+    graft.queries.Relational.queries ++ graft.queries.Reference.queries ++
+      graft.queries.TextQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle ++ graft.queries.Reference.oracle
+    graft.queries.Relational.oracle ++ graft.queries.Reference.oracle ++
+      graft.queries.TextQueries.oracle
 }

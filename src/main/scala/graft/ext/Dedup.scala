@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines (north star):
+  * exact (hash group-by) and n-gram Jaccard near-dup via an inverted
+  * shingle index. MinHash/SimHash live in [[MinHashLsh]] / [[SimHash]].
+  *
+  * Scale design (100 TB): exact dedup is one hash-shuffle on a 16-byte
+  * digest (not the full text); near-dup candidate generation bounds the
+  * quadratic blowup with a document-frequency cap on shingles — the
+  * same role LSH banding plays — so bucket joins stay near-linear.
+  */
+object Dedup {
+
+  /** Exact-dup group stats: one row per distinct normalized content,
+    * with the kept (minimum) id and the duplicate count. The shuffle
+    * carries only (hash, id) — at 100 TB the text never moves. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(contentHash(col(textCol)).as("content_hash"), col(idCol))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep exactly one row (min id) per normalized content. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("content_hash").orderBy(col(idCol))
+    df.withColumn("content_hash", contentHash(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "content_hash")
+  }
+
+  /** Near-duplicate pairs by n-gram Jaccard: inverted index on
+    * character shingles → candidate pairs sharing ≥1 rare shingle →
+    * exact Jaccard verification → threshold filter.
+    *
+    * `maxShingleDf` drops shingles appearing in more than that many
+    * docs ("the fast " tells you nothing); it bounds each index
+    * bucket, so candidate generation is O(Σ bucket²) ≤ O(docs ·
+    * maxShingleDf) instead of O(docs²). The verification join ships
+    * each text once per candidate partner — fine when candidates are
+    * sparse; for dense near-dup clusters switch to MinHash signatures
+    * ([[MinHashLsh]]) which verify without the raw text.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      threshold: Double = 0.4,
+      maxShingleDf: Int = 50): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh_set", shingles(col("text"), n))
+    val inverted = docs.select(col("id"), explode(col("sh_set")).as("sh"))
+    val rare = inverted
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
+    val a = rare.select(col("id").as("id_a"), col("sh"))
+    val b = rare.select(col("id").as("id_b"), col("sh"))
+    val cand = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val withSets = cand
+      .join(docs.select(col("id").as("id_a"), col("sh_set").as("set_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh_set").as("set_b")), Seq("id_b"))
+    withSets
+      .select(col("id_a"), col("id_b"), jaccard(col("set_a"), col("set_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

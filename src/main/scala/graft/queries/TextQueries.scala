@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.Dedup
+import graft.functions.TextFunctions._
+
+/** Text-analysis + dedup operator queries over `documents` (north-star
+  * extensions; SURVEY.md §2 addenda). Every expression here is mirrored
+  * structurally in the oracle SQL — identical operation order keeps the
+  * IEEE double results bit-equal between Spark and DuckDB.
+  */
+object TextQueries {
+
+  /** q16: per-document text statistics — token counts, average token
+    * length, stopword ratio, punctuation ratio, composite quality score.
+    * Pure codegen'd projection; scan-speed at any scale. */
+  def q16TextStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        tokenCount($"text").as("n_tokens"),
+        stopwordCount($"text").as("n_stop"),
+        avgTokenLen($"text").as("avg_token_len"),
+        stopwordRatio($"text").as("stop_ratio"),
+        punctRatio($"text").as("punct_ratio"),
+        qualityScore($"text").as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  private val stopList = "('the','a','an','and','of','to','in','is','it','that')"
+
+  val q16Sql: String =
+    s"""SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN $stopList)) AS BIGINT) AS n_stop,
+      |  CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'), t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+      |    / CAST(greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT), 1) AS DOUBLE) AS avg_token_len,
+      |  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN $stopList)) AS DOUBLE)
+      |    / CAST(greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT), 1) AS DOUBLE) AS stop_ratio,
+      |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+      |    / CAST(greatest(CAST(length(text) AS BIGINT), 1) AS DOUBLE) AS punct_ratio,
+      |  least(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN $stopList)) AS DOUBLE)
+      |      / CAST(greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT), 1) AS DOUBLE) * 5.0, 1.0) * 0.4
+      |  + least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+      |  + greatest(1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+      |      / CAST(greatest(CAST(length(text) AS BIGINT), 1) AS DOUBLE) * 4.0, 0.0) * 0.2 AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q17: language-ID heuristic vs the labeled lang column. */
+  def q17LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"lang".as("labeled_lang"),
+        langId($"text").as("pred_lang"))
+      .withColumn("agree", ($"labeled_lang" === $"pred_lang").cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  private def mk(lang: String, markers: Seq[String]): String =
+    s"CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), " +
+      s"t -> t IN (${markers.map(m => s"'$m'").mkString(",")}))) AS BIGINT)"
+
+  val q17Sql: String = {
+    val en = mk("en", Seq("the", "and", "of", "is", "to"))
+    val es = mk("es", Seq("el", "la", "de", "que", "y"))
+    val de = mk("de", Seq("der", "die", "und", "das", "ist"))
+    val fr = mk("fr", Seq("le", "les", "et", "des", "une"))
+    val cjk = "CAST(length(text) - length(regexp_replace(text, '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS DOUBLE)" +
+      " / CAST(greatest(length(text), 1) AS DOUBLE)"
+    s"""SELECT doc_id, lang AS labeled_lang, pred_lang,
+      |  CAST(lang = pred_lang AS INT) AS agree
+      |FROM (SELECT doc_id, lang, text,
+      |  CASE WHEN $cjk > 0.3 THEN 'zh'
+      |       WHEN $en >= greatest($es, $de, $fr) AND $en > 0 THEN 'en'
+      |       WHEN $es >= greatest($de, $fr) AND $es > 0 THEN 'es'
+      |       WHEN $de >= $fr AND $de > 0 THEN 'de'
+      |       WHEN $fr > 0 THEN 'fr'
+      |       ELSE 'und' END AS pred_lang
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q18: exact dedup groups — md5 content hash, kept id, copy count.
+    * The shuffle carries 16-byte digests, never the text. */
+  def q18ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.exactDupGroups(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy($"keep_id")
+  }
+
+  val q18Sql: String =
+    """SELECT md5(lower(trim(text))) AS content_hash,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** q19: n-gram Jaccard near-dup pairs via the inverted-shingle-index
+    * operator (rare-shingle candidate pruning + exact verification). */
+  def q19NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", n = 8, threshold = 0.2, maxShingleDf = 20)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q19Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id AS id, text,
+      |    CASE WHEN length(text) >= 8 THEN
+      |      list_distinct(list_transform(generate_series(1, length(text)-7), i -> substr(text, i, 8)))
+      |    ELSE CAST([] AS VARCHAR[]) END AS sh_set
+      |  FROM documents),
+      |inv AS (SELECT id, unnest(sh_set) AS sh FROM docs),
+      |rare AS (SELECT id, sh FROM
+      |  (SELECT id, sh, count(*) OVER (PARTITION BY sh) AS df FROM inv) t WHERE df <= 20),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM rare a JOIN rare b USING (sh) WHERE a.id < b.id),
+      |pairs AS (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_intersect(da.sh_set, db.sh_set)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(da.sh_set, db.sh_set))) AS DOUBLE) AS jaccard
+      |  FROM cand JOIN docs da ON cand.id_a = da.id JOIN docs db ON cand.id_b = db.id)
+      |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_text_stats" -> (q16TextStats _),
+    "q17_lang_id" -> (q17LangId _),
+    "q18_exact_dedup" -> (q18ExactDedup _),
+    "q19_ngram_jaccard" -> (q19NgramJaccard _))
+
+  val oracle: Map[String, String] = Map(
+    "q16_text_stats" -> q16Sql,
+    "q17_lang_id" -> q17Sql,
+    "q18_exact_dedup" -> q18Sql,
+    "q19_ngram_jaccard" -> q19Sql)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ext.Dedup
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token/stopword/punct stats handle edge cases") {
+    val df = Seq("the cat sat.", "", "   ", "ONE").toDF("t")
+    val out = df.select(tokenCount($"t").as("n"), stopwordCount($"t").as("s"),
+      punctCount($"t").as("p")).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L, 0L, 0L, 1L))
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 1L)
+  }
+
+  test("langId picks marker-dominant language with deterministic tie-break") {
+    val df = Seq(
+      "the cat and the dog of the house is big",
+      "el perro de la casa y el gato que ladra",
+      "der hund und die katze das ist gut",
+      "le chat et les chiens des villes une fois",
+      "xyzzy plugh").toDF("t")
+    val langs = df.select(langId($"t")).as[String].collect().toSeq
+    assert(langs == Seq("en", "es", "de", "fr", "und"))
+  }
+
+  test("shingles: short text yields empty set; jaccard of identical sets is 1") {
+    val df = Seq(("abcdefghij", "abcdefghij"), ("short", "short")).toDF("a", "b")
+    val out = df.select(size(shingles($"a", 8)).as("n"),
+      jaccard(shingles($"a", 8), shingles($"b", 8)).as("j")).collect()
+    assert(out(0).getInt(0) == 3 && out(0).getDouble(1) == 1.0)
+    assert(out(1).getInt(0) == 0 && out(1).getDouble(1) == 0.0)
+  }
+
+  test("exactDedup keeps one min-id row per normalized content") {
+    val df = Seq((1L, "Hello World"), (2L, "  hello world  "), (3L, "other"))
+      .toDF("id", "text")
+    val kept = Dedup.exactDedup(df, "id", "text").select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+    val groups = Dedup.exactDupGroups(df, "id", "text").orderBy("keep_id").collect()
+    assert(groups.map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSeq ==
+      Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngramJaccardPairs finds planted near-dups and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " tail"),                       // near-dup of 1
+      (3L, "completely different content here"),
+      (4L, "unrelated words nothing shared at all zz"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        n = 8, threshold = 0.5, maxShingleDf = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
