@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.polyhash
+import graft.functions.TextFunctions.shingles
+
+/** MinHash + LSH banding near-duplicate detection (north star).
+  *
+  * signature_j(doc) = min over 8-char shingles s of (a_j·H(s) + b_j) mod P,
+  * H = rolling polynomial hash ([[graft.functions.PolyHash]], codegen'd).
+  * Candidates = pairs agreeing on at least one of BANDS contiguous
+  * signature slices; verification = fraction of matching signature
+  * positions (estimates Jaccard).
+  *
+  * Scale design: signatures are K longs per doc regardless of text
+  * size — the banding shuffle moves (band, 4 longs, id), never text.
+  * Bucket join cost is Σ bucket², controlled by band width; verification
+  * joins signatures (128 bytes), not documents. At 100 TB this is the
+  * dedup path that works; the exact-Jaccard verify of [[Dedup]] is the
+  * fallback for small candidate sets. All coefficients are fixed
+  * constants so results are deterministic and engine-portable.
+  */
+object MinHashLsh {
+  val P = 1000000007L
+  val K = 16
+  val Bands = 4
+  val RowsPerBand = 4
+
+  val A: Seq[Long] = Seq(472882049L, 741103597L, 282475249L, 622729787L,
+    516017719L, 920419823L, 694847539L, 378551027L, 115249603L, 858599509L,
+    656671099L, 297379793L, 179424673L, 533000401L, 926960213L, 715225739L)
+  val B: Seq[Long] = Seq(86028157L, 265443577L, 472287103L, 657305099L,
+    104395303L, 512927377L, 735632791L, 198491329L, 982451653L, 67867967L,
+    372661567L, 846732503L, 149305919L, 628836203L, 54018521L, 314606891L)
+
+  /** K-element MinHash signature of a text column. */
+  def signature(text: Column, n: Int = 8): Column = {
+    val hv = transform(shingles(text, n), s => polyhash(s, P))
+    array((0 until K).map(j =>
+      array_min(transform(hv, h => (h * lit(A(j)) + lit(B(j))) % lit(P)))): _*)
+  }
+
+  def signatures(df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.filter(length(col(textCol)) >= n)
+      .select(col(idCol).as("id"), signature(col(textCol), n).as("sig"))
+  }
+
+  /** Near-dup pairs with estimated similarity ≥ `minEstSim`. */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minEstSim: Double = 0.5): DataFrame = {
+    val sigs = signatures(df, idCol, textCol, n)
+    val bands = sigs.select(col("id"), col("sig"),
+        explode(array((0 until Bands).map(b =>
+          struct(lit(b).as("band"), slice(col("sig"), b * RowsPerBand + 1, RowsPerBand).as("bslice"))): _*))
+          .as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.bslice").as("bslice"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bslice") === col("b.bslice") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val withSigs = cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+    val matches = (0 until K).map(i =>
+      when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    withSigs
+      .select(col("id_a"), col("id_b"), (matches.cast("double") / K).as("est_sim"))
+      .filter(col("est_sim") >= minEstSim)
+  }
+}

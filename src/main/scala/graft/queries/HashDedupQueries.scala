@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{MinHashLsh, SimHashDedup}
+
+/** MinHash-LSH and SimHash dedup queries (q20, q21). The oracle SQL
+  * reproduces the exact integer hash arithmetic (rolling polynomial
+  * hash, fixed coefficients) in DuckDB list comprehensions, so even the
+  * LSH pipelines are hash-verified — not just rows-only checks.
+  */
+object HashDedupQueries {
+
+  def q20MinHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    MinHashLsh.nearDupPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", n = 8, minEstSim = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q20Sql: String = {
+    val mins = (0 until MinHashLsh.K).map(j =>
+      s"list_min(list_transform(hv, h -> (h * ${MinHashLsh.A(j)} + ${MinHashLsh.B(j)}) % 1000000007))")
+      .mkString(",\n      |    ")
+    s"""WITH docs AS (
+      |  SELECT doc_id AS id,
+      |    list_distinct(list_transform(generate_series(1, length(text)-7), i -> substr(text, i, 8))) AS sh_set
+      |  FROM documents WHERE length(text) >= 8),
+      |hv AS (SELECT id, list_transform(sh_set, s ->
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(s)), i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007)) AS hv FROM docs),
+      |sig AS (SELECT id, [$mins] AS sig FROM hv),
+      |bands AS (SELECT id, b, list_slice(sig, b*4+1, b*4+4) AS slice
+      |  FROM sig CROSS JOIN UNNEST([0,1,2,3]) AS t(b)),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
+      |est AS (SELECT id_a, id_b,
+      |  CAST(list_sum(list_transform(generate_series(1,16),
+      |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS est_sim
+      |  FROM cand JOIN sig sa ON cand.id_a = sa.id JOIN sig sb ON cand.id_b = sb.id)
+      |SELECT id_a, id_b, est_sim FROM est WHERE est_sim >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  def q21SimHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SimHashDedup.nearDupPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 3)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Oracle brute-forces all pairs; the engine bands. Identical results
+    * are guaranteed by the pigeonhole bound (see [[SimHashDedup]]). */
+  val q21Sql: String =
+    """WITH toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+      |th AS (SELECT id, list_transform(ts, t ->
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(t)), i -> CAST(unicode(substr(t, i, 1)) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 4294967296)) AS hs FROM toks),
+      |sh AS (SELECT id,
+      |  list_sum(list_transform(generate_series(0,31), j ->
+      |    CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |    THEN 1 << j ELSE 0 END)) AS sh FROM th),
+      |pairs AS (SELECT a.id AS id_a, b.id AS id_b, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      |  FROM sh a JOIN sh b ON a.id < b.id)
+      |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_minhash_lsh" -> (q20MinHash _),
+    "q21_simhash" -> (q21SimHash _))
+
+  val oracle: Map[String, String] = Map(
+    "q20_minhash_lsh" -> q20Sql,
+    "q21_simhash" -> q21Sql)
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.ext.{MinHashLsh, SimHashDedup}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class HashDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("polyhash: codegen and interpreted agree with the pinned semantics") {
+    GraftFunctions.register(spark)
+    // hand-computed: "ab" -> ((0*31+97)%m*31+98)%m = 3105
+    val df = Seq("ab", "", "abc").toDF("s")
+    val got = df.select(GraftFunctions.polyhash($"s").as("h")).as[Long].collect()
+    assert(got(0) == 3105L && got(1) == 0L && got(2) == (3105L * 31 + 99) % 1000000007L)
+    // SQL registration path
+    df.createOrReplaceTempView("hash_in")
+    val viaSql = spark.sql("SELECT polyhash(s, 1000000007) AS h FROM hash_in ORDER BY h")
+      .as[Long].collect()
+    assert(viaSql.sorted.toSeq == got.sorted.toSeq)
+  }
+
+  test("simhash32 is deterministic, order-insensitive to duplicate tokens sign") {
+    GraftFunctions.register(spark)
+    val df = Seq("the quick fox", "the quick fox", "completely different words here")
+      .toDF("s")
+    val hs = df.select(GraftFunctions.simhash32($"s").as("h")).as[Long].collect()
+    assert(hs(0) == hs(1))
+    assert(hs(0) >= 0L && hs(0) < (1L << 32))
+    assert(hs(0) != hs(2))
+  }
+
+  test("MinHash LSH surfaces planted near-dups with high est_sim") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val df = Seq(
+      (1L, base), (2L, base + " x"),
+      (3L, "entirely unrelated material about spark query engines and shuffles"),
+      (4L, "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp aaa sss ddd fff ggg"))
+      .toDF("doc_id", "text")
+    val pairs = MinHashLsh.nearDupPairs(df, "doc_id", "text", minEstSim = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("SimHash banded pairs equal brute-force pairs (pigeonhole exactness)") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 10 == 0) "shared base text repeated tokens alpha beta gamma"
+          else s"doc $i unique words ${i * 7} ${i * 13} zeta eta theta iota kappa"))
+    val df = docs.toDF("doc_id", "text")
+    val banded = SimHashDedup.nearDupPairs(df, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sims = SimHashDedup.simhashes(df, "doc_id", "text")
+    val brute = sims.as("a").crossJoin(sims.as("b"))
+      .filter($"a.id" < $"b.id")
+      .filter(bit_count($"a.sh".bitwiseXOR($"b.sh")) <= 3)
+      .select($"a.id", $"b.id").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+    assert(banded.contains((10L, 20L))) // identical docs -> hamming 0
+  }
+}
