@@ -17,9 +17,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Reference.queries ++
-      graft.queries.TextQueries.queries ++ graft.queries.HashDedupQueries.queries
+      graft.queries.TextQueries.queries ++ graft.queries.HashDedupQueries.queries ++
+      graft.queries.EmbeddingQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.Reference.oracle ++
-      graft.queries.TextQueries.oracle ++ graft.queries.HashDedupQueries.oracle
+      graft.queries.TextQueries.oracle ++ graft.queries.HashDedupQueries.oracle ++
+      graft.queries.EmbeddingQueries.oracle
 }

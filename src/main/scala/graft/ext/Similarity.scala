@@ -1,0 +1,141 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (north star): exact cosine
+  * top-k as the baseline; random-hyperplane LSH bucketing and a fixed-
+  * seed IVF partitioner as the scale paths.
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set
+  * and scans candidates once — no shuffle of the candidate table; top-k
+  * is a per-query window. The LSH/IVF paths cut the scanned fraction:
+  * bucket assignment is a pure projection (codegen'd), so candidates
+  * co-shuffle by bucket and only same-bucket pairs are scored. All
+  * arithmetic is double with a fixed fold order so results are
+  * engine-portable (oracle-checkable).
+  */
+object Similarity {
+
+  /** array<float> → array<double> (all scoring in double). */
+  def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential left-fold dot product — deterministic summation order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Exact top-k neighbors for each query row (queries small enough to
+    * broadcast; candidates streamed). Output: query_id, neighbor_id,
+    * rank, cos. */
+  def bruteForceTopK(
+      candidates: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cand = candidates.select(col(idCol).as("neighbor_id"), vecD(col(vecCol)).as("ce"))
+      .withColumn("cnrm", norm(col("ce")))
+    val q = queries.select(col(idCol).as("query_id"), vecD(col(vecCol)).as("qe"))
+      .withColumn("qnrm", norm(col("qe")))
+    val scored = cand.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Exact all-pairs above a cosine threshold (the correctness baseline
+    * for near-dup; LSH pre-filtering below is the scale path). */
+  def exactNearDupPairs(df: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), vecD(col(vecCol)).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  // --- random-hyperplane LSH ---------------------------------------
+
+  val LshBits = 16
+  val Dim = 64
+
+  /** Deterministic pseudo-random projection component in [-0.5, 0.5):
+    * LCG over the flattened (plane, dim) index — reproducible in SQL. */
+  def projComponent(plane: Int, d: Int): Double =
+    ((1103515245L * (plane * Dim + d + 1) + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+
+  private def planeLit(plane: Int): Column =
+    typedLit((0 until Dim).map(d => projComponent(plane, d)))
+
+  /** 16-bit sign bucket: bit i set iff proj_i · e > 0. */
+  def lshBucket(vec: Column): Column =
+    (0 until LshBits).map(i =>
+      when(dot(vec, planeLit(i)) > 0.0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  def withBuckets(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), vecD(col(vecCol)).as("e"))
+      .withColumn("bucket", lshBucket(col("e")))
+
+  /** Approximate top-k via multi-table LSH: `tables` independent hash
+    * tables of `bitsPerTable` hyperplane signs each; candidates are
+    * pairs colliding in ANY table (union, deduped), then scored exactly.
+    * A single wide bucket (q23) is too selective for weakly-clustered
+    * data — multiple narrow tables trade candidate count for recall,
+    * the standard production ANN layout. At scale each table is a
+    * co-partitioned equi-join on (table, bucket); candidates per query
+    * ≈ tables · n/2^bits, tunable independently of recall per table. */
+  def approxTopK(
+      df: DataFrame, idCol: String, vecCol: String, queryPred: Column, k: Int,
+      tables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
+    val v = df.select(col(idCol).as("id"), vecD(col(vecCol)).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    def tableBucket(t: Int): Column =
+      (0 until bitsPerTable).map(i =>
+        when(dot(col("e"), planeLit(t * bitsPerTable + i)) > 0.0, lit(1L << i))
+          .otherwise(lit(0L))).reduce(_ + _)
+    val bucketed = v.select(col("id"), col("e"), col("nrm"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), tableBucket(t).as("bv"))): _*)).as("tb"))
+      .select(col("id"), col("e"), col("nrm"),
+        col("tb.t").as("t"), col("tb.bv").as("bv"))
+    val q = bucketed.filter(queryPred)
+    val cand = bucketed.as("c").join(broadcast(q).as("q"),
+        col("c.t") === col("q.t") && col("c.bv") === col("q.bv") &&
+          col("c.id") =!= col("q.id"))
+      .select(col("q.id").as("query_id"), col("q.e").as("qe"), col("q.nrm").as("qnrm"),
+        col("c.id").as("neighbor_id"), col("c.e").as("ce"), col("c.nrm").as("cnrm"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      (dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  // --- IVF-flat with fixed seeds ------------------------------------
+
+  /** Assign each vector to the nearest of the first `nClusters` vectors
+    * (deterministic seeds — no iterative training, reproducible
+    * anywhere). Returns (id, e, cluster). At scale: seeds broadcast,
+    * assignment is one scan; probing reads only the target cluster's
+    * partition (write the output partitioned by cluster). */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, nClusters: Int): DataFrame = {
+    val v = df.select(col(idCol).as("id"), vecD(col(vecCol)).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    val seeds = v.orderBy("id").limit(nClusters)
+      .select(col("id").as("seed_id"), col("e").as("se"), col("nrm").as("snrm"))
+    val scored = v.crossJoin(broadcast(seeds))
+      .select(col("id"), col("e"),
+        col("seed_id"), (dot(col("e"), col("se")) / (col("nrm") * col("snrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("cos").desc, col("seed_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("e"), col("seed_id").as("cluster"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.Similarity
+
+/** Similarity-search queries over `embeddings` (q22-q24). The oracle
+  * mirrors the exact double arithmetic: vectors cast float→double,
+  * sequential-order dot products, division by precomputed norms.
+  */
+object EmbeddingQueries {
+
+  /** q22: exact cosine top-10 for query vectors vec_id < 10. */
+  def q22CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 10)
+      .orderBy($"query_id", $"rank")
+  }
+
+  val q22Sql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+      |q AS (SELECT * FROM n WHERE vec_id < 10),
+      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  list_sum(list_transform(generate_series(1,64), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm) AS cos
+      |  FROM q JOIN n c ON c.vec_id != q.vec_id),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM p)
+      |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** q23: random-hyperplane LSH bucket assignment (the ANN pre-filter).
+    * Projection components come from a shared LCG formula. */
+  def q23LshBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.withBuckets(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+      .select($"id".as("vec_id"), $"bucket")
+      .orderBy($"vec_id")
+  }
+
+  val q23Sql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |b AS (SELECT vec_id,
+      |  list_sum(list_transform(generate_series(0,15), p ->
+      |    CASE WHEN list_sum(list_transform(generate_series(1,64), d ->
+      |      e[d] * (CAST((1103515245 * (p*64 + d) + 12345) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5)
+      |    )) > 0.0 THEN 1 << p ELSE 0 END)) AS bucket
+      |  FROM v)
+      |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket FROM b ORDER BY vec_id""".stripMargin
+
+  /** q24: exact embedding near-dup pairs (cos ≥ 0.45) — the correctness
+    * baseline the LSH path is spec-tested against. */
+  def q24EmbNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.exactNearDupPairs(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", minCos = 0.45)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q24Sql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_sum(list_transform(generate_series(1,64), i -> a.e[i]*b.e[i])) / (a.nrm*b.nrm) AS cos
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_cosine_topk" -> (q22CosineTopK _),
+    "q23_lsh_buckets" -> (q23LshBuckets _),
+    "q24_emb_neardup" -> (q24EmbNearDup _))
+
+  val oracle: Map[String, String] = Map(
+    "q22_cosine_topk" -> q22Sql,
+    "q23_lsh_buckets" -> q23Sql,
+    "q24_emb_neardup" -> q24Sql)
+}
