@@ -18,10 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Reference.queries ++
       graft.queries.TextQueries.queries ++ graft.queries.HashDedupQueries.queries ++
-      graft.queries.EmbeddingQueries.queries
+      graft.queries.EmbeddingQueries.queries ++ graft.queries.EventQueries.queries ++
+      graft.queries.MiscQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.Reference.oracle ++
       graft.queries.TextQueries.oracle ++ graft.queries.HashDedupQueries.oracle ++
-      graft.queries.EmbeddingQueries.oracle
+      graft.queries.EmbeddingQueries.oracle ++ graft.queries.EventQueries.oracle ++
+      graft.queries.MiscQueries.oracle
 }

@@ -15,8 +15,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
+      // default; read it as raw nanos and derive epoch columns in
+      // [[loadEvents]]. Runtime-settable legacy conf.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events with `ts` as raw nanos (long) plus derived `sec`/`us` epoch
+    * columns — integer floor-division, matching DuckDB's TIMESTAMP_NS →
+    * epoch()/epoch_us() truncation. */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    load(spark, dir, "events")
+      .withColumn("sec", expr("CAST(ts DIV 1000000000 AS BIGINT)"))
+      .withColumn("us", expr("CAST(ts DIV 1000 AS BIGINT)"))
+  }
 
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted two-phase aggregation for skewed keys (SURVEY.md scale
+  * checklist). A hot key that would melt one reducer is split across
+  * `saltBuckets` partial groups, partially aggregated, then re-combined
+  * — correct for any decomposable aggregate (sum/count/min/max).
+  *
+  * AQE's skew handling covers sort-merge JOINS, not aggregations; for
+  * aggregation skew, salting remains the tool. Results are identical to
+  * the direct groupBy (the oracle checks q28 against a plain GROUP BY).
+  */
+object SkewedAgg {
+
+  /** countAndSum per key, salted. `valueCol` should already be exact
+    * (decimal) if cross-engine parity matters. */
+  def saltedCountSum(
+      df: DataFrame, keyCol: String, valueCol: Column,
+      saltBuckets: Int = 16): DataFrame = {
+    val salted = df
+      .withColumn("__salt", pmod(hash(col(keyCol), monotonically_increasing_id()), lit(saltBuckets)))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(valueCol).as("__s"))
+    salted.groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n"), sum(col("__s")).as("sum_value"))
+  }
+}

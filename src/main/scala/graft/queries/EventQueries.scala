@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.AsOfJoin
+import graft.operators.ColOps._
+
+/** Event-stream analytics on the `events` table (q25-q27): tumbling
+  * windows, gap-based sessionization, as-of join. Batch twins of the
+  * streaming module's operators — same semantics the Structured
+  * Streaming path applies with watermarks (graft.streaming).
+  * All times handled as unix micros/seconds (bigint) for exact
+  * cross-engine parity.
+  */
+object EventQueries {
+
+  /** q25: 10-minute tumbling window aggregation per event type. One
+    * shuffle on (window, type); partial aggregation collapses map-side. */
+  def q25TumblingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.loadEvents(s, dir)
+      .withColumn("win_start", ($"sec" - pmod($"sec", lit(600L))).cast("long"))
+      .groupBy($"win_start", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        dsum(dec($"value")).as("sum_value"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"win_start", $"event_type")
+  }
+
+  val q25Sql: String =
+    """SELECT win_start, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM (SELECT *,
+      |  CAST(floor(epoch(ts)) - floor(epoch(ts)) % 600 AS BIGINT) AS win_start
+      |  FROM events) t
+      |GROUP BY win_start, event_type
+      |ORDER BY win_start, event_type""".stripMargin
+
+  /** q26: gap-based sessionization (30-min inactivity closes a session)
+    * entirely in window functions — the classic lag→flag→cumsum→group
+    * pattern. One shuffle on user_id; sessions never materialize on the
+    * driver. */
+  def q26Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"sec", $"event_id")
+    Tables.loadEvents(s, dir)
+      .withColumn("prev_sec", lag($"sec", 1).over(byUser))
+      .withColumn("is_new",
+        when($"prev_sec".isNull || $"sec" - $"prev_sec" > 1800L, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum($"is_new").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min($"sec").as("start_sec"),
+        max($"sec").as("end_sec"),
+        (max($"sec") - min($"sec")).as("duration_sec"),
+        dsum(dec($"value")).as("sum_value"))
+      .orderBy($"user_id", $"session_seq")
+  }
+
+  val q26Sql: String =
+    """WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |flagged AS (SELECT *,
+      |  CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |sessions AS (SELECT *,
+      |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |  min(sec) AS start_sec, max(sec) AS end_sec,
+      |  max(sec) - min(sec) AS duration_sec,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM sessions GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  /** q27: as-of join — each purchase matched to the user's most recent
+    * click at-or-before it. Engine: tag+union+window carry-forward
+    * ([[AsOfJoin]], one shuffle). Oracle: DuckDB's native ASOF JOIN —
+    * two independent implementations of the same semantics. */
+  def q27AsOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.loadEvents(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"us", $"value")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"us")
+    AsOfJoin.asofLeft(purchases, clicks, "user_id", "us",
+        rightPayloadCols = Seq("click_id"), rightOrderCol = "click_id")
+      .select($"event_id", $"user_id", $"us", $"asof_click_id".as("click_id"))
+      .orderBy($"event_id")
+  }
+
+  val q27Sql: String =
+    """WITH e AS (SELECT *, epoch_us(ts) AS us FROM events),
+      |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS click_id, user_id, us FROM e WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.us, c.click_id
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+      |ORDER BY p.event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_tumbling_window" -> (q25TumblingWindow _),
+    "q26_sessionize" -> (q26Sessionize _),
+    "q27_asof_join" -> (q27AsOf _))
+
+  val oracle: Map[String, String] = Map(
+    "q25_tumbling_window" -> q25Sql,
+    "q26_sessionize" -> q26Sql,
+    "q27_asof_join" -> q27Sql)
+}

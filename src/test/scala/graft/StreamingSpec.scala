@@ -1,0 +1,69 @@
+package graft
+
+import graft.enrich.ConversationalTestEnricher
+import graft.model.AiConfig
+import graft.streaming.{ProgressListener, Streaming}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed event counts over the file stream match the batch computation") {
+    val q = Streaming.windowedEventCounts(Streaming.eventsStream(spark, sf))
+      .writeStream.format("memory").queryName("win_counts").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // append mode only emits windows closed by the watermark; the final
+    // (max event time) windows stay pending — compare the emitted set.
+    val streamed = spark.table("win_counts")
+      .select(unix_timestamp($"win_start").as("ws"), $"event_type", $"n")
+      .as[(Long, String, Long)].collect().toSet
+    val batch = Tables.loadEvents(spark, sf)
+      .withColumn("ws", $"sec" - pmod($"sec", lit(600L)))
+      .groupBy($"ws", $"event_type").agg(count(lit(1)).as("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+    // everything except the last (unclosed) windows must have been emitted
+    val pendingWindows = batch.map(_._1).max
+    val closed = batch.filter(_._1 < pendingWindows - 1800)
+    assert(closed.subsetOf(streamed))
+  }
+
+  test("conversation state persists across micro-batches (T7)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.ConvInput]
+    val out = Streaming.conversationStream(
+      input.toDS(), ConversationalTestEnricher(), AiConfig.test(), Some("SYS"))
+    val q = out.writeStream.format("memory").queryName("conv_out").outputMode("append").start()
+    try {
+      input.addData(Streaming.ConvInput("g1", 0L, "aa"), Streaming.ConvInput("g1", 1L, "bbb"))
+      q.processAllAvailable()
+      input.addData(Streaming.ConvInput("g1", 2L, "c"), Streaming.ConvInput("g2", 0L, "dd"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("conv_out").as[Streaming.ConvOutput].collect()
+      .sortBy(r => (r.group, r.rowIndex))
+    // g1 turn numbers continue across batches: 1,2 then 3 with accumulated chars
+    assert(rows.map(r => (r.group, r.turnNumber, r.historyChars)).toSeq ==
+      Seq(("g1", 1L, 0L), ("g1", 2L, 2L), ("g1", 3L, 5L), ("g2", 1L, 0L)))
+    assert(rows.head.response == "[gpt-test] turn=1 ctx=0")
+  }
+
+  test("ProgressListener observes tasks and records (T1-T4)") {
+    val events = scala.collection.mutable.ArrayBuffer.empty[ProgressListener.Event]
+    val listener = new ProgressListener(e => events.synchronized { events += e })
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Tables.load(spark, sf, "lineitem").count()
+      // listener bus is async; give it a moment to drain
+      var waited = 0
+      while (listener.tasksCompleted.get() == 0 && waited < 50) {
+        Thread.sleep(100); waited += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(listener.tasksCompleted.get() > 0)
+    assert(listener.recordsRead.get() > 0)
+    assert(events.exists(_.isInstanceOf[ProgressListener.StageCompleted]))
+  }
+}
