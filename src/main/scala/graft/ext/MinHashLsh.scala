@@ -2,8 +2,6 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.GraftFunctions.polyhash
-import graft.functions.TextFunctions.shingles
 
 /** MinHash + LSH banding near-duplicate detection (north star).
   *
@@ -34,17 +32,20 @@ object MinHashLsh {
     104395303L, 512927377L, 735632791L, 198491329L, 982451653L, 67867967L,
     372661567L, 846732503L, 149305919L, 628836203L, 54018521L, 314606891L)
 
-  /** K-element MinHash signature of a text column. */
-  def signature(text: Column, n: Int = 8): Column = {
-    val hv = transform(shingles(text, n), s => polyhash(s, P))
-    array((0 until K).map(j =>
-      array_min(transform(hv, h => (h * lit(A(j)) + lit(B(j))) % lit(P)))): _*)
-  }
+  /** K-element MinHash signature of a text column — one native pass
+    * ([[graft.functions.MinHashSig]]): shingling, rolling hash, and all
+    * K mins in a single JVM loop, no intermediate arrays. (The
+    * composed-HOF version was 60x slower: `transform`/`array_min` are
+    * interpreted.) Semantics identical to min over the distinct shingle
+    * set. Requires [[graft.functions.VectorFunctions.registerMinhash]]
+    * with (n, A, B, P) — [[signatures]] does it. */
+  def signature(text: Column): Column =
+    graft.functions.VectorFunctions.minhashSig(text)
 
   def signatures(df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
+    graft.functions.VectorFunctions.registerMinhash(df.sparkSession, n, A, B, P)
     df.filter(length(col(textCol)) >= n)
-      .select(col(idCol).as("id"), signature(col(textCol), n).as("sig"))
+      .select(col(idCol).as("id"), signature(col(textCol)).as("sig"))
   }
 
   /** Near-dup pairs with estimated similarity ≥ `minEstSim`. */

@@ -39,16 +39,17 @@ object SimHashDedup {
           struct(lit(b).as("band"),
             shiftrightunsigned(col("sh"), b * BitsPerBand).bitwiseAND(lit(255L)).as("bval"))): _*))
           .as("bs"))
-      .select(col("id"), col("bs.band").as("band"), col("bs.bval").as("bval"))
-    val cand = bands.as("a").join(bands.as("b"),
+      .select(col("id"), col("sh"), col("bs.band").as("band"), col("bs.bval").as("bval"))
+    // hamming filter INSIDE the band join: candidates that fail the
+    // distance test never reach the distinct — at skewed band buckets
+    // this is the difference between deduping true pairs and deduping
+    // the whole candidate blow-up.
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    cand
-      .join(sims.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sims.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+          col("a.id") < col("b.id") &&
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+      .distinct()
   }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import graft.queries.Relational
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Asserts the physical plans we'd want on a 1000-executor cluster:
+  * filters/projections reach the parquet scan, small dims broadcast,
+  * hot paths stay inside WholeStageCodegen. A query that merely returns
+  * correct rows but scans all columns or shuffles a dimension table
+  * would pass the oracle and still be wrong at 100 TB — these specs
+  * catch that. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q02: predicate pushdown and column pruning reach the parquet scan") {
+    val p = plan(Relational.q02Filter(spark, sf))
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n$p")
+    // only the 4 referenced columns are read
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_shipdate") && readSchema.contains("l_discount") &&
+      readSchema.contains("l_quantity") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
+      s"unpruned columns read:\n$readSchema")
+  }
+
+  test("q03: dimension joins are broadcast, fact side never shuffles for the join") {
+    val p = plan(Relational.q03BroadcastJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join fell back to SMJ:\n$p")
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the exchange") {
+    val p = plan(Relational.q01Agg(spark, sf))
+    // two HashAggregate nodes (partial + final) around one Exchange
+    val aggs = p.linesIterator.count(l => l.trim.matches("\\(\\d+\\) HashAggregate.*"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("q06: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.q06TopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"limit+sort not fused into top-k:\n$p")
+  }
+
+  test("custom hash expressions participate in whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Tables.load(spark, sf, "documents")
+      .select(graft.functions.GraftFunctions.simhash32(col("text")).as("h"))
+    // formatted mode marks whole-stage-codegen participants with
+    // "[codegen id : N]"; the project containing simhash32 must be one
+    val p = plan(df)
+    assert(p.linesIterator.exists(l => l.contains("Project") && l.contains("codegen id")),
+      s"simhash projection not inside whole-stage codegen:\n$p")
+  }
+}
