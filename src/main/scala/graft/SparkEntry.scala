@@ -11,9 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * the reference's full EP2 pipeline — index → row-groups → template →
+    * enrichment via mapPartitions → assembly → order restore. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_agg")(spark, "/root/testdata/sf0.001")
+    queries("q14_pipeline")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Reference.queries ++

@@ -52,8 +52,9 @@ object Dedup {
       n: Int = 8,
       threshold: Double = 0.4,
       maxShingleDf: Int = 50): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
     val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh_set", shingles(col("text"), n))
+      .withColumn("sh_set", graft.functions.VectorFunctions.charShingles(col("text"), n))
     val inverted = docs.select(col("id"), explode(col("sh_set")).as("sh"))
     val rare = inverted
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -38,6 +38,19 @@ object VectorKernels {
     while (it.hasNext) if (sa.contains(it.next())) inter += 1
     val union = sa.size + sb.size - inter
     if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  /** Distinct n-char shingle set, one pass, first-occurrence order. */
+  def charShingles(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    if (str.length < n) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.LinkedHashSet[UTF8String]
+    var i = 0
+    while (i <= str.length - n) {
+      set.add(UTF8String.fromString(str.substring(i, i + n)))
+      i += 1
+    }
+    new GenericArrayData(set.toArray(Array.empty[AnyRef]))
   }
 
   /** MinHash signature in one pass: for every n-char window, rolling
@@ -111,11 +124,27 @@ case class MinHashSig(child: Expression, n: Int, as: Array[Long], bs: Array[Long
   override def prettyName: String = "minhash_sig"
 }
 
+/** Distinct character n-gram set in one pass (the HOF equivalent —
+  * array_distinct ∘ transform ∘ sequence — is interpreted and was the
+  * residual q19 hot spot). Set semantics identical; element order is
+  * first-occurrence (irrelevant downstream: explode + set-jaccard). */
+case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.charShingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.charShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+  override def prettyName: String = "char_shingles"
+}
+
 /** Column wrappers via the function registry (see GraftFunctions). */
 object VectorFunctions {
   def vecdot(a: Column, b: Column): Column = call_function("vecdot", a, b)
   def arrayJaccard(a: Column, b: Column): Column = call_function("array_jaccard", a, b)
   def minhashSig(text: Column): Column = call_function("minhash_sig", text)
+  def charShingles(text: Column, n: Int): Column = call_function("char_shingles", text, lit(n))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -123,6 +152,11 @@ object VectorFunctions {
       exprs => VecDot(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("array_jaccard",
       exprs => ArrayJaccard(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("char_shingles",
+      exprs => CharShingles(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"char_shingles n must be a literal int, got $other")
+      }), "built-in")
   }
 
   /** MinHash registration carries the coefficient set (caller-owned). */

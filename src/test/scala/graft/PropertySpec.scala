@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.enrich.SlidingWindowRateLimiter
+import graft.operators.CoreOps
+import graft.sinks.Sinks
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks (SURVEY.md §5.2): round-trips, order
+  * restoration, template-expansion invariants, limiter bounds.
+  * Uses raw scalacheck generators with fixed seeds (scalatestplus
+  * bridge is not in the offline dependency cache) — deterministic,
+  * and DataFrame properties use few, small cases (a Spark job each). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).getOrElse(
+      sys.error(s"generator failed for seed $seed"))
+
+  private val cell: Gen[String] =
+    Gen.listOf(Gen.frequency(9 -> Gen.alphaNumChar, 1 -> Gen.oneOf(' ', '-', '_', '.')))
+      .map(_.mkString.take(20))
+
+  test("property: CSV export -> re-ingest is identity on non-blank string rows") {
+    val rows = Gen.nonEmptyListOf(Gen.zip(cell.suchThat(_.trim.nonEmpty), cell)).map(_.take(8))
+    for (seed <- 1L to 5L) {
+      val data = sample(rows, seed)
+      val df = data.toDF("group", "response")
+        .select(trim($"group").as("group"), trim($"response").as("response"))
+      val out = Files.createTempDirectory("graft_prop").toString + "/csv"
+      Sinks.writeCsv(df, out, singleFile = true)
+      val back = spark.read.option("header", "true").csv(out)
+        .na.fill("") // empty strings round-trip as null in CSV
+      val a = df.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      val b = back.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(a == b, s"seed=$seed")
+    }
+  }
+
+  test("property: restoreOrder recovers original order from any shuffle") {
+    for (seed <- 1L to 5L) {
+      val n = sample(Gen.chooseNum(1, 50), seed).toLong
+      val df = (0L until n).map(i => (i, s"v$i")).toDF("row_index", "v").repartition(4)
+      val restored = CoreOps.restoreOrder(df).select("v").as[String].collect()
+      assert(restored.toSeq == (0L until n).map(i => s"v$i"), s"seed=$seed")
+    }
+  }
+
+  test("property: template expansion preserves all non-placeholder text") {
+    val literal = Gen.listOf(Gen.frequency(9 -> Gen.alphaNumChar, 1 -> Gen.oneOf(' ', '.', ',')))
+      .map(_.mkString.take(30))
+    val cases = (1L to 10L).map(s =>
+      (sample(literal, s), sample(cell, s + 100), sample(cell, s + 200)))
+    val df = cases.toDF("lit0", "a", "b")
+      .withColumn("tpl", concat($"lit0", lit("{a} mid {b} end")))
+    // expand a dynamic template per row: same fold CoreOps uses, applied
+    // via replace on the tpl column
+    val expanded = df.select($"lit0", $"a", $"b",
+      replace(replace($"tpl", lit("{a}"), $"a"), lit("{b}"), $"b").as("p")).collect()
+    expanded.foreach { r =>
+      assert(r.getAs[String]("p") ==
+        s"${r.getAs[String]("lit0")}${r.getAs[String]("a")} mid ${r.getAs[String]("b")} end")
+    }
+    // and the static-template CoreOps path
+    val one = Seq(("x1", "y2")).toDF("a", "b")
+      .select(CoreOps.expandTemplate("pre {a} mid {b} end", Seq("a", "b")).as("p"))
+      .as[String].head()
+    assert(one == "pre x1 mid y2 end")
+  }
+
+  test("property: sanitizeName output is always [A-Za-z0-9 _-]+ or unknown") {
+    val names = (1L to 30L).map(s => sample(Gen.asciiPrintableStr.map(_.take(15)), s))
+    val out = names.toDF("n").select(CoreOps.sanitizeName($"n").as("s")).as[String].collect()
+    out.foreach { s =>
+      assert(s == "unknown" || (s.matches("[A-Za-z0-9 _-]+") && s == s.trim))
+    }
+  }
+
+  test("property: rate limiter never exceeds N acquisitions per trailing 60s") {
+    for (seed <- 1L to 20L) {
+      val rate = sample(Gen.chooseNum(1, 10), seed)
+      val gaps = sample(Gen.listOfN(40, Gen.chooseNum(0L, 30000L)), seed + 500)
+      var now = 0L
+      val rl = new SlidingWindowRateLimiter(rate, () => now, ms => now += ms)
+      val times = gaps.map { g => now += g; rl.acquire(); now }
+      times.foreach { t =>
+        val inWindow = times.count(x => x > t - 60000 && x <= t)
+        assert(inWindow <= rate, s"seed=$seed window ending $t had $inWindow > $rate")
+      }
+    }
+  }
+}
