@@ -38,6 +38,7 @@ object Demo {
 
     results.show(truncate = false)
     Sinks.writeBoth(results, s"$outDir/export", includePrompt = true)
+    Sinks.writeJsonPrettyArray(results, s"$outDir/export/consolidated/results_array.json")
     Sinks.zipDirectory(s"$outDir/export", s"$outDir/results.zip")
     println(s"results=${results.count()} quarantined=${quarantined.count()} zip=$outDir/results.zip")
     spark.stop()

@@ -21,11 +21,16 @@ object TextFunctions {
   def tokenCount(c: Column): Column = size(tokens(c)).cast(LongType)
 
   /** BPE-ish subword count estimate: whitespace tokens plus extra splits
-    * at letter/digit and case boundaries — a deterministic proxy for a
-    * real tokenizer's token count (no external vocab available). */
+    * at case and letter/digit boundaries — a deterministic proxy for a
+    * real tokenizer's token count (no external vocab available).
+    * Boundary counting via non-overlapping 2-char matches (not
+    * lookarounds, which RE2/DuckDB lacks — keeps it oracle-checkable). */
+  private def boundaryCount(c: Column, pattern: String): Column =
+    ((length(c) - length(regexp_replace(c, pattern, ""))) / 2).cast(LongType)
+
   def subwordCountEstimate(c: Column): Column =
-    size(split(trim(c), "\\s+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"))
-      .cast(LongType)
+    tokenCount(c) + boundaryCount(c, "[a-z][A-Z]") +
+      boundaryCount(c, "[A-Za-z][0-9]") + boundaryCount(c, "[0-9][A-Za-z]")
 
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")

@@ -43,6 +43,31 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).json(path)
   }
 
+  /** S6 exact-format variant (`main.py:735`): a single pretty-printed
+    * JSON ARRAY file, matching the reference byte format (indent-2
+    * objects in an array). Necessarily single-stream — the rows funnel
+    * through toLocalIterator (bounded driver memory), so use only for
+    * reference-parity exports; the sharded [[writeJson]] is the scale
+    * path. */
+  def writeJsonPrettyArray(df: DataFrame, filePath: String): Unit = {
+    val out = exportLayout(df)
+    val jsonRows = out.toJSON.toLocalIterator()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val writer = mapper.writerWithDefaultPrettyPrinter()
+    val sb = new java.io.BufferedWriter(new java.io.FileWriter(filePath))
+    try {
+      sb.write("[")
+      var first = true
+      while (jsonRows.hasNext) {
+        if (!first) sb.write(",")
+        first = false
+        sb.write("\n")
+        sb.write(writer.writeValueAsString(mapper.readTree(jsonRows.next())))
+      }
+      sb.write("\n]")
+    } finally sb.close()
+  }
+
   /** S7: consolidated CSV with header. */
   def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
     val out = exportLayout(df)

@@ -103,6 +103,18 @@ class SourcesSinksSpec extends SparkSpec {
       content.contains("RESPONSE:\nresp1"))
   }
 
+  test("pretty-array JSON sink emits a parseable literal array (S6 format)") {
+    val df = Seq(("g1", "m1", "r1"), ("g2", "m2", "r2"))
+      .toDF("group", "main_content", "response")
+    val f = Files.createTempDirectory("graft_pj").toString + "/results.json"
+    Sinks.writeJsonPrettyArray(df, f)
+    val text = new String(Files.readAllBytes(Paths.get(f)), StandardCharsets.UTF_8)
+    assert(text.startsWith("[") && text.trim.endsWith("]"))
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    assert(parsed.isArray && parsed.size() == 2)
+    assert(parsed.get(0).get("group").asText() == "g1")
+  }
+
   test("zip assembles both-mode export tree") {
     val df = Seq(("g", "m", "r", 1L)).toDF("group", "main_content", "response", "row_index")
     val dir = Files.createTempDirectory("graft_zip").toString
