@@ -32,7 +32,8 @@ object EnrichRunner {
       promptCol: String,
       enricher: Enricher,
       config: AiConfig,
-      rateLimitPerMinute: Option[Int] = None): DataFrame = {
+      rateLimitPerMinute: Option[Int] = None,
+      metrics: Option[EnrichMetrics] = None): DataFrame = {
     val schema = StructType(df.schema.fields)
       .add("response", StringType).add("error", StringType)
     val promptIdx = df.schema.fieldIndex(promptCol)
@@ -43,13 +44,18 @@ object EnrichRunner {
     df.mapPartitions { it =>
       enricher.open()
       val limiter = perPartitionRate.map(new SlidingWindowRateLimiter(_))
+      val sleepCounting: Long => Unit =
+        ms => { metrics.foreach(_.retries.add(1)); Thread.sleep(ms) }
       it.map { r =>
         limiter.foreach(_.acquire())
         val prompt = Option(r.get(promptIdx)).map(_.toString).getOrElse("")
-        RetryPolicy.withRetries(cfg.retryAttempts)(
+        metrics.foreach(_.processed.add(1))
+        RetryPolicy.withRetries(cfg.retryAttempts, sleepCounting)(
           () => enricher.enrich(Seq(Message("user", prompt)), cfg)) match {
           case Success(resp) => Row.fromSeq(r.toSeq :+ resp :+ null)
-          case Failure(e)    => Row.fromSeq(r.toSeq :+ null :+ e.getMessage)
+          case Failure(e) =>
+            metrics.foreach(_.errors.add(1))
+            Row.fromSeq(r.toSeq :+ null :+ e.getMessage)
         }
       }
     }(enc)
