@@ -126,6 +126,13 @@ object Sinks {
     writeCsv(df, s"$dir/consolidated/csv", singleFile = true)
   }
 
+  /** E3 dead-letter sink: persist quarantined rows (error column set)
+    * for audit/replay — the reference silently dropped them
+    * (main.py:487-502). Partitioned parquet; at scale this is the
+    * replayable input for a retry pass. */
+  def writeQuarantine(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Driver-side ZIP of an export directory (the reference's in-memory
     * zipfile, main.py:786-787, here streamed file-by-file). */
   def zipDirectory(dir: String, zipPath: String): Unit = {

@@ -25,7 +25,8 @@ object Sources {
     else if (lower.endsWith(".json")) json(spark, path)
     else if (lower.endsWith(".txt")) txt(spark, path)
     else if (lower.endsWith(".parquet")) spark.read.parquet(path)
-    else throw SourceError(s"Unsupported file type: $path (use .csv, .json, .txt, .parquet)")
+    else if (lower.endsWith(".orc")) spark.read.orc(path)
+    else throw SourceError(s"Unsupported file type: $path (use .csv, .json, .txt, .parquet, .orc)")
   }
 
   /** S2 (main.py:117-158): header-row schema, empty-file/no-data/invalid-

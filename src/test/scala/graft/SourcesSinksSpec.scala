@@ -103,6 +103,14 @@ class SourcesSinksSpec extends SparkSpec {
       content.contains("RESPONSE:\nresp1"))
   }
 
+  test("ORC round-trip through the source facade") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val dir = Files.createTempDirectory("graft_orc").toString + "/t.orc"
+    df.write.orc(dir)
+    val back = Sources.load(spark, dir)
+    assert(back.count() == 2 && back.columns.toSeq == Seq("id", "v"))
+  }
+
   test("pretty-array JSON sink emits a parseable literal array (S6 format)") {
     val df = Seq(("g1", "m1", "r1"), ("g2", "m2", "r2"))
       .toDF("group", "main_content", "response")
