@@ -39,6 +39,13 @@ object StreamingDemo {
     println(s"[stream] after resume: $afterResume rows (unchanged=${afterResume == afterFirst}: source exhausted, state restored, nothing reprocessed)")
     q2.stop()
     spark.read.parquet(outDir).orderBy("win_start", "event_type").show(6, truncate = false)
+
+    // session windows: gap-merged per-user sessions as a stream
+    val qs = Streaming.sessionizedEvents(Streaming.eventsStream(spark, dir))
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try qs.processAllAvailable() finally qs.stop()
+    println(s"[stream] closed sessions emitted: ${spark.table("sessions").count()}")
+    spark.table("sessions").orderBy("user_id", "session_start").show(4, truncate = false)
     spark.stop()
   }
 }

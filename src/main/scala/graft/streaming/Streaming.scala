@@ -49,6 +49,18 @@ object Streaming {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Gap-based sessionization as a stream — `session_window` merges
+    * events within `gap` of each other per user (the streaming twin of
+    * the batch q26 lag→cumsum pattern; watermark bounds state). */
+  def sessionizedEvents(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", "30 minutes")
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   final case class ConvInput(group: String, rowIndex: Long, prompt: String)
   final case class ConvOutput(group: String, rowIndex: Long, turnNumber: Long,
     historyChars: Long, response: String)

@@ -30,6 +30,27 @@ class StreamingSpec extends SparkSpec {
     assert(closed.subsetOf(streamed))
   }
 
+  test("streaming session_window matches the batch sessionization on closed sessions") {
+    val q = Streaming.sessionizedEvents(Streaming.eventsStream(spark, sf))
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sess")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // batch q26 equivalent (30-min gap) per user
+    val batch = graft.queries.EventQueries.q26Sessionize(spark, sf)
+      .select($"user_id", $"n_events").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(streamed.nonEmpty)
+    // closed (watermark-passed) sessions must agree with batch; the
+    // final pending session per user may be withheld — so every
+    // streamed user's session multiset is a sub-multiset of batch's
+    streamed.foreach { case (u, ns) =>
+      val bn = batch.getOrElse(u, Seq.empty)
+      assert(ns.diff(bn).isEmpty, s"user $u streamed $ns not within batch $bn")
+    }
+  }
+
   test("conversation state persists across micro-batches (T7)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streaming.ConvInput]
