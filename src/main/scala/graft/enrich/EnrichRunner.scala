@@ -37,12 +37,24 @@ object EnrichRunner {
     val schema = StructType(df.schema.fields)
       .add("response", StringType).add("error", StringType)
     val promptIdx = df.schema.fieldIndex(promptCol)
-    val numParts = math.max(1, df.rdd.getNumPartitions)
-    val perPartitionRate = rateLimitPerMinute.map(r => math.max(1, r / numParts))
+    // Global budget: if partitions outnumber requests/minute, a 1/min
+    // floor per partition would multiply the configured limit — shrink
+    // the partition count first so Σ per-partition budgets ≤ r.
+    val (input, perPartitionRate) = rateLimitPerMinute match {
+      case Some(r) =>
+        val parts = math.max(1, df.rdd.getNumPartitions)
+        if (parts > r) (df.coalesce(r), Some(1))
+        else (df, Some(r / parts))
+      case None => (df, None)
+    }
     val cfg = config
     val enc = Encoders.row(schema)
-    df.mapPartitions { it =>
+    input.mapPartitions { it =>
       enricher.open()
+      org.apache.spark.TaskContext.get() match {
+        case null => ()
+        case tc => tc.addTaskCompletionListener[Unit](_ => enricher.close())
+      }
       val limiter = perPartitionRate.map(new SlidingWindowRateLimiter(_))
       val sleepCounting: Long => Unit =
         ms => { metrics.foreach(_.retries.add(1)); Thread.sleep(ms) }
@@ -89,7 +101,8 @@ object EnrichRunner {
       promptCol: String,
       enricher: Enricher,
       config: AiConfig,
-      systemPrompt: Option[String] = None): DataFrame = {
+      systemPrompt: Option[String] = None,
+      rateLimitPerMinute: Option[Int] = None): DataFrame = {
     val schema = StructType(df.schema.fields)
       .add("response", StringType).add("turn_number", LongType)
       .add("history_chars", LongType)
@@ -98,10 +111,25 @@ object EnrichRunner {
     val cfg = config
     val sys = systemPrompt
     val enc = Encoders.row(schema)
-    df.repartition(col(groupCol))
+    // grouped path throttles too: budget split across shuffle partitions
+    // (partition count = spark.sql.shuffle.partitions after repartition)
+    val shufflePartitions = df.sparkSession.sessionState.conf.numShufflePartitions
+    val perPartitionRate = rateLimitPerMinute.map(r =>
+      math.max(1, r / math.max(1, math.min(shufflePartitions, r))))
+    val repartitioned = rateLimitPerMinute match {
+      case Some(r) if shufflePartitions > r =>
+        df.repartition(r, col(groupCol))
+      case _ => df.repartition(col(groupCol))
+    }
+    repartitioned
       .sortWithinPartitions(col(groupCol) +: orderCols.map(col): _*)
       .mapPartitions { it =>
         enricher.open()
+        org.apache.spark.TaskContext.get() match {
+          case null => ()
+          case tc => tc.addTaskCompletionListener[Unit](_ => enricher.close())
+        }
+        val limiter = perPartitionRate.map(new SlidingWindowRateLimiter(_))
         var currentKey: Any = null
         var started = false
         var history = Vector.empty[Message]
@@ -114,6 +142,7 @@ object EnrichRunner {
             history = sys.map(s => Message("system", s)).toVector
             turn = 0L; userChars = 0L
           }
+          limiter.foreach(_.acquire())
           val prompt = Option(r.get(promptIdx)).map(_.toString).getOrElse("")
           val priorChars = userChars
           val messages = history :+ Message("user", prompt)

@@ -67,7 +67,6 @@ object Dedup {
     val withSets = cand
       .join(docs.select(col("id").as("id_a"), col("sh_set").as("set_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("sh_set").as("set_b")), Seq("id_b"))
-    graft.functions.VectorFunctions.register(df.sparkSession)
     withSets
       .select(col("id_a"), col("id_b"),
         graft.functions.VectorFunctions.arrayJaccard(col("set_a"), col("set_b")).as("jaccard"))

@@ -19,8 +19,14 @@ object SkewedAgg {
   def saltedCountSum(
       df: DataFrame, keyCol: String, valueCol: Column,
       saltBuckets: Int = 16): DataFrame = {
+    // salt must be deterministic per row content: a nondeterministic
+    // expression (monotonically_increasing_id etc.) as a shuffle key can
+    // duplicate/lose rows when a stage retry recomputes with different
+    // values. Hashing the key + value spreads hot keys with distinct
+    // values; identical (key,value) rows co-bucket, which is still
+    // correct (just less spread for fully-degenerate duplicates).
     val salted = df
-      .withColumn("__salt", pmod(hash(col(keyCol), monotonically_increasing_id()), lit(saltBuckets)))
+      .withColumn("__salt", pmod(hash(col(keyCol), valueCol), lit(saltBuckets)))
       .groupBy(col(keyCol), col("__salt"))
       .agg(count(lit(1)).as("__n"), sum(valueCol).as("__s"))
     salted.groupBy(col(keyCol))

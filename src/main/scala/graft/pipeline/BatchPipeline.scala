@@ -32,6 +32,9 @@ object BatchPipeline {
       orderCols: Seq[Column] = Nil): (DataFrame, DataFrame) = {
     cfg.validateAgainst(df.columns.toSeq)
     cfg.prompt.validated
+    val ai = cfg.ai.validated // V1/V2/V5 + the [1,60] rate clamp
+    // the deterministic test service needs no throttle; real services do
+    val throttle = if (ai.service == "test") None else Some(ai.rateLimit)
     val originalCols = df.columns.toSeq
 
     val indexed =
@@ -51,11 +54,11 @@ object BatchPipeline {
     val enriched = cfg.mapping.groupBy match {
       case Some(_) =>
         EnrichRunner.runConversations(templated, "group", Seq("row_index"), "prompt",
-          enricher, cfg.ai, cfg.prompt.systemPrompt)
+          enricher, ai, cfg.prompt.systemPrompt, rateLimitPerMinute = throttle)
           .withColumn("error", when(col("response").isNull, lit("enrichment failed")))
       case None =>
-        EnrichRunner.mapWithResponse(templated, "prompt", enricher, cfg.ai,
-          rateLimitPerMinute = if (cfg.ai.service == "test") None else Some(cfg.ai.rateLimit))
+        EnrichRunner.mapWithResponse(templated, "prompt", enricher, ai,
+          rateLimitPerMinute = throttle)
     }
     val (ok, bad) = EnrichRunner.quarantine(enriched)
     val assembled = CoreOps.assembleResult(ok, cfg.mapping.mainContent, originalCols,

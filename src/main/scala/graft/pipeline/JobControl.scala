@@ -22,8 +22,13 @@ object JobControl {
     spark.sparkContext.setJobGroup(jobGroup, description, interruptOnCancel = true)
     try Right(action)
     catch {
+      // cancellation surfaces with varying wording across Spark versions
+      // ("cancelled"/"canceled", SPARK_JOB_CANCELLED, killed stages)
       case e: org.apache.spark.SparkException
-          if e.getMessage != null && e.getMessage.contains("cancelled") =>
+          if e.getMessage != null && {
+            val m = e.getMessage.toLowerCase
+            m.contains("cancel") || m.contains("killed")
+          } =>
         Left(e.getMessage)
     } finally spark.sparkContext.clearJobGroup()
   }

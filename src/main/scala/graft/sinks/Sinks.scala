@@ -54,7 +54,8 @@ object Sinks {
     val jsonRows = out.toJSON.toLocalIterator()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val writer = mapper.writerWithDefaultPrettyPrinter()
-    val sb = new java.io.BufferedWriter(new java.io.FileWriter(filePath))
+    val sb = java.nio.file.Files.newBufferedWriter(
+      java.nio.file.Paths.get(filePath), StandardCharsets.UTF_8)
     try {
       sb.write("[")
       var first = true

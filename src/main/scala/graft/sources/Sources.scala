@@ -39,7 +39,7 @@ object Sources {
       .option("inferSchema", inferTypes.toString)
       .csv(path)
     if (df.columns.isEmpty) throw SourceError("CSV file is empty")
-    if (df.columns.exists(c => c == null || c.trim.isEmpty || c.startsWith("_c")))
+    if (df.columns.exists(c => c == null || c.trim.isEmpty || c.matches("_c\\d+")))
       throw SourceError(s"CSV file has invalid or missing column headers: ${df.columns.mkString(",")}")
     val cleaned = CoreOps.dropBlankRows(df)
     if (cleaned.isEmpty) throw SourceError("CSV file contains no data rows")
@@ -53,6 +53,13 @@ object Sources {
     * via [[jsonKeyAudit]]; the read itself uses FAILFAST for malformed
     * JSON. */
   def json(spark: SparkSession, path: String): DataFrame = {
+    // reference contract (main.py:170-171): top level MUST be an array —
+    // a single object parses fine in Spark, so check the first byte
+    val firstChar = spark.read.text(path)
+      .filter(trim(col("value")) =!= "")
+      .head(1).headOption.map(_.getString(0).trim.head)
+    if (!firstChar.contains('['))
+      throw SourceError("JSON file must contain an array of objects")
     val df = spark.read
       .option("multiLine", "true")
       .option("mode", "FAILFAST")

@@ -40,6 +40,11 @@ class SourcesSinksSpec extends SparkSpec {
     assert(df.count() == 2 && df.columns.sorted.toSeq == Seq("n", "topic"))
   }
 
+  test("JSON: top-level single object rejected (array-of-objects contract)") {
+    val p = tmp("obj.json", """{"a": 1, "b": 2}""")
+    intercept[Sources.SourceError](Sources.json(spark, p))
+  }
+
   test("JSON: key audit reports rows with missing keys (main.py:187-200)") {
     val p = tmp("t.json", """[{"a":1,"b":2},{"a":3}]""")
     val audit = Sources.jsonKeyAudit(Sources.json(spark, p)).collect()
