@@ -124,6 +124,37 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Embedding near-dup at scale: multi-table LSH candidates (narrow
+    * tables unioned — same layout as [[approxTopK]]) verified with the
+    * exact cosine, keeping only pairs ≥ `minCos`. Precision is exact
+    * (every emitted pair passed the true cosine test); recall is the
+    * LSH collision probability, ~1 for true near-dups (cos→1 means all
+    * hyperplane signs agree) — spec-measured against
+    * [[exactNearDupPairs]]. The all-pairs join never happens. */
+  def lshNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      tables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val v = df.select(col(idCol).as("id"), vecD(col(vecCol)).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    def tableBucket(t: Int): Column =
+      (0 until bitsPerTable).map(i =>
+        when(dot(col("e"), planeLit(t * bitsPerTable + i)) > 0.0, lit(1L << i))
+          .otherwise(lit(0L))).reduce(_ + _)
+    val bucketed = v.select(col("id"), col("e"), col("nrm"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), tableBucket(t).as("bv"))): _*)).as("tb"))
+      .select(col("id"), col("e"), col("nrm"),
+        col("tb.t").as("t"), col("tb.bv").as("bv"))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.t") === col("b.t") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= minCos)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   // --- IVF-flat with fixed seeds ------------------------------------
 
   /** Assign each vector to the nearest of the first `nClusters` vectors

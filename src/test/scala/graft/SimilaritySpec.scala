@@ -39,6 +39,23 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 27)
   }
 
+  test("LSH near-dup pairs: exact precision, full recall on planted twins") {
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+    val base = (0 until 25).map(i => (i.toLong, vec()))
+    val dups = base.map { case (i, v) =>
+      (i + 1000L, v.map(x => x + (rnd.nextDouble() * 0.01 - 0.005).toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val viaLsh = Similarity.lshNearDupPairs(df, "vec_id", "embedding", minCos = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.exactNearDupPairs(df, "vec_id", "embedding", minCos = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaLsh.subsetOf(exact))      // exact precision
+    assert(exact.subsetOf(viaLsh))      // full recall on cos>=0.99 twins
+    assert(viaLsh.size == 25)
+  }
+
   test("IVF assignment: every vector gets exactly one cluster from the seed set") {
     val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", nClusters = 8)
     assert(assigned.count() == emb.count())
