@@ -21,11 +21,13 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.Reference.queries ++
       graft.queries.TextQueries.queries ++ graft.queries.HashDedupQueries.queries ++
       graft.queries.EmbeddingQueries.queries ++ graft.queries.EventQueries.queries ++
-      graft.queries.MiscQueries.queries ++ graft.queries.ExtraQueries.queries
+      graft.queries.MiscQueries.queries ++ graft.queries.ExtraQueries.queries ++
+      graft.queries.CorpusQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.Reference.oracle ++
       graft.queries.TextQueries.oracle ++ graft.queries.HashDedupQueries.oracle ++
       graft.queries.EmbeddingQueries.oracle ++ graft.queries.EventQueries.oracle ++
-      graft.queries.MiscQueries.oracle ++ graft.queries.ExtraQueries.oracle
+      graft.queries.MiscQueries.oracle ++ graft.queries.ExtraQueries.oracle ++
+      graft.queries.CorpusQueries.oracle
 }

@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{CorpusPipeline, MinHashLsh}
+
+/** q34: the composed corpus-cleanup pipeline (quality gate → exact
+  * dedup → MinHash near-dup removal) — every stage mirrored in one
+  * oracle SQL, so the full multi-stage operator is hash-verified, not
+  * just its pieces. */
+object CorpusQueries {
+
+  def q34CorpusClean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CorpusPipeline.clean(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  private val stopList = "('the','a','an','and','of','to','in','is','it','that')"
+  private val nTokens =
+    s"CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+  private val quality =
+    s"""least(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN $stopList)) AS DOUBLE)
+       |      / CAST(greatest($nTokens, 1) AS DOUBLE) * 5.0, 1.0) * 0.4
+       |  + least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 50.0, 1.0) * 0.4
+       |  + greatest(1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |      / CAST(greatest(CAST(length(text) AS BIGINT), 1) AS DOUBLE) * 4.0, 0.0) * 0.2""".stripMargin
+
+  val q34Sql: String = {
+    val mins = (0 until MinHashLsh.K).map(j =>
+      s"list_min(list_transform(hv, h -> (h * ${MinHashLsh.A(j)} + ${MinHashLsh.B(j)}) % 1000000007))")
+      .mkString(",\n      |      ")
+    s"""WITH gated AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, text, $nTokens AS n_tokens,
+      |    $quality AS quality
+      |    FROM documents) t
+      |  WHERE n_tokens >= 5 AND n_tokens <= 1000 AND quality >= 0.3),
+      |keep AS (SELECT md5(lower(trim(text))) AS h, min(doc_id) AS doc_id FROM gated GROUP BY 1),
+      |ek AS (SELECT g.* FROM gated g JOIN keep k ON g.doc_id = k.doc_id),
+      |docs2 AS (
+      |  SELECT doc_id AS id,
+      |    list_distinct(list_transform(generate_series(1, length(text)-7), i -> substr(text, i, 8))) AS sh_set
+      |  FROM ek WHERE length(text) >= 8),
+      |hv AS (SELECT id, list_transform(sh_set, s ->
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(s)), i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007)) AS hv FROM docs2),
+      |sig AS (SELECT id, [$mins] AS sig FROM hv),
+      |bands AS (SELECT id, b, list_slice(sig, b*4+1, b*4+4) AS slice
+      |  FROM sig CROSS JOIN UNNEST([0,1,2,3]) AS t(b)),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
+      |est AS (SELECT id_a, id_b,
+      |  CAST(list_sum(list_transform(generate_series(1,16),
+      |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS est_sim
+      |  FROM cand JOIN sig sa ON cand.id_a = sa.id JOIN sig sb ON cand.id_b = sb.id),
+      |losers AS (SELECT DISTINCT id_b FROM est WHERE est_sim >= 0.5)
+      |SELECT doc_id, n_tokens, quality FROM ek
+      |WHERE doc_id NOT IN (SELECT id_b FROM losers)
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_corpus_clean" -> (q34CorpusClean _))
+
+  val oracle: Map[String, String] = Map(
+    "q34_corpus_clean" -> q34Sql)
+}
