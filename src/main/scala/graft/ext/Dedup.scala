@@ -33,6 +33,19 @@ object Dedup {
       .drop("__rn", "content_hash")
   }
 
+  /** Incremental dedup: drop rows of `newDocs` whose normalized content
+    * already exists in a known corpus (supplied as its hash set — at
+    * 100 TB the reference corpus travels as 16-byte digests, typically
+    * a bucketed table keyed on the hash). Also self-dedups the batch. */
+  def dedupAgainstCorpus(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      knownHashes: DataFrame): DataFrame = {
+    val fresh = exactDedup(newDocs, idCol, textCol)
+      .withColumn("content_hash", contentHash(col(textCol)))
+    fresh.join(knownHashes.select(col("content_hash")), Seq("content_hash"), "left_anti")
+      .drop("content_hash")
+  }
+
   /** Near-duplicate pairs by n-gram Jaccard: inverted index on
     * character shingles → candidate pairs sharing ≥1 rare shingle →
     * exact Jaccard verification → threshold filter.

@@ -49,6 +49,16 @@ object Streaming {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drops re-deliveries of the same event id
+    * arriving within the watermark horizon — state is GC'd as the
+    * watermark advances, so the dedup store stays bounded (the
+    * unbounded `dropDuplicates` variant would grow forever on a real
+    * stream). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based sessionization as a stream — `session_window` merges
     * events within `gap` of each other per user (the streaming twin of
     * the batch q26 lag→cumsum pattern; watermark bounds state). */

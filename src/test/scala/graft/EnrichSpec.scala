@@ -90,6 +90,23 @@ class EnrichSpec extends SparkSpec {
     assert(rows(0).getAs[String]("group") == "High")
   }
 
+  test("pipeline handles non-ASCII text end-to-end (template, enrich, assemble)") {
+    val df = Seq(("héllo wörld", "日本語のテキスト", "naïve"), ("中文文档", "Ω≈ç", "emoji 🚀 ok"))
+      .toDF("topic", "audience", "priority")
+    val cfg = PipelineConfig(
+      ai = AiConfig.test(),
+      mapping = MappingConfig(mainContent = "topic", groupBy = Some("priority")),
+      prompt = PromptTemplate("Write about {topic} for {audience}"),
+      output = OutputConfig(includePrompt = true, includeTimestamp = false))
+    val (results, bad) = BatchPipeline.run(df, cfg, DeterministicEnricher())
+    val rows = results.orderBy("row_index").collect()
+    assert(rows.length == 2 && bad.count() == 0)
+    assert(rows(0).getAs[String]("prompt") == "Write about héllo wörld for 日本語のテキスト")
+    // uppercase preserves non-cased scripts, uppercases Latin
+    assert(rows(0).getAs[String]("response").contains("HÉLLO WÖRLD"))
+    assert(rows(1).getAs[String]("prompt").contains("中文文档"))
+  }
+
   test("config validation enforces the frontend's rules (V1-V4)") {
     intercept[IllegalArgumentException](AiConfig.test().copy(temperature = 3.0).validated)
     intercept[IllegalArgumentException](

@@ -46,6 +46,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"limit+sort not fused into top-k:\n$p")
   }
 
+  test("partitioned layout: lang filter becomes a partition filter (pruned listing)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/docs"
+    Tables.load(spark, sf, "documents").write.partitionBy("lang").parquet(dir)
+    val filtered = spark.read.parquet(dir).filter(col("lang") === "en")
+    val p = plan(filtered)
+    assert(p.contains("PartitionFilters") &&
+      p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("lang")),
+      s"lang filter not applied at partition level:\n$p")
+    val expected = Tables.load(spark, sf, "documents").filter(col("lang") === "en").count()
+    assert(filtered.count() == expected)
+  }
+
   test("custom hash expressions participate in whole-stage codegen") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)

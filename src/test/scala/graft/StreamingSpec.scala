@@ -51,6 +51,18 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    // duplicate the source by unioning the stream with itself
+    val s1 = Streaming.eventsStream(spark, sf)
+    val s2 = Streaming.eventsStream(spark, sf)
+    val q = Streaming.dedupedEvents(s1.unionByName(s2))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val unique = Tables.loadEvents(spark, sf).count()
+    assert(spark.table("dedup_out").count() == unique)
+    assert(spark.table("dedup_out").select("event_id").distinct().count() == unique)
+  }
+
   test("conversation state persists across micro-batches (T7)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streaming.ConvInput]

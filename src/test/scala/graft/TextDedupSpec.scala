@@ -44,6 +44,20 @@ class TextDedupSpec extends SparkSpec {
       Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("dedupAgainstCorpus drops known content and self-dups, keeps fresh") {
+    val known = Seq("existing doc one", "existing doc two").toDF("text")
+      .select(contentHash($"text").as("content_hash"))
+    val batch = Seq(
+      (1L, "Existing Doc One"),      // known (normalized match)
+      (2L, "brand new document"),
+      (3L, "brand new document"),    // self-dup of 2
+      (4L, "another fresh one"))
+      .toDF("doc_id", "text")
+    val kept = graft.ext.Dedup.dedupAgainstCorpus(batch, "doc_id", "text", known)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 4L))
+  }
+
   test("ngramJaccardPairs finds planted near-dups and skips unrelated docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val df = Seq(
