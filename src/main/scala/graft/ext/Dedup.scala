@@ -40,10 +40,16 @@ object Dedup {
   def dedupAgainstCorpus(
       newDocs: DataFrame, idCol: String, textCol: String,
       knownHashes: DataFrame): DataFrame = {
-    val fresh = exactDedup(newDocs, idCol, textCol)
-      .withColumn("content_hash", contentHash(col(textCol)))
-    fresh.join(knownHashes.select(col("content_hash")), Seq("content_hash"), "left_anti")
-      .drop("content_hash")
+    // anti-join FIRST: an incremental batch is mostly known content, so
+    // discarding it before the windowed self-dedup keeps the shuffle to
+    // genuinely fresh rows; the hash is computed once and carried.
+    val hashed = newDocs.withColumn("__gch", contentHash(col(textCol)))
+    val fresh = hashed.join(
+      knownHashes.select(col("content_hash").as("__gch")), Seq("__gch"), "left_anti")
+    val w = Window.partitionBy("__gch").orderBy(col(idCol))
+    fresh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__gch")
   }
 
   /** Near-duplicate pairs by n-gram Jaccard: inverted index on

@@ -85,6 +85,24 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("e")))
   }
 
+  /** Shared multi-table bucketing: one row per (vector, table) with the
+    * table's sign-bucket. Used by [[approxTopK]] and [[lshNearDupPairs]]. */
+  private def multiTableBuckets(
+      df: DataFrame, idCol: String, vecCol: String,
+      tables: Int, bitsPerTable: Int): DataFrame = {
+    val v = df.select(col(idCol).as("id"), vecD(col(vecCol)).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    def tableBucket(t: Int): Column =
+      (0 until bitsPerTable).map(i =>
+        when(dot(col("e"), planeLit(t * bitsPerTable + i)) > 0.0, lit(1L << i))
+          .otherwise(lit(0L))).reduce(_ + _)
+    v.select(col("id"), col("e"), col("nrm"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), tableBucket(t).as("bv"))): _*)).as("tb"))
+      .select(col("id"), col("e"), col("nrm"),
+        col("tb.t").as("t"), col("tb.bv").as("bv"))
+  }
+
   /** Approximate top-k via multi-table LSH: `tables` independent hash
     * tables of `bitsPerTable` hyperplane signs each; candidates are
     * pairs colliding in ANY table (union, deduped), then scored exactly.
@@ -97,17 +115,7 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, queryPred: Column, k: Int,
       tables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
-    val v = df.select(col(idCol).as("id"), vecD(col(vecCol)).as("e"))
-      .withColumn("nrm", norm(col("e")))
-    def tableBucket(t: Int): Column =
-      (0 until bitsPerTable).map(i =>
-        when(dot(col("e"), planeLit(t * bitsPerTable + i)) > 0.0, lit(1L << i))
-          .otherwise(lit(0L))).reduce(_ + _)
-    val bucketed = v.select(col("id"), col("e"), col("nrm"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), tableBucket(t).as("bv"))): _*)).as("tb"))
-      .select(col("id"), col("e"), col("nrm"),
-        col("tb.t").as("t"), col("tb.bv").as("bv"))
+    val bucketed = multiTableBuckets(df, idCol, vecCol, tables, bitsPerTable)
     val q = bucketed.filter(queryPred)
     val cand = bucketed.as("c").join(broadcast(q).as("q"),
         col("c.t") === col("q.t") && col("c.bv") === col("q.bv") &&
@@ -135,24 +143,21 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, minCos: Double,
       tables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
-    val v = df.select(col(idCol).as("id"), vecD(col(vecCol)).as("e"))
-      .withColumn("nrm", norm(col("e")))
-    def tableBucket(t: Int): Column =
-      (0 until bitsPerTable).map(i =>
-        when(dot(col("e"), planeLit(t * bitsPerTable + i)) > 0.0, lit(1L << i))
-          .otherwise(lit(0L))).reduce(_ + _)
-    val bucketed = v.select(col("id"), col("e"), col("nrm"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), tableBucket(t).as("bv"))): _*)).as("tb"))
-      .select(col("id"), col("e"), col("nrm"),
-        col("tb.t").as("t"), col("tb.bv").as("bv"))
-    bucketed.as("a").join(bucketed.as("b"),
+    val bucketed = multiTableBuckets(df, idCol, vecCol, tables, bitsPerTable)
+    // dedup candidate id pairs BEFORE scoring: true near-dups collide in
+    // ~every table, so scoring first would pay the dot product `tables`
+    // times per pair and shuffle both vectors with each copy
+    val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.t") === col("b.t") && col("a.bv") === col("b.bv") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val v = bucketed.select("id", "e", "nrm").dropDuplicates("id")
+    cand
+      .join(v.select(col("id").as("id_a"), col("e").as("ea"), col("nrm").as("na")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("e").as("eb"), col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= minCos)
-      .dropDuplicates("id_a", "id_b")
   }
 
   // --- IVF-flat with fixed seeds ------------------------------------

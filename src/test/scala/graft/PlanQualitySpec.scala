@@ -48,15 +48,22 @@ class PlanQualitySpec extends SparkSpec {
 
   test("partitioned layout: lang filter becomes a partition filter (pruned listing)") {
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/docs"
-    Tables.load(spark, sf, "documents").write.partitionBy("lang").parquet(dir)
-    val filtered = spark.read.parquet(dir).filter(col("lang") === "en")
-    val p = plan(filtered)
-    assert(p.contains("PartitionFilters") &&
-      p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("lang")),
-      s"lang filter not applied at partition level:\n$p")
-    val expected = Tables.load(spark, sf, "documents").filter(col("lang") === "en").count()
-    assert(filtered.count() == expected)
+    val base = java.nio.file.Files.createTempDirectory("graft_part")
+    val dir = base.toString + "/docs"
+    try {
+      Tables.load(spark, sf, "documents").write.partitionBy("lang").parquet(dir)
+      val filtered = spark.read.parquet(dir).filter(col("lang") === "en")
+      val p = plan(filtered)
+      assert(p.contains("PartitionFilters") &&
+        p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("lang")),
+        s"lang filter not applied at partition level:\n$p")
+      val expected = Tables.load(spark, sf, "documents").filter(col("lang") === "en").count()
+      assert(filtered.count() == expected)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("custom hash expressions participate in whole-stage codegen") {
