@@ -73,6 +73,79 @@ object EnrichRunner {
     }(enc)
   }
 
+  /** E4 (`main.py:332-334,394`): bounded concurrent in-flight calls —
+    * the reference's asyncio semaphore fan-out, here a per-partition
+    * thread pool with at most `concurrency` outstanding calls. External
+    * APIs are latency-bound, not CPU-bound, so a partition waiting on
+    * one response at a time wastes its rate budget; the pipelined
+    * iterator keeps `concurrency` requests in flight while emitting
+    * rows strictly in input order. Pool and enricher are closed via the
+    * task-completion listener. */
+  def mapWithResponseAsync(
+      df: DataFrame,
+      promptCol: String,
+      enricher: Enricher,
+      config: AiConfig,
+      concurrency: Int = 10): DataFrame = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    require(concurrency >= 1, "concurrency must be >= 1")
+    val schema = StructType(df.schema.fields)
+      .add("response", StringType).add("error", StringType)
+    val promptIdx = df.schema.fieldIndex(promptCol)
+    val cfg = config
+    val enc = Encoders.row(schema)
+    df.mapPartitions { it =>
+      val pool = Executors.newFixedThreadPool(concurrency)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      enricher.open()
+      org.apache.spark.TaskContext.get() match {
+        case null => ()
+        case tc => tc.addTaskCompletionListener[Unit] { _ =>
+          pool.shutdown(); enricher.close()
+        }
+      }
+      val inflight = scala.collection.mutable.Queue.empty[(Row, Future[scala.util.Try[String]])]
+      new Iterator[Row] {
+        private def fill(): Unit =
+          while (inflight.size < concurrency && it.hasNext) {
+            val r = it.next()
+            val prompt = Option(r.get(promptIdx)).map(_.toString).getOrElse("")
+            inflight.enqueue((r, Future(
+              RetryPolicy.withRetries(cfg.retryAttempts)(
+                () => enricher.enrich(Seq(Message("user", prompt)), cfg)))))
+          }
+        override def hasNext: Boolean = { fill(); inflight.nonEmpty }
+        override def next(): Row = {
+          fill()
+          val (r, f) = inflight.dequeue()
+          Await.result(f, Duration.Inf) match {
+            case Success(resp) => Row.fromSeq(r.toSeq :+ resp :+ null)
+            case Failure(e)    => Row.fromSeq(r.toSeq :+ null :+ e.getMessage)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** T6 completion: finish a stopped run. Rows of `indexed` whose
+    * `row_index` already appears in `priorResults` are reused verbatim;
+    * only the missing remainder is enriched (the reference keeps
+    * partial results exportable after stop, main.py:640-647 — this is
+    * the "later, finish the job" half). */
+  def resumeEnrichment(
+      indexed: DataFrame,
+      priorResults: DataFrame,
+      promptCol: String,
+      enricher: Enricher,
+      config: AiConfig,
+      metrics: Option[EnrichMetrics] = None): DataFrame = {
+    val missing = indexed.join(priorResults.select("row_index"), Seq("row_index"), "left_anti")
+    val fresh = mapWithResponse(missing, promptCol, enricher, config, metrics = metrics)
+    priorResults.unionByName(fresh, allowMissingColumns = true)
+  }
+
   /** Split an enriched frame into (successes, quarantine) — E3 done
     * right: the reference drops failed rows (main.py:487-502); we keep
     * them routable to a dead-letter sink. */

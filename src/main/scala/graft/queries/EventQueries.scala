@@ -102,13 +102,48 @@ object EventQueries {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
       |ORDER BY p.event_id""".stripMargin
 
+  /** q35: range join — purchases falling inside each user's first-day
+    * window [first_event, first_event + 24h). Engine: bucketized
+    * interval join ([[graft.operators.RangeJoin]], equi-join on
+    * (user, bucket) + exact range filter). Oracle: DuckDB's plain
+    * non-equi range join — two implementations, same rows. */
+  def q35RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.loadEvents(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"sec", $"value")
+    val firstDay = ev.groupBy($"user_id")
+      .agg(min($"sec").as("start_sec"))
+      .withColumn("end_sec", $"start_sec" + 86400L)
+    graft.operators.RangeJoin.pointInInterval(
+        purchases, "sec", firstDay, "start_sec", "end_sec",
+        keyCols = Seq("user_id"), bucketWidth = 86400L)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_first_day_purchases"),
+        dsum(dec($"value")).as("sum_value"))
+      .orderBy($"user_id")
+  }
+
+  val q35Sql: String =
+    """WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |f AS (SELECT user_id, min(sec) AS start_sec FROM e GROUP BY user_id),
+      |p AS (SELECT user_id, sec, value FROM e WHERE event_type = 'purchase')
+      |SELECT p.user_id, COUNT(*) AS n_first_day_purchases,
+      |  CAST(SUM(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM p JOIN f ON p.user_id = f.user_id
+      |  AND p.sec >= f.start_sec AND p.sec < f.start_sec + 86400
+      |GROUP BY p.user_id
+      |ORDER BY p.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_tumbling_window" -> (q25TumblingWindow _),
     "q26_sessionize" -> (q26Sessionize _),
-    "q27_asof_join" -> (q27AsOf _))
+    "q27_asof_join" -> (q27AsOf _),
+    "q35_range_join" -> (q35RangeJoin _))
 
   val oracle: Map[String, String] = Map(
     "q25_tumbling_window" -> q25Sql,
     "q26_sessionize" -> q26Sql,
-    "q27_asof_join" -> q27Sql)
+    "q27_asof_join" -> q27Sql,
+    "q35_range_join" -> q35Sql)
 }

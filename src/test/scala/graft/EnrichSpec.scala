@@ -90,6 +90,42 @@ class EnrichSpec extends SparkSpec {
     assert(rows(0).getAs[String]("group") == "High")
   }
 
+  test("async enrichment keeps N in flight and preserves input order (E4)") {
+    val slowEnricher = new Enricher {
+      def enrich(ms: Seq[Message], c: AiConfig): String = {
+        Thread.sleep(50); "r:" + ms.last.content
+      }
+    }
+    val df = (1 to 20).map(i => (i.toLong, s"p$i")).toDF("id", "prompt")
+      .repartition(1).sortWithinPartitions("id")
+    // compare against the sequential runner on the same plan shape so
+    // session/codegen overhead cancels out
+    val t0 = System.currentTimeMillis()
+    EnrichRunner.mapWithResponse(df, "prompt", slowEnricher, AiConfig.test()).collect()
+    val seqMs = System.currentTimeMillis() - t0
+    val t1 = System.currentTimeMillis()
+    val out = EnrichRunner.mapWithResponseAsync(df, "prompt", slowEnricher,
+      AiConfig.test(), concurrency = 10).collect()
+    val asyncMs = System.currentTimeMillis() - t1
+    assert(out.length == 20)
+    assert(out.map(_.getAs[String]("response")).toSeq == (1 to 20).map(i => s"r:p$i"))
+    // sequential pays 20*50ms of sleeps serially; 10-way pipelining ~2 waves
+    assert(asyncMs < seqMs * 0.6, s"no pipelining observed: async=${asyncMs}ms seq=${seqMs}ms")
+  }
+
+  test("resumeEnrichment reuses prior rows and enriches only the remainder (T6)") {
+    val metrics = new EnrichMetrics(spark)
+    val indexed = (0L until 10L).map(i => (i, s"p$i")).toDF("row_index", "prompt")
+    val prior = EnrichRunner.mapWithResponse(
+      indexed.filter($"row_index" < 6), "prompt", DeterministicEnricher(), AiConfig.test())
+    val completed = EnrichRunner.resumeEnrichment(indexed, prior, "prompt",
+      DeterministicEnricher(), AiConfig.test(), metrics = Some(metrics))
+      .collect() // single action — accumulators count one execution
+    assert(completed.length == 10)
+    assert(completed.map(_.getAs[Long]("row_index")).toSet == (0L until 10L).toSet)
+    assert(metrics.processed.value == 4) // only the missing rows ran
+  }
+
   test("pipeline handles non-ASCII text end-to-end (template, enrich, assemble)") {
     val df = Seq(("héllo wörld", "日本語のテキスト", "naïve"), ("中文文档", "Ω≈ç", "emoji 🚀 ok"))
       .toDF("topic", "audience", "priority")
