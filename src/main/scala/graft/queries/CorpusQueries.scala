@@ -62,9 +62,34 @@ object CorpusQueries {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** q36: the async bounded-concurrency enrichment path (E4) through
+    * the correctness gate — same deterministic enricher semantics as
+    * the sequential runner, so the pipelined iterator's order
+    * preservation is oracle-verified on 15k rows. */
+  def q36AsyncEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.enrich.{DeterministicEnricher, EnrichRunner}
+    import graft.model.AiConfig
+    val o = Tables.load(s, dir, "orders")
+      .withColumn("prompt", concat(lit("Priority "), $"o_orderpriority",
+        lit(" order "), $"o_orderkey".cast("string")))
+    EnrichRunner.mapWithResponseAsync(o, "prompt", DeterministicEnricher(),
+        AiConfig.test(), concurrency = 8)
+      .select($"o_orderkey", $"prompt", $"response")
+      .orderBy($"o_orderkey")
+  }
+
+  val q36Sql: String =
+    """SELECT o_orderkey,
+      |  'Priority ' || o_orderpriority || ' order ' || CAST(o_orderkey AS VARCHAR) AS prompt,
+      |  '[gpt-test] ' || upper(substr('Priority ' || o_orderpriority || ' order ' || CAST(o_orderkey AS VARCHAR), 1, 64)) AS response
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q34_corpus_clean" -> (q34CorpusClean _))
+    "q34_corpus_clean" -> (q34CorpusClean _),
+    "q36_async_enrich" -> (q36AsyncEnrich _))
 
   val oracle: Map[String, String] = Map(
-    "q34_corpus_clean" -> q34Sql)
+    "q34_corpus_clean" -> q34Sql,
+    "q36_async_enrich" -> q36Sql)
 }
