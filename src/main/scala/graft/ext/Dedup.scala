@@ -64,6 +64,8 @@ object Dedup {
     * sparse; for dense near-dup clusters switch to MinHash signatures
     * ([[MinHashLsh]]) which verify without the raw text.
     */
+  val ShingleHashMod = 1000000007L
+
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -72,8 +74,14 @@ object Dedup {
       threshold: Double = 0.4,
       maxShingleDf: Int = 50): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
+    // shingles travel as 8-byte hashes, not strings: the verification
+    // join ships two ~300-element arrays per candidate pair, and the
+    // hashed+sorted representation shrinks that ~3x and makes the
+    // jaccard a two-pointer merge. Hash collisions merge shingles
+    // identically in the oracle (same arithmetic), so parity holds.
     val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh_set", graft.functions.VectorFunctions.charShingles(col("text"), n))
+      .withColumn("sh_set",
+        graft.functions.VectorFunctions.hashedShingles(col("text"), n, ShingleHashMod))
     val inverted = docs.select(col("id"), explode(col("sh_set")).as("sh"))
     val rare = inverted
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
@@ -88,7 +96,7 @@ object Dedup {
       .join(docs.select(col("id").as("id_b"), col("sh_set").as("set_b")), Seq("id_b"))
     withSets
       .select(col("id_a"), col("id_b"),
-        graft.functions.VectorFunctions.arrayJaccard(col("set_a"), col("set_b")).as("jaccard"))
+        graft.functions.VectorFunctions.arrayJaccardLong(col("set_a"), col("set_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -51,6 +51,43 @@ object VectorKernels {
       i += 1
     }
     new GenericArrayData(set.toArray(Array.empty[AnyRef]))
+  }
+
+  /** Distinct n-char shingles hashed to longs (rolling polynomial mod
+    * `mod`), sorted ascending — one pass. Hashing before dedup means
+    * collisions merge identically in any engine replaying the same
+    * arithmetic; sorted output enables two-pointer set ops. */
+  def hashedShingles(s: UTF8String, n: Int, mod: Long): ArrayData = {
+    val str = s.toString
+    if (str.length < n) return new GenericArrayData(Array.empty[Long])
+    val set = new java.util.TreeSet[java.lang.Long]
+    var i = 0
+    while (i <= str.length - n) {
+      var h = 0L
+      var j = i
+      while (j < i + n) { h = (h * 31 + str.charAt(j)) % mod; j += 1 }
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Jaccard of two ASCENDING-sorted long arrays (two-pointer). */
+  def jaccardSortedLong(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 
   /** MinHash signature in one pass: for every n-char window, rolling
@@ -139,12 +176,40 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "char_shingles"
 }
 
+/** Sorted distinct hashed shingle set — the compact (8 bytes/shingle)
+  * transport for near-dup verification joins. */
+case class HashedShingles(child: Expression, n: Int, mod: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.hashedShingles(input.asInstanceOf[UTF8String], n, mod)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.hashedShingles($c, $n, ${mod}L)")
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+    copy(child = newChild)
+  override def prettyName: String = "hashed_shingles"
+}
+
+/** Jaccard over sorted long arrays — see [[VectorKernels.jaccardSortedLong]]. */
+case class ArrayJaccardLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.jaccardSortedLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.jaccardSortedLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayJaccardLong =
+    copy(left = l, right = r)
+  override def prettyName: String = "array_jaccard_long"
+}
+
 /** Column wrappers via the function registry (see GraftFunctions). */
 object VectorFunctions {
   def vecdot(a: Column, b: Column): Column = call_function("vecdot", a, b)
   def arrayJaccard(a: Column, b: Column): Column = call_function("array_jaccard", a, b)
   def minhashSig(text: Column): Column = call_function("minhash_sig", text)
   def charShingles(text: Column, n: Int): Column = call_function("char_shingles", text, lit(n))
+  def hashedShingles(text: Column, n: Int, mod: Long): Column =
+    call_function("hashed_shingles", text, lit(n), lit(mod))
+  def arrayJaccardLong(a: Column, b: Column): Column = call_function("array_jaccard_long", a, b)
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -157,6 +222,19 @@ object VectorFunctions {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
         case other => throw new IllegalArgumentException(s"char_shingles n must be a literal int, got $other")
       }), "built-in")
+    def litInt(e: Expression): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(s"expected literal int, got $other")
+    }
+    def litLong(e: Expression): Long = e match {
+      case Literal(v: Long, _) => v
+      case Literal(v: Int, _) => v.toLong
+      case other => throw new IllegalArgumentException(s"expected literal long, got $other")
+    }
+    registry.createOrReplaceTempFunction("hashed_shingles",
+      exprs => HashedShingles(exprs(0), litInt(exprs(1)), litLong(exprs(2))), "built-in")
+    registry.createOrReplaceTempFunction("array_jaccard_long",
+      exprs => ArrayJaccardLong(exprs(0), exprs(1)), "built-in")
   }
 
   /** MinHash registration carries the coefficient set (caller-owned). */

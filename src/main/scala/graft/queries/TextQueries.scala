@@ -108,8 +108,12 @@ object TextQueries {
     """WITH docs AS (
       |  SELECT doc_id AS id, text,
       |    CASE WHEN length(text) >= 8 THEN
-      |      list_distinct(list_transform(generate_series(1, length(text)-7), i -> substr(text, i, 8)))
-      |    ELSE CAST([] AS VARCHAR[]) END AS sh_set
+      |      list_distinct(list_transform(
+      |        list_transform(generate_series(1, length(text)-7), i -> substr(text, i, 8)),
+      |        s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(generate_series(1, length(s)), i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |          (acc, x) -> (acc * 31 + x) % 1000000007)))
+      |    ELSE CAST([] AS BIGINT[]) END AS sh_set
       |  FROM documents),
       |inv AS (SELECT id, unnest(sh_set) AS sh FROM docs),
       |rare AS (SELECT id, sh FROM
