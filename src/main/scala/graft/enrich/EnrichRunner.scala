@@ -86,43 +86,75 @@ object EnrichRunner {
       promptCol: String,
       enricher: Enricher,
       config: AiConfig,
-      concurrency: Int = 10): DataFrame = {
-    import java.util.concurrent.Executors
+      concurrency: Int = 10,
+      rateLimitPerMinute: Option[Int] = None,
+      metrics: Option[EnrichMetrics] = None): DataFrame = {
+    import java.util.concurrent.{Executors, TimeUnit}
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     require(concurrency >= 1, "concurrency must be >= 1")
     val schema = StructType(df.schema.fields)
       .add("response", StringType).add("error", StringType)
     val promptIdx = df.schema.fieldIndex(promptCol)
+    // same global-budget discipline as the sequential path
+    val (input, perPartitionRate) = rateLimitPerMinute match {
+      case Some(r) =>
+        val parts = math.max(1, df.rdd.getNumPartitions)
+        if (parts > r) (df.coalesce(r), Some(1))
+        else (df, Some(r / parts))
+      case None => (df, None)
+    }
     val cfg = config
     val enc = Encoders.row(schema)
-    df.mapPartitions { it =>
+    input.mapPartitions { it =>
       val pool = Executors.newFixedThreadPool(concurrency)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       enricher.open()
-      org.apache.spark.TaskContext.get() match {
-        case null => ()
-        case tc => tc.addTaskCompletionListener[Unit] { _ =>
-          pool.shutdown(); enricher.close()
-        }
+      def cleanup(): Unit = {
+        // stop in-flight work (interrupts backoff sleeps) and WAIT for
+        // it before closing the enricher's client underneath it
+        pool.shutdownNow()
+        pool.awaitTermination(30, TimeUnit.SECONDS)
+        enricher.close()
       }
+      org.apache.spark.TaskContext.get() match {
+        case null => () // non-task context: iterator exhaustion cleans up
+        case tc => tc.addTaskCompletionListener[Unit](_ => cleanup())
+      }
+      val limiter = perPartitionRate.map(new SlidingWindowRateLimiter(_))
+      val sleepCounting: Long => Unit =
+        ms => { metrics.foreach(_.retries.add(1)); Thread.sleep(ms) }
       val inflight = scala.collection.mutable.Queue.empty[(Row, Future[scala.util.Try[String]])]
+      var done = false
       new Iterator[Row] {
         private def fill(): Unit =
           while (inflight.size < concurrency && it.hasNext) {
             val r = it.next()
+            // dispatch is throttled on the consumer thread: at most
+            // `rate` submissions/min regardless of concurrency
+            limiter.foreach(_.acquire())
             val prompt = Option(r.get(promptIdx)).map(_.toString).getOrElse("")
+            metrics.foreach(_.processed.add(1))
             inflight.enqueue((r, Future(
-              RetryPolicy.withRetries(cfg.retryAttempts)(
+              RetryPolicy.withRetries(cfg.retryAttempts, sleepCounting)(
                 () => enricher.enrich(Seq(Message("user", prompt)), cfg)))))
           }
-        override def hasNext: Boolean = { fill(); inflight.nonEmpty }
+        override def hasNext: Boolean = {
+          fill()
+          val more = inflight.nonEmpty
+          if (!more && !done && org.apache.spark.TaskContext.get() == null) {
+            done = true; cleanup()
+          }
+          more
+        }
         override def next(): Row = {
           fill()
           val (r, f) = inflight.dequeue()
           Await.result(f, Duration.Inf) match {
             case Success(resp) => Row.fromSeq(r.toSeq :+ resp :+ null)
-            case Failure(e)    => Row.fromSeq(r.toSeq :+ null :+ e.getMessage)
+            case Failure(e) =>
+              metrics.foreach(_.errors.add(1))
+              Row.fromSeq(r.toSeq :+ null :+ e.getMessage)
           }
         }
       }
@@ -141,9 +173,13 @@ object EnrichRunner {
       enricher: Enricher,
       config: AiConfig,
       metrics: Option[EnrichMetrics] = None): DataFrame = {
-    val missing = indexed.join(priorResults.select("row_index"), Seq("row_index"), "left_anti")
+    // priorResults is referenced twice (anti-join + union); cache it so
+    // a caller passing a LIVE enrichment plan (not a sink re-read)
+    // doesn't re-run its API calls once per reference
+    val prior = priorResults.cache()
+    val missing = indexed.join(prior.select("row_index"), Seq("row_index"), "left_anti")
     val fresh = mapWithResponse(missing, promptCol, enricher, config, metrics = metrics)
-    priorResults.unionByName(fresh, allowMissingColumns = true)
+    prior.unionByName(fresh, allowMissingColumns = true)
   }
 
   /** Split an enriched frame into (successes, quarantine) — E3 done

@@ -15,7 +15,12 @@ final case class Message(role: String, content: String)
 trait Enricher extends Serializable {
   /** Called once per partition before first use — the place to open a
     * client/connection (reference: client built once per job,
-    * main.py:314-318). */
+    * main.py:314-318).
+    *
+    * Thread-safety: `enrich` is called serially per partition by the
+    * sequential runners, but `EnrichRunner.mapWithResponseAsync` calls
+    * it from up to `concurrency` threads concurrently — implementations
+    * used with the async path must be thread-safe. */
   def open(): Unit = ()
   /** messages = full conversation so far, last entry the user prompt. */
   def enrich(messages: Seq[Message], config: AiConfig): String
@@ -46,12 +51,13 @@ final case class ConversationalTestEnricher() extends Enricher {
   }
 }
 
-/** Error-injecting wrapper for retry/quarantine tests (E2/E3). */
+/** Error-injecting wrapper for retry/quarantine tests (E2/E3).
+  * Atomic counter: safe under the async runner's concurrent calls. */
 final class FlakyEnricher(inner: Enricher, failEvery: Int, transient: Boolean)
     extends Enricher {
-  private var calls = 0
+  private val callCounter = new java.util.concurrent.atomic.AtomicInteger(0)
   override def enrich(messages: Seq[Message], config: AiConfig): String = {
-    calls += 1
+    val calls = callCounter.incrementAndGet()
     if (failEvery > 0 && calls % failEvery == 0) {
       if (transient) throw new RuntimeException("rate limit exceeded (429)")
       else throw new RuntimeException("invalid api key")

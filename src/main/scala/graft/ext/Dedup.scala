@@ -52,6 +52,8 @@ object Dedup {
       .drop("__rn", "__gch")
   }
 
+  val ShingleHashMod = 1000000007L
+
   /** Near-duplicate pairs by n-gram Jaccard: inverted index on
     * character shingles → candidate pairs sharing ≥1 rare shingle →
     * exact Jaccard verification → threshold filter.
@@ -64,8 +66,6 @@ object Dedup {
     * sparse; for dense near-dup clusters switch to MinHash signatures
     * ([[MinHashLsh]]) which verify without the raw text.
     */
-  val ShingleHashMod = 1000000007L
-
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,

@@ -40,14 +40,16 @@ object VectorKernels {
     if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 
-  /** Distinct n-char shingle set, one pass, first-occurrence order. */
+  /** Distinct n-char shingle set, one pass, first-occurrence order.
+    * Windows over CODE POINTS (like SQL substr / DuckDB unicode), not
+    * UTF-16 units — keeps oracle parity beyond the BMP. */
   def charShingles(s: UTF8String, n: Int): ArrayData = {
-    val str = s.toString
-    if (str.length < n) return new GenericArrayData(Array.empty[Any])
+    val cp = s.toString.codePoints().toArray
+    if (cp.length < n) return new GenericArrayData(Array.empty[Any])
     val set = new java.util.LinkedHashSet[UTF8String]
     var i = 0
-    while (i <= str.length - n) {
-      set.add(UTF8String.fromString(str.substring(i, i + n)))
+    while (i <= cp.length - n) {
+      set.add(UTF8String.fromString(new String(cp, i, n)))
       i += 1
     }
     new GenericArrayData(set.toArray(Array.empty[AnyRef]))
@@ -58,14 +60,16 @@ object VectorKernels {
     * collisions merge identically in any engine replaying the same
     * arithmetic; sorted output enables two-pointer set ops. */
   def hashedShingles(s: UTF8String, n: Int, mod: Long): ArrayData = {
-    val str = s.toString
-    if (str.length < n) return new GenericArrayData(Array.empty[Long])
+    // code-point windows + code-point hashing: matches the oracle's
+    // substr()/unicode() semantics for all of Unicode, not just the BMP
+    val cp = s.toString.codePoints().toArray
+    if (cp.length < n) return new GenericArrayData(Array.empty[Long])
     val set = new java.util.TreeSet[java.lang.Long]
     var i = 0
-    while (i <= str.length - n) {
+    while (i <= cp.length - n) {
       var h = 0L
       var j = i
-      while (j < i + n) { h = (h * 31 + str.charAt(j)) % mod; j += 1 }
+      while (j < i + n) { h = (h * 31 + cp(j)) % mod; j += 1 }
       set.add(h)
       i += 1
     }
@@ -95,15 +99,15 @@ object VectorKernels {
     * Identical to min over the distinct-shingle set (duplicates cannot
     * change a min). */
   def minhashSignature(s: UTF8String, n: Int, as: Array[Long], bs: Array[Long], p: Long): ArrayData = {
-    val str = s.toString
+    val cp = s.toString.codePoints().toArray // code points, see hashedShingles
     val k = as.length
     val sig = Array.fill(k)(Long.MaxValue)
-    if (str.length >= n) {
+    if (cp.length >= n) {
       var i = 0
-      while (i <= str.length - n) {
+      while (i <= cp.length - n) {
         var h = 0L
         var j = i
-        while (j < i + n) { h = (h * 31 + str.charAt(j)) % p; j += 1 }
+        while (j < i + n) { h = (h * 31 + cp(j)) % p; j += 1 }
         var q = 0
         while (q < k) {
           val v = (h * as(q) + bs(q)) % p
@@ -217,11 +221,6 @@ object VectorFunctions {
       exprs => VecDot(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("array_jaccard",
       exprs => ArrayJaccard(exprs(0), exprs(1)), "built-in")
-    registry.createOrReplaceTempFunction("char_shingles",
-      exprs => CharShingles(exprs(0), exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(s"char_shingles n must be a literal int, got $other")
-      }), "built-in")
     def litInt(e: Expression): Int = e match {
       case Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(s"expected literal int, got $other")
@@ -231,6 +230,8 @@ object VectorFunctions {
       case Literal(v: Int, _) => v.toLong
       case other => throw new IllegalArgumentException(s"expected literal long, got $other")
     }
+    registry.createOrReplaceTempFunction("char_shingles",
+      exprs => CharShingles(exprs(0), litInt(exprs(1))), "built-in")
     registry.createOrReplaceTempFunction("hashed_shingles",
       exprs => HashedShingles(exprs(0), litInt(exprs(1)), litLong(exprs(2))), "built-in")
     registry.createOrReplaceTempFunction("array_jaccard_long",

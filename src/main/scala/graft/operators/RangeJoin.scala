@@ -27,9 +27,13 @@ object RangeJoin {
       keyCols: Seq[String], bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val p = points.withColumn("__bucket", floor(col(pointCol) / bucketWidth))
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(floor(col(startCol) / bucketWidth),
-        floor((col(endCol) - 1) / bucketWidth))))
+    // empty/inverted intervals would make sequence() count DOWN and
+    // explode one row per bucket between the endpoints — drop them
+    // (they can match nothing anyway)
+    val iv = intervals.filter(col(endCol) > col(startCol))
+      .withColumn("__bucket",
+        explode(sequence(floor(col(startCol) / bucketWidth),
+          floor((col(endCol) - 1) / bucketWidth))))
     p.join(iv, keyCols :+ "__bucket")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")
