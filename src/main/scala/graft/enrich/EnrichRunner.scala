@@ -211,7 +211,8 @@ object EnrichRunner {
       enricher: Enricher,
       config: AiConfig,
       systemPrompt: Option[String] = None,
-      rateLimitPerMinute: Option[Int] = None): DataFrame = {
+      rateLimitPerMinute: Option[Int] = None,
+      metrics: Option[EnrichMetrics] = None): DataFrame = {
     val schema = StructType(df.schema.fields)
       .add("response", StringType).add("turn_number", LongType)
       .add("history_chars", LongType)
@@ -255,10 +256,11 @@ object EnrichRunner {
           val prompt = Option(r.get(promptIdx)).map(_.toString).getOrElse("")
           val priorChars = userChars
           val messages = history :+ Message("user", prompt)
+          metrics.foreach(_.processed.add(1))
           val resp = RetryPolicy.withRetries(cfg.retryAttempts)(
             () => enricher.enrich(messages, cfg)) match {
             case Success(s) => s
-            case Failure(e) => null
+            case Failure(e) => metrics.foreach(_.errors.add(1)); null
           }
           history = messages :+ Message("assistant", Option(resp).getOrElse(""))
           turn += 1; userChars += prompt.length

@@ -29,7 +29,8 @@ object BatchPipeline {
       df: DataFrame,
       cfg: PipelineConfig,
       enricher: Enricher,
-      orderCols: Seq[Column] = Nil): (DataFrame, DataFrame) = {
+      orderCols: Seq[Column] = Nil,
+      metrics: Option[graft.enrich.EnrichMetrics] = None): (DataFrame, DataFrame) = {
     cfg.validateAgainst(df.columns.toSeq)
     cfg.prompt.validated
     val ai = cfg.ai.validated // V1/V2/V5 + the [1,60] rate clamp
@@ -54,13 +55,18 @@ object BatchPipeline {
     val enriched = cfg.mapping.groupBy match {
       case Some(_) =>
         EnrichRunner.runConversations(templated, "group", Seq("row_index"), "prompt",
-          enricher, ai, cfg.prompt.systemPrompt, rateLimitPerMinute = throttle)
+          enricher, ai, cfg.prompt.systemPrompt, rateLimitPerMinute = throttle,
+          metrics = metrics)
           .withColumn("error", when(col("response").isNull, lit("enrichment failed")))
       case None =>
         EnrichRunner.mapWithResponse(templated, "prompt", enricher, ai,
-          rateLimitPerMinute = throttle)
+          rateLimitPerMinute = throttle, metrics = metrics)
     }
-    val (ok, bad) = EnrichRunner.quarantine(enriched)
+    // both outputs derive from the enrichment; without a cache,
+    // evaluating results AND quarantine re-runs every external call
+    // (and a nondeterministic enricher would emit different responses)
+    val enrichedOnce = enriched.cache()
+    val (ok, bad) = EnrichRunner.quarantine(enrichedOnce)
     val assembled = CoreOps.assembleResult(ok, cfg.mapping.mainContent, originalCols,
       cfg.output.includePrompt, cfg.output.includeTimestamp)
     (CoreOps.restoreOrder(assembled), bad)
