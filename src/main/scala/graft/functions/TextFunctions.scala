@@ -87,6 +87,22 @@ object TextFunctions {
       .otherwise(lit("und"))
   }
 
+  /** PII scrubbing for training corpora: emails → <EMAIL>, IPv4 →
+    * <IP>, phone-like digit runs → <PHONE>. Patterns are RE2-safe (no
+    * lookarounds) so the oracle replays them; application order is
+    * pinned (email, ip, phone). Heuristic by design — a recall-first
+    * scrub, not a compliance guarantee. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "\\+?[0-9][0-9() -]{7,}[0-9]"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Canonical content hash for exact dedup (SURVEY.md north star):
     * md5 of lower(trim(text)) — stable across engines. */
   def contentHash(c: Column): Column = md5(lower(trim(c)))

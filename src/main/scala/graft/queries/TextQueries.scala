@@ -128,15 +128,54 @@ object TextQueries {
       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q37: PII redaction. The corpus has no real PII, so deterministic
+    * synthetic contact blocks are injected into every 10th doc in BOTH
+    * engines, then scrubbed — redaction is verified against text that
+    * actually contains emails/IPs/phones. */
+  def q37Redact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val injected = Tables.load(s, dir, "documents")
+      .withColumn("dirty", concat($"text",
+        when($"doc_id" % 10 === 0,
+          concat(lit(" contact user"), $"doc_id".cast("string"),
+            lit("@example.com ip 10.0.0."), ($"doc_id" % 255).cast("string"),
+            lit(" tel +1 (555) 123-4567 end")))
+          .otherwise(lit(""))))
+    injected.select($"doc_id",
+        redactPii($"dirty").as("clean"),
+        ($"dirty" =!= redactPii($"dirty")).cast("int").as("was_redacted"))
+      .orderBy($"doc_id")
+  }
+
+  val q37Sql: String =
+    """WITH injected AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 10 = 0 THEN
+      |      ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.0.' ||
+      |      CAST(doc_id % 255 AS VARCHAR) || ' tel +1 (555) 123-4567 end'
+      |    ELSE '' END AS dirty
+      |  FROM documents),
+      |red AS (SELECT doc_id, dirty,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+      |    '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g') AS clean
+      |  FROM injected)
+      |SELECT doc_id, clean, CAST(dirty != clean AS INT) AS was_redacted
+      |FROM red ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_text_stats" -> (q16TextStats _),
     "q17_lang_id" -> (q17LangId _),
     "q18_exact_dedup" -> (q18ExactDedup _),
-    "q19_ngram_jaccard" -> (q19NgramJaccard _))
+    "q19_ngram_jaccard" -> (q19NgramJaccard _),
+    "q37_pii_redact" -> (q37Redact _))
 
   val oracle: Map[String, String] = Map(
     "q16_text_stats" -> q16Sql,
     "q17_lang_id" -> q17Sql,
     "q18_exact_dedup" -> q18Sql,
-    "q19_ngram_jaccard" -> q19Sql)
+    "q19_ngram_jaccard" -> q19Sql,
+    "q37_pii_redact" -> q37Sql)
 }

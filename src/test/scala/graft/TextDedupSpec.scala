@@ -44,6 +44,19 @@ class TextDedupSpec extends SparkSpec {
       Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("redactPii scrubs emails, IPs, phone runs; leaves clean text alone") {
+    val df = Seq(
+      "reach me at jane.doe+x@sub.example.org today",
+      "server 192.168.001.12 rebooted",
+      "call +44 (0) 7911 123456 now",
+      "no pii here at all").toDF("t")
+    val out = df.select(redactPii($"t").as("r")).as[String].collect()
+    assert(out(0) == "reach me at <EMAIL> today")
+    assert(out(1) == "server <IP> rebooted")
+    assert(out(2) == "call <PHONE> now")
+    assert(out(3) == "no pii here at all")
+  }
+
   test("dedupAgainstCorpus drops known content and self-dups, keeps fresh") {
     val known = Seq("existing doc one", "existing doc two").toDF("text")
       .select(contentHash($"text").as("content_hash"))
