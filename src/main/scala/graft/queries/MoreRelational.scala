@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.ColOps._
+
+/** Coverage expansions: A5 ragged-schema union, cube grouping sets,
+  * and the wider window-function surface (lag/lead/rank/range frames). */
+object MoreRelational {
+
+  /** q38: A5 (`main.py:703-708`) — the reference reconstructs a schema
+    * from ragged result dicts; the Spark analog is unionByName with
+    * allowMissingColumns, null-padding the disjoint columns. Two
+    * different projections of customer/supplier united by name. */
+  def q38RaggedUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.load(s, dir, "customer")
+      .select($"c_custkey".cast("long").as("entity_id"), $"c_name".as("name"),
+        $"c_acctbal".as("balance"), $"c_mktsegment".as("segment"))
+    val sup = Tables.load(s, dir, "supplier")
+      .select($"s_suppkey".cast("long").as("entity_id"), $"s_name".as("name"),
+        $"s_acctbal".as("balance"), lit("supplier").as("kind"))
+    c.withColumn("kind", lit("customer"))
+      .unionByName(sup, allowMissingColumns = true)
+      .orderBy($"kind", $"entity_id")
+  }
+
+  val q38Sql: String =
+    """SELECT * FROM (
+      |  SELECT CAST(c_custkey AS BIGINT) AS entity_id, c_name AS name,
+      |    c_acctbal AS balance, c_mktsegment AS segment, 'customer' AS kind
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT CAST(s_suppkey AS BIGINT), s_name, s_acctbal, NULL, 'supplier'
+      |  FROM supplier) t
+      |ORDER BY kind, entity_id""".stripMargin
+
+  /** q39: CUBE over lineitem flags — all four grouping-set combinations
+    * in one pass (q09 covers ROLLUP's three). */
+  def q39Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(dec($"l_extendedprice")).as("sum_price"),
+        grouping($"l_returnflag").cast("int").as("g_rf"),
+        grouping($"l_linestatus").cast("int").as("g_ls"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"g_rf", $"g_ls", $"n", $"sum_price")
+      .orderBy($"g_rf", $"g_ls", $"returnflag", $"linestatus")
+  }
+
+  val q39Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, returnflag, linestatus""".stripMargin
+
+  /** q40: the window-function family beyond q05 — lag, lead,
+    * dense_rank, ntile, and a RANGE frame — per-customer over orders. */
+  def q40WindowFamily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wPrice = Window.partitionBy($"o_custkey").orderBy(dec($"o_totalprice"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        lag($"o_orderkey", 1).over(w).as("prev_order"),
+        lead($"o_orderkey", 1).over(w).as("next_order"),
+        dense_rank().over(w).cast("long").as("order_rank"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        count(lit(1)).over(wPrice).cast("long").as("n_cheaper_or_equal"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q40Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  lag(o_orderkey, 1) OVER w AS prev_order,
+      |  lead(o_orderkey, 1) OVER w AS next_order,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS order_rank,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(12,2))
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cheaper_or_equal
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_ragged_union" -> (q38RaggedUnion _),
+    "q39_cube" -> (q39Cube _),
+    "q40_window_family" -> (q40WindowFamily _))
+
+  val oracle: Map[String, String] = Map(
+    "q38_ragged_union" -> q38Sql,
+    "q39_cube" -> q39Sql,
+    "q40_window_family" -> q40Sql)
+}
