@@ -25,6 +25,10 @@ import graft.sources.Sources
   */
 final class GraftEngine(spark: SparkSession) {
 
+  // engine sessions run only this engine's prefix-preserving runners,
+  // so the enrichment filter pushdown is safe to enable by default
+  graft.plans.GraftPlans.install(spark)
+
   final case class UploadReport(name: String, rows: Long, columns: Seq[String])
   final case class ProcessReport(jobId: String, results: DataFrame,
     quarantined: DataFrame, metrics: EnrichMetrics, startedAtMs: Long) {
