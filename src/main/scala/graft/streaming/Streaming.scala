@@ -71,6 +71,41 @@ object Streaming {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  final case class AsofEvent(key: Long, us: Long, isRight: Boolean,
+    eventId: Long, payload: Long)
+  final case class AsofMatch(key: Long, eventId: Long, us: Long,
+    asofPayload: Option[Long], asofUs: Option[Long])
+  final case class AsofState(lastPayload: Long, lastUs: Long)
+
+  /** Streaming as-of join: left events matched to the most recent
+    * right-side event at-or-before them within the same key — the
+    * streaming twin of [[graft.operators.AsOfJoin]], with the carried
+    * "latest right" living in the state store across micro-batches.
+    *
+    * Within a micro-batch, events are folded in event-time order
+    * (ties: right before left, then eventId). Correct when per-key
+    * arrival respects micro-batch boundaries (a right event arriving a
+    * batch AFTER a left event it precedes in event time will not
+    * retro-match — full out-of-order handling needs watermark-deferred
+    * emission, a documented round-2 candidate). */
+  def asofStream(ds: Dataset[AsofEvent]): Dataset[AsofMatch] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[AsofEvent], state: GroupState[AsofState]) =>
+          var st = state.getOption
+          val out = rows.toSeq
+            .sortBy(e => (e.us, e.isRight match { case true => 0; case false => 1 }, e.eventId))
+            .flatMap { e =>
+              if (e.isRight) { st = Some(AsofState(e.payload, e.us)); None }
+              else Some(AsofMatch(key, e.eventId, e.us,
+                st.map(_.lastPayload), st.map(_.lastUs)))
+            }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   final case class ConvInput(group: String, rowIndex: Long, prompt: String)
   final case class ConvOutput(group: String, rowIndex: Long, turnNumber: Long,
     historyChars: Long, response: String)

@@ -83,6 +83,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.response == "[gpt-test] turn=1 ctx=0")
   }
 
+  test("streaming as-of join carries the latest right event across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.{AsofEvent, AsofMatch}
+    val input = MemoryStream[AsofEvent]
+    val q = Streaming.asofStream(input.toDS())
+      .writeStream.format("memory").queryName("asof_out").outputMode("append").start()
+    try {
+      // batch 1: click(us=100) then purchase(us=150) for user 1;
+      // purchase(us=50) for user 2 with no prior click
+      input.addData(
+        AsofEvent(1L, 100L, isRight = true, eventId = 10L, payload = 10L),
+        AsofEvent(1L, 150L, isRight = false, eventId = 11L, payload = 0L),
+        AsofEvent(2L, 50L, isRight = false, eventId = 20L, payload = 0L))
+      q.processAllAvailable()
+      // batch 2: purchase for user 1 — must still see the batch-1 click
+      input.addData(AsofEvent(1L, 900L, isRight = false, eventId = 12L, payload = 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("asof_out").as[AsofMatch].collect()
+      .map(m => m.eventId -> m.asofPayload).toMap
+    assert(out(11L) == Some(10L)) // same-batch match
+    assert(out(20L) == None)      // no prior right event
+    assert(out(12L) == Some(10L)) // state carried across micro-batches
+  }
+
   test("ProgressListener observes tasks and records (T1-T4)") {
     val events = scala.collection.mutable.ArrayBuffer.empty[ProgressListener.Event]
     val listener = new ProgressListener(e => events.synchronized { events += e })
