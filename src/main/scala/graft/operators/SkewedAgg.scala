@@ -14,6 +14,23 @@ import org.apache.spark.sql.functions._
   */
 object SkewedAgg {
 
+  /** Skewed JOIN: replicate the small side once per salt bucket and
+    * salt the big side deterministically, so a hot key's rows spread
+    * over `saltBuckets` reducers instead of melting one. Results are
+    * identical to the plain join (each big-side row meets exactly one
+    * replica of its key's small-side row). Use when AQE's skew-join
+    * handling doesn't apply (e.g. broadcast is too big, or the skew is
+    * in a non-SMJ plan). */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame, keyCol: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col): _*), lit(saltBuckets)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, Seq(keyCol, "__salt")).drop("__salt")
+  }
+
   /** countAndSum per key, salted. `valueCol` should already be exact
     * (decimal) if cross-engine parity matters. */
   def saltedCountSum(

@@ -49,11 +49,64 @@ object MiscQueries {
       |    / CAST(octet_length(encode(text)) AS DOUBLE) AS brightness
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q41: skew-salted JOIN — events joined to a per-user dimension via
+    * [[SkewedAgg.saltedJoin]]; the oracle is the plain join (results
+    * are provably identical, the salt only spreads reducers). */
+  def q41SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.loadEvents(s, dir)
+    val userDim = ev.groupBy($"user_id")
+      .agg(min($"sec").as("first_seen"), count(lit(1)).as("user_events"))
+    SkewedAgg.saltedJoin(ev.select($"event_id", $"user_id", $"event_type", $"sec"),
+        userDim, "user_id", saltBuckets = 8)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        dsum(dec(($"sec" - $"first_seen").cast("double"))).as("sum_age_sec"))
+      .orderBy($"event_type")
+  }
+
+  val q41Sql: String =
+    """WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |u AS (SELECT user_id, min(sec) AS first_seen, COUNT(*) AS user_events
+      |      FROM e GROUP BY user_id)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(e.sec - u.first_seen AS DOUBLE) AS DECIMAL(12,2))) AS DOUBLE) AS sum_age_sec
+      |FROM e JOIN u ON e.user_id = u.user_id
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q42: pivot-style conditional aggregation — per-user counts by
+    * event type in one pass (count(when(...)) == FILTER clauses). */
+  def q42Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.loadEvents(s, dir)
+      .groupBy($"user_id")
+      .agg(
+        count(when($"event_type" === "click", 1)).as("clicks"),
+        count(when($"event_type" === "view", 1)).as("views"),
+        count(when($"event_type" === "purchase", 1)).as("purchases"),
+        count(when($"event_type" === "signup", 1)).as("signups"),
+        count(when($"event_type" === "error", 1)).as("errors"))
+      .orderBy($"user_id")
+  }
+
+  val q42Sql: String =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (event_type = 'click') AS clicks,
+      |  COUNT(*) FILTER (event_type = 'view') AS views,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS purchases,
+      |  COUNT(*) FILTER (event_type = 'signup') AS signups,
+      |  COUNT(*) FILTER (event_type = 'error') AS errors
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_salted_agg" -> (q28SaltedAgg _),
-    "q29_multimodal" -> (q29Multimodal _))
+    "q29_multimodal" -> (q29Multimodal _),
+    "q41_salted_join" -> (q41SaltedJoin _),
+    "q42_pivot_counts" -> (q42Pivot _))
 
   val oracle: Map[String, String] = Map(
     "q28_salted_agg" -> q28Sql,
-    "q29_multimodal" -> q29Sql)
+    "q29_multimodal" -> q29Sql,
+    "q41_salted_join" -> q41Sql,
+    "q42_pivot_counts" -> q42Sql)
 }
