@@ -165,17 +165,61 @@ object TextQueries {
       |SELECT doc_id, clean, CAST(dirty != clean AS INT) AS was_redacted
       |FROM red ORDER BY doc_id""".stripMargin
 
+  /** q43: corpus vocabulary — tokenize (split+explode, SURVEY §2.7),
+    * global term counts, deterministic top-100. The shuffle carries
+    * (token, partial count): map-side combine collapses each partition
+    * to its distinct tokens before the exchange. */
+  def q43TopTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(explode(tokens(lower($"text"))).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(100)
+  }
+
+  val q43Sql: String =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |      FROM documents) t
+      |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
+
+  /** q44: document-length histogram (50-char buckets) — the profiling
+    * pass that decides min/max-length gates for a cleanup run. */
+  def q44LengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .withColumn("bucket", (length($"text").cast("long") / 50L).cast("long") * 50L)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(length($"text").cast("long")).as("min_len"),
+        max(length($"text").cast("long")).as("max_len"))
+      .orderBy($"bucket")
+  }
+
+  val q44Sql: String =
+    """SELECT CAST(length(text) // 50 * 50 AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_docs,
+      |  CAST(min(length(text)) AS BIGINT) AS min_len,
+      |  CAST(max(length(text)) AS BIGINT) AS max_len
+      |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_text_stats" -> (q16TextStats _),
     "q17_lang_id" -> (q17LangId _),
     "q18_exact_dedup" -> (q18ExactDedup _),
     "q19_ngram_jaccard" -> (q19NgramJaccard _),
-    "q37_pii_redact" -> (q37Redact _))
+    "q37_pii_redact" -> (q37Redact _),
+    "q43_top_tokens" -> (q43TopTokens _),
+    "q44_length_histogram" -> (q44LengthHistogram _))
 
   val oracle: Map[String, String] = Map(
     "q16_text_stats" -> q16Sql,
     "q17_lang_id" -> q17Sql,
     "q18_exact_dedup" -> q18Sql,
     "q19_ngram_jaccard" -> q19Sql,
-    "q37_pii_redact" -> q37Sql)
+    "q37_pii_redact" -> q37Sql,
+    "q43_top_tokens" -> q43Sql,
+    "q44_length_histogram" -> q44Sql)
 }
