@@ -93,13 +93,67 @@ object MoreRelational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** q45: semi/anti joins — customers with orders (EXISTS) vs without
+    * (NOT EXISTS), tagged and counted per market segment. Semi/anti
+    * ship only the probe side's keys — no payload from orders moves. */
+  def q45SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders").select($"o_custkey")
+    val withOrders = c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+      .withColumn("has_orders", lit(1))
+    val withoutOrders = c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .withColumn("has_orders", lit(0))
+    withOrders.unionByName(withoutOrders)
+      .groupBy($"c_mktsegment", $"has_orders")
+      .agg(count(lit(1)).as("n_customers"), dsum(dec($"c_acctbal")).as("sum_bal"))
+      .orderBy($"c_mktsegment", $"has_orders")
+  }
+
+  val q45Sql: String =
+    """SELECT c_mktsegment, has_orders, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      |FROM (
+      |  SELECT c.*, CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |    THEN 1 ELSE 0 END AS has_orders
+      |  FROM customer c) t
+      |GROUP BY c_mktsegment, has_orders
+      |ORDER BY c_mktsegment, has_orders""".stripMargin
+
+  /** q46: F8 JSON decode — events.props is a JSON string column;
+    * from_json extracts the typed field, aggregated per event type. */
+  def q46JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Tables.loadEvents(s, dir)
+      .withColumn("k", from_json($"props", schema).getField("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val q46Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+      |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+      |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_ragged_union" -> (q38RaggedUnion _),
     "q39_cube" -> (q39Cube _),
-    "q40_window_family" -> (q40WindowFamily _))
+    "q40_window_family" -> (q40WindowFamily _),
+    "q45_semi_anti" -> (q45SemiAnti _),
+    "q46_json_extract" -> (q46JsonExtract _))
 
   val oracle: Map[String, String] = Map(
     "q38_ragged_union" -> q38Sql,
     "q39_cube" -> q39Sql,
-    "q40_window_family" -> q40Sql)
+    "q40_window_family" -> q40Sql,
+    "q45_semi_anti" -> q45Sql,
+    "q46_json_extract" -> q46Sql)
 }
