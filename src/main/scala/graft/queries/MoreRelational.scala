@@ -138,7 +138,7 @@ object MoreRelational {
 
   val q46Sql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
       |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
       |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

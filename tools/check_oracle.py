@@ -41,6 +41,14 @@ def compare(name, spark_df, duck_df, sort_rows):
     s, d = norm(spark_df), norm(duck_df)
     if len(s) != len(d):
         return f"ROWCOUNT MISMATCH spark={len(s)} duck={len(d)}"
+    # The driver's hash compare is dtype-sensitive: DuckDB SUM(BIGINT)
+    # returns HUGEINT which pandas renders as float64 — int-vs-float
+    # columns hash-mismatch even when every value compares equal.
+    for col in s.columns:
+        kinds = {s[col].dtype.kind, d[col].dtype.kind}
+        if kinds in ({"i", "f"}, {"u", "f"}):
+            return (f"DTYPE MISMATCH col {col}: spark={s[col].dtype} "
+                    f"duck={d[col].dtype} (cast the oracle side explicitly)")
     if sort_rows:
         s = s.sort_values(by=list(s.columns), kind="mergesort").reset_index(drop=True)
         d = d.sort_values(by=list(d.columns), kind="mergesort").reset_index(drop=True)
