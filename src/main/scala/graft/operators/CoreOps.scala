@@ -1,9 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Core column/row operators re-expressing the reference's row loops as
   * Catalyst-visible transforms (SURVEY.md §2.2, §2.5, §2.7, §7.1 ops/).
@@ -65,11 +63,17 @@ object CoreOps {
 
   /** W1, deterministic flavor: 0-based row index (reference `_row_index`
     * semantics, main.py:366-369) from a total ordering on explicit key
-    * columns. Scales: `row_number` over a global window is a single-
-    * partition sort, so use only when the result must be a dense 0..N-1
-    * index; for scale-out order keys prefer the keys themselves. */
+    * columns. Scalable: a global-window `row_number` would funnel every
+    * row through ONE partition (Spark warns "No Partition Defined"), so
+    * instead range-repartition on the order keys (partition i holds keys
+    * below partition i+1), sort within partitions, and add per-partition
+    * offsets via the zipWithIndex pass — the distributed dense-rank
+    * recipe. The range shuffle is reused by zipWithIndex's count job, so
+    * the data moves once. Keys must be tie-free for a deterministic
+    * result (same contract as the window version). */
   def withRowIndexByOrder(df: DataFrame, name: String, orderCols: Column*): DataFrame =
-    df.withColumn(name, (row_number().over(Window.orderBy(orderCols: _*)) - 1).cast(LongType))
+    org.apache.spark.sql.GraftShim.zipWithRowIndex(
+      df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*), name)
 
   /** W1, file-order flavor (`main.py:362,366-369`): index rows by their
     * physical input order. Uses `zipWithIndex` (one extra count job to
@@ -78,11 +82,8 @@ object CoreOps {
     * exists because Spark has no "input file order" column and the
     * reference's export contract sorts by it (main.py:696-697).
     */
-  def withFileOrderIndex(df: DataFrame, name: String = "row_index"): DataFrame = {
-    val schema = StructType(df.schema.fields).add(name, LongType, nullable = false)
-    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
+  def withFileOrderIndex(df: DataFrame, name: String = "row_index"): DataFrame =
+    org.apache.spark.sql.GraftShim.zipWithRowIndex(df, name)
 
   /** W2 (`main.py:696-697`): restore original order before export —
     * a range-partitioned total sort on the index column. */
