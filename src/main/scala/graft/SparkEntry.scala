@@ -22,12 +22,14 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++ graft.queries.HashDedupQueries.queries ++
       graft.queries.EmbeddingQueries.queries ++ graft.queries.EventQueries.queries ++
       graft.queries.MiscQueries.queries ++ graft.queries.ExtraQueries.queries ++
-      graft.queries.CorpusQueries.queries ++ graft.queries.MoreRelational.queries
+      graft.queries.CorpusQueries.queries ++ graft.queries.MoreRelational.queries ++
+      graft.queries.ScaleQueries.queries ++ graft.queries.StatsQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.Reference.oracle ++
       graft.queries.TextQueries.oracle ++ graft.queries.HashDedupQueries.oracle ++
       graft.queries.EmbeddingQueries.oracle ++ graft.queries.EventQueries.oracle ++
       graft.queries.MiscQueries.oracle ++ graft.queries.ExtraQueries.oracle ++
-      graft.queries.CorpusQueries.oracle ++ graft.queries.MoreRelational.oracle
+      graft.queries.CorpusQueries.oracle ++ graft.queries.MoreRelational.oracle ++
+      graft.queries.ScaleQueries.oracle ++ graft.queries.StatsQueries.oracle
 }

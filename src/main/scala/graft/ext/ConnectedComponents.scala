@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the clustering
+  * step that turns near-duplicate PAIRS (MinHash/SimHash/embedding) into
+  * duplicate GROUPS, so a cleaner can keep one representative per
+  * component (north star: dedup at 100 TB).
+  *
+  * Algorithm: hash-min label propagation with pointer jumping. Each
+  * round every vertex takes the minimum label among {itself, its
+  * neighbors} (one shuffle over the edge list), then follows its own
+  * label's label (`label ← label(label)`, a second self-join) — the
+  * pointer-jumping step halves chain depth each round, giving
+  * O(log diameter) rounds instead of O(diameter). This is the
+  * DataFrame-native version of the large-star/small-star technique
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond").
+  *
+  * Scale design: state per round is one (id, label) table — 16 bytes a
+  * vertex — and the edge list is reused cached; each round is two
+  * equi-join shuffles, no driver-side graph. `localCheckpoint` truncates
+  * the iterative lineage so plans don't grow with round count. The
+  * convergence probe is a count of changed labels (cheap aggregate).
+  */
+object ConnectedComponents {
+
+  /** Label every vertex with the smallest vertex id reachable from it.
+    *
+    * @param vertices one column `idCol`; isolated vertices keep their
+    *                 own id as the component label
+    * @param edges    undirected edge list in (`srcCol`, `dstCol`)
+    * @return (id, cluster_id)
+    */
+  def assign(
+      vertices: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      // hash-min: label ← min(label, min over neighbors' labels)
+      val nmin = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst")).agg(min("cluster_id").as("nmin"))
+      val stepped = labels.join(nmin, labels("id") === nmin("dst"), "left")
+        .select(labels("id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+      // pointer jump: label ← min(label, label(label))
+      val next = stepped.as("u")
+        .join(stepped.select(col("id").as("jid"), col("cluster_id").as("jlab")).as("l"),
+          col("u.cluster_id") === col("jid"), "left")
+        .select(col("u.id").as("id"),
+          least(col("u.cluster_id"), coalesce(col("jlab"), col("u.cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.select(col("id"), col("cluster_id").as("prev")).as("o"), "id")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.ext.{ConnectedComponents, MinHashLsh}
+import graft.functions.{GraftFunctions, TextFunctions}
+import graft.operators.Profiler
+import graft.operators.ColOps._
+
+/** Training-data-pipeline operators at corpus scale (north star,
+  * BASELINE.json): duplicate clustering (connected components), TF-IDF
+  * term scoring, inverted-index construction, deterministic hash-based
+  * train/val/test splitting, single-pass profiling, and sliding
+  * event-time windows. Every query is DuckDB-oracle hash-verified.
+  */
+object ScaleQueries {
+
+  /** q47: near-dup pairs → duplicate CLUSTERS via distributed connected
+    * components ([[ConnectedComponents]] — hash-min + pointer jumping,
+    * O(log diameter) rounds of equi-join shuffles). The oracle replays
+    * the component closure as a recursive CTE. Every doc gets a
+    * cluster label (singletons label themselves). */
+  def q47DupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", n = 8, minEstSim = 0.5)
+    val labels = ConnectedComponents.assign(
+      docs.select($"doc_id"), "doc_id", pairs, "id_a", "id_b")
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy($"cluster_id")).cast("long"))
+      .select($"id".as("doc_id"), $"cluster_id", $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  val q47Sql: String = {
+    val mins = (0 until MinHashLsh.K).map(j =>
+      s"list_min(list_transform(hv, h -> (h * ${MinHashLsh.A(j)} + ${MinHashLsh.B(j)}) % 1000000007))")
+      .mkString(",\n      |    ")
+    s"""WITH RECURSIVE docs AS (
+      |  SELECT doc_id AS id,
+      |    list_distinct(list_transform(generate_series(1, length(text)-7), i -> substr(text, i, 8))) AS sh_set
+      |  FROM documents WHERE length(text) >= 8),
+      |hv AS (SELECT id, list_transform(sh_set, s ->
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(s)), i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007)) AS hv FROM docs),
+      |sig AS (SELECT id, [$mins] AS sig FROM hv),
+      |bands AS (SELECT id, b, list_slice(sig, b*4+1, b*4+4) AS slice
+      |  FROM sig CROSS JOIN UNNEST([0,1,2,3]) AS t(b)),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
+      |est AS (SELECT id_a, id_b,
+      |  CAST(list_sum(list_transform(generate_series(1,16),
+      |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS est_sim
+      |  FROM cand JOIN sig sa ON cand.id_a = sa.id JOIN sig sb ON cand.id_b = sb.id),
+      |pairs AS (SELECT id_a, id_b FROM est WHERE est_sim >= 0.5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
+      |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT doc_id, cluster_id,
+      |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+      |FROM lab ORDER BY doc_id""".stripMargin
+  }
+
+  /** q48: TF-IDF top-3 terms per document — tokenize → per-doc term
+    * counts → document frequencies → score → per-doc top-k window.
+    * Two shuffles ((doc,term) then term); the idf join broadcasts the
+    * term-frequency side at scale (it is vocabulary-sized, not
+    * corpus-sized). */
+  def q48Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val nDocs = docs.count()
+    val toks = docs.select($"doc_id",
+        explode(TextFunctions.tokens(lower($"text"))).as("term"))
+      .filter($"term" =!= "")
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // round to 6 decimals: ln() is not IEEE-exactly-rounded and the last
+    // ulp differs between the JVM and DuckDB's libm — ranking and
+    // hashing both use the rounded score so neither can diverge
+    val scored = tf.join(broadcast(dfreq), "term")
+      .withColumn("tfidf", round(
+        $"tf".cast("double") * log(lit((nDocs + 1).toDouble) / ($"df" + 1).cast("double")), 6))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"term", $"tf", $"df", $"tfidf")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val q48Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, term
+      |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |        FROM documents) t
+      |  WHERE term <> ''),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |scored AS (SELECT doc_id, term, tf, df,
+      |  round(CAST(tf AS DOUBLE) * ln(CAST((SELECT COUNT(*) FROM documents) + 1 AS DOUBLE)
+      |    / CAST(df + 1 AS DOUBLE)), 6) AS tfidf
+      |  FROM tf JOIN dfreq USING (term)),
+      |ranked AS (SELECT *, CAST(row_number() OVER
+      |  (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank FROM scored)
+      |SELECT doc_id, rank, term, tf, df, tfidf FROM ranked
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  /** q49: inverted-index build — term → (document frequency, sorted
+    * posting list). Postings are emitted as a comma-joined string (the
+    * cross-engine-stable encoding); `sort_array` pins the
+    * `collect_list` order, which is otherwise shuffle-dependent. Only
+    * terms with df ≥ 10 are kept (the long tail would be the output's
+    * bulk but carries no retrieval value at this corpus size). */
+  def q49InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val toks = docs.select($"doc_id",
+        explode(TextFunctions.tokens(lower($"text"))).as("term"))
+      .filter($"term" =!= "").distinct()
+    toks.groupBy($"term")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", transform(sort_array(collect_list($"doc_id")),
+          x => x.cast("string"))).as("postings"))
+      .filter($"df" >= 10)
+      .orderBy($"term")
+  }
+
+  val q49Sql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, term
+      |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |        FROM documents) t
+      |  WHERE term <> '')
+      |SELECT term, COUNT(*) AS df,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      |FROM toks GROUP BY term HAVING COUNT(*) >= 10
+      |ORDER BY term""".stripMargin
+
+  /** q50: deterministic train/val/test split — bucket = polyhash of the
+    * stringified key mod 100, 80/10/10. Hash-based splitting is the
+    * scale-correct way to partition a corpus: no global shuffle, no
+    * state, stable under re-runs and appends, and stratification falls
+    * out of hash uniformity (verified per language here). */
+  def q50HashSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val docs = Tables.load(s, dir, "documents")
+    docs.withColumn("bucket", GraftFunctions.polyhash($"doc_id".cast("string")) % 100)
+      .withColumn("split",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val").otherwise("test"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+      .orderBy($"lang", $"split")
+  }
+
+  val q50Sql: String =
+    """WITH h AS (SELECT *, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+      |      i -> CAST(unicode(substr(CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) % 100 AS bucket FROM documents),
+      |sp AS (SELECT *, CASE WHEN bucket < 80 THEN 'train'
+      |                      WHEN bucket < 90 THEN 'val'
+      |                      ELSE 'test' END AS split FROM h)
+      |SELECT lang, split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM sp GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
+  /** q51: single-pass column profiling over orders ([[Profiler]]). */
+  def q51Profile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Profiler.profile(Tables.load(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+      .orderBy($"col_name")
+  }
+
+  val q51Sql: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct, CAST(MIN($c) AS DOUBLE) AS min_num,
+         |  CAST(MAX($c) AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str,
+         |  CAST(NULL AS VARCHAR) AS max_str FROM orders""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c', COUNT(*), COUNT(*) - COUNT($c), COUNT(DISTINCT $c),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), MIN($c), MAX($c) FROM orders""".stripMargin
+    Seq(num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
+      num("o_totalprice"), str("o_orderpriority"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) t ORDER BY col_name")
+  }
+
+  /** q52: sliding (hopping) event-time windows — Spark's native
+    * `window(ts, "15 minutes", "5 minutes")`; each event lands in 3
+    * overlapping windows. The oracle replays the hop expansion as an
+    * UNNEST over offsets. One shuffle on (window, type); the window
+    * explosion is map-side. */
+  def q52SlidingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.loadEvents(s, dir)
+      .withColumn("tsx", timestamp_seconds($"sec"))
+      .groupBy(window($"tsx", "15 minutes", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum(dec($"value")).as("sum_value"))
+      .select(unix_timestamp($"window.start").as("win_start_sec"),
+        $"event_type", $"n", $"sum_value")
+      .orderBy($"win_start_sec", $"event_type")
+  }
+
+  val q52Sql: String =
+    """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type, value FROM events),
+      |w AS (SELECT (sec // 300 - k) * 300 AS win_start_sec, event_type, value
+      |      FROM e CROSS JOIN UNNEST([0, 1, 2]) AS t(k))
+      |SELECT win_start_sec, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY win_start_sec, event_type
+      |ORDER BY win_start_sec, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_dup_clusters" -> (q47DupClusters _),
+    "q48_tfidf" -> (q48Tfidf _),
+    "q49_inverted_index" -> (q49InvertedIndex _),
+    "q50_hash_split" -> (q50HashSplit _),
+    "q51_profile" -> (q51Profile _),
+    "q52_sliding_window" -> (q52SlidingWindow _))
+
+  val oracle: Map[String, String] = Map(
+    "q47_dup_clusters" -> q47Sql,
+    "q48_tfidf" -> q48Sql,
+    "q49_inverted_index" -> q49Sql,
+    "q50_hash_split" -> q50Sql,
+    "q51_profile" -> q51Sql,
+    "q52_sliding_window" -> q52Sql)
+}
