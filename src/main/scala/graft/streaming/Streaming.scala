@@ -86,8 +86,8 @@ object Streaming {
     * (ties: right before left, then eventId). Correct when per-key
     * arrival respects micro-batch boundaries (a right event arriving a
     * batch AFTER a left event it precedes in event time will not
-    * retro-match — full out-of-order handling needs watermark-deferred
-    * emission, a documented round-2 candidate). */
+    * retro-match; [[asofStreamOutOfOrder]] is the watermark-deferred
+    * variant that handles full out-of-order arrival). */
   def asofStream(ds: Dataset[AsofEvent]): Dataset[AsofMatch] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.key)
@@ -102,6 +102,60 @@ object Streaming {
                 st.map(_.lastPayload), st.map(_.lastUs)))
             }
           st.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  final case class AsofEventT(key: Long, us: Long, isRight: Boolean,
+    eventId: Long, payload: Long, eventTime: java.sql.Timestamp)
+  final case class AsofOooState(
+    rights: List[(Long, Long, Long)], // (us, eventId, payload), unsorted
+    lefts: List[(Long, Long)])        // (us, eventId) pending emission
+
+  /** Out-of-order-correct streaming as-of join: left events are
+    * BUFFERED in keyed state and only emitted once the watermark passes
+    * their event time, so a right event arriving micro-batches later
+    * (but earlier in event time) still retro-matches — the
+    * watermark-deferred emission [[asofStream]]'s Scaladoc documents as
+    * its gap.
+    *
+    * Requires a watermark on `eventTime` upstream (event-time timeouts
+    * need one). State is bounded by the watermark horizon: emitted
+    * lefts leave the buffer, and of the rights at-or-below the
+    * watermark only the latest is kept (the only one a future left can
+    * still match — watermark guarantees no left older than it arrives).
+    * An event-time timeout re-fires the group when the watermark
+    * advances past its oldest pending left even if no new data for the
+    * key arrives. */
+  def asofStreamOutOfOrder(ds: Dataset[AsofEventT]): Dataset[AsofMatch] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[AsofEventT], state: GroupState[AsofOooState]) =>
+          val st0 = state.getOption.getOrElse(AsofOooState(Nil, Nil))
+          var rights = st0.rights
+          var lefts = st0.lefts
+          rows.foreach { e =>
+            if (e.isRight) rights = (e.us, e.eventId, e.payload) :: rights
+            else lefts = (e.us, e.eventId) :: lefts
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val rightsSorted = rights.sortBy(r => (r._1, r._2))
+          val (emit, pending) = lefts.partition(_._1 <= wmUs)
+          val out = emit.sorted.map { case (us, id) =>
+            val m = rightsSorted.takeWhile(_._1 <= us).lastOption
+            AsofMatch(key, id, us, m.map(_._3), m.map(_._1))
+          }
+          // GC: the latest right at-or-below the watermark still carries
+          // forward; everything older is unreachable for future lefts
+          val (below, above) = rightsSorted.partition(_._1 <= wmUs)
+          val pruned = below.lastOption.toList ::: above
+          if (pending.isEmpty && pruned.isEmpty) state.remove()
+          else {
+            state.update(AsofOooState(pruned, pending))
+            pending.map(_._1 / 1000L).minOption.foreach(ms =>
+              state.setTimeoutTimestamp(math.max(ms + 1, state.getCurrentWatermarkMs() + 1)))
+          }
           out.iterator
       }
   }

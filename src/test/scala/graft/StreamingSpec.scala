@@ -108,6 +108,43 @@ class StreamingSpec extends SparkSpec {
     assert(out(12L) == Some(10L)) // state carried across micro-batches
   }
 
+  test("out-of-order as-of join retro-matches a right event arriving a batch late") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.{AsofEventT, AsofMatch}
+    val input = MemoryStream[AsofEventT]
+    def ev(key: Long, us: Long, right: Boolean, id: Long, payload: Long) =
+      AsofEventT(key, us, right, id, payload, new java.sql.Timestamp(us / 1000L))
+    // 60s watermark delay: after batch 1 (max t=100s) the watermark is
+    // 40s, so the t=50s right in batch 2 is NOT late-filtered, while
+    // the t=100s left stays buffered until the watermark passes it
+    val withWm = input.toDS()
+      .withWatermark("eventTime", "60 seconds")
+      .as[AsofEventT]
+    val q = Streaming.asofStreamOutOfOrder(withWm)
+      .writeStream.format("memory").queryName("asof_ooo").outputMode("append").start()
+    try {
+      // batch 1: a left at t=100s — nothing emitted yet (watermark
+      // hasn't passed it, and its matching right hasn't even arrived)
+      input.addData(ev(1L, 100000000L, right = false, 11L, 0L))
+      q.processAllAvailable()
+      assert(spark.table("asof_ooo").count() == 0L)
+      // batch 2: the right arrives a micro-batch LATE — earlier in
+      // event time (t=50s); a far-future event pushes the watermark
+      input.addData(
+        ev(1L, 50000000L, right = true, 10L, 77L),
+        ev(2L, 1000000000L, right = false, 20L, 0L))
+      q.processAllAvailable()
+      // batch 3: watermark (from batch 2's max, 1000s-60s=940s) now
+      // exceeds the pending left; the event-time timeout flushes it
+      input.addData(ev(3L, 1001000000L, right = false, 30L, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("asof_ooo").as[AsofMatch].collect()
+      .map(m => m.eventId -> m.asofPayload).toMap
+    assert(out.contains(11L), s"pending left never emitted; got $out")
+    assert(out(11L) == Some(77L)) // retro-matched the late right
+  }
+
   test("ProgressListener observes tasks and records (T1-T4)") {
     val events = scala.collection.mutable.ArrayBuffer.empty[ProgressListener.Event]
     val listener = new ProgressListener(e => events.synchronized { events += e })
