@@ -48,7 +48,15 @@ object MinHashLsh {
       .select(col(idCol).as("id"), signature(col(textCol)).as("sig"))
   }
 
-  /** Near-dup pairs with estimated similarity ≥ `minEstSim`. */
+  /** Near-dup pairs with estimated similarity ≥ `minEstSim`.
+    *
+    * First-match-band emission instead of `distinct()`: a pair whose
+    * signatures agree on several bands is emitted only at the first
+    * agreeing band (all earlier bands must disagree — a pure predicate
+    * over the two signatures already in the join), so the candidate
+    * stream never pays a dedup shuffle. Signatures ride through the
+    * band join (128 bytes a row), which also removes the two
+    * candidate↔signature verification joins. */
   def nearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -60,18 +68,20 @@ object MinHashLsh {
         explode(array((0 until Bands).map(b =>
           struct(lit(b).as("band"), slice(col("sig"), b * RowsPerBand + 1, RowsPerBand).as("bslice"))): _*))
           .as("bs"))
-      .select(col("id"), col("bs.band").as("band"), col("bs.bslice").as("bslice"))
+      .select(col("id"), col("sig"), col("bs.band").as("band"), col("bs.bslice").as("bslice"))
+    def bandSlice(sig: Column, b: Int): Column = slice(sig, b * RowsPerBand + 1, RowsPerBand)
+    val firstMatch = (0 until Bands).map(bp =>
+      when(col("a.band") > lit(bp), bandSlice(col("a.sig"), bp) =!= bandSlice(col("b.sig"), bp))
+        .otherwise(lit(true))).reduce(_ && _)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bslice") === col("b.bslice") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    val withSigs = cand
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+          col("a.id") < col("b.id") && firstMatch)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
     val matches = (0 until K).map(i =>
       when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1)
         .otherwise(0)).reduce(_ + _)
-    withSigs
+    cand
       .select(col("id_a"), col("id_b"), (matches.cast("double") / K).as("est_sim"))
       .filter(col("est_sim") >= minEstSim)
   }

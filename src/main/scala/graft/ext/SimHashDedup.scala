@@ -41,15 +41,26 @@ object SimHashDedup {
           .as("bs"))
       .select(col("id"), col("sh"), col("bs.band").as("band"), col("bs.bval").as("bval"))
     // hamming filter INSIDE the band join: candidates that fail the
-    // distance test never reach the distinct — at skewed band buckets
-    // this is the difference between deduping true pairs and deduping
-    // the whole candidate blow-up.
+    // distance test never reach the output — at skewed band buckets
+    // this is the difference between emitting true pairs and the whole
+    // candidate blow-up.
+    //
+    // first-match-band emission replaces distinct(): a pair agreeing on
+    // several bands would be emitted once per band, but requiring every
+    // EARLIER band to disagree picks exactly one emission per pair —
+    // a pure predicate, so the (at corpus scale, huge) pair stream
+    // never pays a dedup shuffle.
+    def bandVal(sh: org.apache.spark.sql.Column, b: Int) =
+      shiftrightunsigned(sh, b * BitsPerBand).bitwiseAND(lit(255L))
+    val firstMatch = (0 until Bands).map(bp =>
+      when(col("a.band") > lit(bp), bandVal(col("a.sh"), bp) =!= bandVal(col("b.sh"), bp))
+        .otherwise(lit(true))).reduce(_ && _)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.id") < col("b.id") &&
-          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming)
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming &&
+          firstMatch)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
-      .distinct()
   }
 }
