@@ -39,6 +39,27 @@ object Multimodal {
     /** STUB for the real media decoder. A production build replaces
       * this body with e.g. JPEG decode + resize; everything around it
       * (binary transport, batching, output schema) stays unchanged. */
+    /** STUB for a real image resize: average-pool consecutive
+      * `factor`-byte groups (the 1-D analog of box downsampling). A
+      * production build swaps in a real resampler; the binary-in /
+      * binary-out plumbing and batch shape stay. */
+    def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
+      require(factor >= 1, "resize factor must be >= 1")
+      if (payload.isEmpty) return Array.emptyByteArray
+      val out = new Array[Byte]((payload.length + factor - 1) / factor)
+      var i = 0
+      while (i < out.length) {
+        val start = i * factor
+        val end = math.min(start + factor, payload.length)
+        var s = 0L
+        var j = start
+        while (j < end) { s += (payload(j) & 0xff); j += 1 }
+        out(i) = (s / (end - start)).toByte
+        i += 1
+      }
+      out
+    }
+
     def decodeStub(payload: Array[Byte]): (Long, Long, Long, Double) = {
       val nBytes = payload.length.toLong
       val first = if (payload.nonEmpty) (payload(0) & 0xff).toLong else 0L
@@ -64,6 +85,21 @@ object Multimodal {
         val (n, first, ck, br) = FeatureExtractor.decodeStub(
           if (payload == null) Array.emptyByteArray else payload)
         Row.fromSeq(r.toSeq :+ n :+ first :+ ck :+ br)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Resize over the binary column: appends `resized` (see
+    * [[FeatureExtractor.resizeStub]]) — one pass per partition. */
+  def resizePayload(df: DataFrame, payloadCol: String, factor: Int): DataFrame = {
+    val schema = StructType(df.schema.fields).add("resized", BinaryType)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val resized = FeatureExtractor.resizeStub(
+          if (payload == null) Array.emptyByteArray else payload, factor)
+        Row.fromSeq(r.toSeq :+ resized)
       }
     }(Encoders.row(schema))
   }

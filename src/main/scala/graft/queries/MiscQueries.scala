@@ -98,15 +98,70 @@ object MiscQueries {
       |  COUNT(*) FILTER (event_type = 'error') AS errors
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q59: frame sampling over the binary payload ([[Multimodal
+    * .sampleFrames]], 64-byte frames, keep every 2nd) reduced to
+    * per-doc integer stats; the oracle replays the chunk arithmetic
+    * over the text's bytes (ASCII corpus: byte = code point). */
+  def q59FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val packed = Multimodal.packBinary(Tables.load(s, dir, "documents"), "text", "source")
+    Multimodal.sampleFrames(packed, "payload", "doc_id", frameBytes = 64, stride = 2)
+      .groupBy($"id".as("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length($"frame")).cast("long").as("kept_bytes"))
+      .select($"doc_id", $"n_frames", $"kept_bytes")
+      .orderBy($"doc_id")
+  }
+
+  val q59Sql: String =
+    """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+      |c AS (SELECT doc_id, len, (len + 63) // 64 AS n_chunks FROM d WHERE len > 0)
+      |SELECT doc_id,
+      |  CAST((n_chunks + 1) // 2 AS BIGINT) AS n_frames,
+      |  CAST(COALESCE(list_sum(list_transform(
+      |    list_filter(generate_series(0, n_chunks - 1), i -> i % 2 = 0),
+      |    i -> least(64, len - i * 64))), 0) AS BIGINT) AS kept_bytes
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** q60: resize (average-pool downsample by 4) over the binary
+    * payload ([[Multimodal.resizePayload]]) reduced to per-doc
+    * integer stats; the oracle replays the pooling arithmetic. */
+  def q60Resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val packed = Multimodal.packBinary(Tables.load(s, dir, "documents"), "text", "source")
+    val resized = Multimodal.resizePayload(packed, "payload", factor = 4)
+      .select($"doc_id", $"resized")
+    Multimodal.extractFeatures(resized, "resized")
+      .select($"doc_id", $"n_bytes".as("n_resized"), $"first_byte", $"checksum")
+      .orderBy($"doc_id")
+  }
+
+  val q60Sql: String =
+    """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+      |r AS (SELECT doc_id, (len + 3) // 4 AS n_resized,
+      |  list_transform(generate_series(0, (len + 3) // 4 - 1), i ->
+      |    list_sum(list_transform(generate_series(i*4 + 1, least(i*4 + 4, len)),
+      |      j -> CAST(unicode(substr(text, j, 1)) AS BIGINT)))
+      |    // least(4, len - i*4)) AS pooled
+      |  FROM d WHERE len > 0)
+      |SELECT doc_id, CAST(n_resized AS BIGINT) AS n_resized,
+      |  CAST(pooled[1] AS BIGINT) AS first_byte,
+      |  CAST(COALESCE(list_sum(pooled), 0) % 256 AS BIGINT) AS checksum
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_salted_agg" -> (q28SaltedAgg _),
     "q29_multimodal" -> (q29Multimodal _),
     "q41_salted_join" -> (q41SaltedJoin _),
-    "q42_pivot_counts" -> (q42Pivot _))
+    "q42_pivot_counts" -> (q42Pivot _),
+    "q59_frame_sample" -> (q59FrameSample _),
+    "q60_resize" -> (q60Resize _))
 
   val oracle: Map[String, String] = Map(
     "q28_salted_agg" -> q28Sql,
     "q29_multimodal" -> q29Sql,
     "q41_salted_join" -> q41Sql,
-    "q42_pivot_counts" -> q42Sql)
+    "q42_pivot_counts" -> q42Sql,
+    "q59_frame_sample" -> q59Sql,
+    "q60_resize" -> q60Sql)
 }
