@@ -66,6 +66,32 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q13/q10: no unpartitioned window funnels the table through one partition") {
+    for (q <- Seq("q13_row_index", "q10_template", "q14_pipeline")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Window [") ||
+        !p.linesIterator.exists(l => l.contains("Window") && l.contains("windowspecdefinition()")),
+        s"$q has a global window:\n$p")
+      // the scalable index path shows up as a range exchange, not a
+      // single-partition exchange
+      assert(!p.contains("SinglePartition"), s"$q funnels to a single partition:\n$p")
+    }
+  }
+
+  test("q48: the vocabulary-sized document-frequency side broadcasts") {
+    val p = plan(graft.queries.ScaleQueries.q48Tfidf(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"df join not broadcast:\n$p")
+  }
+
+  test("q54: percentile ranks reuse one shuffle for both windows") {
+    val p = plan(graft.queries.StatsQueries.q54Percentiles(spark, sf))
+    // row_number and the partition count share partitioning on
+    // o_orderpriority: exactly one exchange hashes on it
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(o_orderpriority"))
+    assert(hashExchanges <= 1, s"windows did not share the shuffle:\n$p")
+  }
+
   test("custom hash expressions participate in whole-stage codegen") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
