@@ -43,8 +43,12 @@ object ConnectedComponents {
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .cache()
+    def labelSum(df: DataFrame): Any =
+      df.agg(org.apache.spark.sql.functions.sum(
+        col("cluster_id").cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head.get(0)
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("cluster_id"))
       .localCheckpoint()
+    var prevSum = labelSum(labels)
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
@@ -61,11 +65,13 @@ object ConnectedComponents {
         .select(col("u.id").as("id"),
           least(col("u.cluster_id"), coalesce(col("jlab"), col("u.cluster_id"))).as("cluster_id"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.select(col("id"), col("cluster_id").as("prev")).as("o"), "id")
-        .filter(col("cluster_id") =!= col("prev")).count()
+      // labels only ever decrease, so an unchanged (exact decimal) sum
+      // means NO label moved — a one-table aggregate instead of a
+      // join-based diff for the convergence probe
+      val sum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = sum == prevSum
+      prevSum = sum
       round += 1
     }
     sym.unpersist()

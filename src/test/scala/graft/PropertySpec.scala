@@ -93,4 +93,42 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: connected components agree with driver-side union-find") {
+    for (seed <- 1L to 3L) {
+      val n = 30
+      val edges = sample(Gen.listOfN(25,
+        Gen.zip(Gen.chooseNum(1, n), Gen.chooseNum(1, n))), seed + 900)
+        .filter { case (a, b) => a != b }.map { case (a, b) => (a.toLong, b.toLong) }
+      // reference: naive union-find on the driver
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1 to n).map(v => v.toLong -> {
+        // component label = min vertex of the component
+        val root = find(v)
+        (1 to n).filter(u => find(u) == root).min.toLong
+      }).toMap
+      val got = graft.ext.ConnectedComponents.assign(
+          (1 to n).map(_.toLong).toDF("id"), "id",
+          edges.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"seed=$seed: CC labels diverge from union-find")
+    }
+  }
+
+  test("property: resizeStub matches a reference pooling for random payloads") {
+    import graft.ext.Multimodal.FeatureExtractor.resizeStub
+    for (seed <- 1L to 10L) {
+      val bytes = sample(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)), seed + 950).toArray
+      val factor = sample(Gen.chooseNum(1, 7), seed + 960)
+      val expected = bytes.map(_ & 0xff).grouped(factor)
+        .map(g => (g.map(_.toLong).sum / g.length).toByte).toArray
+      assert(resizeStub(bytes, factor).toSeq == expected.toSeq,
+        s"seed=$seed factor=$factor")
+    }
+  }
 }
