@@ -128,7 +128,10 @@ object MiscQueries {
     * integer stats; the oracle replays the pooling arithmetic. */
   def q60Resize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val packed = Multimodal.packBinary(Tables.load(s, dir, "documents"), "text", "source")
+    // empty/null payloads are excluded on BOTH sides (oracle: len > 0) —
+    // without this a zero-length doc would be a rowcount mismatch
+    val packed = Multimodal.packBinary(
+      Tables.load(s, dir, "documents").filter(length($"text") > 0), "text", "source")
     val resized = Multimodal.resizePayload(packed, "payload", factor = 4)
       .select($"doc_id", $"resized")
     Multimodal.extractFeatures(resized, "resized")

@@ -141,7 +141,10 @@ object Streaming {
           }
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val rightsSorted = rights.sortBy(r => (r._1, r._2))
-          val (emit, pending) = lefts.partition(_._1 <= wmUs)
+          // strictly below: an event AT the watermark can still arrive
+          // (timeouts fire only once the watermark strictly exceeds a
+          // timestamp), so a right at exactly wm must still retro-match
+          val (emit, pending) = lefts.partition(_._1 < wmUs)
           val out = emit.sorted.map { case (us, id) =>
             val m = rightsSorted.takeWhile(_._1 <= us).lastOption
             AsofMatch(key, id, us, m.map(_._3), m.map(_._1))
@@ -153,7 +156,13 @@ object Streaming {
           if (pending.isEmpty && pruned.isEmpty) state.remove()
           else {
             state.update(AsofOooState(pruned, pending))
-            pending.map(_._1 / 1000L).minOption.foreach(ms =>
+            // wake when the watermark passes the oldest pending left —
+            // or, for a quiet key holding only rights, when it passes
+            // the oldest above-watermark right, so the buffer keeps
+            // compacting toward the single carried right
+            val wakeUs = pending.map(_._1).minOption
+              .orElse(above.map(_._1).minOption)
+            wakeUs.map(_ / 1000L).foreach(ms =>
               state.setTimeoutTimestamp(math.max(ms + 1, state.getCurrentWatermarkMs() + 1)))
           }
           out.iterator

@@ -69,11 +69,11 @@ class PlanQualitySpec extends SparkSpec {
   test("q13/q10: no unpartitioned window funnels the table through one partition") {
     for (q <- Seq("q13_row_index", "q10_template", "q14_pipeline")) {
       val p = plan(SparkEntry.queries(q)(spark, sf))
-      assert(!p.contains("Window [") ||
-        !p.linesIterator.exists(l => l.contains("Window") && l.contains("windowspecdefinition()")),
-        s"$q has a global window:\n$p")
-      // the scalable index path shows up as a range exchange, not a
-      // single-partition exchange
+      // the scalable index is zipWithIndex-based: these plans must have
+      // no Window node at all (a regression to the global row_number
+      // would reintroduce one), and no single-partition exchange
+      assert(!p.linesIterator.exists(_.trim.matches("\\(\\d+\\) Window.*")),
+        s"$q has a window node:\n$p")
       assert(!p.contains("SinglePartition"), s"$q funnels to a single partition:\n$p")
     }
   }
