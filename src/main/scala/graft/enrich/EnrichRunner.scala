@@ -23,6 +23,18 @@ import scala.util.{Failure, Success}
   */
 object EnrichRunner {
 
+  /** Append columns to a Row with one array copy (`r.toSeq :+ a :+ b`
+    * copies the row three times per element — measurable on 100k+-row
+    * enrichment paths). */
+  private[graft] def appended(r: Row, extras: Any*): Row = {
+    val n = r.length
+    val arr = new Array[Any](n + extras.length)
+    var i = 0
+    while (i < n) { arr(i) = r.get(i); i += 1 }
+    extras.foreach { e => arr(i) = e; i += 1 }
+    Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+  }
+
   /** E2+E3+E1 ungrouped path (`main.py:513-522`): fully parallel map.
     * Appends `response` (null on failure) and `error` (null on success).
     * Row-order within partitions is preserved; callers that need the
@@ -64,10 +76,10 @@ object EnrichRunner {
         metrics.foreach(_.processed.add(1))
         RetryPolicy.withRetries(cfg.retryAttempts, sleepCounting)(
           () => enricher.enrich(Seq(Message("user", prompt)), cfg)) match {
-          case Success(resp) => Row.fromSeq(r.toSeq :+ resp :+ null)
+          case Success(resp) => appended(r, resp, null)
           case Failure(e) =>
             metrics.foreach(_.errors.add(1))
-            Row.fromSeq(r.toSeq :+ null :+ e.getMessage)
+            appended(r, null, e.getMessage)
         }
       }
     }(enc)
@@ -151,10 +163,10 @@ object EnrichRunner {
           fill()
           val (r, f) = inflight.dequeue()
           Await.result(f, Duration.Inf) match {
-            case Success(resp) => Row.fromSeq(r.toSeq :+ resp :+ null)
+            case Success(resp) => appended(r, resp, null)
             case Failure(e) =>
               metrics.foreach(_.errors.add(1))
-              Row.fromSeq(r.toSeq :+ null :+ e.getMessage)
+              appended(r, null, e.getMessage)
           }
         }
       }
@@ -264,7 +276,7 @@ object EnrichRunner {
           }
           history = messages :+ Message("assistant", Option(resp).getOrElse(""))
           turn += 1; userChars += prompt.length
-          Row.fromSeq(r.toSeq :+ resp :+ turn :+ priorChars)
+          appended(r, resp, turn, priorChars)
         }
       }(enc)
   }

@@ -36,9 +36,6 @@ object Multimodal {
         col(sourceCol).as("source")))
 
   object FeatureExtractor {
-    /** STUB for the real media decoder. A production build replaces
-      * this body with e.g. JPEG decode + resize; everything around it
-      * (binary transport, batching, output schema) stays unchanged. */
     /** STUB for a real image resize: average-pool consecutive
       * `factor`-byte groups (the 1-D analog of box downsampling). A
       * production build swaps in a real resampler; the binary-in /
@@ -60,6 +57,9 @@ object Multimodal {
       out
     }
 
+    /** STUB for the real media decoder. A production build replaces
+      * this body with e.g. JPEG decode + resize; everything around it
+      * (binary transport, batching, output schema) stays unchanged. */
     def decodeStub(payload: Array[Byte]): (Long, Long, Long, Double) = {
       val nBytes = payload.length.toLong
       val first = if (payload.nonEmpty) (payload(0) & 0xff).toLong else 0L
@@ -84,7 +84,7 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](idx)
         val (n, first, ck, br) = FeatureExtractor.decodeStub(
           if (payload == null) Array.emptyByteArray else payload)
-        Row.fromSeq(r.toSeq :+ n :+ first :+ ck :+ br)
+        graft.enrich.EnrichRunner.appended(r, n, first, ck, br)
       }
     }(Encoders.row(schema))
   }
@@ -99,7 +99,7 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](idx)
         val resized = FeatureExtractor.resizeStub(
           if (payload == null) Array.emptyByteArray else payload, factor)
-        Row.fromSeq(r.toSeq :+ resized)
+        graft.enrich.EnrichRunner.appended(r, resized)
       }
     }(Encoders.row(schema))
   }
