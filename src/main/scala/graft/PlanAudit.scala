@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Scale-design audit: prints, for every registered query, the plan
+  * features that are red flags at 100 TB — single-partition exchanges,
+  * cartesian products, broadcast nested-loop joins — so regressions
+  * are visible at a glance (`runMain graft.PlanAudit [sfDir]`).
+  * Known-justified hits as of round 2: q02/q51 SinglePartition =
+  * scalar/single-row final aggregates (partials are map-side; the
+  * exchange moves #partitions rows); q22/q32/q56 BNLJ = scan × small
+  * broadcast under a non-equi condition (query set / seed set /
+  * deduped dimension); q24 BNLJ = the exact all-pairs correctness
+  * baseline whose scale path is the LSH variant. Anything new
+  * deserves a look at the query.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val flags = Seq("SinglePartition", "CartesianProduct", "BroadcastNestedLoopJoin")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = fn(spark, dir).queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        val hits = flags.filter(p.contains)
+        println(f"[audit] $name%-22s ${if (hits.isEmpty) "clean" else hits.mkString(", ")}")
+      } catch {
+        case e: Throwable => println(f"[audit] $name%-22s ERROR ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}
