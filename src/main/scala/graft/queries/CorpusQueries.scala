@@ -70,13 +70,21 @@ object CorpusQueries {
     import s.implicits._
     import graft.enrich.{DeterministicEnricher, EnrichRunner}
     import graft.model.AiConfig
+    // sort BEFORE enriching: an orderBy above the opaque enrichment
+    // would range-sample its child — re-running every enrichment call a
+    // second time just to pick sort bounds. Range-partitioning the
+    // cheap input instead and relying on the runner's order-preserving
+    // iterator yields globally ordered output with the enrichment
+    // executed exactly once (the pattern for any expensive external map
+    // whose output must come back in input order).
     val o = Tables.load(s, dir, "orders")
       .withColumn("prompt", concat(lit("Priority "), $"o_orderpriority",
         lit(" order "), $"o_orderkey".cast("string")))
+      .repartitionByRange($"o_orderkey")
+      .sortWithinPartitions($"o_orderkey")
     EnrichRunner.mapWithResponseAsync(o, "prompt", DeterministicEnricher(),
         AiConfig.test(), concurrency = 8)
       .select($"o_orderkey", $"prompt", $"response")
-      .orderBy($"o_orderkey")
   }
 
   val q36Sql: String =

@@ -30,11 +30,15 @@ object MiscQueries {
     * corpus: byte values = code points). */
   def q29Multimodal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val packed = Multimodal.packBinary(Tables.load(s, dir, "documents"), "text", "source")
+    // sort before the extractor (order-preserving map): an orderBy above
+    // it would range-sample the child and run the decode twice — see q36
+    val packed = Multimodal.packBinary(
+      Tables.load(s, dir, "documents")
+        .repartitionByRange($"doc_id").sortWithinPartitions($"doc_id"),
+      "text", "source")
     Multimodal.extractFeatures(packed, "payload")
       .select($"doc_id", $"meta.format".as("format"), $"meta.n_bytes".as("meta_bytes"),
         $"n_bytes", $"first_byte", $"checksum", $"brightness")
-      .orderBy($"doc_id")
   }
 
   val q29Sql: String =
@@ -129,14 +133,16 @@ object MiscQueries {
   def q60Resize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // empty/null payloads are excluded on BOTH sides (oracle: len > 0) —
-    // without this a zero-length doc would be a rowcount mismatch
+    // without this a zero-length doc would be a rowcount mismatch;
+    // pre-sorted like q29/q36 so resize+extract run exactly once
     val packed = Multimodal.packBinary(
-      Tables.load(s, dir, "documents").filter(length($"text") > 0), "text", "source")
+      Tables.load(s, dir, "documents").filter(length($"text") > 0)
+        .repartitionByRange($"doc_id").sortWithinPartitions($"doc_id"),
+      "text", "source")
     val resized = Multimodal.resizePayload(packed, "payload", factor = 4)
       .select($"doc_id", $"resized")
     Multimodal.extractFeatures(resized, "resized")
       .select($"doc_id", $"n_bytes".as("n_resized"), $"first_byte", $"checksum")
-      .orderBy($"doc_id")
   }
 
   val q60Sql: String =
