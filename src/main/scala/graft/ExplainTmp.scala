@@ -15,10 +15,14 @@ object ExplainTmp {
     spark.sparkContext.setLogLevel("ERROR")
     val name = args.headOption.getOrElse("q21_simhash")
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
-    val df = SparkEntry.queries(name)(spark, dir)
-    df.explain("formatted")
+    // time construction too: some queries run eager work (checkpoints,
+    // iterative algorithms) while building the plan — bench counts it
     val t0 = System.nanoTime()
-    println(s"rows=${df.count()} in ${(System.nanoTime() - t0) / 1e9}s")
+    val df = SparkEntry.queries(name)(spark, dir)
+    val rows = df.count()
+    val total = (System.nanoTime() - t0) / 1e9
+    df.explain("formatted")
+    println(s"rows=$rows in ${total}s (incl. plan construction)")
     spark.stop()
   }
 }
