@@ -135,15 +135,81 @@ object EventQueries {
       |GROUP BY p.user_id
       |ORDER BY p.user_id""".stripMargin
 
+  /** q61: ordered funnel — per user, the earliest view, the earliest
+    * click AFTER that view, the earliest purchase AFTER that click;
+    * rolled up to per-stage user counts. Ordered-sequence matching as
+    * three keyed min-aggregates + broadcast-sized joins (user-level
+    * aggregates are orders of magnitude smaller than the event
+    * stream — each stage shuffles only (user, ts)). */
+  def q61Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.loadEvents(s, dir).select($"user_id", $"event_type", $"sec")
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"sec").as("tv"))
+    val c = e.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"sec" > $"tv")
+      .groupBy($"user_id").agg(min($"sec").as("tc"))
+    val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"sec" > $"tc")
+      .groupBy($"user_id").agg(min($"sec").as("tp"))
+    v.select(lit(1).as("stage"), lit("view").as("name"), $"user_id")
+      .unionByName(c.select(lit(2).as("stage"), lit("click").as("name"), $"user_id"))
+      .unionByName(p.select(lit(3).as("stage"), lit("purchase").as("name"), $"user_id"))
+      .groupBy($"stage", $"name").agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"stage")
+  }
+
+  val q61Sql: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |v AS (SELECT user_id, min(sec) AS tv FROM e WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(sec) AS tc FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND sec > tv GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(sec) AS tp FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND sec > tc GROUP BY e.user_id)
+      |SELECT stage, name, COUNT(DISTINCT user_id) AS n_users FROM (
+      |  SELECT 1 AS stage, 'view' AS name, user_id FROM v
+      |  UNION ALL SELECT 2, 'click', user_id FROM c
+      |  UNION ALL SELECT 3, 'purchase', user_id FROM p) t
+      |GROUP BY stage, name ORDER BY stage""".stripMargin
+
+  /** q62: cohort retention — users bucketed by first-seen day; counts
+    * of distinct users active at each day-offset from their cohort.
+    * The classic (cohort_day, offset) matrix: one aggregate for first
+    * touch, one join back to events, one count-distinct — all keyed on
+    * user/day, never materializing per-user timelines. */
+  def q62Retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.loadEvents(s, dir)
+      .select($"user_id", expr("sec DIV 86400").as("day"))
+    val first = e.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    e.join(first, "user_id")
+      .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val q62Sql: String =
+    """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+      |SELECT cohort_day, day - cohort_day AS day_offset,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_tumbling_window" -> (q25TumblingWindow _),
     "q26_sessionize" -> (q26Sessionize _),
     "q27_asof_join" -> (q27AsOf _),
-    "q35_range_join" -> (q35RangeJoin _))
+    "q35_range_join" -> (q35RangeJoin _),
+    "q61_funnel" -> (q61Funnel _),
+    "q62_retention" -> (q62Retention _))
 
   val oracle: Map[String, String] = Map(
     "q25_tumbling_window" -> q25Sql,
     "q26_sessionize" -> q26Sql,
     "q27_asof_join" -> q27Sql,
-    "q35_range_join" -> q35Sql)
+    "q35_range_join" -> q35Sql,
+    "q61_funnel" -> q61Sql,
+    "q62_retention" -> q62Sql)
 }
