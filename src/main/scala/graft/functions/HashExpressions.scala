@@ -47,6 +47,80 @@ object HashUtil {
   }
 }
 
+/** One-pass token statistics kernel — the native scale path for the
+  * text-quality Columns in [[TextFunctions]]. Semantics are pinned
+  * bit-for-bit to the Column formulation they replace (which the
+  * DuckDB oracles mirror):
+  *   - tokens = split(trim(text), "\s+") with Spark semantics: trim
+  *     strips 0x20 SPACES ONLY; split keeps leading/trailing empty
+  *     tokens (Java limit -1); all-space text → zero tokens
+  *   - watch_count = tokens whose lowercase equals a watch word
+  *   - punct_count = occurrences of [.,!?;:] over the FULL text
+  *   - token_chars = Σ code points per token
+  */
+object TextKernel {
+  private def stripSpaces(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
+  /** Returns [n_tokens, watch_count, punct_count, token_chars]. */
+  def tokenStats(s: UTF8String, watch: Array[String]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val full = s.toString
+    var punct = 0L
+    var i = 0
+    while (i < full.length) {
+      val ch = full.charAt(i)
+      if (ch == '.' || ch == ',' || ch == '!' || ch == '?' || ch == ';' || ch == ':') punct += 1
+      i += 1
+    }
+    val stripped = stripSpaces(full)
+    if (stripped.isEmpty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(0L, 0L, punct, 0L))
+    val toks = stripped.split("\\s+", -1)
+    var n = 0L
+    var w = 0L
+    var chars = 0L
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      n += 1
+      chars += tok.codePointCount(0, tok.length).toLong
+      val lower = tok.toLowerCase(java.util.Locale.ROOT)
+      var j = 0
+      var hit = false
+      while (j < watch.length && !hit) { if (watch(j) == lower) hit = true; j += 1 }
+      if (hit) w += 1
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(n, w, punct, chars))
+  }
+}
+
+/** [n_tokens, watch_count, punct_count, token_chars] of a text column
+  * in ONE codegen'd pass — replaces four interpreted HOF chains
+  * (filter/aggregate/transform are CodegenFallback; at corpus scale
+  * they evaluate an expression tree per token). `wordsCsv` is a
+  * comma-joined literal watch list bound at plan time. */
+case class TokenStats(child: Expression, wordsCsv: String) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  @transient private lazy val wordsArr: Array[String] =
+    if (wordsCsv.isEmpty) Array.empty else wordsCsv.split(',')
+  override def nullSafeEval(input: Any): Any =
+    TextKernel.tokenStats(input.asInstanceOf[UTF8String], wordsArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wordsRef = ctx.addReferenceObj("watchWords", wordsArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.tokenStats($c, $wordsRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+  override def prettyName: String = "token_stats"
+}
+
 /** Rolling polynomial string hash as a native Catalyst expression —
   * single pass over the string, codegen'd (whole-stage), no per-row
   * array materialization. The scale workhorse under MinHash: hashing
@@ -87,6 +161,9 @@ object GraftFunctions {
   def simhash32(c: Column): Column =
     call_function("simhash32", c)
 
+  def tokenStats(c: Column, words: Seq[String]): Column =
+    call_function("token_stats", c, lit(words.mkString(",")))
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("polyhash",
@@ -97,5 +174,10 @@ object GraftFunctions {
       }), "built-in")
     registry.createOrReplaceTempFunction("simhash32",
       exprs => SimHash32(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("token_stats",
+      exprs => TokenStats(exprs.head, exprs(1) match {
+        case Literal(v: UTF8String, _) => v.toString
+        case other => throw new IllegalArgumentException(s"token_stats words must be a literal, got $other")
+      }), "built-in")
   }
 }

@@ -18,7 +18,18 @@ object TextFunctions {
     when(trim(c) === "", array().cast("array<string>"))
       .otherwise(split(trim(c), "\\s+"))
 
-  def tokenCount(c: Column): Column = size(tokens(c)).cast(LongType)
+  /** Native one-pass token statistics ([[TokenStats]]) — semantics
+    * identical to the HOF chains they replace (spec-checked against
+    * them); the per-row [n_tokens, watch, punct, chars] array is
+    * shared across the derived stats via subexpression elimination.
+    * Self-registering against the active session. */
+  private def tokenStatsArr(c: Column, words: Seq[String]): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(GraftFunctions.register)
+    GraftFunctions.tokenStats(c, words)
+  }
+
+  def tokenCount(c: Column): Column =
+    element_at(tokenStatsArr(c, defaultStopwords), 1)
 
   /** BPE-ish subword count estimate: whitespace tokens plus extra splits
     * at case and letter/digit boundaries — a deterministic proxy for a
@@ -36,14 +47,14 @@ object TextFunctions {
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
 
   def stopwordCount(c: Column, stopwords: Seq[String] = defaultStopwords): Column =
-    size(filter(tokens(lower(c)), t => t.isin(stopwords: _*))).cast(LongType)
+    element_at(tokenStatsArr(c, stopwords), 2)
 
   def stopwordRatio(c: Column): Column =
     stopwordCount(c).cast("double") / greatest(tokenCount(c), lit(1L)).cast("double")
 
   /** Total token chars / token count. */
   def avgTokenLen(c: Column): Column =
-    aggregate(transform(tokens(c), t => length(t).cast(LongType)), lit(0L), (acc, x) => acc + x)
+    element_at(tokenStatsArr(c, defaultStopwords), 4)
       .cast("double") / greatest(tokenCount(c), lit(1L)).cast("double")
 
   def punctCount(c: Column): Column =
@@ -70,7 +81,7 @@ object TextFunctions {
     "fr" -> Seq("le", "les", "et", "des", "une"))
 
   def markerCount(c: Column, lang: String): Column =
-    size(filter(tokens(lower(c)), t => t.isin(langMarkers(lang): _*))).cast(LongType)
+    element_at(tokenStatsArr(c, langMarkers(lang)), 2)
 
   def cjkFraction(c: Column): Column =
     (length(c) - length(regexp_replace(c, "[\\x{4E00}-\\x{9FFF}]", ""))).cast("double") /

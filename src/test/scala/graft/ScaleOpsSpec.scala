@@ -33,6 +33,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(labels.values.toSet == Set(1L), "every path node must reach label 1")
   }
 
+  test("native token_stats matches the HOF formulation it replaced") {
+    import graft.functions.{GraftFunctions, TextFunctions}
+    GraftFunctions.register(spark)
+    val texts = Seq(Some(""), Some("   "), Some("\nabc "), Some("a.b, c! d?"),
+      Some("The THE the end"), Some("x\ty\nz\r"), Some("one"),
+      Some(" lead trail "), Some("abc\n"), Some("and?of;the:"), None)
+    val df = texts.toDF("t")
+    def hofTokens(c: org.apache.spark.sql.Column) =
+      when(trim(c) === "", array().cast("array<string>")).otherwise(split(trim(c), "\\s+"))
+    val sw = TextFunctions.defaultStopwords
+    val cmp = df.select(
+      element_at(GraftFunctions.tokenStats($"t", sw), 1).as("new_n"),
+      size(hofTokens($"t")).cast("long").as("old_n"),
+      element_at(GraftFunctions.tokenStats($"t", sw), 2).as("new_sw"),
+      size(filter(hofTokens(lower($"t")), x => x.isin(sw: _*))).cast("long").as("old_sw"),
+      element_at(GraftFunctions.tokenStats($"t", sw), 3).as("new_p"),
+      (length($"t") - length(regexp_replace($"t", "[.,!?;:]", ""))).cast("long").as("old_p"),
+      element_at(GraftFunctions.tokenStats($"t", sw), 4).as("new_ch"),
+      aggregate(transform(hofTokens($"t"), x => length(x).cast("long")),
+        lit(0L), (a, x) => a + x).as("old_ch")).collect()
+    cmp.zip(texts).foreach { case (r, t) =>
+      for (i <- Seq(0, 2, 4, 6))
+        assert(r.isNullAt(i) == r.isNullAt(i + 1) &&
+          (r.isNullAt(i) || r.getLong(i) == r.getLong(i + 1)),
+          s"input=$t col=$i native=${r.get(i)} hof=${r.get(i + 1)}")
+    }
+  }
+
   test("profiler computes nulls, distincts, and typed min/max in one pass") {
     val df = Seq(
       (Some(1L), Some("a"), Some(1.5)),
