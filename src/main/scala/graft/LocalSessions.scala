@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single factory for the local sessions used by every runnable main
+  * (Verify, Bench, ExplainTmp, PlanAudit) — one place for the configs
+  * that must agree with the graded gate (shuffle partitions = cores,
+  * AQE, 64 MB broadcast threshold, UTC timezone). Builder mains were
+  * drifting hand-copied config blocks before this. */
+object LocalSessions {
+
+  /** cpus defaults to SPARK_GRAFT_CPUS (the driver's knob), then 4. */
+  def create(cpusOverride: Option[Int] = None, logLevel: String = "WARN"): SparkSession = {
+    val cpus = cpusOverride.map(_.toString)
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      // local single-JVM: broadcasting a few tens of MB beats any
+      // shuffle; on a real cluster size this to executor memory
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(logLevel)
+    spark
+  }
+}

@@ -22,18 +22,7 @@ import scala.util.{Failure, Success}
   * unauditable.
   */
 object EnrichRunner {
-
-  /** Append columns to a Row with one array copy (`r.toSeq :+ a :+ b`
-    * copies the row three times per element — measurable on 100k+-row
-    * enrichment paths). */
-  private[graft] def appended(r: Row, extras: Any*): Row = {
-    val n = r.length
-    val arr = new Array[Any](n + extras.length)
-    var i = 0
-    while (i < n) { arr(i) = r.get(i); i += 1 }
-    extras.foreach { e => arr(i) = e; i += 1 }
-    Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
-  }
+  import graft.RowUtil.appended
 
   /** E2+E3+E1 ungrouped path (`main.py:513-522`): fully parallel map.
     * Appends `response` (null on failure) and `error` (null on success).

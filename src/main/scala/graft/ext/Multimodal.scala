@@ -84,7 +84,7 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](idx)
         val (n, first, ck, br) = FeatureExtractor.decodeStub(
           if (payload == null) Array.emptyByteArray else payload)
-        graft.enrich.EnrichRunner.appended(r, n, first, ck, br)
+        graft.RowUtil.appended(r, n, first, ck, br)
       }
     }(Encoders.row(schema))
   }
@@ -99,7 +99,7 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](idx)
         val resized = FeatureExtractor.resizeStub(
           if (payload == null) Array.emptyByteArray else payload, factor)
-        graft.enrich.EnrichRunner.appended(r, resized)
+        graft.RowUtil.appended(r, resized)
       }
     }(Encoders.row(schema))
   }

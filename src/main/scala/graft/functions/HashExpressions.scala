@@ -103,13 +103,18 @@ object TextKernel {
 /** [n_tokens, watch_count, punct_count, token_chars] of a text column
   * in ONE codegen'd pass — replaces four interpreted HOF chains
   * (filter/aggregate/transform are CodegenFallback; at corpus scale
-  * they evaluate an expression tree per token). `wordsCsv` is a
-  * comma-joined literal watch list bound at plan time. */
-case class TokenStats(child: Expression, wordsCsv: String) extends UnaryExpression {
+  * they evaluate an expression tree per token). The watch list is
+  * bound at plan time (exact strings — commas in words are fine via
+  * the Scala API; only the SQL registration route joins on commas). */
+case class TokenStats(child: Expression, words: Seq[String]) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"token_stats requires a STRING column, got ${child.dataType.sql}")
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
-  @transient private lazy val wordsArr: Array[String] =
-    if (wordsCsv.isEmpty) Array.empty else wordsCsv.split(',')
+  @transient private lazy val wordsArr: Array[String] = words.toArray
   override def nullSafeEval(input: Any): Any =
     TextKernel.tokenStats(input.asInstanceOf[UTF8String], wordsArr)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -161,8 +166,12 @@ object GraftFunctions {
   def simhash32(c: Column): Column =
     call_function("simhash32", c)
 
+  /** Registration-free (built via the expression→Column bridge): works
+    * on any session's DataFrames, like a builtin. The registry entry
+    * below additionally exposes it to SQL text. */
   def tokenStats(c: Column, words: Seq[String]): Column =
-    call_function("token_stats", c, lit(words.mkString(",")))
+    org.apache.spark.sql.GraftShim.column(
+      TokenStats(org.apache.spark.sql.GraftShim.expression(c), words))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -175,9 +184,18 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("simhash32",
       exprs => SimHash32(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("token_stats",
-      exprs => TokenStats(exprs.head, exprs(1) match {
-        case Literal(v: UTF8String, _) => v.toString
-        case other => throw new IllegalArgumentException(s"token_stats words must be a literal, got $other")
-      }), "built-in")
+      exprs => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"token_stats expects (text, 'w1,w2,...'), got ${exprs.length} arguments")
+        TokenStats(exprs.head, exprs(1) match {
+          case Literal(v: UTF8String, _) =>
+            // SQL route: comma-joined list (words with commas need the
+            // Scala API, which passes exact strings)
+            v.toString.split(',').toSeq.filter(_.nonEmpty)
+          case other => throw new IllegalArgumentException(
+            s"token_stats words must be a string literal, got $other")
+        })
+      }, "built-in")
   }
 }

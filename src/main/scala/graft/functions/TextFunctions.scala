@@ -22,11 +22,10 @@ object TextFunctions {
     * identical to the HOF chains they replace (spec-checked against
     * them); the per-row [n_tokens, watch, punct, chars] array is
     * shared across the derived stats via subexpression elimination.
-    * Self-registering against the active session. */
-  private def tokenStatsArr(c: Column, words: Seq[String]): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession.foreach(GraftFunctions.register)
+    * Registration-free: built through the expression→Column bridge, so
+    * these helpers stay pure Column functions usable on any session. */
+  private def tokenStatsArr(c: Column, words: Seq[String]): Column =
     GraftFunctions.tokenStats(c, words)
-  }
 
   def tokenCount(c: Column): Column =
     element_at(tokenStatsArr(c, defaultStopwords), 1)

@@ -19,6 +19,16 @@ import org.apache.spark.sql.types.{LongType, StructType}
   */
 object GraftShim {
 
+  /** Wrap a Catalyst expression as a Column (Spark 4 keeps the direct
+    * constructor `private[sql]`; the function-registry route requires a
+    * session at hand, which pure Column helpers don't have). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** Inverse bridge: the (possibly unresolved) expression behind a Column. */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Append a 0-based dense long index column reflecting the current
     * partition order (partition i's rows precede partition i+1's).
     * One extra count job (zipWithIndex) whose shuffle dependencies are

@@ -38,7 +38,12 @@ class ScaleOpsSpec extends SparkSpec {
     GraftFunctions.register(spark)
     val texts = Seq(Some(""), Some("   "), Some("\nabc "), Some("a.b, c! d?"),
       Some("The THE the end"), Some("x\ty\nz\r"), Some("one"),
-      Some(" lead trail "), Some("abc\n"), Some("and?of;the:"), None)
+      Some(" lead trail "), Some("abc\n"), Some("and?of;the:"), None,
+      // astral code points (surrogate pairs) and non-ASCII lowercasing:
+      // kernel counts code points and lowercases per token — must match
+      // Spark length() (chars) and whole-string lower()
+      Some("🙂 Über İstanbul the"),
+      Some("你好世界 the And"))
     val df = texts.toDF("t")
     def hofTokens(c: org.apache.spark.sql.Column) =
       when(trim(c) === "", array().cast("array<string>")).otherwise(split(trim(c), "\\s+"))
