@@ -106,6 +106,28 @@ object Streaming {
       }
   }
 
+  /** Streaming corpus quality gate — the row-local stage of
+    * [[graft.ext.CorpusPipeline.clean]] applied to a document STREAM
+    * (curation on ingest): token/quality filters are stateless Column
+    * expressions, so the same gate runs unchanged over a file/Kafka
+    * stream with no watermark or state store. (Dedup stages need keyed
+    * state — batch compaction or `dropDuplicatesWithinWatermark` on the
+    * content hash cover those; the gate is where most volume dies
+    * first, which is exactly what you want at ingest.) */
+  def qualityGateStream(
+      docs: DataFrame,
+      textCol: String,
+      minTokens: Long = 5L,
+      maxTokens: Long = 1000L,
+      minQuality: Double = 0.3): DataFrame = {
+    import graft.functions.TextFunctions.{qualityScore, tokenCount}
+    docs
+      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("quality") >= minQuality)
+  }
+
   final case class AsofEventT(key: Long, us: Long, isRight: Boolean,
     eventId: Long, payload: Long, eventTime: java.sql.Timestamp)
   final case class AsofOooState(

@@ -108,6 +108,20 @@ class StreamingSpec extends SparkSpec {
     assert(out(12L) == Some(10L)) // state carried across micro-batches
   }
 
+  test("streaming quality gate matches the batch gate on the documents corpus") {
+    val docsSchema = Tables.load(spark, sf, "documents").schema
+    val stream = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+    val q = Streaming.qualityGateStream(stream, "text")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("qgate").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("qgate").as[Long].collect().toSet
+    val batch = Streaming.qualityGateStream(Tables.load(spark, sf, "documents"), "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("out-of-order as-of join retro-matches a right event arriving a batch late") {
     implicit val sqlCtx = spark.sqlContext
     import Streaming.{AsofEventT, AsofMatch}
