@@ -9,10 +9,17 @@ import org.apache.spark.sql.SparkSession
   * drifting hand-copied config blocks before this. */
 object LocalSessions {
 
-  /** cpus defaults to SPARK_GRAFT_CPUS (the driver's knob), then 4. */
+  /** cpus defaults to SPARK_GRAFT_CPUS (the driver's knob), then 4.
+    *
+    * FIRST CREATOR WINS: this uses `getOrCreate()`, so if a SparkSession
+    * already exists in the JVM (e.g. two mains run in one sbt session)
+    * the existing session is returned and `cpusOverride` plus every
+    * config above are ignored. That case logs a warning listing the
+    * settings that differ from what was requested. */
   def create(cpusOverride: Option[Int] = None, logLevel: String = "WARN"): SparkSession = {
     val cpus = cpusOverride.map(_.toString)
       .getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,6 +30,19 @@ object LocalSessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    preexisting.foreach { _ =>
+      val wanted = Seq(
+        "spark.master" -> s"local[$cpus]",
+        "spark.sql.shuffle.partitions" -> cpus)
+      val drift = wanted.collect {
+        case (k, v) if spark.conf.getOption(k).exists(_ != v) =>
+          s"$k=${spark.conf.get(k)} (requested $v)"
+      }
+      if (drift.nonEmpty)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "LocalSessions.create reused an existing SparkSession; requested settings " +
+            s"ignored (first creator wins): ${drift.mkString(", ")}")
+    }
     spark.sparkContext.setLogLevel(logLevel)
     spark
   }

@@ -25,7 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Label every vertex with the smallest vertex id reachable from it.
+    *
+    * Pointer jumping halves chain depth per round, so `maxIter` rounds
+    * resolve components of diameter ~2^maxIter; if the loop exits
+    * without converging the labels are PARTIAL (under-clustered). That
+    * case logs a warning, and callers that must not proceed on partial
+    * labels can pass `requireConvergence = true` to fail fast instead.
     *
     * @param vertices one column `idCol`; isolated vertices keep their
     *                 own id as the component label
@@ -38,7 +46,8 @@ object ConnectedComponents {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      requireConvergence: Boolean = false): DataFrame = {
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
@@ -75,6 +84,13 @@ object ConnectedComponents {
       round += 1
     }
     sym.unpersist()
+    if (!converged) {
+      val msg = s"ConnectedComponents.assign did not converge in $maxIter rounds; " +
+        "labels are partially propagated (components may be split). " +
+        "Raise maxIter (rounds needed ~ log2(graph diameter))."
+      if (requireConvergence) throw new IllegalStateException(msg)
+      log.warn(msg)
+    }
     labels
   }
 }

@@ -190,9 +190,20 @@ object GraftFunctions {
             s"token_stats expects (text, 'w1,w2,...'), got ${exprs.length} arguments")
         TokenStats(exprs.head, exprs(1) match {
           case Literal(v: UTF8String, _) =>
-            // SQL route: comma-joined list (words with commas need the
-            // Scala API, which passes exact strings)
-            v.toString.split(',').toSeq.filter(_.nonEmpty)
+            // SQL route: comma-joined list. Words containing commas or
+            // the empty string are inexpressible in this encoding, so a
+            // literal that would decode lossily (empty segment from a
+            // leading/trailing/double comma) is rejected rather than
+            // silently altered — such watch lists need the Scala API
+            // (tokenStats), which passes exact strings.
+            val segs = v.toString.split(",", -1).toSeq
+            if (segs.exists(_.isEmpty))
+              throw new IllegalArgumentException(
+                s"token_stats words literal '${v.toString}' contains an empty segment " +
+                  "(leading/trailing/double comma). Empty words and words containing " +
+                  "commas cannot be encoded in SQL — use the Scala API " +
+                  "(GraftFunctions.tokenStats) for exact strings.")
+            segs
           case other => throw new IllegalArgumentException(
             s"token_stats words must be a string literal, got $other")
         })

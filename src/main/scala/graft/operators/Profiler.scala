@@ -23,26 +23,39 @@ object Profiler {
     * min_str, max_str) — numeric min/max as double, string min/max as
     * string, the other pair null. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // validate up front: unknown names fail here with the full field
+    // list rather than as a confusing unresolved-column analysis error
+    val known = df.schema.fieldNames.toSet
+    val missing = cols.filterNot(known)
+    require(missing.isEmpty,
+      s"Profiler.profile: no such column(s) ${missing.mkString(", ")} — " +
+        s"available: ${df.schema.fieldNames.mkString(", ")}")
     def isNum(c: String) = df.schema(c).dataType.isInstanceOf[NumericType]
-    val aggs: Seq[Column] = cols.flatMap { c =>
+    // input columns are referenced backtick-quoted (names containing
+    // dots profile correctly); generated aggregate aliases are
+    // index-based (`__p<i>_*`) so they cannot collide with each other
+    // regardless of the profiled column names (the agg output carries
+    // only these aliases, so input-name collisions are impossible too)
+    def in(c: String): Column = col(s"`$c`")
+    val aggs: Seq[Column] = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(col(c)).as(s"${c}__nn"),
-        countDistinct(col(c)).as(s"${c}__nd"),
-        (if (isNum(c)) min(col(c)).cast("double") else lit(null).cast("double")).as(s"${c}__minn"),
-        (if (isNum(c)) max(col(c)).cast("double") else lit(null).cast("double")).as(s"${c}__maxn"),
-        (if (isNum(c)) lit(null).cast("string") else min(col(c)).cast("string")).as(s"${c}__mins"),
-        (if (isNum(c)) lit(null).cast("string") else max(col(c)).cast("string")).as(s"${c}__maxs"))
+        count(in(c)).as(s"__p${i}_nn"),
+        countDistinct(in(c)).as(s"__p${i}_nd"),
+        (if (isNum(c)) min(in(c)).cast("double") else lit(null).cast("double")).as(s"__p${i}_minn"),
+        (if (isNum(c)) max(in(c)).cast("double") else lit(null).cast("double")).as(s"__p${i}_maxn"),
+        (if (isNum(c)) lit(null).cast("string") else min(in(c)).cast("string")).as(s"__p${i}_mins"),
+        (if (isNum(c)) lit(null).cast("string") else max(in(c)).cast("string")).as(s"__p${i}_maxs"))
     }
-    val one = df.agg(count(lit(1)).as("__total"), aggs: _*)
-    one.select(explode(array(cols.map(c => struct(
+    val one = df.agg(count(lit(1)).as("__p_total"), aggs: _*)
+    one.select(explode(array(cols.zipWithIndex.map { case (c, i) => struct(
         lit(c).as("col_name"),
-        col("__total").as("n_rows"),
-        (col("__total") - col(s"${c}__nn")).as("n_nulls"),
-        col(s"${c}__nd").as("n_distinct"),
-        col(s"${c}__minn").as("min_num"),
-        col(s"${c}__maxn").as("max_num"),
-        col(s"${c}__mins").as("min_str"),
-        col(s"${c}__maxs").as("max_str"))): _*)).as("p"))
+        col("__p_total").as("n_rows"),
+        (col("__p_total") - col(s"__p${i}_nn")).as("n_nulls"),
+        col(s"__p${i}_nd").as("n_distinct"),
+        col(s"__p${i}_minn").as("min_num"),
+        col(s"__p${i}_maxn").as("max_num"),
+        col(s"__p${i}_mins").as("min_str"),
+        col(s"__p${i}_maxs").as("max_str")) }: _*)).as("p"))
       .select("p.*")
   }
 }

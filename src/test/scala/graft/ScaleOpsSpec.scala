@@ -33,6 +33,52 @@ class ScaleOpsSpec extends SparkSpec {
     assert(labels.values.toSet == Set(1L), "every path node must reach label 1")
   }
 
+  test("connected components signals non-convergence instead of silent partial labels") {
+    // a 32-node path with maxIter=1 cannot converge: requireConvergence
+    // must throw (partial labels would under-cluster downstream dedup)
+    val n = 32
+    val vertices = (1 to n).map(_.toLong).toDF("id")
+    val edges = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.assign(vertices, "id", edges, "src", "dst",
+        maxIter = 1, requireConvergence = true)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // default mode still returns (warn-only), labels present for all ids
+    val labels = ConnectedComponents.assign(vertices, "id", edges, "src", "dst", maxIter = 1)
+    assert(labels.count() == n)
+  }
+
+  test("profiler rejects unknown columns up front and handles dotted/colliding names") {
+    val e = intercept[IllegalArgumentException] {
+      Profiler.profile(Seq((1, "x")).toDF("a", "b"), Seq("a", "nope"))
+    }
+    assert(e.getMessage.contains("nope") && e.getMessage.contains("available"))
+    // a column whose name contains a dot, and one named like a round-2
+    // generated alias (`v__nn`) — both must profile cleanly
+    val df = Seq((Some(1L), "x", 2L), (None, "y", 3L)).toDF("k.dot", "v__nn", "v")
+    val p = Profiler.profile(df, Seq("k.dot", "v__nn", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("k.dot").getLong(2) == 1 && p("k.dot").getDouble(4) == 1.0)
+    assert(p("v__nn").getString(6) == "x" && p("v").getDouble(5) == 3.0)
+  }
+
+  test("token_stats SQL route rejects lossy comma literals with a clear error") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val df = Seq("the end").toDF("t")
+    df.createOrReplaceTempView("ts_in")
+    // well-formed literal works
+    val ok = spark.sql("SELECT element_at(token_stats(t, 'the,and'), 1) AS n FROM ts_in").collect()
+    assert(ok.head.getLong(0) == 2L)
+    // trailing comma (empty segment) is rejected, not silently filtered
+    val e = intercept[Exception] {
+      spark.sql("SELECT token_stats(t, 'the,and,') FROM ts_in").collect()
+    }
+    assert(e.getMessage.contains("empty segment") ||
+      Option(e.getCause).exists(_.getMessage.contains("empty segment")))
+  }
+
   test("native token_stats matches the HOF formulation it replaced") {
     import graft.functions.{GraftFunctions, TextFunctions}
     GraftFunctions.register(spark)
