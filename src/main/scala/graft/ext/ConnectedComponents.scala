@@ -68,12 +68,16 @@ object ConnectedComponents {
         .select(labels("id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
       // pointer jump: label ← min(label, label(label))
+      // non-eager localCheckpoint: the convergence probe right below is
+      // the first action, so the round's labels materialize DURING the
+      // sum job (one job per round, not a checkpoint job plus a probe
+      // job) while still truncating the iterative lineage
       val next = stepped.as("u")
         .join(stepped.select(col("id").as("jid"), col("cluster_id").as("jlab")).as("l"),
           col("u.cluster_id") === col("jid"), "left")
         .select(col("u.id").as("id"),
           least(col("u.cluster_id"), coalesce(col("jlab"), col("u.cluster_id"))).as("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // labels only ever decrease, so an unchanged (exact decimal) sum
       // means NO label moved — a one-table aggregate instead of a
       // join-based diff for the convergence probe

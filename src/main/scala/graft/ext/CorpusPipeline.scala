@@ -43,7 +43,14 @@ object CorpusPipeline {
       .select(contentHash(col("__text")).as("h"), id)
       .groupBy("h").agg(min(id).as(idCol))
       .select(idCol)
+    // exactKept feeds THREE consumers (minhash signatures, the loser
+    // pair join, the final anti-join): without a persist the whole
+    // gate+dedup prefix re-executes once per consumer. The cached set
+    // is the post-gate post-dedup survivor slice — the smallest table
+    // in the pipeline; at 100 TB this is the natural checkpoint tier
+    // (recompute would re-scan the raw corpus three times).
     val exactKept = gated.join(keepIds, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 3. near-dup removal among exact survivors: drop the higher id of
     //    every MinHash pair at est_sim ≥ threshold
     val nearDupLosers = MinHashLsh.nearDupPairs(

@@ -82,15 +82,25 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh_set",
         graft.functions.VectorFunctions.hashedShingles(col("text"), n, ShingleHashMod))
-    val inverted = docs.select(col("id"), explode(col("sh_set")).as("sh"))
-    val rare = inverted
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-      .filter(col("df") <= maxShingleDf)
-      .drop("df")
-    val a = rare.select(col("id").as("id_a"), col("sh"))
-    val b = rare.select(col("id").as("id_b"), col("sh"))
-    val cand = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // Candidate generation: ONE aggregation of the inverted index into
+    // per-shingle posting lists, then in-bucket pair expansion. The
+    // earlier formulation (df-count window + self-join on shingle)
+    // planned the full explode+shuffle+sort pipeline TWICE (once per
+    // join side) and sorted 300k rows per doc-shingle; grouping emits
+    // the same candidate set from a single sort-free shuffle, and the
+    // maxShingleDf cap bounds every posting list, so the in-bucket
+    // expansion is O(maxShingleDf²) per bucket — driver-bounded memory
+    // regardless of corpus size.
+    val buckets = docs.select(col("id"), explode(col("sh_set")).as("sh"))
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxShingleDf))
+    val cand = buckets
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
     val withSets = cand
       .join(docs.select(col("id").as("id_a"), col("sh_set").as("set_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("sh_set").as("set_b")), Seq("id_b"))
