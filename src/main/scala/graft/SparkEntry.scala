@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.EmbeddingQueries.queries ++ graft.queries.EventQueries.queries ++
       graft.queries.MiscQueries.queries ++ graft.queries.ExtraQueries.queries ++
       graft.queries.CorpusQueries.queries ++ graft.queries.MoreRelational.queries ++
-      graft.queries.ScaleQueries.queries ++ graft.queries.StatsQueries.queries
+      graft.queries.ScaleQueries.queries ++ graft.queries.StatsQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.Reference.oracle ++
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.EmbeddingQueries.oracle ++ graft.queries.EventQueries.oracle ++
       graft.queries.MiscQueries.oracle ++ graft.queries.ExtraQueries.oracle ++
       graft.queries.CorpusQueries.oracle ++ graft.queries.MoreRelational.oracle ++
-      graft.queries.ScaleQueries.oracle ++ graft.queries.StatsQueries.oracle
+      graft.queries.ScaleQueries.oracle ++ graft.queries.StatsQueries.oracle ++
+      graft.queries.CurationQueries.oracle
 }

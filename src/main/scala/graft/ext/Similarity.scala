@@ -174,11 +174,52 @@ object Similarity {
     val seeds = v.orderBy("id").limit(nClusters)
       .select(col("id").as("seed_id"), col("e").as("se"), col("nrm").as("snrm"))
     val scored = v.crossJoin(broadcast(seeds))
-      .select(col("id"), col("e"),
+      .select(col("id"), col("e"), col("nrm"),
         col("seed_id"), (dot(col("e"), col("se")) / (col("nrm") * col("snrm"))).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("cos").desc, col("seed_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("id"), col("e"), col("seed_id").as("cluster"))
+      .select(col("id"), col("e"), col("nrm"), col("seed_id").as("cluster"))
+  }
+
+  /** Full IVF ANN search: assign all candidates to their nearest seed
+    * cluster, rank each query's clusters, probe only the `nProbe`
+    * nearest, score exactly within the probed slice, take top-k.
+    *
+    * This is the scan-fraction contract of an IVF index: each query
+    * reads ~nProbe/nClusters of the corpus instead of all of it.
+    * At scale the assignment is written once, partitioned by cluster
+    * (see [[ivfAssign]]) so a probe is a partition-pruned read; here the
+    * probed set rides a broadcast join on the cluster id, so the
+    * candidate table is scanned once for all queries with no shuffle.
+    * Recall is spec-measured against [[bruteForceTopK]]. */
+  def ivfSearch(
+      candidates: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    graft.functions.VectorFunctions.register(candidates.sparkSession)
+    val assigned = ivfAssign(candidates, idCol, vecCol, nClusters)
+    val seeds = candidates.select(col(idCol).as("id"), vecD(col(vecCol)).as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .orderBy("id").limit(nClusters)
+      .select(col("id").as("seed_id"), col("e").as("se"), col("nrm").as("snrm"))
+    val q = queries.select(col(idCol).as("query_id"), vecD(col(vecCol)).as("qe"))
+      .withColumn("qnrm", norm(col("qe")))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("pcos").desc, col("seed_id"))
+    val probed = q.crossJoin(broadcast(seeds))
+      .select(col("query_id"), col("qe"), col("qnrm"), col("seed_id"),
+        (dot(col("qe"), col("se")) / (col("qnrm") * col("snrm"))).as("pcos"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qe"), col("qnrm"), col("seed_id").as("cluster"))
+    val scored = assigned.join(broadcast(probed), Seq("cluster"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (dot(col("qe"), col("e")) / (col("qnrm") * col("nrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
   }
 }

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.BloomPrune
+import graft.operators.ColOps.{dec, dsum}
+import graft.ext.{Quantize, Repetition, Similarity}
+
+/** Round-3 additions: bloom-pruned semi join (q63), int8 scalar
+  * quantization (q64), repetition-based quality gating (q65), and full
+  * IVF ANN search (q66). Oracles mirror every arithmetic step; integer
+  * outputs wherever possible (quantized codes, gram counts) so parity
+  * is exact by construction. */
+object CurationQueries {
+
+  /** q63: bloom-pruned fact↔dim semi join + aggregate. The bloom is a
+    * pre-shuffle row filter; the exact semi join removes its false
+    * positives, so the oracle is the plain `IN` subquery. */
+  def q63BloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.load(s, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 450000.0)
+      .select($"o_orderkey")
+    BloomPrune.bloomSemiJoin(
+        Tables.load(s, dir, "lineitem"), "l_orderkey",
+        urgent, "o_orderkey", expectedItems = 10000L)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"), dsum(dec($"l_quantity")).as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q63Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey IN (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q64: int8 scalar quantization + integer ADC scan against vec 0.
+    * Codes and every output are exact integers. */
+  def q64Sq8Quantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Quantize.sq8ScanStats(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", refId = 0L)
+      .select($"id".as("vec_id"), $"code_sum", $"code_wsum", $"iprod_ref")
+      .orderBy($"vec_id")
+  }
+
+  val q64Sql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |mm AS (SELECT d, min(e[d]) AS mn, max(e[d]) AS mx
+      |       FROM v, generate_series(1, 64) AS t(d) GROUP BY d),
+      |mma AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM mm),
+      |codes AS (SELECT vec_id,
+      |  list_transform(generate_series(1, 64),
+      |    d -> CAST(round((e[d] - mns[d]) * 255.0 / (mxs[d] - mns[d])) AS BIGINT)) AS cs
+      |  FROM v, mma),
+      |q0 AS (SELECT cs AS c0 FROM codes WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  CAST(list_sum(cs) AS BIGINT) AS code_sum,
+      |  CAST(list_sum(list_transform(generate_series(1, 64), d -> d * cs[d])) AS BIGINT) AS code_wsum,
+      |  CAST(list_sum(list_transform(generate_series(1, 64),
+      |    d -> (cs[d] - 128) * (c0[d] - 128))) AS BIGINT) AS iprod_ref
+      |FROM codes, q0 ORDER BY vec_id""".stripMargin
+
+  /** q65: repetition quality gate — integer n-gram occurrence counts
+    * and a multiplication-only keep decision. */
+  def q65RepetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Repetition.ngramRepetitionStats(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .select($"id".as("doc_id"), $"n2_total", $"n2_top", $"n3_total", $"n3_distinct", $"keep_flag")
+      .orderBy($"doc_id")
+  }
+
+  val q65Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+      |         i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
+      |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+      |s2 AS (SELECT doc_id, SUM(c) AS n2_total, MAX(c) AS n2_top FROM c2 GROUP BY doc_id),
+      |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toks),
+      |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+      |s3 AS (SELECT doc_id, SUM(c) AS n3_total, COUNT(*) AS n3_distinct FROM c3 GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(s2.n2_total, 0) AS BIGINT) AS n2_total,
+      |  CAST(COALESCE(s2.n2_top, 0) AS BIGINT) AS n2_top,
+      |  CAST(COALESCE(s3.n3_total, 0) AS BIGINT) AS n3_total,
+      |  CAST(COALESCE(s3.n3_distinct, 0) AS BIGINT) AS n3_distinct,
+      |  CAST(CASE WHEN COALESCE(s2.n2_top, 0) * 100 <= COALESCE(s2.n2_total, 0) * 20
+      |         AND (COALESCE(s3.n3_total, 0) - COALESCE(s3.n3_distinct, 0)) * 100
+      |               <= COALESCE(s3.n3_total, 0) * 30
+      |       THEN 1 ELSE 0 END AS INT) AS keep_flag
+      |FROM documents d
+      |LEFT JOIN s2 ON d.doc_id = s2.doc_id
+      |LEFT JOIN s3 ON d.doc_id = s3.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** q66: IVF ANN search — probe the 4 nearest of 16 clusters per
+    * query, exact cosine inside the probed slice, top-10. */
+  def q66IvfSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.ivfSearch(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding",
+        k = 10, nClusters = 16, nProbe = 4)
+      .orderBy($"query_id", $"rank")
+  }
+
+  val q66Sql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+      |s AS (SELECT vec_id AS seed_id, e AS se, nrm AS snrm FROM n ORDER BY vec_id LIMIT 16),
+      |asg0 AS (SELECT n.vec_id, n.e, n.nrm, s.seed_id,
+      |  list_sum(list_transform(generate_series(1,64), i -> n.e[i]*s.se[i])) / (n.nrm*s.snrm) AS cos
+      |  FROM n CROSS JOIN s),
+      |asg AS (SELECT vec_id, e, nrm, seed_id AS cluster FROM
+      |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
+      |   FROM asg0) t WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qnrm FROM n WHERE vec_id < 10),
+      |pr0 AS (SELECT q.query_id, q.qe, q.qnrm, s.seed_id,
+      |  list_sum(list_transform(generate_series(1,64), i -> q.qe[i]*s.se[i])) / (q.qnrm*s.snrm) AS pcos
+      |  FROM q CROSS JOIN s),
+      |pr AS (SELECT query_id, qe, qnrm, seed_id AS cluster FROM
+      |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pcos DESC, seed_id) AS rn
+      |   FROM pr0) t WHERE rn <= 4),
+      |sc AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+      |  list_sum(list_transform(generate_series(1,64), i -> pr.qe[i]*a.e[i])) / (pr.qnrm*a.nrm) AS cos
+      |  FROM pr JOIN asg a ON pr.cluster = a.cluster AND a.vec_id != pr.query_id),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM sc)
+      |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_bloom_prefilter" -> (q63BloomPrefilter _),
+    "q64_sq8_quantize" -> (q64Sq8Quantize _),
+    "q65_repetition_filter" -> (q65RepetitionFilter _),
+    "q66_ivf_search" -> (q66IvfSearch _))
+
+  val oracle: Map[String, String] = Map(
+    "q63_bloom_prefilter" -> q63Sql,
+    "q64_sq8_quantize" -> q64Sql,
+    "q65_repetition_filter" -> q65Sql,
+    "q66_ivf_search" -> q66Sql)
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.BloomPrune
+import graft.ext.{Quantize, Repetition, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-3 curation/scale operators: bloom-pruned semi
+  * join, int8 scalar quantization, repetition quality gate, IVF ANN
+  * search. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom semi join equals the plain semi join (false positives removed)") {
+    val fact = (1L to 1000L).map(k => (k, k % 7)).toDF("k", "v")
+    val dim = Seq(3L, 500L, 999L, 1500L).toDF("dk") // 1500 matches nothing
+    val got = BloomPrune.bloomSemiJoin(fact, "k", dim, "dk", expectedItems = 10)
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 500L, 999L))
+    // null fact keys never match (semi-join semantics)
+    val withNull = fact.union(Seq((null.asInstanceOf[java.lang.Long], 0L))
+      .map(t => (Option(t._1).map(Long.unbox), t._2)).toDF("k", "v"))
+    assert(BloomPrune.bloomSemiJoin(withNull, "k", dim, "dk", 10).count() == 3)
+  }
+
+  test("sq8 codes span 0..255 and hit the exact endpoints per dimension") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val codes = Quantize.sq8Codes(emb, "vec_id", "embedding")
+      .select(explode($"codes").as("c"))
+    val mn = codes.agg(min("c"), max("c")).head
+    assert(mn.getLong(0) == 0L && mn.getLong(1) == 255L)
+    // the corpus min of each dimension quantizes to 0, the max to 255:
+    // every dimension must contain both endpoints
+    val perDim = Quantize.sq8Codes(emb, "vec_id", "embedding")
+      .select(posexplode($"codes").as(Seq("d", "c")))
+      .groupBy("d").agg(min("c").as("lo"), max("c").as("hi"))
+    assert(perDim.filter($"lo" =!= 0L || $"hi" =!= 255L).count() == 0)
+  }
+
+  test("sq8 quantization on a hand-built table gives the expected codes") {
+    // dim1 range [0,2]: 0→0, 1→round(127.5)=128 (HALF_UP), 2→255
+    // dim2 range [10,30]: 10→0, 20→round(127.5)=128, 30→255
+    val df = Seq(
+      (1L, Seq(0.0f, 10.0f)),
+      (2L, Seq(1.0f, 20.0f)),
+      (3L, Seq(2.0f, 30.0f))).toDF("id", "vec")
+    val got = Quantize.sq8Codes(df, "id", "vec").orderBy("id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == Seq(0L, 0L))
+    assert(got(2L) == Seq(128L, 128L))
+    assert(got(3L) == Seq(255L, 255L))
+  }
+
+  test("repetition gate flags bigram-spam, keeps varied text, zeros short docs") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),           // one bigram 5x
+      (2L, "the quick brown fox jumps over the lazy dog today ok fine"),
+      (3L, "hi")).toDF("doc_id", "text")               // too short for grams
+    val got = Repetition.ngramRepetitionStats(docs, "doc_id", "text")
+      .orderBy("id").collect()
+    val spam = got(0); val varied = got(1); val short = got(2)
+    // doc1: 5 bigram occurrences, all "spam spam" → top=5=total → flagged
+    assert(spam.getLong(1) == 5L && spam.getLong(2) == 5L && spam.getInt(5) == 0)
+    // doc2: 11 bigrams all distinct → top 1/11 < 20%, trigrams distinct → kept
+    assert(varied.getInt(5) == 1)
+    // doc3: no grams at all → zero counts, kept
+    assert(short.getLong(1) == 0L && short.getLong(3) == 0L && short.getInt(5) == 1)
+  }
+
+  test("IVF search recall@10 vs brute force is high at nProbe=4/16") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10))
+    val ivf = pairs(Similarity.ivfSearch(emb, queries, "vec_id", "embedding",
+      k = 10, nClusters = 16, nProbe = 4))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@10 = $recall (expected ≥ 0.8; deterministic data gives 0.92)")
+    // probing ALL clusters must reproduce brute force exactly
+    val full = pairs(Similarity.ivfSearch(emb, queries, "vec_id", "embedding",
+      k = 10, nClusters = 16, nProbe = 16))
+    assert(full == exact, "nProbe = nClusters must equal brute force")
+  }
+}
