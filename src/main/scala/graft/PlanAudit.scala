@@ -7,13 +7,16 @@ import org.apache.spark.sql.execution.ExplainMode
   * features that are red flags at 100 TB — single-partition exchanges,
   * cartesian products, broadcast nested-loop joins — so regressions
   * are visible at a glance (`runMain graft.PlanAudit [sfDir]`).
-  * Known-justified hits as of round 2: q02/q51 SinglePartition =
+  * Known-justified hits as of round 3: q02/q51 SinglePartition =
   * scalar/single-row final aggregates (partials are map-side; the
   * exchange moves #partitions rows); q22/q32/q56 BNLJ = scan × small
   * broadcast under a non-equi condition (query set / seed set /
   * deduped dimension); q24 BNLJ = the exact all-pairs correctness
-  * baseline whose scale path is the LSH variant. Anything new
-  * deserves a look at the query.
+  * baseline whose scale path is the LSH variant; q64 SinglePartition +
+  * BNLJ = the 64-row dim-min/max final aggregate and its one-row
+  * broadcast cross join back onto the corpus; q66 BNLJ = the nClusters-
+  * row seed table broadcast-crossed with the query set for probe
+  * ranking. Anything new deserves a look at the query.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

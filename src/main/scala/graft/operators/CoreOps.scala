@@ -75,6 +75,17 @@ object CoreOps {
     org.apache.spark.sql.GraftShim.zipWithRowIndex(
       df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*), name)
 
+  /** Scalable global running sum: the inclusive prefix sum of
+    * `valueCol` under a total ordering on `orderCols` — what
+    * `sum(...) over (order by ...)` computes, WITHOUT the unpartitioned
+    * window's single-partition funnel. Same range-partition + offset
+    * recipe as [[withRowIndexByOrder]] ([[org.apache.spark.sql.GraftShim.zipWithPrefixSum]]).
+    * Order keys must be tie-free for a deterministic result. */
+  def withRunningSumByOrder(
+      df: DataFrame, valueCol: String, name: String, orderCols: Column*): DataFrame =
+    org.apache.spark.sql.GraftShim.zipWithPrefixSum(
+      df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*), valueCol, name)
+
   /** W1, file-order flavor (`main.py:362,366-369`): index rows by their
     * physical input order. Uses `zipWithIndex` (one extra count job to
     * offset partitions — O(#partitions) driver work, rows never

@@ -132,15 +132,43 @@ object CurationQueries {
       |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** q67: token-budget sharding — contiguous ~2000-token shards over
+    * doc_id order via the scalable prefix sum (no global window). The
+    * oracle's `SUM OVER (ORDER BY)` is exactly what the distributed
+    * two-pass prefix sum replaces. */
+  def q67TokenShards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.Packing
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id",
+        size(when(trim($"text") === "", array().cast("array<string>"))
+          .otherwise(split(trim($"text"), "\\s+"))).cast("long").as("n_tokens"))
+    Packing.tokenShards(docs, "doc_id", "n_tokens", capacity = 2000L)
+      .orderBy($"doc_id")
+  }
+
+  val q67Sql: String =
+    """WITH d AS (SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |  SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM d)
+      |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      |  CAST((cum_tokens - n_tokens) // 2000 AS BIGINT) AS shard_id
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_bloom_prefilter" -> (q63BloomPrefilter _),
     "q64_sq8_quantize" -> (q64Sq8Quantize _),
     "q65_repetition_filter" -> (q65RepetitionFilter _),
-    "q66_ivf_search" -> (q66IvfSearch _))
+    "q66_ivf_search" -> (q66IvfSearch _),
+    "q67_token_shards" -> (q67TokenShards _))
 
   val oracle: Map[String, String] = Map(
     "q63_bloom_prefilter" -> q63Sql,
     "q64_sq8_quantize" -> q64Sql,
     "q65_repetition_filter" -> q65Sql,
-    "q66_ivf_search" -> q66Sql)
+    "q66_ivf_search" -> q66Sql,
+    "q67_token_shards" -> q67Sql)
 }

@@ -126,4 +126,23 @@ object Sources {
       throw SourceError(s"Invalid header names: ${badHeaders.mkString(",")}")
     CoreOps.trimAll(CoreOps.dropBlankRows(df))
   }
+
+  /** Raw-file ingest for multimodal corpora (engine extension): each
+    * matching file becomes one row of (path, length, modificationTime,
+    * content binary) via Spark's `binaryFile` source — the on-ramp into
+    * [[graft.ext.Multimodal]]'s binary payload pipeline. `pathGlob`
+    * filters at the LISTING stage (pushed filter on the file index, not
+    * a post-read filter), and `maxBytesPerFile` guards against a single
+    * giant blob skewing a task. At 100 TB this source parallelizes by
+    * file; pack small files into larger archives upstream or the
+    * driver's file listing becomes the bottleneck. */
+  def binaryFiles(
+      spark: SparkSession, dir: String,
+      pathGlob: Option[String] = None,
+      maxBytesPerFile: Option[Long] = None): DataFrame = {
+    val base = spark.read.format("binaryFile")
+    val withGlob = pathGlob.fold(base)(g => base.option("pathGlobFilter", g))
+    val df = withGlob.load(dir)
+    maxBytesPerFile.fold(df)(m => df.filter(col("length") <= m))
+  }
 }

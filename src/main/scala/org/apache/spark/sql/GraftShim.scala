@@ -45,4 +45,38 @@ object GraftShim {
     }
     df.sparkSession.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, out)
   }
+
+  /** Append the INCLUSIVE running sum of long column `valueCol` in the
+    * current partition order — the scalable replacement for a global
+    * `sum over (order by …)` window, which funnels the whole table
+    * through one partition. Two passes, zipWithIndex-style: a small job
+    * collects one partial sum per partition (O(#partitions) driver
+    * data), their exclusive scan broadcasts back as per-partition
+    * offsets, and the main pass accumulates locally on the InternalRow
+    * stream (no decode, codegen-adjacent). Null values count as 0. */
+  def zipWithPrefixSum(df: DataFrame, valueCol: String, name: String): DataFrame = {
+    val vIdx = df.schema.fieldIndex(valueCol)
+    require(df.schema(vIdx).dataType == LongType,
+      s"zipWithPrefixSum requires a BIGINT column, got ${df.schema(vIdx).dataType.sql}")
+    val out = StructType(df.schema.fields).add(name, LongType, nullable = false)
+    val rdd0 = df.queryExecution.toRdd
+    val partialSums = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => if (!r.isNullAt(vIdx)) s += r.getLong(vIdx))
+      Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partialSums.scanLeft(0L)(_ + _)
+    val offsetsBc = df.sparkSession.sparkContext.broadcast(offsets)
+    val rdd = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      val joined = new JoinedRow
+      val sumRow = new GenericInternalRow(1)
+      var running = offsetsBc.value(pid)
+      it.map { row =>
+        if (!row.isNullAt(vIdx)) running += row.getLong(vIdx)
+        sumRow.update(0, running)
+        joined(row, sumRow): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    df.sparkSession.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, out)
+  }
 }

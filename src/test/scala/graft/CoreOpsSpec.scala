@@ -62,4 +62,25 @@ class CoreOpsSpec extends SparkSpec {
     assert(out.columns.toSeq ==
       Seq("group", "main_content", "acol", "mc", "zcol", "prompt", "response", "row_index"))
   }
+
+  test("withRunningSumByOrder matches the window prefix sum, nulls count as 0") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((5L, Some(10L)), (1L, Some(3L)), (3L, None),
+      (2L, Some(7L)), (4L, Some(1L))).toDF("k", "v")
+    val got = CoreOps.withRunningSumByOrder(df, "v", "cum", col("k"))
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("cum",
+        sum(coalesce(col("v"), lit(0L))).over(Window.orderBy("k")))
+      .select("k", "cum").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("token shards: docs land in the shard where they start, ids contiguous") {
+    val docs = Seq((1L, 800L), (2L, 800L), (3L, 800L), (4L, 100L), (5L, 2500L), (6L, 50L))
+      .toDF("doc_id", "n_tokens")
+    val got = graft.ext.Packing.tokenShards(docs, "doc_id", "n_tokens", capacity = 1000L)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    // cum: 800,1600,2400,2500,5000,5050 → starts: 0,800,1600,2400,2500,5000
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 2L, 6L -> 5L))
+  }
 }
