@@ -66,13 +66,45 @@ object EmbeddingQueries {
       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
       |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin
 
+  /** q68: multi-table LSH approximate top-k — 4 hash tables of 8
+    * hyperplane signs each; candidates collide in ANY table, then exact
+    * cosine + rank. The oracle replays the LCG hyperplanes per table
+    * (same formula as q23, plane index t*8+i). */
+  def q68LshTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.approxTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        queryPred = col("id") < 10, k = 10, tables = 4, bitsPerTable = 8)
+      .orderBy($"query_id", $"rank")
+  }
+
+  val q68Sql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+      |tb AS (SELECT vec_id, t,
+      |  list_sum(list_transform(generate_series(0,7), i ->
+      |    CASE WHEN list_sum(list_transform(generate_series(1,64), d ->
+      |      e[d] * (CAST((1103515245 * ((t*8 + i)*64 + d) + 12345) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5)
+      |    )) > 0.0 THEN 1 << i ELSE 0 END)) AS bv
+      |  FROM n CROSS JOIN UNNEST([0,1,2,3]) AS tt(t)),
+      |q AS (SELECT * FROM tb WHERE vec_id < 10),
+      |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      |  FROM q JOIN tb c ON c.t = q.t AND c.bv = q.bv AND c.vec_id != q.vec_id),
+      |sc AS (SELECT cand.query_id, cand.neighbor_id,
+      |  list_sum(list_transform(generate_series(1,64), i -> a.e[i]*b.e[i])) / (a.nrm*b.nrm) AS cos
+      |  FROM cand JOIN n a ON cand.query_id = a.vec_id JOIN n b ON cand.neighbor_id = b.vec_id),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM sc)
+      |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_cosine_topk" -> (q22CosineTopK _),
     "q23_lsh_buckets" -> (q23LshBuckets _),
-    "q24_emb_neardup" -> (q24EmbNearDup _))
+    "q24_emb_neardup" -> (q24EmbNearDup _),
+    "q68_lsh_topk" -> (q68LshTopK _))
 
   val oracle: Map[String, String] = Map(
     "q22_cosine_topk" -> q22Sql,
     "q23_lsh_buckets" -> q23Sql,
-    "q24_emb_neardup" -> q24Sql)
+    "q24_emb_neardup" -> q24Sql,
+    "q68_lsh_topk" -> q68Sql)
 }

@@ -68,11 +68,40 @@ object HashDedupQueries {
       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q69: incremental dedup — a "new batch" (doc_id ≥ 250) deduped
+    * against an already-ingested corpus (doc_id < 250) that travels
+    * only as 16-byte content digests, then self-deduped. The daily
+    * crawl-ingest shape: the reference corpus text never moves. */
+  def q69IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.Dedup
+    val docs = Tables.load(s, dir, "documents")
+    val knownHashes = Dedup.exactDupGroups(docs.filter($"doc_id" < 250), "doc_id", "text")
+      .select($"content_hash")
+    Dedup.dedupAgainstCorpus(docs.filter($"doc_id" >= 250), "doc_id", "text", knownHashes)
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
+  val q69Sql: String =
+    """WITH known AS (
+      |  SELECT DISTINCT md5(lower(trim(text))) AS h FROM documents WHERE doc_id < 250),
+      |fresh AS (
+      |  SELECT * FROM documents
+      |  WHERE doc_id >= 250 AND md5(lower(trim(text))) NOT IN (SELECT h FROM known)),
+      |kept AS (
+      |  SELECT doc_id, lang, source,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+      |  FROM fresh)
+      |SELECT doc_id, lang, source FROM kept WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_minhash_lsh" -> (q20MinHash _),
-    "q21_simhash" -> (q21SimHash _))
+    "q21_simhash" -> (q21SimHash _),
+    "q69_incremental_dedup" -> (q69IncrementalDedup _))
 
   val oracle: Map[String, String] = Map(
     "q20_minhash_lsh" -> q20Sql,
-    "q21_simhash" -> q21Sql)
+    "q21_simhash" -> q21Sql,
+    "q69_incremental_dedup" -> q69Sql)
 }
