@@ -134,6 +134,32 @@ object Sinks {
   def writeQuarantine(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Small-file compaction (engine extension): rewrite a parquet
+    * directory into ~`targetFileBytes` output files. The file count
+    * comes from the directory's ACTUAL on-disk size (a listing, not a
+    * data scan), and rows move through one round-robin repartition —
+    * no sort, no skew sensitivity. The 100 TB hygiene op: streaming
+    * ingest and fine-grained partition writes accumulate thousands of
+    * KB-scale files whose per-file open/footer cost dominates scans;
+    * compaction restores scan efficiency. Returns the file count.
+    *
+    * For sorted layouts use [[graft.operators.Bucketing]] instead —
+    * round-robin destroys clustering. */
+  def compactParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    import scala.jdk.CollectionConverters._
+    val bytes = Files.walk(Paths.get(inDir)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    nFiles
+  }
+
   /** Driver-side ZIP of an export directory (the reference's in-memory
     * zipfile, main.py:786-787, here streamed file-by-file). */
   def zipDirectory(dir: String, zipPath: String): Unit = {

@@ -161,4 +161,20 @@ class SourcesSinksSpec extends SparkSpec {
     val packed = all.select(col("path").as("doc_id"), col("content").as("payload"))
     assert(packed.schema("payload").dataType.typeName == "binary")
   }
+
+  test("compactParquet rewrites a many-file directory into few files, content intact") {
+    val dir = Files.createTempDirectory("graft_compact")
+    val fragmented = s"$dir/fragmented"
+    val compacted = s"$dir/compacted"
+    // 64 tiny files
+    spark.range(0, 10000).toDF("id").repartition(64).write.parquet(fragmented)
+    val smallFiles = new java.io.File(fragmented).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(smallFiles == 64)
+    val planned = Sinks.compactParquet(spark, fragmented, compacted,
+      targetFileBytes = 256L * 1024)
+    val outFiles = new java.io.File(compacted).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(outFiles == planned && outFiles < smallFiles)
+    // row-identical after compaction
+    assert(spark.read.parquet(compacted).as[Long].collect().sorted.toSeq == (0L until 10000L))
+  }
 }
