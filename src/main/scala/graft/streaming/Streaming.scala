@@ -128,6 +128,28 @@ object Streaming {
         col("quality") >= minQuality)
   }
 
+  /** Streaming incremental dedup — the ingest twin of
+    * [[graft.ext.Dedup.dedupAgainstCorpus]] (q69's batch shape): each
+    * micro-batch drops rows whose content digest exists in the static
+    * known-corpus hash table (stream-static anti join — the static side
+    * is re-broadcast per batch, so a corpus refresh is picked up on the
+    * next trigger), then self-dedups within the watermark horizon via
+    * `dropDuplicatesWithinWatermark` on the digest, which bounds state
+    * by the horizon instead of growing with the stream (the classic
+    * unbounded-dedup-state failure at corpus scale).
+    *
+    * `docs` must already carry a watermark on `tsCol`. */
+  def incrementalDedupStream(
+      docs: DataFrame, textCol: String, tsCol: String,
+      knownHashes: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.contentHash
+    docs
+      .withColumn("__gch", contentHash(col(textCol)))
+      .join(knownHashes.select(col("content_hash").as("__gch")), Seq("__gch"), "left_anti")
+      .dropDuplicatesWithinWatermark("__gch")
+      .drop("__gch")
+  }
+
   final case class AsofEventT(key: Long, us: Long, isRight: Boolean,
     eventId: Long, payload: Long, eventTime: java.sql.Timestamp)
   final case class AsofOooState(

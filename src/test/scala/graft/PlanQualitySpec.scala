@@ -92,6 +92,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(hashExchanges <= 1, s"windows did not share the shuffle:\n$p")
   }
 
+  test("q67: scalable prefix sum leaves no window node and no single partition") {
+    val p = plan(SparkEntry.queries("q67_token_shards")(spark, sf))
+    assert(!p.linesIterator.exists(_.trim.matches("\\(\\d+\\) Window.*")),
+      s"q67 regressed to a window-based running sum:\n$p")
+    assert(!p.contains("SinglePartition"), s"q67 funnels to a single partition:\n$p")
+  }
+
+  test("q63: bloom prefilter runs below the semi join, which stays broadcast-free of the fact side") {
+    val df = graft.queries.CurationQueries.q63BloomPrefilter(spark, sf)
+    val p = plan(df)
+    // the bloom-backed UDF filter must sit between the fact scan and the
+    // join (pre-shuffle row pruning) — in the formatted plan that is a
+    // Filter containing the UDF above the lineitem scan
+    val hasUdfFilter = p.linesIterator.exists(l =>
+      l.contains("Condition") && l.contains("UDF"))
+    assert(hasUdfFilter, s"bloom UDF filter missing from the fact branch:\n$p")
+    // exact semi join still present (false-positive removal)
+    assert(p.contains("LeftSemi"), s"exact semi join missing:\n$p")
+  }
+
+  test("q65: gram aggregation is partial before the exchange (map-side combine)") {
+    val p = plan(graft.queries.CurationQueries.q65RepetitionFilter(spark, sf))
+    val aggs = p.linesIterator.count(l => l.trim.matches("\\(\\d+\\) HashAggregate.*"))
+    assert(aggs >= 4, s"expected partial+final aggregates for both gram passes:\n$p")
+  }
+
   test("custom hash expressions participate in whole-stage codegen") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)

@@ -175,4 +175,27 @@ class StreamingSpec extends SparkSpec {
     assert(listener.recordsRead.get() > 0)
     assert(events.exists(_.isInstanceOf[ProgressListener.StageCompleted]))
   }
+
+  test("streaming incremental dedup drops known-corpus content and re-deliveries") {
+    import graft.functions.TextFunctions.contentHash
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val known = Seq("known text a", "known text b").toDF("text")
+      .select(contentHash($"text").as("content_hash"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("id", "text", "ts").withWatermark("ts", "10 minutes")
+    val out = Streaming.incrementalDedupStream(docs, "text", "ts", known)
+    val q = out.writeStream.format("memory").queryName("incdedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "known text a", ts), (2L, "fresh one", ts), (3L, "fresh one", ts))
+      q.processAllAvailable()
+      // second batch: a cross-batch re-delivery (4) and new content (5)
+      input.addData((4L, "fresh one", ts), (5L, "brand new", ts))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("incdedup_out").select("id").as[Long].collect().toSet
+    assert(ids == Set(2L, 5L),
+      s"expected known-corpus (1), in-batch dup (3), cross-batch dup (4) dropped; got $ids")
+  }
 }
