@@ -54,6 +54,27 @@ object Dedup {
 
   val ShingleHashMod = 1000000007L
 
+  /** Benchmark decontamination: drop every doc sharing at least one
+    * character `n`-gram with the benchmark/eval set — the overlap gate
+    * that keeps test data out of training corpora. Shingles travel as
+    * 8-byte hashes; the benchmark's distinct shingle set broadcasts
+    * (eval suites are small — the 100 TB side is the corpus, which is
+    * scanned once and never shuffled: explode → broadcast semi join →
+    * distinct contaminated ids → anti join). Docs shorter than `n`
+    * have no shingles and are always kept. */
+  def decontaminate(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, n: Int = 8): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    def sh(c: Column) = graft.functions.VectorFunctions.hashedShingles(c, n, ShingleHashMod)
+    val benchShingles = benchmark.select(explode(sh(col(textCol))).as("sh")).distinct()
+    val contaminatedIds = docs
+      .select(col(idCol), explode(sh(col(textCol))).as("sh"))
+      .join(broadcast(benchShingles), Seq("sh"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(contaminatedIds, Seq(idCol), "left_anti")
+  }
+
   /** Near-duplicate pairs by n-gram Jaccard: inverted index on
     * character shingles → candidate pairs sharing ≥1 rare shingle →
     * exact Jaccard verification → threshold filter.

@@ -158,17 +158,84 @@ object CurationQueries {
       |  CAST((cum_tokens - n_tokens) // 2000 AS BIGINT) AS shard_id
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** q70: corpus mixing — deterministic stratified downsampling to a
+    * target language mixture (en to 40%, de to 80%, rest kept). The
+    * keep decision is polyhash(doc_id) mod 10000 < rate — no RNG, so
+    * the oracle replays it exactly. Output is the achieved per-language
+    * mix. */
+  def q70CorpusMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.Mixing
+    val kept = Mixing.stratifiedSample(Tables.load(s, dir, "documents"),
+      "doc_id", "lang", ratesBp = Map("en" -> 4000, "de" -> 8000))
+    kept.groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"), min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+      .orderBy($"lang")
+  }
+
+  val q70Sql: String =
+    """WITH h AS (SELECT *, (list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+      |      i -> CAST(unicode(substr(CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) * 1103515245 + 12345)
+      |    % 2147483648 % 10000 AS hk FROM documents),
+      |kept AS (SELECT * FROM h WHERE hk < CASE lang WHEN 'en' THEN 4000
+      |                                              WHEN 'de' THEN 8000
+      |                                              ELSE 10000 END)
+      |SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q71: benchmark decontamination — docs (doc_id ≥ 20) sharing any
+    * 24-gram hashed shingle with the "eval set" (doc_id < 20) are
+    * dropped. 24 chars ≈ a 4-5 word phrase: long enough that overlap
+    * means real contamination, not vocabulary coincidence (at n=8 this
+    * corpus's narrow vocabulary contaminates everything — the window
+    * length is the gate's precision knob). Shingle hashing replays
+    * q19's rolling polyhash. */
+  def q71Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.Dedup
+    val docs = Tables.load(s, dir, "documents")
+    Dedup.decontaminate(docs.filter($"doc_id" >= 20), "doc_id", "text",
+        benchmark = docs.filter($"doc_id" < 20), n = 24)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val q71Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text) >= 24 THEN
+      |      list_distinct(list_transform(
+      |        list_transform(generate_series(1, length(text)-23), i -> substr(text, i, 24)),
+      |        s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(generate_series(1, length(s)), i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |          (acc, x) -> (acc * 31 + x) % 1000000007)))
+      |    ELSE CAST([] AS BIGINT[]) END AS s
+      |  FROM documents),
+      |bench AS (SELECT DISTINCT unnest(s) AS h FROM sh WHERE doc_id < 20),
+      |contaminated AS (SELECT DISTINCT f.doc_id
+      |  FROM (SELECT doc_id, unnest(s) AS h FROM sh WHERE doc_id >= 20) f
+      |  JOIN bench b ON f.h = b.h)
+      |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+      |WHERE d.doc_id >= 20 AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_bloom_prefilter" -> (q63BloomPrefilter _),
     "q64_sq8_quantize" -> (q64Sq8Quantize _),
     "q65_repetition_filter" -> (q65RepetitionFilter _),
     "q66_ivf_search" -> (q66IvfSearch _),
-    "q67_token_shards" -> (q67TokenShards _))
+    "q67_token_shards" -> (q67TokenShards _),
+    "q70_corpus_mix" -> (q70CorpusMix _),
+    "q71_decontaminate" -> (q71Decontaminate _))
 
   val oracle: Map[String, String] = Map(
     "q63_bloom_prefilter" -> q63Sql,
     "q64_sq8_quantize" -> q64Sql,
     "q65_repetition_filter" -> q65Sql,
     "q66_ivf_search" -> q66Sql,
-    "q67_token_shards" -> q67Sql)
+    "q67_token_shards" -> q67Sql,
+    "q70_corpus_mix" -> q70Sql,
+    "q71_decontaminate" -> q71Sql)
 }

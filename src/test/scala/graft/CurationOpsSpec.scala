@@ -66,6 +66,40 @@ class CurationOpsSpec extends SparkSpec {
     assert(short.getLong(1) == 0L && short.getLong(3) == 0L && short.getInt(5) == 1)
   }
 
+  test("stratified sampling hits target rates deterministically, edge rates exact") {
+    import graft.ext.Mixing
+    val docs = Tables.load(spark, sf, "documents")
+    val total = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = Mixing.stratifiedSample(docs, "doc_id", "lang",
+        ratesBp = Map("en" -> 4000, "zh" -> 0))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // rate 0 drops the stratum entirely; unlisted strata keep everything
+    assert(!kept.contains("zh"))
+    assert(kept("de") == total("de") && kept("fr") == total("fr"))
+    // hash sampling concentrates near 40% (not exact — it's per-id hash)
+    val enFrac = kept("en").toDouble / total("en")
+    assert(enFrac > 0.25 && enFrac < 0.55, s"en fraction $enFrac far from 0.40")
+    // pure function of ids: a second run is identical
+    val again = Mixing.stratifiedSample(docs, "doc_id", "lang",
+        ratesBp = Map("en" -> 4000, "zh" -> 0))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(again == kept)
+  }
+
+  test("decontamination drops docs sharing an n-gram with the benchmark, keeps the rest") {
+    import graft.ext.Dedup
+    val bench = Seq((100L, "the secret eval answer phrase nobody should train on"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "clean document about completely different things entirely"),
+      (2L, "contains the secret eval answer phrase nobody should see"), // 24-char overlap
+      (3L, "short")) // no 24-grams → kept
+      .toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(docs, "doc_id", "text", bench, n = 24)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("IVF search recall@10 vs brute force is high at nProbe=4/16") {
     val emb = Tables.load(spark, sf, "embeddings")
     val queries = emb.filter($"vec_id" < 10)
