@@ -18,9 +18,9 @@ object CorpusQueries {
   }
 
   private val stopList = "('the','a','an','and','of','to','in','is','it','that')"
-  private val nTokens =
+  private[queries] val nTokens =
     s"CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
-  private val quality =
+  private[queries] val quality =
     s"""least(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN $stopList)) AS DOUBLE)
        |      / CAST(greatest($nTokens, 1) AS DOUBLE) * 5.0, 1.0) * 0.4
        |  + least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 50.0, 1.0) * 0.4

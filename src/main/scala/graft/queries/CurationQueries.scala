@@ -221,7 +221,106 @@ object CurationQueries {
       |WHERE d.doc_id >= 20 AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q72: the FULL curation composition ([[graft.ext.CurationPipeline]])
+    * — quality gate → repetition gate → decontamination (vs doc_id<20)
+    * → exact dedup → MinHash near-dup → en-downsampling mix → token
+    * shards — every stage mirrored in ONE oracle SQL. The capstone
+    * check that the composed operators agree with their composed
+    * replays, not just piecewise. */
+  def q72Curate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.CurationPipeline
+    val docs = Tables.load(s, dir, "documents")
+    CurationPipeline.curate(
+        docs.filter($"doc_id" >= 20), "doc_id", "text", "lang",
+        benchmark = docs.filter($"doc_id" < 20).select($"text"),
+        params = CurationPipeline.Params(mixRatesBp = Map("en" -> 5000)))
+      .orderBy($"doc_id")
+  }
+
+  val q72Sql: String = {
+    import graft.ext.MinHashLsh
+    val mins = (0 until MinHashLsh.K).map(j =>
+      s"list_min(list_transform(hv, h -> (h * ${MinHashLsh.A(j)} + ${MinHashLsh.B(j)}) % 1000000007))")
+      .mkString(",\n      |      ")
+    val nTokens = CorpusQueries.nTokens
+    val quality = CorpusQueries.quality
+    s"""WITH base AS (SELECT * FROM documents WHERE doc_id >= 20),
+      |stats AS (SELECT doc_id, text, lang, $nTokens AS n_tokens,
+      |  $quality AS quality FROM base),
+      |gated AS (SELECT * FROM stats WHERE n_tokens >= 5 AND n_tokens <= 1000 AND quality >= 0.3),
+      |toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM gated),
+      |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+      |         i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
+      |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+      |s2 AS (SELECT doc_id, SUM(c) AS n2_total, MAX(c) AS n2_top FROM c2 GROUP BY doc_id),
+      |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM toks),
+      |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+      |s3 AS (SELECT doc_id, SUM(c) AS n3_total, COUNT(*) AS n3_distinct FROM c3 GROUP BY doc_id),
+      |unrep AS (SELECT g.* FROM gated g
+      |  LEFT JOIN s2 ON g.doc_id = s2.doc_id LEFT JOIN s3 ON g.doc_id = s3.doc_id
+      |  WHERE COALESCE(s2.n2_top, 0) * 100 <= COALESCE(s2.n2_total, 0) * 20
+      |    AND (COALESCE(s3.n3_total, 0) - COALESCE(s3.n3_distinct, 0)) * 100
+      |          <= COALESCE(s3.n3_total, 0) * 30),
+      |sh24 AS (SELECT doc_id,
+      |  CASE WHEN length(text) >= 24 THEN
+      |    list_distinct(list_transform(
+      |      list_transform(generate_series(1, length(text)-23), i -> substr(text, i, 24)),
+      |      s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, length(s)), i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |        (acc, x) -> (acc * 31 + x) % 1000000007)))
+      |  ELSE CAST([] AS BIGINT[]) END AS s
+      |  FROM unrep),
+      |bench24 AS (SELECT DISTINCT unnest(
+      |  CASE WHEN length(text) >= 24 THEN
+      |    list_distinct(list_transform(
+      |      list_transform(generate_series(1, length(text)-23), i -> substr(text, i, 24)),
+      |      s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, length(s)), i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |        (acc, x) -> (acc * 31 + x) % 1000000007)))
+      |  ELSE CAST([] AS BIGINT[]) END) AS h
+      |  FROM documents WHERE doc_id < 20),
+      |cont AS (SELECT DISTINCT f.doc_id
+      |  FROM (SELECT doc_id, unnest(s) AS h FROM sh24) f JOIN bench24 b ON f.h = b.h),
+      |clean AS (SELECT * FROM unrep WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      |keep AS (SELECT md5(lower(trim(text))) AS h, min(doc_id) AS doc_id FROM clean GROUP BY 1),
+      |ek AS (SELECT c.* FROM clean c JOIN keep k ON c.doc_id = k.doc_id),
+      |docs2 AS (
+      |  SELECT doc_id AS id,
+      |    list_distinct(list_transform(generate_series(1, length(text)-7), i -> substr(text, i, 8))) AS sh_set
+      |  FROM ek WHERE length(text) >= 8),
+      |hv AS (SELECT id, list_transform(sh_set, s ->
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(s)), i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007)) AS hv FROM docs2),
+      |sig AS (SELECT id, [$mins] AS sig FROM hv),
+      |bands AS (SELECT id, b, list_slice(sig, b*4+1, b*4+4) AS slice
+      |  FROM sig CROSS JOIN UNNEST([0,1,2,3]) AS t(b)),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
+      |est AS (SELECT id_a, id_b,
+      |  CAST(list_sum(list_transform(generate_series(1,16),
+      |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS est_sim
+      |  FROM cand JOIN sig sa ON cand.id_a = sa.id JOIN sig sb ON cand.id_b = sb.id),
+      |losers AS (SELECT DISTINCT id_b FROM est WHERE est_sim >= 0.5),
+      |nk AS (SELECT * FROM ek WHERE doc_id NOT IN (SELECT id_b FROM losers)),
+      |mixed AS (SELECT * FROM nk WHERE
+      |  (list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+      |      i -> CAST(unicode(substr(CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) * 1103515245 + 12345)
+      |    % 2147483648 % 10000 < CASE lang WHEN 'en' THEN 5000 ELSE 10000 END),
+      |cum AS (SELECT doc_id, lang, n_tokens, quality,
+      |  SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM mixed)
+      |SELECT doc_id, lang, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      |  CAST((cum_tokens - n_tokens) // 2000 AS BIGINT) AS shard_id
+      |FROM cum ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_curate" -> (q72Curate _),
     "q63_bloom_prefilter" -> (q63BloomPrefilter _),
     "q64_sq8_quantize" -> (q64Sq8Quantize _),
     "q65_repetition_filter" -> (q65RepetitionFilter _),
@@ -231,6 +330,7 @@ object CurationQueries {
     "q71_decontaminate" -> (q71Decontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q72_curate" -> q72Sql,
     "q63_bloom_prefilter" -> q63Sql,
     "q64_sq8_quantize" -> q64Sql,
     "q65_repetition_filter" -> q65Sql,

@@ -100,6 +100,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("curation pipeline composes: gates, decontamination, dedup, mixing, sharding") {
+    import graft.ext.CurationPipeline
+    val docs = Tables.load(spark, sf, "documents")
+    val out = CurationPipeline.curate(
+      docs.filter($"doc_id" >= 20), "doc_id", "text", "lang",
+      benchmark = docs.filter($"doc_id" < 20).select("text"),
+      params = CurationPipeline.Params(mixRatesBp = Map("en" -> 5000)))
+      .orderBy("doc_id").collect()
+    assert(out.nonEmpty && out.length < 480, s"gates cut nothing or everything: ${out.length}")
+    // unique ids, bounded stats, shard ids start at 0 and never decrease
+    val ids = out.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+    assert(out.forall(r => r.getLong(2) >= 5L && r.getLong(2) <= 1000L))
+    assert(out.forall(_.getDouble(3) >= 0.3))
+    val shards = out.map(_.getLong(5))
+    assert(shards.head == 0L && shards.zip(shards.tail).forall { case (a, b) => b >= a })
+    // cum_tokens is the inclusive running sum of n_tokens in id order
+    val cums = out.map(_.getLong(4))
+    val expect = out.map(_.getLong(2)).scanLeft(0L)(_ + _).tail
+    assert(cums.toSeq == expect.toSeq)
+  }
+
   test("IVF search recall@10 vs brute force is high at nProbe=4/16") {
     val emb = Tables.load(spark, sf, "embeddings")
     val queries = emb.filter($"vec_id" < 10)
