@@ -52,9 +52,13 @@ object CurationPipeline {
       Repetition.ngramRepetitionStats(gated, idCol, textCol)
         .filter(col("keep_flag") === 1).select(col("id").as(idCol)),
       Seq(idCol))
-    // 3: eval-set overlap gate
+    // 3: eval-set overlap gate. Persisted: both the dedup digest
+    // aggregation and the digest join re-read it, and everything above
+    // (two gate joins + the decontamination semi join) would otherwise
+    // re-execute per consumer.
     val clean = Dedup.decontaminate(unrepeated, idCol, textCol, benchmark,
-      n = params.decontaminateNgram)
+        n = params.decontaminateNgram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 4: exact dedup (keep min id per content digest)
     val keepIds = clean
       .select(graft.functions.TextFunctions.contentHash(col(textCol)).as("h"), id)
@@ -71,11 +75,11 @@ object CurationPipeline {
     val mixed =
       if (params.mixRatesBp.isEmpty) nearKept
       else Mixing.stratifiedSample(nearKept, idCol, strataCol, params.mixRatesBp)
-    // 7: shard layout
+    // 7: shard layout — strata/quality ride through the prefix-sum
+    // append, no join-back
     Packing.tokenShards(
         mixed.select(id, col(strataCol), col("n_tokens"), col("quality")),
         idCol, "n_tokens", params.shardCapacityTokens)
-      .join(mixed.select(id, col(strataCol), col("quality")), Seq(idCol))
       .select(id, col(strataCol), col("n_tokens"), col("quality"),
         col("cum_tokens"), col("shard_id"))
   }

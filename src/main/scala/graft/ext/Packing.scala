@@ -19,17 +19,17 @@ import graft.operators.CoreOps
   */
 object Packing {
 
-  /** (id, n_tokens, cum_tokens, shard_id), ordered by `orderCol`.
+  /** All input columns + (cum_tokens, shard_id), ordered by `idCol` —
+    * the prefix-sum shim appends to the full row, so carrying the other
+    * columns through is free (no join-back needed by callers).
     * `nTokensCol` must be BIGINT and non-negative. */
   def tokenShards(
       df: DataFrame, idCol: String, nTokensCol: String,
       capacity: Long): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     CoreOps.withRunningSumByOrder(df, nTokensCol, "cum_tokens", col(idCol))
-      .select(col(idCol), col(nTokensCol),
-        col("cum_tokens"),
-        // `div`, not `/`: long division stays exact past 2^53 where a
-        // double quotient would round
-        expr(s"(cum_tokens - `$nTokensCol`) div $capacity").as("shard_id"))
+      // `div`, not `/`: long division stays exact past 2^53 where a
+      // double quotient would round
+      .withColumn("shard_id", expr(s"(cum_tokens - `$nTokensCol`) div $capacity"))
   }
 }
