@@ -125,7 +125,15 @@ object Dedup {
     val withSets = cand
       .join(docs.select(col("id").as("id_a"), col("sh_set").as("set_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("sh_set").as("set_b")), Seq("id_b"))
+    // lossless size prefilter before the merge kernel: |A∩B| ≤ min and
+    // |A∪B| ≥ max, so J ≤ min(|A|,|B|)/max(|A|,|B|) — pairs whose size
+    // ratio is below the threshold cannot pass and skip the O(|A|+|B|)
+    // two-pointer walk entirely (pure codegen'd comparison on the
+    // already-present array headers)
+    val sa = size(col("set_a")).cast("double")
+    val sb = size(col("set_b")).cast("double")
     withSets
+      .filter(least(sa, sb) >= greatest(sa, sb) * threshold)
       .select(col("id_a"), col("id_b"),
         graft.functions.VectorFunctions.arrayJaccardLong(col("set_a"), col("set_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)

@@ -131,4 +131,69 @@ class PropertySpec extends SparkSpec {
         s"seed=$seed factor=$factor")
     }
   }
+
+  test("property: distributed prefix sum equals the sequential scan for any values") {
+    for (seed <- 1L to 5L) {
+      val n = sample(Gen.chooseNum(1, 60), seed + 1000)
+      val vals = sample(Gen.listOfN(n, Gen.chooseNum(-100L, 100L)), seed + 1010)
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("k", "v").repartition(5)
+      val got = CoreOps.withRunningSumByOrder(df, "v", "cum", col("k"))
+        .orderBy("k").select("cum").as[Long].collect().toSeq
+      val want = vals.scanLeft(0L)(_ + _).tail
+      assert(got == want, s"seed=$seed n=$n")
+    }
+  }
+
+  test("property: repetition stats match a driver-side brute force on random token docs") {
+    import graft.ext.Repetition
+    val word = Gen.oneOf("a", "bb", "ccc", "dd", "e")
+    for (seed <- 1L to 5L) {
+      val docs = sample(Gen.listOfN(6, Gen.listOf(word).map(_.take(12))), seed + 1100)
+        .zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      def brute(ws: Seq[String], n: Int): (Long, Long, Long) = {
+        val grams = ws.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.length.toLong)
+        (grams.length.toLong,
+          if (counts.isEmpty) 0L else counts.values.max,
+          counts.size.toLong)
+      }
+      val got = Repetition.ngramRepetitionStats(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("id").collect()
+      docs.foreach { case (id, text) =>
+        val ws = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        val (n2t, n2top, _) = brute(ws, 2)
+        val (n3t, _, n3d) = brute(ws, 3)
+        val r = got(id.toInt)
+        assert(r.getLong(1) == n2t && r.getLong(2) == n2top &&
+          r.getLong(3) == n3t && r.getLong(4) == n3d,
+          s"seed=$seed doc=$id text='$text' got=$r want=($n2t,$n2top,$n3t,$n3d)")
+      }
+    }
+  }
+
+  test("property: sq8 reconstruction error is within half a quantization step per dim") {
+    import graft.ext.Quantize
+    for (seed <- 1L to 3L) {
+      val vecs = sample(Gen.listOfN(8,
+        Gen.listOfN(4, Gen.chooseNum(-1000, 1000).map(_ / 250.0f))), seed + 1200)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = vecs.toDF("id", "vec")
+      val codes = Quantize.sq8Codes(df, "id", "vec").orderBy("id")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      // recompute per-dim min/max on the driver
+      val dims = vecs.head._2.indices
+      val mins = dims.map(d => vecs.map(_._2(d).toDouble).min)
+      val maxs = dims.map(d => vecs.map(_._2(d).toDouble).max)
+      vecs.foreach { case (id, v) =>
+        dims.foreach { d =>
+          val step = (maxs(d) - mins(d)) / 255.0
+          val reconstructed = mins(d) + codes(id)(d) * step
+          val tol = if (step == 0.0) 1e-9 else step / 2 + 1e-9
+          assert(math.abs(reconstructed - v(d).toDouble) <= tol,
+            s"seed=$seed id=$id d=$d code=${codes(id)(d)} recon=$reconstructed x=${v(d)}")
+        }
+      }
+    }
+  }
 }
