@@ -61,12 +61,19 @@ object ConnectedComponents {
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
-      // hash-min: label ← min(label, min over neighbors' labels)
-      val nmin = sym.join(labels, sym("src") === labels("id"))
-        .groupBy(col("dst")).agg(min("cluster_id").as("nmin"))
-      val stepped = labels.join(nmin, labels("id") === nmin("dst"), "left")
-        .select(labels("id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+      // hash-min: label ← min(label, min over neighbors' labels).
+      // Formulated as message-union + ONE groupBy (each vertex's own
+      // label is just another message), not groupBy + left join — one
+      // shuffle on `id` instead of a grouped aggregate joined back.
+      // both union children project to FRESH aliases: reusing `labels`'
+      // attributes in both branches trips Catalyst's union constraint
+      // propagation (NoSuchElementException on the rewritten attribute)
+      val fromNeighbors = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("mid"), col("cluster_id").as("mlab"))
+      val own = labels.select(col("id").as("mid"), col("cluster_id").as("mlab"))
+      val stepped = fromNeighbors.unionByName(own)
+        .groupBy(col("mid")).agg(min("mlab").as("cluster_id"))
+        .select(col("mid").as("id"), col("cluster_id"))
       // pointer jump: label ← min(label, label(label))
       // non-eager localCheckpoint: the convergence probe right below is
       // the first action, so the round's labels materialize DURING the
