@@ -31,9 +31,15 @@ object LocalSessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     preexisting.foreach { _ =>
+      // include the parity-critical settings (a reused session with a
+      // non-UTC timezone silently shifts every timestamp query off the
+      // oracle), not just the sizing knobs
       val wanted = Seq(
         "spark.master" -> s"local[$cpus]",
-        "spark.sql.shuffle.partitions" -> cpus)
+        "spark.sql.shuffle.partitions" -> cpus,
+        "spark.sql.session.timeZone" -> "UTC",
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "64m")
       val drift = wanted.collect {
         case (k, v) if spark.conf.getOption(k).exists(_ != v) =>
           s"$k=${spark.conf.get(k)} (requested $v)"

@@ -48,8 +48,16 @@ object ConnectedComponents {
       dstCol: String,
       maxIter: Int = 25,
       requireConvergence: Boolean = false): DataFrame = {
+    val vertexIds = vertices.select(col(idCol).as("vid"))
+    // restrict edges to the vertex set ONCE, up front: the fused
+    // message-union round below would otherwise manufacture label rows
+    // for edge endpoints outside `vertices` (the pre-fusion left join
+    // dropped them implicitly), breaking the output-ids ⊆ vertices
+    // contract and bridging components through unknown endpoints
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .join(vertexIds.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
+      .join(vertexIds.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
       .distinct()
       .cache()
     def labelSum(df: DataFrame): Any =

@@ -44,11 +44,14 @@ object CorpusPipeline {
       .groupBy("h").agg(min(id).as(idCol))
       .select(idCol)
     // exactKept feeds THREE consumers (minhash signatures, the loser
-    // pair join, the final anti-join): without a persist the whole
-    // gate+dedup prefix re-executes once per consumer. The cached set
-    // is the post-gate post-dedup survivor slice — the smallest table
-    // in the pipeline; at 100 TB this is the natural checkpoint tier
-    // (recompute would re-scan the raw corpus three times).
+    // pair join, the final anti-join): without materialization the whole
+    // gate+dedup prefix re-executes once per consumer. Plan-level persist
+    // keeps the columnar cache + codegen (a localCheckpoint's raw-row
+    // blocks lose both, measured ~1.5x slower); the CacheManager entry
+    // outlives the plan — long-lived callers should clear it (see
+    // [[CurationPipeline.curate]]'s materialize parameter for the
+    // per-call strategy knob). The cached set is the post-gate
+    // post-dedup survivor slice — the smallest table in the pipeline.
     val exactKept = gated.join(keepIds, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 3. near-dup removal among exact survivors: drop the higher id of

@@ -37,10 +37,20 @@ object CurationPipeline {
 
   /** docs(idCol, textCol, strataCol) + benchmark(textCol) →
     * (id, stratum, n_tokens, quality, cum_tokens, shard_id) of the
-    * curated corpus, shard-ordered. */
+    * curated corpus, shard-ordered.
+    *
+    * `materialize` is applied to the two multiply-consumed survivor
+    * slices. The default — plan-level persist — keeps the columnar
+    * cache + codegen (measured ~2x faster here than a localCheckpoint,
+    * whose raw-row blocks break both), but CacheManager entries outlive
+    * the returned plan: a long-lived service calling curate() per batch
+    * should pass `_.localCheckpoint(eager = false)` (blocks reclaimed
+    * with the plan) or persist-track-unpersist itself. */
   def curate(
       docs: DataFrame, idCol: String, textCol: String, strataCol: String,
-      benchmark: DataFrame, params: Params = Params()): DataFrame = {
+      benchmark: DataFrame, params: Params = Params(),
+      materialize: DataFrame => DataFrame =
+        _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
     val id = col(idCol)
     // 1-2: row-local gates first (cheapest, biggest volume cut)
     val gated = docs
@@ -52,19 +62,17 @@ object CurationPipeline {
       Repetition.ngramRepetitionStats(gated, idCol, textCol)
         .filter(col("keep_flag") === 1).select(col("id").as(idCol)),
       Seq(idCol))
-    // 3: eval-set overlap gate. Persisted: both the dedup digest
+    // 3: eval-set overlap gate. Materialized: both the dedup digest
     // aggregation and the digest join re-read it, and everything above
     // (two gate joins + the decontamination semi join) would otherwise
     // re-execute per consumer.
-    val clean = Dedup.decontaminate(unrepeated, idCol, textCol, benchmark,
-        n = params.decontaminateNgram)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clean = materialize(Dedup.decontaminate(unrepeated, idCol, textCol, benchmark,
+      n = params.decontaminateNgram))
     // 4: exact dedup (keep min id per content digest)
     val keepIds = clean
       .select(graft.functions.TextFunctions.contentHash(col(textCol)).as("h"), id)
       .groupBy("h").agg(min(id).as(idCol)).select(idCol)
-    val exactKept = clean.join(keepIds, Seq(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactKept = materialize(clean.join(keepIds, Seq(idCol)))
     // 5: near-dup removal among survivors (lower id wins)
     val losers = MinHashLsh.nearDupPairs(
         exactKept.select(id, col(textCol)), idCol, textCol,

@@ -32,20 +32,25 @@ object Quantize {
       transform(array_sort(collect_list(struct(col("d"), col("mn")))), s => s("mn")).as("mns"),
       transform(array_sort(collect_list(struct(col("d"), col("mx")))), s => s("mx")).as("mxs"))
 
+  private def codeExpr(x: Column, mn: Column, mx: Column): Column =
+    // a corpus-constant dimension (mx == mn) would quantize as 0.0/0.0 =
+    // NaN (cast error under ANSI, silent corruption otherwise): pin it
+    // to code 0 — reconstruction is exact for that dimension anyway
+    when(mx === mn, lit(0L))
+      .otherwise(round((x - mn) * lit(255.0) / (mx - mn)).cast("long"))
+
+  private def codesOf(df: DataFrame, idCol: String, vecCol: String, mm: DataFrame): DataFrame =
+    df.crossJoin(broadcast(mm))
+      .select(col(idCol).as("id"),
+        transform(vecD(col(vecCol)), (x, i) =>
+          codeExpr(x, element_at(col("mns"), i + 1), element_at(col("mxs"), i + 1))).as("codes"))
+
   /** (id, codes array<long> in 0..255). The min/max arrays broadcast;
     * the transform mirrors `((x - mn) * 255) / (mx - mn)` structurally
     * so an external engine replays identical doubles, hence identical
     * rounded codes. */
-  def sq8Codes(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val mm = minMaxArrays(df, vecCol)
-    df.crossJoin(broadcast(mm))
-      .select(col(idCol).as("id"),
-        transform(vecD(col(vecCol)), (x, i) => {
-          val mn = element_at(col("mns"), i + 1)
-          val mx = element_at(col("mxs"), i + 1)
-          round((x - mn) * lit(255.0) / (mx - mn)).cast("long")
-        }).as("codes"))
-  }
+  def sq8Codes(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    codesOf(df, idCol, vecCol, minMaxArrays(df, vecCol))
 
   /** Quantized-integer scan stats per vector, exploded relationally
     * (codegen'd aggregation, no interpreted array folds in the group
@@ -54,12 +59,19 @@ object Quantize {
     * `refId` — the asymmetric-distance computation (ADC) shape of a
     * quantized ANN scan, in exact integer arithmetic. */
   def sq8ScanStats(df: DataFrame, idCol: String, vecCol: String, refId: Long): DataFrame = {
-    val codes = sq8Codes(df, idCol, vecCol)
-    val exploded = codes.select(col("id"), posexplode(col("codes")).as(Seq("d0", "c")))
-      .select(col("id"), (col("d0") + 1).as("d"), col("c"))
-    val ref = exploded.filter(col("id") === refId)
+    // the one-row min/max aggregate feeds BOTH the corpus branch and the
+    // ref branch: localCheckpoint it so the corpus-wide scan behind it
+    // runs once (blocks are GC-reclaimed with the plan, unlike persist)
+    val mm = minMaxArrays(df, vecCol).localCheckpoint(eager = false)
+    def exploded(d: DataFrame) =
+      codesOf(d, idCol, vecCol, mm)
+        .select(col("id"), posexplode(col("codes")).as(Seq("d0", "c")))
+        .select(col("id"), (col("d0") + 1).as("d"), col("c"))
+    // quantize the ref row from a one-row slice (filter pushed to the
+    // scan), not by re-running the whole corpus pipeline
+    val ref = exploded(df.filter(col(idCol) === refId))
       .select(col("d"), col("c").as("c0"))
-    exploded.join(broadcast(ref), Seq("d"))
+    exploded(df).join(broadcast(ref), Seq("d"))
       .groupBy(col("id"))
       .agg(
         sum(col("c")).as("code_sum"),

@@ -167,12 +167,21 @@ object Similarity {
     * anywhere). Returns (id, e, cluster). At scale: seeds broadcast,
     * assignment is one scan; probing reads only the target cluster's
     * partition (write the output partitioned by cluster). */
+  /** The shared seed (coarse-centroid) table — ONE definition used by
+    * both assignment and probe ranking; if these diverged, queries
+    * would rank clusters against different centroids than candidates
+    * were assigned to and recall would silently collapse. */
+  private def ivfSeeds(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), vecD(col(vecCol)).as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .orderBy("id").limit(n)
+      .select(col("id").as("seed_id"), col("e").as("se"), col("nrm").as("snrm"))
+
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String, nClusters: Int): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
     val v = df.select(col(idCol).as("id"), vecD(col(vecCol)).as("e"))
       .withColumn("nrm", norm(col("e")))
-    val seeds = v.orderBy("id").limit(nClusters)
-      .select(col("id").as("seed_id"), col("e").as("se"), col("nrm").as("snrm"))
+    val seeds = ivfSeeds(df, idCol, vecCol, nClusters)
     val scored = v.crossJoin(broadcast(seeds))
       .select(col("id"), col("e"), col("nrm"),
         col("seed_id"), (dot(col("e"), col("se")) / (col("nrm") * col("snrm"))).as("cos"))
@@ -199,10 +208,7 @@ object Similarity {
       nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
     graft.functions.VectorFunctions.register(candidates.sparkSession)
     val assigned = ivfAssign(candidates, idCol, vecCol, nClusters)
-    val seeds = candidates.select(col(idCol).as("id"), vecD(col(vecCol)).as("e"))
-      .withColumn("nrm", norm(col("e")))
-      .orderBy("id").limit(nClusters)
-      .select(col("id").as("seed_id"), col("e").as("se"), col("nrm").as("snrm"))
+    val seeds = ivfSeeds(candidates, idCol, vecCol, nClusters)
     val q = queries.select(col(idCol).as("query_id"), vecD(col(vecCol)).as("qe"))
       .withColumn("qnrm", norm(col("qe")))
     val wp = org.apache.spark.sql.expressions.Window

@@ -39,6 +39,13 @@ object BloomPrune {
       dim: DataFrame, dimKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val spark = fact.sparkSession
+    // the UDF below tests mightContainLong; a non-bigint key would get a
+    // silent cast (matching nothing, or throwing under ANSI) — reject it
+    // up front with a clear error instead
+    for ((df, k, side) <- Seq((fact, factKey, "fact"), (dim, dimKey, "dim")))
+      require(df.schema(k).dataType == org.apache.spark.sql.types.LongType,
+        s"bloomSemiJoin requires BIGINT keys; $side key '$k' is " +
+          df.schema(k).dataType.sql)
     val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((k: java.lang.Long) =>

@@ -55,7 +55,8 @@ object CurationQueries {
       |mma AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM mm),
       |codes AS (SELECT vec_id,
       |  list_transform(generate_series(1, 64),
-      |    d -> CAST(round((e[d] - mns[d]) * 255.0 / (mxs[d] - mns[d])) AS BIGINT)) AS cs
+      |    d -> CASE WHEN mxs[d] = mns[d] THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(round((e[d] - mns[d]) * 255.0 / (mxs[d] - mns[d])) AS BIGINT) END) AS cs
       |  FROM v, mma),
       |q0 AS (SELECT cs AS c0 FROM codes WHERE vec_id = 0)
       |SELECT vec_id,
@@ -139,10 +140,12 @@ object CurationQueries {
   def q67TokenShards(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.ext.Packing
+    // tokenCount is THE token definition (native TokenStats kernel,
+    // spec'd equal to the HOF split) — q67 and q72 must agree on shard
+    // arithmetic, so neither re-implements the count inline
     val docs = Tables.load(s, dir, "documents")
       .select($"doc_id",
-        size(when(trim($"text") === "", array().cast("array<string>"))
-          .otherwise(split(trim($"text"), "\\s+"))).cast("long").as("n_tokens"))
+        graft.functions.TextFunctions.tokenCount($"text").as("n_tokens"))
     Packing.tokenShards(docs, "doc_id", "n_tokens", capacity = 2000L)
       .orderBy($"doc_id")
   }

@@ -150,9 +150,18 @@ object Sinks {
       inDir: String, outDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     import scala.jdk.CollectionConverters._
-    val bytes = Files.walk(Paths.get(inDir)).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-      .map(Files.size).sum
+    // the Overwrite write would delete the input out from under the
+    // lazy read — in-place compaction needs a temp dir + rename
+    require(Paths.get(inDir).toAbsolutePath.normalize !=
+        Paths.get(outDir).toAbsolutePath.normalize,
+      s"compactParquet cannot compact in place (in=$inDir out=$outDir): " +
+        "write to a temp directory and swap")
+    val walk = Files.walk(Paths.get(inDir))
+    val bytes =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(Files.size).sum
+      finally walk.close()
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     spark.read.parquet(inDir)
       .repartition(nFiles)

@@ -20,6 +20,11 @@ class CurationOpsSpec extends SparkSpec {
     val withNull = fact.union(Seq((null.asInstanceOf[java.lang.Long], 0L))
       .map(t => (Option(t._1).map(Long.unbox), t._2)).toDF("k", "v"))
     assert(BloomPrune.bloomSemiJoin(withNull, "k", dim, "dk", 10).count() == 3)
+    // non-bigint keys are rejected with a clear error, not silently cast
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.bloomSemiJoin(Seq(("a", 1L)).toDF("k", "v"), "k", dim, "dk", 10)
+    }
+    assert(e.getMessage.contains("BIGINT"))
   }
 
   test("sq8 codes span 0..255 and hit the exact endpoints per dimension") {

@@ -33,6 +33,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(labels.values.toSet == Set(1L), "every path node must reach label 1")
   }
 
+  test("connected components ignores edges touching unknown vertices") {
+    // edge (1,99) where 99 is not a vertex: output must stay within the
+    // vertex set, and 99 must not bridge 1 to anything
+    val vertices = Seq(1L, 2L).toDF("id")
+    val edges = Seq((1L, 99L), (99L, 2L)).toDF("src", "dst")
+    val labels = ConnectedComponents.assign(vertices, "id", edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(labels.keySet == Set(1L, 2L), s"phantom vertex leaked: ${labels.keySet}")
+    assert(labels(1L) == 1L && labels(2L) == 2L,
+      "components must not merge through an unknown endpoint")
+  }
+
   test("connected components signals non-convergence instead of silent partial labels") {
     // a 32-node path with maxIter=1 cannot converge: requireConvergence
     // must throw (partial labels would under-cluster downstream dedup)

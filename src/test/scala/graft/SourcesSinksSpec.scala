@@ -176,5 +176,10 @@ class SourcesSinksSpec extends SparkSpec {
     assert(outFiles == planned && outFiles < smallFiles)
     // row-identical after compaction
     assert(spark.read.parquet(compacted).as[Long].collect().sorted.toSeq == (0L until 10000L))
+    // in-place compaction is rejected (Overwrite would destroy the input)
+    val e = intercept[IllegalArgumentException] {
+      Sinks.compactParquet(spark, fragmented, fragmented)
+    }
+    assert(e.getMessage.contains("in place"))
   }
 }
