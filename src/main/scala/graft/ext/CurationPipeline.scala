@@ -58,10 +58,9 @@ object CurationPipeline {
       .withColumn("quality", qualityScore(col(textCol)))
       .filter(col("n_tokens").between(params.minTokens, params.maxTokens) &&
         col("quality") >= params.minQuality)
-    val unrepeated = gated.join(
-      Repetition.ngramRepetitionStats(gated, idCol, textCol)
-        .filter(col("keep_flag") === 1).select(col("id").as(idCol)),
-      Seq(idCol))
+    // row-local kernel: the repetition gate is a pure filter, no
+    // (doc, gram) shuffles and no join
+    val unrepeated = gated.filter(Repetition.keepsRepetitionGate(col(textCol)))
     // 3: eval-set overlap gate. Materialized: both the dedup digest
     // aggregation and the digest join re-read it, and everything above
     // (two gate joins + the decontamination semi join) would otherwise

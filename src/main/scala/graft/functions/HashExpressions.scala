@@ -59,6 +59,10 @@ object HashUtil {
   *   - token_chars = Σ code points per token
   */
 object TextKernel {
+  /** Spark-`trim` semantics (0x20 spaces only) — shared with
+    * [[GramKernel]] so both kernels tokenize identically. */
+  private[functions] def stripSpacesPublic(s: String): String = stripSpaces(s)
+
   private def stripSpaces(s: String): String = {
     var b = 0
     var e = s.length
@@ -98,6 +102,103 @@ object TextKernel {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(n, w, punct, chars))
   }
+}
+
+/** One-pass n-gram repetition kernel — the row-local scale path for the
+  * Gopher-style repetition gate. The per-(doc, gram) explode+aggregate
+  * formulation ([[graft.ext.Repetition.ngramRepetitionStats]]) shuffles
+  * every gram occurrence twice; this kernel computes the same four
+  * exact counts inside the scan projection (no shuffle at all), which
+  * also makes the gate usable as a stateless streaming filter.
+  * Gram identity is exact: tokens get per-document ids, adjacent ids
+  * pack into one long key (21 bits each); documents with more than 2^21
+  * distinct tokens fall back to string-keyed grams. */
+object GramKernel {
+  private val MaxPackedIds = 1 << 21
+
+  /** Returns [n2_total, n2_top, n3_total, n3_distinct] over whitespace
+    * tokens of trim(text) — same token semantics as [[TextKernel]]. */
+  def gramStats(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val stripped = TextKernel.stripSpacesPublic(s.toString)
+    val out = new Array[Long](4)
+    if (stripped.nonEmpty) {
+      val toks = stripped.split("\\s+", -1)
+      val ids = new java.util.HashMap[String, Integer]
+      val tokIds = new Array[Int](toks.length)
+      var i = 0
+      var packable = true
+      while (i < toks.length) {
+        var id = ids.get(toks(i))
+        if (id == null) { id = Integer.valueOf(ids.size); ids.put(toks(i), id) }
+        tokIds(i) = id.intValue()
+        i += 1
+      }
+      packable = ids.size < MaxPackedIds
+      if (packable) {
+        val big = new java.util.HashMap[java.lang.Long, java.lang.Long]
+        i = 0
+        while (i + 1 < toks.length) {
+          val key = java.lang.Long.valueOf((tokIds(i).toLong << 21) | tokIds(i + 1))
+          val c = big.merge(key, java.lang.Long.valueOf(1L),
+            (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.valueOf(a + b))
+          if (c > out(1)) out(1) = c
+          out(0) += 1
+          i += 1
+        }
+        val tri = new java.util.HashMap[java.lang.Long, java.lang.Long]
+        i = 0
+        while (i + 2 < toks.length) {
+          val key = java.lang.Long.valueOf(
+            (tokIds(i).toLong << 42) | (tokIds(i + 1).toLong << 21) | tokIds(i + 2))
+          tri.merge(key, java.lang.Long.valueOf(1L),
+            (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.valueOf(a + b))
+          out(2) += 1
+          i += 1
+        }
+        out(3) = tri.size.toLong
+      } else {
+        val big = new java.util.HashMap[String, java.lang.Long]
+        i = 0
+        while (i + 1 < toks.length) {
+          val c = big.merge(toks(i) + " " + toks(i + 1), java.lang.Long.valueOf(1L),
+            (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.valueOf(a + b))
+          if (c > out(1)) out(1) = c
+          out(0) += 1
+          i += 1
+        }
+        val tri = new java.util.HashMap[String, java.lang.Long]
+        i = 0
+        while (i + 2 < toks.length) {
+          tri.merge(toks(i) + " " + toks(i + 1) + " " + toks(i + 2),
+            java.lang.Long.valueOf(1L),
+            (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.valueOf(a + b))
+          out(2) += 1
+          i += 1
+        }
+        out(3) = tri.size.toLong
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** [n2_total, n2_top, n3_total, n3_distinct] via [[GramKernel]] in one
+  * codegen'd pass. */
+case class GramStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"gram_stats requires a STRING column, got ${child.dataType.sql}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    GramKernel.gramStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramKernel.gramStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): GramStats =
+    copy(child = newChild)
+  override def prettyName: String = "gram_stats"
 }
 
 /** [n_tokens, watch_count, punct_count, token_chars] of a text column
@@ -173,6 +274,11 @@ object GraftFunctions {
     org.apache.spark.sql.GraftShim.column(
       TokenStats(org.apache.spark.sql.GraftShim.expression(c), words))
 
+  /** Registration-free, like [[tokenStats]]. */
+  def gramStats(c: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      GramStats(org.apache.spark.sql.GraftShim.expression(c)))
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("polyhash",
@@ -183,6 +289,8 @@ object GraftFunctions {
       }), "built-in")
     registry.createOrReplaceTempFunction("simhash32",
       exprs => SimHash32(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("gram_stats",
+      exprs => GramStats(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("token_stats",
       exprs => {
         if (exprs.length != 2)

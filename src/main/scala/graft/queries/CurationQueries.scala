@@ -67,10 +67,12 @@ object CurationQueries {
       |FROM codes, q0 ORDER BY vec_id""".stripMargin
 
   /** q65: repetition quality gate — integer n-gram occurrence counts
-    * and a multiplication-only keep decision. */
+    * and a multiplication-only keep decision, via the shuffle-free
+    * row-local kernel (spec-checked equal to the relational
+    * explode+aggregate formulation, which the oracle mirrors). */
   def q65RepetitionFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Repetition.ngramRepetitionStats(Tables.load(s, dir, "documents"), "doc_id", "text")
+    Repetition.ngramRepetitionStatsLocal(Tables.load(s, dir, "documents"), "doc_id", "text")
       .select($"id".as("doc_id"), $"n2_total", $"n2_top", $"n3_total", $"n3_distinct", $"keep_flag")
       .orderBy($"doc_id")
   }

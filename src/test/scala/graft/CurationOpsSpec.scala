@@ -71,6 +71,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(short.getLong(1) == 0L && short.getLong(3) == 0L && short.getInt(5) == 1)
   }
 
+  test("row-local gram kernel equals the relational repetition formulation") {
+    import graft.ext.Repetition
+    // the whole documents corpus plus adversarial edge strings
+    val edge = Seq((9001L, ""), (9002L, "   "), (9003L, "one"),
+      (9004L, "a b"), (9005L, "x x x x x x x x"), (9006L, " lead  trail "),
+      (9007L, "a\tb\nc d"), (9008L, "🙂 Über 🙂 Über 🙂 Über"))
+      .toDF("doc_id", "text")
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").unionByName(edge)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "n2_total", "n2_top", "n3_total", "n3_distinct", "keep_flag")
+        .as[(Long, Long, Long, Long, Long, Int)].collect().sortBy(_._1).toSeq
+    val local = rows(Repetition.ngramRepetitionStatsLocal(docs, "doc_id", "text"))
+    val relational = rows(Repetition.ngramRepetitionStats(docs, "doc_id", "text"))
+    assert(local == relational)
+    // the Column gate agrees with the flag
+    val gateKept = docs.filter(Repetition.keepsRepetitionGate($"text"))
+      .select("doc_id").as[Long].collect().toSet
+    val flagKept = local.filter(_._6 == 1).map(_._1).toSet
+    assert(gateKept == flagKept)
+  }
+
   test("stratified sampling hits target rates deterministically, edge rates exact") {
     import graft.ext.Mixing
     val docs = Tables.load(spark, sf, "documents")

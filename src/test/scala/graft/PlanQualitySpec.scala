@@ -112,10 +112,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"exact semi join missing:\n$p")
   }
 
-  test("q65: gram aggregation is partial before the exchange (map-side combine)") {
+  test("q65: repetition gate is a shuffle-free scan projection (row-local kernel)") {
     val p = plan(graft.queries.CurationQueries.q65RepetitionFilter(spark, sf))
-    val aggs = p.linesIterator.count(l => l.trim.matches("\\(\\d+\\) HashAggregate.*"))
-    assert(aggs >= 4, s"expected partial+final aggregates for both gram passes:\n$p")
+    // the gram kernel runs inside the projection: no aggregates, no
+    // generate/explode, and the only exchange is the final order-by's
+    assert(!p.linesIterator.exists(_.trim.matches("\\(\\d+\\) HashAggregate.*")),
+      s"repetition stats regressed to the aggregate formulation:\n$p")
+    assert(!p.linesIterator.exists(_.trim.matches("\\(\\d+\\) Generate.*")),
+      s"unexpected explode in the row-local path:\n$p")
+    val exchanges = p.linesIterator.count(l => l.trim.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 1, s"expected only the final sort exchange:\n$p")
   }
 
   test("custom hash expressions participate in whole-stage codegen") {
