@@ -324,8 +324,47 @@ object CurationQueries {
       |FROM cum ORDER BY doc_id""".stripMargin
   }
 
+  /** q73: SemDeDup — IVF-cluster the embeddings, cosine pairs within
+    * clusters, transitive duplicate groups, min-id representative. The
+    * oracle replays the assignment (q66's), the in-cluster pairwise
+    * cosine, and the closure via a recursive CTE (q47's technique). */
+  def q73SemDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.SemDeDup
+    SemDeDup.dedup(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        nClusters = 16, minCos = 0.4)
+      .select($"id".as("vec_id"), $"rep_id", $"is_kept")
+      .orderBy($"vec_id")
+  }
+
+  val q73Sql: String =
+    """WITH RECURSIVE v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+      |s AS (SELECT vec_id AS seed_id, e AS se, nrm AS snrm FROM n ORDER BY vec_id LIMIT 16),
+      |asg0 AS (SELECT n.vec_id, n.e, n.nrm, s.seed_id,
+      |  list_sum(list_transform(generate_series(1,64), i -> n.e[i]*s.se[i])) / (n.nrm*s.snrm) AS cos
+      |  FROM n CROSS JOIN s),
+      |asg AS (SELECT vec_id, e, nrm, seed_id AS cluster FROM
+      |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, seed_id) AS rn
+      |   FROM asg0) t WHERE rn = 1),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_sum(list_transform(generate_series(1,64), i -> a.e[i]*b.e[i])) / (a.nrm*b.nrm) AS cos
+      |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+      |pairs AS (SELECT id_a, id_b FROM p WHERE cos >= 0.4),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
+      |lab AS (SELECT id AS vec_id, min(r) AS rep_id FROM reach GROUP BY id)
+      |SELECT vec_id, rep_id,
+      |  CAST(CASE WHEN vec_id = rep_id THEN 1 ELSE 0 END AS INT) AS is_kept
+      |FROM lab ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_curate" -> (q72Curate _),
+    "q73_semdedup" -> (q73SemDedup _),
     "q63_bloom_prefilter" -> (q63BloomPrefilter _),
     "q64_sq8_quantize" -> (q64Sq8Quantize _),
     "q65_repetition_filter" -> (q65RepetitionFilter _),
@@ -336,6 +375,7 @@ object CurationQueries {
 
   val oracle: Map[String, String] = Map(
     "q72_curate" -> q72Sql,
+    "q73_semdedup" -> q73Sql,
     "q63_bloom_prefilter" -> q63Sql,
     "q64_sq8_quantize" -> q64Sql,
     "q65_repetition_filter" -> q65Sql,

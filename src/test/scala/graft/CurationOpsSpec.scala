@@ -127,6 +127,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("SemDeDup: representatives are kept minima; dropped vectors resolve to kept reps") {
+    import graft.ext.SemDeDup
+    val out = SemDeDup.dedup(Tables.load(spark, sf, "embeddings"), "vec_id", "embedding",
+        nClusters = 16, minCos = 0.4)
+      .select("id", "rep_id", "is_kept").as[(Long, Long, Int)].collect()
+    assert(out.length == 500)
+    val kept = out.filter(_._3 == 1).map(_._1).toSet
+    // a representative is its own rep; dropped vectors point at a KEPT
+    // rep with a smaller id (min-id convention)
+    out.foreach { case (id, rep, isKept) =>
+      if (isKept == 1) assert(rep == id)
+      else {
+        assert(rep < id, s"rep $rep not the min of $id's group")
+        assert(kept.contains(rep), s"dropped $id points at dropped rep $rep")
+      }
+    }
+    // dedup must actually drop something on this corpus, but not everything
+    assert(kept.size < 500 && kept.size > 250, s"kept ${kept.size}")
+  }
+
   test("curation pipeline composes: gates, decontamination, dedup, mixing, sharding") {
     import graft.ext.CurationPipeline
     val docs = Tables.load(spark, sf, "documents")
