@@ -28,13 +28,18 @@ object SemDeDup {
       df: DataFrame, idCol: String, vecCol: String,
       nClusters: Int = 16, minCos: Double = 0.4): DataFrame = {
     import Similarity.dot
-    val assigned = Similarity.ivfAssign(df, idCol, vecCol, nClusters)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // assigned feeds both sides of the self-join; pairs feeds both
+    // branches of CC's edge symmetrization — without persists the IVF
+    // assignment runs twice and the full pairwise cosine up to twice more
+    val assigned = Similarity.ivfAssign(df, idCol, vecCol, nClusters).persist(mem)
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b")
+      .persist(mem)
     val labels = ConnectedComponents.assign(
       df.select(col(idCol).as("id")), "id", pairs, "id_a", "id_b")
     labels.select(col("id"), col("cluster_id").as("rep_id"),
