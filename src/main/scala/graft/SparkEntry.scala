@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.MiscQueries.queries ++ graft.queries.ExtraQueries.queries ++
       graft.queries.CorpusQueries.queries ++ graft.queries.MoreRelational.queries ++
       graft.queries.ScaleQueries.queries ++ graft.queries.StatsQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++ graft.queries.LayoutQueries.queries ++
+      graft.queries.SketchQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.Reference.oracle ++
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.MiscQueries.oracle ++ graft.queries.ExtraQueries.oracle ++
       graft.queries.CorpusQueries.oracle ++ graft.queries.MoreRelational.oracle ++
       graft.queries.ScaleQueries.oracle ++ graft.queries.StatsQueries.oracle ++
-      graft.queries.CurationQueries.oracle
+      graft.queries.CurationQueries.oracle ++ graft.queries.LayoutQueries.oracle ++
+      graft.queries.SketchQueries.oracle
 }

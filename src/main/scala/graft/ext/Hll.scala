@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog distinct-count sketch with a fully deterministic,
+  * engine-replayable register layout. The production shape for
+  * "distinct users per segment over 100 TB": registers are a
+  * fixed-size (m=256) mergeable state, the build is one
+  * `groupBy(bucket).max(rho)` — shuffle bytes constant in data size —
+  * and merging two sketches is an elementwise max.
+  *
+  * Determinism discipline (unlike vendor approx_count_distinct, which
+  * never hash-matches across engines): the hash is the engine's own
+  * rolling polyhash + LCG avalanche (both replayable in ANSI-ish SQL),
+  * rho comes from `bin()` string length (identical semantics in Spark
+  * and DuckDB), and the harmonic denominator Σ 2^(−rho) is carried as
+  * the exact INTEGER Σ 2^(32−rho) (rho ≤ 24, so each term and the
+  * 256-term sum fit a long with room to spare). The only doubles are
+  * one final mirrored expression.
+  *
+  * No small-range (linear-counting) correction is applied: it needs
+  * ln(), whose last ulp is libm-specific — apply it downstream if
+  * n_zero > 0. Raw-estimate relative error is the standard 1.04/√m ≈
+  * 6.5% at m=256.
+  */
+object Hll {
+
+  val M = 256
+
+  /** 31-bit avalanched hash of a (string-castable) key: the corpus
+    * polyhash clusters short numeric keys in a narrow band, so the LCG
+    * finalizer spreads them before bucketing (same fix as
+    * [[Mixing.stratifiedSample]]). */
+  def hash31(key: Column): Column =
+    (graft.functions.GraftFunctions.polyhash(key.cast("string")) * 1103515245L + 12345L) % 2147483648L
+
+  /** rho of the 23-bit sub-hash: leading zeros + 1 (w = 0 → 24). */
+  private def rho(w: Column): Column =
+    when(w === 0L, lit(24L)).otherwise(lit(24L) - length(bin(w)).cast("long"))
+
+  /** Dense m=256 register vector of a key column: (bucket 0..255,
+    * r = max rho of keys hashed there; 0 for untouched buckets). */
+  def registers(df: DataFrame, key: Column): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark) // polyhash
+
+    val hit = df
+      .select(hash31(key).as("h"))
+      .select((col("h") % M).as("bucket"), rho(expr("h DIV 256")).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("max_rho"))
+    spark.range(M).select(col("id").as("bucket"))
+      .join(hit, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("max_rho"), lit(0L)).as("r"))
+  }
+
+  /** One-row summary: m, untouched-bucket count, the exact integer
+    * harmonic sum Σ 2^(32−r), and the raw HLL estimate (mirrored
+    * double arithmetic, rounded once). */
+  def estimate(registers: DataFrame): DataFrame = {
+    val sumPow = sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - r AS INT))"))
+    registers.agg(
+        count(lit(1)).as("m"),
+        sum(when(col("r") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        sumPow.as("sum_pow"))
+      .select(col("m"), col("n_zero"), col("sum_pow"),
+        round(
+          lit(0.7213) / (lit(1.0) + lit(1.079) / 256.0) * 65536.0 /
+            (col("sum_pow").cast("double") / 4294967296.0),
+          6).as("est_raw"))
+  }
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{HeavyHitters, Hll, KMeansInt, PassageDedup, Quantize}
+
+/** Sketches and training loops: integer k-means IVF training (q77),
+  * HyperLogLog distinct registers (q78), repeated-passage dedup with
+  * document reconstruction (q79), and Misra-Gries heavy hitters with
+  * exact recount (q80). The sketch ops are the constant-state,
+  * merge-friendly summaries a 100 TB pipeline uses instead of full
+  * shuffles; each is arranged so its OUTPUT is exact/deterministic
+  * (integer registers, guaranteed-superset candidates + recount) and
+  * hence oracle-checkable.
+  */
+object SketchQueries {
+
+  /** q77: k-means (k=8, 2 Lloyd rounds) over int8 quantization codes —
+    * the IVF coarse-quantizer training step. Integer squared-L2, floor
+    * mean updates, argmin ties to the smaller cluster: bit-exact across
+    * engines and across re-runs, which float k-means cannot be. */
+  def q77Kmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // non-eager checkpoint: the corpus min/max behind the codes is
+    // computed once, not once per k-means stage that reads the codes
+    val codes = Quantize.sq8Codes(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+      .localCheckpoint(false)
+    KMeansInt.fitAssign(codes, k = 8, iters = 2)
+      .select($"id".as("vec_id"), $"cluster", $"dist2")
+      .orderBy($"vec_id")
+  }
+
+  val q77Sql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |mm AS (SELECT d, min(e[d]) AS mn, max(e[d]) AS mx
+      |       FROM v, generate_series(1, 64) AS t(d) GROUP BY d),
+      |mma AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM mm),
+      |codes AS (SELECT vec_id,
+      |  list_transform(generate_series(1, 64),
+      |    d -> CASE WHEN mxs[d] = mns[d] THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(round((e[d] - mns[d]) * 255.0 / (mxs[d] - mns[d])) AS BIGINT) END) AS cs
+      |  FROM v, mma),
+      |e2 AS (SELECT vec_id AS id, d, cs[d] AS c FROM codes, generate_series(1, 64) AS t(d)),
+      |c0 AS (SELECT id AS cluster, d, c AS m FROM e2 WHERE id < 8),
+      |d1 AS (SELECT e2.id, c.cluster, SUM((e2.c - c.m)*(e2.c - c.m)) AS dist2
+      |       FROM e2 JOIN c0 c ON e2.d = c.d GROUP BY e2.id, c.cluster),
+      |a1 AS (SELECT id, cluster FROM (SELECT *, ROW_NUMBER() OVER
+      |       (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM d1) t WHERE rn = 1),
+      |s1 AS (SELECT a1.cluster, e2.d, SUM(e2.c) AS s, COUNT(*) AS n
+      |       FROM e2 JOIN a1 ON e2.id = a1.id GROUP BY a1.cluster, e2.d),
+      |c1 AS (SELECT c0.cluster, c0.d, COALESCE(s1.s // s1.n, c0.m) AS m
+      |       FROM c0 LEFT JOIN s1 ON c0.cluster = s1.cluster AND c0.d = s1.d),
+      |d2 AS (SELECT e2.id, c.cluster, SUM((e2.c - c.m)*(e2.c - c.m)) AS dist2
+      |       FROM e2 JOIN c1 c ON e2.d = c.d GROUP BY e2.id, c.cluster),
+      |a2 AS (SELECT id, cluster FROM (SELECT *, ROW_NUMBER() OVER
+      |       (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM d2) t WHERE rn = 1),
+      |s2 AS (SELECT a2.cluster, e2.d, SUM(e2.c) AS s, COUNT(*) AS n
+      |       FROM e2 JOIN a2 ON e2.id = a2.id GROUP BY a2.cluster, e2.d),
+      |c2 AS (SELECT c1.cluster, c1.d, COALESCE(s2.s // s2.n, c1.m) AS m
+      |       FROM c1 LEFT JOIN s2 ON c1.cluster = s2.cluster AND c1.d = s2.d),
+      |df AS (SELECT e2.id, c.cluster, SUM((e2.c - c.m)*(e2.c - c.m)) AS dist2
+      |       FROM e2 JOIN c2 c ON e2.d = c.d GROUP BY e2.id, c.cluster),
+      |fin AS (SELECT id, cluster, dist2 FROM (SELECT *, ROW_NUMBER() OVER
+      |       (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM df) t WHERE rn = 1)
+      |SELECT id AS vec_id, cluster, CAST(dist2 AS BIGINT) AS dist2
+      |FROM fin ORDER BY vec_id""".stripMargin
+
+  /** q78: HyperLogLog distinct sketch of l_partkey (m=256) — register
+    * build + raw estimate + the exact distinct count for comparison.
+    * The harmonic denominator travels as an exact integer. */
+  def q78Hll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    val est = Hll.estimate(Hll.registers(li, $"l_partkey"))
+    val exact = li.agg(countDistinct($"l_partkey").as("n_exact"))
+    est.crossJoin(broadcast(exact))
+  }
+
+  val q78Sql: String =
+    """WITH h AS (SELECT
+      |  (list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(generate_series(1, length(CAST(l_partkey AS VARCHAR))),
+      |       i -> CAST(unicode(substr(CAST(l_partkey AS VARCHAR), i, 1)) AS BIGINT))),
+      |     (acc, x) -> (acc * 31 + x) % 1000000007) * 1103515245 + 12345)
+      |    % 2147483648 AS h
+      |  FROM lineitem),
+      |br AS (SELECT h % 256 AS bucket,
+      |  CASE WHEN h // 256 = 0 THEN CAST(24 AS BIGINT)
+      |       ELSE 24 - CAST(length(bin(h // 256)) AS BIGINT) END AS rho FROM h),
+      |hit AS (SELECT bucket, MAX(rho) AS max_rho FROM br GROUP BY bucket),
+      |reg AS (SELECT g.bucket, COALESCE(hit.max_rho, 0) AS r
+      |  FROM (SELECT unnest(generate_series(0, 255)) AS bucket) g
+      |  LEFT JOIN hit ON g.bucket = hit.bucket),
+      |agg AS (SELECT COUNT(*) AS m,
+      |  CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  CAST(SUM(1::BIGINT << CAST(32 - r AS INT)) AS BIGINT) AS sum_pow FROM reg)
+      |SELECT m, n_zero, sum_pow,
+      |  round(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE) * 65536.0::DOUBLE
+      |    / (CAST(sum_pow AS DOUBLE) / 4294967296.0::DOUBLE), 6) AS est_raw,
+      |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS n_exact
+      |FROM agg""".stripMargin
+
+  /** q79: repeated-passage dedup — 10-token chunks, first corpus
+    * occurrence wins, documents rebuilt from surviving chunks. */
+  def q79PassageDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    PassageDedup.dedupRebuild(Tables.load(s, dir, "documents"), "doc_id", "text", w = 10)
+      .select($"id".as("doc_id"), $"n_chunks", $"n_kept", $"new_len", $"new_md5")
+      .orderBy($"doc_id")
+  }
+
+  val q79Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |o AS (SELECT doc_id, unnest(list_transform(generate_series(0, ((len(t)+9)//10)-1),
+      |    i -> {'pos': i, 'chunk': array_to_string(list_slice(t, i*10+1, i*10+10), ' ')})) AS s
+      |  FROM toks WHERE len(t) > 0),
+      |occ AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.chunk AS chunk FROM o),
+      |k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn FROM occ),
+      |reb AS (SELECT doc_id, COUNT(*) AS n_kept, string_agg(chunk, ' ' ORDER BY pos) AS txt
+      |  FROM k WHERE rn = 1 GROUP BY doc_id),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM occ GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(tot.n_chunks, 0) AS BIGINT) AS n_chunks,
+      |  CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(length(COALESCE(reb.txt, '')) AS BIGINT) AS new_len,
+      |  md5(COALESCE(reb.txt, '')) AS new_md5
+      |FROM documents d
+      |LEFT JOIN tot ON d.doc_id = tot.doc_id
+      |LEFT JOIN reb ON d.doc_id = reb.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** q80: heavy hitters — Misra-Gries candidates (k=64 counters per
+    * partition, guaranteed superset) + exact recount; output equals the
+    * plain GROUP BY HAVING cnt·64 > N, which is the oracle. */
+  def q80HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tokens = Tables.load(s, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("token"))
+    HeavyHitters.exactHeavy(tokens, k = 64)
+      .select($"token", $"cnt", $"total")
+      .orderBy($"cnt".desc, $"token")
+  }
+
+  val q80Sql: String =
+    """WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents),
+      |t AS (SELECT COUNT(*) AS total FROM toks),
+      |c AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token)
+      |SELECT c.token, c.cnt, t.total FROM c, t
+      |WHERE c.cnt * 64 > t.total
+      |ORDER BY cnt DESC, token""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_kmeans" -> (q77Kmeans _),
+    "q78_hll" -> (q78Hll _),
+    "q79_passage_dedup" -> (q79PassageDedup _),
+    "q80_heavy_hitters" -> (q80HeavyHitters _))
+
+  val oracle: Map[String, String] = Map(
+    "q77_kmeans" -> q77Sql,
+    "q78_hll" -> q78Sql,
+    "q79_passage_dedup" -> q79Sql,
+    "q80_heavy_hitters" -> q80Sql)
+}
