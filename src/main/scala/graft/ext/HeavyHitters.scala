@@ -26,7 +26,7 @@ object HeavyHitters {
   /** Misra-Gries over one partition's token stream: at most `k` keys
     * survive; every token with local count > (partition size)/k is
     * among them. */
-  private[ext] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
     val counters = scala.collection.mutable.HashMap.empty[String, Long]
     it.foreach { t =>
       counters.get(t) match {

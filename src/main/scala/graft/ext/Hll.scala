@@ -28,12 +28,24 @@ object Hll {
 
   val M = 256
 
-  /** 31-bit avalanched hash of a (string-castable) key: the corpus
-    * polyhash clusters short numeric keys in a narrow band, so the LCG
-    * finalizer spreads them before bucketing (same fix as
-    * [[Mixing.stratifiedSample]]). */
+  /** Murmur-style xorshift-multiply finalizer confined to 31 bits (so
+    * every intermediate product stays under 2^63 — no overflow under
+    * ANSI mode, and bit-identical in any engine with xor/shift/mod).
+    * An LCG finalizer is NOT enough here: it is affine, so sequential
+    * keys step the low byte by a constant and the bucket field never
+    * mixes — HLL's register statistics need every bit avalanched. */
+  private def fmix31(h0: Column): Column = {
+    val h1 = h0.bitwiseXOR(shiftright(h0, 16))
+    val h2 = (h1 * 2246822507L) % 2147483648L
+    val h3 = h2.bitwiseXOR(shiftright(h2, 13))
+    val h4 = (h3 * 3266489909L) % 2147483648L
+    h4.bitwiseXOR(shiftright(h4, 16))
+  }
+
+  /** 31-bit avalanched hash of a (string-castable) key: rolling corpus
+    * polyhash, then [[fmix31]]. */
   def hash31(key: Column): Column =
-    (graft.functions.GraftFunctions.polyhash(key.cast("string")) * 1103515245L + 12345L) % 2147483648L
+    fmix31(graft.functions.GraftFunctions.polyhash(key.cast("string")))
 
   /** rho of the 23-bit sub-hash: leading zeros + 1 (w = 0 → 24). */
   private def rho(w: Column): Column =
@@ -69,4 +81,11 @@ object Hll {
             (col("sum_pow").cast("double") / 4294967296.0),
           6).as("est_raw"))
   }
+
+  /** Small-range (linear-counting) correction — apply downstream when
+    * untouched buckets remain and the raw estimate is under 2.5m. Uses
+    * ln(), whose last ulp is libm-specific, which is why it is NOT part
+    * of the cross-engine-exact register/estimate surface above. */
+  def corrected(m: Long, nZero: Long, estRaw: Double): Double =
+    if (nZero > 0 && estRaw <= 2.5 * m) m * math.log(m.toDouble / nZero) else estRaw
 }

@@ -78,13 +78,17 @@ object SketchQueries {
   }
 
   val q78Sql: String =
-    """WITH h AS (SELECT
-      |  (list_reduce(list_prepend(CAST(0 AS BIGINT),
+    """WITH p0 AS (SELECT
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
       |     list_transform(generate_series(1, length(CAST(l_partkey AS VARCHAR))),
       |       i -> CAST(unicode(substr(CAST(l_partkey AS VARCHAR), i, 1)) AS BIGINT))),
-      |     (acc, x) -> (acc * 31 + x) % 1000000007) * 1103515245 + 12345)
-      |    % 2147483648 AS h
+      |     (acc, x) -> (acc * 31 + x) % 1000000007) AS p
       |  FROM lineitem),
+      |f1 AS (SELECT xor(p, p >> 16) AS h FROM p0),
+      |f2 AS (SELECT (h * 2246822507) % 2147483648 AS h FROM f1),
+      |f3 AS (SELECT xor(h, h >> 13) AS h FROM f2),
+      |f4 AS (SELECT (h * 3266489909) % 2147483648 AS h FROM f3),
+      |h AS (SELECT xor(h, h >> 16) AS h FROM f4),
       |br AS (SELECT h % 256 AS bucket,
       |  CASE WHEN h // 256 = 0 THEN CAST(24 AS BIGINT)
       |       ELSE 24 - CAST(length(bin(h // 256)) AS BIGINT) END AS rho FROM h),

@@ -30,9 +30,12 @@ object DataSkipping {
     df.groupBy(chunkCol.as("chunk"))
       .agg(count(lit(1)).as("n_rows"), min(statCol).as("mn"), max(statCol).as("mx"))
 
-  /** Real-file manifest (one row per parquet file of the scan). */
+  /** Real-file manifest (one row per parquet file of the scan).
+    * `input_file_name()` is non-deterministic to Catalyst, so it must
+    * be materialized as a column here (and by callers of [[prunedScan]]
+    * that prune on it) — it cannot sit inside a join condition. */
   def fileManifest(df: DataFrame, statCol: Column): DataFrame =
-    manifest(df, input_file_name(), statCol)
+    manifest(df.withColumn("graft_file", input_file_name()), col("graft_file"), statCol)
 
   /** Chunks whose [mn, mx] interval overlaps [lo, hi] — the ones a
     * pruned scan must read. */

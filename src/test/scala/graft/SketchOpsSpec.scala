@@ -1,0 +1,126 @@
+package graft
+
+import graft.ext.{HeavyHitters, Hll, KMeansInt, PassageDedup, Quantize}
+import org.apache.spark.sql.functions._
+
+/** Specs for the sketch/training operators: integer k-means, HLL
+  * distinct registers, passage dedup, Misra-Gries heavy hitters. */
+class SketchOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- k-means ----------------------------------------------------
+
+  test("kmeans separates two integer poles and is deterministic") {
+    // ids 0,1 are the seeds; points cluster around (0,0,..) and
+    // (100,100,..): every low point must land with seed 0, high with 1
+    val codes = Seq(
+      (0L, Array(0L, 0L, 0L)), (1L, Array(100L, 100L, 100L)),
+      (2L, Array(3L, 1L, 2L)), (3L, Array(98L, 99L, 97L)),
+      (4L, Array(1L, 2L, 1L)), (5L, Array(101L, 99L, 100L)))
+      .toDF("id", "codes")
+    val out = KMeansInt.fitAssign(codes, k = 2, iters = 2)
+      .select($"id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(Seq(0L, 2L, 4L).forall(out(_) == 0L))
+    assert(Seq(1L, 3L, 5L).forall(out(_) == 1L))
+    val out2 = KMeansInt.fitAssign(codes, k = 2, iters = 2)
+      .select($"id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(out === out2, "integer k-means must be bit-deterministic")
+  }
+
+  test("kmeans iterations do not increase total within-cluster distance") {
+    val codes = Quantize.sq8Codes(
+      Tables.load(spark, sf, "embeddings"), "vec_id", "embedding")
+      .localCheckpoint(true)
+    def totalDist(iters: Int): Long =
+      KMeansInt.fitAssign(codes, k = 8, iters = iters)
+        .agg(sum($"dist2")).as[Long].head()
+    val d1 = totalDist(1); val d2 = totalDist(2)
+    assert(d2 <= d1, s"Lloyd iteration must not increase cost: $d1 -> $d2")
+  }
+
+  test("kmeans keeps previous centroid for emptied clusters") {
+    // seed 1 = (100,..) attracts nothing once points re-assign to seed
+    // 0's updated mean; k stays 2 and assignment still totals all rows
+    val codes = Seq(
+      (0L, Array(0L, 0L)), (1L, Array(9L, 9L)),
+      (2L, Array(1L, 1L)), (3L, Array(0L, 1L)), (4L, Array(2L, 0L)))
+      .toDF("id", "codes")
+    val out = KMeansInt.fitAssign(codes, k = 2, iters = 3)
+    assert(out.count() == 5, "every point assigned even if a cluster empties")
+  }
+
+  // ---- HLL --------------------------------------------------------
+
+  test("hll estimate lands within expected error of the exact count") {
+    // sf0.001 has ~200 distinct partkeys over m=256 — the small-range
+    // regime where raw HLL is biased and linear counting is mandatory
+    val (m, nZero, est, exact) = graft.queries.SketchQueries.q78Hll(spark, sf)
+      .select($"m", $"n_zero", $"est_raw", $"n_exact")
+      .as[(Long, Long, Double, Long)].head()
+    val corrected = Hll.corrected(m, nZero, est)
+    // 1.04/sqrt(256) = 6.5% standard error; allow 4 sigma
+    assert(math.abs(corrected - exact) / exact < 0.26,
+      s"estimate $corrected (raw $est) too far from exact $exact")
+  }
+
+  test("hll registers of a union are the elementwise max (mergeability)") {
+    val a = spark.range(0, 1000).select($"id".cast("long").as("k"))
+    val b = spark.range(500, 1500).select($"id".cast("long").as("k"))
+    val ra = Hll.registers(a, $"k").withColumnRenamed("r", "ra")
+    val rb = Hll.registers(b, $"k").withColumnRenamed("r", "rb")
+    val merged = ra.join(rb, Seq("bucket"))
+      .select($"bucket", greatest($"ra", $"rb").as("r"))
+    val direct = Hll.registers(a.union(b), $"k")
+    assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty,
+      "register merge must equal registers of the union")
+  }
+
+  // ---- passage dedup ----------------------------------------------
+
+  test("passage dedup keeps a unique corpus intact and strips copies") {
+    val w = 2
+    val docs = Seq(
+      (0L, "a b c d"),        // unique: all chunks survive
+      (1L, "a b x y"),        // chunk "a b" already seen in doc 0 -> dropped
+      (2L, "a b c d"))        // full copy of doc 0 -> fully removed
+      .toDF("doc_id", "text")
+    val out = PassageDedup.dedupRebuild(docs, "doc_id", "text", w)
+      .orderBy($"id")
+      .select($"id", $"n_chunks", $"n_kept", $"new_len")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out(0) === ((0L, 2L, 2L, 7L)))    // "a b c d"
+    assert(out(1) === ((1L, 2L, 1L, 3L)))    // "x y"
+    assert(out(2) === ((2L, 2L, 0L, 0L)))    // empty
+  }
+
+  test("passage dedup keeps exactly one occurrence per distinct chunk") {
+    val docs = Tables.load(spark, sf, "documents")
+    val out = PassageDedup.dedupRebuild(docs, "doc_id", "text", 10)
+    val totalKept = out.agg(sum($"n_kept")).as[Long].head()
+    val distinctChunks = PassageDedup.chunked(docs, "doc_id", "text", 10)
+      .select($"chunk").distinct().count()
+    assert(totalKept === distinctChunks)
+    assert(out.filter($"n_kept" > $"n_chunks").isEmpty)
+  }
+
+  // ---- heavy hitters ----------------------------------------------
+
+  test("misra-gries retains every locally heavy token") {
+    val tokens = Seq.fill(60)("hot") ++ (1 to 40).map(i => s"cold$i")
+    val cand = HeavyHitters.misraGries(tokens.iterator, k = 10).toSet
+    assert(cand.contains("hot"), "token with count > n/k must survive")
+    assert(cand.size <= 10)
+  }
+
+  test("exact heavy hitters equal the plain group-by") {
+    val tokens = Tables.load(spark, sf, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("token"))
+    val viaSketch = HeavyHitters.exactHeavy(tokens, k = 64)
+      .select($"token", $"cnt").as[(String, Long)].collect().toSet
+    val n = tokens.count()
+    val plain = tokens.groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" * 64 > n)
+      .as[(String, Long)].collect().toSet
+    assert(viaSketch === plain)
+  }
+}
