@@ -16,9 +16,11 @@ import org.apache.spark.sql.execution.ExplainMode
   * BNLJ = the 64-row dim-min/max final aggregate and its one-row
   * broadcast cross join back onto the corpus; q66 BNLJ = the nClusters-
   * row seed table broadcast-crossed with the query set for probe
-  * ranking; q78/q80 SinglePartition + BNLJ = one-row summary aggregates
-  * (256 HLL registers / the total token count) cross-joined back as
-  * broadcast scalars. Anything new deserves a look at the query.
+  * ranking; q78/q80/q82 SinglePartition + BNLJ = one-row summary
+  * aggregates (256 HLL registers / the total token count / per-side
+  * sketch sums) cross-joined back as broadcast scalars; q83
+  * SinglePartition = the cumulative walk over the ≤64-row histogram,
+  * not the data. Anything new deserves a look at the query.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

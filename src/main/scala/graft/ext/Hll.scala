@@ -66,21 +66,27 @@ object Hll {
       .select(col("bucket"), coalesce(col("max_rho"), lit(0L)).as("r"))
   }
 
+  /** The raw-estimate expression over a Σ 2^(32−r) column — one
+    * mirrored double chain (alpha_256 · m² / harmonic sum). */
+  def estExpr(sumPow: Column): Column =
+    lit(0.7213) / (lit(1.0) + lit(1.079) / 256.0) * 65536.0 /
+      (sumPow.cast("double") / 4294967296.0)
+
+  /** One-row Σ 2^(32−r) of a register set (exact integer). */
+  def sumPow(registers: DataFrame): DataFrame =
+    registers.agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - r AS INT))")).as("sum_pow"))
+
   /** One-row summary: m, untouched-bucket count, the exact integer
     * harmonic sum Σ 2^(32−r), and the raw HLL estimate (mirrored
     * double arithmetic, rounded once). */
-  def estimate(registers: DataFrame): DataFrame = {
-    val sumPow = sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - r AS INT))"))
+  def estimate(registers: DataFrame): DataFrame =
     registers.agg(
         count(lit(1)).as("m"),
         sum(when(col("r") === 0L, 1L).otherwise(0L)).as("n_zero"),
-        sumPow.as("sum_pow"))
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - r AS INT))")).as("sum_pow"))
       .select(col("m"), col("n_zero"), col("sum_pow"),
-        round(
-          lit(0.7213) / (lit(1.0) + lit(1.079) / 256.0) * 65536.0 /
-            (col("sum_pow").cast("double") / 4294967296.0),
-          6).as("est_raw"))
-  }
+        round(estExpr(col("sum_pow")), 6).as("est_raw"))
 
   /** Small-range (linear-counting) correction — apply downstream when
     * untouched buckets remain and the raw estimate is under 2.5m. Uses

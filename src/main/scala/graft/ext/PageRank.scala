@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Integer PageRank — entity-importance scoring over a relationship
+  * graph (which duplicate to keep, which supplier/domain to trust,
+  * importance-weighted corpus sampling). Fixed-point integer
+  * arithmetic: ranks carry six implied decimal digits (R0 = 1e6), the
+  * damping step is `150000 + (Σ contrib · 85) div 100`, and per-edge
+  * contributions are `rank div out-degree` — every operation exact and
+  * engine-replayable, unlike float PageRank whose reduction order
+  * changes low bits per run.
+  *
+  * Scale design: each iteration is one join of the rank table to the
+  * edge list (shuffle on src) plus one aggregation (shuffle on dst) —
+  * the standard message-passing shape of [[ConnectedComponents]]; the
+  * rank table is one row per vertex. Iterations localCheckpoint so the
+  * loop's lineage stays flat. Floor division leaks ≤ deg·1 rank mass
+  * per vertex per round — negligible at 1e6 scale and identical in any
+  * engine.
+  *
+  * Contract: `edges` (src, dst) is treated as-is (direction matters;
+  * pass both directions for an undirected graph); vertices = nodes
+  * appearing in the edge list; every src therefore has out-degree ≥ 1
+  * (no dangling-mass redistribution needed).
+  */
+object PageRank {
+
+  /** (id, rank) after `iters` damped rounds from R0 = 1e6. */
+  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // degree rides with the edge list across all iterations
+    val ed = e.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var r = vertices.select(col("id"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(r, ed("src") === r("id"))
+        .select(col("dst"), expr("rank DIV deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      r = vertices.join(contrib, vertices("id") === contrib("dst"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("coalesce(m, 0L) * 85 DIV 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    r
+  }
+}

@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{Hll, PageRank}
+import graft.operators.{AnomalyDetect, PowerHistogram}
+
+/** Monitoring/estimation analytics: sliding-window anomaly scoring
+  * (q81), HLL-sketch join-cardinality estimation (q82), power-of-two
+  * quantile histogram (q83), and integer PageRank entity importance
+  * (q84). Every output is either exact integers or one mirrored double
+  * expression over exact integer/decimal state.
+  */
+object AnalyticsQueries {
+
+  /** q81: per-user sliding z-score over the previous 8 events — emit
+    * events that sit more than 2.5 sample stddevs from their own key's
+    * trailing mean (min 4 prior events). Decimal moments inside the
+    * frame; one mirrored double z expression. */
+  def q81Anomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.loadEvents(s, dir)
+      .select($"event_id", $"user_id", $"us", $"value")
+    AnomalyDetect.slidingZScore(e, $"user_id", Seq($"us", $"event_id"),
+        $"value", lookback = 8, minPrev = 4)
+      .filter(abs($"z") > 2.5)
+      .select($"event_id", $"user_id", $"us", $"n_prev", $"z")
+      .orderBy($"event_id")
+  }
+
+  val q81Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+      |  CAST(value AS DECIMAL(12,2)) AS x,
+      |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS xd FROM events),
+      |w AS (SELECT event_id, user_id, us, xd,
+      |    CAST(COUNT(x) OVER f AS BIGINT) AS n_prev,
+      |    CAST(SUM(x) OVER f AS DOUBLE) AS s,
+      |    CAST(SUM(x*x) OVER f AS DOUBLE) AS ss
+      |  FROM e WINDOW f AS (PARTITION BY user_id ORDER BY us, event_id
+      |                      ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+      |z AS (SELECT *, CASE WHEN n_prev >= 4
+      |    AND (ss - s*s/CAST(n_prev AS DOUBLE))/(CAST(n_prev AS DOUBLE) - 1.0) > 0.0
+      |  THEN round((xd - s/CAST(n_prev AS DOUBLE))
+      |    / sqrt((ss - s*s/CAST(n_prev AS DOUBLE))/(CAST(n_prev AS DOUBLE) - 1.0)), 6)
+      |  END AS z FROM w)
+      |SELECT event_id, user_id, us, n_prev, z FROM z
+      |WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin
+
+  /** q82: join-cardinality estimation from HLL sketches — |A|, |B| and
+    * |A∪B| from registers (union = elementwise max), |A∩B| by
+    * inclusion-exclusion, next to the exact intersection. The planning
+    * primitive for join sizing at 100 TB: sketches are built in one
+    * pass per side and merged in constant space. */
+  def q82JoinCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = Tables.load(s, dir, "orders").select($"o_custkey".as("k"))
+    val b = Tables.load(s, dir, "customer").select($"c_custkey".as("k"))
+    val ra = Hll.registers(a, $"k").localCheckpoint(false)
+    val rb = Hll.registers(b, $"k").localCheckpoint(false)
+    val rm = ra.select($"bucket", $"r".as("ra"))
+      .join(rb.select($"bucket", $"r".as("rb")), "bucket")
+      .select(greatest($"ra", $"rb").as("r"))
+    val spa = Hll.sumPow(ra).select($"sum_pow".as("sp_a"))
+    val spb = Hll.sumPow(rb).select($"sum_pow".as("sp_b"))
+    val spu = Hll.sumPow(rm).select($"sum_pow".as("sp_u"))
+    val exact = a.distinct().join(b.distinct(), "k")
+      .agg(count(lit(1)).as("exact_intersect"))
+    spa.crossJoin(spb).crossJoin(spu).crossJoin(exact)
+      .select(
+        round(Hll.estExpr($"sp_a"), 6).as("est_a"),
+        round(Hll.estExpr($"sp_b"), 6).as("est_b"),
+        round(Hll.estExpr($"sp_u"), 6).as("est_union"),
+        round(Hll.estExpr($"sp_a") + Hll.estExpr($"sp_b") - Hll.estExpr($"sp_u"), 6)
+          .as("est_intersect"),
+        $"exact_intersect")
+  }
+
+  /** DuckDB register chain for one key source (mirrors Hll.registers +
+    * sumPow). */
+  private def regChainSql(p: String, from: String, keyVarchar: String): String =
+    s"""${p}p0 AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(generate_series(1, length($keyVarchar)),
+       |      i -> CAST(unicode(substr($keyVarchar, i, 1)) AS BIGINT))),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS p FROM $from),
+       |${p}f1 AS (SELECT xor(p, p >> 16) AS h FROM ${p}p0),
+       |${p}f2 AS (SELECT (h * 2246822507) % 2147483648 AS h FROM ${p}f1),
+       |${p}f3 AS (SELECT xor(h, h >> 13) AS h FROM ${p}f2),
+       |${p}f4 AS (SELECT (h * 3266489909) % 2147483648 AS h FROM ${p}f3),
+       |${p}h AS (SELECT xor(h, h >> 16) AS h FROM ${p}f4),
+       |${p}br AS (SELECT h % 256 AS bucket,
+       |  CASE WHEN h // 256 = 0 THEN CAST(24 AS BIGINT)
+       |       ELSE 24 - CAST(length(bin(h // 256)) AS BIGINT) END AS rho FROM ${p}h),
+       |${p}hit AS (SELECT bucket, MAX(rho) AS max_rho FROM ${p}br GROUP BY bucket),
+       |${p}reg AS (SELECT g.bucket, COALESCE(${p}hit.max_rho, 0) AS r
+       |  FROM (SELECT unnest(generate_series(0, 255)) AS bucket) g
+       |  LEFT JOIN ${p}hit ON g.bucket = ${p}hit.bucket),
+       |${p}sp AS (SELECT CAST(SUM(1::BIGINT << CAST(32 - r AS INT)) AS BIGINT) AS sum_pow
+       |  FROM ${p}reg)""".stripMargin
+
+  private val estSql =
+    "0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE) * 65536.0::DOUBLE" +
+      " / (CAST(%s AS DOUBLE) / 4294967296.0::DOUBLE)"
+
+  val q82Sql: String = {
+    val eA = estSql.format("asp.sum_pow")
+    val eB = estSql.format("bsp.sum_pow")
+    val eU = estSql.format("usp.sum_pow")
+    s"""WITH ${regChainSql("a", "orders", "CAST(o_custkey AS VARCHAR)")},
+       |${regChainSql("b", "customer", "CAST(c_custkey AS VARCHAR)")},
+       |ureg AS (SELECT a.bucket, greatest(a.r, b.r) AS r
+       |  FROM areg a JOIN breg b ON a.bucket = b.bucket),
+       |usp AS (SELECT CAST(SUM(1::BIGINT << CAST(32 - r AS INT)) AS BIGINT) AS sum_pow
+       |  FROM ureg),
+       |ex AS (SELECT COUNT(*) AS exact_intersect
+       |  FROM (SELECT DISTINCT o_custkey AS k FROM orders) x
+       |  JOIN (SELECT DISTINCT c_custkey AS k FROM customer) y USING (k))
+       |SELECT round($eA, 6) AS est_a, round($eB, 6) AS est_b,
+       |  round($eU, 6) AS est_union,
+       |  round($eA + $eB - $eU, 6) AS est_intersect,
+       |  ex.exact_intersect
+       |FROM asp, bsp, usp, ex""".stripMargin
+  }
+
+  /** q83: power-of-two quantile histogram of price cents — ≤64 integer
+    * counters with bounded RELATIVE error; p50/p95 read off the
+    * cumulative walk. The fixed-size replacement for exact rank
+    * percentiles (q54) when a sort is off the table. */
+  def q83PowerHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    PowerHistogram.bitLenHistogram(Tables.load(s, dir, "lineitem"), cents)
+      .orderBy($"bucket")
+  }
+
+  val q83Sql: String =
+    """WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      |  FROM lineitem),
+      |h AS (SELECT CAST(length(bin(v)) AS BIGINT) AS bucket, COUNT(*) AS n FROM c GROUP BY bucket),
+      |w AS (SELECT *,
+      |    CAST(SUM(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(SUM(n) OVER () AS BIGINT) AS total FROM h)
+      |SELECT bucket,
+      |  (1::BIGINT << CAST(bucket - 1 AS INT)) AS lo,
+      |  (1::BIGINT << CAST(bucket AS INT)) - 1 AS hi,
+      |  n, cum,
+      |  CAST(CASE WHEN cum - n < (total*50+99)//100 AND (total*50+99)//100 <= cum
+      |       THEN 1 ELSE 0 END AS INT) AS is_p50,
+      |  CAST(CASE WHEN cum - n < (total*95+99)//100 AND (total*95+99)//100 <= cum
+      |       THEN 1 ELSE 0 END AS INT) AS is_p95
+      |FROM w ORDER BY bucket""".stripMargin
+
+  /** q84: integer PageRank over the customer↔supplier purchase graph
+    * (both directions; node ids disambiguated even/odd). Two damped
+    * rounds; top 30 by rank. Exact fixed-point arithmetic — identical
+    * in any engine, unlike float PageRank. */
+  def q84PageRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      .join(Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct()
+    val edges = base.select($"c".as("src"), $"s".as("dst"))
+      .unionByName(base.select($"s".as("src"), $"c".as("dst")))
+    PageRank.ranks(edges, iters = 2)
+      .orderBy($"rank".desc, $"id")
+      .limit(30)
+  }
+
+  val q84Sql: String =
+    """WITH base AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS s
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |e AS (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
+      |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      |m1 AS (SELECT e.dst, SUM(CAST(1000000 AS BIGINT) // d.deg) AS m
+      |  FROM e JOIN deg d ON e.src = d.src GROUP BY e.dst),
+      |r1 AS (SELECT v.id, 150000 + CAST(COALESCE(m1.m, 0) * 85 // 100 AS BIGINT) AS rank
+      |  FROM v LEFT JOIN m1 ON v.id = m1.dst),
+      |m2 AS (SELECT e.dst, SUM(r1.rank // d.deg) AS m
+      |  FROM e JOIN deg d ON e.src = d.src JOIN r1 ON e.src = r1.id GROUP BY e.dst),
+      |r2 AS (SELECT v.id, 150000 + CAST(COALESCE(m2.m, 0) * 85 // 100 AS BIGINT) AS rank
+      |  FROM v LEFT JOIN m2 ON v.id = m2.dst)
+      |SELECT id, rank FROM r2 ORDER BY rank DESC, id LIMIT 30""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_anomaly" -> (q81Anomaly _),
+    "q82_join_card" -> (q82JoinCard _),
+    "q83_power_hist" -> (q83PowerHist _),
+    "q84_pagerank" -> (q84PageRank _))
+
+  val oracle: Map[String, String] = Map(
+    "q81_anomaly" -> q81Sql,
+    "q82_join_card" -> q82Sql,
+    "q83_power_hist" -> q83Sql,
+    "q84_pagerank" -> q84Sql)
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.ext.{Hll, PageRank}
+import graft.operators.{AnomalyDetect, PowerHistogram}
+import org.apache.spark.sql.functions._
+
+/** Specs for the analytics operators: sliding z-score anomaly
+  * detection, HLL join-cardinality estimation, power-of-two quantile
+  * histogram, integer PageRank. */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sliding z-score flags the spike, not the steady state") {
+    // key 1: eight 10.0s, then 100.0 (spike), then 10.0 again
+    val rows = ((1 to 8).map(i => (1L, i.toLong, 10.0)) ++
+      Seq((1L, 9L, 100.0), (1L, 10L, 10.0))).toDF("k", "t", "v")
+    val out = AnomalyDetect.slidingZScore(rows, $"k", Seq($"t"), $"v",
+        lookback = 8, minPrev = 4)
+      .select($"t", $"z").as[(Long, Option[Double])].collect().toMap
+    // constant trailing window -> zero variance -> null z
+    assert((1L to 8L).forall(out(_).isEmpty))
+    assert(out(9L).isEmpty, "spike's own window is constant -> no z")
+    // row 10's window now contains the spike: variance > 0, z defined
+    // and small (10.0 is close to the window mean's low side)
+    assert(out(10L).isDefined)
+  }
+
+  test("sliding z-score needs minPrev trailing events") {
+    val rows = Seq((1L, 1L, 1.0), (1L, 2L, 5.0), (1L, 3L, 2.0), (1L, 4L, 9.0),
+      (1L, 5L, 3.0)).toDF("k", "t", "v")
+    val out = AnomalyDetect.slidingZScore(rows, $"k", Seq($"t"), $"v",
+        lookback = 8, minPrev = 4)
+      .select($"t", $"n_prev", $"z").as[(Long, Long, Option[Double])].collect()
+    out.foreach { case (t, nPrev, z) =>
+      assert(nPrev == t - 1)
+      if (nPrev < 4) assert(z.isEmpty, s"t=$t must not be scored with $nPrev prior")
+    }
+  }
+
+  test("hll join-cardinality estimates track the exact sizes (n >> m regime)") {
+    // two overlapping 2000-key sets, true intersection 1000 — well
+    // above 2.5m so the raw estimate applies without correction
+    val a = spark.range(0, 2000).select($"id".as("k"))
+    val b = spark.range(1000, 3000).select($"id".as("k"))
+    val ra = Hll.registers(a, $"k")
+    val rb = Hll.registers(b, $"k")
+    val rm = ra.select($"bucket", $"r".as("ra"))
+      .join(rb.select($"bucket", $"r".as("rb")), "bucket")
+      .select(greatest($"ra", $"rb").as("r"))
+    def est(reg: org.apache.spark.sql.DataFrame): Double =
+      Hll.sumPow(reg).select(Hll.estExpr($"sum_pow")).as[Double].head()
+    val (estA, estB, estU) = (est(ra), est(rb), est(rm))
+    assert(math.abs(estA - 2000) / 2000 < 0.26, s"est_a $estA")
+    assert(math.abs(estU - 3000) / 3000 < 0.26, s"est_union $estU")
+    // inclusion-exclusion compounds three estimates' errors
+    val estI = estA + estB - estU
+    assert(math.abs(estI - 1000) / 1000 < 0.6, s"est_intersect $estI")
+    // and the q82 output row stays internally consistent at sf0.001
+    val (qa, qb, qu, _, exact) = graft.queries.AnalyticsQueries.q82JoinCard(spark, sf)
+      .as[(Double, Double, Double, Double, Long)].head()
+    assert(exact == 150L)
+    assert(qu <= qa + qb)
+  }
+
+  test("power histogram partitions the value range and marks quantiles") {
+    // values 1..1000: bit-length buckets 1..10; p50 target rank 500
+    // falls in bucket 9 (256..511), p95 rank 950 in bucket 10
+    val df = spark.range(1, 1001).select($"id".as("v"))
+    val h = PowerHistogram.bitLenHistogram(df, $"v").orderBy($"bucket")
+      .select($"bucket", $"lo", $"hi", $"n", $"cum", $"is_p50", $"is_p95")
+      .as[(Long, Long, Long, Long, Long, Int, Int)].collect()
+    assert(h.map(_._4).sum == 1000, "counts cover every row")
+    h.foreach { case (b, lo, hi, n, _, _, _) =>
+      assert(lo == (1L << (b - 1)) && hi == (1L << b) - 1)
+      assert(n == math.min(hi, 1000L) - lo + 1, s"bucket $b holds its full range")
+    }
+    assert(h.filter(_._6 == 1).map(_._1).toSeq == Seq(9L), "p50 in [256,511]")
+    assert(h.filter(_._7 == 1).map(_._1).toSeq == Seq(10L), "p95 in [512,1023]")
+  }
+
+  test("pagerank ranks the hub of a star above the leaves, deterministically") {
+    // star: hub 0 <-> leaves 1..6 (both directions)
+    val base = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
+    val edges = base.unionByName(base.select($"dst".as("src"), $"src".as("dst")))
+    val r = PageRank.ranks(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(i => r(0L) > r(i)), s"hub must outrank leaves: $r")
+    assert((1L to 6L).map(r).distinct.size == 1, "leaves are symmetric")
+    val r2 = PageRank.ranks(edges, iters = 2).as[(Long, Long)].collect().toMap
+    assert(r === r2, "integer pagerank must be bit-deterministic")
+  }
+
+  test("pagerank matches an exact in-memory reference on an irregular graph") {
+    def ref(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var r = vs.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val m = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        edges.foreach { case (s, d) => m(d) += r(s) / deg(s) }
+        r = vs.map(v => v -> (150000L + m(v) * 85L / 100L)).toMap
+      }
+      r
+    }
+    // irregular digraph with a cycle, a chord, and asymmetric degrees
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (3L, 0L), (2L, 3L))
+    val got = PageRank.ranks(es.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === ref(es, 3))
+  }
+}
