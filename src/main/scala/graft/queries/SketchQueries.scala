@@ -154,15 +154,49 @@ object SketchQueries {
       |WHERE c.cnt * 64 > t.total
       |ORDER BY cnt DESC, token""".stripMargin
 
+  /** q85: PER-GROUP heavy hitters via the native Misra-Gries typed
+    * aggregate ([[graft.functions.MisraGriesAgg]]): one k-counter
+    * sketch per (lang) group rides the partial-aggregation tree, the
+    * merged candidates are exactly recounted, and the threshold keeps
+    * tokens with in-group count·32 > N_group — deterministic by the
+    * mergeable-summaries superset guarantee, so the oracle is the
+    * plain per-group GROUP BY HAVING. */
+  def q85GroupHeavy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.load(s, dir, "documents")
+      .select($"lang", explode(graft.functions.TextFunctions.tokens($"text")).as("token"))
+    val cand = toks.groupBy($"lang")
+      .agg(graft.functions.MgFunctions.mgCandidates($"token", 32).as("cand"))
+      .select($"lang", explode($"cand").as("token"))
+    val totals = toks.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+    toks.join(broadcast(cand), Seq("lang", "token"), "left_semi")
+      .groupBy($"lang", $"token").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), "lang")
+      .filter($"cnt" * 32 > $"n_lang")
+      .select($"lang", $"token", $"cnt", $"n_lang")
+      .orderBy($"lang", $"cnt".desc, $"token")
+  }
+
+  val q85Sql: String =
+    """WITH toks AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |t AS (SELECT lang, COUNT(*) AS n_lang FROM toks GROUP BY lang),
+      |c AS (SELECT lang, token, COUNT(*) AS cnt FROM toks GROUP BY lang, token)
+      |SELECT c.lang, c.token, c.cnt, t.n_lang FROM c JOIN t USING (lang)
+      |WHERE c.cnt * 32 > t.n_lang
+      |ORDER BY lang, cnt DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_kmeans" -> (q77Kmeans _),
     "q78_hll" -> (q78Hll _),
     "q79_passage_dedup" -> (q79PassageDedup _),
-    "q80_heavy_hitters" -> (q80HeavyHitters _))
+    "q80_heavy_hitters" -> (q80HeavyHitters _),
+    "q85_group_heavy" -> (q85GroupHeavy _))
 
   val oracle: Map[String, String] = Map(
     "q77_kmeans" -> q77Sql,
     "q78_hll" -> q78Sql,
     "q79_passage_dedup" -> q79Sql,
-    "q80_heavy_hitters" -> q80Sql)
+    "q80_heavy_hitters" -> q80Sql,
+    "q85_group_heavy" -> q85Sql)
 }

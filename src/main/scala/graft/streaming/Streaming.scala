@@ -248,4 +248,52 @@ object Streaming {
           out.iterator
       }
   }
+
+  final case class AnomEvent(key: Long, us: Long, eventId: Long, cents: Long)
+  final case class AnomScore(key: Long, eventId: Long, us: Long,
+    nPrev: Long, z: Option[Double])
+  final case class AnomState(ring: Seq[Long])
+
+  /** Streaming twin of [[graft.operators.AnomalyDetect.slidingZScore]]:
+    * each key's trailing `lookback` values ride in the state store as
+    * exact integer cents (bounded state: `lookback` longs per key), and
+    * every arriving event is z-scored against them with the SAME
+    * arithmetic as the batch window — integer sums divided once, so
+    * batch and stream agree bit-for-bit (spec-checked). Within a
+    * micro-batch, events fold in (us, eventId) order; per-key arrival
+    * across batches must respect event order (the same contract as
+    * [[asofStream]]). */
+  def anomalyStream(
+      ds: Dataset[AnomEvent], lookback: Int = 8, minPrev: Int = 4): Dataset[AnomScore] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[AnomEvent], state: GroupState[AnomState]) =>
+          var ring = state.getOption.map(_.ring).getOrElse(Seq.empty[Long])
+          val out = rows.toSeq.sortBy(e => (e.us, e.eventId)).map { e =>
+            val n = ring.size
+            val z = if (n >= minPrev) {
+              // exact integer moments; each divided ONCE into double —
+              // the identical structure (hence identical bits) as the
+              // batch frame's decimal sums cast to double
+              val sumC = ring.sum
+              val sumSq = ring.iterator.map(c => c * c).sum
+              val s = sumC.toDouble / 100.0
+              val ss = sumSq.toDouble / 10000.0
+              val nD = n.toDouble
+              val mean = s / nD
+              val v = (ss - s * s / nD) / (nD - 1.0)
+              if (v > 0.0) {
+                val xd = e.cents.toDouble / 100.0
+                Some(BigDecimal((xd - mean) / math.sqrt(v))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              } else None
+            } else None
+            ring = (ring :+ e.cents).takeRight(lookback)
+            AnomScore(key, e.eventId, e.us, n, z)
+          }
+          state.update(AnomState(ring))
+          out.iterator
+      }
+  }
 }

@@ -112,6 +112,35 @@ class SketchOpsSpec extends SparkSpec {
     assert(cand.size <= 10)
   }
 
+  test("native mg_candidates aggregate keeps per-group heavy hitters across partial merges") {
+    import graft.functions.MgFunctions
+    // 40 partitions force many partial-aggregation merges; "hot" is
+    // heavy in group a (60 of 100), "warm" heavy in b (30 of 40)
+    val rows = (Seq.fill(60)(("a", "hot")) ++ (1 to 40).map(i => ("a", s"cold$i")) ++
+      Seq.fill(30)(("b", "warm")) ++ (1 to 10).map(i => ("b", s"rare$i")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(scala.util.Random.shuffle(rows), 40))
+      .toDF("g", "token")
+    val cand = df.groupBy($"g")
+      .agg(MgFunctions.mgCandidates($"token", 8).as("cand"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(cand("a").contains("hot"), "count 60 > 100/8 must survive group a")
+    assert(cand("b").contains("warm"), "count 30 > 40/8 must survive group b")
+    assert(cand.values.forall(_.size <= 7), "at most k-1 candidates per group")
+  }
+
+  test("mg_candidates serialization roundtrips the sketch buffer") {
+    val agg = graft.functions.MisraGriesAgg(
+      org.apache.spark.sql.GraftShim.expression($"x"), k = 4)
+    val buf = agg.createAggregationBuffer()
+    Seq("a", "b", "a", "c", "a").foreach { s =>
+      buf.update(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        buf.getOrElse(org.apache.spark.unsafe.types.UTF8String.fromString(s), 0L) + 1)
+    }
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back === buf)
+  }
+
   test("exact heavy hitters equal the plain group-by") {
     val tokens = Tables.load(spark, sf, "documents")
       .select(explode(graft.functions.TextFunctions.tokens($"text")).as("token"))

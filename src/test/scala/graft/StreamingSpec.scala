@@ -198,4 +198,36 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(2L, 5L),
       s"expected known-corpus (1), in-batch dup (3), cross-batch dup (4) dropped; got $ids")
   }
+
+  test("streaming anomaly scores bit-match the batch window across micro-batches") {
+    import Streaming.{AnomEvent, AnomScore}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two keys, varied values in cents; a spike at event 108
+    val cents = Seq(1000L, 1200L, 900L, 1100L, 1050L, 980L, 1020L, 9000L, 1010L, 995L)
+    val evs = cents.zipWithIndex.map { case (c, i) =>
+      AnomEvent(key = 1L, us = 100L + i, eventId = 100L + i, cents = c)
+    } ++ Seq(AnomEvent(2L, 10L, 200L, 500L), AnomEvent(2L, 20L, 201L, 700L),
+      AnomEvent(2L, 30L, 202L, 600L), AnomEvent(2L, 40L, 203L, 800L),
+      AnomEvent(2L, 50L, 204L, 650L))
+    val input = MemoryStream[AnomEvent]
+    val q = Streaming.anomalyStream(input.toDS(), lookback = 4, minPrev = 3)
+      .writeStream.format("memory").queryName("anom_out").outputMode("append").start()
+    try {
+      val (first, second) = evs.partition(_.eventId < 107L)
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(second: _*) // ring state must carry across the batch gap
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("anom_out").as[AnomScore].collect()
+      .map(s => s.eventId -> ((s.nPrev, s.z))).toMap
+    val batch = graft.operators.AnomalyDetect.slidingZScore(
+        evs.map(e => (e.key, e.us, e.eventId, e.cents / 100.0)).toDF("k", "us", "event_id", "v"),
+        $"k", Seq($"us", $"event_id"), $"v", lookback = 4, minPrev = 3)
+      .select($"event_id", $"n_prev", $"z")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(streamed === batch, "stream and batch must agree exactly")
+    assert(streamed(107L)._2.exists(z => z > 2.0), "the spike must be flagged")
+  }
 }
