@@ -249,6 +249,29 @@ object Streaming {
       }
   }
 
+  /** Watermarked stream-stream interval join (click attribution):
+    * every impression matched to the clicks of the same user within 30
+    * minutes after it — Spark's symmetric-hash stream-stream join, with
+    * BOTH sides watermarked and the time-bound condition letting the
+    * state store evict rows once the interval can no longer match.
+    * Inner join ⇒ output equals the batch join of the same data
+    * (spec-checked); state per side is bounded by watermark + interval.
+    *
+    * Expects `imps(imp_id, user_id, imp_ts)` and
+    * `clicks(click_id, user_id, click_ts)` with timestamp columns. */
+  def attributionJoin(imps: DataFrame, clicks: DataFrame,
+      delay: String = "10 minutes"): DataFrame = {
+    val i = imps.withWatermark("imp_ts", delay)
+    val c = clicks.withColumnRenamed("user_id", "click_user")
+      .withWatermark("click_ts", delay)
+    i.join(c,
+      expr("""user_id = click_user AND
+              click_ts >= imp_ts AND
+              click_ts <= imp_ts + INTERVAL 30 MINUTES"""))
+      .select(col("imp_id"), col("user_id"), col("imp_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   final case class AnomEvent(key: Long, us: Long, eventId: Long, cents: Long)
   final case class AnomScore(key: Long, eventId: Long, us: Long,
     nPrev: Long, z: Option[Double])

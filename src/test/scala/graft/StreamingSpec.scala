@@ -199,6 +199,38 @@ class StreamingSpec extends SparkSpec {
       s"expected known-corpus (1), in-batch dup (3), cross-batch dup (4) dropped; got $ids")
   }
 
+  test("stream-stream attribution join matches the batch interval join") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // away from epoch 0: the initial watermark IS 1970-01-01, and rows
+    // at-or-before the watermark are dropped as late
+    def ts(min: Long) = new java.sql.Timestamp(1600000000000L + min * 60000L)
+    val impsIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clicksIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val imps = impsIn.toDF().toDF("imp_id", "user_id", "imp_ts")
+    val clicks = clicksIn.toDF().toDF("click_id", "user_id", "click_ts")
+    val q = Streaming.attributionJoin(imps, clicks)
+      .writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    try {
+      impsIn.addData((1L, 7L, ts(0)), (2L, 7L, ts(100)), (3L, 8L, ts(0)))
+      clicksIn.addData((10L, 7L, ts(10)))             // in window of imp 1
+      q.processAllAvailable()
+      clicksIn.addData((11L, 7L, ts(110)),            // in window of imp 2 only
+        (12L, 8L, ts(200)), (13L, 9L, ts(5)))         // 12 too late, 13 no imp
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_out")
+      .select($"imp_id", $"click_id").as[(Long, Long)].collect().toSet
+    // batch reference on the same rows
+    val bi = Seq((1L, 7L, ts(0)), (2L, 7L, ts(100)), (3L, 8L, ts(0)))
+      .toDF("imp_id", "user_id", "imp_ts")
+    val bc = Seq((10L, 7L, ts(10)), (11L, 7L, ts(110)), (12L, 8L, ts(200)), (13L, 9L, ts(5)))
+      .toDF("click_id", "click_user", "click_ts")
+    val expected = bi.join(bc, expr(
+        "user_id = click_user AND click_ts >= imp_ts AND click_ts <= imp_ts + INTERVAL 30 MINUTES"))
+      .select($"imp_id", $"click_id").as[(Long, Long)].collect().toSet
+    assert(got === expected && got === Set((1L, 10L), (2L, 11L)))
+  }
+
   test("streaming anomaly scores bit-match the batch window across micro-batches") {
     import Streaming.{AnomEvent, AnomScore}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
