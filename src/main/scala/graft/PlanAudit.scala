@@ -16,11 +16,13 @@ import org.apache.spark.sql.execution.ExplainMode
   * BNLJ = the 64-row dim-min/max final aggregate and its one-row
   * broadcast cross join back onto the corpus; q66 BNLJ = the nClusters-
   * row seed table broadcast-crossed with the query set for probe
-  * ranking; q78/q80/q82 SinglePartition + BNLJ = one-row summary
-  * aggregates (256 HLL registers / the total token count / per-side
-  * sketch sums) cross-joined back as broadcast scalars; q83
+  * ranking; q78/q80/q82/q86 SinglePartition + BNLJ = one-row summary
+  * aggregates (256 HLL registers / total token count / sketch sums /
+  * corpus bigram total) cross-joined back as broadcast scalars; q83
   * SinglePartition = the cumulative walk over the ≤64-row histogram,
-  * not the data. Anything new deserves a look at the query.
+  * not the data; q87 BNLJ = the broadcast query set under the
+  * label-inequality condition (the q22/q56 class).
+  * Anything new deserves a look at the query.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

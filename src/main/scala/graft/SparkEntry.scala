@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.CorpusQueries.queries ++ graft.queries.MoreRelational.queries ++
       graft.queries.ScaleQueries.queries ++ graft.queries.StatsQueries.queries ++
       graft.queries.CurationQueries.queries ++ graft.queries.LayoutQueries.queries ++
-      graft.queries.SketchQueries.queries ++ graft.queries.AnalyticsQueries.queries
+      graft.queries.SketchQueries.queries ++ graft.queries.AnalyticsQueries.queries ++
+      graft.queries.MiningQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.Reference.oracle ++
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.CorpusQueries.oracle ++ graft.queries.MoreRelational.oracle ++
       graft.queries.ScaleQueries.oracle ++ graft.queries.StatsQueries.oracle ++
       graft.queries.CurationQueries.oracle ++ graft.queries.LayoutQueries.oracle ++
-      graft.queries.SketchQueries.oracle ++ graft.queries.AnalyticsQueries.oracle
+      graft.queries.SketchQueries.oracle ++ graft.queries.AnalyticsQueries.oracle ++
+      graft.queries.MiningQueries.oracle
 }

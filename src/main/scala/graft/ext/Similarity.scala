@@ -132,6 +132,35 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Hard-negative mining — for each query vector, the top-k most
+    * similar candidates with a DIFFERENT label (the contrastive-
+    * training data op: the negatives that look most like positives are
+    * the ones worth training on). Same broadcast-queries/stream-
+    * candidates shape as [[bruteForceTopK]] with the label inequality
+    * fused into the join condition, so cross-label pairs are never
+    * materialized; the LSH/IVF candidate paths compose in front of it
+    * the same way they do for top-k. */
+  def hardNegatives(
+      candidates: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(candidates.sparkSession)
+    val cand = candidates.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"), vecD(col(vecCol)).as("ce"))
+      .withColumn("cnrm", norm(col("ce")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"), vecD(col(vecCol)).as("qe"))
+      .withColumn("qnrm", norm(col("qe")))
+    val scored = cand.join(broadcast(q), col("neighbor_label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"),
+        (dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label", "rank", "cos")
+  }
+
   /** Embedding near-dup at scale: multi-table LSH candidates (narrow
     * tables unioned — same layout as [[approxTopK]]) verified with the
     * exact cosine, keeping only pairs ≥ `minCos`. Precision is exact

@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Integer surprisal scoring — a language-model quality filter (the
+  * CCNet/KenLM perplexity gate of production curation pipelines)
+  * rebuilt on exact integer arithmetic: the corpus itself is the LM
+  * (token-bigram counts), and a document's surprisal is
+  *
+  *   Σ_bigrams bitlen(N) − bitlen(count(bigram))   ≈ Σ log2(N / c)
+  *
+  * — the bit-length difference is an integer ceiling-log2 of the
+  * inverse probability, so common phrasing scores low and improbable
+  * token sequences score high, with NO floating logs (libm-free, hence
+  * bit-identical in any engine; real log2 would differ in the last ulp
+  * and break replay).
+  *
+  * Scale design: one aggregation builds the bigram table (vocabulary-
+  * sized, not corpus-sized), one join scores every occurrence, one
+  * aggregation folds per document. The bigram table is corpus-global
+  * state the same way [[Quantize]]'s min/max row is — at 100 TB it is
+  * the only thing that crosses stages, and it can be broadcast when
+  * the vocabulary is small.
+  */
+object SurprisalScore {
+
+  /** (id, g): every adjacent token-bigram occurrence (duplicates kept —
+    * counts, not sets, make a language model). */
+  private def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    df.select(col(idCol).as("id"),
+        explode(when(size(toks) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(toks) - 2),
+            i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))))
+          .as("g"))
+  }
+
+  /** Per-document integer surprisal: (id, n_bigrams, surprisal_bits,
+    * millibits_per_gram = surprisal·1000 div n). Documents with < 2
+    * tokens score null bits (no evidence). */
+  def tokenBigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = bigrams(df, idCol, textCol)
+    val counts = occ.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n_total"))
+    val scored = occ.join(counts, "g")
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(length(bin(col("n_total"))).cast("long") - length(bin(col("c"))).cast("long"))
+          .as("surprisal_bits"))
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("surprisal_bits"),
+        expr("CASE WHEN n_bigrams > 0 THEN surprisal_bits * 1000 DIV n_bigrams END")
+          .as("millibits_per_gram"))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.ext.{Similarity, SurprisalScore}
+import org.apache.spark.sql.functions._
+
+/** Specs for the training-data mining operators: surprisal scoring and
+  * hard-negative mining. */
+class MiningOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("surprisal charges rare bigrams more bits than common ones") {
+    // "x y" appears once; "a b" appears 8 times across docs
+    val docs = ((1 to 8).map(i => (i.toLong, "a b")) :+ (9L, "x y")).toDF("doc_id", "text")
+    val out = SurprisalScore.tokenBigramSurprisal(docs, "doc_id", "text")
+      .select($"id", $"surprisal_bits").as[(Long, Option[Long])].collect().toMap
+    // N=9 (bitlen 4): common bigram c=8 (bitlen 4) -> 0 bits;
+    // rare c=1 (bitlen 1) -> 3 bits
+    assert(out(1L) === Some(0L))
+    assert(out(9L) === Some(3L))
+  }
+
+  test("surprisal gives no score to documents without a bigram") {
+    val docs = Seq((1L, "solo"), (2L, "two tokens here")).toDF("doc_id", "text")
+    val out = SurprisalScore.tokenBigramSurprisal(docs, "doc_id", "text")
+      .select($"id", $"n_bigrams", $"millibits_per_gram")
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 == 0L && out(1L)._2.isEmpty)
+    assert(out(2L)._1 == 2L && out(2L)._2.isDefined)
+  }
+
+  test("hard negatives only ever pair across labels, ranked by cosine") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val out = Similarity.hardNegatives(emb, emb.filter($"vec_id" < 5),
+        "vec_id", "embedding", "label", k = 5).cache()
+    assert(out.filter($"query_label" === $"neighbor_label").isEmpty,
+      "a hard negative must have a different label")
+    assert(out.groupBy($"query_id").count().filter($"count" =!= 5).isEmpty)
+    // rank 1 must dominate every same-query cosine
+    val bad = out.as("a").join(out.as("b"),
+      $"a.query_id" === $"b.query_id" && $"a.rank" < $"b.rank" && $"a.cos" < $"b.cos")
+    assert(bad.isEmpty, "ranks must be cosine-descending")
+    out.unpersist()
+  }
+}
