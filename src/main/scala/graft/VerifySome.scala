@@ -1,5 +1,4 @@
 package graft
-import java.nio.file.{Files, Paths}
 /** Dev helper: Verify restricted to the named queries (fast iteration
   * on new operators — tools/check_oracle.py only checks result dirs
   * that exist). Usage: runMain graft.VerifySome <sfDir> <outDir> <q...> */
@@ -14,18 +13,7 @@ object VerifySome {
         .parquet(s"$outDir/$name")
       println(f"[verifysome] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Verify.writeOracleJson(outDir)
     spark.stop()
   }
 }

@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   * even though sketch contents depend on partitioning): if an item has
   * global count > N/k, then in at least one partition p its local count
   * exceeds N_p/k (otherwise summing the per-partition bounds gives
-  * count ≤ N/k, a contradiction), and Misra-Gries with k counters
-  * retains every item whose local count exceeds N_p/k (total decrement
-  * mass per counter is ≤ N_p/k). So the union of per-partition sketch
-  * keys contains every true heavy hitter; the exact recount then
-  * removes false candidates. The emitted rows therefore equal the
-  * plain `GROUP BY HAVING count·k > N` — which is exactly the oracle.
+  * count ≤ N/k, a contradiction), and a Misra-Gries summary of k−1
+  * counters retains every item whose local count exceeds N_p/k (each
+  * decrement step removes one unit from k counter slots at once, so at
+  * most N_p/k decrements ever hit any one item). So the union of
+  * per-partition sketch keys contains every true heavy hitter; the
+  * exact recount then removes false candidates. The emitted rows
+  * therefore equal the plain `GROUP BY HAVING count·k > N` — which is
+  * exactly the oracle.
   */
 object HeavyHitters {
 
@@ -54,9 +56,12 @@ object HeavyHitters {
     * and N. Composes lazily — no driver-side action. */
   def exactHeavy(tokens: DataFrame, k: Int): DataFrame = {
     import tokens.sparkSession.implicits._
-    val cand = candidates(tokens.select(col("token").as[String]), k)
-    val total = tokens.agg(count(lit(1)).as("total"))
-    tokens.join(broadcast(cand), Seq("token"), "left_semi")
+    // the exploded token scan feeds candidates, the total, AND the
+    // recount — checkpoint it so the explode runs once, not three times
+    val toks = tokens.localCheckpoint(false)
+    val cand = candidates(toks.select(col("token").as[String]), k)
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(broadcast(cand), Seq("token"), "left_semi")
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))
       .filter(col("cnt") * k > col("total"))

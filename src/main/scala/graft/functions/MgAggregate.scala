@@ -16,9 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Misra-Gries heavy-hitter candidates as a NATIVE Catalyst typed
   * aggregate — the per-GROUP form of [[graft.ext.HeavyHitters]]: k
-  * counters of constant state per group, updated map-side and merged
-  * with the Agarwal-et-al mergeable-summaries rule (sum, subtract the
-  * (k+1)-th largest, drop non-positive), so the guarantee composes
+  * counters of constant state per group (k−1 entries, like the classic
+  * sketch), updated map-side and merged with the Agarwal-et-al
+  * mergeable-summaries rule (sum counterparts, subtract the k-th
+  * largest count, drop non-positive), so the guarantee composes
   * through Spark's partial-aggregation tree: any value with in-group
   * count > N_group/k is present in the emitted candidate array. The
   * candidate set itself depends on partitioning (like any sketch);

@@ -77,8 +77,8 @@ object AnalyticsQueries {
   }
 
   /** DuckDB register chain for one key source (mirrors Hll.registers +
-    * sumPow). */
-  private def regChainSql(p: String, from: String, keyVarchar: String): String =
+    * sumPow). Shared with q78 — the hash chain must never fork. */
+  private[queries] def regChainSql(p: String, from: String, keyVarchar: String): String =
     s"""${p}p0 AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
        |    list_transform(generate_series(1, length($keyVarchar)),
        |      i -> CAST(unicode(substr($keyVarchar, i, 1)) AS BIGINT))),
@@ -98,7 +98,7 @@ object AnalyticsQueries {
        |${p}sp AS (SELECT CAST(SUM(1::BIGINT << CAST(32 - r AS INT)) AS BIGINT) AS sum_pow
        |  FROM ${p}reg)""".stripMargin
 
-  private val estSql =
+  private[queries] val estSql =
     "0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE) * 65536.0::DOUBLE" +
       " / (CAST(%s AS DOUBLE) / 4294967296.0::DOUBLE)"
 

@@ -77,31 +77,15 @@ object SketchQueries {
     est.crossJoin(broadcast(exact))
   }
 
+  // register chain + estimate expression shared with q82 (the hash
+  // chain and alpha formula must never fork between the two oracles)
   val q78Sql: String =
-    """WITH p0 AS (SELECT
-      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |     list_transform(generate_series(1, length(CAST(l_partkey AS VARCHAR))),
-      |       i -> CAST(unicode(substr(CAST(l_partkey AS VARCHAR), i, 1)) AS BIGINT))),
-      |     (acc, x) -> (acc * 31 + x) % 1000000007) AS p
-      |  FROM lineitem),
-      |f1 AS (SELECT xor(p, p >> 16) AS h FROM p0),
-      |f2 AS (SELECT (h * 2246822507) % 2147483648 AS h FROM f1),
-      |f3 AS (SELECT xor(h, h >> 13) AS h FROM f2),
-      |f4 AS (SELECT (h * 3266489909) % 2147483648 AS h FROM f3),
-      |h AS (SELECT xor(h, h >> 16) AS h FROM f4),
-      |br AS (SELECT h % 256 AS bucket,
-      |  CASE WHEN h // 256 = 0 THEN CAST(24 AS BIGINT)
-      |       ELSE 24 - CAST(length(bin(h // 256)) AS BIGINT) END AS rho FROM h),
-      |hit AS (SELECT bucket, MAX(rho) AS max_rho FROM br GROUP BY bucket),
-      |reg AS (SELECT g.bucket, COALESCE(hit.max_rho, 0) AS r
-      |  FROM (SELECT unnest(generate_series(0, 255)) AS bucket) g
-      |  LEFT JOIN hit ON g.bucket = hit.bucket),
+    s"""WITH ${AnalyticsQueries.regChainSql("", "lineitem", "CAST(l_partkey AS VARCHAR)")},
       |agg AS (SELECT COUNT(*) AS m,
       |  CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
       |  CAST(SUM(1::BIGINT << CAST(32 - r AS INT)) AS BIGINT) AS sum_pow FROM reg)
       |SELECT m, n_zero, sum_pow,
-      |  round(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE) * 65536.0::DOUBLE
-      |    / (CAST(sum_pow AS DOUBLE) / 4294967296.0::DOUBLE), 6) AS est_raw,
+      |  round(${AnalyticsQueries.estSql.format("sum_pow")}, 6) AS est_raw,
       |  (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS n_exact
       |FROM agg""".stripMargin
 
@@ -165,6 +149,7 @@ object SketchQueries {
     import s.implicits._
     val toks = Tables.load(s, dir, "documents")
       .select($"lang", explode(graft.functions.TextFunctions.tokens($"text")).as("token"))
+      .localCheckpoint(false) // feeds candidates, totals, and the recount
     val cand = toks.groupBy($"lang")
       .agg(graft.functions.MgFunctions.mgCandidates($"token", 32).as("cand"))
       .select($"lang", explode($"cand").as("token"))

@@ -281,7 +281,9 @@ object Streaming {
     * each key's trailing `lookback` values ride in the state store as
     * exact integer cents (bounded state: `lookback` longs per key), and
     * every arriving event is z-scored against them with the SAME
-    * arithmetic as the batch window — integer sums divided once, so
+    * arithmetic as the batch window — exact integer moments, one
+    * correctly-rounded conversion to double each (BigInt sums, so no
+    * overflow or double-rounding at any DECIMAL(12,2) magnitude) — so
     * batch and stream agree bit-for-bit (spec-checked). Within a
     * micro-batch, events fold in (us, eventId) order; per-key arrival
     * across batches must respect event order (the same contract as
@@ -296,13 +298,15 @@ object Streaming {
           val out = rows.toSeq.sortBy(e => (e.us, e.eventId)).map { e =>
             val n = ring.size
             val z = if (n >= minPrev) {
-              // exact integer moments; each divided ONCE into double —
-              // the identical structure (hence identical bits) as the
-              // batch frame's decimal sums cast to double
-              val sumC = ring.sum
-              val sumSq = ring.iterator.map(c => c * c).sum
-              val s = sumC.toDouble / 100.0
-              val ss = sumSq.toDouble / 10000.0
+              // exact BigInt moments (Long c*c would overflow for cents
+              // beyond ~3e9, and a sum past 2^53 would round twice),
+              // then ONE correctly-rounded decimal->double conversion —
+              // BigDecimal.doubleValue, the same single rounding the
+              // batch frame's decimal sums get from their double cast
+              val sumC = ring.foldLeft(BigInt(0))(_ + _)
+              val sumSq = ring.foldLeft(BigInt(0))((a, c) => a + BigInt(c) * BigInt(c))
+              val s = new java.math.BigDecimal(sumC.bigInteger).movePointLeft(2).doubleValue()
+              val ss = new java.math.BigDecimal(sumSq.bigInteger).movePointLeft(4).doubleValue()
               val nD = n.toDouble
               val mean = s / nD
               val v = (ss - s * s / nD) / (nD - 1.0)

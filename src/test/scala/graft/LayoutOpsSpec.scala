@@ -92,6 +92,23 @@ class LayoutOpsSpec extends SparkSpec {
     assert(spans == ((15L, 15L)), s"each z-bucket must be a 16x16 tile, got $spans")
   }
 
+  test("ZOrder.cluster yields disjoint, internally sorted z-ranges per partition") {
+    val grid = spark.range(64L * 64)
+      .select(($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"))
+    val ranges = ZOrder.cluster(grid, "x", "y", numPartitions = 8)
+      .select($"z").as[Long]
+      .mapPartitions { it =>
+        val zs = it.toSeq
+        if (zs.isEmpty) Iterator.empty
+        else Iterator((zs.head, zs.last, zs.zip(zs.tail).forall(p => p._1 <= p._2)))
+      }.collect()
+    assert(ranges.nonEmpty && ranges.forall(_._3), "each partition sorted by z")
+    val sorted = ranges.sortBy(_._1)
+    sorted.zip(sorted.tail).foreach { case ((_, hiA, _), (loB, _, _)) =>
+      assert(hiA <= loB, "partition z-ranges must not overlap")
+    }
+  }
+
   // ---- data skipping ----------------------------------------------
 
   test("pruned scan equals full filter on logical chunks") {
@@ -117,10 +134,11 @@ class LayoutOpsSpec extends SparkSpec {
         .select(unix_millis($"l_shipdate".cast("timestamp")).as("ms"), $"l_orderkey")
         .repartitionByRange(4, $"ms")
         .write.mode("overwrite").parquet(dir)
-      // input_file_name() must be materialized before the prune join
+      val t0 = spark.read.parquet(dir)
+      val man = DataSkipping.fileManifest(t0, $"ms").localCheckpoint(false)
+      // the scan side materializes input_file_name() as a column too
       // (Catalyst rejects non-deterministic join conditions)
-      val t = spark.read.parquet(dir).withColumn("graft_file", input_file_name())
-      val man = DataSkipping.manifest(t, $"graft_file", $"ms").localCheckpoint(false)
+      val t = t0.withColumn("graft_file", input_file_name())
       val lo = lit(857952000000L); val hi = lit(866764800000L)
       val pruned = DataSkipping
         .prunedScan(t, $"graft_file", $"ms", man, lo, hi).count()
