@@ -30,8 +30,12 @@ object PageRank {
   /** (id, rank) after `iters` damped rounds from R0 = 1e6. */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
+    // the vertex set joins into EVERY iteration's rank update — without
+    // materialization its union+distinct over the edge list would
+    // re-run per round
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // degree rides with the edge list across all iterations
     val ed = e.join(deg, "src")

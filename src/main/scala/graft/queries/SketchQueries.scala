@@ -171,17 +171,54 @@ object SketchQueries {
       |WHERE c.cnt * 32 > t.n_lang
       |ORDER BY lang, cnt DESC, token""".stripMargin
 
+  /** q88: per-supplier top-3 line items by price via the native
+    * bounded-state [[graft.functions.TopKAgg]] — at most k rows per
+    * (partition, supplier) ever cross the shuffle, versus the window
+    * formulation's full sort of every row (which is exactly what the
+    * oracle runs). Descending price rides as negated cents so the
+    * struct's ascending lexicographic order gives (price desc,
+    * orderkey, linenumber). */
+  def q88GroupedTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pc = expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    Tables.load(s, dir, "lineitem")
+      .select($"l_suppkey",
+        struct((-pc).as("np"), $"l_orderkey".as("ok"),
+          $"l_linenumber".cast("long").as("ln")).as("o"))
+      .groupBy($"l_suppkey")
+      .agg(graft.functions.TopKFunctions.topK($"o", 3).as("top"))
+      .select($"l_suppkey", posexplode($"top").as(Seq("r0", "t")))
+      .select($"l_suppkey", ($"r0" + 1).cast("long").as("rank"),
+        (-$"t.np").as("price_cents"), $"t.ok".as("l_orderkey"),
+        $"t.ln".as("l_linenumber"))
+      .orderBy($"l_suppkey", $"rank")
+  }
+
+  val q88Sql: String =
+    """WITH r AS (SELECT l_suppkey,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc,
+      |    l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+      |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      |      ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) DESC,
+      |               l_orderkey, l_linenumber) AS rank
+      |  FROM lineitem)
+      |SELECT l_suppkey, CAST(rank AS BIGINT) AS rank, pc AS price_cents,
+      |  l_orderkey, ln AS l_linenumber
+      |FROM r WHERE rank <= 3 ORDER BY l_suppkey, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_kmeans" -> (q77Kmeans _),
     "q78_hll" -> (q78Hll _),
     "q79_passage_dedup" -> (q79PassageDedup _),
     "q80_heavy_hitters" -> (q80HeavyHitters _),
-    "q85_group_heavy" -> (q85GroupHeavy _))
+    "q85_group_heavy" -> (q85GroupHeavy _),
+    "q88_grouped_topk" -> (q88GroupedTopK _))
 
   val oracle: Map[String, String] = Map(
     "q77_kmeans" -> q77Sql,
     "q78_hll" -> q78Sql,
     "q79_passage_dedup" -> q79Sql,
     "q80_heavy_hitters" -> q80Sql,
-    "q85_group_heavy" -> q85Sql)
+    "q85_group_heavy" -> q85Sql,
+    "q88_grouped_topk" -> q88Sql)
 }

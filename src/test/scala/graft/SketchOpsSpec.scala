@@ -103,6 +103,38 @@ class SketchOpsSpec extends SparkSpec {
     assert(out.filter($"n_kept" > $"n_chunks").isEmpty)
   }
 
+  // ---- grouped top-k ----------------------------------------------
+
+  test("native topk aggregate equals the window formulation per key") {
+    import graft.functions.TopKFunctions
+    import org.apache.spark.sql.expressions.Window
+    // many partitions + duplicate measures: exercises map-side compact,
+    // serialization, merge, and deterministic tie-breaks
+    val rows = (1 to 500).map(i => (i % 7L, (i * 37 % 50).toLong, i.toLong))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 23)).toDF("k", "m", "id")
+    val viaAgg = df
+      .select($"k", struct((-$"m").as("nm"), $"id").as("o"))
+      .groupBy($"k").agg(TopKFunctions.topK($"o", 5).as("top"))
+      .select($"k", posexplode($"top").as(Seq("r0", "t")))
+      .select($"k", ($"r0" + 1).cast("long").as("r"), (-$"t.nm").as("m"), $"t.id".as("id"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy($"k").orderBy($"m".desc, $"id")
+    val viaWindow = df.withColumn("r", row_number().over(w).cast("long"))
+      .filter($"r" <= 5).select($"k", $"r", $"m", $"id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaAgg === viaWindow)
+  }
+
+  test("topk keeps groups smaller than k intact") {
+    import graft.functions.TopKFunctions
+    val df = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "m")
+    val out = df.select($"k", struct($"m").as("o"))
+      .groupBy($"k").agg(TopKFunctions.topK($"o", 5).as("top"))
+      .select($"k", size($"top").as("n")).as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 2, 2L -> 1))
+  }
+
   // ---- heavy hitters ----------------------------------------------
 
   test("misra-gries retains every locally heavy token") {
