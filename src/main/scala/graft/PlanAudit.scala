@@ -21,7 +21,8 @@ import org.apache.spark.sql.execution.ExplainMode
   * corpus bigram total) cross-joined back as broadcast scalars; q83
   * SinglePartition = the cumulative walk over the ≤64-row histogram,
   * not the data; q87 BNLJ = the broadcast query set under the
-  * label-inequality condition (the q22/q56 class).
+  * label-inequality condition (the q22/q56 class); q91 BNLJ = the
+  * groups × 256-bucket register skeleton (constant-size cross join).
   * Anything new deserves a look at the query.
   */
 object PlanAudit {

@@ -88,6 +88,34 @@ object Hll {
       .select(col("m"), col("n_zero"), col("sum_pow"),
         round(estExpr(col("sum_pow")), 6).as("est_raw"))
 
+  /** Per-GROUP register vectors: (grp, bucket, r) with all 256 buckets
+    * dense per group — "distinct users per segment" in one constant-
+    * width aggregation (groups × 256 rows of state, independent of
+    * data size). */
+  def groupRegisters(df: DataFrame, grp: Column, key: Column): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val hit = df
+      .select(grp.as("grp"), hash31(key).as("h"))
+      .select(col("grp"), (col("h") % M).as("bucket"), rho(expr("h DIV 256")).as("rho"))
+      .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("max_rho"))
+    val groups = df.select(grp.as("grp")).distinct()
+    groups.crossJoin(spark.range(M).select(col("id").as("bucket")))
+      .join(hit, Seq("grp", "bucket"), "left")
+      .select(col("grp"), col("bucket"), coalesce(col("max_rho"), lit(0L)).as("r"))
+  }
+
+  /** Per-group one-row summaries (same columns as [[estimate]] plus
+    * grp). */
+  def groupEstimate(registers: DataFrame): DataFrame =
+    registers.groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("m"),
+        sum(when(col("r") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - r AS INT))")).as("sum_pow"))
+      .select(col("grp"), col("m"), col("n_zero"), col("sum_pow"),
+        round(estExpr(col("sum_pow")), 6).as("est_raw"))
+
   /** Small-range (linear-counting) correction — apply downstream when
     * untouched buckets remain and the raw estimate is under 2.5m. Uses
     * ln(), whose last ulp is libm-specific, which is why it is NOT part

@@ -57,6 +57,46 @@ object Scd {
         Seq(col("version"), col("eff_from"), col("eff_to"), col("is_current")): _*)
   }
 
+  /** Incrementally apply a strictly-later change batch to an SCD2
+    * table — the CDC maintenance step that makes the build above
+    * INCREMENTAL at 100 TB: closed history rows are never rewritten;
+    * only keys present in the batch have their open version re-folded
+    * together with the new rows (run collapse works across the batch
+    * boundary because the open version IS the last pre-boundary
+    * state), then versions renumber past each key's closed count.
+    * Result ≡ a full [[scd2]] rebuild over the concatenated log
+    * (oracle-verified, q90).
+    *
+    * @param newLog columns: keyCol, tracked..., `ord`, `tie`; every
+    *               row's ord must exceed its key's open-version
+    *               eff_from (standard CDC arrival order)
+    */
+  def merge(
+      existing: DataFrame, newLog: DataFrame, keyCol: String,
+      tracked: Seq[String]): DataFrame = {
+    val logCols = (keyCol +: tracked) ++ Seq("ord", "tie")
+    val touched = newLog.select(col(keyCol)).distinct()
+    val untouched = existing.join(touched, Seq(keyCol), "left_anti")
+    val touchedExisting = existing.join(touched, Seq(keyCol), "left_semi")
+    val closed = touchedExisting.filter(col("is_current") === 0)
+    val open = touchedExisting.filter(col("is_current") === 1)
+    // the open version re-enters the fold as a log row; its tie is null
+    // (sorts first — unreachable anyway under the strictly-later
+    // contract, since its ord predates every batch row's)
+    val tieType = newLog.schema("tie").dataType
+    val openAsLog = open.select(
+      (keyCol +: tracked).map(col) ++
+        Seq(col("eff_from").as("ord"), lit(null).cast(tieType).as("tie")): _*)
+    val rebuilt = scd2(
+      openAsLog.unionByName(newLog.select(logCols.map(col): _*)),
+      keyCol, col("ord"), col("tie"), tracked)
+    val offsets = closed.groupBy(col(keyCol)).agg(count(lit(1)).as("graft_voff"))
+    val renumbered = rebuilt.join(offsets, Seq(keyCol), "left")
+      .withColumn("version", col("version") + coalesce(col("graft_voff"), lit(0L)))
+      .drop("graft_voff")
+    untouched.unionByName(closed).unionByName(renumbered)
+  }
+
   /** Point-in-time slice of an SCD2 table: the version effective at
     * `at` (eff_from <= at < eff_to, open-ended current rows included).
     * A pure filter — pushed to the scan when the SCD2 table is stored. */

@@ -76,27 +76,44 @@ object AnalyticsQueries {
         $"exact_intersect")
   }
 
-  /** DuckDB register chain for one key source (mirrors Hll.registers +
-    * sumPow). Shared with q78 — the hash chain must never fork. */
-  private[queries] def regChainSql(p: String, from: String, keyVarchar: String): String =
-    s"""${p}p0 AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+  /** DuckDB register chain for one key source (mirrors Hll.registers/
+    * groupRegisters + sumPow). Shared by q78/q82/q91 — the hash chain
+    * must never fork. With `grp`, every stage carries the group column
+    * and `reg`/`sp` are per-group. */
+  private[queries] def regChainSql(
+      p: String, from: String, keyVarchar: String, grp: Option[String] = None): String = {
+    val gsel = grp.map(g => s"$g AS grp, ").getOrElse("")
+    val gc = grp.map(_ => "grp, ").getOrElse("")
+    val reg = grp match {
+      case None =>
+        s"""${p}reg AS (SELECT g.bucket, COALESCE(${p}hit.max_rho, 0) AS r
+           |  FROM (SELECT unnest(generate_series(0, 255)) AS bucket) g
+           |  LEFT JOIN ${p}hit ON g.bucket = ${p}hit.bucket),
+           |${p}sp AS (SELECT CAST(SUM(1::BIGINT << CAST(32 - r AS INT)) AS BIGINT) AS sum_pow
+           |  FROM ${p}reg)""".stripMargin
+      case Some(_) =>
+        s"""${p}reg AS (SELECT g.grp, g.bucket, COALESCE(${p}hit.max_rho, 0) AS r
+           |  FROM ((SELECT DISTINCT grp FROM ${p}p0) CROSS JOIN
+           |        (SELECT unnest(generate_series(0, 255)) AS bucket)) g
+           |  LEFT JOIN ${p}hit ON g.grp = ${p}hit.grp AND g.bucket = ${p}hit.bucket),
+           |${p}sp AS (SELECT grp, CAST(SUM(1::BIGINT << CAST(32 - r AS INT)) AS BIGINT) AS sum_pow
+           |  FROM ${p}reg GROUP BY grp)""".stripMargin
+    }
+    s"""${p}p0 AS (SELECT ${gsel}list_reduce(list_prepend(CAST(0 AS BIGINT),
        |    list_transform(generate_series(1, length($keyVarchar)),
        |      i -> CAST(unicode(substr($keyVarchar, i, 1)) AS BIGINT))),
        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS p FROM $from),
-       |${p}f1 AS (SELECT xor(p, p >> 16) AS h FROM ${p}p0),
-       |${p}f2 AS (SELECT (h * 2246822507) % 2147483648 AS h FROM ${p}f1),
-       |${p}f3 AS (SELECT xor(h, h >> 13) AS h FROM ${p}f2),
-       |${p}f4 AS (SELECT (h * 3266489909) % 2147483648 AS h FROM ${p}f3),
-       |${p}h AS (SELECT xor(h, h >> 16) AS h FROM ${p}f4),
-       |${p}br AS (SELECT h % 256 AS bucket,
+       |${p}f1 AS (SELECT ${gc}xor(p, p >> 16) AS h FROM ${p}p0),
+       |${p}f2 AS (SELECT ${gc}(h * 2246822507) % 2147483648 AS h FROM ${p}f1),
+       |${p}f3 AS (SELECT ${gc}xor(h, h >> 13) AS h FROM ${p}f2),
+       |${p}f4 AS (SELECT ${gc}(h * 3266489909) % 2147483648 AS h FROM ${p}f3),
+       |${p}h AS (SELECT ${gc}xor(h, h >> 16) AS h FROM ${p}f4),
+       |${p}br AS (SELECT ${gc}h % 256 AS bucket,
        |  CASE WHEN h // 256 = 0 THEN CAST(24 AS BIGINT)
        |       ELSE 24 - CAST(length(bin(h // 256)) AS BIGINT) END AS rho FROM ${p}h),
-       |${p}hit AS (SELECT bucket, MAX(rho) AS max_rho FROM ${p}br GROUP BY bucket),
-       |${p}reg AS (SELECT g.bucket, COALESCE(${p}hit.max_rho, 0) AS r
-       |  FROM (SELECT unnest(generate_series(0, 255)) AS bucket) g
-       |  LEFT JOIN ${p}hit ON g.bucket = ${p}hit.bucket),
-       |${p}sp AS (SELECT CAST(SUM(1::BIGINT << CAST(32 - r AS INT)) AS BIGINT) AS sum_pow
-       |  FROM ${p}reg)""".stripMargin
+       |${p}hit AS (SELECT ${gc}bucket, MAX(rho) AS max_rho FROM ${p}br GROUP BY ${gc}bucket),
+       |$reg""".stripMargin
+  }
 
   private[queries] val estSql =
     "0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE) * 65536.0::DOUBLE" +

@@ -117,13 +117,37 @@ object LayoutQueries {
       |FROM man LEFT JOIN m ON man.chunk = m.chunk
       |ORDER BY man.chunk""".stripMargin
 
+  /** q90: INCREMENTAL SCD2 maintenance — build the table from orders
+    * before 1998-07-01, then [[Scd.merge]] the strictly-later batch in.
+    * The oracle is q74's FULL-REBUILD SQL over the whole log: the merge
+    * must be indistinguishable from rebuilding, while having touched
+    * only open versions of keys in the batch. */
+  def q90Scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = 899251200000L // 1998-07-01 UTC
+    val log = Tables.load(s, dir, "orders")
+      .select($"o_custkey", $"o_orderstatus",
+        unix_millis($"o_orderdate".cast("timestamp")).as("ms"), $"o_orderkey")
+    val existing = Scd.scd2(log.filter($"ms" < cutoff), "o_custkey",
+      $"ms", $"o_orderkey", Seq("o_orderstatus"))
+    val batch = log.filter($"ms" >= cutoff)
+      .select($"o_custkey", $"o_orderstatus", $"ms".as("ord"), $"o_orderkey".as("tie"))
+    Scd.merge(existing, batch, "o_custkey", Seq("o_orderstatus"))
+      .select($"o_custkey".as("custkey"), $"o_orderstatus".as("status"),
+        $"version", $"eff_from", $"eff_to", $"is_current")
+      .orderBy($"custkey", $"version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_scd2" -> (q74Scd2 _),
     "q75_zorder" -> (q75Zorder _),
-    "q76_skipping" -> (q76Skipping _))
+    "q76_skipping" -> (q76Skipping _),
+    "q90_scd2_merge" -> (q90Scd2Merge _))
 
   val oracle: Map[String, String] = Map(
     "q74_scd2" -> q74Sql,
     "q75_zorder" -> q75Sql,
-    "q76_skipping" -> q76Sql)
+    "q76_skipping" -> q76Sql,
+    // the merge result must equal the full rebuild — same oracle as q74
+    "q90_scd2_merge" -> q74Sql)
 }

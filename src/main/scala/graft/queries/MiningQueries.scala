@@ -60,11 +60,110 @@ object MiningQueries {
       |SELECT query_id, query_label, neighbor_id, neighbor_label, rank, cos
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** q89: quality-aware dedup representatives — near-dup clusters
+    * (q47's MinHash-LSH → connected components) each keep their
+    * HIGHEST-QUALITY member instead of the min-id: CC labels joined to
+    * the quality score, best member per cluster via the bounded-state
+    * [[graft.functions.TopKAgg]] (k=1 — an argmax that ships one row
+    * per (partition, cluster)). */
+  def q89BestRep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.{ConnectedComponents, MinHashLsh}
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", n = 8, minEstSim = 0.5)
+    val labels = ConnectedComponents.assign(
+      docs.select($"doc_id"), "doc_id", pairs, "id_a", "id_b")
+    val quality = docs.select($"doc_id",
+      graft.functions.TextFunctions.qualityScore($"text").as("quality"))
+    labels.join(quality, labels("id") === quality("doc_id"))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        graft.functions.TopKFunctions.topK(
+          struct((-$"quality").as("nq"), $"doc_id"), 1).as("top"))
+      .select($"cluster_id", $"cluster_size",
+        element_at($"top", 1)("doc_id").as("rep_id"),
+        (-element_at($"top", 1)("nq")).as("rep_quality"))
+      .orderBy($"cluster_id")
+  }
+
+  val q89Sql: String = {
+    import graft.ext.MinHashLsh
+    val mins = (0 until MinHashLsh.K).map(j =>
+      s"list_min(list_transform(hv, h -> (h * ${MinHashLsh.A(j)} + ${MinHashLsh.B(j)}) % 1000000007))")
+      .mkString(",\n      |    ")
+    val quality = CorpusQueries.quality
+    s"""WITH RECURSIVE docs AS (
+      |  SELECT doc_id AS id,
+      |    list_distinct(list_transform(generate_series(1, length(text)-7), i -> substr(text, i, 8))) AS sh_set
+      |  FROM documents WHERE length(text) >= 8),
+      |hv AS (SELECT id, list_transform(sh_set, s ->
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(s)), i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007)) AS hv FROM docs),
+      |sig AS (SELECT id, [$mins] AS sig FROM hv),
+      |bands AS (SELECT id, b, list_slice(sig, b*4+1, b*4+4) AS slice
+      |  FROM sig CROSS JOIN UNNEST([0,1,2,3]) AS t(b)),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
+      |est AS (SELECT id_a, id_b,
+      |  CAST(list_sum(list_transform(generate_series(1,16),
+      |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS est_sim
+      |  FROM cand JOIN sig sa ON cand.id_a = sa.id JOIN sig sb ON cand.id_b = sb.id),
+      |pairs AS (SELECT id_a, id_b FROM est WHERE est_sim >= 0.5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
+      |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+      |q AS (SELECT doc_id, $quality AS quality FROM documents),
+      |j AS (SELECT lab.cluster_id, lab.doc_id, q.quality FROM lab JOIN q USING (doc_id)),
+      |r2 AS (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size FROM j)
+      |SELECT cluster_id, cluster_size, doc_id AS rep_id, quality AS rep_quality
+      |FROM r2 WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+  }
+
+  /** q91: per-segment distinct sketches — one HLL register vector per
+    * l_returnflag (groups × 256 longs of state, mergeable, constant in
+    * data size) next to the exact per-group distinct count. */
+  def q91GroupHll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.Hll
+    val li = Tables.load(s, dir, "lineitem")
+    val est = Hll.groupEstimate(Hll.groupRegisters(li, $"l_returnflag", $"l_partkey"))
+    val exact = li.groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("n_exact"))
+    est.join(exact, est("grp") === exact("l_returnflag"))
+      .select(est("grp").as("l_returnflag"), $"m", $"n_zero", $"sum_pow",
+        $"est_raw", $"n_exact")
+      .orderBy($"l_returnflag")
+  }
+
+  val q91Sql: String =
+    s"""WITH ${AnalyticsQueries.regChainSql("", "lineitem",
+          "CAST(l_partkey AS VARCHAR)", Some("l_returnflag"))},
+      |agg AS (SELECT grp, COUNT(*) AS m,
+      |    CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |    CAST(SUM(1::BIGINT << CAST(32 - r AS INT)) AS BIGINT) AS sum_pow
+      |  FROM reg GROUP BY grp),
+      |ex AS (SELECT l_returnflag AS grp, COUNT(DISTINCT l_partkey) AS n_exact
+      |  FROM lineitem GROUP BY 1)
+      |SELECT agg.grp AS l_returnflag, agg.m, agg.n_zero, agg.sum_pow,
+      |  round(${AnalyticsQueries.estSql.format("agg.sum_pow")}, 6) AS est_raw,
+      |  ex.n_exact
+      |FROM agg JOIN ex ON agg.grp = ex.grp ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_surprisal" -> (q86Surprisal _),
-    "q87_hard_negatives" -> (q87HardNegatives _))
+    "q87_hard_negatives" -> (q87HardNegatives _),
+    "q89_best_rep" -> (q89BestRep _),
+    "q91_group_hll" -> (q91GroupHll _))
 
   val oracle: Map[String, String] = Map(
     "q86_surprisal" -> q86Sql,
-    "q87_hard_negatives" -> q87Sql)
+    "q87_hard_negatives" -> q87Sql,
+    "q89_best_rep" -> q89Sql,
+    "q91_group_hll" -> q91Sql)
 }

@@ -46,6 +46,31 @@ class LayoutOpsSpec extends SparkSpec {
     scd.unpersist()
   }
 
+  test("scd2 merge equals full rebuild and leaves closed history untouched") {
+    // key 1: A A | A B  (batch starts with the SAME state A -> boundary
+    //   run collapse must absorb it into the open version)
+    // key 2: X   | (untouched by the batch)
+    // key 3:     | Y Y  (new key arriving only in the batch)
+    val log = Seq(
+      (1L, 1L, "A"), (1L, 2L, "A"), (1L, 5L, "A"), (1L, 6L, "B"),
+      (2L, 1L, "X"),
+      (3L, 5L, "Y"), (3L, 6L, "Y"))
+      .toDF("k", "ord", "status")
+    val full = Scd.scd2(log, "k", $"ord", $"ord", Seq("status"))
+    val existing = Scd.scd2(log.filter($"ord" < 5), "k", $"ord", $"ord", Seq("status"))
+    val batch = log.filter($"ord" >= 5)
+      .select($"k", $"status", $"ord", $"ord".as("tie"))
+    val merged = Scd.merge(existing, batch, "k", Seq("status"))
+    val cols = Seq("k", "status", "version", "eff_from", "eff_to", "is_current")
+    assert(merged.select(cols.map(col): _*).except(full.select(cols.map(col): _*)).isEmpty &&
+      full.select(cols.map(col): _*).except(merged.select(cols.map(col): _*)).isEmpty,
+      "merge must be indistinguishable from a full rebuild")
+    // and key 2's history row is bit-identical to the pre-merge table
+    val before = existing.filter($"k" === 2L).collect().toSeq
+    val after = merged.filter($"k" === 2L).collect().toSeq
+    assert(before === after)
+  }
+
   test("snapshotAt returns exactly one row per key covered at the instant") {
     val log = Seq((1L, 10L, "A"), (1L, 20L, "B"), (2L, 15L, "X"))
       .toDF("k", "ord", "status")
