@@ -196,4 +196,65 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: morton interleave is a bijection (x and y recoverable)") {
+    val xy = Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L))
+    val pairs = (1L to 200L).map(sample(xy, _)).distinct
+    val out = pairs.toDF("x", "y")
+      .select($"x", $"y", graft.operators.ZOrder.interleave16($"x", $"y").as("z"))
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (x, y, z) =>
+      val xBack = (0 until 16).map(b => ((z >> (2 * b)) & 1L) << b).sum
+      val yBack = (0 until 16).map(b => ((z >> (2 * b + 1)) & 1L) << b).sum
+      assert(xBack == x && yBack == y, s"z=$z decoded to ($xBack,$yBack) not ($x,$y)")
+    }
+    assert(out.map(_._3).distinct.length == pairs.length, "distinct inputs -> distinct z")
+  }
+
+  test("property: fmix31 stays in [0, 2^31) and is injective on distinct hashes") {
+    // fmix31 composes xorshifts (bijective on 31+ bits? — the shifts are
+    // >= 13 so within 31-bit values they are bijective) with odd
+    // multiplications mod 2^31 (bijective): distinct inputs must never
+    // collide, and outputs must stay within the 31-bit register domain
+    graft.functions.GraftFunctions.register(spark)
+    val keys = (1L to 3000L).map(i => i * 2654435761L % 1000000007L).distinct
+    val out = keys.toDF("p")
+      .select(graft.ext.Hll.hash31($"p").as("h"))
+      .as[Long].collect()
+    assert(out.forall(h => h >= 0L && h < 2147483648L))
+    assert(out.distinct.length == keys.length, "fmix31 collided on distinct polyhashes")
+  }
+
+  test("property: misra-gries candidates form a superset of true heavy hitters") {
+    val stream = Gen.listOfN(400,
+      Gen.frequency(5 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+        2 -> Gen.oneOf((1 to 60).map(i => s"t$i"))))
+    for (seed <- 1L to 5L) {
+      val tokens = sample(stream, seed)
+      val k = 8
+      val n = tokens.length
+      val truth = tokens.groupBy(identity).view.mapValues(_.size)
+        .filter(_._2 * k > n).keySet
+      val cand = graft.ext.HeavyHitters.misraGries(tokens.iterator, k).toSet
+      assert(truth.subsetOf(cand), s"seed=$seed missing ${truth -- cand}")
+      assert(cand.size <= k - 1)
+    }
+  }
+
+  test("property: native topk aggregate equals sort-and-take per group") {
+    val rows = Gen.listOfN(300, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(-1000L, 1000L)))
+    for (seed <- 1L to 3L) {
+      val data = sample(rows, seed).zipWithIndex.map { case ((g, m), i) => (g, m, i.toLong) }
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(data, 17))
+        .toDF("g", "m", "id")
+      val got = df.select($"g", struct($"m", $"id").as("o"))
+        .groupBy($"g").agg(graft.functions.TopKFunctions.topK($"o", 4).as("top"))
+        .select($"g", explode($"top").as("t"))
+        .select($"g", $"t.m", $"t.id").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toList.sorted).toMap
+      val want = data.groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3)).sorted.take(4).toList).toMap
+      assert(got === want, s"seed=$seed")
+    }
+  }
 }
