@@ -158,7 +158,59 @@ object MiscQueries {
       |  CAST(COALESCE(list_sum(pooled), 0) % 256 AS BIGINT) AS checksum
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** q92: multimodal frame dedup — sampled binary frames deduplicated
+    * CORPUS-WIDE by content digest (first (doc, frame_no) occurrence
+    * wins), per-doc kept-frame stats. The media twin of q79's passage
+    * dedup: at scale this is how near-identical video/image chunks are
+    * collapsed before feature extraction; the window partitions on the
+    * 16-byte digest, so shuffle width is the digest + ids, never the
+    * frame payload. */
+  def q92FrameDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val packed = Multimodal.packBinary(docs, "text", "source")
+    val frames = Multimodal.sampleFrames(packed, "payload", "doc_id",
+        frameBytes = 64, stride = 2)
+      .localCheckpoint(false) // feeds both the dedup window and the totals
+    val first = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5($"frame")).orderBy($"id", $"frame_no")
+    val kept = frames.withColumn("rn", row_number().over(first)).filter($"rn" === 1)
+      .groupBy($"id".as("doc_id"))
+      .agg(count(lit(1)).as("n_kept"), sum(length($"frame")).cast("long").as("kept_bytes"))
+    val totals = frames.groupBy($"id".as("doc_id")).agg(count(lit(1)).as("n_frames"))
+    docs.select($"doc_id")
+      .join(totals, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_frames", lit(0L)).as("n_frames"),
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"kept_bytes", lit(0L)).as("kept_bytes"))
+      .orderBy($"doc_id")
+  }
+
+  val q92Sql: String =
+    """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
+      |ch AS (SELECT doc_id, unnest(list_transform(
+      |    list_filter(generate_series(0, ((len + 63) // 64) - 1), i -> i % 2 = 0),
+      |    i -> {'no': i, 'fr': substr(text, i*64 + 1, 64)})) AS s
+      |  FROM d WHERE len > 0),
+      |fr AS (SELECT doc_id, CAST(s.no AS BIGINT) AS frame_no, s.fr AS fr FROM ch),
+      |k AS (SELECT *, ROW_NUMBER() OVER
+      |  (PARTITION BY md5(fr) ORDER BY doc_id, frame_no) AS rn FROM fr),
+      |kk AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |    SUM(octet_length(encode(fr))) AS kept_bytes FROM k WHERE rn = 1 GROUP BY doc_id),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_frames FROM fr GROUP BY doc_id)
+      |SELECT d0.doc_id,
+      |  CAST(COALESCE(tot.n_frames, 0) AS BIGINT) AS n_frames,
+      |  CAST(COALESCE(kk.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(COALESCE(kk.kept_bytes, 0) AS BIGINT) AS kept_bytes
+      |FROM documents d0
+      |LEFT JOIN tot ON d0.doc_id = tot.doc_id
+      |LEFT JOIN kk ON d0.doc_id = kk.doc_id
+      |ORDER BY d0.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_frame_dedup" -> (q92FrameDedup _),
     "q28_salted_agg" -> (q28SaltedAgg _),
     "q29_multimodal" -> (q29Multimodal _),
     "q41_salted_join" -> (q41SaltedJoin _),
@@ -167,6 +219,7 @@ object MiscQueries {
     "q60_resize" -> (q60Resize _))
 
   val oracle: Map[String, String] = Map(
+    "q92_frame_dedup" -> q92Sql,
     "q28_salted_agg" -> q28Sql,
     "q29_multimodal" -> q29Sql,
     "q41_salted_join" -> q41Sql,
