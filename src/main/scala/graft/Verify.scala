@@ -19,11 +19,13 @@ object Verify {
     spark.stop()
   }
 
-  /** Dump SparkEntry.oracleSql as JSON (shared with [[VerifySome]]).
-    * Escapes backslash, quote, and ALL control chars (<0x20) — a tab or
-    * CR in builder-authored SQL would otherwise make the driver's
-    * json.load fail and silently zero the round's correctness. */
-  def writeOracleJson(outDir: String): Unit = {
+  /** Dump SparkEntry.oracleSql as JSON (shared with [[VerifySome]],
+    * which restricts to the queries it ran so check_oracle's exit code
+    * stays meaningful on subset runs). Escapes backslash, quote, and
+    * ALL control chars (<0x20) — a tab or CR in builder-authored SQL
+    * would otherwise make the driver's json.load fail and silently zero
+    * the round's correctness. */
+  def writeOracleJson(outDir: String, only: Option[Set[String]] = None): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -34,6 +36,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
   }

@@ -13,7 +13,7 @@ object VerifySome {
         .parquet(s"$outDir/$name")
       println(f"[verifysome] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    Verify.writeOracleJson(outDir)
+    Verify.writeOracleJson(outDir, Some(names.toSet))
     spark.stop()
   }
 }

@@ -25,9 +25,9 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** Misra-Gries over one partition's token stream: at most `k` keys
-    * survive; every token with local count > (partition size)/k is
-    * among them. */
+  /** Misra-Gries over one partition's token stream: at most k−1 keys
+    * survive (the classic sketch size); every token with local count >
+    * (partition size)/k is among them. */
   private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
     val counters = scala.collection.mutable.HashMap.empty[String, Long]
     it.foreach { t =>

@@ -99,7 +99,12 @@ object Hll {
       .select(grp.as("grp"), hash31(key).as("h"))
       .select(col("grp"), (col("h") % M).as("bucket"), rho(expr("h DIV 256")).as("rho"))
       .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("max_rho"))
-    val groups = df.select(grp.as("grp")).distinct()
+      // the skeleton below reuses this aggregate, not the input scan
+      .localCheckpoint(false)
+    // every group with rows appears in `hit` (≥1 key → ≥1 bucket), so
+    // the group list comes from the ≤ groups×256-row aggregate — NOT a
+    // second full scan of the input
+    val groups = hit.select(col("grp")).distinct()
     groups.crossJoin(spark.range(M).select(col("id").as("bucket")))
       .join(hit, Seq("grp", "bucket"), "left")
       .select(col("grp"), col("bucket"), coalesce(col("max_rho"), lit(0L)).as("r"))

@@ -50,6 +50,11 @@ object PageRank {
           (lit(150000L) + expr("coalesce(m, 0L) * 85 DIV 100")).as("rank"))
         .localCheckpoint(true)
     }
+    // the final ranks are eagerly checkpointed — the cached edge and
+    // vertex tables are no longer reachable and must not leak
+    // CacheManager entries for the session's lifetime
+    ed.unpersist(false)
+    vertices.unpersist(false)
     r
   }
 }

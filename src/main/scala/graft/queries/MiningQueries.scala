@@ -87,36 +87,8 @@ object MiningQueries {
   }
 
   val q89Sql: String = {
-    import graft.ext.MinHashLsh
-    val mins = (0 until MinHashLsh.K).map(j =>
-      s"list_min(list_transform(hv, h -> (h * ${MinHashLsh.A(j)} + ${MinHashLsh.B(j)}) % 1000000007))")
-      .mkString(",\n      |    ")
     val quality = CorpusQueries.quality
-    s"""WITH RECURSIVE docs AS (
-      |  SELECT doc_id AS id,
-      |    list_distinct(list_transform(generate_series(1, length(text)-7), i -> substr(text, i, 8))) AS sh_set
-      |  FROM documents WHERE length(text) >= 8),
-      |hv AS (SELECT id, list_transform(sh_set, s ->
-      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(generate_series(1, length(s)), i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
-      |      (acc, x) -> (acc * 31 + x) % 1000000007)) AS hv FROM docs),
-      |sig AS (SELECT id, [$mins] AS sig FROM hv),
-      |bands AS (SELECT id, b, list_slice(sig, b*4+1, b*4+4) AS slice
-      |  FROM sig CROSS JOIN UNNEST([0,1,2,3]) AS t(b)),
-      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      |  FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
-      |est AS (SELECT id_a, id_b,
-      |  CAST(list_sum(list_transform(generate_series(1,16),
-      |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS est_sim
-      |  FROM cand JOIN sig sa ON cand.id_a = sa.id JOIN sig sb ON cand.id_b = sb.id),
-      |pairs AS (SELECT id_a, id_b FROM est WHERE est_sim >= 0.5),
-      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-      |  UNION ALL SELECT id_b, id_a FROM pairs),
-      |reach(id, r) AS (
-      |  SELECT doc_id, doc_id FROM documents
-      |  UNION
-      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
-      |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    s"""WITH RECURSIVE ${ScaleQueries.lshCcChainSql},
       |q AS (SELECT doc_id, $quality AS quality FROM documents),
       |j AS (SELECT lab.cluster_id, lab.doc_id, q.quality FROM lab JOIN q USING (doc_id)),
       |r2 AS (SELECT *,

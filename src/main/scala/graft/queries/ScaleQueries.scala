@@ -35,11 +35,16 @@ object ScaleQueries {
       .orderBy($"doc_id")
   }
 
-  val q47Sql: String = {
+  /** Shared DuckDB chain: MinHash-LSH near-dup pairs on `documents` →
+    * recursive-CTE connected components → `lab(doc_id, cluster_id)`.
+    * Used by q47 AND q89 — like regChainSql, this block must never
+    * fork. Callers prepend `WITH RECURSIVE ` and append their own CTEs/
+    * final select. */
+  private[queries] val lshCcChainSql: String = {
     val mins = (0 until MinHashLsh.K).map(j =>
       s"list_min(list_transform(hv, h -> (h * ${MinHashLsh.A(j)} + ${MinHashLsh.B(j)}) % 1000000007))")
       .mkString(",\n      |    ")
-    s"""WITH RECURSIVE docs AS (
+    s"""docs AS (
       |  SELECT doc_id AS id,
       |    list_distinct(list_transform(generate_series(1, length(text)-7), i -> substr(text, i, 8))) AS sh_set
       |  FROM documents WHERE length(text) >= 8),
@@ -63,11 +68,14 @@ object ScaleQueries {
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
-      |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+      |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+  }
+
+  val q47Sql: String =
+    s"""WITH RECURSIVE $lshCcChainSql
       |SELECT doc_id, cluster_id,
       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
       |FROM lab ORDER BY doc_id""".stripMargin
-  }
 
   /** q48: TF-IDF top-3 terms per document — tokenize → per-doc term
     * counts → document frequencies → score → per-doc top-k window.
