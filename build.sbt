@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench/Verify stdout for a bare JSON line; sbt's
+// default LoggedOutput prefixes every forked-process line with
+// "[info] ", which breaks that parse. StdoutOutput lets the forked
+// JVM inherit stdout/stderr directly (no prefix, no re-logging).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
