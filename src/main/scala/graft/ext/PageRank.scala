@@ -27,9 +27,20 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Vertex count at or below which the per-round rank table is
+    * broadcast instead of shuffle-joined. The rank table is two longs
+    * per vertex (~16 bytes + row overhead), so 5M vertices ≈ 200 MB of
+    * broadcast — the conventional executor-memory comfort limit. Above
+    * it the loop falls back to shuffle joins with per-round eager
+    * checkpoints (the web-scale-graph shape). */
+  val BroadcastVertexLimit: Long = 5000000L
+
   /** (id, rank) after `iters` damped rounds from R0 = 1e6. */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
+    // one materialization of the (possibly expensive) upstream edge
+    // plan; vertices and degree-annotated edges both derive from it
     val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the vertex set joins into EVERY iteration's rank update — without
     // materialization its union+distinct over the edge list would
     // re-run per round
@@ -40,12 +51,24 @@ object PageRank {
     // degree rides with the edge list across all iterations
     val ed = e.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The rank table is one (id, rank) row per vertex — orders of
+    // magnitude smaller than the edge list it joins. Broadcasting it
+    // keeps the cached edge partitions in place all rounds (zero edge
+    // shuffles; only the ~|V|-row partial-aggregated contribution sums
+    // cross the wire). Catalyst can't discover this on its own: the
+    // checkpointed rank table has no size statistics, so without the
+    // hint every round pays a full shuffle of the edge list.
+    val nV = vertices.count() // also materializes the vertex cache
+    val bcast = nV <= BroadcastVertexLimit
+    def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var r = vertices.select(col("id"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = ed.join(r, ed("src") === r("id"))
+      val contrib = ed.join(hint(r), ed("src") === r("id"))
         .select(col("dst"), expr("rank DIV deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      r = vertices.join(contrib, vertices("id") === contrib("dst"), "left")
+      // contrib has ≤ |V| rows (one per message target) — same
+      // broadcast envelope as the rank table itself
+      r = vertices.join(hint(contrib), vertices("id") === contrib("dst"), "left")
         .select(col("id"),
           (lit(150000L) + expr("coalesce(m, 0L) * 85 DIV 100")).as("rank"))
         .localCheckpoint(true)
@@ -55,6 +78,7 @@ object PageRank {
     // CacheManager entries for the session's lifetime
     ed.unpersist(false)
     vertices.unpersist(false)
+    e.unpersist(false)
     r
   }
 }
