@@ -76,6 +76,29 @@ object AnalyticsQueries {
         $"exact_intersect")
   }
 
+  /** Rolling 31-bit corpus polyhash of a VARCHAR SQL expression — the
+    * oracle twin of `GraftFunctions.polyhash`. Shared by every query
+    * that replays the hash (never re-spell it inline). */
+  private[queries] def polyhashSql(v: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(generate_series(1, length($v)),
+       |      i -> CAST(unicode(substr($v, i, 1)) AS BIGINT))),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+
+  /** CTE chain applying the fmix31 avalanche (the oracle twin of
+    * `Hll.fmix31`) to column `h` of `from`, carrying `carry` columns
+    * through unchanged; the final CTE `${p}h` yields (carry…, h).
+    * Shared by the HLL register chain and the count-min cell chain —
+    * the finalizer constants must never fork. */
+  private[queries] def fmixChainSql(p: String, from: String, carry: Seq[String]): String = {
+    val c = carry.map(_ + ", ").mkString
+    s"""${p}f1 AS (SELECT ${c}xor(h, h >> 16) AS h FROM $from),
+       |${p}f2 AS (SELECT ${c}(h * 2246822507) % 2147483648 AS h FROM ${p}f1),
+       |${p}f3 AS (SELECT ${c}xor(h, h >> 13) AS h FROM ${p}f2),
+       |${p}f4 AS (SELECT ${c}(h * 3266489909) % 2147483648 AS h FROM ${p}f3),
+       |${p}h AS (SELECT ${c}xor(h, h >> 16) AS h FROM ${p}f4)""".stripMargin
+  }
+
   /** DuckDB register chain for one key source (mirrors Hll.registers/
     * groupRegisters + sumPow). Shared by q78/q82/q91 — the hash chain
     * must never fork. With `grp`, every stage carries the group column
@@ -99,15 +122,8 @@ object AnalyticsQueries {
            |${p}sp AS (SELECT grp, CAST(SUM(1::BIGINT << CAST(32 - r AS INT)) AS BIGINT) AS sum_pow
            |  FROM ${p}reg GROUP BY grp)""".stripMargin
     }
-    s"""${p}p0 AS (SELECT ${gsel}list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(generate_series(1, length($keyVarchar)),
-       |      i -> CAST(unicode(substr($keyVarchar, i, 1)) AS BIGINT))),
-       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS p FROM $from),
-       |${p}f1 AS (SELECT ${gc}xor(p, p >> 16) AS h FROM ${p}p0),
-       |${p}f2 AS (SELECT ${gc}(h * 2246822507) % 2147483648 AS h FROM ${p}f1),
-       |${p}f3 AS (SELECT ${gc}xor(h, h >> 13) AS h FROM ${p}f2),
-       |${p}f4 AS (SELECT ${gc}(h * 3266489909) % 2147483648 AS h FROM ${p}f3),
-       |${p}h AS (SELECT ${gc}xor(h, h >> 16) AS h FROM ${p}f4),
+    s"""${p}p0 AS (SELECT ${gsel}${polyhashSql(keyVarchar)} AS h FROM $from),
+       |${fmixChainSql(p, s"${p}p0", grp.map(_ => "grp").toSeq)},
        |${p}br AS (SELECT ${gc}h % 256 AS bucket,
        |  CASE WHEN h // 256 = 0 THEN CAST(24 AS BIGINT)
        |       ELSE 24 - CAST(length(bin(h // 256)) AS BIGINT) END AS rho FROM ${p}h),
