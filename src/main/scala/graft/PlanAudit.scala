@@ -3,43 +3,93 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 
-/** Scale-design audit: prints, for every registered query, the plan
+/** Scale-design audit: checks, for every registered query, the plan
   * features that are red flags at 100 TB — single-partition exchanges,
-  * cartesian products, broadcast nested-loop joins — so regressions
-  * are visible at a glance (`runMain graft.PlanAudit [sfDir]`).
-  * Known-justified hits as of round 3: q02/q51 SinglePartition =
-  * scalar/single-row final aggregates (partials are map-side; the
-  * exchange moves #partitions rows); q22/q32/q56 BNLJ = scan × small
-  * broadcast under a non-equi condition (query set / seed set /
-  * deduped dimension); q24 BNLJ = the exact all-pairs correctness
-  * baseline whose scale path is the LSH variant; q64 SinglePartition +
-  * BNLJ = the 64-row dim-min/max final aggregate and its one-row
-  * broadcast cross join back onto the corpus; q66 BNLJ = the nClusters-
-  * row seed table broadcast-crossed with the query set for probe
-  * ranking; q78/q80/q82/q86 SinglePartition + BNLJ = one-row summary
-  * aggregates (256 HLL registers / total token count / sketch sums /
-  * corpus bigram total) cross-joined back as broadcast scalars; q83
-  * SinglePartition = the cumulative walk over the ≤64-row histogram,
-  * not the data; q87 BNLJ = the broadcast query set under the
-  * label-inequality condition (the q22/q56 class); q91 BNLJ = the
-  * groups × 256-bucket register skeleton (constant-size cross join).
-  * Anything new deserves a look at the query.
+  * cartesian products, broadcast nested-loop joins — against an
+  * explicit per-query allowlist of justified hits. Any hit NOT on the
+  * allowlist makes the run exit non-zero, so a scale regression (a new
+  * global sort, an accidental cross join) fails CI instead of hiding
+  * in a report (`runMain graft.PlanAudit [sfDir]`).
+  *
+  * [[PlanAuditGateSpec]] runs the same audit inside `sbt test`.
   */
 object PlanAudit {
-  def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = LocalSessions.create(logLevel = "ERROR")
-    val flags = Seq("SinglePartition", "CartesianProduct", "BroadcastNestedLoopJoin")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+
+  val SinglePartition = "SinglePartition"
+  val Cartesian = "CartesianProduct"
+  val Bnlj = "BroadcastNestedLoopJoin"
+
+  /** Justified flag hits. Each entry is a deliberate, documented design
+    * decision — anything else is a regression:
+    *  - SinglePartition on scalar/single-row FINAL aggregates (the
+    *    partials are map-side; the exchange moves #partitions rows);
+    *  - BNLJ where a provably tiny side (query set / seed set / one-row
+    *    summary / constant-size register skeleton) is broadcast under a
+    *    non-equi condition;
+    *  - q24 is the exact all-pairs correctness baseline whose scale
+    *    path is the LSH twin (q68/q73).
+    */
+  val justified: Map[String, Set[String]] = Map(
+    "q02_filter_pushdown" -> Set(SinglePartition), // scalar final agg
+    "q51_profile" -> Set(SinglePartition), // single-row profile agg
+    "q22_cosine_topk" -> Set(Bnlj), // broadcast query set, non-equi
+    "q24_emb_neardup" -> Set(Bnlj), // exact baseline; scale twin q68/q73
+    "q32_ivf_assign" -> Set(Bnlj), // broadcast centroid seed set
+    "q56_fuzzy_match" -> Set(Bnlj), // deduped dim broadcast, edit-distance cond
+    "q64_sq8_quantize" -> Set(SinglePartition, Bnlj), // 64-row dim stats + 1-row broadcast
+    "q66_ivf_search" -> Set(Bnlj), // nClusters-row seed table × query set
+    "q78_hll" -> Set(SinglePartition, Bnlj), // 256-register summary
+    "q80_heavy_hitters" -> Set(SinglePartition, Bnlj), // 1-row total recount
+    "q82_join_card" -> Set(SinglePartition, Bnlj), // sketch-sum scalars
+    "q83_power_hist" -> Set(SinglePartition), // cumulative walk over ≤64-row hist
+    "q86_surprisal" -> Set(SinglePartition, Bnlj), // corpus bigram total scalar
+    "q87_hard_negatives" -> Set(Bnlj), // broadcast query set, label-inequality
+    "q91_group_hll" -> Set(Bnlj)) // groups × 256-bucket skeleton
+
+  val flags = Seq(SinglePartition, Cartesian, Bnlj)
+
+  final case class Result(name: String, hits: Set[String], error: Option[String]) {
+    def unjustified: Set[String] = hits -- justified.getOrElse(name, Set.empty)
+    def stale: Set[String] = justified.getOrElse(name, Set.empty) -- hits
+  }
+
+  /** Plan (never execute) every registered query and collect flag hits. */
+  def audit(spark: SparkSession, dir: String): Seq[Result] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val p = fn(spark, dir).queryExecution
           .explainString(ExplainMode.fromString("formatted"))
-        val hits = flags.filter(p.contains)
-        println(f"[audit] $name%-22s ${if (hits.isEmpty) "clean" else hits.mkString(", ")}")
+        Result(name, flags.filter(p.contains).toSet, None)
       } catch {
-        case e: Throwable => println(f"[audit] $name%-22s ERROR ${e.getMessage}")
+        case e: Throwable => Result(name, Set.empty, Some(e.toString))
       }
     }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = LocalSessions.create(logLevel = "ERROR")
+    val results = audit(spark, dir)
+    results.foreach { r =>
+      val status = r.error match {
+        case Some(e) => s"ERROR $e"
+        case None if r.unjustified.nonEmpty =>
+          s"VIOLATION ${r.unjustified.mkString(", ")}"
+        case None if r.hits.nonEmpty => s"justified ${r.hits.mkString(", ")}"
+        case None => "clean"
+      }
+      println(f"[audit] ${r.name}%-22s $status")
+    }
+    // stale allowlist entries are informational: a query that got CLEANER
+    // should have its entry pruned, but must not fail the gate
+    results.filter(_.stale.nonEmpty).foreach { r =>
+      println(f"[audit] ${r.name}%-22s note: allowlisted but absent: ${r.stale.mkString(", ")}")
+    }
+    val bad = results.count(r => r.unjustified.nonEmpty || r.error.nonEmpty)
     spark.stop()
+    if (bad > 0) {
+      println(s"[audit] FAIL: $bad quer${if (bad == 1) "y" else "ies"} with unjustified scale flags or plan errors")
+      sys.exit(1)
+    }
+    println(s"[audit] PASS: ${results.size} plans, ${results.count(_.hits.nonEmpty)} justified hits, 0 violations")
   }
 }

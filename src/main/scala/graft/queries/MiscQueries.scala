@@ -24,34 +24,40 @@ object MiscQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
-  /** q29: multimodal plumbing — pack documents as binary payloads with
-    * typed metadata, run the (stubbed) per-partition feature extractor.
-    * The oracle recomputes the features from the text directly (ASCII
-    * corpus: byte values = code points). */
+  /** q29: multimodal with a REAL codec — PNG-encode a deterministic
+    * RGB image per document ([[graft.ext.ImageCodec.synth]]), decode it
+    * back through `javax.imageio`, and reduce the decoded pixels to
+    * integer stats. PNG is lossless, so the oracle replays the pixel
+    * formula directly — a hash match proves the decode reproduced every
+    * pixel, not just the header. */
   def q29Multimodal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // sort before the extractor (order-preserving map): an orderBy above
     // it would range-sample the child and run the decode twice — see q36
-    val packed = Multimodal.packBinary(
-      Tables.load(s, dir, "documents")
+    val packed = graft.ext.ImageCodec.synthImagePayload(
+      Tables.load(s, dir, "documents").select($"doc_id")
         .repartitionByRange($"doc_id").sortWithinPartitions($"doc_id"),
-      "text", "source")
-    Multimodal.extractFeatures(packed, "payload")
-      .select($"doc_id", $"meta.format".as("format"), $"meta.n_bytes".as("meta_bytes"),
-        $"n_bytes", $"first_byte", $"checksum", $"brightness")
+      "doc_id", format = "png")
+    graft.ext.ImageCodec.extractImageFeatures(packed, "payload")
+      .select($"doc_id", $"meta.format".as("format"), $"width", $"height",
+        $"n_pixels", $"first_px", $"checksum", $"brightness")
   }
 
   val q29Sql: String =
-    """SELECT doc_id, 'raw/utf-8' AS format,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS meta_bytes,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |  CAST(unicode(substr(text, 1, 1)) AS BIGINT) AS first_byte,
-      |  CAST(list_sum(list_transform(generate_series(1, length(text)),
-      |    i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))) % 256 AS BIGINT) AS checksum,
-      |  CAST(list_sum(list_transform(generate_series(1, length(text)),
-      |    i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))) AS DOUBLE)
-      |    / CAST(octet_length(encode(text)) AS DOUBLE) AS brightness
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+      |s AS (SELECT doc_id, w, h,
+      |  list_sum(list_transform(generate_series(0, w*h - 1), p ->
+      |      (doc_id*7 + (p % w)*3 + (p // w)*5) % 256
+      |    + ((p % w)*(p % w) + (p // w)) % 256
+      |    + (doc_id + (p % w) + (p // w)*2) % 256)) AS total
+      |  FROM d)
+      |SELECT doc_id, 'image/png' AS format,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(w*h AS BIGINT) AS n_pixels,
+      |  CAST((doc_id*7) % 256 AS BIGINT) AS first_px,
+      |  CAST(total % 256 AS BIGINT) AS checksum,
+      |  CAST(total AS DOUBLE) / (3.0 * w * h) AS brightness
+      |FROM s ORDER BY doc_id""".stripMargin
 
   /** q41: skew-salted JOIN — events joined to a per-user dimension via
     * [[SkewedAgg.saltedJoin]]; the oracle is the plain join (results
@@ -127,36 +133,40 @@ object MiscQueries {
       |    i -> least(64, len - i * 64))), 0) AS BIGINT) AS kept_bytes
       |FROM c ORDER BY doc_id""".stripMargin
 
-  /** q60: resize (average-pool downsample by 4) over the binary
-    * payload ([[Multimodal.resizePayload]]) reduced to per-doc
-    * integer stats; the oracle replays the pooling arithmetic. */
+  /** q60: REAL image resize — decode the PNG payload, nearest-neighbor
+    * downsample by 2 ([[graft.ext.ImageCodec.resizeNearest]]), RE-encode
+    * as 24-bit BMP, decode AGAIN, and reduce to integer stats. The full
+    * decode→transform→encode→decode loop runs through `javax.imageio`;
+    * both formats are lossless, so the oracle replays the sampled-pixel
+    * formula (source pixel (2x, 2y)). */
   def q60Resize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // empty/null payloads are excluded on BOTH sides (oracle: len > 0) —
-    // without this a zero-length doc would be a rowcount mismatch;
-    // pre-sorted like q29/q36 so resize+extract run exactly once
-    val packed = Multimodal.packBinary(
-      Tables.load(s, dir, "documents").filter(length($"text") > 0)
+    // pre-sorted like q29/q36 so the codec chain runs exactly once
+    val packed = graft.ext.ImageCodec.synthImagePayload(
+      Tables.load(s, dir, "documents").select($"doc_id")
         .repartitionByRange($"doc_id").sortWithinPartitions($"doc_id"),
-      "text", "source")
-    val resized = Multimodal.resizePayload(packed, "payload", factor = 4)
+      "doc_id", format = "png")
+    val resized = graft.ext.ImageCodec
+      .resizeImagePayload(packed, "payload", factor = 2, outFormat = "bmp")
       .select($"doc_id", $"resized")
-    Multimodal.extractFeatures(resized, "resized")
-      .select($"doc_id", $"n_bytes".as("n_resized"), $"first_byte", $"checksum")
+    graft.ext.ImageCodec.extractImageFeatures(resized, "resized")
+      .select($"doc_id", $"width".as("r_width"), $"height".as("r_height"),
+        $"first_px", $"checksum")
   }
 
   val q60Sql: String =
-    """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents),
-      |r AS (SELECT doc_id, (len + 3) // 4 AS n_resized,
-      |  list_transform(generate_series(0, (len + 3) // 4 - 1), i ->
-      |    list_sum(list_transform(generate_series(i*4 + 1, least(i*4 + 4, len)),
-      |      j -> CAST(unicode(substr(text, j, 1)) AS BIGINT)))
-      |    // least(4, len - i*4)) AS pooled
-      |  FROM d WHERE len > 0)
-      |SELECT doc_id, CAST(n_resized AS BIGINT) AS n_resized,
-      |  CAST(pooled[1] AS BIGINT) AS first_byte,
-      |  CAST(COALESCE(list_sum(pooled), 0) % 256 AS BIGINT) AS checksum
-      |FROM r ORDER BY doc_id""".stripMargin
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+      |r AS (SELECT doc_id, (w + 1) // 2 AS rw, (h + 1) // 2 AS rh FROM d),
+      |s AS (SELECT doc_id, rw, rh,
+      |  list_sum(list_transform(generate_series(0, rw*rh - 1), p ->
+      |      (doc_id*7 + ((p % rw)*2)*3 + ((p // rw)*2)*5) % 256
+      |    + (((p % rw)*2)*((p % rw)*2) + (p // rw)*2) % 256
+      |    + (doc_id + (p % rw)*2 + ((p // rw)*2)*2) % 256)) AS total
+      |  FROM r)
+      |SELECT doc_id, CAST(rw AS BIGINT) AS r_width, CAST(rh AS BIGINT) AS r_height,
+      |  CAST((doc_id*7) % 256 AS BIGINT) AS first_px,
+      |  CAST(total % 256 AS BIGINT) AS checksum
+      |FROM s ORDER BY doc_id""".stripMargin
 
   /** q92: multimodal frame dedup — sampled binary frames deduplicated
     * CORPUS-WIDE by content digest (first (doc, frame_no) occurrence
