@@ -36,7 +36,7 @@ object PlanAudit {
     "q24_emb_neardup" -> Set(Bnlj), // exact baseline; scale twin q68/q73
     "q32_ivf_assign" -> Set(Bnlj), // broadcast centroid seed set
     "q56_fuzzy_match" -> Set(Bnlj), // deduped dim broadcast, edit-distance cond
-    "q64_sq8_quantize" -> Set(SinglePartition, Bnlj), // 64-row dim stats + 1-row broadcast
+    "q64_sq8_quantize" -> Set(Bnlj), // 1-row dim-stats broadcast cross join
     "q66_ivf_search" -> Set(Bnlj), // nClusters-row seed table × query set
     "q78_hll" -> Set(SinglePartition, Bnlj), // 256-register summary
     "q80_heavy_hitters" -> Set(SinglePartition, Bnlj), // 1-row total recount
