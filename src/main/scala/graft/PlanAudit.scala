@@ -44,7 +44,8 @@ object PlanAudit {
     "q83_power_hist" -> Set(SinglePartition), // cumulative walk over ≤64-row hist
     "q86_surprisal" -> Set(SinglePartition, Bnlj), // corpus bigram total scalar
     "q87_hard_negatives" -> Set(Bnlj), // broadcast query set, label-inequality
-    "q91_group_hll" -> Set(Bnlj)) // groups × 256-bucket skeleton
+    "q91_group_hll" -> Set(Bnlj), // groups × 256-bucket skeleton
+    "q94_text_ann" -> Set(Bnlj)) // broadcast query set, non-equi (q22 class)
 
   val flags = Seq(SinglePartition, Cartesian, Bnlj)
 

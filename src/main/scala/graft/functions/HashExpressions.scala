@@ -28,6 +28,30 @@ object HashUtil {
     acc
   }
 
+  /** Feature-hashed text embedding (the "hashing trick", Weinberger et
+    * al. 2009): each whitespace token contributes ±1 to every dimension,
+    * the sign taken from bit d of the token's 31-bit polyhash — i.e. the
+    * pre-threshold SimHash accumulator kept as a dense integer vector.
+    * Deterministic, model-free, integer-exact → oracle-replayable, and
+    * the output plugs into every cosine/LSH/IVF operator via a plain
+    * array cast. One pass per row, no shuffle, codegen'd. */
+  def hashEmbed(s: UTF8String, dims: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(dims >= 1 && dims <= 31, s"hash_embed dims must be in [1, 31], got $dims")
+    val out = new Array[Long](dims)
+    val stripped = TextKernel.stripSpacesPublic(s.toString)
+    if (stripped.nonEmpty) {
+      for (tok <- stripped.split("\\s+", -1)) {
+        val h = polyHash(UTF8String.fromString(tok), 2147483648L)
+        var d = 0
+        while (d < dims) {
+          if (((h >>> d) & 1L) == 1L) out(d) += 1 else out(d) -= 1
+          d += 1
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def simHash32(s: UTF8String): Long = {
     val text = s.toString.trim
     if (text.isEmpty) return 0L
@@ -255,6 +279,26 @@ case class SimHash32(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash32"
 }
 
+/** Dense integer text embedding ([[HashUtil.hashEmbed]]) — array<long>
+  * of length `dims` (1..31: signs come from the 31-bit token hash). */
+case class HashEmbed(child: Expression, dims: Int) extends UnaryExpression {
+  require(dims >= 1 && dims <= 31, s"hash_embed dims must be in [1, 31], got $dims")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hash_embed requires a STRING column, got ${child.dataType.sql}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashUtil.hashEmbed(input.asInstanceOf[UTF8String], dims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.hashEmbed($c, $dims)")
+  override protected def withNewChildInternal(newChild: Expression): HashEmbed =
+    copy(child = newChild)
+  override def prettyName: String = "hash_embed"
+}
+
 /** Column wrappers + SQL registration for the custom expressions.
   * Spark 4 keeps `Expression -> Column` private, so the public route is
   * the function registry: [[register]] installs the builders (idempotent)
@@ -279,6 +323,11 @@ object GraftFunctions {
     org.apache.spark.sql.GraftShim.column(
       GramStats(org.apache.spark.sql.GraftShim.expression(c)))
 
+  /** Registration-free, like [[tokenStats]]. */
+  def hashEmbed(c: Column, dims: Int = 16): Column =
+    org.apache.spark.sql.GraftShim.column(
+      HashEmbed(org.apache.spark.sql.GraftShim.expression(c), dims))
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("polyhash",
@@ -291,6 +340,13 @@ object GraftFunctions {
       exprs => SimHash32(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("gram_stats",
       exprs => GramStats(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("hash_embed",
+      exprs => HashEmbed(exprs.head, exprs(1) match {
+        case Literal(v: Int, _) => v
+        case Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"hash_embed dims must be an integer literal, got $other")
+      }), "built-in")
     registry.createOrReplaceTempFunction("token_stats",
       exprs => {
         if (exprs.length != 2)

@@ -96,15 +96,86 @@ object EmbeddingQueries {
       |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Shared oracle chain: feature-hashed 16-dim embeddings of the
+    * documents table ([[graft.functions.HashUtil.hashEmbed]]). `th`
+    * replays the per-token 31-bit polyhash (q31's list_reduce recipe),
+    * `emb` the ±1 bit-sign accumulation per dimension. */
+  private val embedChainSql: String =
+    """toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, length(tok)), i -> CAST(unicode(substr(tok, i, 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 2147483648) AS h FROM toks),
+      |emb AS (SELECT doc_id, d,
+      |    CAST(SUM(CASE WHEN (h >> d) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+      |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS d) dims
+      |  GROUP BY doc_id, d)""".stripMargin
+
+  /** q93: model-free text embeddings — the hashing-trick signed
+    * projection as a native expression, one codegen'd pass per doc, no
+    * shuffle for the embedding itself (the explode to long format is
+    * presentation). This closes the raw-text → vector gap: its output
+    * feeds every cosine/LSH/IVF operator without an external model. */
+  def q93TextEmbed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id",
+        posexplode(graft.functions.GraftFunctions.hashEmbed($"text", 16)))
+      .select($"doc_id", $"pos".cast("long").as("dim"), $"col".as("v"))
+      .orderBy($"doc_id", $"dim")
+  }
+
+  val q93Sql: String =
+    s"""WITH $embedChainSql
+      |SELECT doc_id, CAST(d AS BIGINT) AS dim, v FROM emb
+      |ORDER BY doc_id, dim""".stripMargin
+
+  /** q94: end-to-end text ANN — embed every document with the hashing
+    * trick, then exact cosine top-3 for the first 5 docs over the
+    * integer vectors (cast to double; [[Similarity.bruteForceTopK]]'s
+    * broadcast-queries/stream-candidates shape). Zero-norm vectors are
+    * excluded on both sides (cos would be NULL/NaN). */
+  def q94TextAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s) // vecdot used below pre-analysis
+    val emb = Tables.load(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id",
+        graft.functions.GraftFunctions.hashEmbed($"text", 16).as("e"))
+      .filter(Similarity.dot(Similarity.vecD($"e"), Similarity.vecD($"e")) > 0.0)
+    Similarity.bruteForceTopK(emb, emb.filter($"doc_id" < 5), "doc_id", "e", k = 3)
+      .orderBy($"query_id", $"rank")
+  }
+
+  val q94Sql: String =
+    s"""WITH $embedChainSql,
+      |vec AS (SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY d) AS e FROM emb
+      |  GROUP BY doc_id),
+      |n AS (SELECT doc_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm
+      |  FROM vec WHERE list_sum(list_transform(e, x -> x*x)) > 0.0),
+      |q AS (SELECT * FROM n WHERE doc_id < 5),
+      |p AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+      |  list_sum(list_transform(generate_series(1, 16), i -> q.e[i]*c.e[i])) / (q.nrm*c.nrm) AS cos
+      |  FROM q JOIN n c ON c.doc_id != q.doc_id),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER
+      |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM p)
+      |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_cosine_topk" -> (q22CosineTopK _),
     "q23_lsh_buckets" -> (q23LshBuckets _),
     "q24_emb_neardup" -> (q24EmbNearDup _),
-    "q68_lsh_topk" -> (q68LshTopK _))
+    "q68_lsh_topk" -> (q68LshTopK _),
+    "q93_text_embed" -> (q93TextEmbed _),
+    "q94_text_ann" -> (q94TextAnn _))
 
   val oracle: Map[String, String] = Map(
     "q22_cosine_topk" -> q22Sql,
     "q23_lsh_buckets" -> q23Sql,
     "q24_emb_neardup" -> q24Sql,
-    "q68_lsh_topk" -> q68Sql)
+    "q68_lsh_topk" -> q68Sql,
+    "q93_text_embed" -> q93Sql,
+    "q94_text_ann" -> q94Sql)
 }

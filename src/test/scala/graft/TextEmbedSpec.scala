@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.{GraftFunctions, HashUtil}
+import graft.ext.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Feature-hashed text embeddings (q93/q94): the hashing-trick signed
+  * projection must match a hand computation, tokenize exactly like the
+  * other text kernels, and plug into the similarity operators. */
+class TextEmbedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embed(s: String, dims: Int): Seq[Long] =
+    HashUtil.hashEmbed(UTF8String.fromString(s), dims).toLongArray().toSeq
+
+  test("kernel matches the per-token bit-sign hand computation") {
+    // h("a") = 97 = 0b1100001: bits 0,5,6 set
+    assert(embed("a", 8) == Seq(1L, -1L, -1L, -1L, -1L, 1L, 1L, -1L))
+    // two tokens sum their signs: h("b") = 98 = 0b1100010 (bits 1,5,6)
+    assert(embed("a b", 8) == Seq(0L, 0L, -2L, -2L, -2L, 2L, 2L, -2L))
+    // repeated tokens weight by count
+    assert(embed("a a b", 3) == Seq(1L, -1L, -3L))
+  }
+
+  test("empty and all-space text embed to the zero vector") {
+    assert(embed("", 4) == Seq(0L, 0L, 0L, 0L))
+    assert(embed("   ", 4) == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("tokenization matches the TextKernel split (tabs keep empty lead token)") {
+    // "\ta" strips no tab → split yields ["", "a"]; h("") = 0 contributes
+    // -1 everywhere, matching the other kernels' (and DuckDB's) split
+    assert(embed("\ta", 2) == Seq(1L - 1L, -1L - 1L))
+  }
+
+  test("Column and SQL routes agree with the kernel") {
+    GraftFunctions.register(spark)
+    val df = Seq((1L, "alpha beta gamma"), (2L, "delta")).toDF("id", "text")
+    val viaColumn = df.select($"id", GraftFunctions.hashEmbed($"text", 16).as("e"))
+      .as[(Long, Seq[Long])].collect().toMap
+    df.createOrReplaceTempView("ted")
+    val viaSql = spark.sql("SELECT id, hash_embed(text, 16) AS e FROM ted")
+      .as[(Long, Seq[Long])].collect().toMap
+    for ((id, text) <- Seq(1L -> "alpha beta gamma", 2L -> "delta")) {
+      assert(viaColumn(id) == embed(text, 16))
+      assert(viaSql(id) == embed(text, 16))
+    }
+  }
+
+  test("embeddings feed the similarity stack: self-cosine is 1") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    graft.functions.VectorFunctions.register(spark)
+    val emb = df.select($"doc_id", GraftFunctions.hashEmbed($"text", 16).as("e"))
+    val cos = emb.select(
+      (Similarity.dot(Similarity.vecD($"e"), Similarity.vecD($"e")) /
+        (Similarity.norm(Similarity.vecD($"e")) * Similarity.norm(Similarity.vecD($"e"))))
+        .as("c")).as[Double].collect()
+    assert(cos.forall(c => math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("dims outside [1, 31] are rejected") {
+    intercept[IllegalArgumentException] { embed("x", 0) }
+    intercept[IllegalArgumentException] { embed("x", 32) }
+  }
+}
