@@ -189,6 +189,51 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** Sign-band LSH top-k for embeddings whose coordinate signs already
+    * carry the locality signature — e.g. `hash_embed`'s hashing-trick
+    * vectors, where sign(e[d]) IS the d-th SimHash bit. Bucket = the
+    * packed sign bits of one band of dimensions; candidates collide in
+    * ANY band (pigeonhole: vectors disagreeing on < bands sign bits
+    * share at least one full band), then exact cosine + rank.
+    *
+    * Unlike [[approxTopK]] there are no hyperplane dot products at all:
+    * band bucketing is a pure codegen'd projection, and candidates meet
+    * in a broadcast EQUI-join on (band, bucket) — the scale path for
+    * raw-text ANN (q94's brute-force twin). Zero-norm vectors are
+    * excluded (their cosine is undefined). */
+  def signBandTopK(
+      df: DataFrame, idCol: String, vecCol: String, queryPred: Column, k: Int,
+      bands: Int = 2, bitsPerBand: Int = 8): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("raw"))
+      .withColumn("e", vecD(col("raw")))
+      .withColumn("nrm", norm(col("e")))
+      .filter(col("nrm") > 0.0)
+    def bandBucket(b: Int): Column =
+      (0 until bitsPerBand).map(i =>
+        when(element_at(col("raw"), b * bitsPerBand + i + 1) > 0, lit(1L << i))
+          .otherwise(lit(0L))).reduce(_ + _)
+    val bucketed = v.select(col("id"), col("e"), col("nrm"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("b"), bandBucket(b).as("bv"))): _*)).as("bb"))
+      .select(col("id"), col("e"), col("nrm"),
+        col("bb.b").as("b"), col("bb.bv").as("bv"))
+    val q = bucketed.filter(queryPred)
+    val cand = bucketed.as("c").join(broadcast(q).as("q"),
+        col("c.b") === col("q.b") && col("c.bv") === col("q.bv") &&
+          col("c.id") =!= col("q.id"))
+      .select(col("q.id").as("query_id"), col("q.e").as("qe"), col("q.nrm").as("qnrm"),
+        col("c.id").as("neighbor_id"), col("c.e").as("ce"), col("c.nrm").as("cnrm"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      (dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   // --- IVF-flat with fixed seeds ------------------------------------
 
   /** Assign each vector to the nearest of the first `nClusters` vectors

@@ -163,13 +163,50 @@ object EmbeddingQueries {
       |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 3
       |ORDER BY query_id, rank""".stripMargin
 
+  /** q95: the SCALE path for raw-text ANN — the same hashing-trick
+    * embeddings bucketed by sign bands ([[Similarity.signBandTopK]]):
+    * candidates meet in a broadcast equi-join on (band, bucket) instead
+    * of q94's scan-everything broadcast join. Precision is exact (every
+    * emitted neighbor passed the true cosine); recall is the band
+    * collision probability, spec-measured vs q94. */
+  def q95TextAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select($"doc_id",
+        graft.functions.GraftFunctions.hashEmbed($"text", 16).as("e"))
+    Similarity.signBandTopK(emb, "doc_id", "e", col("id") < 5, k = 3)
+      .orderBy($"query_id", $"rank")
+  }
+
+  val q95Sql: String =
+    s"""WITH $embedChainSql,
+      |vec AS (SELECT doc_id, list(CAST(v AS DOUBLE) ORDER BY d) AS e,
+      |    list(v ORDER BY d) AS raw FROM emb GROUP BY doc_id),
+      |n AS (SELECT doc_id, e, raw, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm
+      |  FROM vec WHERE list_sum(list_transform(e, x -> x*x)) > 0.0),
+      |bb AS (SELECT doc_id, b, CAST(list_sum(list_transform(generate_series(0, 7), i ->
+      |      CASE WHEN raw[b*8 + i + 1] > 0 THEN 1::BIGINT << i ELSE 0 END)) AS BIGINT) AS bv
+      |  FROM n CROSS JOIN (SELECT unnest([0, 1]) AS b) bands),
+      |q AS (SELECT * FROM bb WHERE doc_id < 5),
+      |cand AS (SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS neighbor_id
+      |  FROM q JOIN bb c ON c.b = q.b AND c.bv = q.bv AND c.doc_id != q.doc_id),
+      |p AS (SELECT cand.query_id, cand.neighbor_id,
+      |    list_sum(list_transform(generate_series(1, 16), i -> a.e[i]*c.e[i])) / (a.nrm*c.nrm) AS cos
+      |  FROM cand JOIN n a ON cand.query_id = a.doc_id JOIN n c ON cand.neighbor_id = c.doc_id),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER
+      |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank FROM p)
+      |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_cosine_topk" -> (q22CosineTopK _),
     "q23_lsh_buckets" -> (q23LshBuckets _),
     "q24_emb_neardup" -> (q24EmbNearDup _),
     "q68_lsh_topk" -> (q68LshTopK _),
     "q93_text_embed" -> (q93TextEmbed _),
-    "q94_text_ann" -> (q94TextAnn _))
+    "q94_text_ann" -> (q94TextAnn _),
+    "q95_text_ann_lsh" -> (q95TextAnnLsh _))
 
   val oracle: Map[String, String] = Map(
     "q22_cosine_topk" -> q22Sql,
@@ -177,5 +214,6 @@ object EmbeddingQueries {
     "q24_emb_neardup" -> q24Sql,
     "q68_lsh_topk" -> q68Sql,
     "q93_text_embed" -> q93Sql,
-    "q94_text_ann" -> q94Sql)
+    "q94_text_ann" -> q94Sql,
+    "q95_text_ann_lsh" -> q95Sql)
 }

@@ -64,4 +64,21 @@ class TextEmbedSpec extends SparkSpec {
     intercept[IllegalArgumentException] { embed("x", 0) }
     intercept[IllegalArgumentException] { embed("x", 32) }
   }
+
+  test("sign-band LSH (q95) recalls the brute-force top-3 (q94) on real docs") {
+    val brute = graft.queries.EmbeddingQueries.q94TextAnn(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = graft.queries.EmbeddingQueries.q95TextAnnLsh(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"sign-band recall@3 $recall vs brute force (want >= 0.5)")
+  }
+
+  test("q95's candidate join is a broadcast EQUI-join, not a nested loop") {
+    val p = graft.queries.EmbeddingQueries.q95TextAnnLsh(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"candidate join degenerated to BNLJ:\n$p")
+  }
 }
