@@ -241,6 +241,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: hash_embed is additive over token concatenation") {
+    // embed(a ++ b) = embed(a) + embed(b) for non-empty token lists: the
+    // hashing trick is a linear map of the token-count vector, which is
+    // what lets map-side partial embeddings merge by vector addition
+    import graft.functions.HashUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    def e(s: String): Seq[Long] =
+      HashUtil.hashEmbed(UTF8String.fromString(s), 16).toLongArray().toSeq
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(8))
+    val words = Gen.nonEmptyListOf(word).map(_.take(10))
+    for (seed <- 1L to 20L) {
+      val a = sample(words, seed + 1300).mkString(" ")
+      val b = sample(words, seed + 1400).mkString(" ")
+      val sum = e(a).zip(e(b)).map { case (x, y) => x + y }
+      assert(e(a + " " + b) == sum, s"seed=$seed a='$a' b='$b'")
+    }
+  }
+
   test("property: native topk aggregate equals sort-and-take per group") {
     val rows = Gen.listOfN(300, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(-1000L, 1000L)))
     for (seed <- 1L to 3L) {
