@@ -122,6 +122,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("hash_embed runs unchanged on a stream (stateless projection) and matches batch") {
+    val docsSchema = Tables.load(spark, sf, "documents").schema
+    val stream = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+    import org.apache.spark.sql.functions._
+    def embedded(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), graft.functions.GraftFunctions.hashEmbed(col("text"), 16).as("e"))
+    val q = embedded(stream)
+      .writeStream.format("memory").queryName("embed_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("embed_stream").as[(Long, Seq[Long])].collect().toMap
+    val batch = embedded(Tables.load(spark, sf, "documents"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("out-of-order as-of join retro-matches a right event arriving a batch late") {
     implicit val sqlCtx = spark.sqlContext
     import Streaming.{AsofEventT, AsofMatch}
