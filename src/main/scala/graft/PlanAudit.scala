@@ -51,7 +51,10 @@ object PlanAudit {
 
   final case class Result(name: String, hits: Set[String], error: Option[String]) {
     def unjustified: Set[String] = hits -- justified.getOrElse(name, Set.empty)
-    def stale: Set[String] = justified.getOrElse(name, Set.empty) -- hits
+    // an errored plan has no hits at all — its allowlist entries are
+    // unknown, not stale, so don't advise pruning them
+    def stale: Set[String] =
+      if (error.nonEmpty) Set.empty else justified.getOrElse(name, Set.empty) -- hits
   }
 
   /** Plan (never execute) every registered query and collect flag hits. */

@@ -46,7 +46,10 @@ final class HttpChatEnricher(
     requestTimeoutMs: Long = 120000L,
     anthropicVersion: String = "2023-06-01") extends Enricher {
 
-  @transient private var client: HttpClient = _
+  // volatile: enrich() lazily self-initializes outside `open()`'s lock,
+  // so a concurrent reader needs the happens-before edge or it could
+  // observe a partially constructed HttpClient
+  @volatile @transient private var client: HttpClient = _
 
   override def open(): Unit = synchronized {
     if (client == null)

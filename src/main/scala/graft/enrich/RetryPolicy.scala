@@ -18,8 +18,25 @@ object RetryPolicy {
   case object Fatal extends ErrorClass
   case object Transient extends ErrorClass
 
-  def classify(e: Throwable): ErrorClass = {
-    val m = Option(e.getMessage).getOrElse("").toLowerCase
+  def classify(e: Throwable): ErrorClass = e match {
+    // HTTP responses carry a status code — classify on it FIRST, so
+    // arbitrary response-body bytes echoed into the message (the
+    // describeFailure fallback keeps a 200-byte snippet) can never flip
+    // the class: a 5xx is always retryable even if its body happens to
+    // contain "does not exist" or an api-key complaint, and 429 is
+    // always rate-limited. Unlisted 4xx statuses fall through to the
+    // message taxonomy, which sees describeFailure's CANONICAL wording
+    // for the known fatal states (quota/billing/model).
+    case h: EnrichHttpException if h.status == 429 => RateLimited
+    case h: EnrichHttpException if h.status == 401 || h.status == 403 => Fatal
+    case h: EnrichHttpException if h.status >= 500 => Transient
+    case _ => classifyMessage(Option(e.getMessage).getOrElse(""))
+  }
+
+  /** The reference's lower-cased substring taxonomy (main.py:571-596) —
+    * the only signal available for SDK-style string errors. */
+  private def classifyMessage(msg: String): ErrorClass = {
+    val m = msg.toLowerCase
     if (m.contains("rate limit") || m.contains("429") || m.contains("too many requests"))
       RateLimited
     else if (m.contains("api key") || m.contains("unauthorized") || m.contains("401") ||

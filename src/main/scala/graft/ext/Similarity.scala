@@ -85,37 +85,20 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("e")))
   }
 
-  /** Shared multi-table bucketing: one row per (vector, table) with the
-    * table's sign-bucket. Used by [[approxTopK]] and [[lshNearDupPairs]]. */
-  private def multiTableBuckets(
-      df: DataFrame, idCol: String, vecCol: String,
-      tables: Int, bitsPerTable: Int): DataFrame = {
-    val v = df.select(col(idCol).as("id"), vecD(col(vecCol)).as("e"))
-      .withColumn("nrm", norm(col("e")))
-    def tableBucket(t: Int): Column =
-      (0 until bitsPerTable).map(i =>
-        when(dot(col("e"), planeLit(t * bitsPerTable + i)) > 0.0, lit(1L << i))
-          .otherwise(lit(0L))).reduce(_ + _)
+  /** Shared banded-bucket layout: one row per (vector, band) with the
+    * band's bucket value. `v` must carry id/e/nrm (plus whatever extra
+    * columns `bucketFn` reads); the output keeps only id/e/nrm/t/bv. */
+  private def bandedBuckets(v: DataFrame, bands: Int, bucketFn: Int => Column): DataFrame =
     v.select(col("id"), col("e"), col("nrm"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), tableBucket(t).as("bv"))): _*)).as("tb"))
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("t"), bucketFn(b).as("bv"))): _*)).as("tb"))
       .select(col("id"), col("e"), col("nrm"),
         col("tb.t").as("t"), col("tb.bv").as("bv"))
-  }
 
-  /** Approximate top-k via multi-table LSH: `tables` independent hash
-    * tables of `bitsPerTable` hyperplane signs each; candidates are
-    * pairs colliding in ANY table (union, deduped), then scored exactly.
-    * A single wide bucket (q23) is too selective for weakly-clustered
-    * data — multiple narrow tables trade candidate count for recall,
-    * the standard production ANN layout. At scale each table is a
-    * co-partitioned equi-join on (table, bucket); candidates per query
-    * ≈ tables · n/2^bits, tunable independently of recall per table. */
-  def approxTopK(
-      df: DataFrame, idCol: String, vecCol: String, queryPred: Column, k: Int,
-      tables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
-    graft.functions.VectorFunctions.register(df.sparkSession)
-    val bucketed = multiTableBuckets(df, idCol, vecCol, tables, bitsPerTable)
+  /** Shared candidate stage: broadcast the bucketed query rows, collide
+    * on (band, bucket) — an EQUI-join — dedup id pairs, score with the
+    * exact cosine, rank, keep top-k. Used by every banded ANN variant. */
+  private def bucketedTopK(bucketed: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val q = bucketed.filter(queryPred)
     val cand = bucketed.as("c").join(broadcast(q).as("q"),
         col("c.t") === col("q.t") && col("c.bv") === col("q.bv") &&
@@ -130,6 +113,34 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Multi-table hyperplane bucketing: one row per (vector, table) with
+    * the table's sign-bucket. Used by [[approxTopK]] and [[lshNearDupPairs]]. */
+  private def multiTableBuckets(
+      df: DataFrame, idCol: String, vecCol: String,
+      tables: Int, bitsPerTable: Int): DataFrame = {
+    val v = df.select(col(idCol).as("id"), vecD(col(vecCol)).as("e"))
+      .withColumn("nrm", norm(col("e")))
+    bandedBuckets(v, tables, t =>
+      (0 until bitsPerTable).map(i =>
+        when(dot(col("e"), planeLit(t * bitsPerTable + i)) > 0.0, lit(1L << i))
+          .otherwise(lit(0L))).reduce(_ + _))
+  }
+
+  /** Approximate top-k via multi-table LSH: `tables` independent hash
+    * tables of `bitsPerTable` hyperplane signs each; candidates are
+    * pairs colliding in ANY table (union, deduped), then scored exactly.
+    * A single wide bucket (q23) is too selective for weakly-clustered
+    * data — multiple narrow tables trade candidate count for recall,
+    * the standard production ANN layout. At scale each table is a
+    * co-partitioned equi-join on (table, bucket); candidates per query
+    * ≈ tables · n/2^bits, tunable independently of recall per table. */
+  def approxTopK(
+      df: DataFrame, idCol: String, vecCol: String, queryPred: Column, k: Int,
+      tables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    bucketedTopK(multiTableBuckets(df, idCol, vecCol, tables, bitsPerTable), queryPred, k)
   }
 
   /** Hard-negative mining — for each query vector, the top-k most
@@ -205,7 +216,15 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, queryPred: Column, k: Int,
       bands: Int = 2, bitsPerBand: Int = 8): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("raw"))
+    val need = bands * bitsPerBand
+    // fail FAST and loudly on short vectors: without the guard, ANSI-off
+    // sessions would read nulls past the array end, every band-1 bucket
+    // would collapse to 0, and the equi-join would silently degenerate
+    // into the all-pairs scan this function exists to avoid
+    val v = df.select(col(idCol).as("id"),
+        when(size(col(vecCol)) >= need, col(vecCol)).otherwise(raise_error(concat(
+          lit(s"signBandTopK: vector of "), size(col(vecCol)).cast("string"),
+          lit(s" dims cannot fill $bands bands x $bitsPerBand bits")))).as("raw"))
       .withColumn("e", vecD(col("raw")))
       .withColumn("nrm", norm(col("e")))
       .filter(col("nrm") > 0.0)
@@ -213,25 +232,7 @@ object Similarity {
       (0 until bitsPerBand).map(i =>
         when(element_at(col("raw"), b * bitsPerBand + i + 1) > 0, lit(1L << i))
           .otherwise(lit(0L))).reduce(_ + _)
-    val bucketed = v.select(col("id"), col("e"), col("nrm"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("b"), bandBucket(b).as("bv"))): _*)).as("bb"))
-      .select(col("id"), col("e"), col("nrm"),
-        col("bb.b").as("b"), col("bb.bv").as("bv"))
-    val q = bucketed.filter(queryPred)
-    val cand = bucketed.as("c").join(broadcast(q).as("q"),
-        col("c.b") === col("q.b") && col("c.bv") === col("q.bv") &&
-          col("c.id") =!= col("q.id"))
-      .select(col("q.id").as("query_id"), col("q.e").as("qe"), col("q.nrm").as("qnrm"),
-        col("c.id").as("neighbor_id"), col("c.e").as("ce"), col("c.nrm").as("cnrm"))
-      .dropDuplicates("query_id", "neighbor_id")
-    val scored = cand.select(col("query_id"), col("neighbor_id"),
-      (dot(col("qe"), col("ce")) / (col("qnrm") * col("cnrm"))).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    bucketedTopK(bandedBuckets(v, bands, bandBucket), queryPred, k)
   }
 
   // --- IVF-flat with fixed seeds ------------------------------------

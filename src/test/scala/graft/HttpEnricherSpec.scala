@@ -166,6 +166,22 @@ class HttpEnricherSpec extends AnyFunSuite {
     }
   }
 
+  test("5xx body containing fatal-taxonomy words is STILL retried (status wins)") {
+    // a transient server hiccup whose body echoes "does not exist" must
+    // not be classified Fatal off the 200-byte snippet in the message —
+    // the status code is the authoritative signal for HTTP responses
+    withStub(500 -> """{"error":"session does not exist in cache, please retry"}""",
+             200 -> openAiOk("recovered")) { stub =>
+      val e = new HttpChatEnricher(stub.base)
+      var slept = Vector.empty[Long]
+      val out = RetryPolicy.withRetries(3, ms => slept :+= ms)(
+        () => e.enrich(Seq(Message("user", "x")), openAiCfg))
+      assert(out.toOption.contains("recovered"))
+      assert(stub.calls.get == 2)
+      assert(slept == Vector(1000L)) // transient schedule, not rate-limit, not fatal
+    }
+  }
+
   test("connection refused is transient (no taxonomy keyword)") {
     // port from a server we already closed — nothing listens there
     val deadBase = withStub(200 -> openAiOk("x")) { _.base }

@@ -74,6 +74,19 @@ class TextEmbedSpec extends SparkSpec {
     assert(recall >= 0.5, s"sign-band recall@3 $recall vs brute force (want >= 0.5)")
   }
 
+  test("signBandTopK fails fast on vectors too short for the band layout") {
+    graft.functions.VectorFunctions.register(spark)
+    val tiny = Seq((1L, Seq(1L, -1L, 2L, -2L)), (2L, Seq(3L, 1L, -1L, 2L)))
+      .toDF("id", "e") // 4 dims, default layout needs 16
+    val ex = intercept[Exception] {
+      Similarity.signBandTopK(tiny, "id", "e", col("id") < 2, k = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("cannot fill 2 bands x 8 bits")),
+      s"wrong failure: $ex")
+  }
+
   test("q95's candidate join is a broadcast EQUI-join, not a nested loop") {
     val p = graft.queries.EmbeddingQueries.q95TextAnnLsh(spark, sf)
       .queryExecution.explainString(
