@@ -45,7 +45,8 @@ object PlanAudit {
     "q86_surprisal" -> Set(SinglePartition, Bnlj), // corpus bigram total scalar
     "q87_hard_negatives" -> Set(Bnlj), // broadcast query set, label-inequality
     "q91_group_hll" -> Set(Bnlj), // groups × 256-bucket skeleton
-    "q94_text_ann" -> Set(Bnlj)) // broadcast query set, non-equi (q22 class)
+    "q94_text_ann" -> Set(Bnlj), // broadcast query set, non-equi (q22 class)
+    "q96_drift" -> Set(SinglePartition, Bnlj)) // one-row totals broadcast (q80 class)
 
   val flags = Seq(SinglePartition, Cartesian, Bnlj)
 

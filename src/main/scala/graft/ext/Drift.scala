@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus drift detection — comparing the distribution of a key (lang,
+  * length bucket, source domain, …) between two corpus snapshots is the
+  * standard crawl-over-crawl monitor in a training-data pipeline: a
+  * jump means the new crawl changed character and downstream mixes
+  * need re-weighting.
+  *
+  * The distance is total variation, computed in EXACT integer
+  * arithmetic: with per-key counts n_k (N total) and m_k (M total),
+  *   TVD = 1/2 · Σ_k |n_k/N − m_k/M| = Σ_k |n_k·M − m_k·N| / (2·N·M),
+  * so the per-key numerators |n_k·M − m_k·N| are exact longs that any
+  * engine reproduces bit-for-bit — no log/float divergence (the reason
+  * PSI/KL, which need ln, are NOT used for the oracle-gated surface).
+  *
+  * Scale design: one aggregation per side (map-side partial), a full
+  * outer equi-join on the key (both sides already hash-partitioned by
+  * it), and a one-row totals table broadcast back — the histogram is
+  * |keys| rows regardless of corpus size, so every post-agg step is
+  * constant-ish. Overflow bound: n_k·M < N·M, safe for N·M < 2^63
+  * (~3e9 rows on each side at a billion keys — beyond that, bucket
+  * first).
+  */
+object Drift {
+
+  /** Per-key drift histogram between `a` and `b` over `keyCols`:
+    * (key…, n_a, m_b, l1_num = |n_a·M − m_b·N|, n_total, m_total).
+    * Keys absent on one side count 0 there. TVD = Σ l1_num / (2·N·M). */
+  def histogramDiff(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "histogramDiff needs at least one key column")
+    val ks = keyCols.map(col)
+    val ha = a.groupBy(ks: _*).agg(count(lit(1)).as("n_a"))
+    val hb = b.groupBy(ks: _*).agg(count(lit(1)).as("m_b"))
+    val h = ha.join(hb, keyCols, "full_outer")
+      .select(ks :+ coalesce(col("n_a"), lit(0L)).as("n_a")
+        :+ coalesce(col("m_b"), lit(0L)).as("m_b"): _*)
+    // one-row totals, broadcast back onto the |keys|-row histogram
+    val totals = h.agg(sum(col("n_a")).as("n_total"), sum(col("m_b")).as("m_total"))
+    h.crossJoin(broadcast(totals))
+      .select(ks :+ col("n_a") :+ col("m_b")
+        :+ abs(col("n_a") * col("m_total") - col("m_b") * col("n_total")).as("l1_num")
+        :+ col("n_total") :+ col("m_total"): _*)
+  }
+
+  /** Scalar total-variation distance in [0, 1] (driver-side helper over
+    * [[histogramDiff]]; the oracle-gated surface is the per-key rows). */
+  def tvd(a: DataFrame, b: DataFrame, keyCols: Seq[String]): Double = {
+    val r = histogramDiff(a, b, keyCols)
+      .agg(sum(col("l1_num")).as("s"), first(col("n_total")).as("n"),
+        first(col("m_total")).as("m"))
+      .head
+    val (s, n, m) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    if (n == 0L || m == 0L) if (n == m) 0.0 else 1.0
+    else s.toDouble / (2.0 * n.toDouble * m.toDouble)
+  }
+}

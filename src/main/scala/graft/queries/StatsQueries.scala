@@ -202,13 +202,48 @@ object StatsQueries {
       |SELECT user_id, event_id AS last_event_id, us AS last_us, event_type AS last_type
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** q96: corpus drift — total-variation distance histogram between two
+    * corpus snapshots (even vs odd doc_id halves, the deterministic
+    * stand-in for crawl N vs crawl N+1) keyed by (lang, length bucket).
+    * Per-key numerators |n_a·M − m_b·N| are exact longs
+    * ([[graft.ext.Drift.histogramDiff]]); TVD = Σ l1_num / (2·N·M) — no
+    * float/log in the gated surface, unlike PSI/KL. */
+  def q96Drift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"lang", expr("CAST(n_chars AS BIGINT) DIV 100").as("len_bucket"))
+    graft.ext.Drift.histogramDiff(
+        docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1),
+        Seq("lang", "len_bucket"))
+      .orderBy($"lang", $"len_bucket")
+  }
+
+  val q96Sql: String =
+    """WITH d AS (SELECT doc_id, lang, n_chars // 100 AS len_bucket FROM documents),
+      |ha AS (SELECT lang, len_bucket, COUNT(*) AS n_a FROM d WHERE doc_id % 2 = 0
+      |  GROUP BY lang, len_bucket),
+      |hb AS (SELECT lang, len_bucket, COUNT(*) AS m_b FROM d WHERE doc_id % 2 = 1
+      |  GROUP BY lang, len_bucket),
+      |h AS (SELECT COALESCE(ha.lang, hb.lang) AS lang,
+      |    COALESCE(ha.len_bucket, hb.len_bucket) AS len_bucket,
+      |    COALESCE(n_a, 0) AS n_a, COALESCE(m_b, 0) AS m_b
+      |  FROM ha FULL OUTER JOIN hb ON ha.lang = hb.lang AND ha.len_bucket = hb.len_bucket),
+      |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS n_total,
+      |    CAST(SUM(m_b) AS BIGINT) AS m_total FROM h)
+      |SELECT h.lang, CAST(h.len_bucket AS BIGINT) AS len_bucket,
+      |  CAST(h.n_a AS BIGINT) AS n_a, CAST(h.m_b AS BIGINT) AS m_b,
+      |  CAST(abs(h.n_a * t.m_total - h.m_b * t.n_total) AS BIGINT) AS l1_num,
+      |  t.n_total, t.m_total
+      |FROM h CROSS JOIN t ORDER BY lang, len_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_grouping_sets" -> (q53GroupingSets _),
     "q54_percentiles" -> (q54Percentiles _),
     "q55_stats" -> (q55Stats _),
     "q56_fuzzy_match" -> (q56FuzzyMatch _),
     "q57_date_buckets" -> (q57DateBuckets _),
-    "q58_latest_per_key" -> (q58LatestPerKey _))
+    "q58_latest_per_key" -> (q58LatestPerKey _),
+    "q96_drift" -> (q96Drift _))
 
   val oracle: Map[String, String] = Map(
     "q53_grouping_sets" -> q53Sql,
@@ -216,5 +251,6 @@ object StatsQueries {
     "q55_stats" -> q55Sql,
     "q56_fuzzy_match" -> q56Sql,
     "q57_date_buckets" -> q57Sql,
-    "q58_latest_per_key" -> q58Sql)
+    "q58_latest_per_key" -> q58Sql,
+    "q96_drift" -> q96Sql)
 }
