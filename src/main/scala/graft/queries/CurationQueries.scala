@@ -362,9 +362,43 @@ object CurationQueries {
       |  CAST(CASE WHEN vec_id = rep_id THEN 1 ELSE 0 END AS INT) AS is_kept
       |FROM lab ORDER BY vec_id""".stripMargin
 
+  /** q97: balanced sequence packing — documents dealt into a fixed
+    * number of worker bins by size-rank round-robin (rank docs by token
+    * count descending, bin = rank mod nBins: the distributed greedy
+    * balancer — each bin draws one doc from every consecutive size
+    * block, so bin loads differ by at most ~one max-size doc). The rank
+    * is [[graft.operators.CoreOps.withRowIndexByOrder]]'s
+    * range-partition + offset recipe, NOT a single-partition global
+    * window; complements q67's CONTIGUOUS token-budget shards (packing
+    * for worker balance vs sharding for sequence locality). */
+  def q97PackBins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.load(s, dir, "documents")
+      .select($"doc_id", graft.functions.TextFunctions.tokenCount($"text").as("toks"))
+    graft.operators.CoreOps.withRowIndexByOrder(toks, "rk", $"toks".desc, $"doc_id".asc)
+      .withColumn("bin", $"rk" % 16)
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("bin_tokens"),
+        max($"toks").as("max_doc"), min($"toks").as("min_doc"))
+      .select($"bin", $"n_docs", $"bin_tokens".cast("long").as("bin_tokens"),
+        $"max_doc", $"min_doc")
+      .orderBy($"bin")
+  }
+
+  val q97Sql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks FROM documents),
+      |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY toks DESC, doc_id) - 1 AS rk FROM d),
+      |b AS (SELECT rk % 16 AS bin, toks FROM r)
+      |SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(toks) AS BIGINT) AS bin_tokens,
+      |  CAST(MAX(toks) AS BIGINT) AS max_doc, CAST(MIN(toks) AS BIGINT) AS min_doc
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_curate" -> (q72Curate _),
     "q73_semdedup" -> (q73SemDedup _),
+    "q97_pack_bins" -> (q97PackBins _),
     "q63_bloom_prefilter" -> (q63BloomPrefilter _),
     "q64_sq8_quantize" -> (q64Sq8Quantize _),
     "q65_repetition_filter" -> (q65RepetitionFilter _),
@@ -376,6 +410,7 @@ object CurationQueries {
   val oracle: Map[String, String] = Map(
     "q72_curate" -> q72Sql,
     "q73_semdedup" -> q73Sql,
+    "q97_pack_bins" -> q97Sql,
     "q63_bloom_prefilter" -> q63Sql,
     "q64_sq8_quantize" -> q64Sql,
     "q65_repetition_filter" -> q65Sql,

@@ -10,6 +10,16 @@ import org.apache.spark.sql.functions._
 class CurationOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q97 size-rank round-robin packing balances bin loads to within one max doc") {
+    val bins = graft.queries.CurationQueries.q97PackBins(spark, sf)
+      .select($"bin_tokens", $"max_doc").as[(Long, Long)].collect()
+    assert(bins.length == 16)
+    val loads = bins.map(_._1)
+    val maxDoc = bins.map(_._2).max
+    assert(loads.max - loads.min <= maxDoc,
+      s"round-robin spread ${loads.max - loads.min} exceeds one max-size doc ($maxDoc)")
+  }
+
   test("bloom semi join equals the plain semi join (false positives removed)") {
     val fact = (1L to 1000L).map(k => (k, k % 7)).toDF("k", "v")
     val dim = Seq(3L, 500L, 999L, 1500L).toDF("dk") // 1500 matches nothing
