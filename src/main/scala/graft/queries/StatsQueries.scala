@@ -236,6 +236,62 @@ object StatsQueries {
       |  t.n_total, t.m_total
       |FROM h CROSS JOIN t ORDER BY lang, len_bucket""".stripMargin
 
+  /** q98: winsorized robust statistics — per event type, clip values to
+    * the exact [p05, p95] band (rank-based thresholds, q54's recipe: no
+    * vendor percentile, no interpolation) and recompute the mean over
+    * the clipped DECIMAL values. The standard outlier-robust cleaning
+    * step for heavy-tailed metrics; every number exact until one final
+    * cast. Scale shape: windowed rank per group (no global sort), a
+    * 5-row threshold table broadcast back, one aggregation. */
+  def q98Winsorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.loadEvents(s, dir)
+      .select($"event_type", $"event_id", dec($"value").as("v"))
+    val w = Window.partitionBy($"event_type").orderBy($"v", $"event_id")
+    val cw = Window.partitionBy($"event_type")
+    val ranked = ev.select($"event_type", $"v",
+      row_number().over(w).cast("long").as("rn"),
+      count(lit(1)).over(cw).cast("long").as("n"))
+    val th = ranked.groupBy($"event_type").agg(
+      max(when($"rn" === expr("(n*5+99) DIV 100"), $"v")).as("lo"),
+      max(when($"rn" === expr("(n*95+99) DIV 100"), $"v")).as("hi"))
+    ev.join(broadcast(th), "event_type")
+      .select($"event_type", $"v", $"lo", $"hi",
+        least(greatest($"v", $"lo"), $"hi").as("c"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        count(when($"v" < $"lo", 1)).as("n_clip_lo"),
+        count(when($"v" > $"hi", 1)).as("n_clip_hi"),
+        max($"lo").cast("double").as("p05"),
+        max($"hi").cast("double").as("p95"),
+        // round to 6 decimals: the decimal→double cast of the clipped
+        // sum rounds differently between engines in the last ulps
+        // (q55's lesson); the statistic is far coarser than 1e-6
+        round(sum($"c").cast("double") / count(lit(1)), 6).as("mean_wins"))
+      .orderBy($"event_type")
+  }
+
+  val q98Sql: String =
+    """WITH e AS (SELECT event_type, event_id, CAST(value AS DECIMAL(12,2)) AS v FROM events),
+      |ranked AS (SELECT event_type, v,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM e),
+      |th AS (SELECT event_type,
+      |    MAX(CASE WHEN rn = (n*5+99)//100 THEN v END) AS lo,
+      |    MAX(CASE WHEN rn = (n*95+99)//100 THEN v END) AS hi
+      |  FROM ranked GROUP BY event_type),
+      |c AS (SELECT e.event_type, e.v, th.lo, th.hi,
+      |    least(greatest(e.v, th.lo), th.hi) AS c
+      |  FROM e JOIN th ON e.event_type = th.event_type)
+      |SELECT event_type, COUNT(*) AS n,
+      |  COUNT(*) FILTER (v < lo) AS n_clip_lo,
+      |  COUNT(*) FILTER (v > hi) AS n_clip_hi,
+      |  CAST(MAX(lo) AS DOUBLE) AS p05,
+      |  CAST(MAX(hi) AS DOUBLE) AS p95,
+      |  round(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS mean_wins
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_grouping_sets" -> (q53GroupingSets _),
     "q54_percentiles" -> (q54Percentiles _),
@@ -243,7 +299,8 @@ object StatsQueries {
     "q56_fuzzy_match" -> (q56FuzzyMatch _),
     "q57_date_buckets" -> (q57DateBuckets _),
     "q58_latest_per_key" -> (q58LatestPerKey _),
-    "q96_drift" -> (q96Drift _))
+    "q96_drift" -> (q96Drift _),
+    "q98_winsorize" -> (q98Winsorize _))
 
   val oracle: Map[String, String] = Map(
     "q53_grouping_sets" -> q53Sql,
@@ -252,5 +309,6 @@ object StatsQueries {
     "q56_fuzzy_match" -> q56Sql,
     "q57_date_buckets" -> q57Sql,
     "q58_latest_per_key" -> q58Sql,
-    "q96_drift" -> q96Sql)
+    "q96_drift" -> q96Sql,
+    "q98_winsorize" -> q98Sql)
 }

@@ -138,6 +138,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stratified hash sampling runs unchanged on a stream and matches batch (q70 twin)") {
+    val docsSchema = Tables.load(spark, sf, "documents").schema
+    val stream = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+    val rates = Map("en" -> 5000, "de" -> 2500)
+    def sampled(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Mixing.stratifiedSample(df, "doc_id", "lang", rates, defaultBp = 1000)
+        .select("doc_id")
+    val q = sampled(stream)
+      .writeStream.format("memory").queryName("mix_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("mix_stream").as[Long].collect().toSet
+    val batch = sampled(Tables.load(spark, sf, "documents")).as[Long].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("out-of-order as-of join retro-matches a right event arriving a batch late") {
     implicit val sqlCtx = spark.sqlContext
     import Streaming.{AsofEventT, AsofMatch}
