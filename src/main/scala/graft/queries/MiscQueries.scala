@@ -219,8 +219,40 @@ object MiscQueries {
       |LEFT JOIN kk ON d0.doc_id = kk.doc_id
       |ORDER BY d0.doc_id""".stripMargin
 
+  /** q99: overlapping document chunking — fixed-width windows with
+    * stride < width (the RAG/embedding ingest shape: overlap keeps
+    * sentences that straddle a boundary retrievable from both sides).
+    * Fully declarative (`sequence` → `explode` → `substr` → `md5`), so
+    * it is codegen'd, shuffle-free before the final order, and runs
+    * unchanged on a stream. Content digests ride with each chunk —
+    * the q92 recipe — so downstream dedup never shuffles chunk text. */
+  def q99ChunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val width = 200
+    val stride = 150
+    Tables.load(s, dir, "documents").filter(length($"text") > 0)
+      .select($"doc_id", $"text",
+        explode(sequence(lit(0), length($"text") - 1, lit(stride))).as("off"))
+      .select($"doc_id", ($"off" / stride).cast("long").as("chunk_no"),
+        $"off".cast("long").as("off"),
+        expr(s"substr(text, off + 1, $width)").as("chunk"))
+      .select($"doc_id", $"chunk_no", $"off",
+        length($"chunk").cast("long").as("chunk_chars"),
+        md5(encode($"chunk", "UTF-8")).as("digest"))
+      .orderBy($"doc_id", $"chunk_no")
+  }
+
+  val q99Sql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) > 0),
+      |c AS (SELECT doc_id, unnest(generate_series(0, len - 1, 150)) AS off, text FROM d),
+      |k AS (SELECT doc_id, off // 150 AS chunk_no, off, substr(text, off + 1, 200) AS chunk FROM c)
+      |SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no, CAST(off AS BIGINT) AS off,
+      |  CAST(length(chunk) AS BIGINT) AS chunk_chars, md5(chunk) AS digest
+      |FROM k ORDER BY doc_id, chunk_no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_frame_dedup" -> (q92FrameDedup _),
+    "q99_chunk_overlap" -> (q99ChunkOverlap _),
     "q28_salted_agg" -> (q28SaltedAgg _),
     "q29_multimodal" -> (q29Multimodal _),
     "q41_salted_join" -> (q41SaltedJoin _),
@@ -230,6 +262,7 @@ object MiscQueries {
 
   val oracle: Map[String, String] = Map(
     "q92_frame_dedup" -> q92Sql,
+    "q99_chunk_overlap" -> q99Sql,
     "q28_salted_agg" -> q28Sql,
     "q29_multimodal" -> q29Sql,
     "q41_salted_join" -> q41Sql,

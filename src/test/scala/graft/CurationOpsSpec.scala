@@ -10,6 +10,24 @@ import org.apache.spark.sql.functions._
 class CurationOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q99 overlapping chunks cover the document and overlap by width-stride") {
+    val text = ("abcdefghij" * 60).take(560) // 560 chars -> offsets 0,150,300,450
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    // same shape as the query, small fixture
+    val chunks = df
+      .select($"doc_id", $"text",
+        explode(sequence(lit(0), length($"text") - 1, lit(150))).as("off"))
+      .select($"off", expr("substr(text, off + 1, 200)").as("chunk"))
+      .as[(Int, String)].collect().sortBy(_._1)
+    assert(chunks.map(_._1).toSeq == Seq(0, 150, 300, 450))
+    // coverage: every char position falls inside some chunk
+    assert(chunks.forall { case (off, c) => c == text.substring(off, math.min(off + 200, 560)) })
+    // overlap: consecutive chunks share width-stride = 50 chars
+    chunks.sliding(2).foreach { case Array((o1, c1), (o2, c2)) =>
+      assert(c1.takeRight(50) == c2.take(50), s"overlap broken between $o1 and $o2")
+    }
+  }
+
   test("q97 size-rank round-robin packing balances bin loads to within one max doc") {
     val bins = graft.queries.CurationQueries.q97PackBins(spark, sf)
       .select($"bin_tokens", $"max_doc").as[(Long, Long)].collect()
