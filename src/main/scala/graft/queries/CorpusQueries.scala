@@ -93,11 +93,77 @@ object CorpusQueries {
       |  '[gpt-test] ' || upper(substr('Priority ' || o_orderpriority || ' order ' || CAST(o_orderkey AS VARCHAR), 1, 64)) AS response
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** q100: retrieval-corpus preparation — the RAG capstone composition,
+    * every stage a proven operator, one oracle for the whole chain:
+    *
+    *   quality gate (q34's row-local thresholds)
+    *   → overlapping chunks (q99: width 200, stride 150)
+    *   → hash-embed each chunk (q93's hashing trick)
+    *   → corpus-wide near-dup collapse by the embedding's 16-bit sign
+    *     signature (its SimHash): first (doc, chunk) per signature wins.
+    *
+    * Scale shape: gates and chunking are codegen'd projections; the
+    * embedding is row-local; the only shuffle carries (sig, ids) — the
+    * chunk text never moves after the scan. */
+  def q100RetrievalPrep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{GraftFunctions, TextFunctions}
+    val gated = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"text",
+        TextFunctions.tokenCount($"text").as("n_tokens"),
+        TextFunctions.qualityScore($"text").as("quality"))
+      .filter($"n_tokens" >= 5 && $"n_tokens" <= 1000 && $"quality" >= 0.3)
+    val chunks = gated
+      .select($"doc_id", $"text",
+        explode(sequence(lit(0), length($"text") - 1, lit(150))).as("off"))
+      .select($"doc_id", ($"off" / 150).cast("long").as("chunk_no"),
+        expr("substr(text, off + 1, 200)").as("chunk"))
+    val emb = chunks.select($"doc_id", $"chunk_no",
+      GraftFunctions.hashEmbed($"chunk", 16).as("e"))
+    val signature = (0 until 16).map(i =>
+      when(element_at($"e", i + 1) > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val signed = emb.select($"doc_id", $"chunk_no", signature.as("sig"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"sig").orderBy($"doc_id", $"chunk_no")
+    signed.withColumn("rn", row_number().over(w))
+      .select($"doc_id", $"chunk_no", $"sig",
+        ($"rn" === 1).cast("int").as("is_kept"))
+      .orderBy($"doc_id", $"chunk_no")
+  }
+
+  val q100Sql: String =
+    s"""WITH g AS (SELECT doc_id, text FROM (
+      |    SELECT doc_id, text, $nTokens AS n_tokens, $quality AS quality
+      |    FROM documents) t
+      |  WHERE n_tokens >= 5 AND n_tokens <= 1000 AND quality >= 0.3),
+      |c AS (SELECT doc_id, unnest(generate_series(0, length(text) - 1, 150)) AS off, text FROM g),
+      |k AS (SELECT doc_id, off // 150 AS chunk_no, substr(text, off + 1, 200) AS chunk FROM c),
+      |toks AS (SELECT doc_id, chunk_no, unnest(string_split_regex(trim(chunk), '\\s+')) AS tok
+      |  FROM k WHERE length(trim(chunk)) > 0),
+      |th AS (SELECT doc_id, chunk_no, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, length(tok)), i -> CAST(unicode(substr(tok, i, 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 2147483648) AS h FROM toks),
+      |e AS (SELECT doc_id, chunk_no, d,
+      |    CAST(SUM(CASE WHEN (h >> d) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+      |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS d) dims
+      |  GROUP BY doc_id, chunk_no, d),
+      |sg0 AS (SELECT doc_id, chunk_no,
+      |    CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << d ELSE 0 END) AS BIGINT) AS sig
+      |  FROM e GROUP BY doc_id, chunk_no),
+      |sg AS (SELECT k.doc_id, k.chunk_no, COALESCE(sg0.sig, 0) AS sig
+      |  FROM k LEFT JOIN sg0 ON k.doc_id = sg0.doc_id AND k.chunk_no = sg0.chunk_no),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sig ORDER BY doc_id, chunk_no) AS rn FROM sg)
+      |SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no, sig,
+      |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS is_kept
+      |FROM r ORDER BY doc_id, chunk_no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_corpus_clean" -> (q34CorpusClean _),
-    "q36_async_enrich" -> (q36AsyncEnrich _))
+    "q36_async_enrich" -> (q36AsyncEnrich _),
+    "q100_retrieval_prep" -> (q100RetrievalPrep _))
 
   val oracle: Map[String, String] = Map(
     "q34_corpus_clean" -> q34Sql,
-    "q36_async_enrich" -> q36Sql)
+    "q36_async_enrich" -> q36Sql,
+    "q100_retrieval_prep" -> q100Sql)
 }
