@@ -15,14 +15,16 @@ import org.apache.spark.sql.functions._
   * so the per-key numerators |n_k·M − m_k·N| are exact longs that any
   * engine reproduces bit-for-bit — no log/float divergence (the reason
   * PSI/KL, which need ln, are NOT used for the oracle-gated surface).
+  * Per-key numerators stay below N·M; their SUM (see [[tvd]]) can reach
+  * 2·N·M, so the scalar distance needs N·M < 2^62.
   *
   * Scale design: one aggregation per side (map-side partial), a full
   * outer equi-join on the key (both sides already hash-partitioned by
   * it), and a one-row totals table broadcast back — the histogram is
   * |keys| rows regardless of corpus size, so every post-agg step is
-  * constant-ish. Overflow bound: n_k·M < N·M, safe for N·M < 2^63
-  * (~3e9 rows on each side at a billion keys — beyond that, bucket
-  * first).
+  * constant-ish. Overflow bound: per-key numerators need N·M < 2^63,
+  * the summed scalar N·M < 2^62 (~2e9 rows on each side — beyond that,
+  * bucket first).
   */
 object Drift {
 
@@ -46,12 +48,17 @@ object Drift {
   }
 
   /** Scalar total-variation distance in [0, 1] (driver-side helper over
-    * [[histogramDiff]]; the oracle-gated surface is the per-key rows). */
+    * [[histogramDiff]]; the oracle-gated surface is the per-key rows).
+    * Overflow bound: Σ l1_num ≤ 2·N·M (disjoint key sets hit equality),
+    * so the SUM needs N·M < 2^62 — half of histogramDiff's per-key
+    * bound. Beyond that, bucket keys first. */
   def tvd(a: DataFrame, b: DataFrame, keyCols: Seq[String]): Double = {
     val r = histogramDiff(a, b, keyCols)
       .agg(sum(col("l1_num")).as("s"), first(col("n_total")).as("n"),
         first(col("m_total")).as("m"))
       .head
+    // both inputs empty → zero histogram rows → an all-NULL aggregate row
+    if (r.isNullAt(0)) return 0.0
     val (s, n, m) = (r.getLong(0), r.getLong(1), r.getLong(2))
     if (n == 0L || m == 0L) if (n == m) 0.0 else 1.0
     else s.toDouble / (2.0 * n.toDouble * m.toDouble)

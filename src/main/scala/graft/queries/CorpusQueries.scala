@@ -113,11 +113,8 @@ object CorpusQueries {
         TextFunctions.tokenCount($"text").as("n_tokens"),
         TextFunctions.qualityScore($"text").as("quality"))
       .filter($"n_tokens" >= 5 && $"n_tokens" <= 1000 && $"quality" >= 0.3)
-    val chunks = gated
-      .select($"doc_id", $"text",
-        explode(sequence(lit(0), length($"text") - 1, lit(150))).as("off"))
-      .select($"doc_id", ($"off" / 150).cast("long").as("chunk_no"),
-        expr("substr(text, off + 1, 200)").as("chunk"))
+    val chunks = graft.ext.Chunking.overlapping(gated, "text")
+      .select($"doc_id", $"chunk_no", $"chunk")
     val emb = chunks.select($"doc_id", $"chunk_no",
       GraftFunctions.hashEmbed($"chunk", 16).as("e"))
     val signature = (0 until 16).map(i =>
@@ -136,20 +133,11 @@ object CorpusQueries {
       |    SELECT doc_id, text, $nTokens AS n_tokens, $quality AS quality
       |    FROM documents) t
       |  WHERE n_tokens >= 5 AND n_tokens <= 1000 AND quality >= 0.3),
-      |c AS (SELECT doc_id, unnest(generate_series(0, length(text) - 1, 150)) AS off, text FROM g),
-      |k AS (SELECT doc_id, off // 150 AS chunk_no, substr(text, off + 1, 200) AS chunk FROM c),
-      |toks AS (SELECT doc_id, chunk_no, unnest(string_split_regex(trim(chunk), '\\s+')) AS tok
-      |  FROM k WHERE length(trim(chunk)) > 0),
-      |th AS (SELECT doc_id, chunk_no, list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |    list_transform(generate_series(1, length(tok)), i -> CAST(unicode(substr(tok, i, 1)) AS BIGINT))),
-      |    (acc, x) -> (acc * 31 + x) % 2147483648) AS h FROM toks),
-      |e AS (SELECT doc_id, chunk_no, d,
-      |    CAST(SUM(CASE WHEN (h >> d) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
-      |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS d) dims
-      |  GROUP BY doc_id, chunk_no, d),
+      |${MiscQueries.chunkSql("g")},
+      |${EmbeddingQueries.embedChain("k", "doc_id, chunk_no", "chunk")},
       |sg0 AS (SELECT doc_id, chunk_no,
       |    CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << d ELSE 0 END) AS BIGINT) AS sig
-      |  FROM e GROUP BY doc_id, chunk_no),
+      |  FROM emb GROUP BY doc_id, chunk_no),
       |sg AS (SELECT k.doc_id, k.chunk_no, COALESCE(sg0.sig, 0) AS sig
       |  FROM k LEFT JOIN sg0 ON k.doc_id = sg0.doc_id AND k.chunk_no = sg0.chunk_no),
       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sig ORDER BY doc_id, chunk_no) AS rn FROM sg)

@@ -387,7 +387,9 @@ object CurationQueries {
 
   val q97Sql: String =
     """WITH d AS (SELECT doc_id,
-      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks FROM documents),
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |    END AS toks FROM documents),
       |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY toks DESC, doc_id) - 1 AS rk FROM d),
       |b AS (SELECT rk % 16 AS bin, toks FROM r)
       |SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,

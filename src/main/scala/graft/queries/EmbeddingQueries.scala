@@ -96,20 +96,25 @@ object EmbeddingQueries {
       |SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
-  /** Shared oracle chain: feature-hashed 16-dim embeddings of the
-    * documents table ([[graft.functions.HashUtil.hashEmbed]]). `th`
-    * replays the per-token 31-bit polyhash (q31's list_reduce recipe),
-    * `emb` the ±1 bit-sign accumulation per dimension. */
-  private val embedChainSql: String =
-    """toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
-      |  FROM documents WHERE length(trim(text)) > 0),
-      |th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+  /** Shared oracle chain: feature-hashed 16-dim embeddings of `textCol`
+    * rows in `src`, keyed by `keys` ([[graft.functions.HashUtil
+    * .hashEmbed]]). `th` replays the per-token 31-bit polyhash (q31's
+    * list_reduce recipe), `emb` the ±1 bit-sign accumulation per
+    * dimension. ONE definition — q93/q94/q95 instantiate it over
+    * documents, q100 over chunks — so the hash recipe cannot drift
+    * between gates. */
+  private[queries] def embedChain(src: String, keys: String, textCol: String): String =
+    s"""toks AS (SELECT $keys, unnest(string_split_regex(trim($textCol), '\\s+')) AS tok
+      |  FROM $src WHERE length(trim($textCol)) > 0),
+      |th AS (SELECT $keys, list_reduce(list_prepend(CAST(0 AS BIGINT),
       |    list_transform(generate_series(1, length(tok)), i -> CAST(unicode(substr(tok, i, 1)) AS BIGINT))),
       |    (acc, x) -> (acc * 31 + x) % 2147483648) AS h FROM toks),
-      |emb AS (SELECT doc_id, d,
+      |emb AS (SELECT $keys, d,
       |    CAST(SUM(CASE WHEN (h >> d) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
       |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS d) dims
-      |  GROUP BY doc_id, d)""".stripMargin
+      |  GROUP BY $keys, d)""".stripMargin
+
+  private val embedChainSql: String = embedChain("documents", "doc_id", "text")
 
   /** q93: model-free text embeddings — the hashing-trick signed
     * projection as a native expression, one codegen'd pass per doc, no

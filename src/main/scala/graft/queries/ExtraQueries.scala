@@ -23,14 +23,17 @@ object ExtraQueries {
   }
 
   val q30Sql: String =
-    """SELECT doc_id,
-      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
-      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+    """WITH t0 AS (SELECT doc_id, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |    END AS ws FROM documents)
+      |SELECT doc_id, ws AS ws_tokens,
+      |  ws
       |    + CAST((length(text) - length(regexp_replace(text, '[a-z][A-Z]', '', 'g'))) // 2 AS BIGINT)
       |    + CAST((length(text) - length(regexp_replace(text, '[A-Za-z][0-9]', '', 'g'))) // 2 AS BIGINT)
       |    + CAST((length(text) - length(regexp_replace(text, '[0-9][A-Za-z]', '', 'g'))) // 2 AS BIGINT)
       |    AS subword_tokens
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM t0 ORDER BY doc_id""".stripMargin
 
   /** q31: document fingerprint — rolling polynomial hash of the whole
     * text ([[graft.functions.PolyHash]], one codegen'd pass; the oracle

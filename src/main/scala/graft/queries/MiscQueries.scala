@@ -228,24 +228,28 @@ object MiscQueries {
     * the q92 recipe — so downstream dedup never shuffles chunk text. */
   def q99ChunkOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val width = 200
-    val stride = 150
-    Tables.load(s, dir, "documents").filter(length($"text") > 0)
-      .select($"doc_id", $"text",
-        explode(sequence(lit(0), length($"text") - 1, lit(stride))).as("off"))
-      .select($"doc_id", ($"off" / stride).cast("long").as("chunk_no"),
-        $"off".cast("long").as("off"),
-        expr(s"substr(text, off + 1, $width)").as("chunk"))
+    graft.ext.Chunking.overlapping(
+        Tables.load(s, dir, "documents").filter(length($"text") > 0), "text")
       .select($"doc_id", $"chunk_no", $"off",
         length($"chunk").cast("long").as("chunk_chars"),
         md5(encode($"chunk", "UTF-8")).as("digest"))
       .orderBy($"doc_id", $"chunk_no")
   }
 
+  /** Chunk CTEs shared verbatim with q100's oracle — interpolates the
+    * SAME [[graft.ext.Chunking.Width]]/[[graft.ext.Chunking.Stride]]
+    * the engine uses, from `src` (needs doc_id, text). Emits `k`
+    * (doc_id, chunk_no, off, chunk). */
+  private[queries] def chunkSql(src: String): String = {
+    val w = graft.ext.Chunking.Width
+    val st = graft.ext.Chunking.Stride
+    s"""c AS (SELECT doc_id, unnest(generate_series(0, length(text) - 1, $st)) AS off, text
+      |  FROM $src WHERE length(text) > 0),
+      |k AS (SELECT doc_id, off // $st AS chunk_no, off, substr(text, off + 1, $w) AS chunk FROM c)""".stripMargin
+  }
+
   val q99Sql: String =
-    """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) > 0),
-      |c AS (SELECT doc_id, unnest(generate_series(0, len - 1, 150)) AS off, text FROM d),
-      |k AS (SELECT doc_id, off // 150 AS chunk_no, off, substr(text, off + 1, 200) AS chunk FROM c)
+    s"""WITH ${chunkSql("documents")}
       |SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no, CAST(off AS BIGINT) AS off,
       |  CAST(length(chunk) AS BIGINT) AS chunk_chars, md5(chunk) AS digest
       |FROM k ORDER BY doc_id, chunk_no""".stripMargin

@@ -13,11 +13,9 @@ class CurationOpsSpec extends SparkSpec {
   test("q99 overlapping chunks cover the document and overlap by width-stride") {
     val text = ("abcdefghij" * 60).take(560) // 560 chars -> offsets 0,150,300,450
     val df = Seq((1L, text)).toDF("doc_id", "text")
-    // same shape as the query, small fixture
-    val chunks = df
-      .select($"doc_id", $"text",
-        explode(sequence(lit(0), length($"text") - 1, lit(150))).as("off"))
-      .select($"off", expr("substr(text, off + 1, 200)").as("chunk"))
+    // the REAL operator the query uses — not a reimplementation
+    val chunks = graft.ext.Chunking.overlapping(df, "text")
+      .select($"off".cast("int"), $"chunk")
       .as[(Int, String)].collect().sortBy(_._1)
     assert(chunks.map(_._1).toSeq == Seq(0, 150, 300, 450))
     // coverage: every char position falls inside some chunk

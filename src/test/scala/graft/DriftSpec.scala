@@ -28,6 +28,12 @@ class DriftSpec extends SparkSpec {
     assert(Drift.tvd(a, b, Seq("k")) == 0.5)
   }
 
+  test("tvd of two empty snapshots is 0, not an NPE") {
+    val empty = Seq.empty[String].toDF("k")
+    assert(Drift.tvd(empty, empty, Seq("k")) == 0.0)
+    assert(Drift.tvd(empty, Seq("x").toDF("k"), Seq("k")) == 1.0)
+  }
+
   test("tvd is symmetric and bounded on random splits of real docs") {
     val docs = Tables.load(spark, sf, "documents").select($"doc_id", $"lang")
     val even = docs.filter($"doc_id" % 2 === 0)
