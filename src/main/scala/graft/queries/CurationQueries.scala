@@ -6,6 +6,8 @@ import graft.Tables
 import graft.operators.BloomPrune
 import graft.operators.ColOps.{dec, dsum}
 import graft.ext.{Quantize, Repetition, Similarity}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.expressions.Window
 
 /** Round-3 additions: bloom-pruned semi join (q63), int8 scalar
   * quantization (q64), repetition-based quality gating (q65), and full
@@ -397,10 +399,45 @@ object CurationQueries {
       |  CAST(MAX(toks) AS BIGINT) AS max_doc, CAST(MIN(toks) AS BIGINT) AS min_doc
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** q101: exact-k stratified sampling — training mixes usually specify
+    * COUNTS per source, not fractions (q70): rank each stratum's rows by
+    * an avalanched hash of the id (uniform, reproducible, no RNG state)
+    * and keep the first k. Deterministic across engines and re-runs;
+    * the windowed rank partitions on the stratum, so no global sort. A
+    * stratum smaller than k yields all its rows. */
+  def q101StratifiedK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val k = 20
+    // q70's mix recipe: polyhash of the id string, LCG-avalanched
+    val mixed = (GraftFunctions.polyhash($"doc_id".cast("string")) * 1103515245L
+      + 12345L) % 2147483648L
+    val w = Window.partitionBy($"lang").orderBy($"hk", $"doc_id")
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"lang", mixed.as("hk"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= k)
+      .select($"doc_id", $"lang", $"rn")
+      .orderBy($"lang", $"rn")
+  }
+
+  val q101Sql: String =
+    """WITH h AS (SELECT doc_id, lang, (list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+      |      i -> CAST(unicode(substr(CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) * 1103515245 + 12345)
+      |    % 2147483648 AS hk FROM documents),
+      |r AS (SELECT doc_id, lang,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS BIGINT) AS rn
+      |  FROM h)
+      |SELECT doc_id, lang, rn FROM r WHERE rn <= 20
+      |ORDER BY lang, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_curate" -> (q72Curate _),
     "q73_semdedup" -> (q73SemDedup _),
     "q97_pack_bins" -> (q97PackBins _),
+    "q101_stratified_k" -> (q101StratifiedK _),
     "q63_bloom_prefilter" -> (q63BloomPrefilter _),
     "q64_sq8_quantize" -> (q64Sq8Quantize _),
     "q65_repetition_filter" -> (q65RepetitionFilter _),
@@ -413,6 +450,7 @@ object CurationQueries {
     "q72_curate" -> q72Sql,
     "q73_semdedup" -> q73Sql,
     "q97_pack_bins" -> q97Sql,
+    "q101_stratified_k" -> q101Sql,
     "q63_bloom_prefilter" -> q63Sql,
     "q64_sq8_quantize" -> q64Sql,
     "q65_repetition_filter" -> q65Sql,

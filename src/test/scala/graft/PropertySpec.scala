@@ -241,6 +241,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: overlapping chunks reconstruct the document from stride prefixes") {
+    // text == concat of chunk.take(stride): chunk i covers [i*s, i*s+w);
+    // its first s chars tile the document exactly, so nothing is lost
+    // or duplicated by the overlap
+    import graft.ext.Chunking
+    for (seed <- 1L to 5L) {
+      val len = sample(Gen.chooseNum(1, 700), seed + 1500)
+      val text = sample(Gen.listOfN(len, Gen.alphaNumChar), seed + 1600).mkString
+      val chunks = Chunking.overlapping(Seq((1L, text)).toDF("id", "text"), "text")
+        .select($"chunk_no", $"chunk").as[(Long, String)].collect().sortBy(_._1)
+      assert(chunks.map(_._2.take(Chunking.Stride)).mkString == text, s"seed=$seed len=$len")
+      // every chunk except possibly the last is full width or reaches EOF
+      chunks.init.foreach { case (i, c) =>
+        assert(c.length == Chunking.Width ||
+          (i * Chunking.Stride + c.length).toInt == text.length)
+      }
+    }
+  }
+
   test("property: hash_embed is additive over token concatenation") {
     // embed(a ++ b) = embed(a) + embed(b) for non-empty token lists: the
     // hashing trick is a linear map of the token-count vector, which is
