@@ -39,6 +39,10 @@ object Drift {
     val h = ha.join(hb, keyCols, "full_outer")
       .select(ks :+ coalesce(col("n_a"), lit(0L)).as("n_a")
         :+ coalesce(col("m_b"), lit(0L)).as("m_b"): _*)
+      // |keys| rows; feeds both the totals pass and the output — without
+      // the checkpoint Spark plans the scan→agg→join subtree TWICE
+      // (4 corpus scans instead of 2 at 100 TB)
+      .localCheckpoint(false)
     // one-row totals, broadcast back onto the |keys|-row histogram
     val totals = h.agg(sum(col("n_a")).as("n_total"), sum(col("m_b")).as("m_total"))
     h.crossJoin(broadcast(totals))
