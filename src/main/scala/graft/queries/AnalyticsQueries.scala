@@ -217,15 +217,50 @@ object AnalyticsQueries {
       |  FROM v LEFT JOIN m2 ON v.id = m2.dst)
       |SELECT id, rank FROM r2 ORDER BY rank DESC, id LIMIT 30""".stripMargin
 
+  /** q102: per-node triangle counts on the co-supplier graph (suppliers
+    * sharing an order, both lineitems high-quantity). Engine:
+    * degree-ordered orientation ([[graft.ext.Triangles]]) — wedges
+    * enumerate only at each edge's lower-(deg, id) endpoint, so hub
+    * nodes generate no wedges and the join volume is O(m^1.5), not
+    * Σ deg². Oracle: plain id-ordered three-way self-join — a different
+    * enumeration order over the same triangle set, so matching counts
+    * prove the orientation logic, not just the plumbing. */
+  def q102Triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+      .filter($"l_quantity" >= 41)
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
+    val pairs = li.as("a").join(li.as("b"), "ok")
+      .filter($"a.sk" < $"b.sk")
+      .select($"a.sk".as("src"), $"b.sk".as("dst"))
+    graft.ext.Triangles.perNodeCounts(pairs)
+      .orderBy($"node")
+  }
+
+  val q102Sql: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+      |  WHERE l_quantity >= 41),
+      |e AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+      |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |n AS (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+      |  UNION ALL SELECT c FROM t)
+      |SELECT node, COUNT(*) AS n_triangles FROM n
+      |GROUP BY node ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_anomaly" -> (q81Anomaly _),
     "q82_join_card" -> (q82JoinCard _),
     "q83_power_hist" -> (q83PowerHist _),
-    "q84_pagerank" -> (q84PageRank _))
+    "q84_pagerank" -> (q84PageRank _),
+    "q102_triangles" -> (q102Triangles _))
 
   val oracle: Map[String, String] = Map(
     "q81_anomaly" -> q81Sql,
     "q82_join_card" -> q82Sql,
     "q83_power_hist" -> q83Sql,
-    "q84_pagerank" -> q84Sql)
+    "q84_pagerank" -> q84Sql,
+    "q102_triangles" -> q102Sql)
 }
