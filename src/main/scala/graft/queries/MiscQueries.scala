@@ -254,8 +254,58 @@ object MiscQueries {
       |  CAST(length(chunk) AS BIGINT) AS chunk_chars, md5(chunk) AS digest
       |FROM k ORDER BY doc_id, chunk_no""".stripMargin
 
+  /** q103: multimodal audio with a REAL codec — WAV-encode a
+    * deterministic PCM16 signal per document
+    * ([[graft.ext.AudioCodec.synth]]), decode it back through
+    * `javax.sound.sampled`, and reduce the decoded samples to integer
+    * stats (peak / energy / voice-activity frames). PCM-in-WAV is
+    * lossless, so the oracle replays the sample formula directly — a
+    * hash match proves the decode reproduced every sample. The audio
+    * twin of q29. */
+  def q103Audio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // pre-sorted like q29/q36 so the codec chain runs exactly once
+    val packed = graft.ext.AudioCodec.synthAudioPayload(
+      Tables.load(s, dir, "documents").select($"doc_id")
+        .repartitionByRange($"doc_id").sortWithinPartitions($"doc_id"),
+      "doc_id")
+    graft.ext.AudioCodec.extractAudioFeatures(packed, "payload")
+      .select($"doc_id", $"meta.format".as("format"), $"n_samples",
+        $"sample_rate", $"first_sample", $"peak", $"abs_sum", $"energy",
+        $"active_frames")
+  }
+
+  /** Interpolates the SAME constants the codec uses so engine and
+    * oracle cannot drift. n is a multiple of FrameSamples by
+    * construction, so no trailing partial frame appears in the gated
+    * data (the spec covers that edge). */
+  val q103Sql: String = {
+    val fr = graft.ext.AudioCodec.FrameSamples
+    val thr = graft.ext.AudioCodec.ActivityThreshold
+    val rate = graft.ext.AudioCodec.SampleRate
+    s"""WITH d AS (SELECT doc_id, 128 + (doc_id % 5) * 32 AS n FROM documents),
+      |s AS (SELECT doc_id, n,
+      |  list_transform(generate_series(0, n - 1), i ->
+      |    (doc_id*31 + i*17) % 4096 - 2048) AS smp
+      |  FROM d)
+      |SELECT doc_id, 'audio/wav' AS format,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST($rate AS BIGINT) AS sample_rate,
+      |  CAST(smp[1] AS BIGINT) AS first_sample,
+      |  CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak,
+      |  CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS abs_sum,
+      |  CAST(list_sum(list_transform(smp, x -> x*x)) AS BIGINT) AS energy,
+      |  CAST(list_sum(list_transform(generate_series(0, n // $fr - 1), f ->
+      |    CASE WHEN list_sum(list_transform(
+      |        generate_series(f*$fr, f*$fr + $fr - 1), i ->
+      |          abs((doc_id*31 + i*17) % 4096 - 2048))) >= $thr
+      |      THEN 1 ELSE 0 END)) AS BIGINT) AS active_frames
+      |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_frame_dedup" -> (q92FrameDedup _),
+    "q103_audio" -> (q103Audio _),
     "q99_chunk_overlap" -> (q99ChunkOverlap _),
     "q28_salted_agg" -> (q28SaltedAgg _),
     "q29_multimodal" -> (q29Multimodal _),
@@ -266,6 +316,7 @@ object MiscQueries {
 
   val oracle: Map[String, String] = Map(
     "q92_frame_dedup" -> q92Sql,
+    "q103_audio" -> q103Sql,
     "q99_chunk_overlap" -> q99Sql,
     "q28_salted_agg" -> q28Sql,
     "q29_multimodal" -> q29Sql,
