@@ -205,6 +205,62 @@ object TextQueries {
       |  CAST(max(length(text)) AS BIGINT) AS max_len
       |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** q104: bigram collocation mining — adjacent token pairs scored by
+    * exact PMI lift. For each bigram (t1, t2): occurrence count n_ab,
+    * unigram counts n_a/n_b, and the lift ratio kept as EXACT integers
+    * (lift_num = n_ab·N, lift_den = n_a·n_b; PMI = log2 of their
+    * quotient — the log stays out of the gated surface, q96's TVD
+    * recipe). The collocation detector behind phrase vocabularies
+    * ("new york" → one token) in corpus preprocessing.
+    *
+    * Scale shape: bigram extraction is LINEAR (adjacent pairs only —
+    * no per-doc token self-join); both aggregations shuffle (gram,
+    * partial count) with map-side combine; the unigram table is
+    * vocabulary-sized, checkpointed once, and feeds the totals scalar
+    * plus both count joins. */
+  def q104Collocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.load(s, dir, "documents")
+      .select(tokens(lower($"text")).as("ts"))
+      .filter(size($"ts") > 0)
+    // vocabulary-sized; feeds the scalar total AND two count joins —
+    // checkpoint so the corpus-wide unigram agg runs once
+    val uni = toks.select(explode($"ts").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val total = uni.agg(sum($"c").as("n_tok"))
+    val bigrams = toks.filter(size($"ts") >= 2)
+      .select(explode(transform(sequence(lit(0), size($"ts") - 2),
+        i => struct(element_at($"ts", i + 1).as("t1"),
+          element_at($"ts", i + 2).as("t2")))).as("g"))
+      .select($"g.t1", $"g.t2")
+      .groupBy($"t1", $"t2").agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 2)
+    bigrams
+      .join(uni.select($"t".as("t1"), $"c".as("n_a")), "t1")
+      .join(uni.select($"t".as("t2"), $"c".as("n_b")), "t2")
+      .crossJoin(broadcast(total))
+      .select($"t1", $"t2", $"n_ab", $"n_a", $"n_b",
+        ($"n_ab" * $"n_tok").as("lift_num"), ($"n_a" * $"n_b").as("lift_den"))
+      .orderBy($"n_ab".desc, $"t1", $"t2")
+      .limit(200)
+  }
+
+  val q104Sql: String =
+    """WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS ts
+      |  FROM documents WHERE trim(text) <> ''),
+      |uc AS (SELECT t, COUNT(*) AS c FROM
+      |  (SELECT unnest(ts) AS t FROM toks) u GROUP BY t),
+      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uc),
+      |bi AS (SELECT ts[g] AS t1, ts[g + 1] AS t2 FROM
+      |  (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS g FROM toks) z),
+      |bc AS (SELECT t1, t2, COUNT(*) AS n_ab FROM bi GROUP BY t1, t2
+      |  HAVING COUNT(*) >= 2)
+      |SELECT t1, t2, n_ab, a.c AS n_a, b.c AS n_b,
+      |  n_ab * n.n_tok AS lift_num, a.c * b.c AS lift_den
+      |FROM bc JOIN uc a ON bc.t1 = a.t JOIN uc b ON bc.t2 = b.t CROSS JOIN n
+      |ORDER BY n_ab DESC, t1, t2 LIMIT 200""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_text_stats" -> (q16TextStats _),
     "q17_lang_id" -> (q17LangId _),
@@ -212,7 +268,8 @@ object TextQueries {
     "q19_ngram_jaccard" -> (q19NgramJaccard _),
     "q37_pii_redact" -> (q37Redact _),
     "q43_top_tokens" -> (q43TopTokens _),
-    "q44_length_histogram" -> (q44LengthHistogram _))
+    "q44_length_histogram" -> (q44LengthHistogram _),
+    "q104_collocations" -> (q104Collocations _))
 
   val oracle: Map[String, String] = Map(
     "q16_text_stats" -> q16Sql,
@@ -221,5 +278,6 @@ object TextQueries {
     "q19_ngram_jaccard" -> q19Sql,
     "q37_pii_redact" -> q37Sql,
     "q43_top_tokens" -> q43Sql,
-    "q44_length_histogram" -> q44Sql)
+    "q44_length_histogram" -> q44Sql,
+    "q104_collocations" -> q104Sql)
 }
