@@ -50,7 +50,12 @@ object Triangles {
     * orientation order is internal; callers see a canonical id-sorted
     * triple). */
   def triangles(edges: DataFrame, src: String = "src", dst: String = "dst"): DataFrame = {
-    val e = canonicalEdges(edges, src, dst)
+    // e feeds the degree union (twice) + the orientation join;
+    // oriented feeds both wedge sides + the closing join. Checkpoint
+    // each so the upstream (possibly expensive) edge derivation and
+    // the degree-annotation join run ONCE — O(m) materialization, the
+    // standard trade for a 3x-replanned subtree
+    val e = canonicalEdges(edges, src, dst).localCheckpoint(false)
     val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     // orient by (deg, id): lo = smaller endpoint in that total order.
@@ -66,6 +71,7 @@ object Triangles {
           .otherwise(col("u")).as("hi"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("dv"))
           .otherwise(col("du")).as("dhi"))
+      .localCheckpoint(false)
     // wedges at the apex: unordered spoke pairs, (deg, id)-ordered so the
     // closing edge is exactly the oriented (hi1, hi2)
     val a = oriented.select(col("lo"), col("hi").as("hi1"), col("dhi").as("dhi1"))

@@ -31,7 +31,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q97_pack_bins" -> 3, // rank range partition + bin agg + order
     "q99_chunk_overlap" -> 1, // chunking is shuffle-free; final order only
     "q100_retrieval_prep" -> 2, // sig window + final order
-    "q101_stratified_k" -> 2) // stratum window + final order
+    "q101_stratified_k" -> 2, // stratum window + final order
+    "q102_triangles" -> 7, // wedge join + closing join + node agg + order (edges/oriented checkpointed)
+    "q103_audio" -> 1, // codec chain is shuffle-free; range partition only
+    "q104_collocations" -> 4) // bigram agg + two count joins + topk order (unigrams checkpointed)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans at most $budget exchanges") {
