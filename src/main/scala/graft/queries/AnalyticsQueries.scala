@@ -250,17 +250,67 @@ object AnalyticsQueries {
       |SELECT node, COUNT(*) AS n_triangles FROM n
       |GROUP BY node ORDER BY node""".stripMargin
 
+  /** q105: 2-core of the co-purchased-part graph (parts sharing an
+    * order, both high-quantity) — iterative peeling
+    * ([[graft.ext.KCore]]): dangling chains and one-off co-occurrences
+    * peel away, the cohesive body stays. Engine peels data-driven
+    * (converges in 2-4 rounds on this data, throws past maxRounds);
+    * oracle unrolls [[q105OracleRounds]] fixed rounds — peeling is
+    * idempotent at the fixed point, so the two agree whenever the
+    * engine converged within the unroll, and the engine having MORE
+    * rounds available means a mismatch signals real divergence, not a
+    * round-count artifact. */
+  def q105KCore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+      .filter($"l_quantity" >= 41)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+    val pairs = li.as("a").join(li.as("b"), "ok")
+      .filter($"a.pk" < $"b.pk")
+      .select($"a.pk".as("src"), $"b.pk".as("dst"))
+    graft.ext.KCore.kCore(pairs, k = 2)
+      .orderBy($"node")
+  }
+
+  /** Unrolled peel rounds in the oracle — ≥ the max observed
+    * convergence depth (4 at sf0.1) with margin. */
+  val q105OracleRounds = 7
+
+  val q105Sql: String = {
+    val peels = (1 to q105OracleRounds).map { i =>
+      val p = i - 1
+      s"""d$p AS MATERIALIZED (SELECT node, COUNT(*) AS c FROM
+        |  (SELECT u AS node FROM e$p UNION ALL SELECT v FROM e$p) t GROUP BY node),
+        |e$i AS MATERIALIZED (SELECT u, v FROM e$p
+        |  WHERE u NOT IN (SELECT node FROM d$p WHERE c < 2)
+        |    AND v NOT IN (SELECT node FROM d$p WHERE c < 2))""".stripMargin
+    }.mkString(",\n")
+    val r = q105OracleRounds
+    // MATERIALIZED: each round references its predecessor three times;
+    // inlined CTEs would expand the lineitem scan 3^rounds-fold
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |  WHERE l_quantity >= 41),
+      |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |$peels
+      |SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM
+      |  (SELECT u AS node FROM e$r UNION ALL SELECT v FROM e$r) t
+      |GROUP BY node ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_anomaly" -> (q81Anomaly _),
     "q82_join_card" -> (q82JoinCard _),
     "q83_power_hist" -> (q83PowerHist _),
     "q84_pagerank" -> (q84PageRank _),
-    "q102_triangles" -> (q102Triangles _))
+    "q102_triangles" -> (q102Triangles _),
+    "q105_kcore" -> (q105KCore _))
 
   val oracle: Map[String, String] = Map(
     "q81_anomaly" -> q81Sql,
     "q82_join_card" -> q82Sql,
     "q83_power_hist" -> q83Sql,
     "q84_pagerank" -> q84Sql,
-    "q102_triangles" -> q102Sql)
+    "q102_triangles" -> q102Sql,
+    "q105_kcore" -> q105Sql)
 }
