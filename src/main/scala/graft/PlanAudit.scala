@@ -47,7 +47,8 @@ object PlanAudit {
     "q91_group_hll" -> Set(Bnlj), // groups × 256-bucket skeleton
     "q94_text_ann" -> Set(Bnlj), // broadcast query set, non-equi (q22 class)
     "q96_drift" -> Set(SinglePartition, Bnlj), // one-row totals broadcast (q80 class)
-    "q104_collocations" -> Set(SinglePartition, Bnlj)) // one-row token total (q86 class)
+    "q104_collocations" -> Set(SinglePartition, Bnlj), // one-row token total (q86 class)
+    "q106_temperature_mix" -> Set(SinglePartition, Bnlj)) // one-row min-weight scalar (q96 class)
 
   val flags = Seq(SinglePartition, Cartesian, Bnlj)
 

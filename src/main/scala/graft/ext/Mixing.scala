@@ -40,4 +40,40 @@ object Mixing {
     val mixed = (h * 1103515245L + 12345L) % 2147483648L % 10000L
     df.filter(mixed < rate)
   }
+
+  /** Temperature-scaled rates (α = 1/2): per-stratum keep-rates
+    * computed FROM the corpus so kept counts end up ∝ n_s^1/2 — the
+    * standard rebalancing exponent that upsamples (relatively) rare
+    * languages/sources in a training mix without flattening the
+    * distribution entirely. All integer: w_s = ⌊√n_s⌋ (a correctly
+    * rounded double sqrt of an integer < 2^52, identical in any
+    * engine), rate_bp = 10000·min(w) DIV w_s — the largest stratum is
+    * cut hardest, the smallest keeps everything.
+    *
+    * Returns (stratum, n_docs, w, rate_bp), eagerly checkpointed: it is
+    * #strata rows built by one corpus aggregation and typically feeds
+    * both the sample filter and a reporting join. */
+  def temperatureRates(df: DataFrame, strataCol: String): DataFrame = {
+    val n = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_docs"))
+    val w = n.withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+      .localCheckpoint(true)
+    val minW = w.agg(min(col("w")).as("min_w"))
+    w.crossJoin(broadcast(minW))
+      .select(col(strataCol), col("n_docs"),
+        col("w"), least(lit(10000L), expr("10000 * min_w DIV w")).as("rate_bp"))
+  }
+
+  /** Apply [[temperatureRates]]-shaped rates (stratum, …, rate_bp):
+    * the same avalanched-polyhash keep decision as
+    * [[stratifiedSample]], with the rate joined in per stratum (the
+    * rates table is #strata rows — broadcast). */
+  def sampleWithRates(
+      df: DataFrame, idCol: String, strataCol: String, rates: DataFrame): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val h = GraftFunctions.polyhash(col(idCol).cast("string"))
+    val mixed = (h * 1103515245L + 12345L) % 2147483648L % 10000L
+    df.join(broadcast(rates.select(col(strataCol), col("rate_bp"))), strataCol)
+      .filter(mixed < col("rate_bp"))
+      .drop("rate_bp")
+  }
 }

@@ -192,6 +192,42 @@ object CurationQueries {
       |SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
       |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q106: temperature-scaled language rebalancing (α = 1/2) — q70's
+    * fixed rates replaced by rates COMPUTED from the corpus
+    * ([[graft.ext.Mixing.temperatureRates]]): kept counts ∝ √n_lang,
+    * the standard exponent that upsamples rare languages in a training
+    * mix. Keep decisions are the same replayable avalanched polyhash.
+    * Output: per-language audit (n_docs, w, rate_bp, n_kept) — the
+    * report a mixing run ships with. */
+  def q106TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.Mixing
+    val docs = Tables.load(s, dir, "documents")
+    val rates = Mixing.temperatureRates(docs, "lang")
+    val kept = Mixing.sampleWithRates(docs, "doc_id", "lang", rates)
+      .groupBy($"lang").agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("lang"), "left")
+      .select($"lang", $"n_docs", $"w", $"rate_bp",
+        coalesce($"n_kept", lit(0L)).as("n_kept"))
+      .orderBy($"lang")
+  }
+
+  val q106Sql: String =
+    """WITH n AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      |w AS (SELECT lang, n_docs, CAST(FLOOR(SQRT(n_docs)) AS BIGINT) AS w FROM n),
+      |r AS (SELECT lang, n_docs, w,
+      |  LEAST(10000, 10000 * (SELECT MIN(w) FROM w) // w) AS rate_bp FROM w),
+      |h AS (SELECT d.lang, (list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+      |      i -> CAST(unicode(substr(CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) * 1103515245 + 12345)
+      |    % 2147483648 % 10000 AS hk, r.rate_bp
+      |  FROM documents d JOIN r ON d.lang = r.lang),
+      |k AS (SELECT lang, COUNT(*) AS n_kept FROM h WHERE hk < rate_bp GROUP BY lang)
+      |SELECT r.lang, r.n_docs, r.w, CAST(r.rate_bp AS BIGINT) AS rate_bp,
+      |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+      |FROM r LEFT JOIN k ON r.lang = k.lang ORDER BY r.lang""".stripMargin
+
   /** q71: benchmark decontamination — docs (doc_id ≥ 20) sharing any
     * 24-gram hashed shingle with the "eval set" (doc_id < 20) are
     * dropped. 24 chars ≈ a 4-5 word phrase: long enough that overlap
@@ -444,6 +480,7 @@ object CurationQueries {
     "q66_ivf_search" -> (q66IvfSearch _),
     "q67_token_shards" -> (q67TokenShards _),
     "q70_corpus_mix" -> (q70CorpusMix _),
+    "q106_temperature_mix" -> (q106TemperatureMix _),
     "q71_decontaminate" -> (q71Decontaminate _))
 
   val oracle: Map[String, String] = Map(
@@ -457,5 +494,6 @@ object CurationQueries {
     "q66_ivf_search" -> q66Sql,
     "q67_token_shards" -> q67Sql,
     "q70_corpus_mix" -> q70Sql,
-    "q71_decontaminate" -> q71Sql)
+    "q71_decontaminate" -> q71Sql,
+    "q106_temperature_mix" -> q106Sql)
 }

@@ -139,6 +139,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("temperature rates: sqrt weights, smallest stratum keeps all, kept ∝ √n") {
+    import graft.ext.Mixing
+    // 6400 "en" docs vs 100 "fr": w = 80 vs 10, so en's rate is
+    // 10000*10/80 = 1250 bp and fr keeps everything — kept counts land
+    // near 6400/8 = 800 vs 100, i.e. ∝ sqrt(n) (ratio √6400/√100 = 8)
+    val docs = (0L until 6400L).map(i => (i, "en")) ++
+      (10000L until 10100L).map(i => (i, "fr"))
+    val df = docs.toDF("doc_id", "lang")
+    val rates = Mixing.temperatureRates(df, "lang").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rates("en") === ((6400L, 80L, 1250L)))
+    assert(rates("fr") === ((100L, 10L, 10000L)))
+    val kept = Mixing.sampleWithRates(df, "doc_id", "lang",
+        Mixing.temperatureRates(df, "lang"))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("fr") === 100L) // rate 10000 keeps every row
+    val enFrac = kept("en").toDouble / 6400.0
+    assert(enFrac > 0.08 && enFrac < 0.17, s"en fraction $enFrac far from 0.125")
+  }
+
   test("decontamination drops docs sharing an n-gram with the benchmark, keeps the rest") {
     import graft.ext.Dedup
     val bench = Seq((100L, "the secret eval answer phrase nobody should train on"))
