@@ -31,16 +31,22 @@ object SketchQueries {
       .orderBy($"vec_id")
   }
 
-  val q77Sql: String =
-    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+  /** SQ8 code CTEs (v/mm/mma/codes — emits `codes(vec_id, cs)`) shared
+    * verbatim between q77 and q107: the int8 quantization the codebooks
+    * train on must never fork between the two oracles. */
+  private[queries] val sq8CodesSql: String =
+    """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
       |mm AS (SELECT d, min(e[d]) AS mn, max(e[d]) AS mx
       |       FROM v, generate_series(1, 64) AS t(d) GROUP BY d),
       |mma AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM mm),
-      |codes AS (SELECT vec_id,
+      |codes AS MATERIALIZED (SELECT vec_id,
       |  list_transform(generate_series(1, 64),
       |    d -> CASE WHEN mxs[d] = mns[d] THEN CAST(0 AS BIGINT)
       |         ELSE CAST(round((e[d] - mns[d]) * 255.0 / (mxs[d] - mns[d])) AS BIGINT) END) AS cs
-      |  FROM v, mma),
+      |  FROM v, mma)""".stripMargin
+
+  val q77Sql: String =
+    s"""WITH $sq8CodesSql,
       |e2 AS (SELECT vec_id AS id, d, cs[d] AS c FROM codes, generate_series(1, 64) AS t(d)),
       |c0 AS (SELECT id AS cluster, d, c AS m FROM e2 WHERE id < 8),
       |d1 AS (SELECT e2.id, c.cluster, SUM((e2.c - c.m)*(e2.c - c.m)) AS dist2
@@ -206,13 +212,66 @@ object SketchQueries {
       |  l_orderkey, ln AS l_linenumber
       |FROM r WHERE rank <= 3 ORDER BY l_suppkey, rank""".stripMargin
 
+  /** q107: product quantization — M=4 independent k=8 codebooks, one
+    * per 16-dim subspace of the SQ8 codes, trained by the same integer
+    * Lloyd as q77 ([[graft.ext.ProductQuantize]]). Output: each
+    * vector's 4 codeword ids + its exact integer reconstruction error
+    * (the PQ training objective). The oracle replays all four Lloyd
+    * chains — generated from one template so the subspaces cannot
+    * drift. */
+  def q107Pq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codes = Quantize.sq8Codes(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+      .localCheckpoint(false)
+    graft.ext.ProductQuantize.encode(codes)
+      .select($"id".as("vec_id"),
+        element_at($"pq", 1).as("pq0"), element_at($"pq", 2).as("pq1"),
+        element_at($"pq", 3).as("pq2"), element_at($"pq", 4).as("pq3"),
+        $"recon_dist2")
+      .orderBy($"vec_id")
+  }
+
+  val q107Sql: String = {
+    val sub = graft.ext.ProductQuantize.SubDim
+    val k = graft.ext.ProductQuantize.K
+    // one Lloyd round per subspace (seed → assign → update → final
+    // assign), exactly KMeansInt.fitAssign(iters = 1) on the slice
+    val chains = (0 until graft.ext.ProductQuantize.NumSub).map { m =>
+      val off = m * sub
+      s"""e$m AS MATERIALIZED (SELECT vec_id AS id, d - $off AS d, cs[d] AS c
+        |  FROM codes, generate_series(${off + 1}, ${off + sub}) AS t(d)),
+        |c0$m AS (SELECT id AS cluster, d, c AS m FROM e$m WHERE id < $k),
+        |d1$m AS (SELECT e.id, c.cluster, SUM((e.c - c.m)*(e.c - c.m)) AS dist2
+        |  FROM e$m e JOIN c0$m c ON e.d = c.d GROUP BY e.id, c.cluster),
+        |a1$m AS (SELECT id, cluster FROM (SELECT *, ROW_NUMBER() OVER
+        |  (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM d1$m) t WHERE rn = 1),
+        |s1$m AS (SELECT a.cluster, e.d, SUM(e.c) AS s, COUNT(*) AS n
+        |  FROM e$m e JOIN a1$m a ON e.id = a.id GROUP BY a.cluster, e.d),
+        |c1$m AS (SELECT c0.cluster, c0.d, COALESCE(s1.s // s1.n, c0.m) AS m
+        |  FROM c0$m c0 LEFT JOIN s1$m s1 ON c0.cluster = s1.cluster AND c0.d = s1.d),
+        |df$m AS (SELECT e.id, c.cluster, SUM((e.c - c.m)*(e.c - c.m)) AS dist2
+        |  FROM e$m e JOIN c1$m c ON e.d = c.d GROUP BY e.id, c.cluster),
+        |f$m AS MATERIALIZED (SELECT id, cluster, dist2 FROM (SELECT *, ROW_NUMBER() OVER
+        |  (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM df$m) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sq8CodesSql,
+      |$chains
+      |SELECT f0.id AS vec_id,
+      |  f0.cluster AS pq0, f1.cluster AS pq1, f2.cluster AS pq2, f3.cluster AS pq3,
+      |  CAST(f0.dist2 + f1.dist2 + f2.dist2 + f3.dist2 AS BIGINT) AS recon_dist2
+      |FROM f0 JOIN f1 ON f0.id = f1.id JOIN f2 ON f0.id = f2.id
+      |  JOIN f3 ON f0.id = f3.id
+      |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_kmeans" -> (q77Kmeans _),
     "q78_hll" -> (q78Hll _),
     "q79_passage_dedup" -> (q79PassageDedup _),
     "q80_heavy_hitters" -> (q80HeavyHitters _),
     "q85_group_heavy" -> (q85GroupHeavy _),
-    "q88_grouped_topk" -> (q88GroupedTopK _))
+    "q88_grouped_topk" -> (q88GroupedTopK _),
+    "q107_pq" -> (q107Pq _))
 
   val oracle: Map[String, String] = Map(
     "q77_kmeans" -> q77Sql,
@@ -220,5 +279,6 @@ object SketchQueries {
     "q79_passage_dedup" -> q79Sql,
     "q80_heavy_hitters" -> q80Sql,
     "q85_group_heavy" -> q85Sql,
-    "q88_grouped_topk" -> q88Sql)
+    "q88_grouped_topk" -> q88Sql,
+    "q107_pq" -> q107Sql)
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.ProductQuantize
+
+class ProductQuantizeSpec extends SparkSpec {
+
+  // 8 perfectly separated patterns (constant vectors j*10), replicated:
+  // vector i carries pattern i%8, and ids 0..7 are the seeds themselves
+  private lazy val separable = {
+    import spark.implicits._
+    (0L until 64L).map { i =>
+      val p = i % 8
+      (i, Array.fill(64)(p * 10L).toSeq)
+    }.toDF("id", "codes")
+  }
+
+  test("separable clusters: exact recovery, zero reconstruction error") {
+    val rows = ProductQuantize.encode(separable).collect()
+    assert(rows.length === 64)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val pq = r.getSeq[Long](1)
+      assert(pq === Seq.fill(ProductQuantize.NumSub)(id % 8), s"id=$id")
+      assert(r.getLong(2) === 0L, s"id=$id recon_dist2")
+    }
+  }
+
+  test("codeword ids stay within the codebook and encoding is deterministic") {
+    import spark.implicits._
+    // noisy variant: pattern + a per-dim wobble that keeps clusters apart
+    val noisy = (0L until 64L).map { i =>
+      val p = i % 8
+      (i, (0 until 64).map(d => p * 30L + (i + d) % 3).toSeq)
+    }.toDF("id", "codes")
+    val a = ProductQuantize.encode(noisy).orderBy(col("id")).collect()
+    val b = ProductQuantize.encode(noisy).orderBy(col("id")).collect()
+    assert(a.toSeq === b.toSeq)
+    a.foreach { r =>
+      r.getSeq[Long](1).foreach(c => assert(c >= 0L && c < ProductQuantize.K))
+      assert(r.getLong(2) >= 0L)
+    }
+  }
+}
