@@ -53,6 +53,30 @@ object KMeansInt {
       .select(col("cluster"), col("d"), coalesce(expr("s DIV n"), col("m")).as("m"))
   }
 
+  private def fitOn(expl: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    var cent = seeds
+    for (_ <- 1 to iters) {
+      val asg = assign(expl, cent)
+      cent = update(expl, asg, cent).localCheckpoint(true)
+    }
+    cent
+  }
+
+  private def seeds(codes: DataFrame, k: Int): DataFrame =
+    explodedCodes(codes.filter(col("id") < k))
+      .select(col("id").as("cluster"), col("d"), col("c").as("m"))
+
+  /** Train `iters` Lloyd rounds from the id<k seeds and return the
+    * centroid table (cluster, d, m) — k×dim rows, eagerly checkpointed
+    * by the last round, so the exploded codes can be released. */
+  def fit(codes: DataFrame, k: Int, iters: Int): DataFrame = {
+    val expl = explodedCodes(codes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = fitOn(expl, seeds(codes, k), iters)
+    expl.unpersist(false)
+    cent
+  }
+
   /** Train `iters` Lloyd rounds from the id<k seeds and return the
     * final assignment (id, cluster, dist2) against the trained
     * centroids. The exploded codes persist across iterations; each
@@ -61,12 +85,6 @@ object KMeansInt {
   def fitAssign(codes: DataFrame, k: Int, iters: Int): DataFrame = {
     val expl = explodedCodes(codes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cent = explodedCodes(codes.filter(col("id") < k))
-      .select(col("id").as("cluster"), col("d"), col("c").as("m"))
-    for (_ <- 1 to iters) {
-      val asg = assign(expl, cent)
-      cent = update(expl, asg, cent).localCheckpoint(true)
-    }
-    assign(expl, cent)
+    assign(expl, fitOn(expl, seeds(codes, k), iters))
   }
 }

@@ -47,4 +47,59 @@ object ProductQuantize {
           s => s("cluster")).as("pq"),
         sum(col("dist2")).as("recon_dist2"))
   }
+
+  private def subCodes(codes: DataFrame, m: Int): DataFrame =
+    codes.select(col("id"), slice(col("codes"), m * SubDim + 1, SubDim).as("codes"))
+
+  /** Train all M codebooks: (sub, cluster, d, m) — M·K·SubDim rows,
+    * eagerly checkpointed (each [[KMeansInt.fit]] round already is). */
+  def codebooks(codes: DataFrame): DataFrame =
+    (0 until NumSub).map { m =>
+      KMeansInt.fit(subCodes(codes, m), k = K, iters = Iters)
+        .select(lit(m).as("sub"), col("cluster"), col("d"), col("m"))
+    }.reduce(_ unionByName _)
+
+  /** Assign every vector to its nearest codeword per subspace against
+    * FIXED codebooks: (id, sub, cluster). */
+  def encodeWith(codes: DataFrame, books: DataFrame): DataFrame =
+    (0 until NumSub).map { m =>
+      KMeansInt.assign(
+          KMeansInt.explodedCodes(subCodes(codes, m)),
+          books.filter(col("sub") === m).select(col("cluster"), col("d"), col("m")))
+        .select(col("id"), lit(m).as("sub"), col("cluster"))
+    }.reduce(_ unionByName _)
+
+  /** Asymmetric-distance top-k: score every encoded vector against each
+    * query by table lookup — the PQ search path. Per query only a
+    * M×K lookup table (LUT) of exact integer sub-distances is computed
+    * against the codebooks; the corpus is then scanned ONCE in its
+    * compressed (id, sub, codeword) form and each vector's distance is
+    * Σ_m LUT[m][codeword] — no per-pair vector math, which is why IVF-PQ
+    * indexes sustain billion-vector search. Self-matches are excluded.
+    *
+    * `queries` must be (id, codes) rows (code-space ADC: queries are
+    * SQ8 codes like the corpus). Returns (qid, rank, vec_id, adc_dist2),
+    * rank 1..topK by (distance, id). */
+  def adcTopK(codes: DataFrame, queries: DataFrame, books: DataFrame,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // LUT: |queries|·M·K rows of Σ_d (q_d − m_d)² — broadcast-sized
+    val qexpl = (0 until NumSub).map { m =>
+      KMeansInt.explodedCodes(subCodes(queries, m))
+        .select(col("id").as("qid"), lit(m).as("sub"), col("d"), col("c"))
+    }.reduce(_ unionByName _)
+    val lut = qexpl.join(broadcast(books), Seq("sub", "d"))
+      .groupBy(col("qid"), col("sub"), col("cluster"))
+      .agg(sum((col("c") - col("m")) * (col("c") - col("m"))).as("lutd2"))
+    val enc = encodeWith(codes, books)
+    val byDist = Window.partitionBy(col("qid")).orderBy(col("adc_dist2"), col("id"))
+    enc.join(broadcast(lut), Seq("sub", "cluster"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("lutd2")).as("adc_dist2"))
+      .withColumn("rank", row_number().over(byDist))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), col("adc_dist2"))
+  }
 }

@@ -231,37 +231,82 @@ object SketchQueries {
       .orderBy($"vec_id")
   }
 
-  val q107Sql: String = {
+  /** One subspace's Lloyd chain (seed → assign → update → final
+    * assign), exactly KMeansInt.fitAssign(iters = 1) on the 16-dim
+    * slice — shared verbatim between q107 and q108 so training and
+    * search replay the SAME codebooks. Emits `c1$m` (the codebook) and
+    * `f$m` (per-id codeword + dist2). */
+  private def pqChainSql(m: Int): String = {
     val sub = graft.ext.ProductQuantize.SubDim
     val k = graft.ext.ProductQuantize.K
-    // one Lloyd round per subspace (seed → assign → update → final
-    // assign), exactly KMeansInt.fitAssign(iters = 1) on the slice
-    val chains = (0 until graft.ext.ProductQuantize.NumSub).map { m =>
-      val off = m * sub
-      s"""e$m AS MATERIALIZED (SELECT vec_id AS id, d - $off AS d, cs[d] AS c
-        |  FROM codes, generate_series(${off + 1}, ${off + sub}) AS t(d)),
-        |c0$m AS (SELECT id AS cluster, d, c AS m FROM e$m WHERE id < $k),
-        |d1$m AS (SELECT e.id, c.cluster, SUM((e.c - c.m)*(e.c - c.m)) AS dist2
-        |  FROM e$m e JOIN c0$m c ON e.d = c.d GROUP BY e.id, c.cluster),
-        |a1$m AS (SELECT id, cluster FROM (SELECT *, ROW_NUMBER() OVER
-        |  (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM d1$m) t WHERE rn = 1),
-        |s1$m AS (SELECT a.cluster, e.d, SUM(e.c) AS s, COUNT(*) AS n
-        |  FROM e$m e JOIN a1$m a ON e.id = a.id GROUP BY a.cluster, e.d),
-        |c1$m AS (SELECT c0.cluster, c0.d, COALESCE(s1.s // s1.n, c0.m) AS m
-        |  FROM c0$m c0 LEFT JOIN s1$m s1 ON c0.cluster = s1.cluster AND c0.d = s1.d),
-        |df$m AS (SELECT e.id, c.cluster, SUM((e.c - c.m)*(e.c - c.m)) AS dist2
-        |  FROM e$m e JOIN c1$m c ON e.d = c.d GROUP BY e.id, c.cluster),
-        |f$m AS MATERIALIZED (SELECT id, cluster, dist2 FROM (SELECT *, ROW_NUMBER() OVER
-        |  (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM df$m) t WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
+    val off = m * sub
+    s"""e$m AS MATERIALIZED (SELECT vec_id AS id, d - $off AS d, cs[d] AS c
+      |  FROM codes, generate_series(${off + 1}, ${off + sub}) AS t(d)),
+      |c0$m AS (SELECT id AS cluster, d, c AS m FROM e$m WHERE id < $k),
+      |d1$m AS (SELECT e.id, c.cluster, SUM((e.c - c.m)*(e.c - c.m)) AS dist2
+      |  FROM e$m e JOIN c0$m c ON e.d = c.d GROUP BY e.id, c.cluster),
+      |a1$m AS (SELECT id, cluster FROM (SELECT *, ROW_NUMBER() OVER
+      |  (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM d1$m) t WHERE rn = 1),
+      |s1$m AS (SELECT a.cluster, e.d, SUM(e.c) AS s, COUNT(*) AS n
+      |  FROM e$m e JOIN a1$m a ON e.id = a.id GROUP BY a.cluster, e.d),
+      |c1$m AS MATERIALIZED (SELECT c0.cluster, c0.d, COALESCE(s1.s // s1.n, c0.m) AS m
+      |  FROM c0$m c0 LEFT JOIN s1$m s1 ON c0.cluster = s1.cluster AND c0.d = s1.d),
+      |df$m AS (SELECT e.id, c.cluster, SUM((e.c - c.m)*(e.c - c.m)) AS dist2
+      |  FROM e$m e JOIN c1$m c ON e.d = c.d GROUP BY e.id, c.cluster),
+      |f$m AS MATERIALIZED (SELECT id, cluster, dist2 FROM (SELECT *, ROW_NUMBER() OVER
+      |  (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM df$m) t WHERE rn = 1)""".stripMargin
+  }
+
+  private def pqChainsSql: String =
+    (0 until graft.ext.ProductQuantize.NumSub).map(pqChainSql).mkString(",\n")
+
+  val q107Sql: String = {
     s"""WITH $sq8CodesSql,
-      |$chains
+      |$pqChainsSql
       |SELECT f0.id AS vec_id,
       |  f0.cluster AS pq0, f1.cluster AS pq1, f2.cluster AS pq2, f3.cluster AS pq3,
       |  CAST(f0.dist2 + f1.dist2 + f2.dist2 + f3.dist2 AS BIGINT) AS recon_dist2
       |FROM f0 JOIN f1 ON f0.id = f1.id JOIN f2 ON f0.id = f2.id
       |  JOIN f3 ON f0.id = f3.id
       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** q108: PQ asymmetric-distance search — each query (SQ8 code vector,
+    * id < 4) builds an M×K lookup table of exact integer sub-distances
+    * against q107's codebooks; the corpus is scanned once in compressed
+    * (id, sub, codeword) form and ranked by Σ_m LUT[m][codeword]
+    * ([[graft.ext.ProductQuantize.adcTopK]]) — the faiss-style query
+    * path that makes PQ a searchable index, not just compression. */
+  def q108AdcSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codes = Quantize.sq8Codes(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+      .localCheckpoint(false)
+    val books = graft.ext.ProductQuantize.codebooks(codes)
+    graft.ext.ProductQuantize.adcTopK(codes, codes.filter($"id" < 4), books, topK = 10)
+      .orderBy($"qid", $"rank")
+  }
+
+  val q108Sql: String = {
+    val subs = 0 until graft.ext.ProductQuantize.NumSub
+    val luts = subs.map { m =>
+      s"""lut$m AS (SELECT q.id AS qid, c.cluster,
+        |  SUM((q.c - c.m)*(q.c - c.m)) AS lutd2
+        |  FROM e$m q JOIN c1$m c ON q.d = c.d WHERE q.id < 4
+        |  GROUP BY q.id, c.cluster),
+        |sc$m AS (SELECT l.qid, f.id, l.lutd2
+        |  FROM f$m f JOIN lut$m l ON f.cluster = l.cluster WHERE f.id <> l.qid)""".stripMargin
+    }.mkString(",\n")
+    val unioned = subs.map(m => s"SELECT * FROM sc$m").mkString(" UNION ALL ")
+    s"""WITH $sq8CodesSql,
+      |$pqChainsSql,
+      |$luts,
+      |tot AS (SELECT qid, id, SUM(lutd2) AS adc_dist2 FROM ($unioned) u
+      |  GROUP BY qid, id),
+      |rk AS (SELECT *, ROW_NUMBER() OVER
+      |  (PARTITION BY qid ORDER BY adc_dist2, id) AS rank FROM tot)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, id AS vec_id,
+      |  CAST(adc_dist2 AS BIGINT) AS adc_dist2
+      |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -271,7 +316,8 @@ object SketchQueries {
     "q80_heavy_hitters" -> (q80HeavyHitters _),
     "q85_group_heavy" -> (q85GroupHeavy _),
     "q88_grouped_topk" -> (q88GroupedTopK _),
-    "q107_pq" -> (q107Pq _))
+    "q107_pq" -> (q107Pq _),
+    "q108_adc_search" -> (q108AdcSearch _))
 
   val oracle: Map[String, String] = Map(
     "q77_kmeans" -> q77Sql,
@@ -280,5 +326,6 @@ object SketchQueries {
     "q80_heavy_hitters" -> q80Sql,
     "q85_group_heavy" -> q85Sql,
     "q88_grouped_topk" -> q88Sql,
-    "q107_pq" -> q107Sql)
+    "q107_pq" -> q107Sql,
+    "q108_adc_search" -> q108Sql)
 }

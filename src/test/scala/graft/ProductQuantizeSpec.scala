@@ -26,6 +26,24 @@ class ProductQuantizeSpec extends SparkSpec {
     }
   }
 
+  test("ADC search: same-pattern vectors rank first at distance zero") {
+    import spark.implicits._
+    val books = ProductQuantize.codebooks(separable)
+    val queries = separable.filter(col("id") < 2) // patterns 0 and 1
+    val top = ProductQuantize.adcTopK(separable, queries, books, topK = 5)
+      .collect().groupBy(_.getLong(0))
+    for ((qid, rows) <- top) {
+      assert(rows.length === 5)
+      rows.foreach { r =>
+        assert(r.getLong(2) % 8 === qid % 8, s"qid=$qid got ${r.getLong(2)}")
+        assert(r.getLong(3) === 0L) // exact same codeword in every subspace
+      }
+      // self is excluded; zero-distance ties break by ascending id
+      val ids = rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+      assert(ids === ids.sorted && !ids.contains(qid))
+    }
+  }
+
   test("codeword ids stay within the codebook and encoding is deterministic") {
     import spark.implicits._
     // noisy variant: pattern + a per-dim wobble that keeps clusters apart
