@@ -61,6 +61,9 @@ object Mixing {
     w.crossJoin(broadcast(minW))
       .select(col(strataCol), col("n_docs"),
         col("w"), least(lit(10000L), expr("10000 * min_w DIV w")).as("rate_bp"))
+      // #strata rows consumed by the sample filter AND reporting joins —
+      // materialize so the min-weight scalar pass isn't re-planned per use
+      .localCheckpoint(true)
   }
 
   /** Apply [[temperatureRates]]-shaped rates (stratum, …, rate_bp):

@@ -206,7 +206,7 @@ object CurationQueries {
     val rates = Mixing.temperatureRates(docs, "lang")
     val kept = Mixing.sampleWithRates(docs, "doc_id", "lang", rates)
       .groupBy($"lang").agg(count(lit(1)).as("n_kept"))
-    rates.join(kept, Seq("lang"), "left")
+    rates.join(broadcast(kept), Seq("lang"), "left")
       .select($"lang", $"n_docs", $"w", $"rate_bp",
         coalesce($"n_kept", lit(0L)).as("n_kept"))
       .orderBy($"lang")

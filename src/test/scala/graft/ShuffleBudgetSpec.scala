@@ -34,7 +34,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q101_stratified_k" -> 2, // stratum window + final order
     "q102_triangles" -> 7, // wedge join + closing join + node agg + order (edges/oriented checkpointed)
     "q103_audio" -> 1, // codec chain is shuffle-free; range partition only
-    "q104_collocations" -> 4) // bigram agg + two count joins + topk order (unigrams checkpointed)
+    "q104_collocations" -> 4, // bigram agg + two count joins + topk order (unigrams checkpointed)
+    "q105_kcore" -> 2, // final-core degree agg + order (peel rounds checkpoint per round)
+    "q106_temperature_mix" -> 3) // kept-count agg + audit join + order (rates checkpointed)
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans at most $budget exchanges") {
