@@ -154,6 +154,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("audio codec chain runs unchanged on a stream (stateless mapPartitions) and matches batch") {
+    val docsSchema = Tables.load(spark, sf, "documents").schema
+    val stream = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+    import org.apache.spark.sql.functions._
+    def features(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.AudioCodec.extractAudioFeatures(
+          graft.ext.AudioCodec.synthAudioPayload(df.select(col("doc_id")), "doc_id"),
+          "payload")
+        .select(col("doc_id"), col("n_samples"), col("peak"), col("energy"))
+    val q = features(stream)
+      .writeStream.format("memory").queryName("audio_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("audio_stream")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = features(Tables.load(spark, sf, "documents"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("out-of-order as-of join retro-matches a right event arriving a batch late") {
     implicit val sqlCtx = spark.sqlContext
     import Streaming.{AsofEventT, AsofMatch}
