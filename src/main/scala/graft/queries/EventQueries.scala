@@ -197,13 +197,65 @@ object EventQueries {
       |GROUP BY cohort_day, day_offset
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** q109: time-series gap filling — every user's daily activity
+    * densified over their observed [first, last] day range, with zero
+    * counts on silent days, a running event total, and the last
+    * observed daily value carried forward (imputation). The
+    * carry-forward uses the portable two-window trick (count of
+    * non-nulls so far defines a group; the group's single non-null is
+    * its max) instead of IGNORE NULLS, which not every engine supports.
+    * Scale shape: the grid derives from the per-(user, day) AGGREGATE
+    * (orders of magnitude smaller than raw events), exploded by
+    * `sequence` — never a calendar cross join; one window partition per
+    * user. */
+  def q109GapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.loadEvents(s, dir)
+      .select($"user_id", expr("sec DIV 86400").as("day"), dec($"value").as("v"))
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n"), sum($"v").cast("double").as("dv"))
+      // feeds the span aggregate AND the grid join — one computation
+      .localCheckpoint(false)
+    val grid = daily.groupBy($"user_id")
+      .agg(min($"day").as("mn"), max($"day").as("mx"))
+      .select($"user_id", explode(sequence($"mn", $"mx")).as("day"))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("grp", count($"dv").over(w))
+      .withColumn("n0", coalesce($"n", lit(0L)))
+      .withColumn("cum_events", sum($"n0").over(w))
+      .withColumn("carried_v", max($"dv").over(Window.partitionBy($"user_id", $"grp")))
+      .select($"user_id", $"day", $"n0".as("n_events"), $"cum_events", $"carried_v")
+      .orderBy($"user_id", $"day")
+  }
+
+  val q109Sql: String =
+    """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |  CAST(value AS DECIMAL(12,2)) AS v FROM events),
+      |daily AS (SELECT user_id, day, COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS dv
+      |  FROM e GROUP BY user_id, day),
+      |span AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY user_id),
+      |grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS day FROM span),
+      |g AS (SELECT grid.user_id, grid.day, daily.n, daily.dv FROM grid
+      |  LEFT JOIN daily ON grid.user_id = daily.user_id AND grid.day = daily.day),
+      |f AS (SELECT *, COUNT(dv) OVER (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp,
+      |  COALESCE(n, 0) AS n0 FROM g),
+      |c AS (SELECT *, CAST(SUM(n0) OVER (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events,
+      |  MAX(dv) OVER (PARTITION BY user_id, grp) AS carried_v FROM f)
+      |SELECT user_id, day, CAST(n0 AS BIGINT) AS n_events, cum_events, carried_v
+      |FROM c ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_tumbling_window" -> (q25TumblingWindow _),
     "q26_sessionize" -> (q26Sessionize _),
     "q27_asof_join" -> (q27AsOf _),
     "q35_range_join" -> (q35RangeJoin _),
     "q61_funnel" -> (q61Funnel _),
-    "q62_retention" -> (q62Retention _))
+    "q62_retention" -> (q62Retention _),
+    "q109_gap_fill" -> (q109GapFill _))
 
   val oracle: Map[String, String] = Map(
     "q25_tumbling_window" -> q25Sql,
@@ -211,5 +263,6 @@ object EventQueries {
     "q27_asof_join" -> q27Sql,
     "q35_range_join" -> q35Sql,
     "q61_funnel" -> q61Sql,
-    "q62_retention" -> q62Sql)
+    "q62_retention" -> q62Sql,
+    "q109_gap_fill" -> q109Sql)
 }
