@@ -102,4 +102,91 @@ object ProductQuantize {
       .select(col("qid"), col("rank").cast("long").as("rank"),
         col("id").as("vec_id"), col("adc_dist2"))
   }
+
+  // ---- IVF-PQ (coarse quantizer + PQ on residuals) -------------------
+
+  /** Shift applied to residuals so they stay non-negative (codes and
+    * centroids live in [0, 255], residuals in [-255, 255]). An integer
+    * shift is EXACTLY preserved by floor-mean centroid updates
+    * (⌊(Σ(x+s))/n⌋ = ⌊Σx/n⌋ + s) and cancels in every distance, so
+    * shifted-residual PQ ≡ residual PQ — and it sidesteps the one
+    * cross-engine trap: Spark's DIV truncates toward zero while
+    * DuckDB's // floors, which disagree on negatives. */
+  val ResidShift = 255L
+
+  /** Build the IVF-PQ index: a K-cluster full-dim coarse quantizer
+    * (integer Lloyd), each vector's coarse assignment, and PQ codebooks
+    * + codewords over the SHIFTED residual (vector − its coarse
+    * centroid) — the faiss IVFPQ layout: the coarse id partitions the
+    * corpus, the M codeword ids encode the residual.
+    * Returns (coarse (cluster,d,m), asg (id,coarse),
+    * booksR (sub,cluster,d,m), encR (id,sub,cluster)). */
+  def ivfPqIndex(codes: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val coarse = KMeansInt.fit(codes, k = K, iters = Iters)
+    val asg = KMeansInt.assign(KMeansInt.explodedCodes(codes), coarse)
+      .select(col("id"), col("cluster").as("coarse"))
+      .localCheckpoint(false)
+    // K centroid arrays, dim-ordered — broadcast onto the corpus
+    val carr = coarse.groupBy(col("cluster").as("coarse"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        s => s("m")).as("marr"))
+    val resid = codes.join(asg, "id").join(broadcast(carr), "coarse")
+      .select(col("id"),
+        zip_with(col("codes"), col("marr"), (c, m) => c - m + lit(ResidShift)).as("codes"))
+      .localCheckpoint(false)
+    val booksR = codebooks(resid)
+    (coarse, asg, booksR, encodeWith(resid, booksR))
+  }
+
+  /** IVF-PQ search: probe the `nProbe` nearest coarse clusters per
+    * query, build the per-(query, probed-cluster) M×K residual lookup
+    * table, and rank ONLY vectors assigned to probed clusters by
+    * Σ_m LUT[m][codeword] — the production ANN query path: candidate
+    * volume shrinks by ~nProbe/K before any distance math, and what
+    * remains is table lookups over 3-bit codewords. Self-matches
+    * excluded; ties break by id. */
+  def ivfPqTopK(codes: DataFrame, queries: DataFrame, nProbe: Int,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (coarse, asg, booksR, encR) = ivfPqIndex(codes)
+    val qexpl = KMeansInt.explodedCodes(queries)
+      .select(col("id").as("qid"), col("d"), col("c"))
+      .localCheckpoint(false)
+    // probe set: nProbe nearest coarse centroids per query
+    val byD2 = Window.partitionBy(col("qid")).orderBy(col("d2"), col("pc"))
+    val probes = qexpl.join(broadcast(coarse), Seq("d"))
+      .groupBy(col("qid"), col("cluster").as("pc"))
+      .agg(sum((col("c") - col("m")) * (col("c") - col("m"))).as("d2"))
+      .withColumn("rn", row_number().over(byD2))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("pc"))
+    // shifted query residual against each probed centroid
+    val qr = probes
+      .join(qexpl, "qid")
+      .join(broadcast(coarse.select(col("cluster").as("pc"), col("d"), col("m"))),
+        Seq("pc", "d"))
+      .select(col("qid"), col("pc"), col("d"),
+        (col("c") - col("m") + lit(ResidShift)).as("c"))
+    // LUT: per (query, probed cluster, subspace, codeword) exact integer d²
+    val lut = qr
+      .withColumn("sub", ((col("d") - 1) / SubDim).cast("int"))
+      .withColumn("d", col("d") - col("sub") * SubDim)
+      .join(broadcast(booksR), Seq("sub", "d"))
+      .groupBy(col("qid"), col("pc"), col("sub"), col("cluster"))
+      .agg(sum((col("c") - col("m")) * (col("c") - col("m"))).as("lutd2"))
+    // candidates = vectors in probed clusters; each contributes exactly
+    // one LUT row per subspace
+    val byDist = Window.partitionBy(col("qid")).orderBy(col("adc_dist2"), col("id"))
+    val lutR = lut.select(col("qid"), col("pc").as("coarse"),
+      col("sub"), col("cluster"), col("lutd2"))
+    encR.join(asg, "id")
+      .join(broadcast(lutR), Seq("sub", "cluster", "coarse"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("lutd2")).as("adc_dist2"))
+      .withColumn("rank", row_number().over(byDist))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("id").as("vec_id"), col("adc_dist2"))
+  }
 }

@@ -231,30 +231,36 @@ object SketchQueries {
       .orderBy($"vec_id")
   }
 
-  /** One subspace's Lloyd chain (seed → assign → update → final
-    * assign), exactly KMeansInt.fitAssign(iters = 1) on the 16-dim
-    * slice — shared verbatim between q107 and q108 so training and
-    * search replay the SAME codebooks. Emits `c1$m` (the codebook) and
-    * `f$m` (per-id codeword + dist2). */
+  /** One tagged Lloyd chain (seed → assign → update → final assign),
+    * exactly KMeansInt.fitAssign(iters = 1) over the `(id, d, c)` rows
+    * `eDef` emits — shared verbatim between q107/q108 (per-subspace
+    * slices) and q110 (full-dim coarse + residual subspaces) so
+    * training and search always replay the SAME codebooks. Emits
+    * `c1$tag` (the codebook) and `f$tag` (per-id codeword + dist2). */
+  private def lloydChainSql(tag: String, eDef: String): String = {
+    val k = graft.ext.ProductQuantize.K
+    s"""e$tag AS MATERIALIZED ($eDef),
+      |c0$tag AS (SELECT id AS cluster, d, c AS m FROM e$tag WHERE id < $k),
+      |d1$tag AS (SELECT e.id, c.cluster, SUM((e.c - c.m)*(e.c - c.m)) AS dist2
+      |  FROM e$tag e JOIN c0$tag c ON e.d = c.d GROUP BY e.id, c.cluster),
+      |a1$tag AS (SELECT id, cluster FROM (SELECT *, ROW_NUMBER() OVER
+      |  (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM d1$tag) t WHERE rn = 1),
+      |s1$tag AS (SELECT a.cluster, e.d, SUM(e.c) AS s, COUNT(*) AS n
+      |  FROM e$tag e JOIN a1$tag a ON e.id = a.id GROUP BY a.cluster, e.d),
+      |c1$tag AS MATERIALIZED (SELECT c0.cluster, c0.d, COALESCE(s1.s // s1.n, c0.m) AS m
+      |  FROM c0$tag c0 LEFT JOIN s1$tag s1 ON c0.cluster = s1.cluster AND c0.d = s1.d),
+      |df$tag AS (SELECT e.id, c.cluster, SUM((e.c - c.m)*(e.c - c.m)) AS dist2
+      |  FROM e$tag e JOIN c1$tag c ON e.d = c.d GROUP BY e.id, c.cluster),
+      |f$tag AS MATERIALIZED (SELECT id, cluster, dist2 FROM (SELECT *, ROW_NUMBER() OVER
+      |  (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM df$tag) t WHERE rn = 1)""".stripMargin
+  }
+
   private def pqChainSql(m: Int): String = {
     val sub = graft.ext.ProductQuantize.SubDim
-    val k = graft.ext.ProductQuantize.K
     val off = m * sub
-    s"""e$m AS MATERIALIZED (SELECT vec_id AS id, d - $off AS d, cs[d] AS c
-      |  FROM codes, generate_series(${off + 1}, ${off + sub}) AS t(d)),
-      |c0$m AS (SELECT id AS cluster, d, c AS m FROM e$m WHERE id < $k),
-      |d1$m AS (SELECT e.id, c.cluster, SUM((e.c - c.m)*(e.c - c.m)) AS dist2
-      |  FROM e$m e JOIN c0$m c ON e.d = c.d GROUP BY e.id, c.cluster),
-      |a1$m AS (SELECT id, cluster FROM (SELECT *, ROW_NUMBER() OVER
-      |  (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM d1$m) t WHERE rn = 1),
-      |s1$m AS (SELECT a.cluster, e.d, SUM(e.c) AS s, COUNT(*) AS n
-      |  FROM e$m e JOIN a1$m a ON e.id = a.id GROUP BY a.cluster, e.d),
-      |c1$m AS MATERIALIZED (SELECT c0.cluster, c0.d, COALESCE(s1.s // s1.n, c0.m) AS m
-      |  FROM c0$m c0 LEFT JOIN s1$m s1 ON c0.cluster = s1.cluster AND c0.d = s1.d),
-      |df$m AS (SELECT e.id, c.cluster, SUM((e.c - c.m)*(e.c - c.m)) AS dist2
-      |  FROM e$m e JOIN c1$m c ON e.d = c.d GROUP BY e.id, c.cluster),
-      |f$m AS MATERIALIZED (SELECT id, cluster, dist2 FROM (SELECT *, ROW_NUMBER() OVER
-      |  (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM df$m) t WHERE rn = 1)""".stripMargin
+    lloydChainSql(m.toString,
+      s"""SELECT vec_id AS id, d - $off AS d, cs[d] AS c
+      |  FROM codes, generate_series(${off + 1}, ${off + sub}) AS t(d)""".stripMargin)
   }
 
   private def pqChainsSql: String =
@@ -309,6 +315,72 @@ object SketchQueries {
       |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   }
 
+  /** q110: IVF-PQ — the full production vector-index composition
+    * ([[graft.ext.ProductQuantize.ivfPqTopK]]): a K-cluster coarse
+    * quantizer partitions the corpus; PQ codebooks over the SHIFTED
+    * residuals (vector − coarse centroid) encode what the coarse id
+    * doesn't capture; search probes the nProbe nearest coarse cells and
+    * ranks only their members by residual-LUT lookups. The oracle
+    * replays coarse training, residual computation, all four residual
+    * Lloyd chains, probing, LUT build, and ranking — every number an
+    * exact integer. */
+  def q110IvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codes = Quantize.sq8Codes(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+      .localCheckpoint(false)
+    graft.ext.ProductQuantize.ivfPqTopK(codes, codes.filter($"id" < 4),
+        nProbe = 2, topK = 10)
+      .orderBy($"qid", $"rank")
+  }
+
+  val q110Sql: String = {
+    val pq = graft.ext.ProductQuantize
+    val shift = pq.ResidShift
+    val subs = 0 until pq.NumSub
+    val residChains = subs.map { m =>
+      val off = m * pq.SubDim
+      lloydChainSql(m.toString,
+        s"SELECT id, d - $off AS d, c FROM er WHERE d > $off AND d <= ${off + pq.SubDim}")
+    }.mkString(",\n")
+    val luts = subs.map { m =>
+      val off = m * pq.SubDim
+      s"""lut$m AS (SELECT qs.qid, qs.pc, cb.cluster,
+        |  SUM((qs.c - cb.m)*(qs.c - cb.m)) AS lutd2
+        |  FROM (SELECT qid, pc, d - $off AS d, c FROM qr
+        |        WHERE d > $off AND d <= ${off + pq.SubDim}) qs
+        |  JOIN c1$m cb ON qs.d = cb.d GROUP BY qs.qid, qs.pc, cb.cluster),
+        |sc$m AS (SELECT l.qid, f.id, l.lutd2
+        |  FROM f$m f JOIN fg g ON g.id = f.id
+        |  JOIN lut$m l ON l.pc = g.cluster AND l.cluster = f.cluster
+        |  WHERE f.id <> l.qid)""".stripMargin
+    }.mkString(",\n")
+    val unioned = subs.map(m => s"SELECT * FROM sc$m").mkString(" UNION ALL ")
+    s"""WITH $sq8CodesSql,
+      |${lloydChainSql("g",
+        "SELECT vec_id AS id, d, cs[d] AS c FROM codes, generate_series(1, 64) AS t(d)")},
+      |er AS MATERIALIZED (SELECT e.id, e.d, e.c - c.m + $shift AS c
+      |  FROM eg e JOIN fg f ON e.id = f.id
+      |  JOIN c1g c ON c.cluster = f.cluster AND c.d = e.d),
+      |$residChains,
+      |qd AS (SELECT q.id AS qid, c.cluster AS pc,
+      |  SUM((q.c - c.m)*(q.c - c.m)) AS d2
+      |  FROM eg q JOIN c1g c ON q.d = c.d WHERE q.id < 4
+      |  GROUP BY q.id, c.cluster),
+      |probe AS MATERIALIZED (SELECT qid, pc FROM (SELECT *, ROW_NUMBER() OVER
+      |  (PARTITION BY qid ORDER BY d2, pc) AS rn FROM qd) t WHERE rn <= 2),
+      |qr AS MATERIALIZED (SELECT p.qid, p.pc, e.d, e.c - c.m + $shift AS c
+      |  FROM probe p JOIN eg e ON e.id = p.qid
+      |  JOIN c1g c ON c.cluster = p.pc AND c.d = e.d),
+      |$luts,
+      |tot AS (SELECT qid, id, SUM(lutd2) AS adc_dist2 FROM ($unioned) u
+      |  GROUP BY qid, id),
+      |rk AS (SELECT *, ROW_NUMBER() OVER
+      |  (PARTITION BY qid ORDER BY adc_dist2, id) AS rank FROM tot)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, id AS vec_id,
+      |  CAST(adc_dist2 AS BIGINT) AS adc_dist2
+      |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_kmeans" -> (q77Kmeans _),
     "q78_hll" -> (q78Hll _),
@@ -317,7 +389,8 @@ object SketchQueries {
     "q85_group_heavy" -> (q85GroupHeavy _),
     "q88_grouped_topk" -> (q88GroupedTopK _),
     "q107_pq" -> (q107Pq _),
-    "q108_adc_search" -> (q108AdcSearch _))
+    "q108_adc_search" -> (q108AdcSearch _),
+    "q110_ivfpq" -> (q110IvfPq _))
 
   val oracle: Map[String, String] = Map(
     "q77_kmeans" -> q77Sql,
@@ -327,5 +400,6 @@ object SketchQueries {
     "q85_group_heavy" -> q85Sql,
     "q88_grouped_topk" -> q88Sql,
     "q107_pq" -> q107Sql,
-    "q108_adc_search" -> q108Sql)
+    "q108_adc_search" -> q108Sql,
+    "q110_ivfpq" -> q110Sql)
 }

@@ -44,6 +44,26 @@ class ProductQuantizeSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: probes restrict candidates to coarse cells; same-pattern at distance zero") {
+    import spark.implicits._
+    val queries = separable.filter(col("id") < 2)
+    val top = ProductQuantize.ivfPqTopK(separable, queries, nProbe = 2, topK = 5)
+      .collect().groupBy(_.getLong(0))
+    assert(top.keySet === Set(0L, 1L))
+    for ((qid, rows) <- top) {
+      // rank 1..: the query's own cell (residuals identical → distance 0)
+      // fills the head; ids ascend within the zero-distance tie
+      val head = rows.filter(_.getLong(3) == 0L)
+      assert(head.nonEmpty)
+      head.foreach(r => assert(r.getLong(2) % 8 === qid % 8))
+      // every candidate came from one of the two probed cells — with 8
+      // separated patterns that means at most 2 distinct id-residues
+      val residues = rows.map(_.getLong(2) % 8).toSet
+      assert(residues.size <= 2 && residues.contains(qid % 8))
+      assert(!rows.map(_.getLong(2)).contains(qid)) // self excluded
+    }
+  }
+
   test("codeword ids stay within the codebook and encoding is deterministic") {
     import spark.implicits._
     // noisy variant: pattern + a per-dim wobble that keeps clusters apart
