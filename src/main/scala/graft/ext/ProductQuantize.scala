@@ -33,13 +33,21 @@ object ProductQuantize {
     * Codebooks are trained per subspace from the id<K seed convention
     * ([[KMeansInt.fitAssign]]). */
   def encode(codes: DataFrame): DataFrame = {
-    val parts = (0 until NumSub).map { m =>
-      KMeansInt.fitAssign(
-          codes.select(col("id"),
-            slice(col("codes"), m * SubDim + 1, SubDim).as("codes")),
-          k = K, iters = Iters)
-        .select(col("id"), lit(m).as("sub"), col("cluster"), col("dist2"))
-    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // independent per-subspace trainings run as concurrent Spark jobs
+    // (see [[codebooks]]); materialize the input first
+    codes.count()
+    val parts = Await.result(Future.sequence((0 until NumSub).map { m =>
+      Future {
+        KMeansInt.fitAssign(
+            codes.select(col("id"),
+              slice(col("codes"), m * SubDim + 1, SubDim).as("codes")),
+            k = K, iters = Iters)
+          .select(col("id"), lit(m).as("sub"), col("cluster"), col("dist2"))
+      }
+    }), Duration.Inf)
     parts.reduce(_ unionByName _)
       .groupBy(col("id"))
       .agg(
@@ -52,12 +60,26 @@ object ProductQuantize {
     codes.select(col("id"), slice(col("codes"), m * SubDim + 1, SubDim).as("codes"))
 
   /** Train all M codebooks: (sub, cluster, d, m) — M·K·SubDim rows,
-    * eagerly checkpointed (each [[KMeansInt.fit]] round already is). */
-  def codebooks(codes: DataFrame): DataFrame =
-    (0 until NumSub).map { m =>
-      KMeansInt.fit(subCodes(codes, m), k = K, iters = Iters)
-        .select(lit(m).as("sub"), col("cluster"), col("d"), col("m"))
-    }.reduce(_ unionByName _)
+    * eagerly checkpointed (each [[KMeansInt.fit]] round already is).
+    * The M trainings are independent, so they run as CONCURRENT Spark
+    * jobs (job submission is thread-safe); each result is a
+    * deterministic function of its subspace alone, so parallel order
+    * cannot change the output. The input is materialized first so the
+    * concurrent fits race on a computed plan, not on a lazy
+    * checkpoint. */
+  def codebooks(codes: DataFrame): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    codes.count()
+    val trained = Future.sequence((0 until NumSub).map { m =>
+      Future {
+        KMeansInt.fit(subCodes(codes, m), k = K, iters = Iters)
+          .select(lit(m).as("sub"), col("cluster"), col("d"), col("m"))
+      }
+    })
+    Await.result(trained, Duration.Inf).reduce(_ unionByName _)
+  }
 
   /** Assign every vector to its nearest codeword per subspace against
     * FIXED codebooks: (id, sub, cluster). */
