@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Integer PageRank — entity-importance scoring over a relationship
@@ -36,7 +36,22 @@ object PageRank {
   val BroadcastVertexLimit: Long = 5000000L
 
   /** (id, rank) after `iters` damped rounds from R0 = 1e6. */
-  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+  def ranks(edges: DataFrame, iters: Int): DataFrame =
+    run(edges, iters, lit(1000000L), lit(150000L))
+
+  /** Personalized PageRank (random walk with restart): initial mass
+    * and per-round teleport land ONLY on vertices satisfying
+    * `seedPred` (a predicate over `id`) — ranks then measure proximity
+    * to the seed set, the recommendation / related-entity primitive,
+    * rather than global importance. Same integer fixed-point
+    * arithmetic as [[ranks]]. */
+  def personalized(edges: DataFrame, seedPred: Column, iters: Int): DataFrame =
+    run(edges, iters,
+      when(seedPred, lit(1000000L)).otherwise(lit(0L)),
+      when(seedPred, lit(150000L)).otherwise(lit(0L)))
+
+  private def run(edges: DataFrame, iters: Int, init: Column,
+      teleport: Column): DataFrame = {
     // one materialization of the (possibly expensive) upstream edge
     // plan; vertices and degree-annotated edges both derive from it
     val e = edges.select(col("src"), col("dst"))
@@ -61,7 +76,7 @@ object PageRank {
     val nV = vertices.count() // also materializes the vertex cache
     val bcast = nV <= BroadcastVertexLimit
     def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
-    var r = vertices.select(col("id"), lit(1000000L).as("rank"))
+    var r = vertices.select(col("id"), init.as("rank"))
     for (_ <- 1 to iters) {
       val contrib = ed.join(hint(r), ed("src") === r("id"))
         .select(col("dst"), expr("rank DIV deg").as("c"))
@@ -70,7 +85,7 @@ object PageRank {
       // broadcast envelope as the rank table itself
       r = vertices.join(hint(contrib), vertices("id") === contrib("dst"), "left")
         .select(col("id"),
-          (lit(150000L) + expr("coalesce(m, 0L) * 85 DIV 100")).as("rank"))
+          (teleport + expr("coalesce(m, 0L) * 85 DIV 100")).as("rank"))
         .localCheckpoint(true)
     }
     // the final ranks are eagerly checkpointed — the cached edge and

@@ -298,13 +298,54 @@ object AnalyticsQueries {
       |GROUP BY node ORDER BY node""".stripMargin
   }
 
+  /** q111: personalized PageRank — random walk with restart on q84's
+    * purchase graph, seeded at the first ten customers (node ids < 20,
+    * even = customer): teleport mass lands only on seeds, so ranks
+    * measure proximity to that cohort (the "related entities"
+    * recommendation primitive) instead of global importance. Same
+    * exact fixed-point arithmetic; oracle unrolls both rounds with the
+    * seed-conditional teleport. */
+  def q111Ppr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      .join(Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct()
+    val edges = base.select($"c".as("src"), $"s".as("dst"))
+      .unionByName(base.select($"s".as("src"), $"c".as("dst")))
+    PageRank.personalized(edges, col("id") < 20, iters = 2)
+      .orderBy($"rank".desc, $"id")
+      .limit(30)
+  }
+
+  val q111Sql: String =
+    """WITH base AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS s
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |e AS (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
+      |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      |r0 AS (SELECT id, CASE WHEN id < 20 THEN 1000000 ELSE 0 END AS rank FROM v),
+      |m1 AS (SELECT e.dst, SUM(r0.rank // d.deg) AS m
+      |  FROM e JOIN deg d ON e.src = d.src JOIN r0 ON e.src = r0.id GROUP BY e.dst),
+      |r1 AS (SELECT v.id, CASE WHEN v.id < 20 THEN 150000 ELSE 0 END
+      |    + CAST(COALESCE(m1.m, 0) * 85 // 100 AS BIGINT) AS rank
+      |  FROM v LEFT JOIN m1 ON v.id = m1.dst),
+      |m2 AS (SELECT e.dst, SUM(r1.rank // d.deg) AS m
+      |  FROM e JOIN deg d ON e.src = d.src JOIN r1 ON e.src = r1.id GROUP BY e.dst),
+      |r2 AS (SELECT v.id, CASE WHEN v.id < 20 THEN 150000 ELSE 0 END
+      |    + CAST(COALESCE(m2.m, 0) * 85 // 100 AS BIGINT) AS rank
+      |  FROM v LEFT JOIN m2 ON v.id = m2.dst)
+      |SELECT id, rank FROM r2 ORDER BY rank DESC, id LIMIT 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_anomaly" -> (q81Anomaly _),
     "q82_join_card" -> (q82JoinCard _),
     "q83_power_hist" -> (q83PowerHist _),
     "q84_pagerank" -> (q84PageRank _),
     "q102_triangles" -> (q102Triangles _),
-    "q105_kcore" -> (q105KCore _))
+    "q105_kcore" -> (q105KCore _),
+    "q111_ppr" -> (q111Ppr _))
 
   val oracle: Map[String, String] = Map(
     "q81_anomaly" -> q81Sql,
@@ -312,5 +353,6 @@ object AnalyticsQueries {
     "q83_power_hist" -> q83Sql,
     "q84_pagerank" -> q84Sql,
     "q102_triangles" -> q102Sql,
-    "q105_kcore" -> q105Sql)
+    "q105_kcore" -> q105Sql,
+    "q111_ppr" -> q111Sql)
 }
