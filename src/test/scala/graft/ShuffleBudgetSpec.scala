@@ -36,7 +36,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q103_audio" -> 1, // codec chain is shuffle-free; range partition only
     "q104_collocations" -> 4, // bigram agg + two count joins + topk order (unigrams checkpointed)
     "q105_kcore" -> 2, // final-core degree agg + order (peel rounds checkpoint per round)
-    "q106_temperature_mix" -> 3) // kept-count agg + audit join + order (rates checkpointed)
+    "q106_temperature_mix" -> 3, // kept-count agg + audit join + order (rates checkpointed)
+    "q109_gap_fill" -> 2) // span agg reuses the user partitioning; windows + order share it
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans at most $budget exchanges") {
