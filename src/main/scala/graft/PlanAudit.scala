@@ -48,7 +48,12 @@ object PlanAudit {
     "q94_text_ann" -> Set(Bnlj), // broadcast query set, non-equi (q22 class)
     "q96_drift" -> Set(SinglePartition, Bnlj), // one-row totals broadcast (q80 class)
     "q104_collocations" -> Set(SinglePartition, Bnlj), // one-row token total (q86 class)
-    "q106_temperature_mix" -> Set(SinglePartition, Bnlj)) // one-row min-weight scalar (q96 class)
+    "q106_temperature_mix" -> Set(SinglePartition, Bnlj), // one-row min-weight scalar (q96 class)
+    // Spark's InjectRuntimeFilter builds a bloom filter of the probe-side
+    // join keys in an auxiliary scalar subquery — bloom_filter_agg's final
+    // merge is SinglePartition by construction (one bloom buffer), and the
+    // injected filter is itself a scale WIN (prunes the big side pre-join)
+    "q110_ivfpq" -> Set(SinglePartition))
 
   val flags = Seq(SinglePartition, Cartesian, Bnlj)
 
