@@ -143,7 +143,90 @@ object MoreRelational {
       |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q112: TPC-H Q3 shape — top-10 highest-revenue unshipped orders for
+    * one market segment. The classic selective-dim → fact → fact chain:
+    * the segment filter prunes customers BEFORE the broadcast join, the
+    * date filters push to both fact scans, and revenue stays an exact
+    * DECIMAL through the ORDER BY (cross-engine-deterministic ranking;
+    * cast to double only in the output). */
+  def q112TpchQ3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.load(s, dir, "customer")
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = Tables.load(s, dir, "orders")
+      .filter($"o_orderdate" < lit("1995-03-15").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = Tables.load(s, dir, "lineitem")
+      .filter($"l_shipdate" > lit("1995-03-15").cast("timestamp"))
+      .select($"l_orderkey", dec($"l_extendedprice").as("ep"), dec($"l_discount").as("dc"))
+    val ranked = li.join(ord.join(broadcast(cust), $"o_custkey" === $"c_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(sum($"ep" * (lit(1) - $"dc")).as("rev"))
+      .orderBy($"rev".desc, $"l_orderkey")
+      .limit(10)
+    ranked.select($"l_orderkey", $"rev".cast("double").as("revenue"), $"o_orderdate")
+  }
+
+  val q112Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      |  o_orderdate
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** q113: TPC-H Q5 shape — per-nation revenue where customer and
+    * supplier share a nation, for one region and year. Six-table chain:
+    * region→nation prune broadcast into supplier/customer; the
+    * co-nationality predicate rides the join; facts shuffle on their
+    * keys. Revenue is exact DECIMAL until the final cast. */
+  def q113TpchQ5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nat = Tables.load(s, dir, "nation")
+      .join(broadcast(Tables.load(s, dir, "region").filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val supp = Tables.load(s, dir, "supplier")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_nationkey", $"n_name")
+    val cust = Tables.load(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val ord = Tables.load(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey",
+        dec($"l_extendedprice").as("ep"), dec($"l_discount").as("dc"))
+    li.join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .filter($"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(sum($"ep" * (lit(1) - $"dc")).cast("double").as("revenue"))
+      .orderBy($"n_name")
+  }
+
+  val q113Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_tpch_q3" -> (q112TpchQ3 _),
+    "q113_tpch_q5" -> (q113TpchQ5 _),
     "q38_ragged_union" -> (q38RaggedUnion _),
     "q39_cube" -> (q39Cube _),
     "q40_window_family" -> (q40WindowFamily _),
@@ -151,6 +234,8 @@ object MoreRelational {
     "q46_json_extract" -> (q46JsonExtract _))
 
   val oracle: Map[String, String] = Map(
+    "q112_tpch_q3" -> q112Sql,
+    "q113_tpch_q5" -> q113Sql,
     "q38_ragged_union" -> q38Sql,
     "q39_cube" -> q39Sql,
     "q40_window_family" -> q40Sql,
