@@ -53,7 +53,8 @@ object PlanAudit {
     // join keys in an auxiliary scalar subquery — bloom_filter_agg's final
     // merge is SinglePartition by construction (one bloom buffer), and the
     // injected filter is itself a scale WIN (prunes the big side pre-join)
-    "q110_ivfpq" -> Set(SinglePartition))
+    "q110_ivfpq" -> Set(SinglePartition),
+    "q114_sliding_hll" -> Set(Bnlj)) // windows × 256-bucket skeleton (q91 class)
 
   val flags = Seq(SinglePartition, Cartesian, Bnlj)
 

@@ -127,15 +127,61 @@ object MiningQueries {
       |  ex.n_exact
       |FROM agg JOIN ex ON agg.grp = ex.grp ORDER BY l_returnflag""".stripMargin
 
+  /** q114: sliding-window distinct sketch — per-10-minute-bucket HLL
+    * registers ([[graft.ext.Hll.groupRegisters]]) merged across each
+    * 3-bucket sliding window by elementwise max, plus the exact
+    * distinct count per window for comparison. THE argument for
+    * sketches at 100 TB: the exact side re-shuffles raw (window, user)
+    * pairs — W× the stream — while the sketch side merges W×256 longs
+    * per window regardless of data size, and the same merge serves
+    * cross-day rollups, stream checkpoints, and backfill unions. */
+  def q114SlidingHll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.loadEvents(s, dir)
+      .select(expr("sec DIV 600").as("grp0"), $"user_id")
+      .localCheckpoint(false) // feeds the register build AND the exact side
+    val slid = graft.ext.Hll.groupRegisters(ev, $"grp0", $"user_id")
+      .withColumn("w", explode(sequence($"grp", $"grp" + 2)))
+      .groupBy($"w", $"bucket").agg(max($"r").as("r"))
+    val est = graft.ext.Hll.groupEstimate(
+      slid.select($"w".as("grp"), $"bucket", $"r"))
+    val exact = ev.withColumn("w", explode(sequence($"grp0", $"grp0" + 2)))
+      .groupBy($"w").agg(countDistinct($"user_id").as("n_exact"))
+    est.join(exact, est("grp") === exact("w"))
+      .select($"grp".as("win"), $"m", $"n_zero", $"sum_pow", $"est_raw", $"n_exact")
+      .orderBy($"win")
+  }
+
+  val q114Sql: String =
+    s"""WITH ev AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 600 AS grp0,
+      |  user_id FROM events),
+      |${AnalyticsQueries.regChainSql("", "ev", "CAST(user_id AS VARCHAR)", Some("grp0"))},
+      |sl AS (SELECT w, bucket, MAX(r) AS r FROM
+      |  (SELECT unnest(generate_series(grp, grp + 2)) AS w, bucket, r FROM reg) t
+      |  GROUP BY w, bucket),
+      |agg AS (SELECT w, COUNT(*) AS m,
+      |    CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |    CAST(SUM(1::BIGINT << CAST(32 - r AS INT)) AS BIGINT) AS sum_pow
+      |  FROM sl GROUP BY w),
+      |ex AS (SELECT w, COUNT(DISTINCT user_id) AS n_exact FROM
+      |  (SELECT unnest(generate_series(grp0, grp0 + 2)) AS w, user_id FROM ev) t
+      |  GROUP BY w)
+      |SELECT agg.w AS win, agg.m, agg.n_zero, agg.sum_pow,
+      |  round(${AnalyticsQueries.estSql.format("agg.sum_pow")}, 6) AS est_raw,
+      |  ex.n_exact
+      |FROM agg JOIN ex ON agg.w = ex.w ORDER BY win""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_surprisal" -> (q86Surprisal _),
     "q87_hard_negatives" -> (q87HardNegatives _),
     "q89_best_rep" -> (q89BestRep _),
-    "q91_group_hll" -> (q91GroupHll _))
+    "q91_group_hll" -> (q91GroupHll _),
+    "q114_sliding_hll" -> (q114SlidingHll _))
 
   val oracle: Map[String, String] = Map(
     "q86_surprisal" -> q86Sql,
     "q87_hard_negatives" -> q87Sql,
     "q89_best_rep" -> q89Sql,
-    "q91_group_hll" -> q91Sql)
+    "q91_group_hll" -> q91Sql,
+    "q114_sliding_hll" -> q114Sql)
 }
