@@ -174,6 +174,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("temperature mixing applies to a stream via a stream-static rates join") {
+    val docsSchema = Tables.load(spark, sf, "documents").schema
+    val batchDocs = Tables.load(spark, sf, "documents")
+    // rates computed once from the batch corpus (the static side) …
+    val rates = graft.ext.Mixing.temperatureRates(batchDocs, "lang")
+    // … applied to arriving documents as a stream-static broadcast join
+    val stream = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+    val q = graft.ext.Mixing.sampleWithRates(stream, "doc_id", "lang", rates)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("mix_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("mix_stream").as[Long].collect().toSet
+    val batch = graft.ext.Mixing.sampleWithRates(batchDocs, "doc_id", "lang", rates)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("out-of-order as-of join retro-matches a right event arriving a batch late") {
     implicit val sqlCtx = spark.sqlContext
     import Streaming.{AsofEventT, AsofMatch}
