@@ -157,6 +157,41 @@ object StatsQueries {
       |WHERE levenshtein(x.p_brand, y.p_brand) <= 2
       |ORDER BY brand_a, brand_b""".stripMargin
 
+  /** q115: BLOCKED fuzzy matching — q56's scale twin. Deletion-
+    * neighborhood blocking (the SymSpell trick): every token keys on
+    * itself plus each single-character deletion; any two strings within
+    * edit distance 1 provably share a key (substitution → same deletion
+    * at the differing position; insertion/deletion → the longer's
+    * deletion equals the shorter), so candidates meet in an EQUI-join
+    * on the key — never a quadratic all-pairs — and exact levenshtein
+    * verifies. The oracle IS the quadratic brute force over the
+    * distinct vocabulary: a hash match proves the blocking found every
+    * pair (completeness), not just valid ones. */
+  def q115BlockedFuzzy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.load(s, dir, "part")
+      .select($"p_brand".as("t")).distinct()
+      .localCheckpoint(false) // dimension-sized; feeds both join sides
+    val keyed = toks.select($"t", explode(concat(array($"t"),
+        transform(sequence(lit(1), length($"t")),
+          i => concat($"t".substr(lit(1), i - 1),
+            $"t".substr(i + 1, length($"t")))))).as("k"))
+    keyed.as("a").join(keyed.as("b"), "k")
+      .filter($"a.t" < $"b.t")
+      .select($"a.t".as("t1"), $"b.t".as("t2"))
+      .distinct()
+      .withColumn("dist", levenshtein($"t1", $"t2").cast("long"))
+      .filter($"dist" <= 1)
+      .orderBy($"t1", $"t2")
+  }
+
+  val q115Sql: String =
+    """WITH tok AS (SELECT DISTINCT p_brand AS t FROM part)
+      |SELECT a.t AS t1, b.t AS t2, CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+      |FROM tok a JOIN tok b ON a.t < b.t
+      |WHERE levenshtein(a.t, b.t) <= 1
+      |ORDER BY t1, t2""".stripMargin
+
   /** q57: calendar bucketing — orders per (year, month) with revenue
     * and distinct customers. Session timezone is pinned UTC (Verify/
     * Bench builders) so calendar fields match DuckDB's naive-timestamp
@@ -297,6 +332,7 @@ object StatsQueries {
     "q54_percentiles" -> (q54Percentiles _),
     "q55_stats" -> (q55Stats _),
     "q56_fuzzy_match" -> (q56FuzzyMatch _),
+    "q115_blocked_fuzzy" -> (q115BlockedFuzzy _),
     "q57_date_buckets" -> (q57DateBuckets _),
     "q58_latest_per_key" -> (q58LatestPerKey _),
     "q96_drift" -> (q96Drift _),
@@ -307,6 +343,7 @@ object StatsQueries {
     "q54_percentiles" -> q54Sql,
     "q55_stats" -> q55Sql,
     "q56_fuzzy_match" -> q56Sql,
+    "q115_blocked_fuzzy" -> q115Sql,
     "q57_date_buckets" -> q57Sql,
     "q58_latest_per_key" -> q58Sql,
     "q96_drift" -> q96Sql,

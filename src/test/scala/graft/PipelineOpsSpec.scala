@@ -31,6 +31,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(2L * uni.values.sum > uni("a") * uni("b"))
   }
 
+  test("deletion-neighborhood blocking finds every edit-distance-1 pair") {
+    import spark.implicits._
+    // substitution (cat~bat), deletion (cart~art, cart~cat? no — dist 2),
+    // insertion (cat~cart? dist 1? c-a-t -> c-a-r-t: one insertion, yes)
+    val vocab = Seq("cat", "bat", "cart", "art", "dog", "dot").toDF("t")
+      .localCheckpoint(false)
+    val keyed = vocab.select($"t", explode(concat(array($"t"),
+        transform(sequence(lit(1), length($"t")),
+          i => concat($"t".substr(lit(1), i - 1),
+            $"t".substr(i + 1, length($"t")))))).as("k"))
+    val blocked = keyed.as("a").join(keyed.as("b"), "k")
+      .filter($"a.t" < $"b.t")
+      .select($"a.t".as("t1"), $"b.t".as("t2")).distinct()
+      .filter(levenshtein($"t1", $"t2") <= 1)
+      .as[(String, String)].collect().toSet
+    // brute force over all pairs — the completeness reference
+    val brute = (for {
+      a <- Seq("cat", "bat", "cart", "art", "dog", "dot"); b <- Seq("cat", "bat", "cart", "art", "dog", "dot")
+      if a < b
+    } yield (a, b)).filter { case (x, y) =>
+      // tiny levenshtein for the fixture
+      def lev(s: String, t: String): Int = {
+        val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to s.length; j <- 1 to t.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+        d(s.length)(t.length)
+      }
+      lev(x, y) <= 1
+    }.toSet
+    assert(blocked === brute)
+    assert(blocked.contains(("bat", "cat"))) // substitution
+    assert(blocked.contains(("art", "cart"))) // deletion/insertion
+    assert(blocked.contains(("cart", "cat"))) // insertion mid-string
+    assert(blocked.contains(("dog", "dot"))) // substitution at the end
+  }
+
   test("gap fill: silent days get zero counts and the carried value persists") {
     import spark.implicits._
     // one user: activity on days 10 and 13 → grid 10..13 with gaps 11, 12
