@@ -261,7 +261,59 @@ object TextQueries {
       |FROM bc JOIN uc a ON bc.t1 = a.t JOIN uc b ON bc.t2 = b.t CROSS JOIN n
       |ORDER BY n_ab DESC, t1, t2 LIMIT 200""".stripMargin
 
+  /** q116: EXACT set-similarity self-join via prefix filtering (the
+    * ppjoin family) — the deterministic complement of MinHash (q20):
+    * J(x,y) ≥ τ ⇒ |x∩y| ≥ τ·max(|x|,|y|) ≥ ⌈τ|x|⌉, so if x keeps only
+    * its (|x| − ⌈τ|x|⌉ + 1) globally-RAREST tokens as keys, any
+    * qualifying y must collide with one of them (pigeonhole) —
+    * candidates meet in an equi-join on rare tokens, never an
+    * all-pairs, and exact integer Jaccard (|∩|·10 ≥ 9·|∪|) verifies.
+    * The rare-first order is per-document (sort by (df, token) inside
+    * the doc's token list) — no global rank, no single-partition
+    * window. The oracle is the quadratic brute force, so the hash
+    * match proves the prefix filter is COMPLETE. */
+  def q116PrefixJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.load(s, dir, "documents")
+      .select($"doc_id", array_sort(array_distinct(tokens(lower($"text")))).as("ts"))
+      .filter(size($"ts") > 0)
+      .localCheckpoint(false) // feeds df counts, prefixes, and the verify join
+    val dfreq = sets.select(explode($"ts").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("df"))
+    val prefix = sets.select($"doc_id", size($"ts").as("n"), explode($"ts").as("t"))
+      .join(dfreq, "t")
+      .groupBy($"doc_id", $"n")
+      .agg(array_sort(collect_list(struct($"df", $"t"))).as("ordered"))
+      .select($"doc_id", explode(slice($"ordered", lit(1),
+        expr("n - ((9*n + 9) DIV 10) + 1"))).as("p"))
+      .select($"doc_id", $"p.t".as("k"))
+    val cand = prefix.as("a").join(prefix.as("b"), "k")
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+      .distinct()
+    cand
+      .join(sets.select($"doc_id".as("da"), $"ts".as("tsa")), "da")
+      .join(sets.select($"doc_id".as("db"), $"ts".as("tsb")), "db")
+      .withColumn("inter", size(array_intersect($"tsa", $"tsb")).cast("long"))
+      .withColumn("un", (size($"tsa") + size($"tsb")).cast("long") - $"inter")
+      .filter($"inter" * 10 >= $"un" * 9)
+      .select($"da", $"db", $"inter", $"un")
+      .orderBy($"da", $"db")
+  }
+
+  val q116Sql: String =
+    """WITH s AS (SELECT doc_id,
+      |  list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS ts
+      |  FROM documents WHERE trim(text) <> ''),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+      |  len(list_intersect(a.ts, b.ts)) AS inter,
+      |  len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS un
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT da, db, CAST(inter AS BIGINT) AS inter, CAST(un AS BIGINT) AS un
+      |FROM p WHERE inter*10 >= 9*un ORDER BY da, db""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_prefix_join" -> (q116PrefixJoin _),
     "q16_text_stats" -> (q16TextStats _),
     "q17_lang_id" -> (q17LangId _),
     "q18_exact_dedup" -> (q18ExactDedup _),
@@ -279,5 +331,6 @@ object TextQueries {
     "q37_pii_redact" -> q37Sql,
     "q43_top_tokens" -> q43Sql,
     "q44_length_histogram" -> q44Sql,
-    "q104_collocations" -> q104Sql)
+    "q104_collocations" -> q104Sql,
+    "q116_prefix_join" -> q116Sql)
 }
