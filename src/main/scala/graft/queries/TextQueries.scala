@@ -271,10 +271,19 @@ object TextQueries {
     * The rare-first order is per-document (sort by (df, token) inside
     * the doc's token list) — no global rank, no single-partition
     * window. The oracle is the quadratic brute force, so the hash
-    * match proves the prefix filter is COMPLETE. */
+    * match proves the prefix filter is COMPLETE.
+    *
+    * The run is LANGUAGE-BLOCKED (de slice) — the natural partitioning
+    * for near-dup mining (cross-language near-dups are meaningless),
+    * and a necessary one on THIS corpus: its synthetic 31-token
+    * vocabulary makes ~8% of ALL document pairs ≥0.9-similar, so an
+    * unblocked run's output is quadratic in corpus size no matter how
+    * good the candidate filter is. On a real corpus (large vocabulary,
+    * rare tokens actually rare) the same code runs unblocked. */
   def q116PrefixJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sets = Tables.load(s, dir, "documents")
+      .filter($"lang" === "de")
       .select($"doc_id", array_sort(array_distinct(tokens(lower($"text")))).as("ts"))
       .filter(size($"ts") > 0)
       .localCheckpoint(false) // feeds df counts, prefixes, and the verify join
@@ -284,12 +293,16 @@ object TextQueries {
       .join(dfreq, "t")
       .groupBy($"doc_id", $"n")
       .agg(array_sort(collect_list(struct($"df", $"t"))).as("ordered"))
-      .select($"doc_id", explode(slice($"ordered", lit(1),
+      .select($"doc_id", $"n", explode(slice($"ordered", lit(1),
         expr("n - ((9*n + 9) DIV 10) + 1"))).as("p"))
-      .select($"doc_id", $"p.t".as("k"))
-    val cand = prefix.as("a").join(prefix.as("b"), "k")
-      .filter($"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+      .select($"doc_id", $"n", $"p.t".as("k"))
+    // ppjoin length filter: J ≥ 0.9 ⇒ |x∩y| ≥ 0.9·max ≤ min, so set
+    // sizes must agree within 10% — prunes same-key candidates before
+    // the (comparatively expensive) exact-intersection verify
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 9 <= col("b.n") * 10 && col("b.n") * 9 <= col("a.n") * 10)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     cand
       .join(sets.select($"doc_id".as("da"), $"ts".as("tsa")), "da")
@@ -304,7 +317,7 @@ object TextQueries {
   val q116Sql: String =
     """WITH s AS (SELECT doc_id,
       |  list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS ts
-      |  FROM documents WHERE trim(text) <> ''),
+      |  FROM documents WHERE trim(text) <> '' AND lang = 'de'),
       |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
       |  len(list_intersect(a.ts, b.ts)) AS inter,
       |  len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS un
