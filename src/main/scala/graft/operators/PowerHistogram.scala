@@ -45,4 +45,29 @@ object PowerHistogram {
         (col("cum") - col("n") < expr("(total * 95 + 99) DIV 100")
           && expr("(total * 95 + 99) DIV 100") <= col("cum")).cast("int").as("is_p95"))
   }
+
+  /** Per-GROUP bit-length histograms: the grouped twin of
+    * [[bitLenHistogram]] (as [[graft.ext.Hll.groupRegisters]] is to the
+    * global sketch) — ≤64 counters per group, mergeable by addition,
+    * cumulative walk and quantile flags windowed WITHIN each group, so
+    * no single-partition stage exists at any group count. */
+  def groupedBitLenHistogram(df: DataFrame, grp: Column, value: Column): DataFrame = {
+    val hist = df
+      .select(grp.as("grp"), length(bin(value)).cast("long").as("bucket"))
+      .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("n")).over(w).cast("long"))
+      .withColumn("total",
+        sum(col("n")).over(Window.partitionBy(col("grp"))).cast("long"))
+      .select(col("grp"), col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket - 1 AS INT))").as("lo"),
+        (expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))") - 1L).as("hi"),
+        col("n"), col("cum"),
+        (col("cum") - col("n") < expr("(total * 50 + 99) DIV 100")
+          && expr("(total * 50 + 99) DIV 100") <= col("cum")).cast("int").as("is_p50"),
+        (col("cum") - col("n") < expr("(total * 95 + 99) DIV 100")
+          && expr("(total * 95 + 99) DIV 100") <= col("cum")).cast("int").as("is_p95"))
+  }
 }

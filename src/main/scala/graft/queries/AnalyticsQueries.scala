@@ -183,6 +183,42 @@ object AnalyticsQueries {
       |       THEN 1 ELSE 0 END AS INT) AS is_p95
       |FROM w ORDER BY bucket""".stripMargin
 
+  /** q117: per-type latency-style quantile sketches — the grouped twin
+    * of q83 ([[PowerHistogram.groupedBitLenHistogram]]): one ≤64-counter
+    * bit-length histogram per event type over positive value cents,
+    * cumulative walk and p50/p95 flags windowed WITHIN each group —
+    * no single-partition stage at any group count, unlike the global
+    * sketch. Completes the sketch-family symmetry (HLL and heavy
+    * hitters already have global + grouped forms). */
+  def q117GroupPowerHist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.loadEvents(s, dir)
+      .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      .filter($"cents" > 0)
+    PowerHistogram.groupedBitLenHistogram(ev, $"event_type", $"cents")
+      .orderBy($"grp", $"bucket")
+  }
+
+  val q117Sql: String =
+    """WITH c AS (SELECT event_type AS grp,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v FROM events),
+      |f AS (SELECT * FROM c WHERE v > 0),
+      |h AS (SELECT grp, CAST(length(bin(v)) AS BIGINT) AS bucket, COUNT(*) AS n
+      |  FROM f GROUP BY grp, bucket),
+      |w AS (SELECT *,
+      |    CAST(SUM(n) OVER (PARTITION BY grp ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(SUM(n) OVER (PARTITION BY grp) AS BIGINT) AS total FROM h)
+      |SELECT grp, bucket,
+      |  (1::BIGINT << CAST(bucket - 1 AS INT)) AS lo,
+      |  (1::BIGINT << CAST(bucket AS INT)) - 1 AS hi,
+      |  n, cum,
+      |  CAST(CASE WHEN cum - n < (total*50+99)//100 AND (total*50+99)//100 <= cum
+      |       THEN 1 ELSE 0 END AS INT) AS is_p50,
+      |  CAST(CASE WHEN cum - n < (total*95+99)//100 AND (total*95+99)//100 <= cum
+      |       THEN 1 ELSE 0 END AS INT) AS is_p95
+      |FROM w ORDER BY grp, bucket""".stripMargin
+
   /** q84: integer PageRank over the customer↔supplier purchase graph
     * (both directions; node ids disambiguated even/odd). Two damped
     * rounds; top 30 by rank. Exact fixed-point arithmetic — identical
@@ -345,7 +381,8 @@ object AnalyticsQueries {
     "q84_pagerank" -> (q84PageRank _),
     "q102_triangles" -> (q102Triangles _),
     "q105_kcore" -> (q105KCore _),
-    "q111_ppr" -> (q111Ppr _))
+    "q111_ppr" -> (q111Ppr _),
+    "q117_group_power_hist" -> (q117GroupPowerHist _))
 
   val oracle: Map[String, String] = Map(
     "q81_anomaly" -> q81Sql,
@@ -354,5 +391,6 @@ object AnalyticsQueries {
     "q84_pagerank" -> q84Sql,
     "q102_triangles" -> q102Sql,
     "q105_kcore" -> q105Sql,
-    "q111_ppr" -> q111Sql)
+    "q111_ppr" -> q111Sql,
+    "q117_group_power_hist" -> q117Sql)
 }
