@@ -37,7 +37,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q104_collocations" -> 4, // bigram agg + two count joins + topk order (unigrams checkpointed)
     "q105_kcore" -> 2, // final-core degree agg + order (peel rounds checkpoint per round)
     "q106_temperature_mix" -> 3, // kept-count agg + audit join + order (rates checkpointed)
-    "q109_gap_fill" -> 2) // span agg reuses the user partitioning; windows + order share it
+    "q109_gap_fill" -> 2, // span agg reuses the user partitioning; windows + order share it
+    "q112_tpch_q3" -> 1, // dims broadcast; revenue agg; top-10 is TakeOrdered, not a sort exchange
+    "q113_tpch_q5" -> 2) // order-customer fact join + final agg; all dims broadcast
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans at most $budget exchanges") {
