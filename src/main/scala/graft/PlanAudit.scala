@@ -48,7 +48,6 @@ object PlanAudit {
     "q94_text_ann" -> Set(Bnlj), // broadcast query set, non-equi (q22 class)
     "q96_drift" -> Set(SinglePartition, Bnlj), // one-row totals broadcast (q80 class)
     "q104_collocations" -> Set(SinglePartition, Bnlj), // one-row token total (q86 class)
-    "q106_temperature_mix" -> Set(SinglePartition, Bnlj), // one-row min-weight scalar (q96 class)
     // Spark's InjectRuntimeFilter builds a bloom filter of the probe-side
     // join keys in an auxiliary scalar subquery — bloom_filter_agg's final
     // merge is SinglePartition by construction (one bloom buffer), and the
@@ -92,15 +91,18 @@ object PlanAudit {
       }
       println(f"[audit] ${r.name}%-22s $status")
     }
-    // stale allowlist entries are informational: a query that got CLEANER
-    // should have its entry pruned, but must not fail the gate
+    // stale allowlist entries fail the gate too: a query that got CLEANER
+    // must have its entry pruned, so the allowlist stays an exact contract
+    // that can only shrink (a lingering entry would mask a future
+    // regression re-introducing the very flag it once justified)
     results.filter(_.stale.nonEmpty).foreach { r =>
-      println(f"[audit] ${r.name}%-22s note: allowlisted but absent: ${r.stale.mkString(", ")}")
+      println(f"[audit] ${r.name}%-22s STALE allowlist entry: ${r.stale.mkString(", ")} — prune it")
     }
-    val bad = results.count(r => r.unjustified.nonEmpty || r.error.nonEmpty)
+    val bad = results.count(r =>
+      r.unjustified.nonEmpty || r.error.nonEmpty || r.stale.nonEmpty)
     spark.stop()
     if (bad > 0) {
-      println(s"[audit] FAIL: $bad quer${if (bad == 1) "y" else "ies"} with unjustified scale flags or plan errors")
+      println(s"[audit] FAIL: $bad quer${if (bad == 1) "y" else "ies"} with unjustified scale flags, stale allowlist entries, or plan errors")
       sys.exit(1)
     }
     println(s"[audit] PASS: ${results.size} plans, ${results.count(_.hits.nonEmpty)} justified hits, 0 violations")

@@ -26,10 +26,18 @@ object Chunking {
       width: Int = Width, stride: Int = Stride): DataFrame = {
     require(width >= 1 && stride >= 1 && stride <= width,
       s"need 1 <= stride <= width, got width=$width stride=$stride")
+    // the three output names are fixed; withColumn would silently
+    // CLOBBER same-named input columns, so reject the collision up front
+    val clash = df.columns.filter(Set("off", "chunk_no", "chunk"))
+    require(clash.isEmpty,
+      s"overlapping() appends off/chunk_no/chunk; input already has ${clash.mkString(", ")}")
     df.withColumn("off",
         explode(sequence(lit(0), length(col(textCol)) - 1, lit(stride))))
       .withColumn("chunk_no", (col("off") / stride).cast("long"))
       .withColumn("off", col("off").cast("long"))
-      .withColumn("chunk", expr(s"substr($textCol, off + 1, $width)"))
+      // col(), not string interpolation into expr() — survives column
+      // names that aren't bare SQL identifiers
+      .withColumn("chunk",
+        col(textCol).substr((col("off") + 1).cast("int"), lit(width)))
   }
 }

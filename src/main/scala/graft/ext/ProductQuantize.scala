@@ -37,12 +37,15 @@ object ProductQuantize {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     // independent per-subspace trainings run as concurrent Spark jobs
-    // (see [[codebooks]]); materialize the input first
-    codes.count()
+    // (see [[codebooks]]); eagerly checkpoint HERE so the fits race on a
+    // computed RDD even when the caller passes a plain lazy frame (a bare
+    // count() would only compute — not truncate — an arbitrary plan, and
+    // each concurrent fit would replan the whole upstream lineage)
+    val mat = codes.localCheckpoint(true)
     val parts = Await.result(Future.sequence((0 until NumSub).map { m =>
       Future {
         KMeansInt.fitAssign(
-            codes.select(col("id"),
+            mat.select(col("id"),
               slice(col("codes"), m * SubDim + 1, SubDim).as("codes")),
             k = K, iters = Iters)
           .select(col("id"), lit(m).as("sub"), col("cluster"), col("dist2"))
@@ -64,17 +67,17 @@ object ProductQuantize {
     * The M trainings are independent, so they run as CONCURRENT Spark
     * jobs (job submission is thread-safe); each result is a
     * deterministic function of its subspace alone, so parallel order
-    * cannot change the output. The input is materialized first so the
-    * concurrent fits race on a computed plan, not on a lazy
-    * checkpoint. */
+    * cannot change the output. The input is eagerly checkpointed HERE
+    * (not left to the caller) so the concurrent fits race on a computed
+    * RDD, never on a lazy upstream plan. */
   def codebooks(codes: DataFrame): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    codes.count()
+    val mat = codes.localCheckpoint(true)
     val trained = Future.sequence((0 until NumSub).map { m =>
       Future {
-        KMeansInt.fit(subCodes(codes, m), k = K, iters = Iters)
+        KMeansInt.fit(subCodes(mat, m), k = K, iters = Iters)
           .select(lit(m).as("sub"), col("cluster"), col("d"), col("m"))
       }
     })

@@ -331,22 +331,32 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("polyhash",
-      exprs => PolyHash(exprs.head, exprs(1) match {
-        case Literal(v: Long, _) => v
-        case Literal(v: Int, _) => v.toLong
-        case other => throw new IllegalArgumentException(s"polyhash mod must be a literal, got $other")
-      }), "built-in")
+      exprs => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"polyhash expects (text, mod), got ${exprs.length} arguments")
+        PolyHash(exprs.head, exprs(1) match {
+          case Literal(v: Long, _) => v
+          case Literal(v: Int, _) => v.toLong
+          case other => throw new IllegalArgumentException(s"polyhash mod must be a literal, got $other")
+        })
+      }, "built-in")
     registry.createOrReplaceTempFunction("simhash32",
       exprs => SimHash32(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("gram_stats",
       exprs => GramStats(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("hash_embed",
-      exprs => HashEmbed(exprs.head, exprs(1) match {
-        case Literal(v: Int, _) => v
-        case Literal(v: Long, _) => v.toInt
-        case other => throw new IllegalArgumentException(
-          s"hash_embed dims must be an integer literal, got $other")
-      }), "built-in")
+      exprs => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"hash_embed expects (text, dims), got ${exprs.length} arguments")
+        HashEmbed(exprs.head, exprs(1) match {
+          case Literal(v: Int, _) => v
+          case Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"hash_embed dims must be an integer literal, got $other")
+        })
+      }, "built-in")
     registry.createOrReplaceTempFunction("token_stats",
       exprs => {
         if (exprs.length != 2)

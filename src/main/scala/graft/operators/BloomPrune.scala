@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
 /** Bloom-filter join pruning — the runtime-filter pattern for joins
   * where the dimension side is too large to broadcast as a hash
@@ -38,19 +40,26 @@ object BloomPrune {
       fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val spark = fact.sparkSession
-    // the UDF below tests mightContainLong; a non-bigint key would get a
-    // silent cast (matching nothing, or throwing under ANSI) — reject it
-    // up front with a clear error instead
+    // BloomFilterMightContain requires a BIGINT probe; a non-bigint key
+    // would get a silent cast (matching nothing, or throwing under ANSI)
+    // — reject it up front with a clear error instead
     for ((df, k, side) <- Seq((fact, factKey, "fact"), (dim, dimKey, "dim")))
       require(df.schema(k).dataType == org.apache.spark.sql.types.LongType,
         s"bloomSemiJoin requires BIGINT keys; $side key '$k' is " +
           df.schema(k).dataType.sql)
     val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bloomBc.value.mightContainLong(k))
-    fact.filter(mightContain(col(factKey)))
+    // probe through Catalyst's own BloomFilterMightContain (the expression
+    // InjectRuntimeFilter plants): codegen'd, null-safe (null key → null →
+    // filtered), and the serialized bloom ships as a foldable literal
+    // exactly like the optimizer's scalar-subquery result would
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = GraftShim.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType), GraftShim.expression(col(factKey))))
+    fact.filter(probe)
       .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
   }
 }

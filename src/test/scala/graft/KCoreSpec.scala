@@ -48,4 +48,22 @@ class KCoreSpec extends SparkSpec {
     val g = graph(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 1L -> 3L)
     assert(core(g, 2) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  test("q105 engine convergence depth stays within the oracle's unroll") {
+    // the q105 oracle unrolls a FIXED number of peel rounds; the engine
+    // peels data-driven. They agree only while the engine converges
+    // within that unroll (extra oracle rounds are identity at the fixed
+    // point). Capping maxRounds at the oracle's round count makes this
+    // spec THROW the moment data growth pushes convergence past it —
+    // the false-divergence failure mode becomes a named assertion.
+    import org.apache.spark.sql.functions.col
+    val li = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_quantity") >= 41)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("a").join(li.as("b"), "ok")
+      .filter(col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    val rounds = graft.queries.AnalyticsQueries.q105OracleRounds
+    assert(KCore.kCore(pairs, k = 2, maxRounds = rounds).count() > 0)
+  }
 }
