@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval (Robertson-Spärck Jones) on exact integer
+  * arithmetic — the ranking function the retrieval-prep chain (q48
+  * TF-IDF, q100 chunk corpus) feeds, completing the RAG indexing path:
+  *
+  *   score(q, d) = Σ_{t ∈ q}  idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+  *
+  * with k1 = 3/2, b = 3/4. Both transcendental-free substitutions keep
+  * the score a pure integer (libm-free, bit-identical in any engine —
+  * the [[SurprisalScore]] discipline):
+  *
+  *   - idf_bits = bitlen(2N+1) − bitlen(2·df+1): an integer ceiling-log2
+  *     of the classic (N−df+0.5)/(df+0.5) odds ratio's magnitude —
+  *     monotone-decreasing in df, ≥ 0, exact.
+  *   - the tf saturation is a RATIONAL once avgdl = T/N is cleared of
+  *     fractions: multiplying through by 8T gives
+  *       num = 20·T·tf,   den = 8·T·tf + 3·T + 9·N·dl
+  *     and the per-term contribution is the fixed-point integer
+  *       idf_bits · num · [[Scale]] DIV den
+  *     (every factor positive, so Spark's truncating DIV and DuckDB's
+  *     flooring // agree bit-for-bit).
+  *
+  * Query workload: derived from the corpus itself — the top
+  * `nQueries·termsPerQuery` terms by (df DESC, term), chopped into
+  * consecutive groups of `termsPerQuery`. Deterministic, replayable,
+  * and df-ranked terms are exactly the high-recall query mix a
+  * retrieval benchmark wants.
+  *
+  * Scale shape: one tokenize pass builds (id, term, tf) — checkpointed
+  * once because FOUR consumers derive from it (df, dl, the T total, the
+  * scoring join). The vocabulary-sized df table broadcasts; the only
+  * corpus-sized shuffles key on id. N and T are two scalar aggregates
+  * (driver literals — the [[Quantize]] one-row-stats class). The
+  * query-term ranking window is a global sort of the VOCABULARY (31
+  * terms here, ≤ millions at 100 TB) — the lone justified
+  * single-partition stage. Long arithmetic holds while
+  * idf_bits·20·T·tf·Scale < 2^63 (T ≈ 5·10¹¹ at tf ≤ 10³); past that,
+  * widen the contribution to DECIMAL(38,0) — same truncating division.
+  */
+object Bm25 {
+
+  /** Fixed-point scale of the returned scores (micro-units). */
+  val Scale = 1000000L
+
+  /** Top-`k` corpus rows per derived query: (qid, rank, id, score_fp).
+    * `corpus` needs a BIGINT `idCol` and a string `textCol`; rank is
+    * 1..k by (score_fp DESC, id). Only rows sharing ≥ 1 query term are
+    * candidates (inner-join semantics — standard BM25 retrieval). */
+  def topK(corpus: DataFrame, idCol: String, textCol: String,
+      nQueries: Int = 8, termsPerQuery: Int = 3, k: Int = 10): DataFrame = {
+    val toks = corpus.select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
+          .as("term"))
+      .filter(col("term") =!= "")
+    // four consumers below — materialize the term-frequency table once
+    val tf = toks.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    // two scalar corpus constants, folded into literals (tiny aggregate
+    // jobs over the checkpointed tf — nothing corpus-sized reaches the
+    // driver). N counts docs WITH tokens: exactly the BM25 candidate set.
+    val stats = dl.agg(count(lit(1)), sum(col("dl"))).head()
+    require(!stats.isNullAt(1), "BM25 corpus has no tokenized rows")
+    val (n, t) = (stats.getLong(0), stats.getLong(1))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf_bits",
+        (length(bin(lit(2 * n + 1))) - length(bin(col("df") * 2 + 1))).cast("long"))
+    // vocabulary-sized global ranking — the one justified SinglePartition
+    val rw = Window.orderBy(col("df").desc, col("term"))
+    val qterms = dfreq.withColumn("r", row_number().over(rw))
+      .filter(col("r") <= nQueries * termsPerQuery)
+      .select((((col("r") - 1) / termsPerQuery).cast("long")).as("qid"),
+        col("term"), col("df"), col("idf_bits"))
+    val contrib = tf.join(broadcast(qterms), "term")
+      .join(dl, "id")
+      .withColumn("c", expr(
+        s"idf_bits * (tf * ${20L * t}L) * ${Scale}L" +
+          s" DIV (tf * ${8L * t}L + ${3L * t}L + dl * ${9L * n}L)"))
+      .select(col("qid"), col("id"), col("c"))
+    val score = contrib.groupBy(col("qid"), col("id"))
+      .agg(sum(col("c")).as("score_fp"))
+    val kw = Window.partitionBy(col("qid"))
+      .orderBy(col("score_fp").desc, col("id"))
+    score.withColumn("rank", row_number().over(kw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score_fp"))
+  }
+}

@@ -145,13 +145,88 @@ object CorpusQueries {
       |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS is_kept
       |FROM r ORDER BY doc_id, chunk_no""".stripMargin
 
+  /** q118: BM25 ranked retrieval over the q100 retrieval-prep corpus —
+    * the chain's missing last stage: quality gate → overlapping chunks
+    * → signature near-dup collapse (all q100, reproduced stage for
+    * stage) → [[graft.ext.Bm25]] index + ranking over the KEPT chunks.
+    * Queries are the corpus's own top-df terms in groups of 3; scores
+    * are exact fixed-point integers (see Bm25's scaladoc), so the whole
+    * five-stage composition is hash-verified end to end.
+    *
+    * Chunk identity packs as doc_id·100000 + chunk_no (chunk_no is
+    * bounded by text-length/stride ≪ 100000) so the ranking operator
+    * keys on one BIGINT. */
+  def q118Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{GraftFunctions, TextFunctions}
+    val gated = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"text",
+        TextFunctions.tokenCount($"text").as("n_tokens"),
+        TextFunctions.qualityScore($"text").as("quality"))
+      .filter($"n_tokens" >= 5 && $"n_tokens" <= 1000 && $"quality" >= 0.3)
+    val chunks = graft.ext.Chunking.overlapping(gated, "text")
+      .select($"doc_id", $"chunk_no", $"chunk")
+    val emb = chunks.select($"doc_id", $"chunk_no", $"chunk",
+      GraftFunctions.hashEmbed($"chunk", 16).as("e"))
+    val signature = (0 until 16).map(i =>
+      when(element_at($"e", i + 1) > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val signed = emb.select($"doc_id", $"chunk_no", $"chunk", signature.as("sig"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"sig").orderBy($"doc_id", $"chunk_no")
+    val kept = signed.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select(($"doc_id" * 100000L + $"chunk_no").as("id"), $"chunk")
+    graft.ext.Bm25.topK(kept, "id", "chunk")
+      .select($"qid", $"rank",
+        expr("id DIV 100000").as("doc_id"), ($"id" % 100000L).as("chunk_no"),
+        $"score_fp")
+      .orderBy($"qid", $"rank")
+  }
+
+  val q118Sql: String =
+    s"""WITH g AS (SELECT doc_id, text FROM (
+      |    SELECT doc_id, text, $nTokens AS n_tokens, $quality AS quality
+      |    FROM documents) t
+      |  WHERE n_tokens >= 5 AND n_tokens <= 1000 AND quality >= 0.3),
+      |${MiscQueries.chunkSql("g")},
+      |${EmbeddingQueries.embedChain("k", "doc_id, chunk_no", "chunk")},
+      |sg0 AS (SELECT doc_id, chunk_no,
+      |    CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << d ELSE 0 END) AS BIGINT) AS sig
+      |  FROM emb GROUP BY doc_id, chunk_no),
+      |sg AS (SELECT k.doc_id, k.chunk_no, k.chunk, COALESCE(sg0.sig, 0) AS sig
+      |  FROM k LEFT JOIN sg0 ON k.doc_id = sg0.doc_id AND k.chunk_no = sg0.chunk_no),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY sig ORDER BY doc_id, chunk_no) AS rn FROM sg),
+      |kept AS (SELECT doc_id * 100000 + chunk_no AS id, chunk FROM r WHERE rn = 1),
+      |btoks AS (SELECT id, term FROM (
+      |    SELECT id, unnest(string_split_regex(trim(lower(chunk)), '\\s+')) AS term
+      |    FROM kept) t
+      |  WHERE term <> ''),
+      |tf AS (SELECT id, term, COUNT(*) AS tf FROM btoks GROUP BY id, term),
+      |dl AS (SELECT id, SUM(tf) AS dl FROM tf GROUP BY id),
+      |nn AS (SELECT COUNT(*) AS n FROM dl),
+      |tt AS (SELECT SUM(tf) AS t FROM tf),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |rt AS (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS r FROM dfreq),
+      |qt AS (SELECT term, df, CAST((r - 1) // 3 AS BIGINT) AS qid FROM rt WHERE r <= 24),
+      |contrib AS (SELECT qt.qid, tf.id,
+      |    CAST(length(bin(2 * nn.n + 1)) - length(bin(2 * qt.df + 1)) AS BIGINT)
+      |      * (tf.tf * (20 * tt.t)) * 1000000
+      |      // (tf.tf * (8 * tt.t) + 3 * tt.t + dl.dl * (9 * nn.n)) AS c
+      |  FROM tf JOIN qt USING (term) JOIN dl USING (id) CROSS JOIN nn CROSS JOIN tt),
+      |score AS (SELECT qid, id, CAST(SUM(c) AS BIGINT) AS score_fp FROM contrib GROUP BY qid, id),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, id) AS rank FROM score)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, id // 100000 AS doc_id, id % 100000 AS chunk_no, score_fp
+      |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_corpus_clean" -> (q34CorpusClean _),
     "q36_async_enrich" -> (q36AsyncEnrich _),
-    "q100_retrieval_prep" -> (q100RetrievalPrep _))
+    "q100_retrieval_prep" -> (q100RetrievalPrep _),
+    "q118_bm25" -> (q118Bm25 _))
 
   val oracle: Map[String, String] = Map(
     "q34_corpus_clean" -> q34Sql,
     "q36_async_enrich" -> q36Sql,
-    "q100_retrieval_prep" -> q100Sql)
+    "q100_retrieval_prep" -> q100Sql,
+    "q118_bm25" -> q118Sql)
 }

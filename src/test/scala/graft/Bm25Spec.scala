@@ -1,0 +1,91 @@
+package graft
+
+import graft.ext.Bm25
+
+class Bm25Spec extends SparkSpec {
+
+  /** Independent in-memory reimplementation of the exact integer
+    * formula (BigInt throughout, flooring division on positives) —
+    * the engine must reproduce it bit for bit. */
+  private def expected(corpus: Seq[(Long, String)], nQueries: Int,
+      termsPerQuery: Int, k: Int): Seq[(Long, Long, Long, Long)] = {
+    val toks = corpus.map { case (id, text) =>
+      id -> text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    }.filter(_._2.nonEmpty)
+    val tf = toks.flatMap { case (id, ts) => ts.map(t => (id, t)) }
+      .groupBy(identity).map { case ((id, t), occ) => (id, t, occ.size.toLong) }.toSeq
+    val dl = tf.groupBy(_._1).map { case (id, rs) => id -> rs.map(_._3).sum }
+    val n = dl.size.toLong
+    val t = dl.values.sum
+    val df = tf.groupBy(_._2).map { case (term, rs) => term -> rs.size.toLong }
+    def bits(x: Long) = java.lang.Long.toBinaryString(x).length.toLong
+    val qterms = df.toSeq.sortBy { case (term, d) => (-d, term) }
+      .take(nQueries * termsPerQuery).zipWithIndex
+      .map { case ((term, d), i) => term -> (i / termsPerQuery).toLong -> d }
+      .map { case ((term, qid), d) => (term, qid, d) }
+    val contrib = for {
+      (term, qid, d) <- qterms
+      (id, tm, f) <- tf if tm == term
+    } yield ((qid, id),
+      (BigInt(bits(2 * n + 1) - bits(2 * d + 1)) * (BigInt(f) * (20 * t)) * Bm25.Scale
+        / (BigInt(f) * (8 * t) + BigInt(3) * t + BigInt(dl(id)) * 9 * n)).toLong)
+    contrib.groupBy(_._1).toSeq
+      .map { case ((qid, id), cs) => (qid, id, cs.map(_._2).sum) }
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy { case (_, id, s) => (-s, id) }.take(k).zipWithIndex
+          .map { case ((_, id, s), i) => (qid, (i + 1).toLong, id, s) }
+      }.sortBy(r => (r._1, r._2))
+  }
+
+  private val corpus: Seq[(Long, String)] = Seq(
+    1L -> "apple apple apple banana",
+    2L -> "apple banana banana cherry",
+    3L -> "banana cherry cherry cherry date",
+    4L -> "date egg egg fig",
+    5L -> "  ", // no tokens: not part of N, never a candidate
+    6L -> "Fig FIG fig egg")
+
+  private def run(nQueries: Int, termsPerQuery: Int, k: Int) = {
+    import spark.implicits._
+    Bm25.topK(corpus.toDF("id", "text"), "id", "text",
+        nQueries, termsPerQuery, k)
+      .orderBy($"qid", $"rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+  }
+
+  test("matches the independent integer reimplementation exactly") {
+    assert(run(2, 2, 3) === expected(corpus, 2, 2, 3))
+    assert(run(3, 2, 10) === expected(corpus, 3, 2, 10))
+    assert(run(1, 4, 2) === expected(corpus, 1, 4, 2))
+  }
+
+  test("only docs sharing a query term are candidates; tokenless docs never appear") {
+    val got = run(2, 2, 10)
+    // top-4 terms by (df desc, term asc): banana(3), apple(2) | cherry(2), date(2)
+    val texts = corpus.toMap
+    val qt = Map(0L -> Seq("banana", "apple"), 1L -> Seq("cherry", "date"))
+    got.foreach { case (qid, _, id, score) =>
+      assert(score > 0)
+      assert(id != 5L)
+      assert(qt(qid).exists(texts(id).toLowerCase.contains), s"qid=$qid id=$id")
+    }
+  }
+
+  test("rarer term outscores a common one at equal dl") {
+    import spark.implicits._
+    // 'com' is in every doc (df = N → idf_bits = 0, contributes nothing);
+    // 'rare' is in one. The query is {com, rare} (zpads sort after 'rare'
+    // so the top-2 df ranking picks exactly these). The doc holding the
+    // rare term must beat even a double-tf common-term doc.
+    val c = Seq(
+      10L -> "com rare zpad1 zpad2",
+      11L -> "com com zpad3 zpad4",
+      12L -> "com zpad5 zpad6 zpad7")
+    val out = Bm25.topK(c.toDF("id", "text"), "id", "text",
+        nQueries = 1, termsPerQuery = 2, k = 3)
+      .orderBy($"rank").collect()
+    assert(out.head.getLong(2) === 10L) // the rare-term doc wins
+    assert(out.map(_.getLong(3)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+}
