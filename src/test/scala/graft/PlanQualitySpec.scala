@@ -102,12 +102,12 @@ class PlanQualitySpec extends SparkSpec {
   test("q63: bloom prefilter runs below the semi join, which stays broadcast-free of the fact side") {
     val df = graft.queries.CurationQueries.q63BloomPrefilter(spark, sf)
     val p = plan(df)
-    // the bloom-backed UDF filter must sit between the fact scan and the
-    // join (pre-shuffle row pruning) — in the formatted plan that is a
-    // Filter containing the UDF above the lineitem scan
-    val hasUdfFilter = p.linesIterator.exists(l =>
-      l.contains("Condition") && l.contains("UDF"))
-    assert(hasUdfFilter, s"bloom UDF filter missing from the fact branch:\n$p")
+    // the bloom probe must sit between the fact scan and the join
+    // (pre-shuffle row pruning) as Catalyst's native might_contain
+    // expression — codegen'd, not a black-box UDF
+    val hasBloomFilter = p.contains("might_contain")
+    assert(hasBloomFilter, s"native bloom probe missing from the fact branch:\n$p")
+    assert(!p.contains("UDF"), s"bloom probe regressed to a UDF:\n$p")
     // exact semi join still present (false-positive removal)
     assert(p.contains("LeftSemi"), s"exact semi join missing:\n$p")
   }
