@@ -50,8 +50,73 @@ object PageRank {
       when(seedPred, lit(1000000L)).otherwise(lit(0L)),
       when(seedPred, lit(150000L)).otherwise(lit(0L)))
 
-  private def run(edges: DataFrame, iters: Int, init: Column,
-      teleport: Column): DataFrame = {
+  /** Teleport mass (and implied rank scale) of [[ranksToFixpoint]]:
+    * damping 1/2 makes the converged total mass ≤ 2·FixTeleport·|V|. */
+  val FixTeleport = 500000L
+
+  /** PageRank iterated to its EXACT integer fixed point — data-driven
+    * convergence instead of a fixed unroll, the [[KCore]] discipline:
+    * a round that changes nothing ends the loop, `maxRounds` THROWS.
+    *
+    * Why a fixed point provably exists (no oscillation): the update
+    *   F(r)(v) = T + (Σ_{u→v} r(u) div deg(u)) div 2
+    * is monotone in r (floor/sum/floor compose monotone), and the loop
+    * starts from r0 = T everywhere — BELOW the fixed point — so
+    * r1 = F(r0) ≥ r0 pointwise and by induction the sequence is
+    * pointwise nondecreasing. Total mass is bounded (S_{n+1} ≤ T·|V| +
+    * S_n/2 keeps S < 2T·|V|), so a nondecreasing integer sequence must
+    * stop changing: convergence to an exact fixed point is guaranteed,
+    * and equality of consecutive rank SUMS (one scalar aggregate per
+    * round) certifies pointwise equality. Damping 1/2 (not 85/100)
+    * halves the gap per round — depth ≈ log2(rank scale) ≈ 20 rounds.
+    *
+    * Returns (ranks, applications) where `applications` counts update
+    * applications including the final idempotent one; an oracle
+    * unrolling ≥ applications−1 rounds reproduces the output exactly.
+    */
+  def ranksToFixpoint(edges: DataFrame, maxRounds: Int = 48): (DataFrame, Int) = {
+    val g = prepare(edges)
+    var r = g.vertices.select(col("id"), lit(FixTeleport).as("rank"))
+      .localCheckpoint(true)
+    var prevSum = r.agg(sum(col("rank"))).head().getLong(0)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = step(g, r, lit(FixTeleport), "coalesce(m, 0L) DIV 2")
+      val s = next.agg(sum(col("rank"))).head().getLong(0)
+      rounds += 1
+      if (s == prevSum) converged = true
+      else { prevSum = s; r = next }
+    }
+    g.unpersistAll()
+    if (!converged)
+      throw new IllegalStateException(
+        s"PageRank did not reach its fixed point within $maxRounds rounds — raise maxRounds")
+    (r, rounds)
+  }
+
+  /** Materialized graph shared by every iteration: cached symmetric-ish
+    * edge list, vertex table, degree-annotated edges, and whether the
+    * per-round |V|-row tables fit the broadcast envelope. */
+  private final case class Graph(
+      e: DataFrame, vertices: DataFrame, ed: DataFrame, bcast: Boolean) {
+    // The rank table is one (id, rank) row per vertex — orders of
+    // magnitude smaller than the edge list it joins. Broadcasting it
+    // keeps the cached edge partitions in place all rounds (zero edge
+    // shuffles; only the ~|V|-row partial-aggregated contribution sums
+    // cross the wire). Catalyst can't discover this on its own: the
+    // checkpointed rank table has no size statistics, so without the
+    // hint every round pays a full shuffle of the edge list.
+    def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    // the final ranks are eagerly checkpointed — the cached edge and
+    // vertex tables are no longer reachable and must not leak
+    // CacheManager entries for the session's lifetime
+    def unpersistAll(): Unit = {
+      ed.unpersist(false); vertices.unpersist(false); e.unpersist(false)
+    }
+  }
+
+  private def prepare(edges: DataFrame): Graph = {
     // one materialization of the (possibly expensive) upstream edge
     // plan; vertices and degree-annotated edges both derive from it
     val e = edges.select(col("src"), col("dst"))
@@ -66,34 +131,33 @@ object PageRank {
     // degree rides with the edge list across all iterations
     val ed = e.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The rank table is one (id, rank) row per vertex — orders of
-    // magnitude smaller than the edge list it joins. Broadcasting it
-    // keeps the cached edge partitions in place all rounds (zero edge
-    // shuffles; only the ~|V|-row partial-aggregated contribution sums
-    // cross the wire). Catalyst can't discover this on its own: the
-    // checkpointed rank table has no size statistics, so without the
-    // hint every round pays a full shuffle of the edge list.
     val nV = vertices.count() // also materializes the vertex cache
-    val bcast = nV <= BroadcastVertexLimit
-    def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
-    var r = vertices.select(col("id"), init.as("rank"))
-    for (_ <- 1 to iters) {
-      val contrib = ed.join(hint(r), ed("src") === r("id"))
-        .select(col("dst"), expr("rank DIV deg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      // contrib has ≤ |V| rows (one per message target) — same
-      // broadcast envelope as the rank table itself
-      r = vertices.join(hint(contrib), vertices("id") === contrib("dst"), "left")
-        .select(col("id"),
-          (teleport + expr("coalesce(m, 0L) * 85 DIV 100")).as("rank"))
-        .localCheckpoint(true)
-    }
-    // the final ranks are eagerly checkpointed — the cached edge and
-    // vertex tables are no longer reachable and must not leak
-    // CacheManager entries for the session's lifetime
-    ed.unpersist(false)
-    vertices.unpersist(false)
-    e.unpersist(false)
+    Graph(e, vertices, ed, nV <= BroadcastVertexLimit)
+  }
+
+  /** One damped message-passing round: join ranks to the cached edge
+    * list (broadcast when small), partial-aggregate contributions on
+    * dst, rejoin to the vertex table. Eagerly checkpointed so lineage
+    * stays flat across rounds. */
+  private def step(g: Graph, r: DataFrame, teleport: Column,
+      dampSql: String): DataFrame = {
+    val contrib = g.ed.join(g.hint(r), g.ed("src") === r("id"))
+      .select(col("dst"), expr("rank DIV deg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+    // contrib has ≤ |V| rows (one per message target) — same
+    // broadcast envelope as the rank table itself
+    g.vertices.join(g.hint(contrib), g.vertices("id") === contrib("dst"), "left")
+      .select(col("id"), (teleport + expr(dampSql)).as("rank"))
+      .localCheckpoint(true)
+  }
+
+  private def run(edges: DataFrame, iters: Int, init: Column,
+      teleport: Column): DataFrame = {
+    val g = prepare(edges)
+    var r = g.vertices.select(col("id"), init.as("rank"))
+    for (_ <- 1 to iters)
+      r = step(g, r, teleport, "coalesce(m, 0L) * 85 DIV 100")
+    g.unpersistAll()
     r
   }
 }

@@ -374,6 +374,66 @@ object AnalyticsQueries {
       |  FROM v LEFT JOIN m2 ON v.id = m2.dst)
       |SELECT id, rank FROM r2 ORDER BY rank DESC, id LIMIT 30""".stripMargin
 
+  /** The quantity-thinned purchase graph shared by q119 (fixed-point
+    * PageRank) and q123 (multi-source BFS): customer↔supplier edges
+    * from high-quantity lineitems, node ids disambiguated even/odd. */
+  private[graft] def thinPurchaseGraph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      .join(Tables.load(s, dir, "lineitem")
+          .filter($"l_quantity" >= 45)
+          .select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
+      .distinct()
+    base.select($"c".as("src"), $"s".as("dst"))
+      .unionByName(base.select($"s".as("src"), $"c".as("dst")))
+  }
+
+  private[queries] val thinGraphSql: String =
+    """base AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS s
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  WHERE l.l_quantity >= 45),
+      |e AS MATERIALIZED (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
+      |v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e)""".stripMargin
+
+  /** q119: PageRank run to its EXACT integer fixed point — data-driven
+    * convergence (a no-change round ends the loop, maxRounds throws)
+    * instead of q84's fixed unroll. Monotone-from-below iteration
+    * guarantees the fixed point exists (see [[PageRank.ranksToFixpoint]]);
+    * the oracle unrolls [[q119OracleRounds]] rounds, which the fixed
+    * point makes idempotent, so engine and oracle agree whenever the
+    * engine converged within the unroll — and [[graft.KCoreSpec]]'s
+    * twin in AnalyticsOpsSpec asserts the observed depth stays inside
+    * it. Every vertex's converged rank is checked (no top-k cut). */
+  def q119PagerankFix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    PageRank.ranksToFixpoint(thinPurchaseGraph(s, dir))._1
+      .orderBy($"id")
+  }
+
+  /** Unrolled rounds in the oracle — ≥ the max observed convergence
+    * depth (22/25/28 update applications at sf0.001/0.01/0.1; the
+    * output is reproduced by depth−1 unrolled rounds) with margin. */
+  val q119OracleRounds = 30
+
+  val q119Sql: String = {
+    val rounds = (1 to q119OracleRounds).map { i =>
+      val p = i - 1
+      s"""m$i AS MATERIALIZED (SELECT ed.dst, SUM(r$p.rank // ed.deg) AS m
+        |  FROM ed JOIN r$p ON ed.src = r$p.id GROUP BY ed.dst),
+        |r$i AS MATERIALIZED (SELECT v.id,
+        |    500000 + CAST(COALESCE(m$i.m, 0) // 2 AS BIGINT) AS rank
+        |  FROM v LEFT JOIN m$i ON v.id = m$i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $thinGraphSql,
+      |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      |ed AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM e JOIN deg d ON e.src = d.src),
+      |r0 AS (SELECT id, CAST(500000 AS BIGINT) AS rank FROM v),
+      |$rounds
+      |SELECT id, rank FROM r$q119OracleRounds ORDER BY id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_anomaly" -> (q81Anomaly _),
     "q82_join_card" -> (q82JoinCard _),
@@ -382,7 +442,8 @@ object AnalyticsQueries {
     "q102_triangles" -> (q102Triangles _),
     "q105_kcore" -> (q105KCore _),
     "q111_ppr" -> (q111Ppr _),
-    "q117_group_power_hist" -> (q117GroupPowerHist _))
+    "q117_group_power_hist" -> (q117GroupPowerHist _),
+    "q119_pagerank_fix" -> (q119PagerankFix _))
 
   val oracle: Map[String, String] = Map(
     "q81_anomaly" -> q81Sql,
@@ -392,5 +453,6 @@ object AnalyticsQueries {
     "q102_triangles" -> q102Sql,
     "q105_kcore" -> q105Sql,
     "q111_ppr" -> q111Sql,
-    "q117_group_power_hist" -> q117Sql)
+    "q117_group_power_hist" -> q117Sql,
+    "q119_pagerank_fix" -> q119Sql)
 }

@@ -108,4 +108,35 @@ class AnalyticsOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === ref(es, 3))
   }
+
+  test("fixpoint pagerank converges to an exact idempotent fixed point") {
+    def ref(edges: Seq[(Long, Long)], r: Map[Long, Long]): Map[Long, Long] = {
+      val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val m = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d) => m(d) += r(s) / deg(s) }
+      vs.map(v => v -> (500000L + m(v) / 2L)).toMap
+    }
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (3L, 0L), (2L, 3L),
+      (1L, 0L), (3L, 2L))
+    val (df, depth) = PageRank.ranksToFixpoint(es.toDF("src", "dst"))
+    val got = df.as[(Long, Long)].collect().toMap
+    // one more reference application changes nothing: a TRUE fixed point
+    assert(ref(es, got) === got, "returned ranks must be F-idempotent")
+    assert(depth >= 2 && depth <= 48, s"implausible convergence depth $depth")
+  }
+
+  test("q119 engine convergence depth stays within the oracle's unroll") {
+    // the oracle unrolls q119OracleRounds applications; the engine's
+    // output is reproduced by depth−1 of them. Capping maxRounds at
+    // the unroll+1 makes this spec THROW the moment data growth pushes
+    // convergence past the oracle (the q105 recipe).
+    import graft.queries.AnalyticsQueries
+    val edges = AnalyticsQueries.thinPurchaseGraph(spark, sf)
+    val (df, depth) = PageRank.ranksToFixpoint(edges,
+      maxRounds = AnalyticsQueries.q119OracleRounds + 1)
+    assert(df.count() > 0)
+    assert(depth - 1 <= AnalyticsQueries.q119OracleRounds,
+      s"oracle unroll ${AnalyticsQueries.q119OracleRounds} no longer covers depth $depth")
+  }
 }
