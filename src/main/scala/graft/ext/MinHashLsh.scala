@@ -48,41 +48,84 @@ object MinHashLsh {
       .select(col(idCol).as("id"), signature(col(textCol)).as("sig"))
   }
 
+  /** Banded signature index: (id, sig, band, bslice) — [[Bands]] rows
+    * per doc, each carrying the full signature so downstream joins
+    * never rejoin to fetch it. This is the PERSISTED shape of an LSH
+    * corpus snapshot: ~(K+RowsPerBand)·8 bytes per doc per band, text
+    * never included. */
+  def bandedIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame =
+    banded(signatures(df, idCol, textCol, n))
+
+  private def banded(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), col("sig"),
+        explode(array((0 until Bands).map(b =>
+          struct(lit(b).as("band"), slice(col("sig"), b * RowsPerBand + 1, RowsPerBand).as("bslice"))): _*))
+          .as("bs"))
+      .select(col("id"), col("sig"), col("bs.band").as("band"), col("bs.bslice").as("bslice"))
+
+  private def bandSlice(sig: Column, b: Int): Column =
+    slice(sig, b * RowsPerBand + 1, RowsPerBand)
+
+  /** Emit a colliding pair only at the FIRST agreeing band: all earlier
+    * bands must disagree — a pure predicate over the two signatures
+    * already in the join, so the candidate stream never pays a dedup
+    * shuffle. */
+  private def firstMatchPred: Column =
+    (0 until Bands).map(bp =>
+      when(col("a.band") > lit(bp), bandSlice(col("a.sig"), bp) =!= bandSlice(col("b.sig"), bp))
+        .otherwise(lit(true))).reduce(_ && _)
+
+  private def estSim(pairs: DataFrame, leftId: String, rightId: String): DataFrame = {
+    val matches = (0 until K).map(i =>
+      when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    pairs.select(col(leftId), col(rightId), (matches.cast("double") / K).as("est_sim"))
+  }
+
   /** Near-dup pairs with estimated similarity ≥ `minEstSim`.
     *
-    * First-match-band emission instead of `distinct()`: a pair whose
-    * signatures agree on several bands is emitted only at the first
-    * agreeing band (all earlier bands must disagree — a pure predicate
-    * over the two signatures already in the join), so the candidate
-    * stream never pays a dedup shuffle. Signatures ride through the
-    * band join (128 bytes a row), which also removes the two
-    * candidate↔signature verification joins. */
+    * First-match-band emission instead of `distinct()` (see
+    * [[firstMatchPred]]); signatures ride through the band join
+    * (128 bytes a row), which also removes the two candidate↔signature
+    * verification joins. */
   def nearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 8,
       minEstSim: Double = 0.5): DataFrame = {
-    val sigs = signatures(df, idCol, textCol, n)
-    val bands = sigs.select(col("id"), col("sig"),
-        explode(array((0 until Bands).map(b =>
-          struct(lit(b).as("band"), slice(col("sig"), b * RowsPerBand + 1, RowsPerBand).as("bslice"))): _*))
-          .as("bs"))
-      .select(col("id"), col("sig"), col("bs.band").as("band"), col("bs.bslice").as("bslice"))
-    def bandSlice(sig: Column, b: Int): Column = slice(sig, b * RowsPerBand + 1, RowsPerBand)
-    val firstMatch = (0 until Bands).map(bp =>
-      when(col("a.band") > lit(bp), bandSlice(col("a.sig"), bp) =!= bandSlice(col("b.sig"), bp))
-        .otherwise(lit(true))).reduce(_ && _)
+    val bands = banded(signatures(df, idCol, textCol, n))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bslice") === col("b.bslice") &&
-          col("a.id") < col("b.id") && firstMatch)
+          col("a.id") < col("b.id") && firstMatchPred)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-    val matches = (0 until K).map(i =>
-      when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1)
-        .otherwise(0)).reduce(_ + _)
-    cand
-      .select(col("id_a"), col("id_b"), (matches.cast("double") / K).as("est_sim"))
-      .filter(col("est_sim") >= minEstSim)
+    estSim(cand, "id_a", "id_b").filter(col("est_sim") >= minEstSim)
+  }
+
+  /** Near-dups of `fresh` docs against an already-built corpus snapshot
+    * `index` ([[bandedIndex]] shape) — the incremental crawl-ingest
+    * twin of [[nearDupPairs]], and the LSH analogue of
+    * [[Dedup.dedupAgainstCorpus]]'s exact digests: only the NEW batch
+    * is signed; the snapshot travels as its banded signature index,
+    * never text. Returns (corpus_id, fresh_id, est_sim) with est_sim ≥
+    * `minEstSim`. The equi-join keys on (band, bslice), so each fresh
+    * doc probes only its own buckets; [[firstMatchPred]] dedups
+    * multi-band collisions without a shuffle. */
+  def nearDupAgainstIndex(
+      fresh: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      n: Int = 8,
+      minEstSim: Double = 0.5): DataFrame = {
+    val fb = banded(signatures(fresh, idCol, textCol, n))
+    val cand = index.as("a").join(fb.as("b"),
+        col("a.band") === col("b.band") && col("a.bslice") === col("b.bslice") &&
+          firstMatchPred)
+      .select(col("a.id").as("corpus_id"), col("b.id").as("fresh_id"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    estSim(cand, "corpus_id", "fresh_id").filter(col("est_sim") >= minEstSim)
   }
 }

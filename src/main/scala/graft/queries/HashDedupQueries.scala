@@ -19,11 +19,14 @@ object HashDedupQueries {
       .orderBy($"id_a", $"id_b")
   }
 
-  val q20Sql: String = {
+  /** Shared DuckDB replay of the MinHash signature + banding chain over
+    * `documents` (CTEs `sig` and `bands`) — q20 and q120 must never let
+    * the hash recipe fork. */
+  private val sigChainSql: String = {
     val mins = (0 until MinHashLsh.K).map(j =>
       s"list_min(list_transform(hv, h -> (h * ${MinHashLsh.A(j)} + ${MinHashLsh.B(j)}) % 1000000007))")
       .mkString(",\n      |    ")
-    s"""WITH docs AS (
+    s"""docs AS (
       |  SELECT doc_id AS id,
       |    list_distinct(list_transform(generate_series(1, length(text)-7), i -> substr(text, i, 8))) AS sh_set
       |  FROM documents WHERE length(text) >= 8),
@@ -33,7 +36,11 @@ object HashDedupQueries {
       |      (acc, x) -> (acc * 31 + x) % 1000000007)) AS hv FROM docs),
       |sig AS (SELECT id, [$mins] AS sig FROM hv),
       |bands AS (SELECT id, b, list_slice(sig, b*4+1, b*4+4) AS slice
-      |  FROM sig CROSS JOIN UNNEST([0,1,2,3]) AS t(b)),
+      |  FROM sig CROSS JOIN UNNEST([0,1,2,3]) AS t(b))""".stripMargin
+  }
+
+  val q20Sql: String =
+    s"""WITH $sigChainSql,
       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
       |  FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
       |est AS (SELECT id_a, id_b,
@@ -42,7 +49,6 @@ object HashDedupQueries {
       |  FROM cand JOIN sig sa ON cand.id_a = sa.id JOIN sig sb ON cand.id_b = sb.id)
       |SELECT id_a, id_b, est_sim FROM est WHERE est_sim >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
-  }
 
   def q21SimHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -95,13 +101,44 @@ object HashDedupQueries {
       |  FROM fresh)
       |SELECT doc_id, lang, source FROM kept WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** q120: incremental NEAR-dup — q69's crawl-ingest shape upgraded
+    * from exact digests to MinHash-LSH: the already-ingested corpus
+    * (doc_id < 250) travels only as its banded signature index
+    * ([[MinHashLsh.bandedIndex]], ~200 bytes/doc, never text), and each
+    * new-batch doc (doc_id ≥ 250) probes just its own band buckets.
+    * Pairs with estimated Jaccard ≥ 0.5 are the near-dups a crawl
+    * pipeline would drop before they reach the corpus. */
+  def q120IncrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    // in production this index is PERSISTED from the previous ingest;
+    // building it here stands in for loading the snapshot
+    val index = MinHashLsh.bandedIndex(docs.filter($"doc_id" < 250), "doc_id", "text")
+    MinHashLsh.nearDupAgainstIndex(docs.filter($"doc_id" >= 250), "doc_id", "text", index)
+      .orderBy($"corpus_id", $"fresh_id")
+  }
+
+  val q120Sql: String =
+    s"""WITH $sigChainSql,
+      |cand AS (SELECT DISTINCT a.id AS corpus_id, b.id AS fresh_id
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice
+      |  WHERE a.id < 250 AND b.id >= 250),
+      |est AS (SELECT corpus_id, fresh_id,
+      |  CAST(list_sum(list_transform(generate_series(1,16),
+      |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS est_sim
+      |  FROM cand JOIN sig sa ON cand.corpus_id = sa.id JOIN sig sb ON cand.fresh_id = sb.id)
+      |SELECT corpus_id, fresh_id, est_sim FROM est WHERE est_sim >= 0.5
+      |ORDER BY corpus_id, fresh_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_minhash_lsh" -> (q20MinHash _),
     "q21_simhash" -> (q21SimHash _),
-    "q69_incremental_dedup" -> (q69IncrementalDedup _))
+    "q69_incremental_dedup" -> (q69IncrementalDedup _),
+    "q120_incremental_lsh" -> (q120IncrementalLsh _))
 
   val oracle: Map[String, String] = Map(
     "q20_minhash_lsh" -> q20Sql,
     "q21_simhash" -> q21Sql,
-    "q69_incremental_dedup" -> q69Sql)
+    "q69_incremental_dedup" -> q69Sql,
+    "q120_incremental_lsh" -> q120Sql)
 }

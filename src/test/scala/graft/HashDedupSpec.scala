@@ -58,4 +58,23 @@ class HashDedupSpec extends SparkSpec {
     assert(banded == brute)
     assert(banded.contains((10L, 20L))) // identical docs -> hamming 0
   }
+
+  test("nearDupAgainstIndex equals the cross-split slice of nearDupPairs") {
+    // real corpus slice: the incremental probe against a snapshot index
+    // must surface EXACTLY the snapshot↔fresh pairs the full self-join
+    // finds — same banding, same first-match emission, same estimate
+    val docs = Tables.load(spark, sf, "documents")
+    val split = 250L
+    val index = MinHashLsh.bandedIndex(docs.filter($"doc_id" < split), "doc_id", "text")
+    val inc = MinHashLsh.nearDupAgainstIndex(
+        docs.filter($"doc_id" >= split), "doc_id", "text", index)
+      .select($"corpus_id", $"fresh_id", $"est_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val full = MinHashLsh.nearDupPairs(docs, "doc_id", "text")
+      .filter($"id_a" < split && $"id_b" >= split)
+      .select($"id_a", $"id_b", $"est_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == full, s"incremental=${inc.size} full-slice=${full.size}")
+    assert(inc.nonEmpty, "fixture has no cross-split near-dups — weak test")
+  }
 }
