@@ -53,6 +53,11 @@ object PlanAudit {
     // merge is SinglePartition by construction (one bloom buffer), and the
     // injected filter is itself a scale WIN (prunes the big side pre-join)
     "q110_ivfpq" -> Set(SinglePartition),
+    // dense-baseline scoring broadcasts the 8-row query-vector table
+    // under a cross join (the q22/q94 class). BM25's vocabulary ranking
+    // window runs eagerly into the checkpointed query-term table, so
+    // its justified SinglePartition never reaches the audited plan.
+    "q121_rrf_fusion" -> Set(Bnlj),
     "q114_sliding_hll" -> Set(Bnlj)) // windows × 256-bucket skeleton (q91 class)
 
   val flags = Seq(SinglePartition, Cartesian, Bnlj)

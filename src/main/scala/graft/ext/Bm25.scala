@@ -47,48 +47,80 @@ object Bm25 {
   /** Fixed-point scale of the returned scores (micro-units). */
   val Scale = 1000000L
 
-  /** Top-`k` corpus rows per derived query: (qid, rank, id, score_fp).
-    * `corpus` needs a BIGINT `idCol` and a string `textCol`; rank is
-    * 1..k by (score_fp DESC, id). Only rows sharing ≥ 1 query term are
-    * candidates (inner-join semantics — standard BM25 retrieval). */
-  def topK(corpus: DataFrame, idCol: String, textCol: String,
-      nQueries: Int = 8, termsPerQuery: Int = 3, k: Int = 10): DataFrame = {
+  /** Prepared corpus index: the checkpointed term-frequency table, the
+    * per-doc lengths, the two scalar corpus constants, and the
+    * idf-annotated vocabulary. One tokenize pass feeds everything. */
+  final case class Index(tf: DataFrame, dl: DataFrame, n: Long, t: Long,
+      dfreq: DataFrame) {
+
+    /** The derived query workload: top nQueries·termsPerQuery terms by
+      * (df DESC, term), chopped into consecutive groups — (qid, term,
+      * df, idf_bits). The ranking window is a global sort of the
+      * VOCABULARY (≤ millions at 100 TB) — the lone justified
+      * single-partition stage. */
+    def queryTerms(nQueries: Int, termsPerQuery: Int): DataFrame = {
+      val rw = Window.orderBy(col("df").desc, col("term"))
+      dfreq.withColumn("r", row_number().over(rw))
+        .filter(col("r") <= nQueries * termsPerQuery)
+        .select((((col("r") - 1) / termsPerQuery).cast("long")).as("qid"),
+          col("term"), col("df"), col("idf_bits"))
+    }
+
+    /** Summed fixed-point BM25 contributions per (qid, id) for docs
+      * sharing ≥ 1 query term (inner-join semantics — standard BM25
+      * retrieval). The vocabulary-sized query set broadcasts; the only
+      * corpus-sized shuffle keys on id. */
+    def scores(qterms: DataFrame): DataFrame = {
+      val contrib = tf.join(broadcast(qterms), "term")
+        .join(dl, "id")
+        .withColumn("c", expr(
+          s"idf_bits * (tf * ${20L * t}L) * ${Scale}L" +
+            s" DIV (tf * ${8L * t}L + ${3L * t}L + dl * ${9L * n}L)"))
+        .select(col("qid"), col("id"), col("c"))
+      contrib.groupBy(col("qid"), col("id"))
+        .agg(sum(col("c")).as("score_fp"))
+    }
+  }
+
+  /** Build the [[Index]]: one tokenize pass into (id, term, tf) —
+    * checkpointed once because FOUR consumers derive from it (df, dl,
+    * the T total, the scoring join). N and T are two scalar aggregates
+    * (driver literals — the [[Quantize]] one-row-stats class). */
+  def index(corpus: DataFrame, idCol: String, textCol: String): Index = {
     val toks = corpus.select(col(idCol).as("id"),
         explode(graft.functions.TextFunctions.tokens(lower(col(textCol))))
           .as("term"))
       .filter(col("term") =!= "")
-    // four consumers below — materialize the term-frequency table once
     val tf = toks.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-    // two scalar corpus constants, folded into literals (tiny aggregate
-    // jobs over the checkpointed tf — nothing corpus-sized reaches the
-    // driver). N counts docs WITH tokens: exactly the BM25 candidate set.
+    // N counts docs WITH tokens: exactly the BM25 candidate set
     val stats = dl.agg(count(lit(1)), sum(col("dl"))).head()
     require(!stats.isNullAt(1), "BM25 corpus has no tokenized rows")
     val (n, t) = (stats.getLong(0), stats.getLong(1))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("idf_bits",
         (length(bin(lit(2 * n + 1))) - length(bin(col("df") * 2 + 1))).cast("long"))
-    // vocabulary-sized global ranking — the one justified SinglePartition
-    val rw = Window.orderBy(col("df").desc, col("term"))
-    val qterms = dfreq.withColumn("r", row_number().over(rw))
-      .filter(col("r") <= nQueries * termsPerQuery)
-      .select((((col("r") - 1) / termsPerQuery).cast("long")).as("qid"),
-        col("term"), col("df"), col("idf_bits"))
-    val contrib = tf.join(broadcast(qterms), "term")
-      .join(dl, "id")
-      .withColumn("c", expr(
-        s"idf_bits * (tf * ${20L * t}L) * ${Scale}L" +
-          s" DIV (tf * ${8L * t}L + ${3L * t}L + dl * ${9L * n}L)"))
-      .select(col("qid"), col("id"), col("c"))
-    val score = contrib.groupBy(col("qid"), col("id"))
-      .agg(sum(col("c")).as("score_fp"))
+    Index(tf, dl, n, t, dfreq)
+  }
+
+  /** Rank a (qid, id, score_fp) score table to its per-query top `k`:
+    * (qid, rank, id, score_fp), rank 1..k by (score_fp DESC, id). */
+  def rankTopK(score: DataFrame, k: Int): DataFrame = {
     val kw = Window.partitionBy(col("qid"))
       .orderBy(col("score_fp").desc, col("id"))
     score.withColumn("rank", row_number().over(kw).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("score_fp"))
+  }
+
+  /** Top-`k` corpus rows per derived query: (qid, rank, id, score_fp).
+    * `corpus` needs a BIGINT `idCol` and a string `textCol`; rank is
+    * 1..k by (score_fp DESC, id). */
+  def topK(corpus: DataFrame, idCol: String, textCol: String,
+      nQueries: Int = 8, termsPerQuery: Int = 3, k: Int = 10): DataFrame = {
+    val ix = index(corpus, idCol, textCol)
+    rankTopK(ix.scores(ix.queryTerms(nQueries, termsPerQuery)), k)
   }
 }

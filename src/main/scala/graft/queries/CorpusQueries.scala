@@ -218,15 +218,102 @@ object CorpusQueries {
       |SELECT qid, CAST(rank AS BIGINT) AS rank, id // 100000 AS doc_id, id % 100000 AS chunk_no, score_fp
       |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** q121: hybrid retrieval — BM25 (sparse) and hashing-trick embedding
+    * dot-product (dense) rankings over the documents corpus, merged by
+    * reciprocal-rank fusion ([[graft.ext.Rrf]]). The query workload is
+    * the BM25 index's own derived term groups; the dense query vector
+    * is the sum of the group's term sign-vectors (hashEmbed is additive
+    * over tokens, so term order is irrelevant). Every stage — BM25
+    * fixed-point scores, integer dot products, `Scale DIV (60+rank)`
+    * fusion — is exact-integer, so the full hybrid stack hash-verifies.
+    *
+    * Scale: the dense baseline scores corpus×8 queries via a broadcast
+    * nested-loop over the 8-row query-vector table (the q22/q94 class —
+    * allowlisted); its ANN twins (q68/q95) are the billion-doc path.
+    * Fusion itself touches ≤ 20 rows per query. */
+  def q121RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions
+    import graft.ext.{Bm25, Rrf}
+    val docs = Tables.load(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+    val ix = Bm25.index(docs, "doc_id", "text")
+    // 24 rows feeding both retrievers — checkpoint so the vocabulary
+    // ranking window runs once
+    val qt = ix.queryTerms(nQueries = 8, termsPerQuery = 3).localCheckpoint(true)
+    val sparse = Bm25.rankTopK(ix.scores(qt), 10).select($"qid", $"id", $"rank")
+    val qvec = qt.select($"qid", posexplode(GraftFunctions.hashEmbed($"term", 16)))
+      .groupBy($"qid", $"pos").agg(sum($"col").as("qv"))
+      .groupBy($"qid").agg(
+        transform(array_sort(collect_list(struct($"pos", $"qv"))),
+          x => x("qv")).as("qe"))
+    val de = docs.select($"doc_id", GraftFunctions.hashEmbed($"text", 16).as("e"))
+    val dot = de.crossJoin(broadcast(qvec))
+      .select($"qid", $"doc_id".as("id"),
+        aggregate(zip_with($"e", $"qe", (x, y) => x * y), lit(0L), _ + _).as("dot"))
+    val kw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"dot".desc, $"id")
+    val dense = dot.withColumn("rank", row_number().over(kw).cast("long"))
+      .filter($"rank" <= 10).select($"qid", $"id", $"rank")
+    Rrf.fuse(Seq("bm25" -> sparse, "dense" -> dense), topK = 10)
+      .select($"qid", $"rank", $"id".as("doc_id"), $"rrf_fp", $"r_bm25", $"r_dense")
+      .orderBy($"qid", $"rank")
+  }
+
+  val q121Sql: String =
+    s"""WITH btoks AS (SELECT id, term FROM (
+      |    SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      |    FROM documents WHERE length(trim(text)) > 0) t
+      |  WHERE term <> ''),
+      |tf AS (SELECT id, term, COUNT(*) AS tf FROM btoks GROUP BY id, term),
+      |dl AS (SELECT id, SUM(tf) AS dl FROM tf GROUP BY id),
+      |nn AS (SELECT COUNT(*) AS n FROM dl),
+      |tt AS (SELECT SUM(tf) AS t FROM tf),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |rt AS (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS r FROM dfreq),
+      |qt AS (SELECT term, df, CAST((r - 1) // 3 AS BIGINT) AS qid FROM rt WHERE r <= 24),
+      |contrib AS (SELECT qt.qid, tf.id,
+      |    CAST(length(bin(2 * nn.n + 1)) - length(bin(2 * qt.df + 1)) AS BIGINT)
+      |      * (tf.tf * (20 * tt.t)) * 1000000
+      |      // (tf.tf * (8 * tt.t) + 3 * tt.t + dl.dl * (9 * nn.n)) AS c
+      |  FROM tf JOIN qt USING (term) JOIN dl USING (id) CROSS JOIN nn CROSS JOIN tt),
+      |score AS (SELECT qid, id, CAST(SUM(c) AS BIGINT) AS score_fp FROM contrib GROUP BY qid, id),
+      |sp AS (SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, id) AS BIGINT) AS r_bm25
+      |  FROM score QUALIFY r_bm25 <= 10),
+      |${EmbeddingQueries.embedChain("documents", "doc_id", "text")},
+      |qth AS (SELECT qid, term, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, length(term)), i -> CAST(unicode(substr(term, i, 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 2147483648) AS h FROM qt),
+      |qemb AS (SELECT qid, d,
+      |    CAST(SUM(CASE WHEN (h >> d) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS qv
+      |  FROM qth CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS d) dims
+      |  GROUP BY qid, d),
+      |dots AS (SELECT q.qid, e.doc_id AS id, SUM(q.qv * e.v) AS dot
+      |  FROM qemb q JOIN emb e ON q.d = e.d GROUP BY q.qid, e.doc_id),
+      |dn AS (SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, id) AS BIGINT) AS r_dense
+      |  FROM dots QUALIFY r_dense <= 10),
+      |f AS (SELECT COALESCE(sp.qid, dn.qid) AS qid, COALESCE(sp.id, dn.id) AS id,
+      |    sp.r_bm25, dn.r_dense
+      |  FROM sp FULL OUTER JOIN dn ON sp.qid = dn.qid AND sp.id = dn.id),
+      |rrf AS (SELECT qid, id,
+      |    CAST(COALESCE(1000000 // (60 + r_bm25), 0)
+      |       + COALESCE(1000000 // (60 + r_dense), 0) AS BIGINT) AS rrf_fp,
+      |    r_bm25, r_dense FROM f),
+      |fr AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_fp DESC, id) AS BIGINT) AS rank FROM rrf)
+      |SELECT qid, rank, id AS doc_id, rrf_fp, r_bm25, r_dense
+      |FROM fr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_corpus_clean" -> (q34CorpusClean _),
     "q36_async_enrich" -> (q36AsyncEnrich _),
     "q100_retrieval_prep" -> (q100RetrievalPrep _),
-    "q118_bm25" -> (q118Bm25 _))
+    "q118_bm25" -> (q118Bm25 _),
+    "q121_rrf_fusion" -> (q121RrfFusion _))
 
   val oracle: Map[String, String] = Map(
     "q34_corpus_clean" -> q34Sql,
     "q36_async_enrich" -> q36Sql,
     "q100_retrieval_prep" -> q100Sql,
-    "q118_bm25" -> q118Sql)
+    "q118_bm25" -> q118Sql,
+    "q121_rrf_fusion" -> q121Sql)
 }

@@ -88,4 +88,22 @@ class Bm25Spec extends SparkSpec {
     assert(out.head.getLong(2) === 10L) // the rare-term doc wins
     assert(out.map(_.getLong(3)).sliding(2).forall(p => p(0) >= p(1)))
   }
+
+  test("RRF fuses two ranked lists by integer reciprocal rank, nulls contribute 0") {
+    import spark.implicits._
+    import graft.ext.Rrf
+    // qid 0: doc 1 is #1 in both lists; doc 2 only sparse #2; doc 3 only dense #2
+    val sparse = Seq((0L, 1L, 1L), (0L, 2L, 2L)).toDF("qid", "id", "rank")
+    val dense = Seq((0L, 1L, 1L), (0L, 3L, 2L)).toDF("qid", "id", "rank")
+    val got = Rrf.fuse(Seq("s" -> sparse, "d" -> dense), topK = 10)
+      .orderBy("rank")
+      .select("rank", "id", "rrf_fp", "r_s", "r_d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4))))
+    val c1 = 1000000L / 61; val c2 = 1000000L / 62
+    assert(got === Array(
+      (1L, 1L, 2 * c1, Some(1L), Some(1L)),   // both lists
+      (2L, 2L, c2, Some(2L), None),           // sparse only; id tie-break
+      (3L, 3L, c2, None, Some(2L))))          // dense only
+  }
 }
