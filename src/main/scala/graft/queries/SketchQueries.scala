@@ -381,7 +381,56 @@ object SketchQueries {
       |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
   }
 
+  /** q122: count-min sketch — per-term frequency estimates from a
+    * fixed 4×32 counter matrix beside the exact counts. The build's
+    * shuffle is constant-size (≤ 128 partials per partition, map-side
+    * combined); estimates probe the broadcast sketch. est ≥ n_true
+    * always (one-sided error); the 31-term vocabulary against 32-wide
+    * rows forces real collisions, so the MIN-over-rows recovery is
+    * exercised, not vacuous. All integers — the sketch cells, not just
+    * the comparison, are hash-verified. */
+  def q122CountMin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.CountMin
+    // one tokenize pass, three consumers (sketch build, exact counts,
+    // distinct probe keys)
+    val toks = Tables.load(s, dir, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select(explode(graft.functions.TextFunctions.tokens(lower($"text"))).as("term"))
+      .filter($"term" =!= "")
+      .localCheckpoint(true)
+    val sk = CountMin.sketch(toks, $"term")
+    val truth = toks.groupBy($"term").agg(count(lit(1)).as("n_true"))
+    CountMin.estimates(sk, toks.select($"term").distinct(), $"term")
+      .withColumnRenamed("key", "term")
+      .join(truth, "term")
+      .select($"term", $"n_true", $"est")
+      .orderBy($"term")
+  }
+
+  val q122Sql: String = {
+    val aList = "[" + graft.ext.CountMin.A.mkString(",") + "]"
+    val bList = "[" + graft.ext.CountMin.B.mkString(",") + "]"
+    s"""WITH toks AS (SELECT term FROM (
+      |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      |    FROM documents WHERE length(trim(text)) > 0) t
+      |  WHERE term <> ''),
+      |cmp0 AS (SELECT term, ${AnalyticsQueries.polyhashSql("term")} AS h FROM toks),
+      |${AnalyticsQueries.fmixChainSql("cm", "cmp0", Seq("term"))},
+      |cells AS (SELECT term, i AS row,
+      |    ((h * $aList[i + 1] + $bList[i + 1]) % 1000000007) % 32 AS cell
+      |  FROM cmh CROSS JOIN UNNEST([0,1,2,3]) AS t(i)),
+      |sk AS (SELECT row, cell, COUNT(*) AS cnt FROM cells GROUP BY row, cell),
+      |truth AS (SELECT term, COUNT(*) AS n_true FROM toks GROUP BY term),
+      |kc AS (SELECT DISTINCT term, row, cell FROM cells),
+      |est AS (SELECT kc.term, MIN(sk.cnt) AS est
+      |  FROM kc JOIN sk USING (row, cell) GROUP BY kc.term)
+      |SELECT t.term, t.n_true, e.est FROM truth t JOIN est e USING (term)
+      |ORDER BY term""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_count_min" -> (q122CountMin _),
     "q77_kmeans" -> (q77Kmeans _),
     "q78_hll" -> (q78Hll _),
     "q79_passage_dedup" -> (q79PassageDedup _),
@@ -393,6 +442,7 @@ object SketchQueries {
     "q110_ivfpq" -> (q110IvfPq _))
 
   val oracle: Map[String, String] = Map(
+    "q122_count_min" -> q122Sql,
     "q77_kmeans" -> q77Sql,
     "q78_hll" -> q78Sql,
     "q79_passage_dedup" -> q79Sql,

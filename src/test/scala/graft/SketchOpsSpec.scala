@@ -184,4 +184,39 @@ class SketchOpsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(viaSketch === plain)
   }
+
+  test("count-min estimates dominate true counts; exact when collision-free") {
+    import graft.ext.CountMin
+    val toks = Tables.load(spark, sf, "documents")
+      .filter(length(trim($"text")) > 0)
+      .select(explode(graft.functions.TextFunctions.tokens(lower($"text"))).as("term"))
+      .filter($"term" =!= "").localCheckpoint(true)
+    val sk = CountMin.sketch(toks, $"term")
+    val truth = toks.groupBy($"term").agg(count(lit(1)).as("n")).as[(String, Long)]
+      .collect().toMap
+    val est = CountMin.estimates(sk, toks.select($"term").distinct(), $"term")
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet === truth.keySet)
+    truth.foreach { case (t, n) =>
+      assert(est(t) >= n, s"CMS underestimated '$t': ${est(t)} < $n")
+    }
+    // total cell mass per row == total occurrences (each occurrence
+    // increments exactly one cell per row)
+    val total = truth.values.sum
+    val perRow = sk.groupBy($"row").agg(sum($"cnt").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(perRow.values.forall(_ == total), s"row mass $perRow != $total")
+  }
+
+  test("count-min sketches merge by cell-wise addition") {
+    import graft.ext.CountMin
+    val a = Seq("x", "y", "x").toDF("k")
+    val b = Seq("y", "z").toDF("k")
+    val merged = CountMin.sketch(a, $"k")
+      .unionByName(CountMin.sketch(b, $"k"))
+      .groupBy($"row", $"cell").agg(sum($"cnt").as("cnt"))
+    val direct = CountMin.sketch(a.unionByName(b), $"k")
+    assert(merged.as[(Long, Long, Long)].collect().toSet ===
+      direct.as[(Long, Long, Long)].collect().toSet)
+  }
 }
