@@ -434,7 +434,48 @@ object AnalyticsQueries {
       |SELECT id, rank FROM r$q119OracleRounds ORDER BY id""".stripMargin
   }
 
+  /** q123: multi-source BFS — exact hop distance of every entity in
+    * the thin purchase graph from the nation-1 customer cohort
+    * ([[graft.ext.Bfs]]): dist 0 = the cohort, 1 = its suppliers, 2 =
+    * co-customers of those suppliers, … Unreachable nodes are absent.
+    * The engine expands frontier-by-frontier and stops when the
+    * frontier empties; the oracle unrolls [[q123OracleRounds]] min-dist
+    * expansion rounds, idempotent past convergence (BFS never revises
+    * a discovered distance). */
+  def q123MultiSourceBfs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seeds = Tables.load(s, dir, "customer")
+      .filter($"c_nationkey" === 1)
+      .select(($"c_custkey" * 2).as("id"))
+    graft.ext.Bfs.distances(thinPurchaseGraph(s, dir), seeds,
+        maxRounds = q123OracleRounds)._1
+      .orderBy($"id")
+  }
+
+  /** Unrolled expansion rounds in the oracle — ≥ the max observed BFS
+    * depth (2/4/4 rounds at sf0.001/0.01/0.1) with 3x margin; also the
+    * engine's maxRounds in q123, so convergence drifting past the
+    * unroll THROWS instead of silently hash-mismatching. */
+  val q123OracleRounds = 12
+
+  val q123Sql: String = {
+    val rounds = (1 to q123OracleRounds).map { i =>
+      val p = i - 1
+      s"""d$i AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM (
+        |  SELECT id, dist FROM d$p
+        |  UNION ALL
+        |  SELECT e.dst, d.dist + 1 FROM d$p d JOIN e ON d.id = e.src) u
+        |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $thinGraphSql,
+      |d0 AS (SELECT DISTINCT c_custkey*2 AS id, CAST(0 AS BIGINT) AS dist
+      |  FROM customer WHERE c_nationkey = 1),
+      |$rounds
+      |SELECT id, dist FROM d$q123OracleRounds ORDER BY id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_multi_source_bfs" -> (q123MultiSourceBfs _),
     "q81_anomaly" -> (q81Anomaly _),
     "q82_join_card" -> (q82JoinCard _),
     "q83_power_hist" -> (q83PowerHist _),
@@ -446,6 +487,7 @@ object AnalyticsQueries {
     "q119_pagerank_fix" -> (q119PagerankFix _))
 
   val oracle: Map[String, String] = Map(
+    "q123_multi_source_bfs" -> q123Sql,
     "q81_anomaly" -> q81Sql,
     "q82_join_card" -> q82Sql,
     "q83_power_hist" -> q83Sql,

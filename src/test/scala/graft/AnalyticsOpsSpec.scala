@@ -126,6 +126,24 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(depth >= 2 && depth <= 48, s"implausible convergence depth $depth")
   }
 
+  test("multi-source BFS: exact hop distances, frontier stop, unreachable absent") {
+    import graft.ext.Bfs
+    // path 1→2→3→4, shortcut 0→3, island 9→10; seeds {0, 1, 99}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L), (9L, 10L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L, 1L, 99L).toDF("id")
+    val (d, rounds) = Bfs.distances(edges, seeds)
+    val got = d.as[(Long, Long)].collect().toMap
+    // 3 is reached at hop 1 via the 0→3 shortcut, not hop 2 via the path
+    assert(got === Map(0L -> 0L, 1L -> 0L, 99L -> 0L,
+      2L -> 1L, 3L -> 1L, 4L -> 2L))
+    assert(rounds === 2)
+    // maxRounds below the true depth must THROW, not truncate
+    intercept[IllegalStateException] {
+      Bfs.distances(edges, seeds, maxRounds = 1)
+    }
+  }
+
   test("q119 engine convergence depth stays within the oracle's unroll") {
     // the oracle unrolls q119OracleRounds applications; the engine's
     // output is reproduced by depth−1 of them. Capping maxRounds at
