@@ -171,17 +171,53 @@ object MiningQueries {
       |  ex.n_exact
       |FROM agg JOIN ex ON agg.w = ex.w ORDER BY win""".stripMargin
 
+  /** q124: winnowing fingerprints ([[graft.ext.Winnowing]], the MOSS
+    * algorithm) — local-min sampling of 8-gram hashes in windows of 4,
+    * then the cross-doc posting list of fingerprints selected by ≥ 2
+    * documents: any shared span of ≥ 11 chars is guaranteed to surface
+    * here (guaranteed recall, unlike MinHash's probabilistic banding).
+    * Output is the shared-fingerprint summary (bounded by the distinct
+    * 8-gram space, never pairs — no quadratic blowup on boilerplate). */
+  def q124Winnowing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ext.Winnowing.fingerprints(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      .groupBy($"fp").agg(count(lit(1)).as("n_docs"),
+        min($"id").as("first_doc"), max($"id").as("last_doc"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"fp")
+  }
+
+  val q124Sql: String =
+    s"""WITH d AS (SELECT doc_id, text, length(text) - 7 AS ngrams
+      |  FROM documents WHERE length(text) - 7 >= 4),
+      |pos AS (SELECT doc_id, ngrams, unnest(generate_series(1, ngrams)) AS off, text
+      |  FROM d),
+      |ph AS (SELECT doc_id, ngrams, off,
+      |    ${AnalyticsQueries.polyhashSql("substr(text, off, 8)")} AS h FROM pos),
+      |sel AS (SELECT doc_id, ngrams, off,
+      |    MIN(h * 1048576 + off) OVER (PARTITION BY doc_id ORDER BY off
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mc FROM ph),
+      |fps AS (SELECT DISTINCT doc_id, mc // 1048576 AS fp FROM sel
+      |  WHERE off + 3 <= ngrams),
+      |sh AS (SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
+      |    MAX(doc_id) AS last_doc FROM fps GROUP BY fp)
+      |SELECT fp, n_docs, first_doc, last_doc FROM sh WHERE n_docs >= 2
+      |ORDER BY fp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_surprisal" -> (q86Surprisal _),
     "q87_hard_negatives" -> (q87HardNegatives _),
     "q89_best_rep" -> (q89BestRep _),
     "q91_group_hll" -> (q91GroupHll _),
-    "q114_sliding_hll" -> (q114SlidingHll _))
+    "q114_sliding_hll" -> (q114SlidingHll _),
+    "q124_winnowing" -> (q124Winnowing _))
 
   val oracle: Map[String, String] = Map(
     "q86_surprisal" -> q86Sql,
     "q87_hard_negatives" -> q87Sql,
     "q89_best_rep" -> q89Sql,
     "q91_group_hll" -> q91Sql,
-    "q114_sliding_hll" -> q114Sql)
+    "q114_sliding_hll" -> q114Sql,
+    "q124_winnowing" -> q124Sql)
 }

@@ -42,4 +42,35 @@ class MiningOpsSpec extends SparkSpec {
     assert(bad.isEmpty, "ranks must be cosine-descending")
     out.unpersist()
   }
+
+  test("winnowing guarantees a shared fingerprint for any span >= k+w-1") {
+    import graft.ext.Winnowing
+    // docs 1/2 share an 11-char span ("QUOTEDSPAN!") embedded in
+    // otherwise-different text; doc 3 is disjoint material
+    val docs = Seq(
+      (1L, "left padding QUOTEDSPAN! and a tail of unrelated words"),
+      (2L, "completely other prefix QUOTEDSPAN! different suffix here"),
+      (3L, "nothing in common with either of the documents above 123"))
+      .toDF("doc_id", "text")
+    val fps = Winnowing.fingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "shared >= k+w-1 span must yield a common fingerprint")
+    // density: winnowing selects ~2/(w+1) of the k-grams, far below all
+    val n1 = docs.filter($"doc_id" === 1).select(length($"text")).head.getInt(0) - 7
+    assert(fps(1L).size < n1, "selection must be a strict sample of the k-grams")
+  }
+
+  test("winnowing selection is deterministic and short docs are absent") {
+    import graft.ext.Winnowing
+    val docs = Seq((1L, "abcdefghij"), (2L, "0123456789abcdef")).toDF("doc_id", "text")
+    // doc 1 has 10 chars -> 3 k-grams < w=4 full window -> absent
+    val a = Winnowing.fingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(!a.exists(_._1 == 1L))
+    assert(a.exists(_._1 == 2L))
+    val b = Winnowing.fingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
 }
