@@ -269,6 +269,30 @@ class StreamingSpec extends SparkSpec {
       s"expected known-corpus (1), in-batch dup (3), cross-batch dup (4) dropped; got $ids")
   }
 
+  test("incremental LSH probe runs unchanged on a stream against the static index (q120 twin)") {
+    import graft.ext.MinHashLsh
+    // the crawl-ingest stream shape: fresh docs arrive as a stream and
+    // probe the PERSISTED snapshot index via a stream-static equi join
+    // on (band, bslice) — signatures are a stateless projection, the
+    // first-match-band dedup is a pure predicate, so no state store
+    val docs = Tables.load(spark, sf, "documents")
+    val index = MinHashLsh.bandedIndex(
+      docs.filter($"doc_id" < 250), "doc_id", "text").localCheckpoint(true)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+      .filter($"doc_id" >= 250)
+    val q = MinHashLsh.nearDupAgainstIndex(stream, "doc_id", "text", index)
+      .writeStream.format("memory").queryName("inclsh").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("inclsh")
+      .select($"corpus_id", $"fresh_id", $"est_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = MinHashLsh.nearDupAgainstIndex(
+        docs.filter($"doc_id" >= 250), "doc_id", "text", index)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+  }
+
   test("stream-stream attribution join matches the batch interval join") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // away from epoch 0: the initial watermark IS 1970-01-01, and rows
