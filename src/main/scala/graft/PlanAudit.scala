@@ -58,6 +58,9 @@ object PlanAudit {
     // window runs eagerly into the checkpointed query-term table, so
     // its justified SinglePartition never reaches the audited plan.
     "q121_rrf_fusion" -> Set(Bnlj),
+    // KMV assembly: every frame past the TakeOrdered sketches is ≤ 64
+    // rows — the scalar aggs and 1-row crossJoins are the q82 class
+    "q125_kmv_overlap" -> Set(SinglePartition, Bnlj),
     "q114_sliding_hll" -> Set(Bnlj)) // windows × 256-bucket skeleton (q91 class)
 
   val flags = Seq(SinglePartition, Cartesian, Bnlj)

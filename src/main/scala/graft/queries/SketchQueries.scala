@@ -429,7 +429,90 @@ object SketchQueries {
       |ORDER BY term""".stripMargin
   }
 
+  /** KMV sketch size for q125. */
+  val KmvK = 64
+
+  /** q125: KMV (k-minimum-values / theta) sketch audience overlap —
+    * the distinct-intersection estimator HLL can only approach by
+    * inclusion-exclusion: keep the 64 smallest distinct avalanched
+    * hashes per slice; θ = min of the two 64th values; common hashes
+    * below θ are a uniform sample of the intersection, so
+    * `n_common·2^31 DIV θ` estimates |A∩B| directly. Distinct counts
+    * come from the same sketches ((k−1)·2^31 DIV kth). Audience =
+    * customers ordering before/after 1998 — the repeat-audience
+    * overlap question every corpus/cohort comparison asks at 100 TB.
+    *
+    * Scale shape: each sketch is `distinct → orderBy(h).limit(k)` —
+    * Catalyst plans TakeOrderedAndProject (map-side partial top-k, no
+    * sort exchange); everything after touches ≤ 64 rows per side.
+    * Under-full sketches fall back to their exact contents (both
+    * branches mirrored in the oracle). All outputs exact integers. */
+  def q125KmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s) // polyhash behind hash31
+    val orders = Tables.load(s, dir, "orders")
+    def sketch(df: DataFrame): DataFrame =
+      df.select(Hll.hash31($"k".cast("string")).as("h")).distinct()
+        .orderBy($"h").limit(KmvK)
+    val a = sketch(orders.filter($"o_orderdate" < "1998-01-01")
+      .select($"o_custkey".as("k"))).localCheckpoint(true)
+    val b = sketch(orders.filter($"o_orderdate" >= "1998-01-01")
+      .select($"o_custkey".as("k"))).localCheckpoint(true)
+    val row = a.agg(count(lit(1)).as("n_a"), max($"h").as("kth_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_b"), max($"h").as("kth_b")))
+      .withColumn("theta", least($"kth_a", $"kth_b"))
+    val common = a.join(b, "h")
+      .crossJoin(broadcast(row.select($"theta".as("th"))))
+      .agg(count(lit(1)).as("n_common_all"),
+        count(when($"h" < $"th", 1)).as("n_common"))
+    val exact = orders.filter($"o_orderdate" < "1998-01-01")
+      .select($"o_custkey").distinct()
+      .join(orders.filter($"o_orderdate" >= "1998-01-01")
+        .select($"o_custkey").distinct(), "o_custkey")
+      .agg(count(lit(1)).as("exact_intersect"))
+    row.crossJoin(common).crossJoin(exact).select(
+      $"n_a", $"n_b", $"theta", $"n_common",
+      expr(s"CASE WHEN n_a = $KmvK THEN ${KmvK - 1}L * 2147483648L DIV kth_a ELSE n_a END")
+        .as("est_a"),
+      expr(s"CASE WHEN n_b = $KmvK THEN ${KmvK - 1}L * 2147483648L DIV kth_b ELSE n_b END")
+        .as("est_b"),
+      expr(s"CASE WHEN n_a = $KmvK OR n_b = $KmvK" +
+        s" THEN n_common * 2147483648L DIV theta ELSE n_common_all END")
+        .as("est_intersect"),
+      $"exact_intersect")
+  }
+
+  val q125Sql: String = {
+    def side(p: String, cond: String): String =
+      s"""${p}k0 AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k
+        |  FROM orders WHERE $cond),
+        |${p}p0 AS (SELECT ${AnalyticsQueries.polyhashSql("k")} AS h FROM ${p}k0),
+        |${AnalyticsQueries.fmixChainSql(p, s"${p}p0", Seq.empty)},
+        |${p}d AS (SELECT DISTINCT h FROM ${p}h),
+        |${p}sk AS (SELECT h FROM ${p}d ORDER BY h LIMIT 64),
+        |${p}agg AS (SELECT COUNT(*) AS n, MAX(h) AS kth FROM ${p}sk)""".stripMargin
+    s"""WITH ${side("a", "o_orderdate < '1998-01-01'")},
+      |${side("b", "o_orderdate >= '1998-01-01'")},
+      |rowx AS (SELECT a.n AS n_a, a.kth AS kth_a, b.n AS n_b, b.kth AS kth_b,
+      |    least(a.kth, b.kth) AS theta FROM aagg a CROSS JOIN bagg b),
+      |cm AS (SELECT COUNT(*) AS n_common_all,
+      |    COUNT(*) FILTER (x.h < rowx.theta) AS n_common
+      |  FROM (SELECT ask.h FROM ask JOIN bsk ON ask.h = bsk.h) x CROSS JOIN rowx),
+      |ex AS (SELECT COUNT(*) AS exact_intersect FROM
+      |  (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < '1998-01-01') p
+      |  JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= '1998-01-01') q
+      |  USING (o_custkey))
+      |SELECT n_a, n_b, theta, n_common,
+      |  CASE WHEN n_a = 64 THEN 63 * 2147483648 // kth_a ELSE n_a END AS est_a,
+      |  CASE WHEN n_b = 64 THEN 63 * 2147483648 // kth_b ELSE n_b END AS est_b,
+      |  CASE WHEN n_a = 64 OR n_b = 64 THEN n_common * 2147483648 // theta
+      |       ELSE n_common_all END AS est_intersect,
+      |  exact_intersect
+      |FROM rowx CROSS JOIN cm CROSS JOIN ex""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_kmv_overlap" -> (q125KmvOverlap _),
     "q122_count_min" -> (q122CountMin _),
     "q77_kmeans" -> (q77Kmeans _),
     "q78_hll" -> (q78Hll _),
@@ -442,6 +525,7 @@ object SketchQueries {
     "q110_ivfpq" -> (q110IvfPq _))
 
   val oracle: Map[String, String] = Map(
+    "q125_kmv_overlap" -> q125Sql,
     "q122_count_min" -> q122Sql,
     "q77_kmeans" -> q77Sql,
     "q78_hll" -> q78Sql,

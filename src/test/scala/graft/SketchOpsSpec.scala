@@ -208,6 +208,21 @@ class SketchOpsSpec extends SparkSpec {
     assert(perRow.values.forall(_ == total), s"row mass $perRow != $total")
   }
 
+  test("KMV order-statistic estimate tracks true cardinality; under-full is exact") {
+    import graft.ext.Hll
+    graft.functions.GraftFunctions.register(spark)
+    def est(keys: Seq[Long], k: Int): Long = {
+      val sk = keys.toDF("k")
+        .select(Hll.hash31($"k".cast("string")).as("h")).distinct()
+        .orderBy($"h").limit(k)
+        .as[Long].collect()
+      if (sk.length == k) (k - 1).toLong * 2147483648L / sk.max else sk.length.toLong
+    }
+    val full = est((1L to 1000L), 64)
+    assert(math.abs(full - 1000) < 250, s"KMV estimate $full too far from 1000")
+    assert(est((1L to 30L), 64) === 30L, "under-full sketch must be exact")
+  }
+
   test("count-min sketches merge by cell-wise addition") {
     import graft.ext.CountMin
     val a = Seq("x", "y", "x").toDF("k")
