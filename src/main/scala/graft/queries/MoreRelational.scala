@@ -224,7 +224,37 @@ object MoreRelational {
       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** q126: price/size skyline of `part` ([[graft.ext.Skyline]]) — the
+    * Pareto frontier minimizing retail price (exact cents) while
+    * maximizing size: no other part is both cheaper-or-equal and
+    * larger-or-equal with one strict. Engine reduces per distinct
+    * price then runs the two-pass distributed prefix max (no global
+    * window, no dominance self-join); the oracle is the quadratic
+    * NOT EXISTS dominance definition, so the hash match proves the
+    * frontier recurrence EQUALS the definition. */
+  def q126Skyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.load(s, dir, "part")
+      .select($"p_partkey",
+        ($"p_retailprice".cast("decimal(12,2)") * 100).cast("long").as("price_fp"),
+        $"p_size".cast("long").as("p_size"))
+    graft.ext.Skyline.frontier2(p, "price_fp", "p_size")
+      .select($"p_partkey", $"price_fp", $"p_size")
+      .orderBy($"p_partkey")
+  }
+
+  val q126Sql: String =
+    """WITH p AS (SELECT p_partkey,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_fp,
+      |    CAST(p_size AS BIGINT) AS p_size FROM part)
+      |SELECT p_partkey, price_fp, p_size FROM p a
+      |WHERE NOT EXISTS (SELECT 1 FROM p b
+      |  WHERE b.price_fp <= a.price_fp AND b.p_size >= a.p_size
+      |    AND (b.price_fp < a.price_fp OR b.p_size > a.p_size))
+      |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_skyline" -> (q126Skyline _),
     "q112_tpch_q3" -> (q112TpchQ3 _),
     "q113_tpch_q5" -> (q113TpchQ5 _),
     "q38_ragged_union" -> (q38RaggedUnion _),
@@ -234,6 +264,7 @@ object MoreRelational {
     "q46_json_extract" -> (q46JsonExtract _))
 
   val oracle: Map[String, String] = Map(
+    "q126_skyline" -> q126Sql,
     "q112_tpch_q3" -> q112Sql,
     "q113_tpch_q5" -> q113Sql,
     "q38_ragged_union" -> q38Sql,

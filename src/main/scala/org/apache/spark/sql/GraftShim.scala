@@ -79,4 +79,37 @@ object GraftShim {
     }
     df.sparkSession.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, out)
   }
+
+  /** Append the EXCLUSIVE running max of long column `valueCol` in the
+    * current partition order — the value BEFORE this row,
+    * Long.MinValue for the very first row — the scalable replacement
+    * for `max over (order by … rows between unbounded preceding and 1
+    * preceding)`. Same two-pass recipe as [[zipWithPrefixSum]]: one
+    * partial max per partition to the driver, their exclusive scan
+    * broadcast back as per-partition seeds. Null values are ignored. */
+  def zipWithPrefixMax(df: DataFrame, valueCol: String, name: String): DataFrame = {
+    val vIdx = df.schema.fieldIndex(valueCol)
+    require(df.schema(vIdx).dataType == LongType,
+      s"zipWithPrefixMax requires a BIGINT column, got ${df.schema(vIdx).dataType.sql}")
+    val out = StructType(df.schema.fields).add(name, LongType, nullable = false)
+    val rdd0 = df.queryExecution.toRdd
+    val partialMax = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      var m = Long.MinValue
+      it.foreach(r => if (!r.isNullAt(vIdx)) m = math.max(m, r.getLong(vIdx)))
+      Iterator((pid, m))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partialMax.scanLeft(Long.MinValue)(math.max)
+    val offsetsBc = df.sparkSession.sparkContext.broadcast(offsets)
+    val rdd = rdd0.mapPartitionsWithIndex { (pid, it) =>
+      val joined = new JoinedRow
+      val mRow = new GenericInternalRow(1)
+      var running = offsetsBc.value(pid)
+      it.map { row =>
+        mRow.update(0, running)
+        if (!row.isNullAt(vIdx)) running = math.max(running, row.getLong(vIdx))
+        joined(row, mRow): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    df.sparkSession.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, out)
+  }
 }

@@ -145,6 +145,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: exclusive prefix max equals the sequential scan for any values") {
+    for (seed <- 1L to 5L) {
+      val n = sample(Gen.chooseNum(1, 60), seed + 2000)
+      val vals = sample(Gen.listOfN(n, Gen.chooseNum(-100L, 100L)), seed + 2010)
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("k", "v").repartitionByRange(5, col("k")).sortWithinPartitions("k")
+      val got = org.apache.spark.sql.GraftShim.zipWithPrefixMax(df, "v", "rm")
+        .orderBy("k").select("rm").as[Long].collect().toSeq
+      val want = vals.scanLeft(Long.MinValue)(math.max).init
+      assert(got == want, s"seed=$seed n=$n")
+    }
+  }
+
+  test("property: distributed skyline equals the quadratic dominance definition") {
+    import graft.ext.Skyline
+    for (seed <- 1L to 5L) {
+      val n = sample(Gen.chooseNum(1, 80), seed + 3000)
+      val pts = sample(Gen.listOfN(n,
+        Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 20L))), seed + 3010)
+      val df = pts.zipWithIndex.map { case ((c, g), i) => (i.toLong, c, g) }
+        .toDF("id", "cost", "gain").repartition(5)
+      val got = Skyline.frontier2(df, "cost", "gain")
+        .select("id").as[Long].collect().toSet
+      val want = pts.zipWithIndex.filterNot { case ((c, g), _) =>
+        pts.exists { case (c2, g2) => c2 <= c && g2 >= g && (c2 < c || g2 > g) }
+      }.map(_._2.toLong).toSet
+      assert(got == want, s"seed=$seed n=$n got=$got want=$want")
+    }
+  }
+
   test("property: repetition stats match a driver-side brute force on random token docs") {
     import graft.ext.Repetition
     val word = Gen.oneOf("a", "bb", "ccc", "dd", "e")
