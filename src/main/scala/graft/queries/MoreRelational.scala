@@ -253,7 +253,57 @@ object MoreRelational {
       |    AND (b.price_fp < a.price_fp OR b.p_size > a.p_size))
       |ORDER BY p_partkey""".stripMargin
 
+  /** q127: TPC-H Q7 shape — bilateral shipping volume among a nation
+    * cohort by ship year: lineitem⋈orders on the fact keys; supplier
+    * and customer shrink to keyed nation tags and BROADCAST (so the
+    * only corpus-sized shuffles are the fact-fact join's); the
+    * two-nation filter prunes both dimension builds before broadcast.
+    * Exact DECIMAL volume, cast to double only at the end (q113
+    * discipline). */
+  def q127TpchQ7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nat = Tables.load(s, dir, "nation")
+      .filter($"n_name".isin("NATION_0", "NATION_1", "NATION_2", "NATION_3"))
+      .select($"n_nationkey", $"n_name")
+    val supp = Tables.load(s, dir, "supplier")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val cust = Tables.load(s, dir, "customer")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    val ord = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+    val li = Tables.load(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_suppkey", year($"l_shipdate").cast("long").as("l_year"),
+        (dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("volume"))
+    li.join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation", $"l_year")
+      .agg(sum($"volume").cast("double").as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val q127Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |  AND c_nationkey = n2.n_nationkey
+      |  AND n1.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+      |  AND n2.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+      |  AND n1.n_name <> n2.n_name
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_tpch_q7" -> (q127TpchQ7 _),
     "q126_skyline" -> (q126Skyline _),
     "q112_tpch_q3" -> (q112TpchQ3 _),
     "q113_tpch_q5" -> (q113TpchQ5 _),
@@ -264,6 +314,7 @@ object MoreRelational {
     "q46_json_extract" -> (q46JsonExtract _))
 
   val oracle: Map[String, String] = Map(
+    "q127_tpch_q7" -> q127Sql,
     "q126_skyline" -> q126Sql,
     "q112_tpch_q3" -> q112Sql,
     "q113_tpch_q5" -> q113Sql,

@@ -39,7 +39,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q106_temperature_mix" -> 3, // kept-count agg + audit join + order (rates checkpointed)
     "q109_gap_fill" -> 2, // span agg reuses the user partitioning; windows + order share it
     "q112_tpch_q3" -> 1, // dims broadcast; revenue agg; top-10 is TakeOrdered, not a sort exchange
-    "q113_tpch_q5" -> 2) // order-customer fact join + final agg; all dims broadcast
+    "q113_tpch_q5" -> 2, // order-customer fact join + final agg; all dims broadcast
+    "q126_skyline" -> 3, // per-cost agg + range partition + final order (prefix max is scan-local)
+    "q127_tpch_q7" -> 4) // lineitem-orders fact join (2) + final agg + order; both nation dims broadcast
 
   budgets.foreach { case (name, budget) =>
     test(s"$name plans at most $budget exchanges") {
