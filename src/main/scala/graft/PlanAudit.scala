@@ -61,6 +61,9 @@ object PlanAudit {
     // KMV assembly: every frame past the TakeOrdered sketches is ≤ 64
     // rows — the scalar aggs and 1-row crossJoins are the q82 class
     "q125_kmv_overlap" -> Set(SinglePartition, Bnlj),
+    // final ranking window over the checkpointed 33-row top-(k+1)
+    // sample (the top-k itself is TakeOrdered, map-side partial)
+    "q128_priority_sample" -> Set(SinglePartition),
     "q114_sliding_hll" -> Set(Bnlj)) // windows × 256-bucket skeleton (q91 class)
 
   val flags = Seq(SinglePartition, Cartesian, Bnlj)

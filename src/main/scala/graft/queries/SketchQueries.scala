@@ -511,7 +511,54 @@ object SketchQueries {
       |FROM rowx CROSS JOIN cm CROSS JOIN ex""".stripMargin
   }
 
+  /** q128: priority sampling (Duffield-Lund-Thorup) — the weighted
+    * sample that answers arbitrary SUBSET-SUM queries with one fixed
+    * k-row summary: priority q = w·2^31 DIV (h+1) (h the replayable
+    * avalanched hash standing in for the uniform), keep the k highest,
+    * and the Horvitz-Thompson weight ŵ = max(w, τ) with τ the
+    * (k+1)-th priority makes Σŵ unbiased for Σw. All integers — the
+    * whole estimator is hash-verified, not just sampled row ids.
+    *
+    * Scale shape: the top-(k+1) is TakeOrdered (map-side partial
+    * top-k, no sort exchange); τ is a one-row stat over that 33-row
+    * frame (the Bm25 N/T class); only the final 33-row ranking is a
+    * (justified) single-partition window. */
+  def q128PrioritySample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val k = 32
+    val pri = Tables.load(s, dir, "lineitem")
+      .select(concat($"l_orderkey", lit("_"), $"l_linenumber").as("key"),
+        $"l_quantity".cast("long").as("w"))
+      // h+1 ∈ [1, 2^31] stands in for uniform (0,1]; w ≤ 50 keeps the
+      // product under 2^37
+      .withColumn("h", Hll.hash31($"key"))
+      .select($"key", $"w", expr("w * 2147483648L DIV (h + 1)").as("pri"))
+    val top = pri.orderBy($"pri".desc, $"key").limit(k + 1).localCheckpoint(true)
+    val tau = top.agg(min($"pri")).head().getLong(0) // the (k+1)-th priority
+    val rw = org.apache.spark.sql.expressions.Window
+      .orderBy($"pri".desc, $"key") // 33 rows — justified single partition
+    top.withColumn("rank", row_number().over(rw).cast("long"))
+      .filter($"rank" <= k)
+      .select($"rank", $"key", $"w", $"pri",
+        greatest($"w", lit(tau)).as("w_hat"))
+      .orderBy($"rank")
+  }
+
+  val q128Sql: String =
+    s"""WITH li AS (SELECT l_orderkey || '_' || l_linenumber AS key,
+      |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+      |psp0 AS (SELECT key, w, ${AnalyticsQueries.polyhashSql("key")} AS h FROM li),
+      |${AnalyticsQueries.fmixChainSql("ps", "psp0", Seq("key", "w"))},
+      |pri AS (SELECT key, w, w * 2147483648 // (h + 1) AS pri FROM psh),
+      |rk AS (SELECT *, row_number() OVER (ORDER BY pri DESC, key) AS rn FROM pri),
+      |tau AS (SELECT pri AS t FROM rk WHERE rn = 33)
+      |SELECT CAST(rn AS BIGINT) AS rank, key, w, pri,
+      |  greatest(w, tau.t) AS w_hat
+      |FROM rk CROSS JOIN tau WHERE rn <= 32 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_priority_sample" -> (q128PrioritySample _),
     "q125_kmv_overlap" -> (q125KmvOverlap _),
     "q122_count_min" -> (q122CountMin _),
     "q77_kmeans" -> (q77Kmeans _),
@@ -525,6 +572,7 @@ object SketchQueries {
     "q110_ivfpq" -> (q110IvfPq _))
 
   val oracle: Map[String, String] = Map(
+    "q128_priority_sample" -> q128Sql,
     "q125_kmv_overlap" -> q125Sql,
     "q122_count_min" -> q122Sql,
     "q77_kmeans" -> q77Sql,

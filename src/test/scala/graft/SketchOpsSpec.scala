@@ -223,6 +223,25 @@ class SketchOpsSpec extends SparkSpec {
     assert(est((1L to 30L), 64) === 30L, "under-full sketch must be exact")
   }
 
+  test("priority sample: HT weights dominate, priorities clear tau, total tracks") {
+    val out = graft.queries.SketchQueries.q128PrioritySample(spark, sf)
+      .select($"rank", $"w", $"pri", $"w_hat")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length === 32)
+    out.foreach { case (_, w, _, wh) => assert(wh >= w, "HT weight must dominate w") }
+    // every sampled priority is >= the threshold (the 33rd priority),
+    // and w_hat = max(w, tau) means all w_hat share a floor
+    val floor = out.map(_._4).min
+    assert(out.forall(_._4 >= floor))
+    // fixed data + fixed hash: the HT total is deterministic; k=32 puts
+    // it well within 2x of the true subset sum (measured 0.76x at
+    // sf0.01, and this asserts the sf0.001 realization stays sane)
+    val est = out.map(_._4).sum
+    val true_ = Tables.load(spark, sf, "lineitem")
+      .agg(sum($"l_quantity".cast("long"))).head().getLong(0)
+    assert(est > true_ / 2 && est < true_ * 2, s"est=$est true=$true_")
+  }
+
   test("count-min sketches merge by cell-wise addition") {
     import graft.ext.CountMin
     val a = Seq("x", "y", "x").toDF("k")
