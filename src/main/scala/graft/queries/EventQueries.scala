@@ -255,7 +255,51 @@ object EventQueries {
     "q35_range_join" -> (q35RangeJoin _),
     "q61_funnel" -> (q61Funnel _),
     "q62_retention" -> (q62Retention _),
-    "q109_gap_fill" -> (q109GapFill _))
+    "q109_gap_fill" -> (q109GapFill _),
+    "q129_interval_coverage" -> (q129IntervalCoverage _))
+
+  /** q129: interval-union coverage — merge each user's overlapping
+    * activity intervals (start = event time, duration ∝ value) into
+    * maximal islands and report per-user island count and total
+    * COVERED time, double-counting none of the overlap. The classic
+    * gaps-and-islands computation (utilization, dedup of overlapping
+    * time ranges), distinct from q26's gap sessionization: islands
+    * merge by interval OVERLAP (trailing max of interval ends), not by
+    * inter-event gaps. Every window partitions by user — no global
+    * stage; exact integer micros throughout. Touching intervals
+    * (start == running max end) merge. */
+  def q129IntervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.loadEvents(s, dir)
+      .select($"user_id", $"event_id", $"us",
+        ($"us" + ($"value".cast("decimal(12,2)") * 100).cast("long") * 1000000L)
+          .as("en"))
+    graft.operators.Intervals.islands(e, $"user_id", Seq($"us", $"event_id"),
+        $"us", $"en")
+      .groupBy($"key".as("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum($"i_end" - $"i_start").as("covered_us"),
+        max($"n_events").as("max_merged"))
+      .select($"user_id", $"n_islands", $"covered_us", $"max_merged")
+      .orderBy($"user_id")
+  }
+
+  val q129Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    epoch_us(ts) + CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) * 1000000 AS en
+      |  FROM events),
+      |m AS (SELECT *,
+      |    MAX(en) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM e),
+      |f AS (SELECT *, CASE WHEN pm IS NULL OR us > pm THEN 1 ELSE 0 END AS ni FROM m),
+      |isl AS (SELECT *, CAST(SUM(ni) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island FROM f),
+      |g AS (SELECT user_id, island, MIN(us) AS i_start, MAX(en) AS i_end,
+      |    COUNT(*) AS n_events FROM isl GROUP BY user_id, island)
+      |SELECT user_id, COUNT(*) AS n_islands,
+      |  CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us,
+      |  MAX(n_events) AS max_merged
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q25_tumbling_window" -> q25Sql,
@@ -264,5 +308,6 @@ object EventQueries {
     "q35_range_join" -> q35Sql,
     "q61_funnel" -> q61Sql,
     "q62_retention" -> q62Sql,
-    "q109_gap_fill" -> q109Sql)
+    "q109_gap_fill" -> q109Sql,
+    "q129_interval_coverage" -> q129Sql)
 }

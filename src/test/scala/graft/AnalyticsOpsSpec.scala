@@ -144,6 +144,24 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("interval islands merge overlap, touch, and containment; split on gaps") {
+    import graft.operators.Intervals
+    // A: [0,10]+[5,20] overlap, [20,30] touches -> one island [0,30];
+    //    [40,50] with contained [42,45] -> island [40,50]
+    // B: [0,5] and [10,15] -> two islands
+    val rows = Seq(
+      ("A", 1L, 0L, 10L), ("A", 2L, 5L, 20L), ("A", 3L, 20L, 30L),
+      ("A", 4L, 40L, 50L), ("A", 5L, 42L, 45L),
+      ("B", 6L, 0L, 5L), ("B", 7L, 10L, 15L))
+      .toDF("k", "id", "s", "e")
+    val got = Intervals.islands(rows, $"k", Seq($"s", $"id"), $"s", $"e")
+      .select($"key", $"island", $"i_start", $"i_end", $"n_events")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("A", 1L, 0L, 30L, 3L), ("A", 2L, 40L, 50L, 2L),
+      ("B", 1L, 0L, 5L, 1L), ("B", 2L, 10L, 15L, 1L)))
+  }
+
   test("q119 engine convergence depth stays within the oracle's unroll") {
     // the oracle unrolls q119OracleRounds applications; the engine's
     // output is reproduced by depth−1 of them. Capping maxRounds at
