@@ -474,7 +474,55 @@ object AnalyticsQueries {
       |SELECT id, dist FROM d$q123OracleRounds ORDER BY id""".stripMargin
   }
 
+  /** q130: grouped least-squares trend — per event type, the OLS slope
+    * of value (exact cents) against seconds-since-group-start:
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). Drift/trend detection
+    * as ONE map-side-combined aggregation pass per group — no
+    * iteration, no solver. All five sufficient statistics accumulate
+    * as exact DECIMAL(38,0) (Σx² overflows BIGINT at ~10⁶ rows, so
+    * decimal accumulation is the 100 TB-safe form); the slope is the
+    * single mirrored double at the end (q81 discipline). x is centered
+    * on the group's min timestamp to keep magnitudes polynomial. */
+  def q130GroupTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+    val xy = Tables.loadEvents(s, dir)
+      .select($"event_type", $"us",
+        ($"value".cast("decimal(12,2)") * 100).cast("long").as("y"))
+      .withColumn("mn", min($"us").over(w))
+      .withColumn("x", expr("(us - mn) DIV 1000000"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val sums = xy.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      sum(d($"x")).as("sx"), sum(d($"y")).as("sy"),
+      sum(d($"x") * d($"y")).as("sxy"), sum(d($"x") * d($"x")).as("sxx"))
+    sums.select($"event_type", $"n",
+        (d($"n") * $"sxy" - $"sx" * $"sy").as("num"),
+        (d($"n") * $"sxx" - $"sx" * $"sx").as("den"))
+      .select($"event_type", $"n",
+        when($"den" =!= 0,
+          round($"num".cast("double") / $"den".cast("double"), 6)).as("slope"))
+      .orderBy($"event_type")
+  }
+
+  val q130Sql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y FROM events),
+      |m AS (SELECT *, MIN(us) OVER (PARTITION BY event_type) AS mn FROM e),
+      |x AS (SELECT event_type, (us - mn) // 1000000 AS x, y FROM m),
+      |sums AS (SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(x) AS DECIMAL(38,0)) AS sx, CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+      |    CAST(SUM(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy,
+      |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx
+      |  FROM x GROUP BY event_type)
+      |SELECT event_type, n,
+      |  CASE WHEN n*sxx - sx*sx <> 0 THEN
+      |    round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+      |  END AS slope
+      |FROM sums ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_group_trend" -> (q130GroupTrend _),
     "q123_multi_source_bfs" -> (q123MultiSourceBfs _),
     "q81_anomaly" -> (q81Anomaly _),
     "q82_join_card" -> (q82JoinCard _),
@@ -487,6 +535,7 @@ object AnalyticsQueries {
     "q119_pagerank_fix" -> (q119PagerankFix _))
 
   val oracle: Map[String, String] = Map(
+    "q130_group_trend" -> q130Sql,
     "q123_multi_source_bfs" -> q123Sql,
     "q81_anomaly" -> q81Sql,
     "q82_join_card" -> q82Sql,
