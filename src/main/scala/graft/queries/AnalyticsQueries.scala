@@ -521,7 +521,52 @@ object AnalyticsQueries {
       |  END AS slope
       |FROM sums ORDER BY event_type""".stripMargin
 
+  /** q131: HITS hubs & authorities — the DIRECTIONAL importance twin of
+    * PageRank on the bipartite purchase graph: customers are pure hubs,
+    * suppliers pure authorities, and two unnormalized mutual-
+    * reinforcement rounds (auth = Σ in-hub; hub = Σ out-auth) rank
+    * exactly like the normalized iteration — normalization rescales
+    * uniformly per round and never reorders, so integer sums with NO
+    * division are the bit-portable form (magnitudes ≤ deg²·10⁶ ≈ 2^47
+    * after two rounds). Top 20 of each side by (score DESC, id). */
+  def q131Hits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      .join(Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("p"))
+      .distinct()
+      .localCheckpoint(true) // four consumers across the two rounds
+    val hub0 = lit(1000000L)
+    val auth1 = e.groupBy($"p").agg(sum(hub0).as("a1"))
+    val hub1 = e.join(auth1, "p").groupBy($"c").agg(sum($"a1").as("h1"))
+    val auth2 = e.join(hub1, "c").groupBy($"p").agg(sum($"h1").as("a2"))
+    val hub2 = e.join(auth2, "p").groupBy($"c").agg(sum($"a2").as("h2"))
+    val topAuth = auth2
+      .select(lit("authority").as("kind"), $"p".as("id"), $"a2".as("score"))
+      .orderBy($"score".desc, $"id").limit(20)
+    val topHub = hub2
+      .select(lit("hub").as("kind"), $"c".as("id"), $"h2".as("score"))
+      .orderBy($"score".desc, $"id").limit(20)
+    topAuth.unionByName(topHub).orderBy($"kind", $"score".desc, $"id")
+  }
+
+  val q131Sql: String =
+    """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS p
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |a1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) * 1000000 AS a1 FROM e GROUP BY p),
+      |h1 AS (SELECT e.c, CAST(SUM(a1.a1) AS BIGINT) AS h1 FROM e JOIN a1 ON e.p = a1.p GROUP BY e.c),
+      |a2 AS (SELECT e.p, CAST(SUM(h1.h1) AS BIGINT) AS a2 FROM e JOIN h1 ON e.c = h1.c GROUP BY e.p),
+      |h2 AS (SELECT e.c, CAST(SUM(a2.a2) AS BIGINT) AS h2 FROM e JOIN a2 ON e.p = a2.p GROUP BY e.c),
+      |ta AS (SELECT 'authority' AS kind, p AS id, a2 AS score FROM a2
+      |  ORDER BY score DESC, id LIMIT 20),
+      |th AS (SELECT 'hub' AS kind, c AS id, h2 AS score FROM h2
+      |  ORDER BY score DESC, id LIMIT 20)
+      |SELECT kind, id, score FROM (SELECT * FROM ta UNION ALL SELECT * FROM th) u
+      |ORDER BY kind, score DESC, id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_hits" -> (q131Hits _),
     "q130_group_trend" -> (q130GroupTrend _),
     "q123_multi_source_bfs" -> (q123MultiSourceBfs _),
     "q81_anomaly" -> (q81Anomaly _),
@@ -535,6 +580,7 @@ object AnalyticsQueries {
     "q119_pagerank_fix" -> (q119PagerankFix _))
 
   val oracle: Map[String, String] = Map(
+    "q131_hits" -> q131Sql,
     "q130_group_trend" -> q130Sql,
     "q123_multi_source_bfs" -> q123Sql,
     "q81_anomaly" -> q81Sql,

@@ -256,7 +256,40 @@ object EventQueries {
     "q61_funnel" -> (q61Funnel _),
     "q62_retention" -> (q62Retention _),
     "q109_gap_fill" -> (q109GapFill _),
-    "q129_interval_coverage" -> (q129IntervalCoverage _))
+    "q129_interval_coverage" -> (q129IntervalCoverage _),
+    "q133_transitions" -> (q133Transitions _))
+
+  /** q133: behavioral transition mining — the first-order Markov
+    * transition table of each user's event stream: per (from, to) event
+    * type, the count and the integer transition rate in ppm
+    * (`n·10^6 DIV Σn(from)`). The user-journey primitive behind "what
+    * happens after X" funnels and next-event prediction baselines; lag
+    * windows partition by user, the rate window by from-type — the
+    * post-aggregation table is |types|² rows, so nothing global touches
+    * event-scale data. */
+  def q133Transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val t = Tables.loadEvents(s, dir)
+      .select($"user_id", $"us", $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNotNull)
+      .groupBy($"prev".as("from_type"), $"event_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    t.withColumn("rate_ppm", expr("n * 1000000L DIV sum(n) OVER (PARTITION BY from_type)"))
+      .select($"from_type", $"to_type", $"n", $"rate_ppm")
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val q133Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+      |l AS (SELECT *, lag(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+      |t AS (SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+      |  FROM l WHERE prev IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS rate_ppm
+      |FROM t ORDER BY from_type, to_type""".stripMargin
 
   /** q129: interval-union coverage — merge each user's overlapping
     * activity intervals (start = event time, duration ∝ value) into
@@ -309,5 +342,6 @@ object EventQueries {
     "q61_funnel" -> q61Sql,
     "q62_retention" -> q62Sql,
     "q109_gap_fill" -> q109Sql,
-    "q129_interval_coverage" -> q129Sql)
+    "q129_interval_coverage" -> q129Sql,
+    "q133_transitions" -> q133Sql)
 }

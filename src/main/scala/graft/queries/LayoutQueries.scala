@@ -138,16 +138,62 @@ object LayoutQueries {
       .orderBy($"custkey", $"version")
   }
 
+  /** q132: bitmap-index audience segmentation — per event type, users
+    * pack into 64-bit words (`word = user DIV 64`, `bit = user % 64`,
+    * bit_or-aggregated; duplicate events are free because OR is
+    * idempotent — no pre-distinct pass). Segment sizes are word
+    * popcount sums; pairwise audience intersections are word-AND
+    * popcounts — EXACT distinct-user overlaps from ~|users|/64 longs
+    * per segment, the roaring-bitmap OLAP recipe in its dense form.
+    * The oracle computes the same overlaps from first principles
+    * (DISTINCT user-type pairs self-joined), so the hash match proves
+    * the bitmap algebra equals the set definition — an independent
+    * oracle, not a replay. Scale: words shuffle once per segment
+    * (map-side bit_or partials); the pair join keys on word index. */
+  def q132BitmapSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bm = Tables.loadEvents(s, dir)
+      .select($"event_type", expr("user_id DIV 64").as("w"),
+        expr("shiftleft(1L, CAST(user_id % 64 AS INT))").as("b"))
+      .groupBy($"event_type", $"w").agg(bit_or($"b").as("bits"))
+      .localCheckpoint(true) // feeds the size agg and both join sides
+    val sizes = bm.groupBy($"event_type")
+      .agg(sum(bit_count($"bits")).as("n_users"))
+    val pairs = bm.as("a").join(bm.as("b"),
+        $"a.w" === $"b.w" && $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(sum(bit_count($"a.bits".bitwiseAND($"b.bits"))).as("n_common"))
+    pairs
+      .join(sizes.select($"event_type".as("type_a"), $"n_users".as("n_a")), "type_a")
+      .join(sizes.select($"event_type".as("type_b"), $"n_users".as("n_b")), "type_b")
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_common")
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val q132Sql: String =
+    """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+      |sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY event_type),
+      |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_common
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT pr.type_a, pr.type_b, sa.n AS n_a, sb.n AS n_b, pr.n_common
+      |FROM pr JOIN sz sa ON pr.type_a = sa.event_type
+      |        JOIN sz sb ON pr.type_b = sb.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_scd2" -> (q74Scd2 _),
     "q75_zorder" -> (q75Zorder _),
     "q76_skipping" -> (q76Skipping _),
-    "q90_scd2_merge" -> (q90Scd2Merge _))
+    "q90_scd2_merge" -> (q90Scd2Merge _),
+    "q132_bitmap_segments" -> (q132BitmapSegments _))
 
   val oracle: Map[String, String] = Map(
     "q74_scd2" -> q74Sql,
     "q75_zorder" -> q75Sql,
     "q76_skipping" -> q76Sql,
     // the merge result must equal the full rebuild — same oracle as q74
-    "q90_scd2_merge" -> q74Sql)
+    "q90_scd2_merge" -> q74Sql,
+    "q132_bitmap_segments" -> q132Sql)
 }
