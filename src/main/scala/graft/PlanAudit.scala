@@ -64,6 +64,9 @@ object PlanAudit {
     // final ranking window over the checkpointed 33-row top-(k+1)
     // sample (the top-k itself is TakeOrdered, map-side partial)
     "q128_priority_sample" -> Set(SinglePartition),
+    // 12 per-pair scalar violation rollups (partials map-side over the
+    // det-keyed aggregates) — the q02/q51 scalar-final-agg class
+    "q134_fd_discovery" -> Set(SinglePartition),
     "q114_sliding_hll" -> Set(Bnlj)) // windows × 256-bucket skeleton (q91 class)
 
   val flags = Seq(SinglePartition, Cartesian, Bnlj)

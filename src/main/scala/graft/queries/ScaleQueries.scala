@@ -227,13 +227,59 @@ object ScaleQueries {
       |FROM w GROUP BY win_start_sec, event_type
       |ORDER BY win_start_sec, event_type""".stripMargin
 
+  /** Column set probed by q134 (fixed, ordered). */
+  private val fdCols = Seq(
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  /** q134: functional-dependency discovery — q51's profiling extended
+    * from single columns to column RELATIONSHIPS: for every ordered
+    * pair (det, dep), `det → dep` holds iff no det value maps to more
+    * than one dep value. Each pair is one map-side-combined
+    * `groupBy(det).agg(countDistinct(dep))` plus a tiny violation
+    * rollup — shuffle keys are det values, never rows. The schema-
+    * discovery primitive behind key detection and normalization
+    * advice (o_orderkey → * holds; nothing determines the key back).
+    * At 100 TB the 12 per-pair passes collapse into one pass of
+    * per-pair HLL sketches (q82 machinery); exact per-pair aggs are
+    * the oracle-checkable form. */
+  def q134FdDiscovery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders").localCheckpoint(false)
+    val pairs = for {
+      det <- fdCols; dep <- fdCols if det != dep
+    } yield {
+      o.groupBy(col(det)).agg(countDistinct(col(dep)).as("nd"))
+        .agg(count(lit(1)).as("n_keys"),
+          count(when($"nd" > 1, 1)).as("n_violating"),
+          max($"nd").as("max_dep"))
+        .select(lit(det).as("det"), lit(dep).as("dep"),
+          $"n_keys", $"n_violating", $"max_dep",
+          ($"n_violating" === 0).cast("int").as("holds"))
+    }
+    pairs.reduce(_ unionByName _).orderBy($"det", $"dep")
+  }
+
+  val q134Sql: String = {
+    val parts = for {
+      det <- fdCols; dep <- fdCols if det != dep
+    } yield
+      s"""SELECT '$det' AS det, '$dep' AS dep, COUNT(*) AS n_keys,
+        |  CAST(COUNT(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS n_violating,
+        |  MAX(nd) AS max_dep,
+        |  CAST(CASE WHEN COUNT(CASE WHEN nd > 1 THEN 1 END) = 0 THEN 1 ELSE 0 END AS INT) AS holds
+        |FROM (SELECT $det, CAST(COUNT(DISTINCT $dep) AS BIGINT) AS nd
+        |      FROM orders GROUP BY $det) t""".stripMargin
+    parts.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) u ORDER BY det, dep")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_dup_clusters" -> (q47DupClusters _),
     "q48_tfidf" -> (q48Tfidf _),
     "q49_inverted_index" -> (q49InvertedIndex _),
     "q50_hash_split" -> (q50HashSplit _),
     "q51_profile" -> (q51Profile _),
-    "q52_sliding_window" -> (q52SlidingWindow _))
+    "q52_sliding_window" -> (q52SlidingWindow _),
+    "q134_fd_discovery" -> (q134FdDiscovery _))
 
   val oracle: Map[String, String] = Map(
     "q47_dup_clusters" -> q47Sql,
@@ -241,5 +287,6 @@ object ScaleQueries {
     "q49_inverted_index" -> q49Sql,
     "q50_hash_split" -> q50Sql,
     "q51_profile" -> q51Sql,
-    "q52_sliding_window" -> q52Sql)
+    "q52_sliding_window" -> q52Sql,
+    "q134_fd_discovery" -> q134Sql)
 }

@@ -293,6 +293,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
   }
 
+  test("count-min sketch builds on a stream (complete-mode agg) and matches batch") {
+    import graft.ext.CountMin
+    // the sketch build is a plain bounded-state aggregation, so it runs
+    // unchanged as a streaming complete-mode query: ≤ 128 counter rows
+    // of state regardless of stream length
+    val docs = Tables.load(spark, sf, "documents")
+    def toks(df: org.apache.spark.sql.DataFrame) = df
+      .filter(length(trim($"text")) > 0)
+      .select(explode(graft.functions.TextFunctions.tokens(lower($"text"))).as("term"))
+      .filter($"term" =!= "")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+    val q = CountMin.sketch(toks(stream), $"term")
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("cms_stream")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = CountMin.sketch(toks(docs), $"term")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stream-stream attribution join matches the batch interval join") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // away from epoch 0: the initial watermark IS 1970-01-01, and rows
