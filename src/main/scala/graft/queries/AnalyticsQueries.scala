@@ -565,7 +565,53 @@ object AnalyticsQueries {
       |SELECT kind, id, score FROM (SELECT * FROM ta UNION ALL SELECT * FROM th) u
       |ORDER BY kind, score DESC, id""".stripMargin
 
+  /** q135: categorical profile per group — for each event type, its
+    * user-distribution summary: total events, distinct users, the MODE
+    * user (deterministic tie-break: highest count then lowest id, via
+    * ONE min over the packed integer `user − n·2^24` — the q124
+    * pack-the-tie-break discipline, no ranking window, portable to any
+    * engine that can min a BIGINT; requires user < 2^24), and the
+    * distribution's entropy in integer millibits using the bit-length
+    * surrogate (`Σ n·(bitlen(N)−bitlen(n))·1000 DIV N` — the q86
+    * integer-log discipline: exact, engine-portable, no libm). Skewed
+    * user mixes read low, uniform mixes read high — the categorical
+    * drift/imbalance probe next to q96's histogram drift. One grouped
+    * count plus one per-type rollup; the group-total N rides in via a
+    * type-partitioned window, never a second scan. */
+  def q135CategoricalProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+    val c = Tables.loadEvents(s, dir)
+      .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("n"))
+      .withColumn("nt", sum($"n").over(w))
+    c.groupBy($"event_type").agg(
+        max($"nt").as("n_events"), // constant within the group
+        count(lit(1)).as("n_users"),
+        min($"user_id" - $"n" * 16777216L).as("pk"),
+        sum($"n" * (length(bin($"nt")) - length(bin($"n"))).cast("long")).as("hnum"))
+      .select($"event_type", $"n_events", $"n_users",
+        expr("(-pk + 16777215L) DIV 16777216L").as("mode_n"),
+        expr("((-pk + 16777215L) DIV 16777216L) * 16777216L + pk").as("mode_user"),
+        expr("hnum * 1000L DIV n_events").as("entropy_millibits"))
+      .orderBy($"event_type")
+  }
+
+  val q135Sql: String =
+    """WITH c AS (SELECT event_type, user_id, COUNT(*) AS n FROM events
+      |  GROUP BY event_type, user_id),
+      |t AS (SELECT *, CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS nt FROM c),
+      |p AS (SELECT event_type, MAX(nt) AS n_events, COUNT(*) AS n_users,
+      |    MIN(user_id - n * 16777216) AS pk,
+      |    CAST(SUM(n * (length(bin(nt)) - length(bin(n)))) AS BIGINT) AS hnum
+      |  FROM t GROUP BY event_type)
+      |SELECT event_type, n_events, n_users,
+      |  CAST((-pk + 16777215) // 16777216 AS BIGINT) AS mode_n,
+      |  CAST(((-pk + 16777215) // 16777216) * 16777216 + pk AS BIGINT) AS mode_user,
+      |  hnum * 1000 // n_events AS entropy_millibits
+      |FROM p ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_categorical_profile" -> (q135CategoricalProfile _),
     "q131_hits" -> (q131Hits _),
     "q130_group_trend" -> (q130GroupTrend _),
     "q123_multi_source_bfs" -> (q123MultiSourceBfs _),
@@ -580,6 +626,7 @@ object AnalyticsQueries {
     "q119_pagerank_fix" -> (q119PagerankFix _))
 
   val oracle: Map[String, String] = Map(
+    "q135_categorical_profile" -> q135Sql,
     "q131_hits" -> q131Sql,
     "q130_group_trend" -> q130Sql,
     "q123_multi_source_bfs" -> q123Sql,

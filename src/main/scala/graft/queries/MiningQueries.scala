@@ -205,7 +205,62 @@ object MiningQueries {
       |SELECT fp, n_docs, first_doc, last_doc FROM sh WHERE n_docs >= 2
       |ORDER BY fp""".stripMargin
 
+  /** q136: market-basket association rules — co-purchase (part, part)
+    * pairs within orders, with support, integer-ppm confidence
+    * (`n_ab·10^6 DIV n_a`), and lift kept as the EXACT rational pair
+    * (`lift_num = n_ab·N` vs `lift_den = n_a·n_b` — the q104
+    * collocation discipline, no float in the gated surface). The
+    * transactional twin of q104's adjacency collocations: baskets are
+    * unordered sets, so pairs emit once per order with pk_a < pk_b and
+    * BOTH rule directions are reported. Scale shape: baskets are
+    * bounded (≤ 7 items per TPC-H order), so the within-order pair
+    * explode is linear in lineitems — never a parts×parts join; the
+    * order count is one scalar broadcast. Support ≥ 3 prunes the
+    * singleton tail. */
+  def q136BasketRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      .localCheckpoint(true) // feeds pair join, item counts, and N
+    val nOrders = li.select($"ok").distinct().count()
+    val items = li.groupBy($"pk").agg(count(lit(1)).as("n_i"))
+    val pairs = li.as("a").join(li.as("b"), "ok")
+      .filter($"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("pk_a"), $"b.pk".as("pk_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 3)
+    val both = pairs.unionByName(
+      pairs.select($"pk_b".as("pk_a"), $"pk_a".as("pk_b"), $"n_ab"))
+    both
+      .join(items.select($"pk".as("pk_a"), $"n_i".as("n_a")), "pk_a")
+      .join(items.select($"pk".as("pk_b"), $"n_i".as("n_b")), "pk_b")
+      .select($"pk_a", $"pk_b", $"n_ab", $"n_a", $"n_b",
+        expr("n_ab * 1000000L DIV n_a").as("conf_ppm"),
+        ($"n_ab" * lit(nOrders)).as("lift_num"),
+        ($"n_a" * $"n_b").as("lift_den"))
+      .orderBy($"pk_a", $"pk_b")
+  }
+
+  val q136Sql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+      |items AS (SELECT pk, COUNT(*) AS n_i FROM li GROUP BY pk),
+      |p0 AS (SELECT a.pk AS pk_a, b.pk AS pk_b, COUNT(*) AS n_ab
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |bidir AS (SELECT pk_a, pk_b, n_ab FROM p0
+      |  UNION ALL SELECT pk_b, pk_a, n_ab FROM p0)
+      |SELECT pk_a, pk_b, n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+      |  n_ab * 1000000 // ia.n_i AS conf_ppm,
+      |  CAST(n_ab * n.n_orders AS BIGINT) AS lift_num,
+      |  CAST(ia.n_i * ib.n_i AS BIGINT) AS lift_den
+      |FROM bidir JOIN items ia ON bidir.pk_a = ia.pk
+      |          JOIN items ib ON bidir.pk_b = ib.pk
+      |          CROSS JOIN n
+      |ORDER BY pk_a, pk_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_basket_rules" -> (q136BasketRules _),
     "q86_surprisal" -> (q86Surprisal _),
     "q87_hard_negatives" -> (q87HardNegatives _),
     "q89_best_rep" -> (q89BestRep _),
@@ -214,6 +269,7 @@ object MiningQueries {
     "q124_winnowing" -> (q124Winnowing _))
 
   val oracle: Map[String, String] = Map(
+    "q136_basket_rules" -> q136Sql,
     "q86_surprisal" -> q86Sql,
     "q87_hard_negatives" -> q87Sql,
     "q89_best_rep" -> q89Sql,
