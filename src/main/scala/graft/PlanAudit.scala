@@ -67,6 +67,9 @@ object PlanAudit {
     // 12 per-pair scalar violation rollups (partials map-side over the
     // det-keyed aggregates) — the q02/q51 scalar-final-agg class
     "q134_fd_discovery" -> Set(SinglePartition),
+    // confusion-matrix scalar rollup over the tiny joined pair sets
+    // (q02 class)
+    "q137_lsh_eval" -> Set(SinglePartition),
     "q114_sliding_hll" -> Set(Bnlj)) // windows × 256-bucket skeleton (q91 class)
 
   val flags = Seq(SinglePartition, Cartesian, Bnlj)

@@ -130,13 +130,86 @@ object HashDedupQueries {
       |SELECT corpus_id, fresh_id, est_sim FROM est WHERE est_sim >= 0.5
       |ORDER BY corpus_id, fresh_id""".stripMargin
 
+  /** q137: approximation-quality evaluation — the confusion matrix of
+    * MinHash-LSH (q20, est ≥ 0.5) against the exact-Jaccard baseline
+    * (q19's inverted-index method at true J ≥ 0.5): TP/FP/FN plus
+    * integer-ppm precision and recall. Every curation pipeline that
+    * swaps exact dedup for LSH needs this measurement as a first-class
+    * query, not a notebook; both the estimator and the ground truth
+    * are themselves oracle-verified operators, and the eval is one
+    * full-outer join of two tiny pair sets + a scalar rollup. */
+  def q137LshEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.Dedup
+    val docs = Tables.load(s, dir, "documents")
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 8,
+        threshold = 0.5, maxShingleDf = 20)
+      .select($"id_a", $"id_b", lit(1).as("t"))
+    val est = MinHashLsh.nearDupPairs(docs, "doc_id", "text", n = 8, minEstSim = 0.5)
+      .select($"id_a", $"id_b", lit(1).as("e"))
+    truth.join(est, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        count(when($"t".isNotNull && $"e".isNotNull, 1)).as("tp"),
+        count(when($"t".isNull && $"e".isNotNull, 1)).as("fp"),
+        count(when($"t".isNotNull && $"e".isNull, 1)).as("fn"))
+      .select($"tp", $"fp", $"fn",
+        expr("CASE WHEN tp + fp > 0 THEN tp * 1000000L DIV (tp + fp) END")
+          .as("precision_ppm"),
+        expr("CASE WHEN tp + fn > 0 THEN tp * 1000000L DIV (tp + fn) END")
+          .as("recall_ppm"))
+  }
+
+  val q137Sql: String =
+    s"""WITH jdocs AS (
+      |  SELECT doc_id AS id,
+      |    CASE WHEN length(text) >= 8 THEN
+      |      list_distinct(list_transform(
+      |        list_transform(generate_series(1, length(text)-7), i -> substr(text, i, 8)),
+      |        s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(generate_series(1, length(s)), i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |          (acc, x) -> (acc * 31 + x) % 1000000007)))
+      |    ELSE CAST([] AS BIGINT[]) END AS sh_set
+      |  FROM documents),
+      |jinv AS (SELECT id, unnest(sh_set) AS sh FROM jdocs),
+      |jrare AS (SELECT id, sh FROM
+      |  (SELECT id, sh, count(*) OVER (PARTITION BY sh) AS df FROM jinv) t WHERE df <= 20),
+      |jcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM jrare a JOIN jrare b USING (sh) WHERE a.id < b.id),
+      |jt AS (SELECT id_a, id_b FROM (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_intersect(da.sh_set, db.sh_set)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(da.sh_set, db.sh_set))) AS DOUBLE) AS jaccard
+      |  FROM jcand JOIN jdocs da ON jcand.id_a = da.id JOIN jdocs db ON jcand.id_b = db.id) x
+      |  WHERE jaccard >= 0.5),
+      |$sigChainSql,
+      |mcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
+      |mest AS (SELECT id_a, id_b FROM (
+      |  SELECT id_a, id_b,
+      |    CAST(list_sum(list_transform(generate_series(1,16),
+      |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS est_sim
+      |  FROM mcand JOIN sig sa ON mcand.id_a = sa.id JOIN sig sb ON mcand.id_b = sb.id) y
+      |  WHERE est_sim >= 0.5),
+      |f AS (SELECT (jt.id_a IS NOT NULL) AS t, (mest.id_a IS NOT NULL) AS e
+      |  FROM jt FULL OUTER JOIN mest ON jt.id_a = mest.id_a AND jt.id_b = mest.id_b),
+      |c AS (SELECT
+      |    CAST(COUNT(CASE WHEN t AND e THEN 1 END) AS BIGINT) AS tp,
+      |    CAST(COUNT(CASE WHEN NOT t AND e THEN 1 END) AS BIGINT) AS fp,
+      |    CAST(COUNT(CASE WHEN t AND NOT e THEN 1 END) AS BIGINT) AS fn FROM f)
+      |SELECT tp, fp, fn,
+      |  CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) END AS precision_ppm,
+      |  CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) END AS recall_ppm
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_lsh_eval" -> (q137LshEval _),
     "q20_minhash_lsh" -> (q20MinHash _),
     "q21_simhash" -> (q21SimHash _),
     "q69_incremental_dedup" -> (q69IncrementalDedup _),
     "q120_incremental_lsh" -> (q120IncrementalLsh _))
 
   val oracle: Map[String, String] = Map(
+    "q137_lsh_eval" -> q137Sql,
     "q20_minhash_lsh" -> q20Sql,
     "q21_simhash" -> q21Sql,
     "q69_incremental_dedup" -> q69Sql,
