@@ -70,6 +70,9 @@ object PlanAudit {
     // confusion-matrix scalar rollup over the tiny joined pair sets
     // (q02 class)
     "q137_lsh_eval" -> Set(SinglePartition),
+    // power-law fit: scalar OLS over the ≤64-row checkpointed degree
+    // histogram + its 1-row slope broadcast back (q83/q82 classes)
+    "q138_degree_powerlaw" -> Set(SinglePartition, Bnlj),
     "q114_sliding_hll" -> Set(Bnlj)) // windows × 256-bucket skeleton (q91 class)
 
   val flags = Seq(SinglePartition, Cartesian, Bnlj)

@@ -610,7 +610,62 @@ object AnalyticsQueries {
       |  hnum * 1000 // n_events AS entropy_millibits
       |FROM p ORDER BY event_type""".stripMargin
 
+  /** q138: degree-distribution power-law profile — the graph-shape
+    * diagnostic behind every skew decision (salting, hub orientation,
+    * broadcast cutoffs): bucket the purchase graph's degrees by bit
+    * length (integer log2, the q83 discipline), then fit the log-log
+    * slope by OLS over (bucket, bitlen(count)) — and since there are
+    * ≤ 64 points, the slope ships as the EXACT integer rational
+    * (num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)²), no doubles anywhere.
+    * A slope near −1..−3 in these integer logs is the heavy-tail
+    * signature that says "orient wedges / salt this key". */
+  def q138DegreePowerlaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      .join(Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("p"))
+      .distinct()
+    val deg = e.select($"c".as("id")).unionAll(e.select($"p".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("deg"))
+    val hist = deg
+      .groupBy(length(bin($"deg")).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .localCheckpoint(true) // ≤ 64 rows feeding output AND the fit
+    val pts = hist.select($"bucket".as("x"),
+      (length(bin($"n_nodes")) - 1).cast("long").as("y"))
+    val fit = pts.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select(($"n" * $"sxy" - $"sx" * $"sy").as("slope_num"),
+        ($"n" * $"sxx" - $"sx" * $"sx").as("slope_den"))
+    hist.crossJoin(broadcast(fit))
+      .select($"bucket",
+        expr("shiftleft(1L, CAST(bucket - 1 AS INT))").as("lo_deg"),
+        (expr("shiftleft(1L, CAST(bucket AS INT))") - 1).as("hi_deg"),
+        $"n_nodes", $"slope_num", $"slope_den")
+      .orderBy($"bucket")
+  }
+
+  val q138Sql: String =
+    """WITH base AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS p
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |nodes AS (SELECT c AS id FROM base UNION ALL SELECT p FROM base),
+      |deg AS (SELECT id, COUNT(*) AS deg FROM nodes GROUP BY id),
+      |hist AS (SELECT CAST(length(bin(deg)) AS BIGINT) AS bucket,
+      |    COUNT(*) AS n_nodes FROM deg GROUP BY 1),
+      |pts AS (SELECT bucket AS x, CAST(length(bin(n_nodes)) - 1 AS BIGINT) AS y FROM hist),
+      |fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x*x) AS BIGINT) AS sxx FROM pts),
+      |sl AS (SELECT CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
+      |    CAST(n*sxx - sx*sx AS BIGINT) AS slope_den FROM fit)
+      |SELECT bucket, 1::BIGINT << CAST(bucket - 1 AS INT) AS lo_deg,
+      |  (1::BIGINT << CAST(bucket AS INT)) - 1 AS hi_deg,
+      |  n_nodes, slope_num, slope_den
+      |FROM hist CROSS JOIN sl ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_degree_powerlaw" -> (q138DegreePowerlaw _),
     "q135_categorical_profile" -> (q135CategoricalProfile _),
     "q131_hits" -> (q131Hits _),
     "q130_group_trend" -> (q130GroupTrend _),
@@ -626,6 +681,7 @@ object AnalyticsQueries {
     "q119_pagerank_fix" -> (q119PagerankFix _))
 
   val oracle: Map[String, String] = Map(
+    "q138_degree_powerlaw" -> q138Sql,
     "q135_categorical_profile" -> q135Sql,
     "q131_hits" -> q131Sql,
     "q130_group_trend" -> q130Sql,
