@@ -73,6 +73,9 @@ object PlanAudit {
     // power-law fit: scalar OLS over the ≤64-row checkpointed degree
     // histogram + its 1-row slope broadcast back (q83/q82 classes)
     "q138_degree_powerlaw" -> Set(SinglePartition, Bnlj),
+    // four per-edge scalar audits (child count × orphan count 1-row
+    // crossJoins) — the q02/q82 classes
+    "q140_ref_integrity" -> Set(SinglePartition, Bnlj),
     "q114_sliding_hll" -> Set(Bnlj)) // windows × 256-bucket skeleton (q91 class)
 
   val flags = Seq(SinglePartition, Cartesian, Bnlj)

@@ -272,7 +272,60 @@ object ScaleQueries {
     parts.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) u ORDER BY det, dep")
   }
 
+  /** q140: referential-integrity audit — orphan counts for the star
+    * schema's four FK edges (lineitem→orders, orders→customer,
+    * lineitem→part, lineitem→supplier): per edge, the child row count
+    * and how many child keys have no parent (left-anti join — only
+    * keys move, parents pre-distinct so the build side is the key
+    * set). The pipeline-hygiene companion to q134's FD discovery: FDs
+    * find keys, this verifies the edges that use them survive ingest,
+    * partial loads, and retention deletes. */
+  def q140RefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem").localCheckpoint(false)
+    def audit(rel: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val c = child.select(col(key).as("k"))
+      val orphans = c.join(parent.select(col(pkey).as("k")).distinct(),
+        Seq("k"), "left_anti")
+      c.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(rel).as("relationship"), $"n_child", $"n_orphans",
+          ($"n_orphans" === 0).cast("int").as("ok"))
+    }
+    Seq(
+      audit("lineitem.l_orderkey->orders", li, "l_orderkey",
+        Tables.load(s, dir, "orders"), "o_orderkey"),
+      audit("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.load(s, dir, "part"), "p_partkey"),
+      audit("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        Tables.load(s, dir, "supplier"), "s_suppkey"),
+      audit("orders.o_custkey->customer", Tables.load(s, dir, "orders"),
+        "o_custkey", Tables.load(s, dir, "customer"), "c_custkey"))
+      .reduce(_ unionByName _)
+      .orderBy($"relationship")
+  }
+
+  val q140Sql: String = {
+    def part(rel: String, child: String, key: String, parent: String,
+        pkey: String): String =
+      s"""SELECT '$rel' AS relationship,
+        |  (SELECT COUNT(*) FROM $child) AS n_child,
+        |  (SELECT COUNT(*) FROM $child c
+        |     WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key)) AS n_orphans,
+        |  CAST(CASE WHEN NOT EXISTS (SELECT 1 FROM $child c
+        |     WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key))
+        |   THEN 1 ELSE 0 END AS INT) AS ok""".stripMargin
+    Seq(
+      part("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      part("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      part("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      part("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) u ORDER BY relationship")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_ref_integrity" -> (q140RefIntegrity _),
     "q47_dup_clusters" -> (q47DupClusters _),
     "q48_tfidf" -> (q48Tfidf _),
     "q49_inverted_index" -> (q49InvertedIndex _),
@@ -282,6 +335,7 @@ object ScaleQueries {
     "q134_fd_discovery" -> (q134FdDiscovery _))
 
   val oracle: Map[String, String] = Map(
+    "q140_ref_integrity" -> q140Sql,
     "q47_dup_clusters" -> q47Sql,
     "q48_tfidf" -> q48Sql,
     "q49_inverted_index" -> q49Sql,

@@ -128,6 +128,51 @@ object TextQueries {
       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q139: n-gram novelty scoring — per document, the fraction of its
+    * distinct 8-gram hashes whose FIRST corpus occurrence (min doc_id)
+    * is this document: 1.0 for genuinely new text, ~0 for documents
+    * assembled from already-seen spans. The dedup-aware quality signal
+    * between whole-doc digests (q18) and span dedup (q124): content
+    * can be unseen as a document yet contribute nothing novel. Ratio
+    * ships as integer ppm. Scale shape: one shingle-keyed min-agg
+    * (map-side combined) owns the "first occurrence" decision; the
+    * per-doc rollup joins hashes, never text. */
+  def q139Novelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorFunctions.register(s)
+    val sh = Tables.load(s, dir, "documents")
+      .filter(length($"text") >= 8)
+      .select($"doc_id",
+        explode(graft.functions.VectorFunctions.hashedShingles(
+          $"text", 8, graft.ext.Dedup.ShingleHashMod)).as("sh"))
+      .localCheckpoint(true) // feeds the first-owner agg AND the rollup
+    val firstOwner = sh.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
+    sh.join(firstOwner, "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when($"first_doc" === $"doc_id", 1)).as("n_novel"))
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        expr("n_novel * 1000000L DIV n_shingles").as("novelty_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  val q139Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      list_transform(generate_series(1, length(text)-7), i -> substr(text, i, 8)),
+      |      s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, length(s)), i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |        (acc, x) -> (acc * 31 + x) % 1000000007))) AS sh_set
+      |  FROM documents WHERE length(text) >= 8),
+      |sh AS (SELECT doc_id, unnest(sh_set) AS sh FROM docs),
+      |fo AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh)
+      |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+      |  CAST(COUNT(CASE WHEN fo.first_doc = sh.doc_id THEN 1 END) AS BIGINT) AS n_novel,
+      |  CAST(COUNT(CASE WHEN fo.first_doc = sh.doc_id THEN 1 END) * 1000000
+      |    // COUNT(*) AS BIGINT) AS novelty_ppm
+      |FROM sh JOIN fo USING (sh) GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin
+
   /** q37: PII redaction. The corpus has no real PII, so deterministic
     * synthetic contact blocks are injected into every 10th doc in BOTH
     * engines, then scrubbed — redaction is verified against text that
@@ -331,6 +376,7 @@ object TextQueries {
     "q17_lang_id" -> (q17LangId _),
     "q18_exact_dedup" -> (q18ExactDedup _),
     "q19_ngram_jaccard" -> (q19NgramJaccard _),
+    "q139_novelty" -> (q139Novelty _),
     "q37_pii_redact" -> (q37Redact _),
     "q43_top_tokens" -> (q43TopTokens _),
     "q44_length_histogram" -> (q44LengthHistogram _),
@@ -341,6 +387,7 @@ object TextQueries {
     "q17_lang_id" -> q17Sql,
     "q18_exact_dedup" -> q18Sql,
     "q19_ngram_jaccard" -> q19Sql,
+    "q139_novelty" -> q139Sql,
     "q37_pii_redact" -> q37Sql,
     "q43_top_tokens" -> q43Sql,
     "q44_length_histogram" -> q44Sql,
