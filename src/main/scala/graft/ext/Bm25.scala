@@ -36,11 +36,11 @@ import org.apache.spark.sql.functions._
   * scoring join). The vocabulary-sized df table broadcasts; the only
   * corpus-sized shuffles key on id. N and T are two scalar aggregates
   * (driver literals — the [[Quantize]] one-row-stats class). The
-  * query-term ranking window is a global sort of the VOCABULARY (31
-  * terms here, ≤ millions at 100 TB) — the lone justified
-  * single-partition stage. Long arithmetic holds while
-  * idf_bits·20·T·tf·Scale < 2^63 (T ≈ 5·10¹¹ at tf ≤ 10³); past that,
-  * widen the contribution to DECIMAL(38,0) — same truncating division.
+  * query-term selection is TakeOrderedAndProject (map-side partial
+  * top-k) — no vocabulary-sized single-partition stage anywhere. The
+  * per-term contribution's numerator is computed in DECIMAL(38,0)
+  * (exact to 10^38), so the fixed point survives corpora far past the
+  * ~10^10-token mark where long arithmetic would wrap.
   */
 object Bm25 {
 
@@ -55,13 +55,15 @@ object Bm25 {
 
     /** The derived query workload: top nQueries·termsPerQuery terms by
       * (df DESC, term), chopped into consecutive groups — (qid, term,
-      * df, idf_bits). The ranking window is a global sort of the
-      * VOCABULARY (≤ millions at 100 TB) — the lone justified
-      * single-partition stage. */
+      * df, idf_bits). `orderBy.limit` plans TakeOrderedAndProject
+      * (map-side partial top-k, no sort exchange), so the ranking
+      * window only ever sees the ≤ nQueries·termsPerQuery surviving
+      * rows — the vocabulary is never collected to one partition. */
     def queryTerms(nQueries: Int, termsPerQuery: Int): DataFrame = {
+      val top = dfreq.orderBy(col("df").desc, col("term"))
+        .limit(nQueries * termsPerQuery)
       val rw = Window.orderBy(col("df").desc, col("term"))
-      dfreq.withColumn("r", row_number().over(rw))
-        .filter(col("r") <= nQueries * termsPerQuery)
+      top.withColumn("r", row_number().over(rw))
         .select((((col("r") - 1) / termsPerQuery).cast("long")).as("qid"),
           col("term"), col("df"), col("idf_bits"))
     }
@@ -71,10 +73,16 @@ object Bm25 {
       * retrieval). The vocabulary-sized query set broadcasts; the only
       * corpus-sized shuffle keys on id. */
     def scores(qterms: DataFrame): DataFrame = {
+      // the numerator idf_bits·tf·20T·Scale exceeds 2^63 once total
+      // corpus tokens T reach ~10^10, so it is computed in
+      // DECIMAL(38,0) (exact to 10^38; same truncating DIV, so values
+      // are bit-identical to the long path wherever that didn't
+      // overflow); the denominator stays comfortably in long until
+      // T ~ 10^14
       val contrib = tf.join(broadcast(qterms), "term")
         .join(dl, "id")
         .withColumn("c", expr(
-          s"idf_bits * (tf * ${20L * t}L) * ${Scale}L" +
+          s"CAST(idf_bits * tf AS DECIMAL(38,0)) * ${20L * t}L * ${Scale}L" +
             s" DIV (tf * ${8L * t}L + ${3L * t}L + dl * ${9L * n}L)"))
         .select(col("qid"), col("id"), col("c"))
       contrib.groupBy(col("qid"), col("id"))

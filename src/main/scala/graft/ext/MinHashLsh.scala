@@ -112,7 +112,10 @@ object MinHashLsh {
     * never text. Returns (corpus_id, fresh_id, est_sim) with est_sim ≥
     * `minEstSim`. The equi-join keys on (band, bslice), so each fresh
     * doc probes only its own buckets; [[firstMatchPred]] dedups
-    * multi-band collisions without a shuffle. */
+    * multi-band collisions without a shuffle. A fresh doc whose id
+    * also exists in the snapshot (a re-crawl of a known page) is NOT
+    * its own near-dup: the join drops same-id pairs, so callers need
+    * no disjointness precondition. */
   def nearDupAgainstIndex(
       fresh: DataFrame,
       idCol: String,
@@ -123,7 +126,7 @@ object MinHashLsh {
     val fb = banded(signatures(fresh, idCol, textCol, n))
     val cand = index.as("a").join(fb.as("b"),
         col("a.band") === col("b.band") && col("a.bslice") === col("b.bslice") &&
-          firstMatchPred)
+          col("a.id") =!= col("b.id") && firstMatchPred)
       .select(col("a.id").as("corpus_id"), col("b.id").as("fresh_id"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
     estSim(cand, "corpus_id", "fresh_id").filter(col("est_sim") >= minEstSim)

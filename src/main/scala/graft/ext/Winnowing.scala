@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   * and quotation mining in web corpora.
   *
   * Determinism: ties inside a window are broken by position (the
-  * minimized value is `hash·2^20 + offset`, exact in longs since the
-  * 31-bit polyhash times 2^20 stays under 2^51), so selection is
-  * bit-portable — no "rightmost previous min" state machine needed.
+  * minimized value is `hash·2^32 + offset`, exact in longs since the
+  * polyhash modulus 10^9+7 < 2^30 keeps the product under 2^62), so
+  * selection is bit-portable — no "rightmost previous min" state
+  * machine needed. 32 offset bits cover every representable
+  * document: Spark's `length` is IntegerType, so offsets are
+  * structurally ≤ 2^31 − 1 and can never carry into the hash bits.
   *
   * Scale shape: everything until the final fingerprint aggregation is
   * DOCUMENT-LOCAL — the offset explode and the w-row sliding min
@@ -31,8 +34,9 @@ object Winnowing {
   val K = 8
   val W = 4
 
-  /** Offsets fit 20 bits inside the packed tie-break value. */
-  val PosBits = 20
+  /** Offsets fit 32 bits inside the packed tie-break value (polyhash
+    * < 2^30, so hash·2^32 + off < 2^62 stays exact in a long). */
+  val PosBits = 32
   val PosScale: Long = 1L << PosBits
 
   /** Distinct selected fingerprints per document: (id, fp). Documents

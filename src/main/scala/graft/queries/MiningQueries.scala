@@ -196,9 +196,9 @@ object MiningQueries {
       |ph AS (SELECT doc_id, ngrams, off,
       |    ${AnalyticsQueries.polyhashSql("substr(text, off, 8)")} AS h FROM pos),
       |sel AS (SELECT doc_id, ngrams, off,
-      |    MIN(h * 1048576 + off) OVER (PARTITION BY doc_id ORDER BY off
+      |    MIN(h * 4294967296 + off) OVER (PARTITION BY doc_id ORDER BY off
       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mc FROM ph),
-      |fps AS (SELECT DISTINCT doc_id, mc // 1048576 AS fp FROM sel
+      |fps AS (SELECT DISTINCT doc_id, mc // 4294967296 AS fp FROM sel
       |  WHERE off + 3 <= ngrams),
       |sh AS (SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
       |    MAX(doc_id) AS last_doc FROM fps GROUP BY fp)

@@ -435,7 +435,9 @@ object SketchQueries {
   /** q125: KMV (k-minimum-values / theta) sketch audience overlap —
     * the distinct-intersection estimator HLL can only approach by
     * inclusion-exclusion: keep the 64 smallest distinct avalanched
-    * hashes per slice; θ = min of the two 64th values; common hashes
+    * hashes per slice; θ = min of the two sides' effective thetas (a
+    * FULL side contributes its 64th value, an under-full side is exact
+    * over the whole range so contributes 2^31); common hashes
     * below θ are a uniform sample of the intersection, so
     * `n_common·2^31 DIV θ` estimates |A∩B| directly. Distinct counts
     * come from the same sketches ((k−1)·2^31 DIV kth). Audience =
@@ -460,7 +462,11 @@ object SketchQueries {
       .select($"o_custkey".as("k"))).localCheckpoint(true)
     val row = a.agg(count(lit(1)).as("n_a"), max($"h").as("kth_a"))
       .crossJoin(b.agg(count(lit(1)).as("n_b"), max($"h").as("kth_b")))
-      .withColumn("theta", least($"kth_a", $"kth_b"))
+      // an under-full sketch is EXACT over the whole hash range, so its
+      // theta is 2^31 (not its max hash) — only a full side constrains θ
+      .withColumn("theta", least(
+        when($"n_a" < KmvK, lit(2147483648L)).otherwise($"kth_a"),
+        when($"n_b" < KmvK, lit(2147483648L)).otherwise($"kth_b")))
     val common = a.join(b, "h")
       .crossJoin(broadcast(row.select($"theta".as("th"))))
       .agg(count(lit(1)).as("n_common_all"),
@@ -494,7 +500,9 @@ object SketchQueries {
     s"""WITH ${side("a", "o_orderdate < '1998-01-01'")},
       |${side("b", "o_orderdate >= '1998-01-01'")},
       |rowx AS (SELECT a.n AS n_a, a.kth AS kth_a, b.n AS n_b, b.kth AS kth_b,
-      |    least(a.kth, b.kth) AS theta FROM aagg a CROSS JOIN bagg b),
+      |    least(CASE WHEN a.n < 64 THEN 2147483648 ELSE a.kth END,
+      |          CASE WHEN b.n < 64 THEN 2147483648 ELSE b.kth END) AS theta
+      |  FROM aagg a CROSS JOIN bagg b),
       |cm AS (SELECT COUNT(*) AS n_common_all,
       |    COUNT(*) FILTER (x.h < rowx.theta) AS n_common
       |  FROM (SELECT ask.h FROM ask JOIN bsk ON ask.h = bsk.h) x CROSS JOIN rowx),
@@ -535,7 +543,12 @@ object SketchQueries {
       .withColumn("h", Hll.hash31($"key"))
       .select($"key", $"w", expr("w * 2147483648L DIV (h + 1)").as("pri"))
     val top = pri.orderBy($"pri".desc, $"key").limit(k + 1).localCheckpoint(true)
-    val tau = top.agg(min($"pri")).head().getLong(0) // the (k+1)-th priority
+    // τ = the (k+1)-th priority, or 0 when the input has ≤ k rows: an
+    // under-full sample is the exact population, so ŵ = max(w, 0) = w
+    // (standard DLT; without the guard τ would be the smallest sampled
+    // priority, biasing every ŵ upward).
+    val nTop = top.count()
+    val tau = if (nTop <= k) 0L else top.agg(min($"pri")).head().getLong(0)
     val rw = org.apache.spark.sql.expressions.Window
       .orderBy($"pri".desc, $"key") // 33 rows — justified single partition
     top.withColumn("rank", row_number().over(rw).cast("long"))
@@ -552,7 +565,7 @@ object SketchQueries {
       |${AnalyticsQueries.fmixChainSql("ps", "psp0", Seq("key", "w"))},
       |pri AS (SELECT key, w, w * 2147483648 // (h + 1) AS pri FROM psh),
       |rk AS (SELECT *, row_number() OVER (ORDER BY pri DESC, key) AS rn FROM pri),
-      |tau AS (SELECT pri AS t FROM rk WHERE rn = 33)
+      |tau AS (SELECT coalesce(min(pri) FILTER (rn = 33), 0) AS t FROM rk)
       |SELECT CAST(rn AS BIGINT) AS rank, key, w, pri,
       |  greatest(w, tau.t) AS w_hat
       |FROM rk CROSS JOIN tau WHERE rn <= 32 ORDER BY rank""".stripMargin
