@@ -48,11 +48,6 @@ object PlanAudit {
     "q94_text_ann" -> Set(Bnlj), // broadcast query set, non-equi (q22 class)
     "q96_drift" -> Set(SinglePartition, Bnlj), // one-row totals broadcast (q80 class)
     "q104_collocations" -> Set(SinglePartition, Bnlj), // one-row token total (q86 class)
-    // Spark's InjectRuntimeFilter builds a bloom filter of the probe-side
-    // join keys in an auxiliary scalar subquery — bloom_filter_agg's final
-    // merge is SinglePartition by construction (one bloom buffer), and the
-    // injected filter is itself a scale WIN (prunes the big side pre-join)
-    "q110_ivfpq" -> Set(SinglePartition),
     // dense-baseline scoring broadcasts the 8-row query-vector table
     // under a cross join (the q22/q94 class). BM25's vocabulary ranking
     // window runs eagerly into the checkpointed query-term table, so

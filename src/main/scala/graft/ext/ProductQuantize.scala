@@ -26,12 +26,12 @@ object ProductQuantize {
   val NumSub = 4
   val SubDim = 16
   val K = 8
-  val Iters = 1
 
   /** PQ-encode 64-dim int8 code vectors (id, codes array<long>):
     * (id, pq array<long> of [[NumSub]] codeword ids, recon_dist2).
     * Codebooks are trained per subspace from the id<K seed convention
-    * ([[KMeansInt.fitAssign]]). */
+    * to the exact assignment fixed point
+    * ([[KMeansInt.fitConvergedAssign]]). */
   def encode(codes: DataFrame): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -44,10 +44,11 @@ object ProductQuantize {
     val mat = codes.localCheckpoint(true)
     val parts = Await.result(Future.sequence((0 until NumSub).map { m =>
       Future {
-        KMeansInt.fitAssign(
+        KMeansInt.fitConvergedAssign(
             mat.select(col("id"),
               slice(col("codes"), m * SubDim + 1, SubDim).as("codes")),
-            k = K, iters = Iters)
+            k = K, maxRounds = KMeansInt.MaxRounds)
+          .assignment
           .select(col("id"), lit(m).as("sub"), col("cluster"), col("dist2"))
       }
     }), Duration.Inf)
@@ -62,14 +63,14 @@ object ProductQuantize {
   private def subCodes(codes: DataFrame, m: Int): DataFrame =
     codes.select(col("id"), slice(col("codes"), m * SubDim + 1, SubDim).as("codes"))
 
-  /** Train all M codebooks: (sub, cluster, d, m) — M·K·SubDim rows,
-    * eagerly checkpointed (each [[KMeansInt.fit]] round already is).
-    * The M trainings are independent, so they run as CONCURRENT Spark
-    * jobs (job submission is thread-safe); each result is a
-    * deterministic function of its subspace alone, so parallel order
-    * cannot change the output. The input is eagerly checkpointed HERE
-    * (not left to the caller) so the concurrent fits race on a computed
-    * RDD, never on a lazy upstream plan. */
+  /** Train all M codebooks to their assignment fixed points: (sub,
+    * cluster, d, m) — M·K·SubDim rows, eagerly checkpointed (each
+    * Lloyd round already is). The M trainings are independent, so they
+    * run as CONCURRENT Spark jobs (job submission is thread-safe);
+    * each result is a deterministic function of its subspace alone, so
+    * parallel order cannot change the output. The input is eagerly
+    * checkpointed HERE (not left to the caller) so the concurrent fits
+    * race on a computed RDD, never on a lazy upstream plan. */
   def codebooks(codes: DataFrame): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -77,7 +78,9 @@ object ProductQuantize {
     val mat = codes.localCheckpoint(true)
     val trained = Future.sequence((0 until NumSub).map { m =>
       Future {
-        KMeansInt.fit(subCodes(mat, m), k = K, iters = Iters)
+        KMeansInt.fitConvergedAssign(subCodes(mat, m), k = K,
+            maxRounds = KMeansInt.MaxRounds)
+          .centroids
           .select(lit(m).as("sub"), col("cluster"), col("d"), col("m"))
       }
     })
@@ -147,8 +150,12 @@ object ProductQuantize {
     * Returns (coarse (cluster,d,m), asg (id,coarse),
     * booksR (sub,cluster,d,m), encR (id,sub,cluster)). */
   def ivfPqIndex(codes: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val coarse = KMeansInt.fit(codes, k = K, iters = Iters)
-    val asg = KMeansInt.assign(KMeansInt.explodedCodes(codes), coarse)
+    val fit = KMeansInt.fitConvergedAssign(codes, k = K,
+      maxRounds = KMeansInt.MaxRounds)
+    val coarse = fit.centroids
+    // the fit's final assignment IS assign-vs-converged-centroids —
+    // reuse it instead of paying another full assignment pass
+    val asg = fit.assignment
       .select(col("id"), col("cluster").as("coarse"))
       .localCheckpoint(false)
     // K centroid arrays, dim-ordered — broadcast onto the corpus

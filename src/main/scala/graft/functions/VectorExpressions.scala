@@ -119,6 +119,32 @@ object VectorKernels {
     }
     new GenericArrayData(sig)
   }
+
+  /** Nearest of k centroid arrays by exact integer squared-L2:
+    * (dist2, cluster) with ties toward the smaller cluster id — the
+    * k-means training argmin as one primitive loop (the HOF
+    * formulation — aggregate ∘ zip_with per candidate — is interpreted
+    * and dominated every Lloyd round). */
+  def kmNearest(codes: ArrayData, clusters: Array[Long],
+      cents: Array[Array[Long]]): org.apache.spark.sql.catalyst.InternalRow = {
+    var bd = Long.MaxValue
+    var bc = Long.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val m = cents(j)
+      var d2 = 0L
+      var i = 0
+      while (i < m.length) {
+        val diff = codes.getLong(i) - m(i)
+        d2 += diff * diff
+        i += 1
+      }
+      if (d2 < bd || (d2 == bd && clusters(j) < bc)) { bd = d2; bc = clusters(j) }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bd, bc))
+  }
 }
 
 /** dot(a, b) over array<double> — codegen'd single pass. */
@@ -203,6 +229,29 @@ case class ArrayJaccardLong(left: Expression, right: Expression) extends BinaryE
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayJaccardLong =
     copy(left = l, right = r)
   override def prettyName: String = "array_jaccard_long"
+}
+
+/** k-means argmin against LITERAL centroids: struct(dist2, cluster) of
+  * the nearest centroid to an array<long> codes column — one primitive
+  * JVM loop per row ([[VectorKernels.kmNearest]]). The centroid matrix
+  * rides in the expression (constant per Lloyd round, a few KB), so
+  * the reassignment map needs no join at all. */
+case class KmNearest(child: Expression, clusters: Array[Long],
+    cents: Array[Array[Long]]) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist2", LongType, nullable = false),
+    StructField("cluster", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.kmNearest(input.asInstanceOf[ArrayData], clusters, cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val clRef = ctx.addReferenceObj("kmClusters", clusters, "long[]")
+    val ceRef = ctx.addReferenceObj("kmCents", cents, "long[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.kmNearest($c, $clRef, $ceRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): KmNearest =
+    copy(child = newChild)
+  override def prettyName: String = "km_nearest"
 }
 
 /** Column wrappers via the function registry (see GraftFunctions). */

@@ -16,17 +16,24 @@ import graft.ext.{HeavyHitters, Hll, KMeansInt, PassageDedup, Quantize}
   */
 object SketchQueries {
 
-  /** q77: k-means (k=8, 2 Lloyd rounds) over int8 quantization codes —
-    * the IVF coarse-quantizer training step. Integer squared-L2, floor
-    * mean updates, argmin ties to the smaller cluster: bit-exact across
-    * engines and across re-runs, which float k-means cannot be. */
+  /** q77: k-means (k=8) over int8 quantization codes, trained to the
+    * EXACT assignment-set fixed point ([[KMeansInt.fitConvergedAssign]]
+    * — zero changed assignments, THROW past MaxRounds) — the IVF
+    * coarse-quantizer training step with a data-driven stop instead of
+    * a fixed unroll. Integer squared-L2, floor mean updates, argmin
+    * ties to the smaller cluster: bit-exact across engines and across
+    * re-runs, which float k-means cannot be. The oracle unrolls
+    * exactly MaxRounds rounds; past the fixed point each is a no-op,
+    * so the replay matches at every convergence depth the engine can
+    * reach. */
   def q77Kmeans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // non-eager checkpoint: the corpus min/max behind the codes is
     // computed once, not once per k-means stage that reads the codes
     val codes = Quantize.sq8Codes(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
       .localCheckpoint(false)
-    KMeansInt.fitAssign(codes, k = 8, iters = 2)
+    KMeansInt.fitConvergedAssign(codes, k = 8, maxRounds = KMeansInt.MaxRounds)
+      .assignment
       .select($"id".as("vec_id"), $"cluster", $"dist2")
       .orderBy($"vec_id")
   }
@@ -47,30 +54,10 @@ object SketchQueries {
 
   val q77Sql: String =
     s"""WITH $sq8CodesSql,
-      |e2 AS (SELECT vec_id AS id, d, cs[d] AS c FROM codes, generate_series(1, 64) AS t(d)),
-      |c0 AS (SELECT id AS cluster, d, c AS m FROM e2 WHERE id < 8),
-      |d1 AS (SELECT e2.id, c.cluster, SUM((e2.c - c.m)*(e2.c - c.m)) AS dist2
-      |       FROM e2 JOIN c0 c ON e2.d = c.d GROUP BY e2.id, c.cluster),
-      |a1 AS (SELECT id, cluster FROM (SELECT *, ROW_NUMBER() OVER
-      |       (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM d1) t WHERE rn = 1),
-      |s1 AS (SELECT a1.cluster, e2.d, SUM(e2.c) AS s, COUNT(*) AS n
-      |       FROM e2 JOIN a1 ON e2.id = a1.id GROUP BY a1.cluster, e2.d),
-      |c1 AS (SELECT c0.cluster, c0.d, COALESCE(s1.s // s1.n, c0.m) AS m
-      |       FROM c0 LEFT JOIN s1 ON c0.cluster = s1.cluster AND c0.d = s1.d),
-      |d2 AS (SELECT e2.id, c.cluster, SUM((e2.c - c.m)*(e2.c - c.m)) AS dist2
-      |       FROM e2 JOIN c1 c ON e2.d = c.d GROUP BY e2.id, c.cluster),
-      |a2 AS (SELECT id, cluster FROM (SELECT *, ROW_NUMBER() OVER
-      |       (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM d2) t WHERE rn = 1),
-      |s2 AS (SELECT a2.cluster, e2.d, SUM(e2.c) AS s, COUNT(*) AS n
-      |       FROM e2 JOIN a2 ON e2.id = a2.id GROUP BY a2.cluster, e2.d),
-      |c2 AS (SELECT c1.cluster, c1.d, COALESCE(s2.s // s2.n, c1.m) AS m
-      |       FROM c1 LEFT JOIN s2 ON c1.cluster = s2.cluster AND c1.d = s2.d),
-      |df AS (SELECT e2.id, c.cluster, SUM((e2.c - c.m)*(e2.c - c.m)) AS dist2
-      |       FROM e2 JOIN c2 c ON e2.d = c.d GROUP BY e2.id, c.cluster),
-      |fin AS (SELECT id, cluster, dist2 FROM (SELECT *, ROW_NUMBER() OVER
-      |       (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM df) t WHERE rn = 1)
+      |${lloydChainSql("q",
+        "SELECT vec_id AS id, d, cs[d] AS c FROM codes, generate_series(1, 64) AS t(d)")}
       |SELECT id AS vec_id, cluster, CAST(dist2 AS BIGINT) AS dist2
-      |FROM fin ORDER BY vec_id""".stripMargin
+      |FROM fq ORDER BY vec_id""".stripMargin
 
   /** q78: HyperLogLog distinct sketch of l_partkey (m=256) — register
     * build + raw estimate + the exact distinct count for comparison.
@@ -231,26 +218,39 @@ object SketchQueries {
       .orderBy($"vec_id")
   }
 
-  /** One tagged Lloyd chain (seed → assign → update → final assign),
-    * exactly KMeansInt.fitAssign(iters = 1) over the `(id, d, c)` rows
-    * `eDef` emits — shared verbatim between q107/q108 (per-subspace
-    * slices) and q110 (full-dim coarse + residual subspaces) so
-    * training and search always replay the SAME codebooks. Emits
-    * `c1$tag` (the codebook) and `f$tag` (per-id codeword + dist2). */
+  /** One tagged Lloyd chain (seed → [[graft.ext.KMeansInt.MaxRounds]]
+    * unrolled update/assign rounds → final assign) over the
+    * `(id, d, c)` rows `eDef` emits — shared verbatim between q77
+    * (full-dim), q107/q108 (per-subspace slices) and q110 (full-dim
+    * coarse + residual subspaces) so training and search always replay
+    * the SAME codebooks. The engine iterates to the exact
+    * assignment-set fixed point and THROWS past MaxRounds; past the
+    * fixed point every unrolled round is a no-op (zero changed
+    * assignments reproduce the floor-mean centroids exactly), so an
+    * oracle unrolled to exactly MaxRounds replays every run the engine
+    * can complete. Each round's centroid CTE is MATERIALIZED — it is
+    * referenced along two paths (distance join + COALESCE carry), so
+    * inlining would double the plan every round. Emits `cb$tag` (the
+    * converged codebook) and `f$tag` (per-id codeword + dist2). */
   private def lloydChainSql(tag: String, eDef: String): String = {
     val k = graft.ext.ProductQuantize.K
+    val u = graft.ext.KMeansInt.MaxRounds
+    val rounds = (1 to u).map { i =>
+      s"""d$i$tag AS (SELECT e.id, c.cluster, SUM((e.c - c.m)*(e.c - c.m)) AS dist2
+        |  FROM e$tag e JOIN c${i - 1}$tag c ON e.d = c.d GROUP BY e.id, c.cluster),
+        |a$i$tag AS (SELECT id, cluster FROM (SELECT *, ROW_NUMBER() OVER
+        |  (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM d$i$tag) t WHERE rn = 1),
+        |s$i$tag AS (SELECT a.cluster, e.d, SUM(e.c) AS s, COUNT(*) AS n
+        |  FROM e$tag e JOIN a$i$tag a ON e.id = a.id GROUP BY a.cluster, e.d),
+        |c$i$tag AS MATERIALIZED (SELECT c0.cluster, c0.d, COALESCE(s1.s // s1.n, c0.m) AS m
+        |  FROM c${i - 1}$tag c0 LEFT JOIN s$i$tag s1 ON c0.cluster = s1.cluster AND c0.d = s1.d)""".stripMargin
+    }.mkString(",\n")
     s"""e$tag AS MATERIALIZED ($eDef),
-      |c0$tag AS (SELECT id AS cluster, d, c AS m FROM e$tag WHERE id < $k),
-      |d1$tag AS (SELECT e.id, c.cluster, SUM((e.c - c.m)*(e.c - c.m)) AS dist2
-      |  FROM e$tag e JOIN c0$tag c ON e.d = c.d GROUP BY e.id, c.cluster),
-      |a1$tag AS (SELECT id, cluster FROM (SELECT *, ROW_NUMBER() OVER
-      |  (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM d1$tag) t WHERE rn = 1),
-      |s1$tag AS (SELECT a.cluster, e.d, SUM(e.c) AS s, COUNT(*) AS n
-      |  FROM e$tag e JOIN a1$tag a ON e.id = a.id GROUP BY a.cluster, e.d),
-      |c1$tag AS MATERIALIZED (SELECT c0.cluster, c0.d, COALESCE(s1.s // s1.n, c0.m) AS m
-      |  FROM c0$tag c0 LEFT JOIN s1$tag s1 ON c0.cluster = s1.cluster AND c0.d = s1.d),
+      |c0$tag AS MATERIALIZED (SELECT id AS cluster, d, c AS m FROM e$tag WHERE id < $k),
+      |$rounds,
+      |cb$tag AS (SELECT * FROM c$u$tag),
       |df$tag AS (SELECT e.id, c.cluster, SUM((e.c - c.m)*(e.c - c.m)) AS dist2
-      |  FROM e$tag e JOIN c1$tag c ON e.d = c.d GROUP BY e.id, c.cluster),
+      |  FROM e$tag e JOIN cb$tag c ON e.d = c.d GROUP BY e.id, c.cluster),
       |f$tag AS MATERIALIZED (SELECT id, cluster, dist2 FROM (SELECT *, ROW_NUMBER() OVER
       |  (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM df$tag) t WHERE rn = 1)""".stripMargin
   }
@@ -297,7 +297,7 @@ object SketchQueries {
     val luts = subs.map { m =>
       s"""lut$m AS (SELECT q.id AS qid, c.cluster,
         |  SUM((q.c - c.m)*(q.c - c.m)) AS lutd2
-        |  FROM e$m q JOIN c1$m c ON q.d = c.d WHERE q.id < 4
+        |  FROM e$m q JOIN cb$m c ON q.d = c.d WHERE q.id < 4
         |  GROUP BY q.id, c.cluster),
         |sc$m AS (SELECT l.qid, f.id, l.lutd2
         |  FROM f$m f JOIN lut$m l ON f.cluster = l.cluster WHERE f.id <> l.qid)""".stripMargin
@@ -348,7 +348,7 @@ object SketchQueries {
         |  SUM((qs.c - cb.m)*(qs.c - cb.m)) AS lutd2
         |  FROM (SELECT qid, pc, d - $off AS d, c FROM qr
         |        WHERE d > $off AND d <= ${off + pq.SubDim}) qs
-        |  JOIN c1$m cb ON qs.d = cb.d GROUP BY qs.qid, qs.pc, cb.cluster),
+        |  JOIN cb$m cb ON qs.d = cb.d GROUP BY qs.qid, qs.pc, cb.cluster),
         |sc$m AS (SELECT l.qid, f.id, l.lutd2
         |  FROM f$m f JOIN fg g ON g.id = f.id
         |  JOIN lut$m l ON l.pc = g.cluster AND l.cluster = f.cluster
@@ -360,17 +360,17 @@ object SketchQueries {
         "SELECT vec_id AS id, d, cs[d] AS c FROM codes, generate_series(1, 64) AS t(d)")},
       |er AS MATERIALIZED (SELECT e.id, e.d, e.c - c.m + $shift AS c
       |  FROM eg e JOIN fg f ON e.id = f.id
-      |  JOIN c1g c ON c.cluster = f.cluster AND c.d = e.d),
+      |  JOIN cbg c ON c.cluster = f.cluster AND c.d = e.d),
       |$residChains,
       |qd AS (SELECT q.id AS qid, c.cluster AS pc,
       |  SUM((q.c - c.m)*(q.c - c.m)) AS d2
-      |  FROM eg q JOIN c1g c ON q.d = c.d WHERE q.id < 4
+      |  FROM eg q JOIN cbg c ON q.d = c.d WHERE q.id < 4
       |  GROUP BY q.id, c.cluster),
       |probe AS MATERIALIZED (SELECT qid, pc FROM (SELECT *, ROW_NUMBER() OVER
       |  (PARTITION BY qid ORDER BY d2, pc) AS rn FROM qd) t WHERE rn <= 2),
       |qr AS MATERIALIZED (SELECT p.qid, p.pc, e.d, e.c - c.m + $shift AS c
       |  FROM probe p JOIN eg e ON e.id = p.qid
-      |  JOIN c1g c ON c.cluster = p.pc AND c.d = e.d),
+      |  JOIN cbg c ON c.cluster = p.pc AND c.d = e.d),
       |$luts,
       |tot AS (SELECT qid, id, SUM(lutd2) AS adc_dist2 FROM ($unioned) u
       |  GROUP BY qid, id),

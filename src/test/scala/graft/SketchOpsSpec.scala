@@ -18,34 +18,71 @@ class SketchOpsSpec extends SparkSpec {
       (2L, Array(3L, 1L, 2L)), (3L, Array(98L, 99L, 97L)),
       (4L, Array(1L, 2L, 1L)), (5L, Array(101L, 99L, 100L)))
       .toDF("id", "codes")
-    val out = KMeansInt.fitAssign(codes, k = 2, iters = 2)
+    val out = KMeansInt.fitConvergedAssign(codes, k = 2, maxRounds = 16)
+      .assignment
       .select($"id", $"cluster").as[(Long, Long)].collect().toMap
     assert(Seq(0L, 2L, 4L).forall(out(_) == 0L))
     assert(Seq(1L, 3L, 5L).forall(out(_) == 1L))
-    val out2 = KMeansInt.fitAssign(codes, k = 2, iters = 2)
+    val out2 = KMeansInt.fitConvergedAssign(codes, k = 2, maxRounds = 16)
+      .assignment
       .select($"id", $"cluster").as[(Long, Long)].collect().toMap
     assert(out === out2, "integer k-means must be bit-deterministic")
   }
 
-  test("kmeans iterations do not increase total within-cluster distance") {
+  test("kmeans converges within the oracle unroll and exactly re-runs at that depth") {
     val codes = Quantize.sq8Codes(
       Tables.load(spark, sf, "embeddings"), "vec_id", "embedding")
       .localCheckpoint(true)
-    def totalDist(iters: Int): Long =
-      KMeansInt.fitAssign(codes, k = 8, iters = iters)
-        .agg(sum($"dist2")).as[Long].head()
-    val d1 = totalDist(1); val d2 = totalDist(2)
-    assert(d2 <= d1, s"Lloyd iteration must not increase cost: $d1 -> $d2")
+    val fit = KMeansInt.fitConvergedAssign(codes, k = 8,
+      maxRounds = KMeansInt.MaxRounds)
+    // the oracle unrolls exactly MaxRounds Lloyd rounds, so any run the
+    // engine completes (rounds <= MaxRounds) is covered by the replay
+    assert(fit.rounds <= KMeansInt.MaxRounds,
+      s"converged in ${fit.rounds} > MaxRounds=${KMeansInt.MaxRounds}")
+    // a rerun capped at exactly the observed depth converges to the
+    // same result — the stop is data-driven, not budget-dependent
+    val again = KMeansInt.fitConvergedAssign(codes, k = 8,
+      maxRounds = fit.rounds)
+    assert(again.rounds == fit.rounds)
+    assert(again.assignment.except(fit.assignment).isEmpty &&
+      fit.assignment.except(again.assignment).isEmpty)
+  }
+
+  test("kmeans throws past maxRounds instead of truncating training") {
+    val codes = Quantize.sq8Codes(
+      Tables.load(spark, sf, "embeddings"), "vec_id", "embedding")
+      .localCheckpoint(true)
+    intercept[IllegalStateException] {
+      KMeansInt.fitConvergedAssign(codes, k = 8, maxRounds = 1)
+    }
+  }
+
+  test("kmeans literal-argmin assignment matches the exploded-join form") {
+    // the converged centroids + assignment must be mutually consistent
+    // under the INDEPENDENT broadcast-join assignment path (the PQ
+    // encodeWith/search formulation) — pins the two argmin
+    // implementations (fold over literal centroids vs join + window)
+    // to the same values and tie-breaks
+    val codes = Quantize.sq8Codes(
+      Tables.load(spark, sf, "embeddings"), "vec_id", "embedding")
+      .localCheckpoint(true)
+    val fit = KMeansInt.fitConvergedAssign(codes, k = 8,
+      maxRounds = KMeansInt.MaxRounds)
+    val viaJoin = KMeansInt.assign(KMeansInt.explodedCodes(codes), fit.centroids)
+    assert(viaJoin.except(fit.assignment).isEmpty &&
+      fit.assignment.except(viaJoin).isEmpty,
+      "both assignment forms must be value-identical")
   }
 
   test("kmeans keeps previous centroid for emptied clusters") {
-    // seed 1 = (100,..) attracts nothing once points re-assign to seed
+    // seed 1 = (9,9) attracts nothing once points re-assign to seed
     // 0's updated mean; k stays 2 and assignment still totals all rows
     val codes = Seq(
       (0L, Array(0L, 0L)), (1L, Array(9L, 9L)),
       (2L, Array(1L, 1L)), (3L, Array(0L, 1L)), (4L, Array(2L, 0L)))
       .toDF("id", "codes")
-    val out = KMeansInt.fitAssign(codes, k = 2, iters = 3)
+    val out = KMeansInt.fitConvergedAssign(codes, k = 2, maxRounds = 16)
+      .assignment
     assert(out.count() == 5, "every point assigned even if a cluster empties")
   }
 
