@@ -197,36 +197,20 @@ object EventQueries {
       |GROUP BY cohort_day, day_offset
       |ORDER BY cohort_day, day_offset""".stripMargin
 
-  /** q109: time-series gap filling — every user's daily activity
-    * densified over their observed [first, last] day range, with zero
-    * counts on silent days, a running event total, and the last
-    * observed daily value carried forward (imputation). The
-    * carry-forward uses the portable two-window trick (count of
-    * non-nulls so far defines a group; the group's single non-null is
-    * its max) instead of IGNORE NULLS, which not every engine supports.
-    * Scale shape: the grid derives from the per-(user, day) AGGREGATE
-    * (orders of magnitude smaller than raw events), exploded by
-    * `sequence` — never a calendar cross join; one window partition per
-    * user. */
+  /** q109: time-series gap filling ([[graft.operators.GapFill]]) —
+    * every user's daily activity densified over their observed
+    * [first, last] day range, with zero counts on silent days, a
+    * running event total, and the last observed daily value carried
+    * forward (imputation). Streaming twin:
+    * [[graft.streaming.Streaming.gapFillStream]] (same rows,
+    * incrementally, days finalized by the watermark). */
   def q109GapFill(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val daily = Tables.loadEvents(s, dir)
       .select($"user_id", expr("sec DIV 86400").as("day"), dec($"value").as("v"))
       .groupBy($"user_id", $"day")
       .agg(count(lit(1)).as("n"), sum($"v").cast("double").as("dv"))
-      // feeds the span aggregate AND the grid join — one computation
-      .localCheckpoint(false)
-    val grid = daily.groupBy($"user_id")
-      .agg(min($"day").as("mn"), max($"day").as("mx"))
-      .select($"user_id", explode(sequence($"mn", $"mx")).as("day"))
-    val w = Window.partitionBy($"user_id").orderBy($"day")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(daily, Seq("user_id", "day"), "left")
-      .withColumn("grp", count($"dv").over(w))
-      .withColumn("n0", coalesce($"n", lit(0L)))
-      .withColumn("cum_events", sum($"n0").over(w))
-      .withColumn("carried_v", max($"dv").over(Window.partitionBy($"user_id", $"grp")))
-      .select($"user_id", $"day", $"n0".as("n_events"), $"cum_events", $"carried_v")
+    graft.operators.GapFill.dailyGapFill(daily)
       .orderBy($"user_id", $"day")
   }
 

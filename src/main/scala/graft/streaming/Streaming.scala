@@ -323,4 +323,79 @@ object Streaming {
           out.iterator
       }
   }
+
+  final case class GapEvent(userId: Long, day: Long, cents: Long,
+    eventTime: java.sql.Timestamp)
+  final case class GapRow(userId: Long, day: Long, nEvents: Long,
+    cumEvents: Long, carriedV: Double)
+  final case class GapFillState(
+    emittedThrough: Option[Long], // last day already emitted for this key
+    cum: Long,                    // running event total through emittedThrough
+    lastCents: Long,              // last observed daily value (exact cents)
+    pending: Map[Long, (Long, Long)]) // open days: day -> (n, cents)
+
+  /** Streaming twin of q109's gap-fill/imputation
+    * ([[graft.operators.GapFill.dailyGapFill]]): per-user daily rows —
+    * zero-filled silent days, running event total, last observed daily
+    * value carried forward — emitted INCREMENTALLY as the watermark
+    * finalizes each day. Keyed state is the (last-emitted-day, running
+    * total, last-value) triple plus the open per-day aggregates still
+    * inside the watermark horizon; a day is emitted once the watermark
+    * passes its end, together with any silent gap days before it
+    * (which need no buffered data at all — just the carried state).
+    * An event-time timeout re-fires the key when the watermark
+    * finalizes a buffered day even if no new data arrives for it.
+    *
+    * Emitted rows match the batch computation exactly: counts and
+    * cumulative totals are integers, and the carried value is the
+    * day's exact cent total through ONE correctly-rounded
+    * decimal→double conversion (the [[anomalyStream]] discipline) —
+    * the same single rounding the batch DECIMAL sum gets from its
+    * double cast. The batch grid ends at the key's last OBSERVED day;
+    * the stream, which cannot know a day is the last, simply stops
+    * emitting after it until more data arrives — same rows, finalized
+    * later. Requires a watermark on `eventTime` upstream (event-time
+    * timeouts need one); state is bounded by the watermark horizon
+    * (emitted days leave `pending`). */
+  def gapFillStream(ds: Dataset[GapEvent]): Dataset[GapRow] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[GapEvent], state: GroupState[GapFillState]) =>
+          val st0 = state.getOption.getOrElse(GapFillState(None, 0L, 0L, Map.empty))
+          var pending = st0.pending
+          rows.foreach { e =>
+            val (n, c) = pending.getOrElse(e.day, (0L, 0L))
+            pending = pending.updated(e.day, (n + 1L, c + e.cents))
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          // a day d is final once the watermark passes its end: no event
+          // with time < wm can arrive, and every event in day d has
+          // time < (d+1)·86400s ≤ wm
+          val completed = pending.keySet.filter(d => (d + 1L) * 86400000L <= wmMs)
+          var emitted = st0.emittedThrough
+          var cum = st0.cum
+          var lastC = st0.lastCents
+          val out = Seq.newBuilder[GapRow]
+          if (completed.nonEmpty) {
+            val from = emitted.map(_ + 1L).getOrElse(completed.min)
+            val to = completed.max
+            (from to to).foreach { d =>
+              val (n, c) = pending.getOrElse(d, (0L, 0L))
+              cum += n
+              if (n > 0L) lastC = c
+              out += GapRow(user, d, n, cum,
+                new java.math.BigDecimal(lastC).movePointLeft(2).doubleValue())
+              pending -= d
+            }
+            emitted = Some(to)
+          }
+          state.update(GapFillState(emitted, cum, lastC, pending))
+          // re-fire when the watermark finalizes the oldest open day
+          // (strictly above the current watermark — completed days left)
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp((pending.keys.min + 1L) * 86400000L)
+          out.result().iterator
+      }
+  }
 }

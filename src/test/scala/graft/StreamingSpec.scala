@@ -348,6 +348,55 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected && got === Set((1L, 10L), (2L, 11L)))
   }
 
+  test("streaming gap-fill emits the batch grid rows as the watermark finalizes days (q109 twin)") {
+    import Streaming.{GapEvent, GapRow}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val DayMs = 86400000L
+    // user 1: days 10, 13 (two events), 15 — gaps at 11-12 and 14;
+    // user 2: single day 20. Values in exact cents.
+    def ev(u: Long, day: Long, cents: Long, offMs: Long = 1000L) =
+      GapEvent(u, day, cents, new java.sql.Timestamp(day * DayMs + offMs))
+    val evs = Seq(
+      ev(1L, 10L, 1050L), ev(1L, 13L, 1010L), ev(1L, 13L, 200L, 2000L),
+      ev(1L, 15L, 330L), ev(2L, 20L, 777L))
+    val input = MemoryStream[GapEvent]
+    val q = Streaming.gapFillStream(
+        input.toDS().withWatermark("eventTime", "0 seconds").as[GapEvent])
+      .writeStream.format("memory").queryName("gap_out").outputMode("append").start()
+    try {
+      // batch 1: only day-10..13 data; nothing final until the
+      // watermark passes a day's end
+      input.addData(evs.take(3): _*)
+      q.processAllAvailable()
+      // batch 2: day 15 + user 2 arrive; watermark (day 20) finalizes
+      // user 1's days 10-14 — including the silent 11, 12, 14, which
+      // must carry day 10's / day 13's values with zero counts
+      input.addData(evs.drop(3): _*)
+      q.processAllAvailable()
+      // batch 3: far-future sentinel pushes the watermark past every
+      // buffered day; the event-time timeout flushes user 1's day 15
+      // and user 2's day 20 with no new data for either key
+      input.addData(ev(99L, 1000L, 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("gap_out").as[GapRow].collect()
+      .filter(_.userId != 99L)
+      .map(r => (r.userId, r.day) -> ((r.nEvents, r.cumEvents, r.carriedV)))
+      .toMap
+    val batch = graft.operators.GapFill.dailyGapFill(
+        evs.toDF().select($"userId".as("user_id"), $"day",
+            expr("CAST(cents AS DECIMAL(12,2)) / 100").as("v"))
+          .groupBy($"user_id", $"day")
+          .agg(count(lit(1)).as("n"), sum($"v").cast("double").as("dv")))
+      .filter($"user_id" =!= 99L)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(streamed === batch, s"stream/batch divergence: $streamed vs $batch")
+    // the silent days really are gap-filled carries, not copies of data
+    assert(streamed((1L, 12L)) == ((0L, 1L, 10.5)))
+    assert(streamed((1L, 14L)) == ((0L, 3L, 12.1)))
+  }
+
   test("streaming anomaly scores bit-match the batch window across micro-batches") {
     import Streaming.{AnomEvent, AnomScore}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
