@@ -71,7 +71,11 @@ object PlanAudit {
     // four per-edge scalar audits (child count × orphan count 1-row
     // crossJoins) — the q02/q82 classes
     "q140_ref_integrity" -> Set(SinglePartition, Bnlj),
-    "q114_sliding_hll" -> Set(Bnlj)) // windows × 256-bucket skeleton (q91 class)
+    "q114_sliding_hll" -> Set(Bnlj), // windows × 256-bucket skeleton (q91 class)
+    // (type, window) groups × 256-bucket register skeleton (q91/q114
+    // class — the dense-bucket crossJoin is groups×256 rows, constant
+    // per group, never data-sized)
+    "q141_group_sliding_hll" -> Set(Bnlj))
 
   val flags = Seq(SinglePartition, Cartesian, Bnlj)
 

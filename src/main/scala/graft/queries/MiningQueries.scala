@@ -171,6 +171,64 @@ object MiningQueries {
       |  ex.n_exact
       |FROM agg JOIN ex ON agg.w = ex.w ORDER BY win""".stripMargin
 
+  /** q141: GROUPED sliding-window distinct sketch — distinct users per
+    * (event_type, 3-bucket sliding 10-minute window): q114's sliding
+    * HLL merge, but with one register vector per (event_type, bucket)
+    * via a composite struct group ([[graft.ext.Hll.groupRegisters]]),
+    * merged across the window by elementwise max — the live-dashboard
+    * shape (distinct-per-key-per-window). Exact per-(type, window)
+    * distinct counts ride alongside for comparison. State stays
+    * (types × windows) × 256 longs regardless of event volume, there
+    * is no single-partition stage at ANY group count, and the same
+    * merge serves cross-key rollups: max-merging the per-type vectors
+    * of a window reproduces q114's global window sketch exactly. */
+  def q141GroupSlidingHll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.loadEvents(s, dir)
+      .select($"event_type", expr("sec DIV 600").as("grp0"), $"user_id")
+      .localCheckpoint(false) // feeds the register build AND the exact side
+    val regs = graft.ext.Hll.groupRegisters(ev,
+      struct($"event_type".as("et"), $"grp0".as("g0")), $"user_id")
+    val slid = regs
+      .select($"grp.et".as("event_type"),
+        explode(sequence($"grp.g0", $"grp.g0" + 2)).as("w"), $"bucket", $"r")
+      .groupBy($"event_type", $"w", $"bucket").agg(max($"r").as("r"))
+    val est = graft.ext.Hll.groupEstimate(
+        slid.select(struct($"event_type", $"w").as("grp"), $"bucket", $"r"))
+      .select($"grp.event_type".as("event_type"), $"grp.w".as("win"),
+        $"m", $"n_zero", $"sum_pow", $"est_raw")
+    val exact = ev.withColumn("w", explode(sequence($"grp0", $"grp0" + 2)))
+      .groupBy($"event_type", $"w").agg(countDistinct($"user_id").as("n_exact"))
+    est.join(exact,
+        est("event_type") === exact("event_type") && est("win") === exact("w"))
+      .select(est("event_type"), $"win", $"m", $"n_zero", $"sum_pow",
+        $"est_raw", $"n_exact")
+      .orderBy($"event_type", $"win")
+  }
+
+  val q141Sql: String =
+    s"""WITH ev AS (SELECT event_type,
+      |  CAST(floor(epoch(ts)) AS BIGINT) // 600 AS grp0, user_id FROM events),
+      |${AnalyticsQueries.regChainSql("", "ev", "CAST(user_id AS VARCHAR)",
+        Some("{'et': event_type, 'g0': grp0}"))},
+      |sl AS (SELECT t.grp.et AS event_type, w, bucket, MAX(r) AS r FROM
+      |  (SELECT grp, unnest(generate_series(grp.g0, grp.g0 + 2)) AS w, bucket, r
+      |   FROM reg) t
+      |  GROUP BY t.grp.et, w, bucket),
+      |agg AS (SELECT event_type, w, COUNT(*) AS m,
+      |    CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |    CAST(SUM(1::BIGINT << CAST(32 - r AS INT)) AS BIGINT) AS sum_pow
+      |  FROM sl GROUP BY event_type, w),
+      |ex AS (SELECT event_type, w, COUNT(DISTINCT user_id) AS n_exact FROM
+      |  (SELECT event_type, unnest(generate_series(grp0, grp0 + 2)) AS w, user_id
+      |   FROM ev) t
+      |  GROUP BY event_type, w)
+      |SELECT agg.event_type, agg.w AS win, agg.m, agg.n_zero, agg.sum_pow,
+      |  round(${AnalyticsQueries.estSql.format("agg.sum_pow")}, 6) AS est_raw,
+      |  ex.n_exact
+      |FROM agg JOIN ex ON agg.event_type = ex.event_type AND agg.w = ex.w
+      |ORDER BY agg.event_type, win""".stripMargin
+
   /** q124: winnowing fingerprints ([[graft.ext.Winnowing]], the MOSS
     * algorithm) — local-min sampling of 8-gram hashes in windows of 4,
     * then the cross-doc posting list of fingerprints selected by ≥ 2
@@ -266,7 +324,8 @@ object MiningQueries {
     "q89_best_rep" -> (q89BestRep _),
     "q91_group_hll" -> (q91GroupHll _),
     "q114_sliding_hll" -> (q114SlidingHll _),
-    "q124_winnowing" -> (q124Winnowing _))
+    "q124_winnowing" -> (q124Winnowing _),
+    "q141_group_sliding_hll" -> (q141GroupSlidingHll _))
 
   val oracle: Map[String, String] = Map(
     "q136_basket_rules" -> q136Sql,
@@ -275,5 +334,6 @@ object MiningQueries {
     "q89_best_rep" -> q89Sql,
     "q91_group_hll" -> q91Sql,
     "q114_sliding_hll" -> q114Sql,
-    "q124_winnowing" -> q124Sql)
+    "q124_winnowing" -> q124Sql,
+    "q141_group_sliding_hll" -> q141Sql)
 }

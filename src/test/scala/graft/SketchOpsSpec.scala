@@ -100,6 +100,21 @@ class SketchOpsSpec extends SparkSpec {
       s"estimate $corrected (raw $est) too far from exact $exact")
   }
 
+  test("grouped sliding HLL: per-type registers max-merge to the global window sketch") {
+    // the q141 scaladoc's rollup claim, pinned: max-merging the
+    // per-event-type register vectors of each time bucket reproduces
+    // q114's global per-bucket registers exactly
+    val ev = Tables.loadEvents(spark, sf)
+      .select($"event_type", expr("sec DIV 600").as("grp0"), $"user_id")
+      .localCheckpoint(true)
+    val byType = Hll.groupRegisters(ev,
+        struct($"event_type".as("et"), $"grp0".as("g0")), $"user_id")
+      .groupBy($"grp.g0".as("grp"), $"bucket").agg(max($"r").as("r"))
+    val global = Hll.groupRegisters(ev, $"grp0", $"user_id")
+    assert(byType.except(global).isEmpty && global.except(byType).isEmpty,
+      "per-type max-merge must equal the directly-built global registers")
+  }
+
   test("hll registers of a union are the elementwise max (mergeability)") {
     val a = spark.range(0, 1000).select($"id".cast("long").as("k"))
     val b = spark.range(500, 1500).select($"id".cast("long").as("k"))
