@@ -75,7 +75,9 @@ object PlanAudit {
     // (type, window) groups × 256-bucket register skeleton (q91/q114
     // class — the dense-bucket crossJoin is groups×256 rows, constant
     // per group, never data-sized)
-    "q141_group_sliding_hll" -> Set(Bnlj))
+    "q141_group_sliding_hll" -> Set(Bnlj),
+    // 16 sketches × 256-bucket register skeleton (q91 class)
+    "q134b_fd_sketch" -> Set(Bnlj))
 
   val flags = Seq(SinglePartition, Cartesian, Bnlj)
 

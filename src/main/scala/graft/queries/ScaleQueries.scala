@@ -272,6 +272,84 @@ object ScaleQueries {
     parts.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) u ORDER BY det, dep")
   }
 
+  /** q134b: SKETCH-based functional-dependency discovery — q134's own
+    * 100 TB note implemented: ONE scan emits 16 tagged keys per row (4
+    * single columns + 12 ordered pairs, det and det|dep concatenated),
+    * and a single constant-size exchange builds one HLL register
+    * vector per sketch ([[graft.ext.Hll.groupRegisters]] — 16×256
+    * longs of state total). `det → dep` holds iff |distinct (det,dep)|
+    * = |distinct det|, so the sketch test is est_pair ≤ est_det·1.2
+    * (the two estimates hash DIFFERENT key strings, so they are
+    * independent ±6.5% draws even for identical cardinalities — 1.2 ≈
+    * 2σ of their ratio). The exact per-sketch distinct counts ride
+    * alongside from the same exploded keys (the oracle-checkable
+    * baseline, and the q137 discipline: the approximation is measured
+    * against truth, not assumed), with holds_exact = (n_pair = n_det)
+    * ≡ q134's n_violating = 0. The est path's shuffle is 16×256
+    * partials per partition regardless of row count — the 12
+    * data-sized per-pair passes of q134 become one. */
+  def q134bFdSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.Hll
+    val o = Tables.load(s, dir, "orders")
+    val fdPairs = for { det <- fdCols; dep <- fdCols if det != dep } yield (det, dep)
+    val entries =
+      fdCols.map(c => struct(lit(c).as("sk"), col(c).cast("string").as("k"))) ++
+        fdPairs.map { case (det, dep) =>
+          struct(lit(s"$det|$dep").as("sk"),
+            concat(col(det).cast("string"), lit("|"), col(dep).cast("string")).as("k"))
+        }
+    val keys = o.select(explode(array(entries: _*)).as("e"))
+      .select($"e.sk".as("sk"), $"e.k".as("k"))
+      .localCheckpoint(false) // feeds the sketch build AND the exact side
+    val est = Hll.groupEstimate(Hll.groupRegisters(keys, $"sk", $"k"))
+      .select($"grp".as("sk"), $"est_raw")
+    val exact = keys.groupBy($"sk").agg(countDistinct($"k").as("n_exact"))
+    val pairsDf = fdPairs.toDF("det", "dep")
+    pairsDf
+      .join(broadcast(est.select($"sk", $"est_raw".as("est_det"))),
+        pairsDf("det") === $"sk").drop("sk")
+      .join(broadcast(est.select($"sk", $"est_raw".as("est_pair"))),
+        concat(pairsDf("det"), lit("|"), pairsDf("dep")) === $"sk").drop("sk")
+      .join(broadcast(exact.select($"sk", $"n_exact".as("n_det"))),
+        pairsDf("det") === $"sk").drop("sk")
+      .join(broadcast(exact.select($"sk", $"n_exact".as("n_pair"))),
+        concat(pairsDf("det"), lit("|"), pairsDf("dep")) === $"sk").drop("sk")
+      .select($"det", $"dep", $"n_det", $"n_pair", $"est_det", $"est_pair",
+        ($"n_pair" === $"n_det").cast("int").as("holds_exact"),
+        ($"est_pair" <= $"est_det" * lit(1.2)).cast("int").as("holds_est"))
+      .orderBy($"det", $"dep")
+  }
+
+  val q134bSql: String = {
+    val fdPairs = for { det <- fdCols; dep <- fdCols if det != dep } yield (det, dep)
+    val branches =
+      fdCols.map(c => s"SELECT '$c' AS sk, CAST($c AS VARCHAR) AS k FROM orders") ++
+        fdPairs.map { case (det, dep) =>
+          s"SELECT '$det|$dep' AS sk, CAST($det AS VARCHAR) || '|' || CAST($dep AS VARCHAR) AS k FROM orders"
+        }
+    val values = fdPairs.map { case (d, p) => s"('$d', '$p')" }.mkString(", ")
+    s"""WITH keys AS (${branches.mkString("\n  UNION ALL ")}),
+      |${AnalyticsQueries.regChainSql("", "keys", "k", Some("sk"))},
+      |agg AS (SELECT grp AS sk,
+      |    round(${AnalyticsQueries.estSql.format(
+               "CAST(SUM(1::BIGINT << CAST(32 - r AS INT)) AS BIGINT)")}, 6) AS est_raw
+      |  FROM reg GROUP BY grp),
+      |ex AS (SELECT sk, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_exact
+      |  FROM keys GROUP BY sk),
+      |pairs(det, dep) AS (VALUES $values)
+      |SELECT p.det, p.dep, exd.n_exact AS n_det, exp.n_exact AS n_pair,
+      |  aggd.est_raw AS est_det, aggp.est_raw AS est_pair,
+      |  CAST(exp.n_exact = exd.n_exact AS INT) AS holds_exact,
+      |  CAST(aggp.est_raw <= aggd.est_raw * 1.2 AS INT) AS holds_est
+      |FROM pairs p
+      |JOIN agg aggd ON aggd.sk = p.det
+      |JOIN agg aggp ON aggp.sk = p.det || '|' || p.dep
+      |JOIN ex exd ON exd.sk = p.det
+      |JOIN ex exp ON exp.sk = p.det || '|' || p.dep
+      |ORDER BY det, dep""".stripMargin
+  }
+
   /** q140: referential-integrity audit — orphan counts for the star
     * schema's four FK edges (lineitem→orders, orders→customer,
     * lineitem→part, lineitem→supplier): per edge, the child row count
@@ -332,7 +410,8 @@ object ScaleQueries {
     "q50_hash_split" -> (q50HashSplit _),
     "q51_profile" -> (q51Profile _),
     "q52_sliding_window" -> (q52SlidingWindow _),
-    "q134_fd_discovery" -> (q134FdDiscovery _))
+    "q134_fd_discovery" -> (q134FdDiscovery _),
+    "q134b_fd_sketch" -> (q134bFdSketch _))
 
   val oracle: Map[String, String] = Map(
     "q140_ref_integrity" -> q140Sql,
@@ -342,5 +421,6 @@ object ScaleQueries {
     "q50_hash_split" -> q50Sql,
     "q51_profile" -> q51Sql,
     "q52_sliding_window" -> q52Sql,
-    "q134_fd_discovery" -> q134Sql)
+    "q134_fd_discovery" -> q134Sql,
+    "q134b_fd_sketch" -> q134bSql)
 }
