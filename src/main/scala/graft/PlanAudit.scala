@@ -53,6 +53,8 @@ object PlanAudit {
     // window runs eagerly into the checkpointed query-term table, so
     // its justified SinglePartition never reaches the audited plan.
     "q121_rrf_fusion" -> Set(Bnlj),
+    // same dense-baseline 8-row query-vector cross join as q121
+    "q142_triple_rrf" -> Set(Bnlj),
     // KMV assembly: every frame past the TakeOrdered sketches is ≤ 64
     // rows — the scalar aggs and 1-row crossJoins are the q82 class
     "q125_kmv_overlap" -> Set(SinglePartition, Bnlj),

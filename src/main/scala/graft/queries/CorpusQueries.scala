@@ -231,15 +231,18 @@ object CorpusQueries {
     * nested-loop over the 8-row query-vector table (the q22/q94 class —
     * allowlisted); its ANN twins (q68/q95) are the billion-doc path.
     * Fusion itself touches ≤ 20 rows per query. */
-  def q121RrfFusion(s: SparkSession, dir: String): DataFrame = {
+  /** Shared sparse+dense ranker construction for q121/q142: the BM25
+    * index over the corpus, its derived query-term groups, and the two
+    * per-query top-10 rankings. One index build feeds everything. */
+  private def hybridRankers(s: SparkSession, dir: String): (graft.ext.Bm25.Index, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     import graft.functions.GraftFunctions
-    import graft.ext.{Bm25, Rrf}
+    import graft.ext.Bm25
     val docs = Tables.load(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
     val ix = Bm25.index(docs, "doc_id", "text")
-    // 24 rows feeding both retrievers — checkpoint so the vocabulary
-    // ranking window runs once
+    // 24 rows feeding every retriever — checkpoint so the top-k term
+    // selection runs once
     val qt = ix.queryTerms(nQueries = 8, termsPerQuery = 3).localCheckpoint(true)
     val sparse = Bm25.rankTopK(ix.scores(qt), 10).select($"qid", $"id", $"rank")
     val qvec = qt.select($"qid", posexplode(GraftFunctions.hashEmbed($"term", 16)))
@@ -255,13 +258,57 @@ object CorpusQueries {
       .partitionBy($"qid").orderBy($"dot".desc, $"id")
     val dense = dot.withColumn("rank", row_number().over(kw).cast("long"))
       .filter($"rank" <= 10).select($"qid", $"id", $"rank")
-    Rrf.fuse(Seq("bm25" -> sparse, "dense" -> dense), topK = 10)
+    (ix, qt, sparse, dense)
+  }
+
+  def q121RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, _, sparse, dense) = hybridRankers(s, dir)
+    graft.ext.Rrf.fuse(Seq("bm25" -> sparse, "dense" -> dense), topK = 10)
       .select($"qid", $"rank", $"id".as("doc_id"), $"rrf_fp", $"r_bm25", $"r_dense")
       .orderBy($"qid", $"rank")
   }
 
-  val q121Sql: String =
-    s"""WITH btoks AS (SELECT id, term FROM (
+  /** q142: THREE-way hybrid retrieval — q121's BM25 (sparse) and
+    * hashing-trick dot-product (dense) rankers joined by a third,
+    * EXACT set-overlap ranker (the q116 family: per query, documents
+    * ranked by exact Jaccard between the 3-term query set and the
+    * document's distinct token set — fixed-point
+    * `inter·10^6 DIV (3 + |d| − inter)`), fused N-way by
+    * reciprocal-rank fusion. Exercises [[graft.ext.Rrf.fuse]]'s
+    * general N-list path end-to-end under the hash gate; every score
+    * is an exact integer.
+    *
+    * Scale shape: the set ranker reuses the checkpointed BM25
+    * term-frequency table — the term equi-join IS its posting-list
+    * candidate generation (only docs sharing a query term score);
+    * fusion still touches ≤ lists·k rows per query. */
+  def q142TripleRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (ix, qt, sparse, dense) = hybridRankers(s, dir)
+    val dsz = ix.tf.groupBy($"id").agg(count(lit(1)).as("nd"))
+    val inter = ix.tf.join(broadcast(qt.select($"qid", $"term")), "term")
+      .groupBy($"qid", $"id").agg(count(lit(1)).as("inter"))
+    val scored = inter.join(dsz, "id")
+      .select($"qid", $"id",
+        expr("inter * 1000000L DIV (3 + nd - inter)").as("jac_fp"))
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"jac_fp".desc, $"id")
+    val setR = scored.withColumn("rank", row_number().over(sw).cast("long"))
+      .filter($"rank" <= 10).select($"qid", $"id", $"rank")
+    graft.ext.Rrf.fuse(
+        Seq("bm25" -> sparse, "dense" -> dense, "set" -> setR), topK = 10)
+      .select($"qid", $"rank", $"id".as("doc_id"), $"rrf_fp",
+        $"r_bm25", $"r_dense", $"r_set")
+      .orderBy($"qid", $"rank")
+  }
+
+  /** Shared oracle CTEs for q121/q142: BM25 index + derived queries +
+    * the sparse (`sp`, r_bm25) and dense (`dn`, r_dense) per-query
+    * top-10 rankings. Like regChainSql, this block must never fork
+    * between the two hybrid-retrieval oracles. */
+  private val hybridRankersSql: String =
+    s"""btoks AS (SELECT id, term FROM (
       |    SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
       |    FROM documents WHERE length(trim(text)) > 0) t
       |  WHERE term <> ''),
@@ -291,7 +338,10 @@ object CorpusQueries {
       |dots AS (SELECT q.qid, e.doc_id AS id, SUM(q.qv * e.v) AS dot
       |  FROM qemb q JOIN emb e ON q.d = e.d GROUP BY q.qid, e.doc_id),
       |dn AS (SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, id) AS BIGINT) AS r_dense
-      |  FROM dots QUALIFY r_dense <= 10),
+      |  FROM dots QUALIFY r_dense <= 10)""".stripMargin
+
+  val q121Sql: String =
+    s"""WITH $hybridRankersSql,
       |f AS (SELECT COALESCE(sp.qid, dn.qid) AS qid, COALESCE(sp.id, dn.id) AS id,
       |    sp.r_bm25, dn.r_dense
       |  FROM sp FULL OUTER JOIN dn ON sp.qid = dn.qid AND sp.id = dn.id),
@@ -303,11 +353,37 @@ object CorpusQueries {
       |SELECT qid, rank, id AS doc_id, rrf_fp, r_bm25, r_dense
       |FROM fr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  val q142Sql: String =
+    s"""WITH $hybridRankersSql,
+      |dsz AS (SELECT id, COUNT(*) AS nd FROM tf GROUP BY id),
+      |itr AS (SELECT qt.qid, tf.id, COUNT(*) AS inter
+      |  FROM tf JOIN qt USING (term) GROUP BY qt.qid, tf.id),
+      |js AS (SELECT itr.qid, itr.id,
+      |    CAST(inter * 1000000 // (3 + dsz.nd - inter) AS BIGINT) AS jac_fp
+      |  FROM itr JOIN dsz USING (id)),
+      |st AS (SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY jac_fp DESC, id) AS BIGINT) AS r_set
+      |  FROM js QUALIFY r_set <= 10),
+      |f2 AS (SELECT COALESCE(sp.qid, dn.qid) AS qid, COALESCE(sp.id, dn.id) AS id,
+      |    sp.r_bm25, dn.r_dense
+      |  FROM sp FULL OUTER JOIN dn ON sp.qid = dn.qid AND sp.id = dn.id),
+      |f3 AS (SELECT COALESCE(f2.qid, st.qid) AS qid, COALESCE(f2.id, st.id) AS id,
+      |    f2.r_bm25, f2.r_dense, st.r_set
+      |  FROM f2 FULL OUTER JOIN st ON f2.qid = st.qid AND f2.id = st.id),
+      |rrf AS (SELECT qid, id,
+      |    CAST(COALESCE(1000000 // (60 + r_bm25), 0)
+      |       + COALESCE(1000000 // (60 + r_dense), 0)
+      |       + COALESCE(1000000 // (60 + r_set), 0) AS BIGINT) AS rrf_fp,
+      |    r_bm25, r_dense, r_set FROM f3),
+      |fr AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_fp DESC, id) AS BIGINT) AS rank FROM rrf)
+      |SELECT qid, rank, id AS doc_id, rrf_fp, r_bm25, r_dense, r_set
+      |FROM fr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_corpus_clean" -> (q34CorpusClean _),
     "q36_async_enrich" -> (q36AsyncEnrich _),
     "q100_retrieval_prep" -> (q100RetrievalPrep _),
     "q118_bm25" -> (q118Bm25 _),
+    "q142_triple_rrf" -> (q142TripleRrf _),
     "q121_rrf_fusion" -> (q121RrfFusion _))
 
   val oracle: Map[String, String] = Map(
@@ -315,5 +391,6 @@ object CorpusQueries {
     "q36_async_enrich" -> q36Sql,
     "q100_retrieval_prep" -> q100Sql,
     "q118_bm25" -> q118Sql,
+    "q142_triple_rrf" -> q142Sql,
     "q121_rrf_fusion" -> q121Sql)
 }
