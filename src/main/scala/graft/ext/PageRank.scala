@@ -108,7 +108,7 @@ object PageRank {
   /** Materialized graph shared by every iteration: cached symmetric-ish
     * edge list, vertex table, degree-annotated edges, and whether the
     * per-round |V|-row tables fit the broadcast envelope. */
-  private final case class Graph(
+  private[graft] final case class Graph(
       e: DataFrame, vertices: DataFrame, ed: DataFrame, bcast: Boolean) {
     // The rank table is one (id, rank) row per vertex — orders of
     // magnitude smaller than the edge list it joins. Broadcasting it
@@ -126,7 +126,7 @@ object PageRank {
     }
   }
 
-  private def prepare(edges: DataFrame): Graph = {
+  private[graft] def prepare(edges: DataFrame): Graph = {
     // one materialization of the (possibly expensive) upstream edge
     // plan; vertices and degree-annotated edges both derive from it
     val e = edges.select(col("src"), col("dst"))
@@ -137,19 +137,30 @@ object PageRank {
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // degree rides with the edge list across all iterations
-    val ed = e.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nV = vertices.count() // also materializes the vertex cache
-    Graph(e, vertices, ed, nV <= BroadcastVertexLimit)
+    val bcast = nV <= BroadcastVertexLimit
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // Pre-partition the cached edge list by the per-round HOT KEY, paid
+    // once for all rounds. Broadcast mode: the only per-round exchange
+    // is the contribution aggregation on dst — hash-partitioning the
+    // cache by dst lets every round's groupBy(dst) reuse the cached
+    // partitioning (the broadcast join and the project both preserve
+    // it), so NO per-round exchange touches edge- or contribution-sized
+    // data at all. Shuffle-join mode (|V| above the broadcast
+    // envelope): the hot key is the src join key — the edge side of
+    // each round's sort-merge join stays in place and only the |V|-row
+    // rank table moves.
+    val ed = e.join(deg, "src")
+      .repartition(col(if (bcast) "dst" else "src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Graph(e, vertices, ed, bcast)
   }
 
   /** One damped message-passing round (lazy plan): join ranks to the
     * cached edge list (broadcast when small), partial-aggregate
     * contributions on dst, rejoin to the vertex table. Callers decide
     * when to checkpoint. */
-  private def stepPlan(g: Graph, r: DataFrame, teleport: Column,
+  private[graft] def stepPlan(g: Graph, r: DataFrame, teleport: Column,
       dampSql: String): DataFrame = {
     val contrib = g.ed.join(g.hint(r), g.ed("src") === r("id"))
       .select(col("dst"), expr("rank DIV deg").as("c"))

@@ -43,6 +43,49 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q126_skyline" -> 3, // per-cost agg + range partition + final order (prefix max is scan-local)
     "q127_tpch_q7" -> 4) // lineitem-orders fact join (2) + final agg + order; both nation dims broadcast
 
+  test("PageRank round plans ZERO exchanges against the pre-partitioned edge cache") {
+    // the per-round plans are checkpointed away from the final query
+    // plan, so pin the round itself: with the edge cache
+    // hash-partitioned by dst and the rank table broadcast, the
+    // contribution groupBy(dst) must reuse the cached partitioning —
+    // no exchange touches edge- or contribution-sized data in a round
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = Tables.load(spark, sf, "lineitem")
+      .filter($"l_quantity" >= 45)
+      .select($"l_orderkey".as("src"), $"l_partkey".as("dst")).distinct()
+    val g = graft.ext.PageRank.prepare(edges)
+    try {
+      // materialize the edge cache the way round 1 does — steady-state
+      // rounds (the ones that repeat ~20×) plan against the FINAL
+      // cached plan, whose dst hash-partitioning is then visible to
+      // EnsureRequirements
+      g.ed.count()
+      val r0 = g.vertices.select($"id", lit(graft.ext.PageRank.FixTeleport).as("rank"))
+        .localCheckpoint(true)
+      val step = graft.ext.PageRank.stepPlan(g, r0, lit(graft.ext.PageRank.FixTeleport),
+        "coalesce(m, 0L) DIV 2")
+      // count LIVE shuffle exchanges by tree walk: cached subtrees
+      // render their historical (already-paid) exchanges in explain
+      // text, but an InMemoryTableScan has no children, so a traversal
+      // sees only what this round would actually shuffle; broadcast
+      // exchanges (the rank and contribution tables) are the intended
+      // transport and don't count
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def live(p: SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => live(a.executedPlan)
+        case e: ShuffleExchangeLike => 1 + e.children.map(live).sum
+        case o => o.children.map(live).sum
+      }
+      val n = live(step.queryExecution.executedPlan)
+      assert(n == 0,
+        s"a PageRank round now plans $n live shuffle exchanges — the dst pre-partitioning is not being reused:\n" +
+          step.queryExecution.executedPlan.toString)
+    } finally g.unpersistAll()
+  }
+
   budgets.foreach { case (name, budget) =>
     test(s"$name plans at most $budget exchanges") {
       val n = exchanges(name)
