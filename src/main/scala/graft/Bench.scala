@@ -1,8 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line (the driver contract). Also writes the full
+  * per-query map to SPARK_GRAFT_BENCH_OUT (default `bench_times.json`
+  * in the working directory) — the driver-side artifact truncates its
+  * tail, losing q100+ every round, so the repo carries its own
+  * complete, machine-readable table of record.
+  *
+  * SPARK_GRAFT_BENCH_REPS > 1 enables WARM mode: each query runs that
+  * many times in the one warm JVM and reports its MEDIAN — the
+  * steady-state numbers STATUS.md cites, free of cold-start JIT/codegen
+  * noise. The driver's single-shot contract is reps = 1 (default). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
     val spark = LocalSessions.create()
     // untimed warmup: session init, codegen compiler, parquet footer
     // reads — so the first timed query measures itself, not startup
@@ -12,14 +26,21 @@ object Bench {
     } catch { case _: Throwable => () }
     // name order: deterministic run sequence, comparable across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.size / 2) // median (= the value itself at reps=1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case _: Throwable => () } // stdout line is the contract; the file is best-effort
+    println(json)
     spark.stop()
   }
 }

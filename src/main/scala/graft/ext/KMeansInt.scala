@@ -28,14 +28,13 @@ import org.apache.spark.sql.functions._
   * Scale design: centroids are k×dim integers — CONSTANT-size state,
   * collected to the driver each round (the q128-τ one-row-stats class;
   * MLlib's k-means does exactly this) and re-embedded as literals. So
-  * a round is (1) one map-side-combined aggregation of (cluster, d)
-  * sums — the only shuffle, k×dim partials per partition — and (2) a
-  * map-only reassignment job with the argmin unrolled over the k
-  * literal centroids, eagerly checkpointed with its changed-flag, plus
-  * a cheap count on the checkpointed result. Nothing corpus-sized
-  * shuffles in any round; the codes table is read from its checkpoint
-  * each pass. Empty clusters keep their previous centroid, so k is
-  * stable.
+  * a round is ONE job: the map-only reassignment (argmin over the k
+  * literal centroids, a lazily-checkpointed constant-size plan)
+  * materialized by the map-side-combined (cluster, d) sums aggregation
+  * — the only shuffle, k×dim partials per partition — which also
+  * carries the changed-count. Nothing corpus-sized shuffles in any
+  * round; the codes table is read from its checkpoint each pass.
+  * Empty clusters keep their previous centroid, so k is stable.
   *
   * Determinism contract: ties in the argmin break toward the smaller
   * cluster id; centroid means use floor integer division (codes are

@@ -370,7 +370,60 @@ object TextQueries {
       |SELECT da, db, CAST(inter AS BIGINT) AS inter, CAST(un AS BIGINT) AS un
       |FROM p WHERE inter*10 >= 9*un ORDER BY da, db""".stripMargin
 
+  /** Number of BPE merges q143 trains (the vocabulary budget). */
+  val BpeMerges = 24
+
+  /** q143: BPE tokenizer-vocabulary training ([[graft.ext.BpeTrain]],
+    * Sennrich et al.) — [[BpeMerges]] rounds of merge-the-most-frequent
+    * adjacent symbol pair over the corpus word dictionary, from
+    * per-character symbols. The output merge table (rank, lhs, rhs,
+    * merged, pair_freq) is the artifact a BPE tokenizer executes — the
+    * tokenizer-TRAINING step beside the engine's token counting (q16)
+    * and retrieval stacks. Exact integer pair counts, (cnt DESC, lhs,
+    * rhs) tie-break, left-to-right non-overlapping merges — the oracle
+    * replays all rounds unconditionally, valid because the engine
+    * THROWS (rather than truncates) when the corpus can't support the
+    * requested merges at frequency ≥ 2. Rounds run over the
+    * vocabulary-sized word dictionary in the k-means loop shape: top-1
+    * TakeOrdered argmax to the driver, literal-embedded rewrite, one
+    * job per round. */
+  def q143BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ext.BpeTrain.merges(
+        graft.ext.BpeTrain.wordDict(Tables.load(s, dir, "documents"), "text"),
+        BpeMerges)
+      .orderBy($"merge_rank")
+  }
+
+  val q143Sql: String = {
+    val rounds = (1 to BpeMerges).map { i =>
+      s"""p$i AS (SELECT s[j] AS a, s[j + 1] AS b, freq FROM
+        |    (SELECT string_split(sym, ' ') AS s, freq FROM w${i - 1}) t
+        |    CROSS JOIN UNNEST(generate_series(2, len(s) - 1)) AS u(j)),
+        |c$i AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM p$i GROUP BY a, b),
+        |m$i AS MATERIALIZED (SELECT a, b, a || b AS ab, cnt FROM c$i
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |w$i AS MATERIALIZED (SELECT
+        |    replace(sym, ' ' || m.a || ' ' || m.b, ' ' || m.a || m.b) AS sym, freq
+        |  FROM w${i - 1}, m$i m)""".stripMargin
+    }.mkString(",\n")
+    val unioned = (1 to BpeMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, ab AS merged, cnt AS pair_freq FROM m$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT word FROM (
+      |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      |    FROM documents) t
+      |  WHERE regexp_matches(word, '^[a-z0-9]+$$')),
+      |wd AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word),
+      |w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
+      |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)),
+      |    ' ') AS sym, freq FROM wd),
+      |$rounds
+      |SELECT * FROM ($unioned) u ORDER BY merge_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_bpe_train" -> (q143BpeTrain _),
     "q116_prefix_join" -> (q116PrefixJoin _),
     "q16_text_stats" -> (q16TextStats _),
     "q17_lang_id" -> (q17LangId _),
@@ -383,6 +436,7 @@ object TextQueries {
     "q104_collocations" -> (q104Collocations _))
 
   val oracle: Map[String, String] = Map(
+    "q143_bpe_train" -> q143Sql,
     "q16_text_stats" -> q16Sql,
     "q17_lang_id" -> q17Sql,
     "q18_exact_dedup" -> q18Sql,

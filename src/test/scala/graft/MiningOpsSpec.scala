@@ -8,6 +8,45 @@ import org.apache.spark.sql.functions._
 class MiningOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("BPE training merges the classic low/lower corpus in the expected order") {
+    // the standard BPE walkthrough shape: "lo" dominates, then builds up
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "freq")
+    val m = graft.ext.BpeTrain.merges(words, 4)
+      .select($"merge_rank", $"lhs", $"rhs", $"merged", $"pair_freq")
+      .as[(Long, String, String, String, Long)].collect().toList
+    // hand-computed: es(9) -> est(9) -> lo(7) -> low(5); ties none
+    assert(m == List(
+      (1L, "e", "s", "es", 9L),
+      (2L, "es", "t", "est", 9L),
+      (3L, "l", "o", "lo", 7L),
+      (4L, "lo", "w", "low", 7L)), s"unexpected merge sequence: $m")
+    // determinism: a rerun reproduces the table bit-for-bit
+    val m2 = graft.ext.BpeTrain.merges(words, 4)
+      .select($"merge_rank", $"lhs", $"rhs", $"merged", $"pair_freq")
+      .as[(Long, String, String, String, Long)].collect().toList
+    assert(m == m2)
+  }
+
+  test("BPE training counts every adjacency but merges non-overlapping") {
+    // 'aaaa' x3: the COUNT sees all 3 adjacencies per word (standard
+    // BPE get_stats semantics) -> 9; the MERGE rewrites left-to-right
+    // non-overlapping, so 'a a a a' -> 'aa aa' and round 2 sees
+    // (aa,aa) x1 per word -> 3
+    val words = Seq(("aaaa", 3L)).toDF("word", "freq")
+    val m = graft.ext.BpeTrain.merges(words, 2)
+      .select($"lhs", $"rhs", $"pair_freq").as[(String, String, Long)].collect().toList
+    assert(m.head == (("a", "a", 9L)), s"got $m")
+    assert(m(1) == (("aa", "aa", 3L)), s"got $m")
+  }
+
+  test("BPE training throws when the corpus cannot support the requested merges") {
+    val words = Seq(("ab", 1L)).toDF("word", "freq") // best pair freq 1 < 2
+    intercept[IllegalStateException] {
+      graft.ext.BpeTrain.merges(words, 1)
+    }
+  }
+
   test("surprisal charges rare bigrams more bits than common ones") {
     // "x y" appears once; "a b" appears 8 times across docs
     val docs = ((1 to 8).map(i => (i.toLong, "a b")) :+ (9L, "x y")).toDF("doc_id", "text")
