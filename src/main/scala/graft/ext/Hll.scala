@@ -88,6 +88,17 @@ object Hll {
       .select(col("m"), col("n_zero"), col("sum_pow"),
         round(estExpr(col("sum_pow")), 6).as("est_raw"))
 
+  /** (bucket, rho) struct of a key — the row-local register
+    * contribution (a register set is max(rho) grouped by bucket), the
+    * shape a STREAMING windowed aggregation consumes: stateless per
+    * row, mergeable by max, no skeleton join (absent buckets are
+    * implicit r = 0). */
+  def bucketRho(key: Column): Column = {
+    val h = hash31(key)
+    // h is 31-bit non-negative, so h DIV 256 ≡ shiftright(h, 8)
+    struct((h % M).as("bucket"), rho(shiftright(h, 8).cast("long")).as("rho"))
+  }
+
   /** Per-GROUP register vectors: (grp, bucket, r) with all 256 buckets
     * dense per group — "distinct users per segment" in one constant-
     * width aggregation (groups × 256 rows of state, independent of

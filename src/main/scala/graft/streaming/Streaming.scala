@@ -324,6 +324,30 @@ object Streaming {
       }
   }
 
+  /** Streaming twin of q141's grouped sliding-window distinct sketch:
+    * per (event_type, 30-minute window sliding by 10) HLL register
+    * contributions — (win_start, event_type, bucket, r) — via a plain
+    * windowed MAX aggregation over the row-local
+    * [[graft.ext.Hll.bucketRho]] contribution. State per group is ≤
+    * 256 bucket maxima; the watermark closes windows (append mode) and
+    * GCs their state. Registers are SPARSE here (absent buckets are
+    * implicit r = 0 — a stream can't densify what it hasn't seen);
+    * max-merging them per bucket with any other register set, or
+    * feeding n_zero = 256 − hit-buckets into the estimate, reproduces
+    * the batch q141 numbers exactly — spec-pinned against the batch
+    * register build on the same events. */
+  def slidingHllRegisters(events: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession) // polyhash
+    events
+      .withWatermark("event_time", "30 minutes")
+      .select(window(col("event_time"), "30 minutes", "10 minutes").as("win"),
+        col("event_type"), graft.ext.Hll.bucketRho(col("user_id")).as("br"))
+      .groupBy(col("win"), col("event_type"), col("br.bucket").as("bucket"))
+      .agg(max(col("br.rho")).as("r"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("bucket"), col("r"))
+  }
+
   final case class GapEvent(userId: Long, day: Long, cents: Long,
     eventTime: java.sql.Timestamp)
   final case class GapRow(userId: Long, day: Long, nEvents: Long,

@@ -348,6 +348,34 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected && got === Set((1L, 10L), (2L, 11L)))
   }
 
+  test("streaming sliding HLL registers match the batch sketch build (q141 twin)") {
+    val q = Streaming.slidingHllRegisters(Streaming.eventsStream(spark, sf))
+      .writeStream.format("memory").queryName("shll").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("shll")
+      .select(unix_timestamp($"win_start").as("ws"), $"event_type", $"bucket", $"r")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // batch register build on the same events, q141's window indexing:
+    // bucket grp0 feeds windows grp0..grp0+2; window w spans
+    // [(w-2)*600, (w+1)*600) so its start is (w-2)*600
+    val batch = Tables.loadEvents(spark, sf)
+      .select($"event_type", expr("sec DIV 600").as("grp0"), $"user_id")
+      .select($"event_type", explode(sequence($"grp0", $"grp0" + 2)).as("w"),
+        graft.ext.Hll.bucketRho($"user_id").as("br"))
+      .groupBy((($"w" - 2) * 600).as("ws"), $"event_type",
+        $"br.bucket".as("bucket"))
+      .agg(max($"br.rho").as("r"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      "a streamed register diverged from the batch build")
+    // every window closed by the final watermark must have been emitted
+    val maxWs = batch.map(_._1).max
+    val closed = batch.filter(_._1 < maxWs - 1800)
+    assert(closed.subsetOf(streamed),
+      "a closed window's registers were never emitted")
+  }
+
   test("streaming gap-fill emits the batch grid rows as the watermark finalizes days (q109 twin)") {
     import Streaming.{GapEvent, GapRow}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
