@@ -50,14 +50,21 @@ object BpeTrain {
       .filter(col("word").rlike("^[a-z0-9]+$"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
-  /** Train `nMerges` BPE merges over a (word, freq) dictionary:
-    * (merge_rank 1.., lhs, rhs, merged, pair_freq), ordered by rank.
+  /** Trained artifacts: the merge table (merge_rank, lhs, rhs, merged,
+    * pair_freq) and the final symbolized dictionary (word, sym, freq)
+    * — `sym` is the word AFTER all merges, so
+    * `size(split(sym, ' ')) − 1` is its BPE token count: training's
+    * last state IS the tokenizer applied to the training vocabulary,
+    * no separate encode pass needed. */
+  final case class Trained(merges: DataFrame, dict: DataFrame)
+
+  /** Train `nMerges` BPE merges over a (word, freq) dictionary.
     * THROWS if the corpus cannot support `nMerges` merges of frequency
     * ≥ [[MinPairFreq]]. */
-  def merges(words: DataFrame, nMerges: Int): DataFrame = {
+  def train(words: DataFrame, nMerges: Int): Trained = {
     val spark = words.sparkSession
     var state = words
-      .select(concat(lit(" "), concat_ws(" ",
+      .select(col("word"), concat(lit(" "), concat_ws(" ",
           expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
         .as("sym"), col("freq"))
       .localCheckpoint(false)
@@ -85,10 +92,17 @@ object BpeTrain {
       // plain (non-regex) replace — tokens are [a-z0-9]+, so embedding
       // them in the expression is safe and mirrors the oracle exactly
       state = state
-        .select(expr(s"replace(sym, ' $a $b', ' $a$b')").as("sym"), col("freq"))
+        .select(col("word"), expr(s"replace(sym, ' $a $b', ' $a$b')").as("sym"),
+          col("freq"))
         .localCheckpoint(false)
     }
     import spark.implicits._
-    out.result().toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq")
+    Trained(
+      out.result().toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq"),
+      state)
   }
+
+  /** The merge table alone — see [[train]]. */
+  def merges(words: DataFrame, nMerges: Int): DataFrame =
+    train(words, nMerges).merges
 }

@@ -395,7 +395,12 @@ object TextQueries {
       .orderBy($"merge_rank")
   }
 
-  val q143Sql: String = {
+  /** Shared DuckDB BPE training chain for q143/q145: doc-level valid
+    * tokens `toks(doc_id, word)`, the word dictionary, and
+    * [[BpeMerges]] unrolled merge rounds — `m$i` (round i's chosen
+    * pair) and `w$i(word, sym, freq)` (the dictionary after i merges).
+    * Like regChainSql, the two oracles must replay the SAME training. */
+  private val bpeChainSql: String = {
     val rounds = (1 to BpeMerges).map { i =>
       s"""p$i AS (SELECT s[j] AS a, s[j + 1] AS b, freq FROM
         |    (SELECT string_split(sym, ' ') AS s, freq FROM w${i - 1}) t
@@ -403,27 +408,83 @@ object TextQueries {
         |c$i AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM p$i GROUP BY a, b),
         |m$i AS MATERIALIZED (SELECT a, b, a || b AS ab, cnt FROM c$i
         |  ORDER BY cnt DESC, a, b LIMIT 1),
-        |w$i AS MATERIALIZED (SELECT
+        |w$i AS MATERIALIZED (SELECT word,
         |    replace(sym, ' ' || m.a || ' ' || m.b, ' ' || m.a || m.b) AS sym, freq
         |  FROM w${i - 1}, m$i m)""".stripMargin
     }.mkString(",\n")
-    val unioned = (1 to BpeMerges).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, ab AS merged, cnt AS pair_freq FROM m$i")
-      .mkString("\n  UNION ALL ")
-    s"""WITH toks AS (SELECT word FROM (
-      |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+    s"""toks AS (SELECT doc_id, word FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
       |    FROM documents) t
       |  WHERE regexp_matches(word, '^[a-z0-9]+$$')),
       |wd AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word),
-      |w0 AS MATERIALIZED (SELECT ' ' || array_to_string(
+      |w0 AS MATERIALIZED (SELECT word, ' ' || array_to_string(
       |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)),
       |    ' ') AS sym, freq FROM wd),
-      |$rounds
+      |$rounds""".stripMargin
+  }
+
+  val q143Sql: String = {
+    val unioned = (1 to BpeMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, ab AS merged, cnt AS pair_freq FROM m$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $bpeChainSql
       |SELECT * FROM ($unioned) u ORDER BY merge_rank""".stripMargin
   }
 
+  /** q145: BPE tokenizer APPLICATION — the q143-trained merges applied
+    * back to the corpus: per document, valid-word count, BPE token
+    * count under the trained vocabulary, character count, and the
+    * fixed-point chars-per-token compression ratio (the metric a
+    * tokenizer change is judged by). Training's final dictionary state
+    * IS the applied tokenizer ([[graft.ext.BpeTrain.Trained]] — `sym`
+    * after all merges), so application is one vocabulary join: docs'
+    * valid tokens join the (word → token-count) dictionary and
+    * aggregate per doc. Docs with no valid tokens report zeros (null
+    * ratio). */
+  def q145BpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.BpeTrain
+    val docs = Tables.load(s, dir, "documents")
+    val trained = BpeTrain.train(BpeTrain.wordDict(docs, "text"), BpeMerges)
+    val dict = trained.dict.select($"word",
+      (size(split($"sym", " ")) - 1).cast("long").as("n_bpe"))
+    val dw = docs.select($"doc_id",
+        explode(graft.functions.TextFunctions.tokens(lower($"text"))).as("word"))
+      .filter($"word".rlike("^[a-z0-9]+$"))
+    val agg = dw.join(broadcast(dict), "word")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"n_bpe").as("n_bpe_tokens"),
+        sum(length($"word")).cast("long").as("n_chars"))
+    docs.select($"doc_id").join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_words", lit(0L)).as("n_words"),
+        coalesce($"n_bpe_tokens", lit(0L)).as("n_bpe_tokens"),
+        coalesce($"n_chars", lit(0L)).as("n_chars"),
+        expr("CASE WHEN n_bpe_tokens > 0 THEN n_chars * 1000000L DIV n_bpe_tokens END")
+          .as("cpt_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  val q145Sql: String =
+    s"""WITH $bpeChainSql,
+      |dict AS (SELECT word, CAST(len(string_split(sym, ' ')) - 1 AS BIGINT) AS n_bpe
+      |  FROM w$BpeMerges),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_words,
+      |    CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+      |    CAST(SUM(length(word)) AS BIGINT) AS n_chars
+      |  FROM toks JOIN dict USING (word) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(agg.n_words, 0) AS n_words,
+      |  COALESCE(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
+      |  COALESCE(agg.n_chars, 0) AS n_chars,
+      |  CASE WHEN COALESCE(agg.n_bpe_tokens, 0) > 0
+      |       THEN COALESCE(agg.n_chars, 0) * 1000000 // agg.n_bpe_tokens END AS cpt_ppm
+      |FROM documents d LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_bpe_train" -> (q143BpeTrain _),
+    "q145_bpe_tokenize" -> (q145BpeTokenize _),
     "q116_prefix_join" -> (q116PrefixJoin _),
     "q16_text_stats" -> (q16TextStats _),
     "q17_lang_id" -> (q17LangId _),
@@ -437,6 +498,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q143_bpe_train" -> q143Sql,
+    "q145_bpe_tokenize" -> q145Sql,
     "q16_text_stats" -> q16Sql,
     "q17_lang_id" -> q17Sql,
     "q18_exact_dedup" -> q18Sql,

@@ -26,6 +26,14 @@ class MiningOpsSpec extends SparkSpec {
       .select($"merge_rank", $"lhs", $"rhs", $"merged", $"pair_freq")
       .as[(Long, String, String, String, Long)].collect().toList
     assert(m == m2)
+    // the trained dictionary IS the applied tokenizer: after es, est,
+    // lo, low the words segment as expected
+    val dict = graft.ext.BpeTrain.train(words, 4).dict
+      .select($"word", $"sym").as[(String, String)].collect().toMap
+    assert(dict("newest") == " n e w est", s"got ${dict("newest")}")
+    assert(dict("low") == " low")
+    assert(dict("lower") == " low e r")
+    assert(dict("widest") == " w i d est")
   }
 
   test("BPE training counts every adjacency but merges non-overlapping") {
