@@ -246,8 +246,12 @@ object MiningQueries {
       .orderBy($"fp")
   }
 
-  val q124Sql: String =
-    s"""WITH d AS (SELECT doc_id, text, length(text) - 7 AS ngrams
+  /** Shared DuckDB winnowing chain (q124/q146): per-doc distinct
+    * selected fingerprints `fps(doc_id, fp)` — mirrors
+    * [[graft.ext.Winnowing.fingerprints]] and must never fork between
+    * the two oracles. */
+  private val winnowFpsSql: String =
+    s"""d AS (SELECT doc_id, text, length(text) - 7 AS ngrams
       |  FROM documents WHERE length(text) - 7 >= 4),
       |pos AS (SELECT doc_id, ngrams, unnest(generate_series(1, ngrams)) AS off, text
       |  FROM d),
@@ -256,12 +260,59 @@ object MiningQueries {
       |sel AS (SELECT doc_id, ngrams, off,
       |    MIN(h * 4294967296 + off) OVER (PARTITION BY doc_id ORDER BY off
       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mc FROM ph),
-      |fps AS (SELECT DISTINCT doc_id, mc // 4294967296 AS fp FROM sel
-      |  WHERE off + 3 <= ngrams),
+      |fps AS MATERIALIZED (SELECT DISTINCT doc_id, mc // 4294967296 AS fp FROM sel
+      |  WHERE off + 3 <= ngrams)""".stripMargin
+
+  val q124Sql: String =
+    s"""WITH $winnowFpsSql,
       |sh AS (SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
       |    MAX(doc_id) AS last_doc FROM fps GROUP BY fp)
       |SELECT fp, n_docs, first_doc, last_doc FROM sh WHERE n_docs >= 2
       |ORDER BY fp""".stripMargin
+
+  /** q146: train/eval DECONTAMINATION report — the LLM-pipeline step
+    * that keeps benchmark answers out of training data: with a
+    * deterministic 10% eval slice (doc_id % 10 = 0), every TRAIN
+    * document reports how many of its winnowing span fingerprints
+    * ([[graft.ext.Winnowing]] — guaranteed recall for shared spans ≥
+    * 11 chars) also occur anywhere in the eval slice, as an integer-ppm
+    * contamination ratio plus a flag. Span-level, not whole-doc: a
+    * train document that merely QUOTES an eval passage is caught, which
+    * digest dedup (q18) cannot do and MinHash (q20) only catches
+    * probabilistically. Docs too short for a full window (< k+w−1
+    * chars) have no fingerprints and are absent — they cannot leak a
+    * span. Scale shape: fingerprints are computed once
+    * (document-local selection); the eval fingerprint set is
+    * distinct-collapsed before the membership join; only 16-byte
+    * fingerprints shuffle. */
+  def q146Decontam(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fps = graft.ext.Winnowing.fingerprints(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      .localCheckpoint(false) // feeds the eval set AND the train rollup
+    val evalFps = fps.filter($"id" % 10 === 0).select($"fp").distinct()
+    fps.filter($"id" % 10 =!= 0)
+      .join(evalFps.withColumn("hit", lit(1)), Seq("fp"), "left")
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n_fp"), count($"hit").as("n_shared"))
+      .select($"id".as("doc_id"), $"n_fp", $"n_shared",
+        expr("n_shared * 1000000L DIV n_fp").as("contam_ppm"),
+        ($"n_shared" > 0).cast("int").as("is_contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  val q146Sql: String =
+    s"""WITH $winnowFpsSql,
+      |evalf AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 = 0),
+      |agg AS (SELECT t.doc_id, COUNT(*) AS n_fp,
+      |    CAST(COUNT(e.fp) AS BIGINT) AS n_shared
+      |  FROM (SELECT doc_id, fp FROM fps WHERE doc_id % 10 <> 0) t
+      |  LEFT JOIN evalf e ON t.fp = e.fp
+      |  GROUP BY t.doc_id)
+      |SELECT doc_id, n_fp, n_shared,
+      |  n_shared * 1000000 // n_fp AS contam_ppm,
+      |  CAST(n_shared > 0 AS INT) AS is_contaminated
+      |FROM agg ORDER BY doc_id""".stripMargin
 
   /** q136: market-basket association rules — co-purchase (part, part)
     * pairs within orders, with support, integer-ppm confidence
@@ -325,7 +376,8 @@ object MiningQueries {
     "q91_group_hll" -> (q91GroupHll _),
     "q114_sliding_hll" -> (q114SlidingHll _),
     "q124_winnowing" -> (q124Winnowing _),
-    "q141_group_sliding_hll" -> (q141GroupSlidingHll _))
+    "q141_group_sliding_hll" -> (q141GroupSlidingHll _),
+    "q146_decontam" -> (q146Decontam _))
 
   val oracle: Map[String, String] = Map(
     "q136_basket_rules" -> q136Sql,
@@ -335,5 +387,6 @@ object MiningQueries {
     "q91_group_hll" -> q91Sql,
     "q114_sliding_hll" -> q114Sql,
     "q124_winnowing" -> q124Sql,
-    "q141_group_sliding_hll" -> q141Sql)
+    "q141_group_sliding_hll" -> q141Sql,
+    "q146_decontam" -> q146Sql)
 }
