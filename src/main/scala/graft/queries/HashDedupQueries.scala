@@ -159,8 +159,12 @@ object HashDedupQueries {
           .as("recall_ppm"))
   }
 
-  val q137Sql: String =
-    s"""WITH jdocs AS (
+  /** Shared oracle block for q137/q147: the exact-Jaccard truth pairs
+    * `jt(id_a, id_b, jaccard)` (J ≥ 0.5) and the LSH estimate pairs
+    * `mest(id_a, id_b, est_sim)` (est ≥ 0.5), values included. The two
+    * eval oracles must replay the SAME pair sets. */
+  private val lshEvalPairsSql: String =
+    s"""jdocs AS (
       |  SELECT doc_id AS id,
       |    CASE WHEN length(text) >= 8 THEN
       |      list_distinct(list_transform(
@@ -175,7 +179,7 @@ object HashDedupQueries {
       |  (SELECT id, sh, count(*) OVER (PARTITION BY sh) AS df FROM jinv) t WHERE df <= 20),
       |jcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
       |  FROM jrare a JOIN jrare b USING (sh) WHERE a.id < b.id),
-      |jt AS (SELECT id_a, id_b FROM (
+      |jt AS (SELECT id_a, id_b, jaccard FROM (
       |  SELECT id_a, id_b,
       |    CAST(len(list_intersect(da.sh_set, db.sh_set)) AS DOUBLE) /
       |    CAST(len(list_distinct(list_concat(da.sh_set, db.sh_set))) AS DOUBLE) AS jaccard
@@ -184,12 +188,15 @@ object HashDedupQueries {
       |$sigChainSql,
       |mcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
       |  FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
-      |mest AS (SELECT id_a, id_b FROM (
+      |mest AS (SELECT id_a, id_b, est_sim FROM (
       |  SELECT id_a, id_b,
       |    CAST(list_sum(list_transform(generate_series(1,16),
       |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS est_sim
       |  FROM mcand JOIN sig sa ON mcand.id_a = sa.id JOIN sig sb ON mcand.id_b = sb.id) y
-      |  WHERE est_sim >= 0.5),
+      |  WHERE est_sim >= 0.5)""".stripMargin
+
+  val q137Sql: String =
+    s"""WITH $lshEvalPairsSql,
       |f AS (SELECT (jt.id_a IS NOT NULL) AS t, (mest.id_a IS NOT NULL) AS e
       |  FROM jt FULL OUTER JOIN mest ON jt.id_a = mest.id_a AND jt.id_b = mest.id_b),
       |c AS (SELECT
@@ -201,8 +208,60 @@ object HashDedupQueries {
       |  CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) END AS recall_ppm
       |FROM c""".stripMargin
 
+  /** q147: LSH operating CURVE — q137's confusion matrix swept across
+    * similarity thresholds {0.5, 0.625, 0.75, 0.875} (multiples of 1/16
+    * so every comparison against the 16-position MinHash estimate is
+    * exact) in ONE pass over the same two pair sets: per threshold t,
+    * tp = (J ≥ t ∧ est ≥ t), fp = (est ≥ t ∧ ¬(J ≥ t)), fn = (J ≥ t ∧
+    * ¬(est ≥ t)), with integer-ppm precision/recall. Both pair sets
+    * carry their scores above the shared 0.5 floor (= the lowest
+    * threshold, so membership and classification agree exactly at
+    * every t). The curve is what picks an LSH threshold for a corpus —
+    * a point estimate (q137) says nothing about the tradeoff slope. */
+  def q147LshRoc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.Dedup
+    val docs = Tables.load(s, dir, "documents")
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 8,
+        threshold = 0.5, maxShingleDf = 20)
+      .select($"id_a", $"id_b", $"jaccard")
+    val est = MinHashLsh.nearDupPairs(docs, "doc_id", "text", n = 8, minEstSim = 0.5)
+      .select($"id_a", $"id_b", $"est_sim")
+    val f = truth.join(est, Seq("id_a", "id_b"), "full_outer")
+      .select($"jaccard".as("j"), $"est_sim".as("e"))
+    val thrs = array(Seq(0.5, 0.625, 0.75, 0.875).map(lit): _*)
+    f.select($"j", $"e", explode(thrs).as("thr"))
+      .groupBy(($"thr" * 1000000).cast("long").as("thr_ppm"))
+      .agg(
+        count(when($"j" >= $"thr" && $"e" >= $"thr", 1)).as("tp"),
+        count(when(($"j".isNull || $"j" < $"thr") && $"e" >= $"thr", 1)).as("fp"),
+        count(when($"j" >= $"thr" && ($"e".isNull || $"e" < $"thr"), 1)).as("fn"))
+      .select($"thr_ppm", $"tp", $"fp", $"fn",
+        expr("CASE WHEN tp + fp > 0 THEN tp * 1000000L DIV (tp + fp) END")
+          .as("precision_ppm"),
+        expr("CASE WHEN tp + fn > 0 THEN tp * 1000000L DIV (tp + fn) END")
+          .as("recall_ppm"))
+      .orderBy($"thr_ppm")
+  }
+
+  val q147Sql: String =
+    s"""WITH $lshEvalPairsSql,
+      |f AS (SELECT jt.jaccard AS j, mest.est_sim AS e
+      |  FROM jt FULL OUTER JOIN mest ON jt.id_a = mest.id_a AND jt.id_b = mest.id_b),
+      |thr AS (SELECT unnest([0.5, 0.625, 0.75, 0.875]) AS thr),
+      |c AS (SELECT CAST(thr.thr * 1000000 AS BIGINT) AS thr_ppm,
+      |    CAST(COUNT(CASE WHEN j >= thr.thr AND e >= thr.thr THEN 1 END) AS BIGINT) AS tp,
+      |    CAST(COUNT(CASE WHEN (j IS NULL OR j < thr.thr) AND e >= thr.thr THEN 1 END) AS BIGINT) AS fp,
+      |    CAST(COUNT(CASE WHEN j >= thr.thr AND (e IS NULL OR e < thr.thr) THEN 1 END) AS BIGINT) AS fn
+      |  FROM f CROSS JOIN thr GROUP BY thr.thr)
+      |SELECT thr_ppm, tp, fp, fn,
+      |  CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) END AS precision_ppm,
+      |  CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) END AS recall_ppm
+      |FROM c ORDER BY thr_ppm""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_lsh_eval" -> (q137LshEval _),
+    "q147_lsh_roc" -> (q147LshRoc _),
     "q20_minhash_lsh" -> (q20MinHash _),
     "q21_simhash" -> (q21SimHash _),
     "q69_incremental_dedup" -> (q69IncrementalDedup _),
@@ -210,6 +269,7 @@ object HashDedupQueries {
 
   val oracle: Map[String, String] = Map(
     "q137_lsh_eval" -> q137Sql,
+    "q147_lsh_roc" -> q147Sql,
     "q20_minhash_lsh" -> q20Sql,
     "q21_simhash" -> q21Sql,
     "q69_incremental_dedup" -> q69Sql,

@@ -59,6 +59,21 @@ class HashDedupSpec extends SparkSpec {
     assert(banded.contains((10L, 20L))) // identical docs -> hamming 0
   }
 
+  test("LSH operating curve: counts shrink and thresholds nest as t rises (q147)") {
+    val rows = graft.queries.HashDedupQueries.q147LshRoc(spark, sf)
+      .select($"thr_ppm", $"tp", $"fp", $"fn")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(500000L, 625000L, 750000L, 875000L))
+    // raising the threshold can only shrink the positive sets: tp and
+    // (tp+fp) are non-increasing in t (fn may move either way — truth
+    // and estimate shrink independently)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2, s"tp grew with threshold: $lo -> $hi")
+      assert(hi._2 + hi._3 <= lo._2 + lo._3,
+        s"est-positive count grew with threshold: $lo -> $hi")
+    }
+  }
+
   test("nearDupAgainstIndex equals the cross-split slice of nearDupPairs") {
     // real corpus slice: the incremental probe against a snapshot index
     // must surface EXACTLY the snapshot↔fresh pairs the full self-join
