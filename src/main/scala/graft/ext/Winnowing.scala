@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
@@ -22,12 +21,15 @@ import org.apache.spark.sql.functions._
   * document: Spark's `length` is IntegerType, so offsets are
   * structurally ≤ 2^31 − 1 and can never carry into the hash bits.
   *
-  * Scale shape: everything until the final fingerprint aggregation is
-  * DOCUMENT-LOCAL — the offset explode and the w-row sliding min
-  * partition by doc id, so a repartition on doc id (usually free from
-  * the scan) makes the whole selection map-side; only the selected
-  * fingerprints (a ~2/(w+1) fraction of k-grams, 16 bytes each)
-  * shuffle for the cross-doc group-by.
+  * Scale shape: selection is ROW-local — one native codegen'd pass per
+  * document ([[graft.functions.WinnowFps]]: rolling k-gram polyhash,
+  * monotonic-deque sliding min, distinct) — so the whole selection
+  * stage needs NO shuffle at any scale; only the selected fingerprints
+  * (a ~2/(w+1) fraction of k-grams, 16 bytes each) shuffle for the
+  * cross-doc group-by. (The previous explode → per-doc-window
+  * formulation shuffled every offset row; the oracle still replays
+  * that form — bit-identical because packed values are unique, so the
+  * window min has no ties.)
   */
 object Winnowing {
 
@@ -44,22 +46,9 @@ object Winnowing {
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = K, w: Int = W): DataFrame = {
     require(k >= 1 && w >= 1, s"need k, w >= 1; got k=$k w=$w")
-    graft.functions.GraftFunctions.register(df.sparkSession) // polyhash
-    val grams = df
-      .select(col(idCol).as("id"), col(textCol).as("text"),
-        (length(col(textCol)) - (k - 1)).as("ngrams"))
-      .filter(col("ngrams") >= w)
-      .select(col("id"), col("ngrams"), col("text"),
-        explode(sequence(lit(1), col("ngrams"))).as("off"))
-      .select(col("id"), col("ngrams"), col("off"),
-        (graft.functions.GraftFunctions.polyhash(
-          col("text").substr(col("off"), lit(k))) * PosScale + col("off")).as("c"))
-    val win = Window.partitionBy(col("id")).orderBy(col("off"))
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .select(col("id"), col("off"), col("ngrams"), min(col("c")).over(win).as("mc"))
-      .filter(col("off") + (w - 1) <= col("ngrams")) // full windows only
-      .select(col("id"), expr(s"mc DIV $PosScale").as("fp")) // strip tie-break
-      .distinct()
+    val shim = org.apache.spark.sql.GraftShim
+    val fps = shim.column(graft.functions.WinnowFps(
+      shim.expression(col(textCol)), k, w, 1000000007L, PosScale))
+    df.select(col(idCol).as("id"), explode(fps).as("fp"))
   }
 }

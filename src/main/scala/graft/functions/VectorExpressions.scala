@@ -120,6 +120,46 @@ object VectorKernels {
     new GenericArrayData(sig)
   }
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken) in one
+    * JVM pass: k-gram rolling polyhashes over code points (identical to
+    * [[HashUtil.polyHash]] of each substring), packed tie-break
+    * `hash·posScale + 1-based-offset`, sliding-window minimum via a
+    * monotonic deque, distinct selected hashes out. Replaces the
+    * explode → per-doc window formulation — document-local selection
+    * becomes literally row-local, so the whole selection stage needs NO
+    * shuffle at all (the old form shuffled every offset row into a
+    * per-doc window partition). Values are bit-identical: packed values
+    * are unique (offsets differ), so min semantics cannot tie. */
+  def winnowFps(s: UTF8String, k: Int, w: Int, mod: Long, posScale: Long): ArrayData = {
+    val cp = s.toString.codePoints().toArray
+    val n = cp.length - k + 1
+    if (n < w) return new GenericArrayData(Array.empty[Long])
+    val c = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var j = i
+      while (j < i + k) { h = (h * 31 + cp(j)) % mod; j += 1 }
+      c(i) = h * posScale + (i + 1)
+      i += 1
+    }
+    val set = new java.util.LinkedHashSet[java.lang.Long]
+    val deque = new java.util.ArrayDeque[Int]
+    i = 0
+    while (i < n) {
+      while (!deque.isEmpty && c(deque.peekLast()) >= c(i)) deque.pollLast()
+      deque.addLast(i)
+      if (deque.peekFirst() <= i - w) deque.pollFirst()
+      if (i >= w - 1) set.add(c(deque.peekFirst()) / posScale)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Nearest of k centroid arrays by exact integer squared-L2:
     * (dist2, cluster) with ties toward the smaller cluster id — the
     * k-means training argmin as one primitive loop (the HOF
@@ -229,6 +269,21 @@ case class ArrayJaccardLong(left: Expression, right: Expression) extends BinaryE
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayJaccardLong =
     copy(left = l, right = r)
   override def prettyName: String = "array_jaccard_long"
+}
+
+/** Distinct winnowing fingerprints of a text column — array<long>, one
+  * row-local pass ([[VectorKernels.winnowFps]]). */
+case class WinnowFps(child: Expression, k: Int, w: Int, mod: Long,
+    posScale: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.winnowFps(input.asInstanceOf[UTF8String], k, w, mod, posScale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.winnowFps($c, $k, $w, ${mod}L, ${posScale}L)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fps"
 }
 
 /** k-means argmin against LITERAL centroids: struct(dist2, cluster) of
