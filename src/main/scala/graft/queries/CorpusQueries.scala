@@ -378,7 +378,108 @@ object CorpusQueries {
       |SELECT qid, rank, id AS doc_id, rrf_fp, r_bm25, r_dense, r_set
       |FROM fr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** q148: the training-data RELEASE pipeline — the capstone chaining
+    * this round's operators into the end-to-end corpus-release shape,
+    * with ONE oracle for the whole composition (the q34/q100/q118
+    * discipline):
+    *
+    *   quality gate (q100's row-local thresholds)
+    *   → deterministic eval holdout (doc_id % 10 = 0 NEVER released)
+    *   → exact dedup among the train split (q18 digests, min-id keeps)
+    *   → span-level DECONTAMINATION (q146's ratio: drop any train doc
+    *     whose winnowing fingerprints are ≥ 90% shared with the eval
+    *     slice — the wholesale-copy tier; light boilerplate overlap is
+    *     tolerated, and docs too short to fingerprint cannot leak a
+    *     span and are kept)
+    *   → BPE vocabulary trained ON THE SURVIVORS (q143; the release's
+    *     own tokenizer, not one fit to data that was filtered away)
+    *   → per-doc BPE token counts (q145) and a deterministic
+    *     avalanched-hash shard assignment (replayable, no RNG state).
+    *
+    * Output: one row per released doc — (doc_id, n_tokens, quality,
+    * n_bpe_tokens, shard 0..7). Scale shape: gates/fingerprints/BPE
+    * application are row-local or vocabulary-sized; the only
+    * corpus-sized shuffles carry digests, fingerprints, and words —
+    * never text after the scan. */
+  def q148ReleasePipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{GraftFunctions, TextFunctions}
+    import graft.ext.{BpeTrain, Hll, Winnowing}
+    val docs = Tables.load(s, dir, "documents")
+    val gated = docs.select($"doc_id", $"text",
+        TextFunctions.tokenCount($"text").as("n_tokens"),
+        TextFunctions.qualityScore($"text").as("quality"))
+      .filter($"n_tokens" >= 5 && $"n_tokens" <= 1000 && $"quality" >= 0.3)
+    val train = gated.filter($"doc_id" % 10 =!= 0)
+    val keepIds = train
+      .groupBy(md5(lower(trim($"text"))).as("h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val deduped = train.join(keepIds, "doc_id")
+    val fpsAll = Winnowing.fingerprints(docs, "doc_id", "text")
+      .localCheckpoint(false) // feeds the eval set AND the contamination probe
+    val evalFps = fpsAll.filter($"id" % 10 === 0).select($"fp").distinct()
+    val contaminated = fpsAll.filter($"id" % 10 =!= 0)
+      .join(evalFps.withColumn("hit", lit(1)), Seq("fp"), "left")
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n_fp"), count($"hit").as("n_shared"))
+      .filter(expr("n_shared * 1000000L DIV n_fp") >= 900000L)
+      .select($"id".as("doc_id"))
+    val released = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false) // feeds BPE training, application, and output
+    val trained = BpeTrain.train(
+      BpeTrain.wordDict(released, "text"), TextQueries.BpeMerges)
+    val dict = trained.dict.select($"word",
+      (size(split($"sym", " ")) - 1).cast("long").as("n_bpe"))
+    val agg = released
+      .select($"doc_id",
+        explode(TextFunctions.tokens(lower($"text"))).as("word"))
+      .filter($"word".rlike("^[a-z0-9]+$"))
+      .join(broadcast(dict), "word")
+      .groupBy($"doc_id").agg(sum($"n_bpe").as("n_bpe_tokens"))
+    GraftFunctions.register(s)
+    released.select($"doc_id", $"n_tokens", $"quality")
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens", $"quality",
+        coalesce($"n_bpe_tokens", lit(0L)).as("n_bpe_tokens"),
+        (Hll.hash31($"doc_id".cast("string")) % 8).as("shard"))
+      .orderBy($"doc_id")
+  }
+
+  val q148Sql: String =
+    s"""WITH ${MiningQueries.winnowFpsSql},
+      |g AS (SELECT doc_id, text, $nTokens AS n_tokens, $quality AS quality
+      |  FROM documents),
+      |gt AS (SELECT * FROM g
+      |  WHERE n_tokens >= 5 AND n_tokens <= 1000 AND quality >= 0.3),
+      |tr AS (SELECT * FROM gt WHERE doc_id % 10 <> 0),
+      |keep AS (SELECT md5(lower(trim(text))) AS h, MIN(doc_id) AS doc_id
+      |  FROM tr GROUP BY 1),
+      |dd AS (SELECT tr.* FROM tr JOIN keep ON tr.doc_id = keep.doc_id),
+      |evalf AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 = 0),
+      |contam AS (SELECT doc_id FROM (
+      |    SELECT f.doc_id, COUNT(*) AS n_fp, CAST(COUNT(e.fp) AS BIGINT) AS n_shared
+      |    FROM (SELECT doc_id, fp FROM fps WHERE doc_id % 10 <> 0) f
+      |    LEFT JOIN evalf e ON f.fp = e.fp GROUP BY f.doc_id) t
+      |  WHERE n_shared * 1000000 // n_fp >= 900000),
+      |rel AS MATERIALIZED (SELECT dd.* FROM dd
+      |  LEFT JOIN contam c ON dd.doc_id = c.doc_id WHERE c.doc_id IS NULL),
+      |${TextQueries.bpeChainSqlFrom("rel")},
+      |dict AS (SELECT word, CAST(len(string_split(sym, ' ')) - 1 AS BIGINT) AS n_bpe
+      |  FROM w${TextQueries.BpeMerges}),
+      |agg AS (SELECT doc_id, CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens
+      |  FROM toks JOIN dict USING (word) GROUP BY doc_id),
+      |shp0 AS (SELECT doc_id, n_tokens, quality,
+      |    ${AnalyticsQueries.polyhashSql("CAST(doc_id AS VARCHAR)")} AS h FROM rel),
+      |${AnalyticsQueries.fmixChainSql("sh", "shp0", Seq("doc_id", "n_tokens", "quality"))}
+      |SELECT s.doc_id, s.n_tokens, s.quality,
+      |  COALESCE(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
+      |  s.h % 8 AS shard
+      |FROM shh s LEFT JOIN agg ON s.doc_id = agg.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_release_pipeline" -> (q148ReleasePipeline _),
     "q34_corpus_clean" -> (q34CorpusClean _),
     "q36_async_enrich" -> (q36AsyncEnrich _),
     "q100_retrieval_prep" -> (q100RetrievalPrep _),
@@ -388,6 +489,7 @@ object CorpusQueries {
 
   val oracle: Map[String, String] = Map(
     "q34_corpus_clean" -> q34Sql,
+    "q148_release_pipeline" -> q148Sql,
     "q36_async_enrich" -> q36Sql,
     "q100_retrieval_prep" -> q100Sql,
     "q118_bm25" -> q118Sql,

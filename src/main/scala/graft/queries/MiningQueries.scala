@@ -250,7 +250,7 @@ object MiningQueries {
     * selected fingerprints `fps(doc_id, fp)` — mirrors
     * [[graft.ext.Winnowing.fingerprints]] and must never fork between
     * the two oracles. */
-  private val winnowFpsSql: String =
+  private[queries] val winnowFpsSql: String =
     s"""d AS (SELECT doc_id, text, length(text) - 7 AS ngrams
       |  FROM documents WHERE length(text) - 7 >= 4),
       |pos AS (SELECT doc_id, ngrams, unnest(generate_series(1, ngrams)) AS off, text

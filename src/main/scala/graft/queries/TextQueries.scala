@@ -400,7 +400,7 @@ object TextQueries {
     * [[BpeMerges]] unrolled merge rounds — `m$i` (round i's chosen
     * pair) and `w$i(word, sym, freq)` (the dictionary after i merges).
     * Like regChainSql, the two oracles must replay the SAME training. */
-  private val bpeChainSql: String = {
+  private[queries] def bpeChainSqlFrom(docsRel: String): String = {
     val rounds = (1 to BpeMerges).map { i =>
       s"""p$i AS (SELECT s[j] AS a, s[j + 1] AS b, freq FROM
         |    (SELECT string_split(sym, ' ') AS s, freq FROM w${i - 1}) t
@@ -414,7 +414,7 @@ object TextQueries {
     }.mkString(",\n")
     s"""toks AS (SELECT doc_id, word FROM (
       |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
-      |    FROM documents) t
+      |    FROM $docsRel) t
       |  WHERE regexp_matches(word, '^[a-z0-9]+$$')),
       |wd AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word),
       |w0 AS MATERIALIZED (SELECT word, ' ' || array_to_string(
@@ -427,7 +427,7 @@ object TextQueries {
     val unioned = (1 to BpeMerges).map(i =>
       s"SELECT CAST($i AS BIGINT) AS merge_rank, a AS lhs, b AS rhs, ab AS merged, cnt AS pair_freq FROM m$i")
       .mkString("\n  UNION ALL ")
-    s"""WITH $bpeChainSql
+    s"""WITH ${bpeChainSqlFrom("documents")}
       |SELECT * FROM ($unioned) u ORDER BY merge_rank""".stripMargin
   }
 
@@ -466,7 +466,7 @@ object TextQueries {
   }
 
   val q145Sql: String =
-    s"""WITH $bpeChainSql,
+    s"""WITH ${bpeChainSqlFrom("documents")},
       |dict AS (SELECT word, CAST(len(string_split(sym, ' ')) - 1 AS BIGINT) AS n_bpe
       |  FROM w$BpeMerges),
       |agg AS (SELECT doc_id, COUNT(*) AS n_words,
