@@ -126,7 +126,13 @@ object PageRank {
     }
   }
 
-  private[graft] def prepare(edges: DataFrame): Graph = {
+  private[graft] def prepare(edges: DataFrame): Graph = prepare(edges, prePartition = true)
+
+  /** `prePartition = false` skips the upfront edge-cache shuffle — right
+    * for SHORT fixed-iteration runs ([[ranks]]/[[personalized]] with a
+    * couple of rounds), where one pre-shuffle cannot amortize; the
+    * fixed-point loop (~20–30 rounds) always pre-partitions. */
+  private[graft] def prepare(edges: DataFrame, prePartition: Boolean): Graph = {
     // one materialization of the (possibly expensive) upstream edge
     // plan; vertices and degree-annotated edges both derive from it
     val e = edges.select(col("src"), col("dst"))
@@ -150,8 +156,9 @@ object PageRank {
     // envelope): the hot key is the src join key — the edge side of
     // each round's sort-merge join stays in place and only the |V|-row
     // rank table moves.
-    val ed = e.join(deg, "src")
-      .repartition(col(if (bcast) "dst" else "src"))
+    val ed0 = e.join(deg, "src")
+    val ed = (if (prePartition) ed0.repartition(col(if (bcast) "dst" else "src"))
+              else ed0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Graph(e, vertices, ed, bcast)
   }
@@ -173,7 +180,8 @@ object PageRank {
 
   private def run(edges: DataFrame, iters: Int, init: Column,
       teleport: Column): DataFrame = {
-    val g = prepare(edges)
+    // a handful of rounds can't amortize the upfront edge shuffle
+    val g = prepare(edges, prePartition = iters > 3)
     var r = g.vertices.select(col("id"), init.as("rank"))
     // eager checkpoint per round keeps lineage flat across iterations
     for (_ <- 1 to iters)
