@@ -348,6 +348,33 @@ object Streaming {
         col("bucket"), col("r"))
   }
 
+  /** Streaming twin of q146's span-level decontamination: FRESH
+    * documents stream in (the crawl-ingest shape), their winnowing
+    * fingerprints are computed ROW-locally (the native
+    * [[graft.ext.Winnowing.fingerprints]] kernel — no shuffle, no
+    * state for selection), probe the STATIC eval-slice fingerprint set
+    * (the q120 stream-static discipline), and each doc's contamination
+    * stats — n_fp, n_shared, integer-ppm ratio, flag — emit once its
+    * event-time window closes (bounded per-(window, doc) state,
+    * watermark-GC'd). Same numbers as the batch report on the same
+    * documents; spec-pinned. */
+  def decontamStream(docs: DataFrame, evalFps: DataFrame): DataFrame = {
+    val fps = docs
+      .withWatermark("event_time", "10 minutes")
+      .select(col("doc_id"), col("event_time"),
+        explode(org.apache.spark.sql.GraftShim.column(
+          graft.functions.WinnowFps(
+            org.apache.spark.sql.GraftShim.expression(col("text")),
+            graft.ext.Winnowing.K, graft.ext.Winnowing.W,
+            1000000007L, graft.ext.Winnowing.PosScale))).as("fp"))
+    fps.join(evalFps.select(col("fp")).withColumn("hit", lit(1)), Seq("fp"), "left")
+      .groupBy(window(col("event_time"), "10 minutes"), col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), count(col("hit")).as("n_shared"))
+      .select(col("doc_id"), col("n_fp"), col("n_shared"),
+        expr("n_shared * 1000000L DIV n_fp").as("contam_ppm"),
+        (col("n_shared") > 0).cast("int").as("is_contaminated"))
+  }
+
   final case class GapEvent(userId: Long, day: Long, cents: Long,
     eventTime: java.sql.Timestamp)
   final case class GapRow(userId: Long, day: Long, nEvents: Long,

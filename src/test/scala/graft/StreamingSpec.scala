@@ -376,6 +376,44 @@ class StreamingSpec extends SparkSpec {
       "a closed window's registers were never emitted")
   }
 
+  test("streaming decontamination probe matches the batch report (q146 twin)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // static eval fingerprint set from the corpus's eval slice
+    val docsB = Tables.load(spark, sf, "documents")
+    val evalFps = graft.ext.Winnowing.fingerprints(docsB, "doc_id", "text")
+      .filter($"id" % 10 === 0).select($"fp").distinct()
+      .localCheckpoint(true)
+    // stream a handful of train docs as the fresh crawl batch
+    val fresh = docsB.filter($"doc_id" % 10 =!= 0).limit(20)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "event_time")
+    val q = Streaming.decontamStream(stream, evalFps)
+      .writeStream.format("memory").queryName("decon").outputMode("append").start()
+    try {
+      val t0 = 1000000L
+      input.addData(fresh.map { case (id, tx) =>
+        (id, tx, new java.sql.Timestamp(t0)) }: _*)
+      q.processAllAvailable()
+      // far-future sentinel closes the window
+      input.addData((999999L, "sentinel text long enough to fingerprint ok",
+        new java.sql.Timestamp(t0 + 3600L * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("decon")
+      .filter($"doc_id" =!= 999999L)
+      .select($"doc_id", $"n_fp", $"n_shared", $"contam_ppm", $"is_contaminated")
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    // batch report restricted to the streamed docs
+    val freshIds = fresh.map(_._1).toSet
+    val batch = graft.queries.MiningQueries.q146Decontam(spark, sf)
+      .filter($"doc_id".isin(freshIds.toSeq: _*))
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      s"stream/batch decontamination divergence")
+  }
+
   test("streaming gap-fill emits the batch grid rows as the watermark finalizes days (q109 twin)") {
     import Streaming.{GapEvent, GapRow}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
