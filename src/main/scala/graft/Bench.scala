@@ -31,7 +31,12 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.size / 2) // median (= the value itself at reps=1)
+      // true median: average the two middles for even reps (the upper
+      // middle alone would report the MAX at reps=2 — i.e. the cold run)
+      val median =
+        if (times.size % 2 == 1) times(times.size / 2)
+        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

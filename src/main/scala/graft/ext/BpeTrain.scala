@@ -15,12 +15,19 @@ import org.apache.spark.sql.functions._
   * 'aaaa' as three (a,a) adjacencies); the argmax tie-breaks by
   * (count DESC, lhs, rhs); merging rewrites every word left-to-right
   * NON-overlapping ('a a a a' → 'aa aa'). Words are restricted to `^[a-z0-9]+$` after
-  * lowercasing (standard BPE pre-tokenization), which frees ' ' as the
-  * in-word symbol separator: a word's state is the string
-  * `" s1 s2 …"` (leading separator, separator-joined), so one merge is
-  * the plain string replace of `" lhs rhs"` with `" lhsrhs"` — the
-  * same non-overlapping left-to-right scan in the JVM and in SQL,
-  * which is what makes every round oracle-replayable.
+  * lowercasing (standard BPE pre-tokenization), which frees ' ' and
+  * ';' as structural characters: a word's state is the string
+  * `" s1; s2; …"` — every symbol carries a leading separator AND a
+  * trailing ';' terminator — so one merge is the plain string replace
+  * of `" lhs; rhs;"` with `" lhsrhs;"`: the same non-overlapping
+  * left-to-right scan in the JVM and in SQL, which is what makes
+  * every round oracle-replayable. The terminator makes the pattern
+  * self-delimiting on BOTH sides: without it, a bare `" a b"` rhs
+  * would also match the PREFIX of a longer symbol (`" a bc"` would
+  * corrupt to `" abc"`), and any pattern that instead CONSUMED the
+  * following separator would break the overlap chain (`' a a a a'`
+  * must still rewrite to `' aa aa'`, which needs the next symbol's
+  * leading separator left intact for the continuing scan).
   *
   * Scale shape: rounds run over the WORD DICTIONARY (one row per
   * distinct word — vocabulary-sized, orders of magnitude smaller than
@@ -64,20 +71,23 @@ object BpeTrain {
   def train(words: DataFrame, nMerges: Int): Trained = {
     val spark = words.sparkSession
     var state = words
-      .select(col("word"), concat(lit(" "), concat_ws(" ",
-          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+      .select(col("word"), expr(
+          "concat_ws('', transform(sequence(1, length(word)), " +
+            "i -> concat(' ', substring(word, i, 1), ';')))")
         .as("sym"), col("freq"))
       .localCheckpoint(false)
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     for (r <- 1 to nMerges) {
       // pairs of adjacent symbols (index 1 of the split is the leading
-      // empty string, so symbols run from 2): vocabulary-sized work
+      // empty string, so symbols run from 2; the ';' terminator is
+      // stripped for the pair names): vocabulary-sized work
       val best: Array[Row] = state
         .select(split(col("sym"), " ").as("s"), col("freq"))
         .filter(size(col("s")) >= 3)
         .select(explode(expr(
             "transform(sequence(2, size(s) - 1), j -> " +
-              "struct(element_at(s, j) AS a, element_at(s, j + 1) AS b))"))
+              "struct(replace(element_at(s, j), ';', '') AS a, " +
+              "replace(element_at(s, j + 1), ';', '') AS b))"))
           .as("p"), col("freq"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
@@ -90,9 +100,11 @@ object BpeTrain {
       val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       out += ((r.toLong, a, b, a + b, cnt))
       // plain (non-regex) replace — tokens are [a-z0-9]+, so embedding
-      // them in the expression is safe and mirrors the oracle exactly
+      // them in the expression is safe and mirrors the oracle exactly;
+      // the ' lhs; rhs;' pattern is fully delimited on both sides (see
+      // the class doc), so it can never fuse with a longer symbol
       state = state
-        .select(col("word"), expr(s"replace(sym, ' $a $b', ' $a$b')").as("sym"),
+        .select(col("word"), expr(s"replace(sym, ' $a; $b;', ' $a$b;')").as("sym"),
           col("freq"))
         .localCheckpoint(false)
     }
@@ -105,4 +117,78 @@ object BpeTrain {
   /** The merge table alone — see [[train]]. */
   def merges(words: DataFrame, nMerges: Int): DataFrame =
     train(words, nMerges).merges
+
+  /** Driver-local trainer over the COLLECTED word dictionary — the
+    * production-vocabulary scale path. [[train]] pays one Spark job
+    * (one driver round-trip + one TakeOrdered) per merge: fine at the
+    * gated vocabulary budget, but a real 30k–50k-merge tokenizer would
+    * be driver-ROUND-bound, not data-bound. The dictionary itself is
+    * vocabulary-sized (one row per distinct word — orders of magnitude
+    * smaller than the corpus, built by the same single corpus pass),
+    * so it fits on the driver by construction; after collecting it,
+    * all merge rounds run in-memory with classic incremental pair
+    * bookkeeping (only words containing the merged pair are touched —
+    * Sennrich's get_stats/merge loop), i.e. ZERO Spark jobs per merge.
+    *
+    * Semantics are IDENTICAL to [[train]]: exact integer pair counts,
+    * (count DESC, lhs, rhs) tie-break, left-to-right non-overlapping
+    * rewrite, THROW below [[MinPairFreq]], and the same `" s1; s2;…"`
+    * dict encoding — parity is spec-pinned (BpeTrainSpec) so the two
+    * paths cannot fork. */
+  def trainLocal(words: DataFrame, nMerges: Int): Trained = {
+    val spark = words.sparkSession
+    import scala.collection.mutable
+    val rows = words.select(col("word"), col("freq")).collect()
+    val word = rows.map(_.getString(0))
+    val freq = rows.map(_.getLong(1))
+    val syms: Array[Array[String]] = word.map(_.map(_.toString).toArray)
+    def pairsOf(s: Array[String]): Iterator[(String, String)] =
+      (0 until s.length - 1).iterator.map(j => (s(j), s(j + 1)))
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // inverted index pair -> word ids; entries may go stale after a
+    // word is rewritten (they are lazily discarded when consumed)
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def add(i: Int): Unit = pairsOf(syms(i)).foreach { p =>
+      counts(p) = counts.getOrElse(p, 0L) + freq(i)
+      where.getOrElseUpdate(p, mutable.Set.empty) += i
+    }
+    def subtract(i: Int): Unit = pairsOf(syms(i)).foreach { p =>
+      val c = counts(p) - freq(i)
+      if (c == 0L) counts.remove(p) else counts(p) = c
+    }
+    syms.indices.foreach(add)
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (r <- 1 to nMerges) {
+      // total order => min is deterministic regardless of map iteration
+      val best = if (counts.isEmpty) None else Some(counts.minBy {
+        case ((a, b), c) => (-c, a, b)
+      })
+      if (best.isEmpty || best.get._2 < MinPairFreq)
+        throw new IllegalStateException(
+          s"corpus supports only ${r - 1} BPE merges of frequency >= $MinPairFreq" +
+            s" — requested $nMerges")
+      val ((a, b), cnt) = best.get
+      out += ((r.toLong, a, b, a + b, cnt))
+      // rewrite only the words indexed under (a, b); a stale id (word
+      // rewritten since) nets to an identity update
+      where.remove((a, b)).getOrElse(mutable.Set.empty).toSeq.sorted.foreach { i =>
+        subtract(i)
+        val s = syms(i)
+        val ns = mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < s.length) {
+          if (j < s.length - 1 && s(j) == a && s(j + 1) == b) { ns += a + b; j += 2 }
+          else { ns += s(j); j += 1 }
+        }
+        syms(i) = ns.toArray
+        add(i)
+      }
+    }
+    import spark.implicits._
+    Trained(
+      out.result().toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq"),
+      word.indices.map(i =>
+          (word(i), syms(i).map(x => " " + x + ";").mkString, freq(i)))
+        .toDF("word", "sym", "freq"))
+  }
 }

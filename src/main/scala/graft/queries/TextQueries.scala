@@ -402,14 +402,14 @@ object TextQueries {
     * Like regChainSql, the two oracles must replay the SAME training. */
   private[queries] def bpeChainSqlFrom(docsRel: String): String = {
     val rounds = (1 to BpeMerges).map { i =>
-      s"""p$i AS (SELECT s[j] AS a, s[j + 1] AS b, freq FROM
+      s"""p$i AS (SELECT replace(s[j], ';', '') AS a, replace(s[j + 1], ';', '') AS b, freq FROM
         |    (SELECT string_split(sym, ' ') AS s, freq FROM w${i - 1}) t
         |    CROSS JOIN UNNEST(generate_series(2, len(s) - 1)) AS u(j)),
         |c$i AS (SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM p$i GROUP BY a, b),
         |m$i AS MATERIALIZED (SELECT a, b, a || b AS ab, cnt FROM c$i
         |  ORDER BY cnt DESC, a, b LIMIT 1),
         |w$i AS MATERIALIZED (SELECT word,
-        |    replace(sym, ' ' || m.a || ' ' || m.b, ' ' || m.a || m.b) AS sym, freq
+        |    replace(sym, ' ' || m.a || '; ' || m.b || ';', ' ' || m.a || m.b || ';') AS sym, freq
         |  FROM w${i - 1}, m$i m)""".stripMargin
     }.mkString(",\n")
     s"""toks AS (SELECT doc_id, word FROM (
@@ -417,9 +417,9 @@ object TextQueries {
       |    FROM $docsRel) t
       |  WHERE regexp_matches(word, '^[a-z0-9]+$$')),
       |wd AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word),
-      |w0 AS MATERIALIZED (SELECT word, ' ' || array_to_string(
-      |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)),
-      |    ' ') AS sym, freq FROM wd),
+      |w0 AS MATERIALIZED (SELECT word, array_to_string(
+      |    list_transform(generate_series(1, length(word)), i -> ' ' || substr(word, i, 1) || ';'),
+      |    '') AS sym, freq FROM wd),
       |$rounds""".stripMargin
   }
 

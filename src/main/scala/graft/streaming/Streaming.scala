@@ -367,7 +367,10 @@ object Streaming {
             org.apache.spark.sql.GraftShim.expression(col("text")),
             graft.ext.Winnowing.K, graft.ext.Winnowing.W,
             1000000007L, graft.ext.Winnowing.PosScale))).as("fp"))
-    fps.join(evalFps.select(col("fp")).withColumn("hit", lit(1)), Seq("fp"), "left")
+    // distinct the static probe side: duplicate eval fp rows would
+    // multiply the left join and inflate n_fp AND n_shared, silently
+    // diverging from batch q146 (which dedups its eval set internally)
+    fps.join(evalFps.select(col("fp")).distinct().withColumn("hit", lit(1)), Seq("fp"), "left")
       .groupBy(window(col("event_time"), "10 minutes"), col("doc_id"))
       .agg(count(lit(1)).as("n_fp"), count(col("hit")).as("n_shared"))
       .select(col("doc_id"), col("n_fp"), col("n_shared"),

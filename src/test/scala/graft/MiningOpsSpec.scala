@@ -30,10 +30,46 @@ class MiningOpsSpec extends SparkSpec {
     // lo, low the words segment as expected
     val dict = graft.ext.BpeTrain.train(words, 4).dict
       .select($"word", $"sym").as[(String, String)].collect().toMap
-    assert(dict("newest") == " n e w est", s"got ${dict("newest")}")
-    assert(dict("low") == " low")
-    assert(dict("lower") == " low e r")
-    assert(dict("widest") == " w i d est")
+    assert(dict("newest") == " n; e; w; est;", s"got ${dict("newest")}")
+    assert(dict("low") == " low;")
+    assert(dict("lower") == " low; e; r;")
+    assert(dict("widest") == " w; i; d; est;")
+  }
+
+  test("BPE merge rewrite never fuses the rhs with the PREFIX of a longer symbol") {
+    // round 1 merges (b,c) (freq 8), leaving word 'abc' in state
+    // [a, bc]; round 2's best pair is (a,b) (freq 3 from 'abd', lex
+    // tie-break over (b,d)). An unguarded ' a b' -> ' ab' replace
+    // would fuse 'a' with the PREFIX of symbol 'bc' -> [abc]; the
+    // ';'-terminated state must leave [a, bc] untouched.
+    val words = Seq(("abc", 2L), ("bc", 6L), ("abd", 3L)).toDF("word", "freq")
+    val t = graft.ext.BpeTrain.train(words, 2)
+    val m = t.merges.select($"merge_rank", $"lhs", $"rhs", $"pair_freq")
+      .as[(Long, String, String, Long)].collect().toList
+    assert(m == List((1L, "b", "c", 8L), (2L, "a", "b", 3L)), s"got $m")
+    val dict = t.dict.select($"word", $"sym").as[(String, String)].collect().toMap
+    assert(dict("abc") == " a; bc;", s"boundary fusion: got ${dict("abc")}")
+    assert(dict("abd") == " ab; d;")
+    assert(dict("bc") == " bc;")
+  }
+
+  test("driver-local BPE trainer is bit-identical to the distributed loop") {
+    // the production-vocabulary scale path (zero Spark jobs per merge)
+    // must replay the distributed semantics exactly: same merge table,
+    // same final dictionary states, on a corpus with ties, overlap
+    // chains ('aaaa'), and prefix-hazard adjacencies ('abc'/'abd')
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L),
+      ("aaaa", 4L), ("abc", 2L), ("bc", 6L), ("abd", 3L)).toDF("word", "freq")
+    val a = graft.ext.BpeTrain.train(words, 6)
+    val b = graft.ext.BpeTrain.trainLocal(words, 6)
+    val ma = a.merges.as[(Long, String, String, String, Long)].collect().toList
+    val mb = b.merges.as[(Long, String, String, String, Long)].collect().toList
+    assert(ma == mb, s"merge tables diverge:\n  dist  = $ma\n  local = $mb")
+    val da = a.dict.select($"word", $"sym", $"freq")
+      .as[(String, String, Long)].collect().toSet
+    val db = b.dict.select($"word", $"sym", $"freq")
+      .as[(String, String, Long)].collect().toSet
+    assert(da == db, s"dicts diverge:\n  dist  = $da\n  local = $db")
   }
 
   test("BPE training counts every adjacency but merges non-overlapping") {
