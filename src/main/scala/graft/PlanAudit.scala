@@ -26,14 +26,11 @@ object PlanAudit {
     *  - BNLJ where a provably tiny side (query set / seed set / one-row
     *    summary / constant-size register skeleton) is broadcast under a
     *    non-equi condition;
-    *  - q24 is the exact all-pairs correctness baseline whose scale
-    *    path is the LSH twin (q68/q73).
     */
   val justified: Map[String, Set[String]] = Map(
     "q02_filter_pushdown" -> Set(SinglePartition), // scalar final agg
     "q51_profile" -> Set(SinglePartition), // single-row profile agg
     "q22_cosine_topk" -> Set(Bnlj), // broadcast query set, non-equi
-    "q24_emb_neardup" -> Set(Bnlj), // exact baseline; scale twin q68/q73
     "q32_ivf_assign" -> Set(Bnlj), // broadcast centroid seed set
     "q56_fuzzy_match" -> Set(Bnlj), // deduped dim broadcast, edit-distance cond
     "q64_sq8_quantize" -> Set(Bnlj), // 1-row dim-stats broadcast cross join
@@ -48,6 +45,9 @@ object PlanAudit {
     "q94_text_ann" -> Set(Bnlj), // broadcast query set, non-equi (q22 class)
     "q96_drift" -> Set(SinglePartition, Bnlj), // one-row totals broadcast (q80 class)
     "q104_collocations" -> Set(SinglePartition, Bnlj), // one-row token total (q86 class)
+    // DSIR lift table: one-row token-totals scalar agg broadcast onto
+    // the 64-row bucket stats (the q86/q104 class — constant-size)
+    "q144_dsir_mix" -> Set(SinglePartition, Bnlj),
     // dense-baseline scoring broadcasts the 8-row query-vector table
     // under a cross join (the q22/q94 class). BM25's vocabulary ranking
     // window runs eagerly into the checkpointed query-term table, so

@@ -36,9 +36,28 @@ object Mixing {
     val rate: Column = ratesBp.foldLeft(lit(defaultBp)) { case (acc, (k, v)) =>
       when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
-    val h = GraftFunctions.polyhash(col(idCol).cast("string"))
-    val mixed = (h * 1103515245L + 12345L) % 2147483648L % 10000L
-    df.filter(mixed < rate)
+    df.filter(keyBp(col(idCol)) < rate)
+  }
+
+  /** The ONE keep-decision hash point in [0, 10000): avalanched
+    * polyhash of the row id (see the class doc for why the LCG
+    * finalizer is required). Every sampler in the family — fixed-rate,
+    * temperature, importance — compares this same point against its
+    * rate, so a row kept at rate r is kept at every rate ≥ r (nested
+    * samples, the property that makes rate sweeps monotone). */
+  def keyBp(idCol: Column): Column = {
+    val h = GraftFunctions.polyhash(idCol.cast("string"))
+    (h * 1103515245L + 12345L) % 2147483648L % 10000L
+  }
+
+  /** Importance sampling: keep each row iff its hash point falls under
+    * the row's OWN rate column (basis points) — the per-document
+    * selection primitive (DSIR-style weights, [[Dsir]]); stratified /
+    * temperature sampling are the constant-rate-per-stratum special
+    * cases. A pure filter: no shuffle, runs in the scan stage. */
+  def importanceSample(df: DataFrame, idCol: String, rateBpCol: String): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.filter(keyBp(col(idCol)) < col(rateBpCol))
   }
 
   /** Temperature-scaled rates (α = 1/2): per-stratum keep-rates
@@ -73,10 +92,8 @@ object Mixing {
   def sampleWithRates(
       df: DataFrame, idCol: String, strataCol: String, rates: DataFrame): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val h = GraftFunctions.polyhash(col(idCol).cast("string"))
-    val mixed = (h * 1103515245L + 12345L) % 2147483648L % 10000L
     df.join(broadcast(rates.select(col(strataCol), col("rate_bp"))), strataCol)
-      .filter(mixed < col("rate_bp"))
+      .filter(keyBp(col(idCol)) < col("rate_bp"))
       .drop("rate_bp")
   }
 }

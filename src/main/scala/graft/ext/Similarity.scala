@@ -48,8 +48,12 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
-  /** Exact all-pairs above a cosine threshold (the correctness baseline
-    * for near-dup; LSH pre-filtering below is the scale path). */
+  /** Exact all-pairs above a cosine threshold via a single inequality
+    * join — the obviously-correct TINY-DATA baseline that specs compare
+    * against. Plans as a broadcast nested-loop join, so it must never
+    * reach a registered query: [[blockedNearDupPairs]] computes the
+    * identical result through an equi-join (spec-pinned parity) and is
+    * what q24 runs. */
   def exactNearDupPairs(df: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
     val v = df.select(col(idCol).as("id"), vecD(col(vecCol)).as("e"))
@@ -57,6 +61,62 @@ object Similarity {
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Exact all-pairs near-dup as a BALANCED BLOCK-PAIR equi-join — the
+    * same result set as [[exactNearDupPairs]] (floating-point identical:
+    * the cosine is symmetric under operand swap because IEEE multiply
+    * commutes and the fold order is the dimension order either way)
+    * with a plan that survives scale.
+    *
+    * Why not LSH blocking: at a loose threshold like cos ≥ 0.45 the
+    * passing pairs sit at ~63° — on isotropic data they disagree on a
+    * third of their hyperplane/coordinate signs (measured 20-27 of 64
+    * on the test corpus, vs ~32 for random pairs), so NO sign/band
+    * scheme can be both complete and selective; completeness would be
+    * luck, not design. Exact all-pairs is inherently Θ(n²) work; the
+    * scale problem to solve is the PLAN: a broadcast nested-loop join
+    * ships the whole corpus to every executor (and dies at the
+    * broadcast limit long before 100 TB), while a cartesian leaves the
+    * quadratic work wherever the partitioning happened to put it.
+    *
+    * The fix is the classic balanced theta-join layout (Okcan &
+    * Riedewald's 1-bucket-theta): hash every row into one of `blocks`
+    * groups, enumerate the `blocks·(blocks+1)/2` unordered group pairs
+    * as a constant-size broadcast table, replicate each row to the
+    * pairs it participates in (block g appears as the left group in
+    * `blocks-g` pairs and as the right group in `g+1` — exactly
+    * `blocks+1` copies per row, balanced by construction), and let
+    * candidates meet in an EQUI-join on the (gl, gr) key. Each key
+    * carries ~(n/blocks)² scoring work, so the quadratic cost spreads
+    * evenly over `blocks·(blocks+1)/2` reducers with O(blocks) = O(√P)
+    * replication — the known optimum for an unselective theta-join —
+    * and nothing data-sized is ever broadcast. Every unordered pair
+    * meets exactly once: cross-group pairs once by construction,
+    * same-group pairs deduped by the id order filter. */
+  def blockedNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      blocks: Int = 16): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).as("id"), vecD(col(vecCol)).as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .withColumn("g", pmod(hash(col("id")), lit(blocks)))
+    val groupPairs = (0 until blocks)
+      .flatMap(i => (i until blocks).map(j => (i, j))).toDF("gl", "gr")
+    val left = v.join(broadcast(groupPairs), col("g") === col("gl"))
+      .select(col("gl"), col("gr"),
+        col("id").as("id_l"), col("e").as("el"), col("nrm").as("nl"))
+    val right = v.join(broadcast(groupPairs), col("g") === col("gr"))
+      .select(col("gl"), col("gr"),
+        col("id").as("id_r"), col("e").as("er"), col("nrm").as("nr"))
+    left.join(right, Seq("gl", "gr"))
+      .filter(col("gl") =!= col("gr") || col("id_l") < col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        (dot(col("el"), col("er")) / (col("nl") * col("nr"))).as("cos"))
       .filter(col("cos") >= minCos)
   }
 

@@ -469,7 +469,67 @@ object CurationQueries {
       |SELECT doc_id, lang, rn FROM r WHERE rn <= 20
       |ORDER BY lang, rn""".stripMargin
 
+  /** q144: DSIR-style importance-weighted mixing — the per-DOCUMENT
+    * selection primitive the stratum-rate family (q70/q101/q106)
+    * lacks. Target slice: `lang = 'en'`. Every document is scored by
+    * its hashed-unigram likelihood under the target vs the corpus
+    * ([[graft.ext.Dsir.importanceScores]] — exact integer centered-
+    * lift sums, DECIMAL(38,0) numerators), the score maps to a keep-
+    * rate in basis points, and the keep decision is the same
+    * replayable avalanched polyhash as every other sampler. Output is
+    * the per-language selection audit: documents that LOOK like the
+    * target keep at higher rates wherever they are, so the kept mix
+    * shifts toward en without any per-stratum rate being set by hand
+    * (sum_rate_bp/n_docs is the deterministic per-language evidence;
+    * n_kept realizes it through the hash). Empty documents carry no
+    * evidence and are excluded. */
+  def q144DsirMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.{Dsir, Mixing}
+    val scored = Dsir.importanceScores(Tables.load(s, dir, "documents"),
+        "doc_id", "text", targetPred = $"lang" === "en", carryCols = Seq("lang"))
+      .withColumn("rate_bp", Dsir.rateBp($"score"))
+    scored.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(Mixing.keyBp($"doc_id") < $"rate_bp", lit(1))).as("n_kept"),
+        sum($"rate_bp").as("sum_rate_bp"),
+        min($"score").as("min_score"),
+        max($"score").as("max_score"))
+      .orderBy($"lang")
+  }
+
+  val q144Sql: String = {
+    val ph = AnalyticsQueries.polyhashSql("tok")
+    val keep = AnalyticsQueries.polyhashSql("CAST(doc_id AS VARCHAR)")
+    s"""WITH toks AS (SELECT doc_id, lang,
+      |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      |  FROM documents WHERE trim(text) <> ''),
+      |tb AS (SELECT doc_id, lang, lang = 'en' AS is_target, $ph % 64 AS b FROM toks),
+      |st AS (SELECT b, COUNT(*) AS n_c, COUNT(*) FILTER (is_target) AS n_t
+      |  FROM tb GROUP BY b),
+      |tot AS (SELECT CAST(SUM(n_c) AS BIGINT) AS nc_tot,
+      |    CAST(SUM(n_t) AS BIGINT) AS nt_tot FROM st),
+      |lift AS (SELECT b,
+      |    CAST(CAST(n_t + 1 AS HUGEINT) * (nc_tot + 64) * 1000000
+      |      // (CAST(n_c + 1 AS HUGEINT) * (nt_tot + 64)) AS BIGINT) AS lift_ppm
+      |  FROM st CROSS JOIN tot),
+      |ds AS (SELECT tb.doc_id, tb.lang,
+      |    CAST(SUM(l.lift_ppm - 1000000) AS BIGINT) AS score
+      |  FROM tb JOIN lift l ON tb.b = l.b GROUP BY tb.doc_id, tb.lang),
+      |rt AS (SELECT *, LEAST(10000, GREATEST(0, 5000 + score // 200)) AS rate_bp
+      |  FROM ds),
+      |kp AS (SELECT *, ($keep * 1103515245 + 12345)
+      |    % 2147483648 % 10000 AS hk FROM rt)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  COUNT(*) FILTER (hk < rate_bp) AS n_kept,
+      |  CAST(SUM(rate_bp) AS BIGINT) AS sum_rate_bp,
+      |  CAST(MIN(score) AS BIGINT) AS min_score,
+      |  CAST(MAX(score) AS BIGINT) AS max_score
+      |FROM kp GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_dsir_mix" -> (q144DsirMix _),
     "q72_curate" -> (q72Curate _),
     "q73_semdedup" -> (q73SemDedup _),
     "q97_pack_bins" -> (q97PackBins _),
@@ -484,6 +544,7 @@ object CurationQueries {
     "q71_decontaminate" -> (q71Decontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q144_dsir_mix" -> q144Sql,
     "q72_curate" -> q72Sql,
     "q73_semdedup" -> q73Sql,
     "q97_pack_bins" -> q97Sql,

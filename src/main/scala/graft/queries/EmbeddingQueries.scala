@@ -49,11 +49,18 @@ object EmbeddingQueries {
       |  FROM v)
       |SELECT vec_id, CAST(bucket AS BIGINT) AS bucket FROM b ORDER BY vec_id""".stripMargin
 
-  /** q24: exact embedding near-dup pairs (cos ≥ 0.45) — the correctness
-    * baseline the LSH path is spec-tested against. */
+  /** q24: exact embedding near-dup pairs (cos ≥ 0.45) — EXACT, not
+    * LSH-blocked (at this loose threshold no sign/band scheme is both
+    * complete and selective; see [[Similarity.blockedNearDupPairs]]),
+    * but planned as the balanced block-pair EQUI-join rather than the
+    * broadcast nested-loop all-pairs join: the quadratic scoring work
+    * spreads evenly over the group-pair keys with O(√P) replication
+    * and nothing data-sized broadcast. The brute-force oracle proves
+    * the block layout loses no pair; the approximate scale twins for
+    * genuinely near-dup thresholds remain q68/q73. */
   def q24EmbNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Similarity.exactNearDupPairs(Tables.load(s, dir, "embeddings"),
+    Similarity.blockedNearDupPairs(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", minCos = 0.45)
       .orderBy($"id_a", $"id_b")
   }

@@ -19,23 +19,29 @@ import graft.model.AiConfig
   */
 object Streaming {
 
-  /** Schema of the events table when read as a stream (ts = raw nanos;
-    * Spark 4 reads parquet TIMESTAMP(NANOS) as long under the
-    * nanosAsLong legacy conf, which [[eventsStream]] sets). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** File-source stream over the events parquet with a proper event-time
     * column. At scale this is the same code against a Kafka/object-store
-    * source — the transforms below don't change. */
+    * source — the transforms below don't change.
+    *
+    * The file source needs an explicit schema, which must match the
+    * file encoding — the generator has shipped `ts` both as parquet
+    * TIMESTAMP(NANOS) (long nanos under the legacy conf) and as plain
+    * micros TIMESTAMP / TIMESTAMP_NTZ — so the schema is sniffed from
+    * a one-off batch read of the footer (metadata only, no data scan).
+    * A hardcoded long-nanos schema over a micros file would silently
+    * read micros AS nanos: every event time 1000× too small, every
+    * window wrong — the bug class schema sniffing exists to kill. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val eventTime = schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)"))
+      case _ => col("ts").cast("timestamp") // NTZ wall clock == UTC instant here
+    }
+    spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(dir)
-      .withColumn("event_time", timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)")))
+      .withColumn("event_time", eventTime)
   }
 
   /** Tumbling-window counts with a watermark — the streaming twin of

@@ -159,6 +159,54 @@ class CurationOpsSpec extends SparkSpec {
     assert(enFrac > 0.08 && enFrac < 0.17, s"en fraction $enFrac far from 0.125")
   }
 
+  test("DSIR importance weights shift the kept mix toward the target slice") {
+    import graft.ext.{Dsir, Mixing}
+    // planted distributions: "tech" docs repeat tech vocabulary, "chat"
+    // docs chat vocabulary, "mix" docs blend both — weights trained on
+    // the tech slice must rate tech > mix > chat, deterministically
+    val docs = ((0L until 40L).map(i => (i, "tech", "kernel compiler tensor shard gpu cluster")) ++
+      (100L until 140L).map(i => (i, "chat", "lol omg haha yeah cool nice")) ++
+      (200L until 240L).map(i => (i, "mix", "kernel compiler tensor shard lol omg"))).toSeq
+      .toDF("doc_id", "kind", "text")
+    val rated = Dsir.importanceScores(docs, "doc_id", "text",
+        targetPred = $"kind" === "tech", carryCols = Seq("kind"))
+      .withColumn("rate_bp", Dsir.rateBp($"score"))
+    val byKind = rated.groupBy("kind")
+      .agg(sum($"rate_bp").as("s"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, s, n) => k -> s.toDouble / n }.toMap
+    assert(byKind("tech") > byKind("mix") && byKind("mix") > byKind("chat"),
+      s"rates not ordered: $byKind")
+    assert(byKind("tech") === 10000.0) // pure-target docs saturate the cap
+    assert(byKind("chat") === 0.0)     // pure-off-target docs are culled
+    // the realized sample shifts composition toward the target slice
+    val kept = Mixing.importanceSample(rated, "doc_id", "rate_bp")
+      .groupBy("kind").count().as[(String, Long)].collect().toMap
+    assert(kept("tech") == 40L && !kept.contains("chat"))
+    // scoring is a pure function of the data: a second run is identical
+    val again = Dsir.importanceScores(docs, "doc_id", "text",
+        targetPred = $"kind" === "tech", carryCols = Seq("kind"))
+      .withColumn("rate_bp", Dsir.rateBp($"score"))
+      .groupBy("kind").agg(sum($"rate_bp").as("s"))
+      .as[(String, Long)].collect().toMap
+    assert(again("tech") == 400000L && again("chat") == 0L)
+  }
+
+  test("DSIR on the real corpus: target-language docs carry the highest keep rates") {
+    import graft.ext.Dsir
+    val rated = Dsir.importanceScores(Tables.load(spark, sf, "documents"),
+        "doc_id", "text", targetPred = $"lang" === "en", carryCols = Seq("lang"))
+      .withColumn("rate_bp", Dsir.rateBp($"score"))
+      .groupBy("lang").agg(sum($"rate_bp").as("s"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, s, n) => k -> s.toDouble / n }.toMap
+    // deterministic (no sampling noise): the en slice's average keep
+    // rate must beat every other language's
+    rated.filterNot(_._1 == "en").foreach { case (lang, avg) =>
+      assert(rated("en") > avg, s"en ${rated("en")} not above $lang $avg")
+    }
+  }
+
   test("decontamination drops docs sharing an n-gram with the benchmark, keeps the rest") {
     import graft.ext.Dedup
     val bench = Seq((100L, "the secret eval answer phrase nobody should train on"))

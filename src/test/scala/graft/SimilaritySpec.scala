@@ -56,6 +56,28 @@ class SimilaritySpec extends SparkSpec {
     assert(viaLsh.size == 25)
   }
 
+  test("blocked near-dup equi-join is pair-for-pair identical to the all-pairs baseline") {
+    // the q24 plan shape: balanced block-pair equi-join must lose no
+    // pair and invent none, at a LOOSE threshold where pairs span
+    // blocks arbitrarily; compare against the BNLJ baseline on the
+    // real embeddings table, bit-exact on cos
+    val blocked = Similarity.blockedNearDupPairs(emb, "vec_id", "embedding", minCos = 0.3, blocks = 5)
+      .select($"id_a", $"id_b", $"cos").as[(Long, Long, Double)].collect().toSet
+    val exact = Similarity.exactNearDupPairs(emb, "vec_id", "embedding", minCos = 0.3)
+      .select($"id_a", $"id_b", $"cos").as[(Long, Long, Double)].collect().toSet
+    assert(blocked == exact, s"diff: ${(blocked diff exact) ++ (exact diff blocked)}")
+    assert(blocked.nonEmpty)
+    assert(blocked.forall { case (a, b, _) => a < b })
+  }
+
+  test("blocked near-dup plans as an equi-join: no BNLJ, no cartesian") {
+    val plan = Similarity.blockedNearDupPairs(emb, "vec_id", "embedding", minCos = 0.45)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("IVF assignment: every vector gets exactly one cluster from the seed set") {
     val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", nClusters = 8)
     assert(assigned.count() == emb.count())
