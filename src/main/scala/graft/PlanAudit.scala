@@ -79,7 +79,10 @@ object PlanAudit {
     // per group, never data-sized)
     "q141_group_sliding_hll" -> Set(Bnlj),
     // 16 sketches × 256-bucket register skeleton (q91 class)
-    "q134b_fd_sketch" -> Set(Bnlj))
+    "q134b_fd_sketch" -> Set(Bnlj),
+    // same register skeleton, sketch-only 100 TB form (q134b minus the
+    // exact pass — the constant-size dense-bucket crossJoin remains)
+    "q134c_fd_sketch_only" -> Set(Bnlj))
 
   val flags = Seq(SinglePartition, Cartesian, Bnlj)
 

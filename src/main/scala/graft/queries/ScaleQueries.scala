@@ -288,7 +288,22 @@ object ScaleQueries {
     * ≡ q134's n_violating = 0. The est path's shuffle is 16×256
     * partials per partition regardless of row count — the 12
     * data-sized per-pair passes of q134 become one. */
-  def q134bFdSketch(s: SparkSession, dir: String): DataFrame = {
+  def q134bFdSketch(s: SparkSession, dir: String): DataFrame =
+    fdSketch(s, dir, withExact = true)
+
+  /** q134c: q134b's sketch path ALONE — the 100 TB form. q134b's
+    * exact side (a 16×-data `countDistinct` pass) exists to MEASURE
+    * the sketches (the q137 discipline) and is the right gate at
+    * verification scale, but at production scale the exact side IS the
+    * cost; this entry drops it, leaving one scan + one constant-size
+    * (16×256 longs) exchange. Same core builder as q134b, so the two
+    * cannot fork; [[ScaleOpsSpec]] pins that its est columns are
+    * byte-identical to q134b's and that no distinct aggregation or
+    * corpus-sized checkpoint remains in the plan. */
+  def q134cFdSketchOnly(s: SparkSession, dir: String): DataFrame =
+    fdSketch(s, dir, withExact = false)
+
+  private def fdSketch(s: SparkSession, dir: String, withExact: Boolean): DataFrame = {
     import s.implicits._
     import graft.ext.Hll
     val o = Tables.load(s, dir, "orders")
@@ -299,29 +314,43 @@ object ScaleQueries {
           struct(lit(s"$det|$dep").as("sk"),
             concat(col(det).cast("string"), lit("|"), col(dep).cast("string")).as("k"))
         }
-    val keys = o.select(explode(array(entries: _*)).as("e"))
+    val keysRaw = o.select(explode(array(entries: _*)).as("e"))
       .select($"e.sk".as("sk"), $"e.k".as("k"))
-      .localCheckpoint(false) // feeds the sketch build AND the exact side
+    // checkpoint ONLY when the exact side gives the exploded keys a
+    // second consumer; sketch-only streams them straight into the
+    // register build, nothing 16×-data-sized ever materializes
+    val keys = if (withExact) keysRaw.localCheckpoint(false) else keysRaw
     val est = Hll.groupEstimate(Hll.groupRegisters(keys, $"sk", $"k"))
       .select($"grp".as("sk"), $"est_raw")
-    val exact = keys.groupBy($"sk").agg(countDistinct($"k").as("n_exact"))
     val pairsDf = fdPairs.toDF("det", "dep")
-    pairsDf
+    val withEst = pairsDf
       .join(broadcast(est.select($"sk", $"est_raw".as("est_det"))),
         pairsDf("det") === $"sk").drop("sk")
       .join(broadcast(est.select($"sk", $"est_raw".as("est_pair"))),
         concat(pairsDf("det"), lit("|"), pairsDf("dep")) === $"sk").drop("sk")
-      .join(broadcast(exact.select($"sk", $"n_exact".as("n_det"))),
-        pairsDf("det") === $"sk").drop("sk")
-      .join(broadcast(exact.select($"sk", $"n_exact".as("n_pair"))),
-        concat(pairsDf("det"), lit("|"), pairsDf("dep")) === $"sk").drop("sk")
-      .select($"det", $"dep", $"n_det", $"n_pair", $"est_det", $"est_pair",
-        ($"n_pair" === $"n_det").cast("int").as("holds_exact"),
-        ($"est_pair" <= $"est_det" * lit(1.2)).cast("int").as("holds_est"))
-      .orderBy($"det", $"dep")
+    if (!withExact)
+      withEst.select($"det", $"dep", $"est_det", $"est_pair",
+          ($"est_pair" <= $"est_det" * lit(1.2)).cast("int").as("holds_est"))
+        .orderBy($"det", $"dep")
+    else {
+      val exact = keys.groupBy($"sk").agg(countDistinct($"k").as("n_exact"))
+      withEst
+        .join(broadcast(exact.select($"sk", $"n_exact".as("n_det"))),
+          pairsDf("det") === $"sk").drop("sk")
+        .join(broadcast(exact.select($"sk", $"n_exact".as("n_pair"))),
+          concat(pairsDf("det"), lit("|"), pairsDf("dep")) === $"sk").drop("sk")
+        .select($"det", $"dep", $"n_det", $"n_pair", $"est_det", $"est_pair",
+          ($"n_pair" === $"n_det").cast("int").as("holds_exact"),
+          ($"est_pair" <= $"est_det" * lit(1.2)).cast("int").as("holds_est"))
+        .orderBy($"det", $"dep")
+    }
   }
 
-  val q134bSql: String = {
+  /** Shared q134b/q134c oracle chain: exploded tagged keys → HLL
+    * register replay → per-sketch estimates, plus the pairs table.
+    * ONE builder so the sketch replay cannot fork between the gated
+    * full entry and the sketch-only entry. */
+  private def fdSketchChainSql: String = {
     val fdPairs = for { det <- fdCols; dep <- fdCols if det != dep } yield (det, dep)
     val branches =
       fdCols.map(c => s"SELECT '$c' AS sk, CAST($c AS VARCHAR) AS k FROM orders") ++
@@ -335,9 +364,13 @@ object ScaleQueries {
       |    round(${AnalyticsQueries.estSql.format(
                "CAST(SUM(1::BIGINT << CAST(32 - r AS INT)) AS BIGINT)")}, 6) AS est_raw
       |  FROM reg GROUP BY grp),
+      |pairs(det, dep) AS (VALUES $values)""".stripMargin
+  }
+
+  val q134bSql: String =
+    s"""$fdSketchChainSql,
       |ex AS (SELECT sk, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_exact
-      |  FROM keys GROUP BY sk),
-      |pairs(det, dep) AS (VALUES $values)
+      |  FROM keys GROUP BY sk)
       |SELECT p.det, p.dep, exd.n_exact AS n_det, exp.n_exact AS n_pair,
       |  aggd.est_raw AS est_det, aggp.est_raw AS est_pair,
       |  CAST(exp.n_exact = exd.n_exact AS INT) AS holds_exact,
@@ -348,7 +381,16 @@ object ScaleQueries {
       |JOIN ex exd ON exd.sk = p.det
       |JOIN ex exp ON exp.sk = p.det || '|' || p.dep
       |ORDER BY det, dep""".stripMargin
-  }
+
+  val q134cSql: String =
+    s"""$fdSketchChainSql
+      |SELECT p.det, p.dep,
+      |  aggd.est_raw AS est_det, aggp.est_raw AS est_pair,
+      |  CAST(aggp.est_raw <= aggd.est_raw * 1.2 AS INT) AS holds_est
+      |FROM pairs p
+      |JOIN agg aggd ON aggd.sk = p.det
+      |JOIN agg aggp ON aggp.sk = p.det || '|' || p.dep
+      |ORDER BY det, dep""".stripMargin
 
   /** q140: referential-integrity audit — orphan counts for the star
     * schema's four FK edges (lineitem→orders, orders→customer,
@@ -411,7 +453,8 @@ object ScaleQueries {
     "q51_profile" -> (q51Profile _),
     "q52_sliding_window" -> (q52SlidingWindow _),
     "q134_fd_discovery" -> (q134FdDiscovery _),
-    "q134b_fd_sketch" -> (q134bFdSketch _))
+    "q134b_fd_sketch" -> (q134bFdSketch _),
+    "q134c_fd_sketch_only" -> (q134cFdSketchOnly _))
 
   val oracle: Map[String, String] = Map(
     "q140_ref_integrity" -> q140Sql,
@@ -422,5 +465,6 @@ object ScaleQueries {
     "q51_profile" -> q51Sql,
     "q52_sliding_window" -> q52Sql,
     "q134_fd_discovery" -> q134Sql,
-    "q134b_fd_sketch" -> q134bSql)
+    "q134b_fd_sketch" -> q134bSql,
+    "q134c_fd_sketch_only" -> q134cSql)
 }

@@ -62,25 +62,31 @@ object TextQueries {
     s"CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), " +
       s"t -> t IN (${markers.map(m => s"'$m'").mkString(",")}))) AS BIGINT)"
 
-  val q17Sql: String = {
+  /** The q17 language-prediction CASE over a relation exposing `text`
+    * — ONE definition shared by q17 and the tokenizer fertility report
+    * (q149), so the heuristic cannot fork between its gates. */
+  private[queries] def predLangCaseSql: String = {
     val en = mk("en", Seq("the", "and", "of", "is", "to"))
     val es = mk("es", Seq("el", "la", "de", "que", "y"))
     val de = mk("de", Seq("der", "die", "und", "das", "ist"))
     val fr = mk("fr", Seq("le", "les", "et", "des", "une"))
     val cjk = "CAST(length(text) - length(regexp_replace(text, '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS DOUBLE)" +
       " / CAST(greatest(length(text), 1) AS DOUBLE)"
-    s"""SELECT doc_id, lang AS labeled_lang, pred_lang,
-      |  CAST(lang = pred_lang AS INT) AS agree
-      |FROM (SELECT doc_id, lang, text,
-      |  CASE WHEN $cjk > 0.3 THEN 'zh'
+    s"""CASE WHEN $cjk > 0.3 THEN 'zh'
       |       WHEN $en >= greatest($es, $de, $fr) AND $en > 0 THEN 'en'
       |       WHEN $es >= greatest($de, $fr) AND $es > 0 THEN 'es'
       |       WHEN $de >= $fr AND $de > 0 THEN 'de'
       |       WHEN $fr > 0 THEN 'fr'
-      |       ELSE 'und' END AS pred_lang
+      |       ELSE 'und' END""".stripMargin
+  }
+
+  val q17Sql: String =
+    s"""SELECT doc_id, lang AS labeled_lang, pred_lang,
+      |  CAST(lang = pred_lang AS INT) AS agree
+      |FROM (SELECT doc_id, lang, text,
+      |  $predLangCaseSql AS pred_lang
       |  FROM documents) t
       |ORDER BY doc_id""".stripMargin
-  }
 
   /** q18: exact dedup groups — md5 content hash, kept id, copy count.
     * The shuffle carries 16-byte digests, never the text. */
@@ -482,7 +488,80 @@ object TextQueries {
       |FROM documents d LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q149: tokenizer fertility report — per-LANGUAGE BPE compression,
+    * the standard tokenizer-equity metric a release report ships:
+    * train the q143 vocabulary once, apply it (the q145 word → token-
+    * count dictionary join), bucket documents by the q17 language-ID
+    * PREDICTION (the operator composition a real pipeline runs — no
+    * labels at inference time), and report per bucket: document count,
+    * valid-word count, BPE token count, character count, fixed-point
+    * fertility (BPE tokens per word, ppm) and compression (chars per
+    * BPE token, ppm). A tokenizer trained on an en-heavy corpus shows
+    * higher fertility on the other languages — exactly what this
+    * report exists to surface.
+    *
+    * Scale shape: language-ID is a row-local codegen'd projection on
+    * the same scan that explodes words; the trained dictionary is
+    * vocabulary-sized and broadcast; the only shuffles carry
+    * (pred_lang, partials) — a handful of groups. */
+  def q149BpeFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.BpeTrain
+    val docs = Tables.load(s, dir, "documents")
+    val trained = BpeTrain.train(BpeTrain.wordDict(docs, "text"), BpeMerges)
+    val dict = trained.dict.select($"word",
+      (size(split($"sym", " ")) - 1).cast("long").as("n_bpe"))
+    // (labeled, predicted) cross-tab: the labeled axis is the equity
+    // report, the predicted axis is what a labelless pipeline buckets
+    // by — disagreement cells surface langID drift in the same table
+    val withLang = docs.select($"doc_id", $"lang",
+      langId($"text").as("pred_lang"), $"text")
+    val nDocs = withLang.groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val words = withLang
+      .select($"lang", $"pred_lang", explode(tokens(lower($"text"))).as("word"))
+      .filter($"word".rlike("^[a-z0-9]+$"))
+    val agg = words.join(broadcast(dict), "word")
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n_words"), sum($"n_bpe").as("n_bpe_tokens"),
+        sum(length($"word")).cast("long").as("n_chars"))
+    nDocs.join(agg, Seq("lang", "pred_lang"), "left")
+      .select($"lang", $"pred_lang", $"n_docs",
+        coalesce($"n_words", lit(0L)).as("n_words"),
+        coalesce($"n_bpe_tokens", lit(0L)).as("n_bpe_tokens"),
+        coalesce($"n_chars", lit(0L)).as("n_chars"),
+        expr("CASE WHEN n_words > 0 THEN n_bpe_tokens * 1000000L DIV n_words END")
+          .as("fert_ppm"),
+        expr("CASE WHEN n_bpe_tokens > 0 THEN n_chars * 1000000L DIV n_bpe_tokens END")
+          .as("cpt_ppm"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  val q149Sql: String =
+    s"""WITH ${bpeChainSqlFrom("documents")},
+      |dict AS (SELECT word, CAST(len(string_split(sym, ' ')) - 1 AS BIGINT) AS n_bpe
+      |  FROM w$BpeMerges),
+      |pl AS (SELECT doc_id, lang, $predLangCaseSql AS pred_lang FROM documents),
+      |nd AS (SELECT lang, pred_lang, COUNT(*) AS n_docs FROM pl
+      |  GROUP BY lang, pred_lang),
+      |wa AS (SELECT pl.lang, pl.pred_lang, COUNT(*) AS n_words,
+      |    CAST(SUM(d.n_bpe) AS BIGINT) AS n_bpe_tokens,
+      |    CAST(SUM(length(t.word)) AS BIGINT) AS n_chars
+      |  FROM toks t JOIN dict d USING (word) JOIN pl ON pl.doc_id = t.doc_id
+      |  GROUP BY pl.lang, pl.pred_lang)
+      |SELECT nd.lang, nd.pred_lang, nd.n_docs,
+      |  COALESCE(wa.n_words, 0) AS n_words,
+      |  COALESCE(wa.n_bpe_tokens, 0) AS n_bpe_tokens,
+      |  COALESCE(wa.n_chars, 0) AS n_chars,
+      |  CASE WHEN wa.n_words > 0
+      |       THEN wa.n_bpe_tokens * 1000000 // wa.n_words END AS fert_ppm,
+      |  CASE WHEN wa.n_bpe_tokens > 0
+      |       THEN wa.n_chars * 1000000 // wa.n_bpe_tokens END AS cpt_ppm
+      |FROM nd LEFT JOIN wa USING (lang, pred_lang)
+      |ORDER BY lang, pred_lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_bpe_fertility" -> (q149BpeFertility _),
     "q143_bpe_train" -> (q143BpeTrain _),
     "q145_bpe_tokenize" -> (q145BpeTokenize _),
     "q116_prefix_join" -> (q116PrefixJoin _),
@@ -497,6 +576,7 @@ object TextQueries {
     "q104_collocations" -> (q104Collocations _))
 
   val oracle: Map[String, String] = Map(
+    "q149_bpe_fertility" -> q149Sql,
     "q143_bpe_train" -> q143Sql,
     "q145_bpe_tokenize" -> q145Sql,
     "q16_text_stats" -> q16Sql,

@@ -124,6 +124,25 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("sketch-only FD entry matches q134b's estimates and drops the exact pass") {
+    import graft.queries.ScaleQueries
+    // the est columns must be byte-identical — same sketch build, the
+    // q134b/q134c core is shared, this pins that it stays shared
+    val full = ScaleQueries.q134bFdSketch(spark, sf)
+      .select($"det", $"dep", $"est_det", $"est_pair", $"holds_est")
+      .collect().map(_.toSeq).toSeq
+    val lean = ScaleQueries.q134cFdSketchOnly(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(full == lean)
+    // and the 100 TB form must carry NO exact-distinct pass and no
+    // corpus-sized checkpoint: one scan, one register exchange
+    val plan = ScaleQueries.q134cFdSketchOnly(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("distinct"), plan)
+    assert(!plan.contains("LogicalRDD"), plan) // no localCheckpoint
+  }
+
   test("profiler computes nulls, distincts, and typed min/max in one pass") {
     val df = Seq(
       (Some(1L), Some("a"), Some(1.5)),
