@@ -48,6 +48,9 @@ object PlanAudit {
     // DSIR lift table: one-row token-totals scalar agg broadcast onto
     // the 64-row bucket stats (the q86/q104 class — constant-size)
     "q144_dsir_mix" -> Set(SinglePartition, Bnlj),
+    // final rank window over the checkpointed 100-row TakeOrdered
+    // top-k (the q128 class); the top-k itself is map-side partial
+    "q150_dsir_topk" -> Set(SinglePartition),
     // dense-baseline scoring broadcasts the 8-row query-vector table
     // under a cross join (the q22/q94 class). BM25's vocabulary ranking
     // window runs eagerly into the checkpointed query-term table, so

@@ -138,4 +138,67 @@ object Dedup {
         graft.functions.VectorFunctions.arrayJaccardLong(col("set_a"), col("set_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** DIRECTED shingle containment — `src ⊆ dst` detection: for each
+    * candidate pair, emit (src, dst) whenever |S_src ∩ S_dst| / |S_src|
+    * ≥ thresholdBp/10000 (both directions tested; a pair of near-equal
+    * docs yields two rows). This is the asymmetric relation symmetric
+    * Jaccard (q19/q20) structurally CANNOT see: a short document wholly
+    * quoted inside a long one has Jaccard ≈ |S_src|/|S_dst| (arbitrarily
+    * small) but containment 1.0 — the quote/subset duplication class a
+    * curation pass actually wants to catch.
+    *
+    * All-integer verdict: inter·10000 ≥ thresholdBp·|S_src| and the
+    * shipped ratio is fixed-point ppm, so the oracle replays it exactly.
+    * Candidates come from the same capped posting-list index as
+    * [[ngramJaccardPairs]] (the df cap is part of the operator's
+    * definition, mirrored in the oracle); documents below `minShingles`
+    * carry too little evidence for a ratio test and are excluded.
+    * Scale shape identical to q19: shingles travel as 8-byte hashes,
+    * posting lists are df-capped so in-bucket expansion is bounded, and
+    * the verification join ships two hash arrays per candidate pair. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      thresholdBp: Int = 9000,
+      minShingles: Int = 20,
+      maxShingleDf: Int = 20): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh_set",
+        graft.functions.VectorFunctions.hashedShingles(col("text"), n, ShingleHashMod))
+      .filter(size(col("sh_set")) >= minShingles)
+    val buckets = docs.select(col("id"), explode(col("sh_set")).as("sh"))
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxShingleDf))
+    val cand = buckets
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    val scored = cand
+      .join(docs.select(col("id").as("id_a"), col("sh_set").as("set_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh_set").as("set_b")), Seq("id_b"))
+      // arrays are distinct by construction, so the built-in intersect
+      // size is the exact integer overlap — computed ONCE per unordered
+      // pair, then fanned into the two directed tests
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("inter"),
+        size(col("set_a")).cast("long").as("n_a"),
+        size(col("set_b")).cast("long").as("n_b"))
+    scored
+      .select(col("inter"), explode(array(
+        struct(col("id_a").as("src_id"), col("id_b").as("dst_id"),
+          col("n_a").as("n_src"), col("n_b").as("n_dst")),
+        struct(col("id_b").as("src_id"), col("id_a").as("dst_id"),
+          col("n_b").as("n_src"), col("n_a").as("n_dst")))).as("d"))
+      .select(col("d.src_id"), col("d.dst_id"), col("inter").as("n_inter"),
+        col("d.n_src"), col("d.n_dst"))
+      .filter(col("n_inter") * 10000L >= lit(thresholdBp.toLong) * col("n_src"))
+      .withColumn("cont_ppm", expr("n_inter * 1000000L DIV n_src"))
+  }
 }

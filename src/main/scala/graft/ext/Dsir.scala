@@ -70,6 +70,15 @@ object Dsir {
       .agg(count(lit(1)).as("n_c"),
         count(when(col("is_target"), lit(1))).as("n_t"))
       .localCheckpoint(true) // ≤ Buckets rows; feeds totals AND the lift join
+    // fail FAST on an empty target slice: with nt_tot = 0 every lift
+    // degenerates to the same smoothing constant and the "importance"
+    // weights silently rank documents by nothing; the check reads the
+    // already-materialized ≤ Buckets-row checkpoint, not the corpus
+    val ntRow = stats.agg(sum(col("n_t"))).collect()(0)
+    if (ntRow.isNullAt(0) || ntRow.getLong(0) == 0L)
+      throw new IllegalArgumentException(
+        "importanceScores: the target slice contributes no tokens — " +
+          "importance weights would be meaningless")
     val tot = stats.agg(sum(col("n_c")).as("nc_tot"), sum(col("n_t")).as("nt_tot"))
     val lift = stats.crossJoin(broadcast(tot))
       .select(col("b"), expr(

@@ -498,10 +498,13 @@ object CurationQueries {
       .orderBy($"lang")
   }
 
-  val q144Sql: String = {
+  /** Shared DSIR oracle chain (q144/q150): hashed-unigram buckets →
+    * smoothed target/corpus lift table → per-document centered-lift
+    * scores `ds(doc_id, lang, n_toks, score)`. ONE definition so the
+    * two gates replay the SAME weights. */
+  private def dsirChainSql: String = {
     val ph = AnalyticsQueries.polyhashSql("tok")
-    val keep = AnalyticsQueries.polyhashSql("CAST(doc_id AS VARCHAR)")
-    s"""WITH toks AS (SELECT doc_id, lang,
+    s"""toks AS (SELECT doc_id, lang,
       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
       |  FROM documents WHERE trim(text) <> ''),
       |tb AS (SELECT doc_id, lang, lang = 'en' AS is_target, $ph % 64 AS b FROM toks),
@@ -513,9 +516,14 @@ object CurationQueries {
       |    CAST(CAST(n_t + 1 AS HUGEINT) * (nc_tot + 64) * 1000000
       |      // (CAST(n_c + 1 AS HUGEINT) * (nt_tot + 64)) AS BIGINT) AS lift_ppm
       |  FROM st CROSS JOIN tot),
-      |ds AS (SELECT tb.doc_id, tb.lang,
+      |ds AS (SELECT tb.doc_id, tb.lang, CAST(COUNT(*) AS BIGINT) AS n_toks,
       |    CAST(SUM(l.lift_ppm - 1000000) AS BIGINT) AS score
-      |  FROM tb JOIN lift l ON tb.b = l.b GROUP BY tb.doc_id, tb.lang),
+      |  FROM tb JOIN lift l ON tb.b = l.b GROUP BY tb.doc_id, tb.lang)""".stripMargin
+  }
+
+  val q144Sql: String = {
+    val keep = AnalyticsQueries.polyhashSql("CAST(doc_id AS VARCHAR)")
+    s"""WITH $dsirChainSql,
       |rt AS (SELECT *, LEAST(10000, GREATEST(0, 5000 + score // 200)) AS rate_bp
       |  FROM ds),
       |kp AS (SELECT *, ($keep * 1103515245 + 12345)
@@ -528,8 +536,41 @@ object CurationQueries {
       |FROM kp GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** q150: DSIR exact-k selection — the fixed-BUDGET companion to
+    * q144's rate-based sampler: the k most target-like documents by
+    * centered-lift importance score, deterministic (score DESC, doc_id)
+    * order. This is "give me the best 100 documents for this target",
+    * the selection mode a curriculum or fine-tuning-set build runs;
+    * q144 answers "keep each document with probability ∝ its score".
+    * Shares [[graft.ext.Dsir.importanceScores]] and the oracle chain
+    * with q144, so the weights cannot fork. Scale shape: the top-k is
+    * a TakeOrdered (map-side partial top-k, nothing corpus-sized
+    * sorts); the final rank window orders the 100 surviving rows. */
+  def q150DsirTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.Dsir
+    val k = 100
+    val scored = Dsir.importanceScores(Tables.load(s, dir, "documents"),
+      "doc_id", "text", targetPred = $"lang" === "en", carryCols = Seq("lang"))
+    val top = scored.orderBy($"score".desc, $"doc_id").limit(k)
+      .localCheckpoint(false) // ≤ k rows; the rank window runs over this
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"score".desc, $"doc_id"))
+      .cast("long"))
+      .select($"rank", $"doc_id", $"lang", $"n_toks", $"score")
+      .orderBy($"rank")
+  }
+
+  val q150Sql: String =
+    s"""WITH $dsirChainSql,
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      |  FROM ds)
+      |SELECT rank, doc_id, lang, n_toks, score FROM r WHERE rank <= 100
+      |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q144_dsir_mix" -> (q144DsirMix _),
+    "q150_dsir_topk" -> (q150DsirTopk _),
     "q72_curate" -> (q72Curate _),
     "q73_semdedup" -> (q73SemDedup _),
     "q97_pack_bins" -> (q97PackBins _),
@@ -545,6 +586,7 @@ object CurationQueries {
 
   val oracle: Map[String, String] = Map(
     "q144_dsir_mix" -> q144Sql,
+    "q150_dsir_topk" -> q150Sql,
     "q72_curate" -> q72Sql,
     "q73_semdedup" -> q73Sql,
     "q97_pack_bins" -> q97Sql,

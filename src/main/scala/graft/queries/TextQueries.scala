@@ -134,6 +134,53 @@ object TextQueries {
       |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q151: directed shingle-containment dedup — `src ⊆ dst` pairs at
+    * containment ≥ 0.9 ([[Dedup.containmentPairs]]). The asymmetric
+    * relation q19's symmetric Jaccard structurally cannot see: a short
+    * document wholly quoted inside a long one has Jaccard ≈
+    * |S_src|/|S_dst| (arbitrarily small) but containment 1.0 — the
+    * quote/subset duplication class a curation pass actually wants.
+    * (This corpus is cleanly bimodal: candidates sit at containment
+    * ≈ 0 or exactly 1.0, so the 0.9 gate selects exactly the true
+    * subset relationships.) All-integer verdicts and fixed-point ppm;
+    * candidates from the same df-capped posting-list index as q19,
+    * mirrored in the oracle. */
+  def q151Containment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.containmentPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 8, thresholdBp = 9000, minShingles = 20, maxShingleDf = 20)
+      .orderBy($"src_id", $"dst_id")
+  }
+
+  val q151Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id AS id,
+      |    CASE WHEN length(text) >= 8 THEN
+      |      list_distinct(list_transform(
+      |        list_transform(generate_series(1, length(text)-7), i -> substr(text, i, 8)),
+      |        s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(generate_series(1, length(s)), i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |          (acc, x) -> (acc * 31 + x) % 1000000007)))
+      |    ELSE CAST([] AS BIGINT[]) END AS sh_set
+      |  FROM documents),
+      |f AS (SELECT * FROM docs WHERE len(sh_set) >= 20),
+      |inv AS (SELECT id, unnest(sh_set) AS sh FROM f),
+      |rare AS (SELECT id, sh FROM
+      |  (SELECT id, sh, count(*) OVER (PARTITION BY sh) AS df FROM inv) t WHERE df <= 20),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM rare a JOIN rare b USING (sh) WHERE a.id < b.id),
+      |p AS (SELECT id_a, id_b,
+      |    CAST(len(list_intersect(da.sh_set, db.sh_set)) AS BIGINT) AS inter,
+      |    CAST(len(da.sh_set) AS BIGINT) AS n_a, CAST(len(db.sh_set) AS BIGINT) AS n_b
+      |  FROM cand JOIN f da ON cand.id_a = da.id JOIN f db ON cand.id_b = db.id),
+      |u AS (SELECT id_a AS src_id, id_b AS dst_id, inter, n_a AS n_src, n_b AS n_dst FROM p
+      |  UNION ALL
+      |  SELECT id_b, id_a, inter, n_b, n_a FROM p)
+      |SELECT src_id, dst_id, inter AS n_inter, n_src, n_dst,
+      |  inter * 1000000 // n_src AS cont_ppm
+      |FROM u WHERE inter * 10000 >= 9000 * n_src
+      |ORDER BY src_id, dst_id""".stripMargin
+
   /** q139: n-gram novelty scoring — per document, the fraction of its
     * distinct 8-gram hashes whose FIRST corpus occurrence (min doc_id)
     * is this document: 1.0 for genuinely new text, ~0 for documents
@@ -569,6 +616,7 @@ object TextQueries {
     "q17_lang_id" -> (q17LangId _),
     "q18_exact_dedup" -> (q18ExactDedup _),
     "q19_ngram_jaccard" -> (q19NgramJaccard _),
+    "q151_containment" -> (q151Containment _),
     "q139_novelty" -> (q139Novelty _),
     "q37_pii_redact" -> (q37Redact _),
     "q43_top_tokens" -> (q43TopTokens _),
@@ -583,6 +631,7 @@ object TextQueries {
     "q17_lang_id" -> q17Sql,
     "q18_exact_dedup" -> q18Sql,
     "q19_ngram_jaccard" -> q19Sql,
+    "q151_containment" -> q151Sql,
     "q139_novelty" -> q139Sql,
     "q37_pii_redact" -> q37Sql,
     "q43_top_tokens" -> q43Sql,

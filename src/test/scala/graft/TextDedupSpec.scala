@@ -84,4 +84,49 @@ class TextDedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("containmentPairs catches a quoted subset that Jaccard misses, directed") {
+    val quote = "the forty two secret answer phrase lives right here"
+    val long = "a much longer surrounding document with plenty of its own words " +
+      "before the quotation begins " + quote + " and plenty more trailing " +
+      "context after it so the union is large and jaccard collapses to nothing"
+    val df = Seq(
+      (1L, quote),                                   // src: fully contained in 2
+      (2L, long),
+      (3L, "completely different content with zero shared spans at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text",
+        n = 8, thresholdBp = 9000, minShingles = 10, maxShingleDf = 10)
+      .collect().map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"),
+        r.getAs[Long]("n_inter"), r.getAs[Long]("n_src"), r.getAs[Long]("cont_ppm")))
+    // exactly ONE directed row: quote ⊆ long at containment 1.0; the
+    // reverse direction (long ⊆ quote) and doc 3 never appear
+    assert(out.map(t => (t._1, t._2)).toSet == Set((1L, 2L)), out.mkString(","))
+    val r = out.head
+    assert(r._3 == r._4 && r._5 == 1000000L, r) // every src shingle found
+    // and the symmetric Jaccard verdict at the same corpus misses it
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        n = 8, threshold = 0.5, maxShingleDf = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)))
+  }
+
+  test("containmentPairs emits both directions for near-identical sets") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text",
+        n = 8, thresholdBp = 9000, minShingles = 10, maxShingleDf = 10)
+      .select("src_id", "dst_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("DSIR importance scoring rejects an empty target slice loudly") {
+    val df = Seq((1L, "some words here", "en"), (2L, "more words", "de"))
+      .toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Dsir.importanceScores(df, "doc_id", "text",
+        targetPred = $"lang" === "zz", carryCols = Seq("lang"))
+    }
+    assert(e.getMessage.contains("target slice"))
+  }
 }
