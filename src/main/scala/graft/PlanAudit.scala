@@ -51,6 +51,10 @@ object PlanAudit {
     // final rank window over the checkpointed 100-row TakeOrdered
     // top-k (the q128 class); the top-k itself is map-side partial
     "q150_dsir_topk" -> Set(SinglePartition),
+    // 1-row domain-stats broadcast onto the scan (q64 class) + the
+    // rank-locating non-equi joins against the ≤1024-row cumulative
+    // histogram (q83/q82 class) — all constant-size sides
+    "q152_hist_quantiles" -> Set(Bnlj),
     // dense-baseline scoring broadcasts the 8-row query-vector table
     // under a cross join (the q22/q94 class). BM25's vocabulary ranking
     // window runs eagerly into the checkpointed query-term table, so

@@ -58,37 +58,73 @@ object Dsir {
   def importanceScores(
       docs: DataFrame, idCol: String, textCol: String,
       targetPred: Column, carryCols: Seq[String] = Seq.empty): DataFrame = {
+    val tb = tokenBuckets(docs, idCol, textCol, targetPred, carryCols)
+    val lift = liftFrom(bucketStats(tb))
+    tb.join(broadcast(lift), "b")
+      .groupBy(col(idCol) +: carryCols.map(col): _*)
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("lift_ppm") - lit(ScalePpm)).as("score"))
+  }
+
+  /** The trained weights as a COLLECTABLE artifact: per-bucket lift in
+    * ppm, index = bucket. Buckets the training corpus never produced
+    * get the all-smoothing value ((nc+B)·10⁶ DIV (nt+B), i.e. the
+    * n_c = n_t = 0 cell) — a live STREAM can hash unseen tokens into
+    * them, and the offline join-based scorer must agree with the
+    * online row-local one on every bucket. This is what "train DSIR
+    * offline, apply on the crawl stream" ships to the stream job. */
+  def liftArray(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column): Array[Long] = {
+    val stats = bucketStats(tokenBuckets(docs, idCol, textCol, targetPred, Seq.empty))
+    val Array(ncTot, ntTot) = stats
+      .agg(sum(col("n_c")), sum(col("n_t"))).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val default = ((BigInt(ncTot) + Buckets) * ScalePpm / (BigInt(ntTot) + Buckets)).toLong
+    val arr = Array.fill(Buckets)(default)
+    liftFrom(stats).collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** One corpus-sized pass: (id, carry…, is_target, bucket) per token. */
+  private def tokenBuckets(
+      docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, carryCols: Seq[String]): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    val tb = docs.filter(trim(col(textCol)) =!= "")
+    docs.filter(trim(col(textCol)) =!= "")
       .select(col(idCol) +: carryCols.map(col) :+ targetPred.as("is_target") :+
         explode(tokens(lower(col(textCol)))).as("t"): _*)
       .withColumn("b", pmod(GraftFunctions.polyhash(col("t")), lit(Buckets.toLong)))
       .drop("t")
-    // target and corpus bucket counts in ONE pass over the token
-    // projection (the target slice is a subset of the corpus)
+  }
+
+  /** Target and corpus bucket counts in ONE pass over the token
+    * projection (the target slice is a subset of the corpus). Fails
+    * FAST on an empty target slice: with nt_tot = 0 every lift
+    * degenerates to the same smoothing constant and the "importance"
+    * weights silently rank documents by nothing; the check reads the
+    * already-materialized ≤ Buckets-row checkpoint, not the corpus. */
+  private def bucketStats(tb: DataFrame): DataFrame = {
     val stats = tb.groupBy(col("b"))
       .agg(count(lit(1)).as("n_c"),
         count(when(col("is_target"), lit(1))).as("n_t"))
       .localCheckpoint(true) // ≤ Buckets rows; feeds totals AND the lift join
-    // fail FAST on an empty target slice: with nt_tot = 0 every lift
-    // degenerates to the same smoothing constant and the "importance"
-    // weights silently rank documents by nothing; the check reads the
-    // already-materialized ≤ Buckets-row checkpoint, not the corpus
     val ntRow = stats.agg(sum(col("n_t"))).collect()(0)
     if (ntRow.isNullAt(0) || ntRow.getLong(0) == 0L)
       throw new IllegalArgumentException(
         "importanceScores: the target slice contributes no tokens — " +
           "importance weights would be meaningless")
+    stats
+  }
+
+  /** The ≤ Buckets-row lift table (b, lift_ppm) from the bucket stats. */
+  private def liftFrom(stats: DataFrame): DataFrame = {
     val tot = stats.agg(sum(col("n_c")).as("nc_tot"), sum(col("n_t")).as("nt_tot"))
-    val lift = stats.crossJoin(broadcast(tot))
+    stats.crossJoin(broadcast(tot))
       .select(col("b"), expr(
         s"CAST(CAST(n_t + 1 AS DECIMAL(38,0)) * (nc_tot + $Buckets) * $ScalePpm" +
           s" DIV (CAST(n_c + 1 AS DECIMAL(38,0)) * (nt_tot + $Buckets)) AS BIGINT)")
         .as("lift_ppm"))
-    tb.join(broadcast(lift), "b")
-      .groupBy(col(idCol) +: carryCols.map(col): _*)
-      .agg(count(lit(1)).as("n_toks"),
-        sum(col("lift_ppm") - lit(ScalePpm)).as("score"))
   }
 
   /** Score → keep-rate in basis points: 5000 + score/divisor (integer

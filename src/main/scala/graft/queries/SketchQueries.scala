@@ -570,7 +570,60 @@ object SketchQueries {
       |  greatest(w, tau.t) AS w_hat
       |FROM rk CROSS JOIN tau WHERE rn <= 32 ORDER BY rank""".stripMargin
 
+  /** q152: EXACT distributed quantiles via histogram refinement
+    * ([[graft.ext.Quantiles.exactQuantiles]]) — p1/p5/p25/p50/p75/p95/
+    * p99 of lineitem's extended price in exact integer cents. Pass 1
+    * is a constant-state 1024-bin histogram (the sketch); the
+    * cumulative walk locates each rank's bin; pass 2 ranks ONLY inside
+    * the hit bins (~n/1024 rows each — nothing corpus-sized sorts).
+    * The bin bounds ship beside the exact value as the est_lo/est_hi
+    * "estimate" the refinement tightens — the quantile member of the
+    * sketch family, with an exact answer because the domain is
+    * integer. Price→cents through DECIMAL(12,2) so the cast is exact
+    * in both engines. */
+  def q152HistQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ext.Quantiles.exactQuantiles(
+        Tables.load(s, dir, "lineitem"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"),
+        qBp = Seq(100, 500, 2500, 5000, 7500, 9500, 9900))
+      .withColumnRenamed("exact", "exact_cents")
+      .orderBy($"q_bp")
+  }
+
+  val q152Sql: String =
+    """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |s AS (SELECT MIN(v) AS mn, MAX(v) AS mx, COUNT(*) AS n FROM v),
+      |qs(q_bp) AS (VALUES (100),(500),(2500),(5000),(7500),(9500),(9900)),
+      |spec AS (SELECT CAST(q_bp AS BIGINT) AS q_bp,
+      |    (q_bp * n + 9999) // 10000 AS k, mn, (mx - mn) // 1024 + 1 AS w
+      |  FROM qs CROSS JOIN s),
+      |vb AS (SELECT v.v, (v.v - s.mn) // ((s.mx - s.mn) // 1024 + 1) AS b
+      |  FROM v CROSS JOIN s),
+      |hist AS (SELECT b, COUNT(*) AS c FROM vb GROUP BY b),
+      |cum AS (SELECT b, SUM(c) OVER (ORDER BY b
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hist),
+      |located AS (SELECT spec.q_bp, spec.k, spec.mn, spec.w, MIN(cum.b) AS kb
+      |  FROM spec JOIN cum ON cum.cum >= spec.k
+      |  GROUP BY spec.q_bp, spec.k, spec.mn, spec.w),
+      |below AS (SELECT l.q_bp, l.k, l.mn, l.w, l.kb,
+      |    CAST(COALESCE(MAX(c.cum), 0) AS BIGINT) AS count_below
+      |  FROM located l LEFT JOIN cum c ON c.b < l.kb
+      |  GROUP BY l.q_bp, l.k, l.mn, l.w, l.kb),
+      |ranked AS (SELECT bl.q_bp, vb.v,
+      |    ROW_NUMBER() OVER (PARTITION BY bl.q_bp ORDER BY vb.v) AS rn
+      |  FROM below bl JOIN vb ON vb.b = bl.kb)
+      |SELECT bl.q_bp, bl.k, bl.kb AS bucket,
+      |  bl.mn + bl.kb * bl.w AS est_lo,
+      |  bl.mn + (bl.kb + 1) * bl.w - 1 AS est_hi,
+      |  r.v AS exact_cents
+      |FROM below bl JOIN ranked r
+      |  ON r.q_bp = bl.q_bp AND r.rn = bl.k - bl.count_below
+      |ORDER BY bl.q_bp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_hist_quantiles" -> (q152HistQuantiles _),
     "q128_priority_sample" -> (q128PrioritySample _),
     "q125_kmv_overlap" -> (q125KmvOverlap _),
     "q122_count_min" -> (q122CountMin _),
@@ -585,6 +638,7 @@ object SketchQueries {
     "q110_ivfpq" -> (q110IvfPq _))
 
   val oracle: Map[String, String] = Map(
+    "q152_hist_quantiles" -> q152Sql,
     "q128_priority_sample" -> q128Sql,
     "q125_kmv_overlap" -> q125Sql,
     "q122_count_min" -> q122Sql,

@@ -384,6 +384,37 @@ object Streaming {
         (col("n_shared") > 0).cast("int").as("is_contaminated"))
   }
 
+  /** Streaming DSIR importance filter — weights trained OFFLINE
+    * ([[graft.ext.Dsir.liftArray]], a [[graft.ext.Dsir.Buckets]]-entry
+    * literal riding in the plan) applied ROW-locally to a document
+    * stream: score = Σ_tokens (lift[bucket(token)] − 10⁶), keep iff the
+    * replayable avalanched-hash point falls under the score's rate
+    * ([[graft.ext.Mixing.keyBp]] < [[graft.ext.Dsir.rateBp]]). A pure
+    * projection + filter — STATELESS: no watermark, no state store,
+    * survives any stream volume, exactly the "train the selector
+    * offline, run it on the crawl" deployment DSIR describes. Integer
+    * sums commute, so the row-local score is bit-identical to the
+    * batch join-based scorer on the same document (spec-pinned);
+    * empty documents are dropped to match the batch exclusion. */
+  def importanceFilterStream(
+      docs: DataFrame, liftPpm: Array[Long],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(liftPpm.length == graft.ext.Dsir.Buckets,
+      s"liftPpm must have ${graft.ext.Dsir.Buckets} entries, got ${liftPpm.length}")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = graft.functions.TextFunctions.tokens(lower(col(textCol)))
+    val score = aggregate(
+      transform(toks, t => element_at(typedLit(liftPpm.toSeq),
+        (pmod(graft.functions.GraftFunctions.polyhash(t),
+          lit(graft.ext.Dsir.Buckets.toLong)) + lit(1L)).cast("int"))
+        - lit(graft.ext.Dsir.ScalePpm)),
+      lit(0L), (acc, x) => acc + x)
+    docs.filter(trim(col(textCol)) =!= "")
+      .withColumn("score", score)
+      .withColumn("rate_bp", graft.ext.Dsir.rateBp(col("score")))
+      .filter(graft.ext.Mixing.keyBp(col(idCol)) < col("rate_bp"))
+  }
+
   final case class GapEvent(userId: Long, day: Long, cents: Long,
     eventTime: java.sql.Timestamp)
   final case class GapRow(userId: Long, day: Long, nEvents: Long,

@@ -305,4 +305,31 @@ class SketchOpsSpec extends SparkSpec {
     assert(merged.as[(Long, Long, Long)].collect().toSet ===
       direct.as[(Long, Long, Long)].collect().toSet)
   }
+
+  test("histogram-refined quantiles are the exact k-th order statistics") {
+    import graft.ext.Quantiles
+    // planted permutation of 1..1000: every order statistic is known —
+    // rank k is exactly the value k; sweep extremes and middles, and a
+    // bucket count far below n so bins hold many values
+    val df = new scala.util.Random(3).shuffle((1 to 1000).toList).toDF("x")
+    val out = Quantiles.exactQuantiles(df, $"x", Seq(1, 100, 2500, 5000, 9999, 10000),
+        buckets = 16)
+      .select($"q_bp", $"k", $"exact", $"est_lo", $"est_hi")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    out.foreach { case (qBp, k, exact, lo, hi) =>
+      val expectK = (qBp * 1000 + 9999) / 10000
+      assert(k == expectK && exact == expectK, s"q=$qBp k=$k exact=$exact")
+      assert(lo <= exact && exact <= hi, s"q=$qBp [$lo,$hi] !∋ $exact")
+    }
+    // degenerate domain: all values equal → one bin, every quantile hits it
+    val const = Seq.fill(50)(7L).toDF("x")
+    val c = Quantiles.exactQuantiles(const, $"x", Seq(100, 5000, 10000), buckets = 16)
+      .select($"exact").as[Long].collect()
+    assert(c.toSeq == Seq(7L, 7L, 7L))
+    // duplicates straddling ranks: value at any rank among ties is the tie
+    val dup = (Seq.fill(10)(1L) ++ Seq.fill(10)(2L)).toDF("x")
+    val d = Quantiles.exactQuantiles(dup, $"x", Seq(5000, 5001, 10000), buckets = 4)
+      .select($"q_bp", $"exact").as[(Long, Long)].collect().toMap
+    assert(d(5000L) == 1L && d(5001L) == 2L && d(10000L) == 2L)
+  }
 }

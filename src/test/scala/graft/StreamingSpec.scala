@@ -154,6 +154,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming DSIR filter matches the batch importance sampler (q144 twin)") {
+    val docsB = Tables.load(spark, sf, "documents")
+    // weights trained OFFLINE on the batch corpus — the artifact the
+    // stream job ships
+    val lift = graft.ext.Dsir.liftArray(docsB, "doc_id", "text", $"lang" === "en")
+    val docsSchema = docsB.schema
+    val stream = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+    val q = Streaming.importanceFilterStream(stream, lift)
+      .select($"doc_id", $"score", $"rate_bp")
+      .writeStream.format("memory").queryName("dsir_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dsir_stream")
+      .as[(Long, Long, Long)].collect().map { case (id, s, r) => id -> ((s, r)) }.toMap
+    // the batch join-based scorer + the same keep decision on the same docs
+    val batch = graft.ext.Dsir.importanceScores(docsB, "doc_id", "text",
+        targetPred = $"lang" === "en")
+      .withColumn("rate_bp", graft.ext.Dsir.rateBp($"score"))
+      .filter(graft.ext.Mixing.keyBp($"doc_id") < $"rate_bp")
+      .select($"doc_id", $"score", $"rate_bp")
+      .as[(Long, Long, Long)].collect().map { case (id, s, r) => id -> ((s, r)) }.toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "row-local streaming scores/keeps diverge from the batch join-based scorer")
+  }
+
   test("audio codec chain runs unchanged on a stream (stateless mapPartitions) and matches batch") {
     val docsSchema = Tables.load(spark, sf, "documents").schema
     val stream = spark.readStream.schema(docsSchema)
