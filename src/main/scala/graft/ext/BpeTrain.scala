@@ -52,10 +52,28 @@ object BpeTrain {
   /** Word dictionary of a text corpus: (word, freq) for every distinct
     * lowercased `^[a-z0-9]+$` token. One corpus pass. */
   def wordDict(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(graft.functions.TextFunctions.tokens(
-        lower(col(textCol)))).as("word"))
-      .filter(col("word").rlike("^[a-z0-9]+$"))
+    docWords(docs, textCol)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** The valid-word projection BPE trains on AND applies to — one row
+    * per `^[a-z0-9]+$` token of the lowercased text, with `carry`
+    * columns riding along. ONE definition shared by [[wordDict]] and
+    * every gate that applies a trained vocabulary back to documents
+    * (q145/q148/q149): if application tokenized differently from
+    * training, dictionary joins would silently drop words. */
+  def docWords(docs: DataFrame, textCol: String, carry: Seq[String] = Seq.empty): DataFrame =
+    docs.select(carry.map(col) :+ explode(graft.functions.TextFunctions.tokens(
+        lower(col(textCol)))).as("word"): _*)
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+
+  /** The applied tokenizer as a join table: (word, n_bpe) — per-word
+    * BPE token count from the trained dict's final symbol state
+    * (`size(split(sym)) − 1`; see [[Trained]]). ONE definition for
+    * q145/q148/q149, so the token-count semantics cannot fork between
+    * gates that share an oracle chain. */
+  def tokenCounts(trained: Trained): DataFrame =
+    trained.dict.select(col("word"),
+      (size(split(col("sym"), " ")) - 1).cast("long").as("n_bpe"))
 
   /** Trained artifacts: the merge table (merge_rank, lhs, rhs, merged,
     * pair_freq) and the final symbolized dictionary (word, sym, freq)

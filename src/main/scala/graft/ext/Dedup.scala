@@ -103,28 +103,7 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh_set",
         graft.functions.VectorFunctions.hashedShingles(col("text"), n, ShingleHashMod))
-    // Candidate generation: ONE aggregation of the inverted index into
-    // per-shingle posting lists, then in-bucket pair expansion. The
-    // earlier formulation (df-count window + self-join on shingle)
-    // planned the full explode+shuffle+sort pipeline TWICE (once per
-    // join side) and sorted 300k rows per doc-shingle; grouping emits
-    // the same candidate set from a single sort-free shuffle, and the
-    // maxShingleDf cap bounds every posting list, so the in-bucket
-    // expansion is O(maxShingleDf²) per bucket — driver-bounded memory
-    // regardless of corpus size.
-    val buckets = docs.select(col("id"), explode(col("sh_set")).as("sh"))
-      .groupBy(col("sh"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxShingleDf))
-    val cand = buckets
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
-    val withSets = cand
-      .join(docs.select(col("id").as("id_a"), col("sh_set").as("set_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("sh_set").as("set_b")), Seq("id_b"))
+    val withSets = candidateSetPairs(docs, maxShingleDf)
     // lossless size prefilter before the merge kernel: |A∩B| ≤ min and
     // |A∪B| ≥ max, so J ≤ min(|A|,|B|)/max(|A|,|B|) — pairs whose size
     // ratio is below the threshold cannot pass and skip the O(|A|+|B|)
@@ -137,6 +116,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         graft.functions.VectorFunctions.arrayJaccardLong(col("set_a"), col("set_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Shared shingle-index candidate generation for the pairwise dedup
+    * family ([[ngramJaccardPairs]], [[containmentPairs]]): ONE
+    * aggregation of the inverted index into per-shingle posting lists,
+    * in-bucket pair expansion, dedup, and the two-sided set join —
+    * output (id_a, id_b, set_a, set_b) with id_a < id_b. The earlier
+    * formulation (df-count window + self-join on shingle) planned the
+    * full explode+shuffle+sort pipeline TWICE (once per join side) and
+    * sorted 300k rows per doc-shingle; grouping emits the same
+    * candidate set from a single sort-free shuffle, and the
+    * maxShingleDf cap bounds every posting list, so the in-bucket
+    * expansion is O(maxShingleDf²) per bucket — driver-bounded memory
+    * regardless of corpus size. `docs` must carry (id, sh_set). */
+  private def candidateSetPairs(docs: DataFrame, maxShingleDf: Int): DataFrame = {
+    val buckets = docs.select(col("id"), explode(col("sh_set")).as("sh"))
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxShingleDf))
+    val cand = buckets
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("id").as("id_a"), col("sh_set").as("set_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh_set").as("set_b")), Seq("id_b"))
   }
 
   /** DIRECTED shingle containment — `src ⊆ dst` detection: for each
@@ -170,19 +177,7 @@ object Dedup {
       .withColumn("sh_set",
         graft.functions.VectorFunctions.hashedShingles(col("text"), n, ShingleHashMod))
       .filter(size(col("sh_set")) >= minShingles)
-    val buckets = docs.select(col("id"), explode(col("sh_set")).as("sh"))
-      .groupBy(col("sh"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxShingleDf))
-    val cand = buckets
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
-    val scored = cand
-      .join(docs.select(col("id").as("id_a"), col("sh_set").as("set_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("sh_set").as("set_b")), Seq("id_b"))
+    val scored = candidateSetPairs(docs, maxShingleDf)
       // arrays are distinct by construction, so the built-in intersect
       // size is the exact integer overlap — computed ONCE per unordered
       // pair, then fanned into the two directed tests

@@ -429,13 +429,8 @@ object CorpusQueries {
       .localCheckpoint(false) // feeds BPE training, application, and output
     val trained = BpeTrain.train(
       BpeTrain.wordDict(released, "text"), TextQueries.BpeMerges)
-    val dict = trained.dict.select($"word",
-      (size(split($"sym", " ")) - 1).cast("long").as("n_bpe"))
-    val agg = released
-      .select($"doc_id",
-        explode(TextFunctions.tokens(lower($"text"))).as("word"))
-      .filter($"word".rlike("^[a-z0-9]+$"))
-      .join(broadcast(dict), "word")
+    val agg = BpeTrain.docWords(released, "text", carry = Seq("doc_id"))
+      .join(broadcast(BpeTrain.tokenCounts(trained)), "word")
       .groupBy($"doc_id").agg(sum($"n_bpe").as("n_bpe_tokens"))
     GraftFunctions.register(s)
     released.select($"doc_id", $"n_tokens", $"quality")

@@ -499,11 +499,8 @@ object TextQueries {
     import graft.ext.BpeTrain
     val docs = Tables.load(s, dir, "documents")
     val trained = BpeTrain.train(BpeTrain.wordDict(docs, "text"), BpeMerges)
-    val dict = trained.dict.select($"word",
-      (size(split($"sym", " ")) - 1).cast("long").as("n_bpe"))
-    val dw = docs.select($"doc_id",
-        explode(graft.functions.TextFunctions.tokens(lower($"text"))).as("word"))
-      .filter($"word".rlike("^[a-z0-9]+$"))
+    val dict = BpeTrain.tokenCounts(trained)
+    val dw = BpeTrain.docWords(docs, "text", carry = Seq("doc_id"))
     val agg = dw.join(broadcast(dict), "word")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_words"), sum($"n_bpe").as("n_bpe_tokens"),
@@ -556,8 +553,7 @@ object TextQueries {
     import graft.ext.BpeTrain
     val docs = Tables.load(s, dir, "documents")
     val trained = BpeTrain.train(BpeTrain.wordDict(docs, "text"), BpeMerges)
-    val dict = trained.dict.select($"word",
-      (size(split($"sym", " ")) - 1).cast("long").as("n_bpe"))
+    val dict = BpeTrain.tokenCounts(trained)
     // (labeled, predicted) cross-tab: the labeled axis is the equity
     // report, the predicted axis is what a labelless pipeline buckets
     // by — disagreement cells surface langID drift in the same table
@@ -565,9 +561,7 @@ object TextQueries {
       langId($"text").as("pred_lang"), $"text")
     val nDocs = withLang.groupBy($"lang", $"pred_lang")
       .agg(count(lit(1)).as("n_docs"))
-    val words = withLang
-      .select($"lang", $"pred_lang", explode(tokens(lower($"text"))).as("word"))
-      .filter($"word".rlike("^[a-z0-9]+$"))
+    val words = BpeTrain.docWords(withLang, "text", carry = Seq("lang", "pred_lang"))
     val agg = words.join(broadcast(dict), "word")
       .groupBy($"lang", $"pred_lang")
       .agg(count(lit(1)).as("n_words"), sum($"n_bpe").as("n_bpe_tokens"),
