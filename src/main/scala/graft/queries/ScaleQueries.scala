@@ -77,6 +77,47 @@ object ScaleQueries {
       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
       |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** q153: leakage-safe train/val/test split — the split decision is a
+    * pure hash of the near-dup CLUSTER id (q47's LSH→CC labels), not
+    * the document id, so every member of a duplicate cluster lands in
+    * the SAME split BY CONSTRUCTION: no near-duplicate pair can
+    * straddle train and eval, the leakage class a per-document hash
+    * split (q50) cannot prevent (two near-dups hash independently and
+    * split apart with probability 2·p·(1−p)). The standard
+    * "deduplicate-aware split" every LLM data release needs; the split
+    * decision reuses the family's ONE avalanched keep-hash
+    * ([[graft.ext.Mixing.keyBp]]: train < 8000 bp ≤ val < 9000 ≤
+    * test). Output is the per-document assignment (doc_id, cluster_id,
+    * split) — the gate hashes every placement, so the oracle proves
+    * cluster-atomicity row by row. Scale shape: q47's clustering (only
+    * signatures and id pairs shuffle) + a row-local hash projection. */
+  def q153LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.{ConnectedComponents, Mixing, MinHashLsh}
+    GraftFunctions.register(s) // keyBp's polyhash resolves at analysis
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", n = 8, minEstSim = 0.5)
+    val labels = ConnectedComponents.assign(
+      docs.select($"doc_id"), "doc_id", pairs, "id_a", "id_b")
+    labels
+      .withColumn("hk", Mixing.keyBp($"cluster_id"))
+      .select($"id".as("doc_id"), $"cluster_id",
+        when($"hk" < 8000L, "train").when($"hk" < 9000L, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  val q153Sql: String = {
+    val keep = AnalyticsQueries.polyhashSql("CAST(cluster_id AS VARCHAR)")
+    s"""WITH RECURSIVE $lshCcChainSql,
+      |hk AS (SELECT doc_id, cluster_id, ($keep * 1103515245 + 12345)
+      |    % 2147483648 % 10000 AS hk FROM lab)
+      |SELECT doc_id, cluster_id,
+      |  CASE WHEN hk < 8000 THEN 'train' WHEN hk < 9000 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM hk ORDER BY doc_id""".stripMargin
+  }
+
   /** q48: TF-IDF top-3 terms per document — tokenize → per-doc term
     * counts → document frequencies → score → per-doc top-k window.
     * Two shuffles ((doc,term) then term); the idf join broadcasts the
@@ -454,7 +495,8 @@ object ScaleQueries {
     "q52_sliding_window" -> (q52SlidingWindow _),
     "q134_fd_discovery" -> (q134FdDiscovery _),
     "q134b_fd_sketch" -> (q134bFdSketch _),
-    "q134c_fd_sketch_only" -> (q134cFdSketchOnly _))
+    "q134c_fd_sketch_only" -> (q134cFdSketchOnly _),
+    "q153_leakage_safe_split" -> (q153LeakageSafeSplit _))
 
   val oracle: Map[String, String] = Map(
     "q140_ref_integrity" -> q140Sql,
@@ -466,5 +508,6 @@ object ScaleQueries {
     "q52_sliding_window" -> q52Sql,
     "q134_fd_discovery" -> q134Sql,
     "q134b_fd_sketch" -> q134bSql,
-    "q134c_fd_sketch_only" -> q134cSql)
+    "q134c_fd_sketch_only" -> q134cSql,
+    "q153_leakage_safe_split" -> q153Sql)
 }

@@ -143,6 +143,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("LogicalRDD"), plan) // no localCheckpoint
   }
 
+  test("leakage-safe split keeps every near-dup pair in one split, roughly 80/10/10") {
+    import graft.queries.ScaleQueries
+    val split = ScaleQueries.q153LeakageSafeSplit(spark, sf)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    // the leakage invariant, checked against the SAME pair generator
+    // the split clusters on: no near-dup pair straddles splits
+    val pairs = graft.ext.MinHashLsh.nearDupPairs(
+        Tables.load(spark, sf, "documents"), "doc_id", "text", n = 8, minEstSim = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a,$b) straddles ${split(a)}/${split(b)}")
+    }
+    // hash split concentrates near the 80/10/10 target
+    val n = split.size.toDouble
+    val frac = split.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(frac("train") > 0.6 && frac("train") < 0.95, frac.toString)
+    assert(frac.getOrElse("val", 0.0) < 0.25 && frac.getOrElse("test", 0.0) < 0.25)
+  }
+
   test("profiler computes nulls, distincts, and typed min/max in one pass") {
     val df = Seq(
       (Some(1L), Some("a"), Some(1.5)),
