@@ -3,10 +3,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every query at SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line (the driver contract). Also writes the full
-  * per-query map to SPARK_GRAFT_BENCH_OUT (default `bench_times.json`
-  * in the working directory) — the driver-side artifact truncates its
-  * tail, losing q100+ every round, so the repo carries its own
-  * complete, machine-readable table of record.
+  * per-query map to SPARK_GRAFT_BENCH_OUT — the driver-side artifact
+  * truncates its tail, losing q100+ every round, so the repo carries
+  * its own complete, machine-readable table. Default path depends on
+  * mode: cold reps=1 (the driver) writes `bench_times.json`; warm
+  * reps>1 writes `bench_warm.json`, the steady-state table of record
+  * STATUS.md cites — distinct files so neither run clobbers the other.
   *
   * SPARK_GRAFT_BENCH_REPS > 1 enables WARM mode: each query runs that
   * many times in the one warm JVM and reports its MEDIAN — the
@@ -16,7 +18,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
+    // warm (reps>1) runs write to their own file so the driver's cold
+    // reps=1 run can never clobber the warm table of record
+    val defaultOut = if (reps > 1) "bench_warm.json" else "bench_times.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     val spark = LocalSessions.create()
     // untimed warmup: session init, codegen compiler, parquet footer
     // reads — so the first timed query measures itself, not startup

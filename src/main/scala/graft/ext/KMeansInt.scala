@@ -39,19 +39,22 @@ import org.apache.spark.sql.functions._
   * Determinism contract: ties in the argmin break toward the smaller
   * cluster id; centroid means use floor integer division (codes are
   * non-negative, so truncating and flooring division agree); initial
-  * centroids are the code vectors of ids `0 until k` (the same
-  * convention as q66's seed rule).
+  * centroids come from the scalable hash-replayable seeding of
+  * [[seedCents]] (hash-rank sample + farthest-first greedy), with
+  * cluster ids assigned in pick order.
   */
 object KMeansInt {
 
   /** Default fail-fast bound for [[fitConvergedAssign]], and the exact
-    * unroll depth of every k-means oracle replay: observed fixed-point
-    * depths are ≤ 84 across all trained (sub)spaces at sf ≤ 0.1 (the
-    * deepest: IVF-PQ residual subspaces at sf0.1), and because extra
-    * rounds past the fixed point are no-ops, an oracle unrolled to
-    * exactly MaxRounds covers every run the engine can complete
-    * without throwing. The two constants must never drift — oracles
-    * reference this value. */
+    * unroll depth of every k-means oracle replay: with [[seedCents]]'
+    * sample-refined seeds the observed fixed-point depths are ≤ 54
+    * across all trained (sub)spaces at sf ≤ 0.1 (the deepest: an
+    * IVF-PQ residual subspace at sf0.1; ≤ 22 at sf ≤ 0.01 — the former
+    * id<k seeds reached 84), and because extra rounds past the fixed
+    * point are no-ops, an oracle unrolled to exactly MaxRounds covers
+    * every run the engine can complete without throwing. The wide
+    * margin absorbs depth variance across data regenerations. The two
+    * constants must never drift — oracles reference this value. */
   val MaxRounds = 96
 
   /** (id, codes array<long>) → (id, d [1-based], c) exploded. */
@@ -88,10 +91,102 @@ object KMeansInt {
       sorted.map(_._1).toArray, sorted.map(_._2.toArray).toArray))
   }
 
-  private def seedCents(mat: DataFrame, k: Int): Seq[(Long, Seq[Long])] =
-    mat.filter(col("id") < k)
-      .select(col("id"), col("codes")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+  /** Seeding candidate-sample size: a deterministic C-row "uniform"
+    * sample (the top C ids by avalanched 31-bit hash rank) from which
+    * the seeds are refined. C = 256 covers O(k log n) for every gated
+    * training (k = 8, n ≤ 10^6); the collected state is C×(dim+2)
+    * integers — constant-size, never data-sized. Oracles replay the
+    * sample as `ORDER BY h, id LIMIT C` — the two constants must
+    * never drift. */
+  val SeedCandidates = 256
+
+  /** Fail-fast bound (and the oracle unroll depth) for the driver-side
+    * seed mini-Lloyd over the candidate sample. Lloyd over ≤
+    * [[SeedCandidates]] points converges in a handful of rounds;
+    * 32 is a wide margin. */
+  val SeedRounds = 32
+
+  /** Scalable seeding (the k-means|| sample-then-refine shape, made
+    * hash-replayable): ONE TakeOrdered job collects the
+    * [[SeedCandidates]] hash-rank sample — top C ids by
+    * [[Hll.hash31]] of the stringified id, ties to the smaller id —
+    * then a driver-side farthest-first (Gonzalez) greedy spreads the k
+    * seeds across the occupied code space: pick 1 = the min-(h, id)
+    * candidate; pick i = the candidate whose min squared distance to
+    * the already-picked is LARGEST (ties to the smaller id; picked
+    * candidates stay in the pool at distance 0, so even a fully
+    * degenerate sample re-picks deterministically). Cluster ids are
+    * PICK ORDER (0..k−1). The picks then run mini-Lloyd ON THE SAMPLE
+    * driver-side (see below) so the distributed loop starts near the
+    * population fixed point, cutting total convergence depth vs the
+    * former arbitrary id<k seeds (measured in STATUS.md) at the same
+    * exact fixed-point contract — and the whole step replays in the
+    * oracle: the sample is a C-row ORDER BY, the greedy is k−1
+    * unrolled argmax CTEs over the C×C candidate-pair distances, the
+    * mini-Lloyd is a [[SeedRounds]]-unrolled chain over the C
+    * candidate rows. */
+  private def seedCents(mat: DataFrame, k: Int): Seq[(Long, Seq[Long])] = {
+    graft.functions.GraftFunctions.register(mat.sparkSession)
+    val cands = mat
+      .select(col("id"), Hll.hash31(col("id").cast("string")).as("h"), col("codes"))
+      .orderBy(col("h"), col("id"))
+      .limit(SeedCandidates)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    require(cands.length >= k,
+      s"k-means seeding needs ≥ k=$k rows; the sample has ${cands.length}")
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val dd = a(i) - b(i); s += dd * dd; i += 1 }
+      s
+    }
+    val first = cands.minBy(c => (c._2, c._1))
+    val picked = scala.collection.mutable.ArrayBuffer(first)
+    val minD = scala.collection.mutable.Map(
+      cands.map(c => c._1 -> d2(c._3, first._3)).toSeq: _*)
+    while (picked.size < k) {
+      val next = cands.maxBy(c => (minD(c._1), -c._1))
+      picked += next
+      cands.foreach(c => minD(c._1) = math.min(minD(c._1), d2(c._3, next._3)))
+    }
+    // refine the picks by mini-Lloyd ON THE SAMPLE (same integer
+    // semantics as the distributed loop: argmin ties to the smaller
+    // cluster id, floor means, empty clusters keep their previous
+    // centroid, fixed point = unchanged assignment, THROW past
+    // [[SeedRounds]]): the sample's converged centroids approximate
+    // the population's, so the big Lloyd starts near its fixed point
+    var cents: Array[Array[Long]] = picked.map(_._3.clone).toArray
+    var prevAsg: Array[Int] = null
+    var r = 0
+    var done = false
+    while (!done) {
+      val asg = cands.map { c =>
+        var best = 0; var bd = d2(c._3, cents(0)); var j = 1
+        while (j < k) {
+          val dd = d2(c._3, cents(j)); if (dd < bd) { bd = dd; best = j }; j += 1
+        }
+        best
+      }
+      if (prevAsg != null && java.util.Arrays.equals(asg, prevAsg)) done = true
+      else {
+        r += 1
+        if (r > SeedRounds) throw new IllegalStateException(
+          s"seed mini-Lloyd did not reach its fixed point in $SeedRounds rounds")
+        val dim = cents(0).length
+        val sums = Array.fill(k, dim)(0L); val ns = Array.fill(k)(0L)
+        cands.indices.foreach { ci =>
+          val cl = asg(ci); ns(cl) += 1
+          var j = 0; while (j < dim) { sums(cl)(j) += cands(ci)._3(j); j += 1 }
+        }
+        cents = Array.tabulate(k) { cl =>
+          if (ns(cl) == 0L) cents(cl)
+          else Array.tabulate(dim)(j => sums(cl)(j) / ns(cl))
+        }
+        prevAsg = asg
+      }
+    }
+    cents.toSeq.zipWithIndex.map { case (m, i) => (i.toLong, m.toSeq) }
+  }
 
   /** One action over the current state: per-(cluster, d) code sums and
     * member counts (k×dim map-side-combined partials — the only
@@ -125,7 +220,7 @@ object KMeansInt {
   final case class FitResult(centroids: DataFrame, assignment: DataFrame,
       rounds: Int)
 
-  /** Lloyd rounds from the id<k seeds to the EXACT assignment-set
+  /** Lloyd rounds from the [[seedCents]] seeds to the EXACT assignment-set
     * fixed point (see object scaladoc): update → reassign until a
     * reassignment changes zero rows, THROW past `maxRounds` (too few
     * rounds silently degrades downstream ANN recall, so running out is

@@ -29,9 +29,9 @@ object ProductQuantize {
 
   /** PQ-encode 64-dim int8 code vectors (id, codes array<long>):
     * (id, pq array<long> of [[NumSub]] codeword ids, recon_dist2).
-    * Codebooks are trained per subspace from the id<K seed convention
-    * to the exact assignment fixed point
-    * ([[KMeansInt.fitConvergedAssign]]). */
+    * Codebooks are trained per subspace from [[KMeansInt.seedCents]]'
+    * hash-rank + farthest-first seeds to the exact assignment fixed
+    * point ([[KMeansInt.fitConvergedAssign]]). */
   def encode(codes: DataFrame): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global

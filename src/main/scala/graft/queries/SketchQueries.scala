@@ -54,6 +54,7 @@ object SketchQueries {
 
   val q77Sql: String =
     s"""WITH $sq8CodesSql,
+      |$seedCandSql,
       |${lloydChainSql("q",
         "SELECT vec_id AS id, d, cs[d] AS c FROM codes, generate_series(1, 64) AS t(d)")}
       |SELECT id AS vec_id, cluster, CAST(dist2 AS BIGINT) AS dist2
@@ -218,12 +219,91 @@ object SketchQueries {
       .orderBy($"vec_id")
   }
 
+  /** Shared seeding-candidate CTE — the oracle twin of
+    * [[graft.ext.KMeansInt]]'s hash-rank sample (`seedCents`): the top
+    * [[graft.ext.KMeansInt.SeedCandidates]] ids by avalanched 31-bit
+    * hash of the stringified id (the q78/q122 polyhash∘fmix31 chain —
+    * never re-spelled), ties to the smaller id. Emitted ONCE per
+    * query; every Lloyd chain's farthest-first greedy runs against
+    * these ids in its OWN (sub)space. Emits `scand(id, h)`. */
+  private def seedCandSql: String = {
+    val c = graft.ext.KMeansInt.SeedCandidates
+    s"""scp0 AS (SELECT vec_id AS id,
+      |    ${AnalyticsQueries.polyhashSql("CAST(vec_id AS VARCHAR)")} AS h FROM codes),
+      |${AnalyticsQueries.fmixChainSql("sc", "scp0", Seq("id"))},
+      |scand AS MATERIALIZED (SELECT id, h FROM sch ORDER BY h, id LIMIT $c)""".stripMargin
+  }
+
+  /** One Lloyd update/assign round block (assign against the previous
+    * centroids → argmin with ties to the smaller cluster → per-
+    * (cluster, d) floor means with COALESCE carry for emptied
+    * clusters), parameterized so the MAIN chain (over `e$tag`,
+    * centroid prefix `c`) and the seed MINI chain (over the candidate
+    * slice `ec$tag`, centroid prefix `g`) replay the identical
+    * semantics from one template — the two must never fork. */
+  private def lloydRoundsSql(tag: String, eName: String, cPfx: String,
+      dPfx: String, aPfx: String, sPfx: String, n: Int): String =
+    (1 to n).map { i =>
+      s"""$dPfx$i$tag AS (SELECT e.id, c.cluster, SUM((e.c - c.m)*(e.c - c.m)) AS dist2
+        |  FROM $eName e JOIN $cPfx${i - 1}$tag c ON e.d = c.d GROUP BY e.id, c.cluster),
+        |$aPfx$i$tag AS (SELECT id, cluster FROM (SELECT *, ROW_NUMBER() OVER
+        |  (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM $dPfx$i$tag) t WHERE rn = 1),
+        |$sPfx$i$tag AS (SELECT a.cluster, e.d, SUM(e.c) AS s, COUNT(*) AS n
+        |  FROM $eName e JOIN $aPfx$i$tag a ON e.id = a.id GROUP BY a.cluster, e.d),
+        |$cPfx$i$tag AS MATERIALIZED (SELECT c0.cluster, c0.d, COALESCE(s1.s // s1.n, c0.m) AS m
+        |  FROM $cPfx${i - 1}$tag c0 LEFT JOIN $sPfx$i$tag s1 ON c0.cluster = s1.cluster AND c0.d = s1.d)""".stripMargin
+    }.mkString(",\n")
+
+  /** Seed construction for chain `tag` in its own space — the oracle
+    * twin of `seedCents`' driver loop, in two stages. (1) Farthest-
+    * first (Gonzalez) greedy over the `scand` candidates: pick 1 =
+    * min-(h, id); pick i maximizes the running min squared distance to
+    * the already-picked (ties to the smaller id; picked candidates
+    * stay in the pool at distance 0). Cluster ids are PICK ORDER
+    * 0..k−1, exactly the engine's labels. `cd$tag` is the C×C
+    * candidate-pair distance matrix in this chain's dims. (2) Mini-
+    * Lloyd ON THE SAMPLE from those picks — a [[graft.ext.KMeansInt.SeedRounds]]-
+    * unrolled chain over the C candidate rows `ec$tag` (identical
+    * round template as the main chain; rounds past the sample's fixed
+    * point are no-ops, the same replay argument as the main unroll).
+    * Emits `c0$tag`, the seed centroid table the main Lloyd rounds
+    * start from. */
+  private def seedSql(tag: String, k: Int): String = {
+    val r = graft.ext.KMeansInt.SeedRounds
+    val steps = (2 to k).map { i =>
+      s"""p$i$tag AS (SELECT id FROM m${i - 1}$tag ORDER BY md DESC, id LIMIT 1),
+        |m$i$tag AS (SELECT m.id, LEAST(m.md, cd.d2) AS md
+        |  FROM m${i - 1}$tag m JOIN cd$tag cd ON cd.ia = m.id
+        |  JOIN p$i$tag p ON cd.ib = p.id)""".stripMargin
+    }.mkString(",\n")
+    val picks = (1 to k).map(i => s"SELECT ${i - 1} AS cluster, id FROM p$i$tag")
+      .mkString(" UNION ALL ")
+    s"""ec$tag AS MATERIALIZED (SELECT e.id, e.d, e.c
+      |  FROM e$tag e JOIN scand s ON e.id = s.id),
+      |cd$tag AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib,
+      |    SUM((ea.c - eb.c)*(ea.c - eb.c)) AS d2
+      |  FROM ec$tag ea JOIN scand a ON ea.id = a.id
+      |  JOIN ec$tag eb ON ea.d = eb.d JOIN scand b ON eb.id = b.id
+      |  GROUP BY a.id, b.id),
+      |p1$tag AS (SELECT id FROM scand ORDER BY h, id LIMIT 1),
+      |m1$tag AS (SELECT cd.ia AS id, cd.d2 AS md FROM cd$tag cd
+      |  JOIN p1$tag p ON cd.ib = p.id),
+      |$steps,
+      |picks$tag AS (SELECT CAST(cluster AS BIGINT) AS cluster, id FROM ($picks)),
+      |g0$tag AS MATERIALIZED (SELECT p.cluster, e.d, e.c AS m
+      |  FROM ec$tag e JOIN picks$tag p ON e.id = p.id),
+      |${lloydRoundsSql(tag, s"ec$tag", "g", "gd", "ga", "gs", r)},
+      |c0$tag AS MATERIALIZED (SELECT cluster, d, m FROM g$r$tag)""".stripMargin
+  }
+
   /** One tagged Lloyd chain (seed → [[graft.ext.KMeansInt.MaxRounds]]
     * unrolled update/assign rounds → final assign) over the
     * `(id, d, c)` rows `eDef` emits — shared verbatim between q77
     * (full-dim), q107/q108 (per-subspace slices) and q110 (full-dim
     * coarse + residual subspaces) so training and search always replay
-    * the SAME codebooks. The engine iterates to the exact
+    * the SAME codebooks. Seeds come from [[seedSql]] (hash-rank
+    * sample + farthest-first, replaying the engine's `seedCents`).
+    * The engine iterates to the exact
     * assignment-set fixed point and THROWS past MaxRounds; past the
     * fixed point every unrolled round is a no-op (zero changed
     * assignments reproduce the floor-mean centroids exactly), so an
@@ -235,19 +315,9 @@ object SketchQueries {
   private def lloydChainSql(tag: String, eDef: String): String = {
     val k = graft.ext.ProductQuantize.K
     val u = graft.ext.KMeansInt.MaxRounds
-    val rounds = (1 to u).map { i =>
-      s"""d$i$tag AS (SELECT e.id, c.cluster, SUM((e.c - c.m)*(e.c - c.m)) AS dist2
-        |  FROM e$tag e JOIN c${i - 1}$tag c ON e.d = c.d GROUP BY e.id, c.cluster),
-        |a$i$tag AS (SELECT id, cluster FROM (SELECT *, ROW_NUMBER() OVER
-        |  (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM d$i$tag) t WHERE rn = 1),
-        |s$i$tag AS (SELECT a.cluster, e.d, SUM(e.c) AS s, COUNT(*) AS n
-        |  FROM e$tag e JOIN a$i$tag a ON e.id = a.id GROUP BY a.cluster, e.d),
-        |c$i$tag AS MATERIALIZED (SELECT c0.cluster, c0.d, COALESCE(s1.s // s1.n, c0.m) AS m
-        |  FROM c${i - 1}$tag c0 LEFT JOIN s$i$tag s1 ON c0.cluster = s1.cluster AND c0.d = s1.d)""".stripMargin
-    }.mkString(",\n")
     s"""e$tag AS MATERIALIZED ($eDef),
-      |c0$tag AS MATERIALIZED (SELECT id AS cluster, d, c AS m FROM e$tag WHERE id < $k),
-      |$rounds,
+      |${seedSql(tag, k)},
+      |${lloydRoundsSql(tag, s"e$tag", "c", "d", "a", "s", u)},
       |cb$tag AS (SELECT * FROM c$u$tag),
       |df$tag AS (SELECT e.id, c.cluster, SUM((e.c - c.m)*(e.c - c.m)) AS dist2
       |  FROM e$tag e JOIN cb$tag c ON e.d = c.d GROUP BY e.id, c.cluster),
@@ -268,6 +338,7 @@ object SketchQueries {
 
   val q107Sql: String = {
     s"""WITH $sq8CodesSql,
+      |$seedCandSql,
       |$pqChainsSql
       |SELECT f0.id AS vec_id,
       |  f0.cluster AS pq0, f1.cluster AS pq1, f2.cluster AS pq2, f3.cluster AS pq3,
@@ -304,6 +375,7 @@ object SketchQueries {
     }.mkString(",\n")
     val unioned = subs.map(m => s"SELECT * FROM sc$m").mkString(" UNION ALL ")
     s"""WITH $sq8CodesSql,
+      |$seedCandSql,
       |$pqChainsSql,
       |$luts,
       |tot AS (SELECT qid, id, SUM(lutd2) AS adc_dist2 FROM ($unioned) u
@@ -356,6 +428,7 @@ object SketchQueries {
     }.mkString(",\n")
     val unioned = subs.map(m => s"SELECT * FROM sc$m").mkString(" UNION ALL ")
     s"""WITH $sq8CodesSql,
+      |$seedCandSql,
       |${lloydChainSql("g",
         "SELECT vec_id AS id, d, cs[d] AS c FROM codes, generate_series(1, 64) AS t(d)")},
       |er AS MATERIALIZED (SELECT e.id, e.d, e.c - c.m + $shift AS c

@@ -6,7 +6,8 @@ import graft.ext.ProductQuantize
 class ProductQuantizeSpec extends SparkSpec {
 
   // 8 perfectly separated patterns (constant vectors j*10), replicated:
-  // vector i carries pattern i%8, and ids 0..7 are the seeds themselves
+  // vector i carries pattern i%8; labels are seed pick order, so the
+  // pattern→codeword mapping is a bijection but not the identity
   private lazy val separable = {
     import spark.implicits._
     (0L until 64L).map { i =>
@@ -18,12 +19,17 @@ class ProductQuantizeSpec extends SparkSpec {
   test("separable clusters: exact recovery, zero reconstruction error") {
     val rows = ProductQuantize.encode(separable).collect()
     assert(rows.length === 64)
-    rows.foreach { r =>
-      val id = r.getLong(0)
-      val pq = r.getSeq[Long](1)
-      assert(pq === Seq.fill(ProductQuantize.NumSub)(id % 8), s"id=$id")
-      assert(r.getLong(2) === 0L, s"id=$id recon_dist2")
+    // every vector of a pattern gets the same codewords, the four
+    // subspaces agree (identical slices), the 8 patterns land on 8
+    // distinct codewords, and reconstruction is exact
+    val labels = rows.groupBy(_.getLong(0) % 8).map { case (p, rs) =>
+      val pqs = rs.map(_.getSeq[Long](1)).toSeq
+      assert(pqs.distinct.size == 1, s"pattern $p splits across codewords")
+      assert(pqs.head.distinct.size == 1, s"subspaces disagree for pattern $p")
+      pqs.head.head
     }
+    assert(labels.toSeq.distinct.size == 8, "patterns must map to 8 distinct codewords")
+    rows.foreach(r => assert(r.getLong(2) === 0L, s"id=${r.getLong(0)} recon_dist2"))
   }
 
   test("ADC search: same-pattern vectors rank first at distance zero") {

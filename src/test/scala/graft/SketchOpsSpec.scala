@@ -11,8 +11,9 @@ class SketchOpsSpec extends SparkSpec {
   // ---- k-means ----------------------------------------------------
 
   test("kmeans separates two integer poles and is deterministic") {
-    // ids 0,1 are the seeds; points cluster around (0,0,..) and
-    // (100,100,..): every low point must land with seed 0, high with 1
+    // farthest-first seeding puts one seed per pole (labels are pick
+    // order, so which pole is cluster 0 depends on the hash sample):
+    // every low point must share a label, every high point the other
     val codes = Seq(
       (0L, Array(0L, 0L, 0L)), (1L, Array(100L, 100L, 100L)),
       (2L, Array(3L, 1L, 2L)), (3L, Array(98L, 99L, 97L)),
@@ -21,8 +22,9 @@ class SketchOpsSpec extends SparkSpec {
     val out = KMeansInt.fitConvergedAssign(codes, k = 2, maxRounds = 16)
       .assignment
       .select($"id", $"cluster").as[(Long, Long)].collect().toMap
-    assert(Seq(0L, 2L, 4L).forall(out(_) == 0L))
-    assert(Seq(1L, 3L, 5L).forall(out(_) == 1L))
+    assert(Seq(0L, 2L, 4L).map(out).distinct.size == 1, "low pole splits")
+    assert(Seq(1L, 3L, 5L).map(out).distinct.size == 1, "high pole splits")
+    assert(out(0L) != out(1L), "poles must land in different clusters")
     val out2 = KMeansInt.fitConvergedAssign(codes, k = 2, maxRounds = 16)
       .assignment
       .select($"id", $"cluster").as[(Long, Long)].collect().toMap
