@@ -51,6 +51,10 @@ object PlanAudit {
     // final rank window over the checkpointed 100-row TakeOrdered
     // top-k (the q128 class); the top-k itself is map-side partial
     "q150_dsir_topk" -> Set(SinglePartition),
+    // same 100-row rank window as q150 (perturbed-key top-k); the
+    // upstream DSIR lift BNLJ sits behind the checkpointed top-k, so
+    // only the window reaches the audited plan
+    "q154_dsir_gumbel_topk" -> Set(SinglePartition),
     // 1-row domain-stats broadcast onto the scan (q64 class) + the
     // rank-locating non-equi joins against the ≤1024-row cumulative
     // histogram (q83/q82 class) — all constant-size sides

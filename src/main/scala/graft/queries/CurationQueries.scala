@@ -568,9 +568,63 @@ object CurationQueries {
       |SELECT rank, doc_id, lang, n_toks, score FROM r WHERE rank <= 100
       |ORDER BY rank""".stripMargin
 
+  /** q154: DSIR Gumbel-top-k-style SAMPLED selection — the without-
+    * replacement random companion to q150's deterministic top-k:
+    * instead of the k highest scores, draw k documents with inclusion
+    * probability increasing in importance score. Gumbel-top-k
+    * (score + Gumbel(u) noise, take top-k) has no exact integer twin
+    * (−ln(−ln u) is transcendental), so the perturbed key is the
+    * family's exact-integer equivalent from q128's priority sampling
+    * (Duffield-Lund-Thorup / Efraimidis-Spirakis weighted-key family):
+    * weight w = q144's keep-rate rate_bp (monotone in score), uniform
+    * stand-in u = (h+1)/2^31 from the replayable avalanched hash of
+    * the doc id, perturbed key pri = w·2^31 DIV (h+1) ≈ w/u, take the
+    * k largest (ties by doc_id). For any fixed hash draw the key is
+    * nondecreasing in score (pinned by spec), so higher-scoring
+    * documents are selected with higher probability — while the hash
+    * keeps every draw bit-replayable. Scale shape: scoring is q144's
+    * one-pass chain; the top-k is TakeOrdered (map-side partial
+    * top-k); only the ≤ k-row rank window is single-partition
+    * (justified). */
+  def q154DsirGumbelTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.{Dsir, Hll}
+    val k = 100
+    val scored = Dsir.importanceScores(Tables.load(s, dir, "documents"),
+        "doc_id", "text", targetPred = $"lang" === "en", carryCols = Seq("lang"))
+      .withColumn("rate_bp", Dsir.rateBp($"score"))
+      .withColumn("h", Hll.hash31($"doc_id".cast("string")))
+      .withColumn("pri", expr("rate_bp * 2147483648L DIV (h + 1)"))
+    val top = scored.orderBy($"pri".desc, $"doc_id").limit(k)
+      .localCheckpoint(false) // ≤ k rows; the rank window runs over this
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"pri".desc, $"doc_id"))
+      .cast("long"))
+      .select($"rank", $"doc_id", $"lang", $"score", $"rate_bp", $"pri")
+      .orderBy($"rank")
+  }
+
+  val q154Sql: String = {
+    val ph = AnalyticsQueries.polyhashSql("CAST(doc_id AS VARCHAR)")
+    s"""WITH $dsirChainSql,
+      |rt AS (SELECT doc_id, lang, score,
+      |    LEAST(10000, GREATEST(0, 5000 + score // 200)) AS rate_bp FROM ds),
+      |gkp0 AS (SELECT doc_id, lang, score, rate_bp, $ph AS h FROM rt),
+      |${AnalyticsQueries.fmixChainSql("gk", "gkp0",
+        Seq("doc_id", "lang", "score", "rate_bp"))},
+      |pri AS (SELECT doc_id, lang, score, rate_bp,
+      |    rate_bp * 2147483648 // (h + 1) AS pri FROM gkh),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id) AS BIGINT) AS rank
+      |  FROM pri)
+      |SELECT rank, doc_id, lang, CAST(score AS BIGINT) AS score,
+      |  CAST(rate_bp AS BIGINT) AS rate_bp, CAST(pri AS BIGINT) AS pri
+      |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q144_dsir_mix" -> (q144DsirMix _),
     "q150_dsir_topk" -> (q150DsirTopk _),
+    "q154_dsir_gumbel_topk" -> (q154DsirGumbelTopk _),
     "q72_curate" -> (q72Curate _),
     "q73_semdedup" -> (q73SemDedup _),
     "q97_pack_bins" -> (q97PackBins _),
@@ -587,6 +641,7 @@ object CurationQueries {
   val oracle: Map[String, String] = Map(
     "q144_dsir_mix" -> q144Sql,
     "q150_dsir_topk" -> q150Sql,
+    "q154_dsir_gumbel_topk" -> q154Sql,
     "q72_curate" -> q72Sql,
     "q73_semdedup" -> q73Sql,
     "q97_pack_bins" -> q97Sql,

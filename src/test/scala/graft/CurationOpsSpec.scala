@@ -207,6 +207,42 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("rateBp truncates toward zero on negative scores (never floors)") {
+    import graft.ext.Dsir
+    // -201/200: truncation -> -1 (rate 4999), floor would give -2
+    // (4998); -199/200: truncation -> 0 (rate 5000), floor -1 (4999).
+    // Pins the Spark-vs-DuckDB division convention explicitly instead
+    // of only through the corpus hash gate.
+    val out = Seq(-401L, -201L, -200L, -199L, -1L, 0L, 199L, 201L)
+      .toDF("score")
+      .select($"score", Dsir.rateBp($"score").as("bp"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(-401L) == 4998L && out(-201L) == 4999L && out(-200L) == 4999L)
+    assert(out(-199L) == 5000L && out(-1L) == 5000L && out(0L) == 5000L)
+    assert(out(199L) == 5000L && out(201L) == 5001L)
+  }
+
+  test("Gumbel-top-k perturbed key is monotone in score for any fixed hash draw") {
+    import graft.ext.Dsir
+    // the q154 selection key pri = rate_bp(score)*2^31 DIV (h+1): for
+    // each fixed hash value the key must be nondecreasing in score, so
+    // inclusion probability rises with importance
+    val hs = Seq(0L, 1L, 12345L, 2147483646L)
+    val scores = (-1200000L to 1200000L by 100000L).toSeq
+    val rows = hs.flatMap(h => scores.map(s => (h, s))).toDF("h", "score")
+      .withColumn("rate_bp", Dsir.rateBp($"score"))
+      .withColumn("pri", expr("rate_bp * 2147483648L DIV (h + 1)"))
+      .select($"h", $"score", $"pri").as[(Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (h, rs) =>
+      val sorted = rs.sortBy(_._2).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b },
+        s"pri not monotone in score at h=$h")
+    }
+    // and strictly increasing somewhere: the weight actually matters
+    val atOne = rows.filter(_._1 == 0L).sortBy(_._2).map(_._3)
+    assert(atOne.distinct.length > 1, "pri constant in score")
+  }
+
   test("decontamination drops docs sharing an n-gram with the benchmark, keeps the rest") {
     import graft.ext.Dedup
     val bench = Seq((100L, "the secret eval answer phrase nobody should train on"))
