@@ -83,34 +83,42 @@ object BpeTrain {
     * no separate encode pass needed. */
   final case class Trained(merges: DataFrame, dict: DataFrame)
 
+  /** Per-character initial symbol state (word, sym, freq) — see the
+    * class doc for the `" s1; s2; …"` encoding. */
+  private def initState(words: DataFrame): DataFrame = words
+    .select(col("word"), expr(
+        "concat_ws('', transform(sequence(1, length(word)), " +
+          "i -> concat(' ', substring(word, i, 1), ';')))")
+      .as("sym"), col("freq"))
+    .localCheckpoint(false)
+
+  /** The top-`m` adjacent-symbol pairs of the current state by
+    * (count DESC, lhs, rhs) — the vocabulary-sized argmax frame both
+    * trainers rank on (index 1 of the split is the leading empty
+    * string, so symbols run from 2; the ';' terminator is stripped for
+    * the pair names). */
+  private def topPairs(state: DataFrame, m: Int): Array[Row] = state
+    .select(split(col("sym"), " ").as("s"), col("freq"))
+    .filter(size(col("s")) >= 3)
+    .select(explode(expr(
+        "transform(sequence(2, size(s) - 1), j -> " +
+          "struct(replace(element_at(s, j), ';', '') AS a, " +
+          "replace(element_at(s, j + 1), ';', '') AS b))"))
+      .as("p"), col("freq"))
+    .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    .agg(sum(col("freq")).as("cnt"))
+    .orderBy(col("cnt").desc, col("a"), col("b")).limit(m)
+    .collect()
+
   /** Train `nMerges` BPE merges over a (word, freq) dictionary.
     * THROWS if the corpus cannot support `nMerges` merges of frequency
     * ≥ [[MinPairFreq]]. */
   def train(words: DataFrame, nMerges: Int): Trained = {
     val spark = words.sparkSession
-    var state = words
-      .select(col("word"), expr(
-          "concat_ws('', transform(sequence(1, length(word)), " +
-            "i -> concat(' ', substring(word, i, 1), ';')))")
-        .as("sym"), col("freq"))
-      .localCheckpoint(false)
+    var state = initState(words)
     val out = Seq.newBuilder[(Long, String, String, String, Long)]
     for (r <- 1 to nMerges) {
-      // pairs of adjacent symbols (index 1 of the split is the leading
-      // empty string, so symbols run from 2; the ';' terminator is
-      // stripped for the pair names): vocabulary-sized work
-      val best: Array[Row] = state
-        .select(split(col("sym"), " ").as("s"), col("freq"))
-        .filter(size(col("s")) >= 3)
-        .select(explode(expr(
-            "transform(sequence(2, size(s) - 1), j -> " +
-              "struct(replace(element_at(s, j), ';', '') AS a, " +
-              "replace(element_at(s, j + 1), ';', '') AS b))"))
-          .as("p"), col("freq"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-        .collect()
+      val best = topPairs(state, 1)
       if (best.isEmpty || best(0).getLong(2) < MinPairFreq)
         throw new IllegalStateException(
           s"corpus supports only ${r - 1} BPE merges of frequency >= $MinPairFreq" +
@@ -130,6 +138,95 @@ object BpeTrain {
     Trained(
       out.result().toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq"),
       state)
+  }
+
+  /** Batched distributed trainer — BIT-IDENTICAL to [[train]] with
+    * fewer Spark jobs: each round collects the top-`batchTopM` pairs
+    * (one TakeOrdered instead of a top-1) and applies, in ONE rewrite,
+    * the maximal PROVABLY-SAFE prefix of that ranking. Safety is by
+    * construction, not by convention:
+    *
+    *  - the batch is a contiguous PREFIX of the (cnt DESC, lhs, rhs)
+    *    order that stops at the FIRST candidate sharing a boundary
+    *    symbol (or equal to a merged string) with an earlier member —
+    *    so every batch member's count is untouched by the members
+    *    before it, and the recorded pair_freq is exactly what the
+    *    one-merge loop would record;
+    *  - the prefix is then truncated to members whose count STRICTLY
+    *    exceeds `cBound`, the count of the first pair outside it
+    *    (the first excluded collected row, or the last collected row
+    *    when the collection itself was truncated). Any pair the batch
+    *    could newly create has count ≤ its pre-merge parent pair's
+    *    count, and every such parent shares a symbol with a member —
+    *    i.e. lies outside the prefix — so its count is ≤ cBound
+    *    < every applied member's count. Hence neither an updated old
+    *    pair nor a newly-created pair can outrank any applied member,
+    *    and the sequential loop would pick exactly these merges in
+    *    exactly this order.
+    *
+    * When the safe prefix is empty (the top count ties cBound), the
+    * round degrades to the top-1 — the one-merge loop's own step — so
+    * progress is always ≥ 1 merge/round and the worst case equals
+    * [[train]]. Same fail-fast [[MinPairFreq]] discipline. The gated
+    * corpora batch 5–24 merges per job (spec-pinned ≥ 10 on a
+    * disjoint-pair corpus), making thousands of oracle-replayed merges
+    * feasible where [[train]] would be driver-round-bound. */
+  def trainBatched(words: DataFrame, nMerges: Int, batchTopM: Int = 64): Trained =
+    trainBatchedRounds(words, nMerges, batchTopM)._1
+
+  /** [[trainBatched]] plus the number of Spark rounds it took —
+    * observability for specs pinning the merges-per-job batching. */
+  private[graft] def trainBatchedRounds(
+      words: DataFrame, nMerges: Int, batchTopM: Int): (Trained, Int) = {
+    val spark = words.sparkSession
+    var state = initState(words)
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var done = 0
+    var rounds = 0
+    while (done < nMerges) {
+      val top = topPairs(state, batchTopM)
+      rounds += 1
+      if (top.isEmpty || top(0).getLong(2) < MinPairFreq)
+        throw new IllegalStateException(
+          s"corpus supports only $done BPE merges of frequency >= $MinPairFreq" +
+            s" — requested $nMerges")
+      // maximal symbol-disjoint prefix (stop at the FIRST conflict —
+      // skipping over a conflicting row would let its decreased count
+      // still outrank later members)
+      val used = scala.collection.mutable.Set.empty[String]
+      val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var i = 0
+      var stop = false
+      while (!stop && i < top.length && batch.size < nMerges - done) {
+        val (a, b, c) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+        if (c < MinPairFreq || used(a) || used(b) || used(a + b)) stop = true
+        else { batch += ((a, b, c)); used += a; used += b; used += a + b; i += 1 }
+      }
+      val cBound: Long =
+        if (i < top.length) top(i).getLong(2) // first excluded row
+        else if (top.length == batchTopM) top.last.getLong(2) // uncollected pairs may tie the tail
+        else -1L // the collection IS the complete pair list; nothing excluded
+      val safe = batch.takeWhile(_._3 > cBound).toSeq
+      val applied = if (safe.nonEmpty) safe else Seq((top(0).getString(0),
+        top(0).getString(1), top(0).getLong(2)))
+      applied.foreach { case (a, b, c) =>
+        done += 1
+        out += ((done.toLong, a, b, a + b, c))
+      }
+      // one rewrite applies the whole batch in rank order (the members
+      // are symbol-disjoint, so the chained replaces commute — the
+      // order is kept anyway to mirror the sequential loop verbatim)
+      val rewrite = applied.foldLeft("sym") { case (e, (a, b, _)) =>
+        s"replace($e, ' $a; $b;', ' $a$b;')"
+      }
+      state = state
+        .select(col("word"), expr(rewrite).as("sym"), col("freq"))
+        .localCheckpoint(false)
+    }
+    import spark.implicits._
+    (Trained(
+      out.result().toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq"),
+      state), rounds)
   }
 
   /** The merge table alone — see [[train]]. */

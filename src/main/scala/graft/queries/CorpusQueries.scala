@@ -427,7 +427,7 @@ object CorpusQueries {
       .select($"id".as("doc_id"))
     val released = deduped.join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint(false) // feeds BPE training, application, and output
-    val trained = BpeTrain.train(
+    val trained = BpeTrain.trainBatched(
       BpeTrain.wordDict(released, "text"), TextQueries.BpeMerges)
     val agg = BpeTrain.docWords(released, "text", carry = Seq("doc_id"))
       .join(broadcast(BpeTrain.tokenCounts(trained)), "word")

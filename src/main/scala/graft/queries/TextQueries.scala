@@ -437,14 +437,17 @@ object TextQueries {
     * replays all rounds unconditionally, valid because the engine
     * THROWS (rather than truncates) when the corpus can't support the
     * requested merges at frequency ≥ 2. Rounds run over the
-    * vocabulary-sized word dictionary in the k-means loop shape: top-1
-    * TakeOrdered argmax to the driver, literal-embedded rewrite, one
-    * job per round. */
+    * vocabulary-sized word dictionary in the k-means loop shape, with
+    * [[graft.ext.BpeTrain.trainBatched]]'s provably-safe prefix
+    * batching: one TakeOrdered collects the top pairs and one rewrite
+    * applies every symbol-disjoint merge whose count strictly clears
+    * the first excluded pair — bit-identical to the one-merge loop
+    * with several merges per job. */
   def q143BpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.ext.BpeTrain.merges(
+    graft.ext.BpeTrain.trainBatched(
         graft.ext.BpeTrain.wordDict(Tables.load(s, dir, "documents"), "text"),
-        BpeMerges)
+        BpeMerges).merges
       .orderBy($"merge_rank")
   }
 
@@ -498,7 +501,7 @@ object TextQueries {
     import s.implicits._
     import graft.ext.BpeTrain
     val docs = Tables.load(s, dir, "documents")
-    val trained = BpeTrain.train(BpeTrain.wordDict(docs, "text"), BpeMerges)
+    val trained = BpeTrain.trainBatched(BpeTrain.wordDict(docs, "text"), BpeMerges)
     val dict = BpeTrain.tokenCounts(trained)
     val dw = BpeTrain.docWords(docs, "text", carry = Seq("doc_id"))
     val agg = dw.join(broadcast(dict), "word")
@@ -552,7 +555,7 @@ object TextQueries {
     import s.implicits._
     import graft.ext.BpeTrain
     val docs = Tables.load(s, dir, "documents")
-    val trained = BpeTrain.train(BpeTrain.wordDict(docs, "text"), BpeMerges)
+    val trained = BpeTrain.trainBatched(BpeTrain.wordDict(docs, "text"), BpeMerges)
     val dict = BpeTrain.tokenCounts(trained)
     // (labeled, predicted) cross-tab: the labeled axis is the equity
     // report, the predicted axis is what a labelless pipeline buckets

@@ -72,6 +72,48 @@ class MiningOpsSpec extends SparkSpec {
     assert(da == db, s"dicts diverge:\n  dist  = $da\n  local = $db")
   }
 
+  test("batched BPE trainer is bit-identical to the one-merge loop") {
+    // same adversarial corpus as the trainLocal parity case (ties,
+    // overlap chains, prefix hazards) plus the real sf dictionary —
+    // the safe-prefix batching must reproduce the sequential merge
+    // table and dictionary exactly
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L),
+      ("aaaa", 4L), ("abc", 2L), ("bc", 6L), ("abd", 3L)).toDF("word", "freq")
+    val a = graft.ext.BpeTrain.train(words, 6)
+    val b = graft.ext.BpeTrain.trainBatched(words, 6)
+    assert(a.merges.as[(Long, String, String, String, Long)].collect().toList ==
+      b.merges.as[(Long, String, String, String, Long)].collect().toList)
+    assert(a.dict.select($"word", $"sym", $"freq").as[(String, String, Long)].collect().toSet ==
+      b.dict.select($"word", $"sym", $"freq").as[(String, String, Long)].collect().toSet)
+    val corpus = graft.ext.BpeTrain.wordDict(
+      Tables.load(spark, sf, "documents"), "text")
+    val ca = graft.ext.BpeTrain.train(corpus, 24)
+    val (cb, rounds) = graft.ext.BpeTrain.trainBatchedRounds(corpus, 24, 64)
+    assert(ca.merges.as[(Long, String, String, String, Long)].collect().toList ==
+      cb.merges.as[(Long, String, String, String, Long)].collect().toList,
+      "batched trainer diverges from sequential on the sf corpus")
+    assert(rounds < 24, s"batching never batched: $rounds rounds for 24 merges")
+  }
+
+  test("batched BPE applies >= 10 merges in one job on a disjoint-pair corpus") {
+    // 12 two-letter words with strictly decreasing frequencies and
+    // pairwise-disjoint alphabets: the ranking's safe prefix is all 12
+    // pairs, so one TakeOrdered round applies every merge
+    val pairs = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "qr",
+      "st", "uv", "wx")
+    val words = pairs.zipWithIndex.map { case (w, i) => (w, (100 - i).toLong) }
+      .toDF("word", "freq")
+    val (t, rounds) = graft.ext.BpeTrain.trainBatchedRounds(words, 12, 64)
+    assert(rounds == 1, s"expected one batched round, took $rounds")
+    val m = t.merges.as[(Long, String, String, String, Long)].collect().toList
+    assert(m.map(x => (x._2, x._3)) == pairs.map(w => (w(0).toString, w(1).toString)).toList)
+    assert(m.map(_._5) == (100L to 89L by -1L).toList)
+    // and it still equals the sequential loop
+    val s = graft.ext.BpeTrain.train(words, 12)
+      .merges.as[(Long, String, String, String, Long)].collect().toList
+    assert(m == s)
+  }
+
   test("BPE training counts every adjacency but merges non-overlapping") {
     // 'aaaa' x3: the COUNT sees all 3 adjacencies per word (standard
     // BPE get_stats semantics) -> 9; the MERGE rewrites left-to-right
