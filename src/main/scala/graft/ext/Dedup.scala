@@ -196,4 +196,69 @@ object Dedup {
       .filter(col("n_inter") * 10000L >= lit(thresholdBp.toLong) * col("n_src"))
       .withColumn("cont_ppm", expr("n_inter * 1000000L DIV n_src"))
   }
+
+  /** Static corpus index for the containment PROBE family
+    * ([[containmentAgainstCorpus]] and its streaming twin
+    * [[graft.streaming.Streaming.containmentProbeStream]]): the
+    * df-capped posting lists (sh, corpus_id) — a shingle shared by
+    * more than `maxShingleDf` corpus docs indexes none of them, the
+    * [[candidateSetPairs]] discipline, and the cap is part of the
+    * operator definition, mirrored in the oracle — plus the full
+    * per-doc shingle sets for exact verification. Build ONCE, reuse
+    * across probe batches or a whole stream; both outputs carry only
+    * 8-byte hashes, never text. Unlike the in-corpus index, size-1
+    * buckets stay: the probe side supplies the pair's second member. */
+  def containmentCorpusIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minShingles: Int = 20, maxShingleDf: Int = 20)
+    : (DataFrame, DataFrame) = {
+    graft.functions.VectorFunctions.register(corpus.sparkSession)
+    val sets = corpus.select(col(idCol).as("corpus_id"),
+        graft.functions.VectorFunctions
+          .hashedShingles(col(textCol), n, ShingleHashMod).as("set_c"))
+      .filter(size(col("set_c")) >= minShingles)
+    val postings = sets
+      .select(col("corpus_id"), explode(col("set_c")).as("sh"))
+      .groupBy(col("sh"))
+      .agg(collect_list(col("corpus_id")).as("ids"))
+      .filter(size(col("ids")) <= maxShingleDf)
+      .select(explode(col("ids")).as("corpus_id"), col("sh"))
+    (postings, sets)
+  }
+
+  /** Directed containment of FRESH documents against a static corpus
+    * ([[containmentCorpusIndex]]) — the ingest-side question q151
+    * answers in-corpus: is this incoming doc already quoted inside
+    * (or does it wholly quote) something we have? One row per
+    * (doc, corpus doc) candidate passing EITHER direction at
+    * `thresholdBp`; both fixed-point ppm ratios ship so the caller
+    * picks the direction it cares about. All-integer verdict:
+    * inter·10⁴ ≥ t·min(n_doc, n_corpus) ⟺ either directed ratio
+    * clears t. Scale shape: the incoming batch explodes to 8-byte
+    * hashes, equi-joins the capped postings, candidates dedup, and
+    * the verification join ships two hash arrays per candidate —
+    * identical to q151's verified shape; the corpus is never
+    * rescanned (the index is the corpus-sized artifact). */
+  def containmentAgainstCorpus(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      postings: DataFrame, sets: DataFrame,
+      n: Int = 8, thresholdBp: Int = 9000, minShingles: Int = 20): DataFrame = {
+    graft.functions.VectorFunctions.register(newDocs.sparkSession)
+    val docs = newDocs.select(col(idCol).as("doc_id"),
+        graft.functions.VectorFunctions
+          .hashedShingles(col(textCol), n, ShingleHashMod).as("sh_set"))
+      .filter(size(col("sh_set")) >= minShingles)
+    val cand = docs.select(col("doc_id"), explode(col("sh_set")).as("sh"))
+      .join(postings, Seq("sh"))
+      .select(col("doc_id"), col("corpus_id")).distinct()
+    cand.join(docs, Seq("doc_id")).join(sets, Seq("corpus_id"))
+      .select(col("doc_id"), col("corpus_id"),
+        size(array_intersect(col("sh_set"), col("set_c"))).cast("long").as("n_inter"),
+        size(col("sh_set")).cast("long").as("n_doc"),
+        size(col("set_c")).cast("long").as("n_corpus"))
+      .filter(col("n_inter") * 10000L >=
+        lit(thresholdBp.toLong) * least(col("n_doc"), col("n_corpus")))
+      .withColumn("doc_in_corpus_ppm", expr("n_inter * 1000000L DIV n_doc"))
+      .withColumn("corpus_in_doc_ppm", expr("n_inter * 1000000L DIV n_corpus"))
+  }
 }

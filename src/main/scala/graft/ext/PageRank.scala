@@ -36,8 +36,19 @@ object PageRank {
   val BroadcastVertexLimit: Long = 5000000L
 
   /** (id, rank) after `iters` damped rounds from R0 = 1e6. */
-  def ranks(edges: DataFrame, iters: Int): DataFrame =
-    run(edges, iters, lit(1000000L), lit(150000L))
+  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+    val g = prepare(edges, prePartition = iters > 3)
+    val r = ranksOn(g, iters)
+    g.unpersistAll()
+    r
+  }
+
+  /** [[ranks]] over an already-prepared graph the CALLER owns (and
+    * unpersists): lets several queries in one process share one
+    * materialized edge list instead of each re-running the upstream
+    * scan+join+distinct — the q84/q111 shape. */
+  def ranksOn(g: Graph, iters: Int): DataFrame =
+    run(g, iters, lit(1000000L), lit(150000L))
 
   /** Personalized PageRank (random walk with restart): initial mass
     * and per-round teleport land ONLY on vertices satisfying
@@ -45,8 +56,16 @@ object PageRank {
     * to the seed set, the recommendation / related-entity primitive,
     * rather than global importance. Same integer fixed-point
     * arithmetic as [[ranks]]. */
-  def personalized(edges: DataFrame, seedPred: Column, iters: Int): DataFrame =
-    run(edges, iters,
+  def personalized(edges: DataFrame, seedPred: Column, iters: Int): DataFrame = {
+    val g = prepare(edges, prePartition = iters > 3)
+    val r = personalizedOn(g, seedPred, iters)
+    g.unpersistAll()
+    r
+  }
+
+  /** [[personalized]] over a caller-owned prepared graph. */
+  def personalizedOn(g: Graph, seedPred: Column, iters: Int): DataFrame =
+    run(g, iters,
       when(seedPred, lit(1000000L)).otherwise(lit(0L)),
       when(seedPred, lit(150000L)).otherwise(lit(0L)))
 
@@ -76,11 +95,20 @@ object PageRank {
     */
   def ranksToFixpoint(edges: DataFrame, maxRounds: Int = 48): (DataFrame, Int) = {
     val g = prepare(edges)
+    val r = ranksToFixpointOn(g, maxRounds)
+    g.unpersistAll()
+    r
+  }
+
+  /** [[ranksToFixpoint]] over a caller-owned prepared graph (caller
+    * unpersists — or deliberately keeps it cached across queries). */
+  def ranksToFixpointOn(g: Graph, maxRounds: Int = 48): (DataFrame, Int) = {
     // Batch several damped applications into ONE checkpointed plan:
     // per-round cost at converged scale is job overhead (a broadcast
     // build + a tiny sum), not data, so 3 steps per materialization
-    // cut sf0.1 steady-state 10->7.8 s (5 steps regressed: the nested
-    // plan outgrows what it saves). Convergence is certified exactly:
+    // cut sf0.1 steady-state 10->7.8 s. Deeper batches regress both
+    // regimes (5 warm; 4 cold, 14.1 vs 13.3 s driver-style): the
+    // nested plan outgrows what it saves. Convergence is certified:
     // applications are individually nondecreasing, so sum equality
     // across a 3-step batch ⟹ all three substeps changed nothing.
     val batch = 3
@@ -98,7 +126,6 @@ object PageRank {
       if (s == prevSum) converged = true
       else { prevSum = s; r = next }
     }
-    g.unpersistAll()
     if (!converged)
       throw new IllegalStateException(
         s"PageRank did not reach its fixed point within $maxRounds rounds — raise maxRounds")
@@ -178,16 +205,13 @@ object PageRank {
       .select(col("id"), (teleport + expr(dampSql)).as("rank"))
   }
 
-  private def run(edges: DataFrame, iters: Int, init: Column,
+  private def run(g: Graph, iters: Int, init: Column,
       teleport: Column): DataFrame = {
-    // a handful of rounds can't amortize the upfront edge shuffle
-    val g = prepare(edges, prePartition = iters > 3)
     var r = g.vertices.select(col("id"), init.as("rank"))
     // eager checkpoint per round keeps lineage flat across iterations
     for (_ <- 1 to iters)
       r = stepPlan(g, r, teleport, "coalesce(m, 0L) * 85 DIV 100")
         .localCheckpoint(true)
-    g.unpersistAll()
     r
   }
 }

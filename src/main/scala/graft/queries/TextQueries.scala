@@ -181,6 +181,61 @@ object TextQueries {
       |FROM u WHERE inter * 10000 >= 9000 * n_src
       |ORDER BY src_id, dst_id""".stripMargin
 
+  /** q155: directed containment PROBE against a static corpus — the
+    * ingest-side shape of q151 ([[Dedup.containmentAgainstCorpus]]):
+    * even doc_ids form the indexed corpus
+    * ([[Dedup.containmentCorpusIndex]] — df-capped postings + full
+    * sets, built once), odd doc_ids arrive as the fresh batch and
+    * probe it. One row per (doc, corpus doc) candidate clearing 0.9
+    * containment in EITHER direction, both fixed-point ppm ratios
+    * shipped. The streaming twin
+    * ([[graft.streaming.Streaming.containmentProbeStream]]) emits
+    * bit-identical rows over the same documents (spec-pinned). */
+  def q155ContainmentProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val (postings, sets) = Dedup.containmentCorpusIndex(
+      docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+      n = 8, minShingles = 20, maxShingleDf = 20)
+    Dedup.containmentAgainstCorpus(
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text", postings, sets,
+        n = 8, thresholdBp = 9000, minShingles = 20)
+      .orderBy($"doc_id", $"corpus_id")
+  }
+
+  val q155Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id AS id,
+      |    CASE WHEN length(text) >= 8 THEN
+      |      list_distinct(list_transform(
+      |        list_transform(generate_series(1, length(text)-7), i -> substr(text, i, 8)),
+      |        s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(generate_series(1, length(s)), i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |          (acc, x) -> (acc * 31 + x) % 1000000007)))
+      |    ELSE CAST([] AS BIGINT[]) END AS sh_set
+      |  FROM documents),
+      |corpus AS (SELECT id AS corpus_id, sh_set AS set_c FROM docs
+      |  WHERE id % 2 = 0 AND len(sh_set) >= 20),
+      |fresh AS (SELECT id AS doc_id, sh_set FROM docs
+      |  WHERE id % 2 = 1 AND len(sh_set) >= 20),
+      |inv AS (SELECT corpus_id, unnest(set_c) AS sh FROM corpus),
+      |capped AS (SELECT corpus_id, sh FROM
+      |  (SELECT corpus_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM inv) t
+      |  WHERE df <= 20),
+      |cand AS (SELECT DISTINCT f.doc_id, c.corpus_id
+      |  FROM (SELECT doc_id, unnest(sh_set) AS sh FROM fresh) f
+      |  JOIN capped c USING (sh)),
+      |p AS (SELECT doc_id, corpus_id,
+      |    CAST(len(list_intersect(fd.sh_set, cs.set_c)) AS BIGINT) AS n_inter,
+      |    CAST(len(fd.sh_set) AS BIGINT) AS n_doc,
+      |    CAST(len(cs.set_c) AS BIGINT) AS n_corpus
+      |  FROM cand JOIN fresh fd USING (doc_id) JOIN corpus cs USING (corpus_id))
+      |SELECT doc_id, corpus_id, n_inter, n_doc, n_corpus,
+      |  n_inter * 1000000 // n_doc AS doc_in_corpus_ppm,
+      |  n_inter * 1000000 // n_corpus AS corpus_in_doc_ppm
+      |FROM p WHERE n_inter * 10000 >= 9000 * least(n_doc, n_corpus)
+      |ORDER BY doc_id, corpus_id""".stripMargin
+
   /** q139: n-gram novelty scoring — per document, the fraction of its
     * distinct 8-gram hashes whose FIRST corpus occurrence (min doc_id)
     * is this document: 1.0 for genuinely new text, ~0 for documents
@@ -614,6 +669,7 @@ object TextQueries {
     "q18_exact_dedup" -> (q18ExactDedup _),
     "q19_ngram_jaccard" -> (q19NgramJaccard _),
     "q151_containment" -> (q151Containment _),
+    "q155_containment_probe" -> (q155ContainmentProbe _),
     "q139_novelty" -> (q139Novelty _),
     "q37_pii_redact" -> (q37Redact _),
     "q43_top_tokens" -> (q43TopTokens _),
@@ -629,6 +685,7 @@ object TextQueries {
     "q18_exact_dedup" -> q18Sql,
     "q19_ngram_jaccard" -> q19Sql,
     "q151_containment" -> q151Sql,
+    "q155_containment_probe" -> q155Sql,
     "q139_novelty" -> q139Sql,
     "q37_pii_redact" -> q37Sql,
     "q43_top_tokens" -> q43Sql,

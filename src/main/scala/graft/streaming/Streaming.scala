@@ -30,10 +30,25 @@ object Streaming {
     * a one-off batch read of the footer (metadata only, no data scan).
     * A hardcoded long-nanos schema over a micros file would silently
     * read micros AS nanos: every event time 1000× too small, every
-    * window wrong — the bug class schema sniffing exists to kill. */
+    * window wrong — the bug class schema sniffing exists to kill.
+    *
+    * Precondition: the sniff needs at least one file present at stream
+    * DEFINITION time. On an empty landing directory (no footer to read)
+    * it falls back to the legacy long-nanos schema — the generator's
+    * original encoding — so a stream can still be defined before any
+    * file lands; once files use the micros encoding the sniff sees
+    * them and the fallback never engages. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema =
+      try spark.read.parquet(s"$dir/events.parquet").schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          StructType(Seq( // legacy generator encoding: ts = long nanos
+            StructField("event_id", LongType), StructField("ts", LongType),
+            StructField("user_id", LongType), StructField("event_type", StringType),
+            StructField("value", DoubleType), StructField("props", StringType)))
+      }
     val eventTime = schema("ts").dataType match {
       case LongType => timestamp_micros(expr("CAST(ts DIV 1000 AS BIGINT)"))
       case _ => col("ts").cast("timestamp") // NTZ wall clock == UTC instant here
@@ -382,6 +397,52 @@ object Streaming {
       .select(col("doc_id"), col("n_fp"), col("n_shared"),
         expr("n_shared * 1000000L DIV n_fp").as("contam_ppm"),
         (col("n_shared") > 0).cast("int").as("is_contaminated"))
+  }
+
+  /** Streaming directed-containment probe — the stream-static twin of
+    * [[graft.ext.Dedup.containmentAgainstCorpus]] (q155's batch shape),
+    * completing the dedup family's streaming coverage beside q120
+    * (near-dup) and q146 (span decontam). Fresh documents stream in;
+    * shingle sets are computed ROW-locally, explode to 8-byte hashes,
+    * equi-join the STATIC df-capped posting index (re-broadcast per
+    * micro-batch, so a corpus index refresh is picked up on the next
+    * trigger), candidates dedup per event-time window (bounded
+    * per-(window, doc, corpus-doc) state, watermark-GC'd), and the
+    * exact verification joins the static full shingle sets once per
+    * candidate. Verdict arithmetic is the batch operator's all-integer
+    * test verbatim, so the emitted rows are bit-identical to the batch
+    * probe over the same documents (spec-pinned).
+    *
+    * `docs` must carry (doc_id, text, event_time); `postings`/`sets`
+    * come from [[graft.ext.Dedup.containmentCorpusIndex]]. */
+  def containmentProbeStream(
+      docs: DataFrame, postings: DataFrame, sets: DataFrame,
+      n: Int = 8, thresholdBp: Int = 9000, minShingles: Int = 20): DataFrame = {
+    graft.functions.VectorFunctions.register(docs.sparkSession)
+    val shaped = docs
+      .withWatermark("event_time", "10 minutes")
+      .withColumn("sh_set", graft.functions.VectorFunctions
+        .hashedShingles(col("text"), n, graft.ext.Dedup.ShingleHashMod))
+      .filter(size(col("sh_set")) >= minShingles)
+    // candidate dedup via windowed agg (the streaming `distinct`);
+    // first(sh_set) is well-defined — every exploded row of one doc
+    // carries the same set — and saves a stream-side re-join
+    val cand = shaped
+      .select(col("doc_id"), col("event_time"), col("sh_set"),
+        explode(col("sh_set")).as("sh"))
+      .join(postings, Seq("sh"))
+      .groupBy(window(col("event_time"), "10 minutes"),
+        col("doc_id"), col("corpus_id"))
+      .agg(first(col("sh_set")).as("sh_set"))
+    cand.join(sets, Seq("corpus_id"))
+      .select(col("doc_id"), col("corpus_id"),
+        size(array_intersect(col("sh_set"), col("set_c"))).cast("long").as("n_inter"),
+        size(col("sh_set")).cast("long").as("n_doc"),
+        size(col("set_c")).cast("long").as("n_corpus"))
+      .filter(col("n_inter") * 10000L >=
+        lit(thresholdBp.toLong) * least(col("n_doc"), col("n_corpus")))
+      .withColumn("doc_in_corpus_ppm", expr("n_inter * 1000000L DIV n_doc"))
+      .withColumn("corpus_in_doc_ppm", expr("n_inter * 1000000L DIV n_corpus"))
   }
 
   /** Streaming DSIR importance filter — weights trained OFFLINE

@@ -135,12 +135,33 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(full == lean)
     // and the 100 TB form must carry NO exact-distinct pass and no
-    // corpus-sized checkpoint: one scan, one register exchange
-    val plan = ScaleQueries.q134cFdSketchOnly(spark, sf)
-      .queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(!plan.contains("distinct"), plan)
-    assert(!plan.contains("LogicalRDD"), plan) // no localCheckpoint
+    // corpus-sized checkpoint. Assert on the optimized plan TREE, not
+    // explain-text substrings — a Spark operator rename can't make a
+    // node-class check pass vacuously.
+    val optimized = ScaleQueries.q134cFdSketchOnly(spark, sf)
+      .queryExecution.optimizedPlan
+    val distinctAggs = optimized.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.aggregateExpressions.exists(_.exists {
+            case e: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+              e.isDistinct
+            case _ => false
+          }) => a
+    }
+    assert(distinctAggs.isEmpty,
+      s"sketch-only FD plan runs an exact distinct aggregate:\n$optimized")
+    // checkpoints (LogicalRDD) are allowed ONLY for the constant-size
+    // register sketch state (groups × 256 buckets) — a corpus-sized
+    // checkpoint would carry row-level columns, not the sketch schema.
+    // (The old explain-text substring check was vacuous here: a
+    // LogicalRDD prints as "Scan ExistingRDD" in formatted mode.)
+    val sketchCols = Set("grp", "bucket", "max_rho")
+    val oversized = optimized.collect {
+      case p if p.getClass.getSimpleName == "LogicalRDD" &&
+        !p.output.map(_.name).forall(sketchCols) => p
+    }
+    assert(oversized.isEmpty,
+      s"sketch-only FD plan checkpoints something beyond register state:\n$optimized")
   }
 
   test("leakage-safe split keeps every near-dup pair in one split, roughly 80/10/10") {

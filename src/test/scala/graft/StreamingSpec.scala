@@ -440,6 +440,72 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch decontamination divergence")
   }
 
+  test("streaming containment probe matches the batch probe (q155 twin)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsB = Tables.load(spark, sf, "documents")
+    // static index over the even-id corpus (q155's layout), pinned so
+    // the stream's per-batch re-joins reuse one deterministic build
+    val (postings, sets) = graft.ext.Dedup.containmentCorpusIndex(
+      docsB.filter($"doc_id" % 2 === 0), "doc_id", "text")
+    val postingsP = postings.localCheckpoint(true)
+    val setsP = sets.localCheckpoint(true)
+    // stream the odd-id fresh slice; keep it small but guaranteed to
+    // contain probe hits: take the doc ids the batch probe flags plus
+    // a few that it doesn't
+    val batchAll = graft.ext.Dedup.containmentAgainstCorpus(
+      docsB.filter($"doc_id" % 2 === 1), "doc_id", "text", postingsP, setsP)
+    val hitIds = batchAll.select($"doc_id").distinct()
+      .as[Long].collect().take(10).toSet
+    assert(hitIds.nonEmpty, "corpus has no containment hits to probe")
+    val missIds = docsB.filter($"doc_id" % 2 === 1)
+      .filter(!$"doc_id".isin(hitIds.toSeq: _*))
+      .select($"doc_id").as[Long].collect().take(5).toSet
+    val streamedIds = hitIds ++ missIds
+    val fresh = docsB.filter($"doc_id".isin(streamedIds.toSeq: _*))
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "event_time")
+    val q = Streaming.containmentProbeStream(stream, postingsP, setsP)
+      .writeStream.format("memory").queryName("cont_probe").outputMode("append").start()
+    try {
+      val t0 = 1000000L
+      input.addData(fresh.map { case (id, tx) =>
+        (id, tx, new java.sql.Timestamp(t0)) }: _*)
+      q.processAllAvailable()
+      // far-future sentinel advances the watermark and closes the
+      // window; its text must PASS the minShingles filter (which the
+      // optimizer pushes below the watermark node) or the watermark
+      // never sees it and nothing ever emits
+      input.addData((999999999L,
+        "the quick brown fox jumps over the lazy dog 0123456789",
+        new java.sql.Timestamp(t0 + 3600L * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cont_probe")
+      .filter($"doc_id" =!= 999999999L)
+      .select($"doc_id", $"corpus_id", $"n_inter", $"n_doc", $"n_corpus",
+        $"doc_in_corpus_ppm", $"corpus_in_doc_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val batch = batchAll
+      .filter($"doc_id".isin(streamedIds.toSeq: _*))
+      .select($"doc_id", $"corpus_id", $"n_inter", $"n_doc", $"n_corpus",
+        $"doc_in_corpus_ppm", $"corpus_in_doc_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch, "stream/batch containment probe divergence")
+  }
+
+  test("eventsStream falls back to the legacy schema on an empty landing directory") {
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft_empty_events").toString
+    // no events.parquet present: the footer sniff fails and the legacy
+    // long-nanos schema engages — the stream must still be definable
+    val df = Streaming.eventsStream(spark, emptyDir)
+    assert(df.isStreaming)
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.schema("event_time").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("streaming gap-fill emits the batch grid rows as the watermark finalizes days (q109 twin)") {
     import Streaming.{GapEvent, GapRow}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
