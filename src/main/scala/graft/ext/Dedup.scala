@@ -197,6 +197,47 @@ object Dedup {
       .withColumn("cont_ppm", expr("n_inter * 1000000L DIV n_src"))
   }
 
+  /** Block-level exact dedup — the CCNet/C4 paragraph-hash pass at
+    * sub-document granularity: segment each document into consecutive
+    * `blockWords`-word blocks, keep each distinct block's FIRST corpus
+    * occurrence (min (id, idx) — within-doc repeats drop too), and
+    * reassemble the surviving text. Removes repeated boilerplate
+    * INSIDE otherwise-unique documents — the granularity whole-doc
+    * dedup ([[exactDedup]]) can't touch and span fingerprinting
+    * ([[Winnowing]]) only detects. Scale shape: blocks travel as
+    * 8-byte polyhashes into ONE map-side-combined min-owner
+    * aggregation; the keep verdict joins back by hash; reassembly
+    * sorts only each doc's few surviving (idx, block) pairs. The only
+    * strings shuffled are the blocks themselves, once each. */
+  def blockDedup(df: DataFrame, idCol: String, textCol: String,
+      blockWords: Int = 20): DataFrame = {
+    val s = df.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val docs = df
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) > 0)
+    val blocks = docs
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(t) - 1) DIV $blockWords), " +
+          s"i -> array_join(slice(t, i * $blockWords + 1, $blockWords), ' '))"))
+        .as(Seq("idx", "block")))
+      .withColumn("h", graft.functions.GraftFunctions.polyhash(col("block")))
+    val owners = blocks.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("own"))
+    blocks.join(owners, Seq("h"))
+      .withColumn("keep",
+        (col("doc_id") === col("own.doc_id") && col("idx") === col("own.idx"))
+          .cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("keep")).as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(" +
+          "CASE WHEN keep = 1 THEN struct(idx, block) END)), x -> x.block)"), " ")
+          .as("clean_text"))
+      .withColumn("n_removed", col("n_blocks") - col("n_kept"))
+  }
+
   /** Static corpus index for the containment PROBE family
     * ([[containmentAgainstCorpus]] and its streaming twin
     * [[graft.streaming.Streaming.containmentProbeStream]]): the

@@ -57,4 +57,39 @@ object SurprisalScore {
         expr("CASE WHEN n_bigrams > 0 THEN surprisal_bits * 1000 DIV n_bigrams END")
           .as("millibits_per_gram"))
   }
+
+  /** CCNet-style perplexity terciles (Wenzek et al. 2020): per
+    * language, split documents into head/middle/tail of the
+    * [[tokenBigramSurprisal]] rate — keep the well-modeled head, audit
+    * the middle, drop the tail. Thresholds are EXACT rank statistics
+    * computed the scale-safe way: one aggregation to a per-(lang,
+    * score) histogram (bounded by distinct integer scores, not
+    * documents), a cumulative window over those few rows, tercile cut
+    * = min score whose cumulative count clears N/3 / 2N/3; assignment
+    * is a row-local comparison against the broadcast per-lang
+    * thresholds. Ties share a score and therefore a bucket (threshold
+    * semantics, not ntile row-splitting) — engine-independent. Docs
+    * with no bigrams are excluded (no rate to rank).
+    * Output: (idCol, langCol, mb, bucket). */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val scored = tokenBigramSurprisal(df, idCol, textCol)
+      .filter(col("n_bigrams") > 0)
+      .select(col("id").as(idCol), col("millibits_per_gram").as("mb"))
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+    val hist = scored.groupBy(col(langCol), col("mb")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col("mb"))
+    val cum = hist.withColumn("cumn", sum(col("n")).over(w))
+    val tot = scored.groupBy(col(langCol)).agg(count(lit(1)).as("tot"))
+    val thr = cum.join(tot, Seq(langCol))
+      .groupBy(col(langCol))
+      .agg(min(when(col("cumn") * 3 >= col("tot"), col("mb"))).as("t1"),
+        min(when(col("cumn") * 3 >= col("tot") * 2, col("mb"))).as("t2"))
+    scored.join(broadcast(thr), Seq(langCol))
+      .select(col(idCol), col(langCol), col("mb"),
+        when(col("mb") <= col("t1"), "head")
+          .when(col("mb") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

@@ -37,6 +37,55 @@ object MiningQueries {
       |    AS millibits_per_gram
       |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** q158: CCNet-style perplexity buckets — per language, documents
+    * split into head/middle/tail terciles of the q86 integer surprisal
+    * rate (Wenzek et al. 2020's triage: keep the well-modeled head,
+    * audit the middle, drop the tail). Thresholds are exact rank
+    * statistics computed the scale-safe way: ONE aggregation to a
+    * per-(lang, score) histogram (bounded by distinct integer scores,
+    * not documents), a cumulative window over those few rows, and the
+    * tercile cut = min score whose cumulative count clears ⌈N/3⌉ /
+    * ⌈2N/3⌉ — the q83/q152 cumulative-histogram discipline; bucket
+    * assignment is then a row-local comparison against the broadcast
+    * per-lang thresholds. Ties share a score and therefore a bucket
+    * (threshold semantics, not ntile row-splitting), so the verdict is
+    * engine-independent. Docs with no bigrams are excluded (no rate to
+    * rank). */
+  def q158CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SurprisalScore.ccnetBuckets(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "lang")
+      .orderBy($"doc_id")
+  }
+
+
+  val q158Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+      |        i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
+      |c AS (SELECT g, COUNT(*) AS c FROM g2 GROUP BY g),
+      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c),
+      |s AS (SELECT g2.doc_id, COUNT(*) AS n_bigrams,
+      |    CAST(SUM(CAST(length(bin(n.n_total)) AS BIGINT)
+      |             - CAST(length(bin(c.c)) AS BIGINT)) AS BIGINT) AS surprisal_bits
+      |  FROM g2 JOIN c USING (g) CROSS JOIN n GROUP BY g2.doc_id),
+      |sc AS (SELECT d.doc_id, d.lang,
+      |    CAST(s.surprisal_bits * 1000 // s.n_bigrams AS BIGINT) AS mb
+      |  FROM documents d JOIN s USING (doc_id) WHERE s.n_bigrams > 0),
+      |hist AS (SELECT lang, mb, COUNT(*) AS n FROM sc GROUP BY lang, mb),
+      |cum AS (SELECT lang, mb,
+      |    SUM(n) OVER (PARTITION BY lang ORDER BY mb) AS cumn FROM hist),
+      |tot AS (SELECT lang, COUNT(*) AS tot FROM sc GROUP BY lang),
+      |thr AS (SELECT lang,
+      |    MIN(CASE WHEN cumn * 3 >= tot THEN mb END) AS t1,
+      |    MIN(CASE WHEN cumn * 3 >= tot * 2 THEN mb END) AS t2
+      |  FROM cum JOIN tot USING (lang) GROUP BY lang)
+      |SELECT sc.doc_id, sc.lang, sc.mb,
+      |  CASE WHEN sc.mb <= t.t1 THEN 'head'
+      |       WHEN sc.mb <= t.t2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM sc JOIN thr t USING (lang) ORDER BY sc.doc_id""".stripMargin
+
   /** q87: hard negatives — for each of the first 10 query vectors, the
     * 5 most cosine-similar vectors with a DIFFERENT label. */
   def q87HardNegatives(s: SparkSession, dir: String): DataFrame = {
@@ -371,6 +420,7 @@ object MiningQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_basket_rules" -> (q136BasketRules _),
     "q86_surprisal" -> (q86Surprisal _),
+    "q158_ccnet_buckets" -> (q158CcnetBuckets _),
     "q87_hard_negatives" -> (q87HardNegatives _),
     "q89_best_rep" -> (q89BestRep _),
     "q91_group_hll" -> (q91GroupHll _),
@@ -382,6 +432,7 @@ object MiningQueries {
   val oracle: Map[String, String] = Map(
     "q136_basket_rules" -> q136Sql,
     "q86_surprisal" -> q86Sql,
+    "q158_ccnet_buckets" -> q158Sql,
     "q87_hard_negatives" -> q87Sql,
     "q89_best_rep" -> q89Sql,
     "q91_group_hll" -> q91Sql,

@@ -236,6 +236,98 @@ object TextQueries {
       |FROM p WHERE n_inter * 10000 >= 9000 * least(n_doc, n_corpus)
       |ORDER BY doc_id, corpus_id""".stripMargin
 
+  /** q156: block-level exact dedup — the CCNet/C4 paragraph-hash pass
+    * at sub-document granularity: segment every document into
+    * consecutive 20-word blocks, keep each distinct block's FIRST
+    * corpus occurrence (min (doc_id, idx) — within-doc repeats drop
+    * too), and reassemble the surviving text. The exact complement of
+    * whole-doc dedup (q18) and span fingerprints (q124): repeated
+    * boilerplate inside otherwise-unique documents is removed, not
+    * just detected. Scale shape: blocks travel as 8-byte polyhashes
+    * into ONE map-side-combined min-owner aggregation; the keep
+    * verdict joins back by hash; reassembly is a per-doc sort of the
+    * few surviving (idx, block) pairs. Nothing corpus-sized sorts
+    * globally and the only strings shuffled are the blocks themselves
+    * (bounded: ≤ ~150 chars each, once per block). */
+  def q156BlockDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.blockDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
+        blockWords = 20)
+      .orderBy($"doc_id")
+  }
+
+
+  val q156Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents WHERE trim(text) <> ''),
+      |blk AS (SELECT doc_id, unnest(generate_series(0, (len(t)-1)//20)) AS idx, t FROM toks),
+      |b2 AS (SELECT doc_id, idx,
+      |    array_to_string(t[(idx*20+1):(idx*20+20)], ' ') AS block FROM blk),
+      |h AS (SELECT doc_id, idx, block,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(block)),
+      |        i -> CAST(unicode(substr(block, i, 1)) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS hh FROM b2),
+      |k AS (SELECT doc_id, idx, block,
+      |    CASE WHEN row_number() OVER (PARTITION BY hh ORDER BY doc_id, idx) = 1
+      |         THEN 1 ELSE 0 END AS keep FROM h)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+      |  COALESCE(array_to_string(list_transform(list_sort(
+      |    list({'idx': idx, 'block': block}) FILTER (WHERE keep = 1)),
+      |    x -> x.block), ' '), '') AS clean_text,
+      |  CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_removed
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q157: Gopher-style quality rule GATE (Rae et al. 2021 §A1.1) —
+    * the hard-threshold decision layer over the continuous stats q16
+    * reports: per document, five named pass/fail rules (word count in
+    * [50, 100k]; mean word length in [3, 10]; symbol-to-word ratio
+    * < 0.1; > 80% of words contain a letter; ≥ 2 distinct core
+    * stopwords present — the q16 function-word list, standing in for
+    * Gopher's English set on this synthetic vocabulary) and the
+    * composite keep flag. All-integer
+    * verdicts (mean word length in exact milli-chars, ratios as
+    * cross-multiplied integer comparisons) so the gate replays
+    * bit-identically in any engine. Row-local — one projection, no
+    * shuffle, runs at scan speed over 100 TB. */
+  def q157GopherGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ext.QualityGate.gopherGate(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+
+  val q157Sql: String =
+    """WITH toks AS (SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |st AS (SELECT doc_id,
+      |    CAST(len(t) AS BIGINT) AS n_words,
+      |    CAST(COALESCE(list_sum(list_transform(t, w -> length(w))), 0) AS BIGINT) AS sum_len,
+      |    CAST(len(list_filter(t, w -> contains(w, '#') OR contains(w, '…'))) AS BIGINT) AS n_sym,
+      |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+      |    CAST(len(list_filter(['the','a','an','and','of','to','in','is','it','that'],
+      |      sw -> list_contains(t, sw))) AS BIGINT) AS n_stopset
+      |  FROM toks),
+      |m AS (SELECT *, CASE WHEN n_words > 0 THEN sum_len * 1000 // n_words END AS mwl_milli
+      |  FROM st),
+      |r AS (SELECT doc_id, n_words, n_sym, n_alpha, n_stopset, mwl_milli,
+      |    CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS r_words,
+      |    CASE WHEN n_words > 0 AND mwl_milli >= 3000 AND mwl_milli <= 10000
+      |         THEN 1 ELSE 0 END AS r_mwl,
+      |    CASE WHEN n_sym * 10 < n_words THEN 1 ELSE 0 END AS r_sym,
+      |    CASE WHEN n_alpha * 10 > n_words * 8 THEN 1 ELSE 0 END AS r_alpha,
+      |    CASE WHEN n_stopset >= 2 THEN 1 ELSE 0 END AS r_stop
+      |  FROM m)
+      |SELECT doc_id, n_words, n_sym, n_alpha, n_stopset, mwl_milli,
+      |  r_words, r_mwl, r_sym, r_alpha, r_stop,
+      |  CASE WHEN r_words + r_mwl + r_sym + r_alpha + r_stop = 5
+      |       THEN 1 ELSE 0 END AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** q139: n-gram novelty scoring — per document, the fraction of its
     * distinct 8-gram hashes whose FIRST corpus occurrence (min doc_id)
     * is this document: 1.0 for genuinely new text, ~0 for documents
@@ -670,6 +762,8 @@ object TextQueries {
     "q19_ngram_jaccard" -> (q19NgramJaccard _),
     "q151_containment" -> (q151Containment _),
     "q155_containment_probe" -> (q155ContainmentProbe _),
+    "q156_block_dedup" -> (q156BlockDedup _),
+    "q157_gopher_gate" -> (q157GopherGate _),
     "q139_novelty" -> (q139Novelty _),
     "q37_pii_redact" -> (q37Redact _),
     "q43_top_tokens" -> (q43TopTokens _),
@@ -686,6 +780,8 @@ object TextQueries {
     "q19_ngram_jaccard" -> q19Sql,
     "q151_containment" -> q151Sql,
     "q155_containment_probe" -> q155Sql,
+    "q156_block_dedup" -> q156Sql,
+    "q157_gopher_gate" -> q157Sql,
     "q139_novelty" -> q139Sql,
     "q37_pii_redact" -> q37Sql,
     "q43_top_tokens" -> q43Sql,

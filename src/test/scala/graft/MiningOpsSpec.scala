@@ -198,4 +198,37 @@ class MiningOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(a === b)
   }
+
+  test("ccnetBuckets: per-lang tercile boundaries are ordered and rank-exact") {
+    val docs = Tables.load(spark, sf, "documents")
+    val out = graft.ext.SurprisalScore
+      .ccnetBuckets(docs, "doc_id", "text", "lang")
+      .select($"lang", $"mb", $"bucket")
+      .as[(String, Long, String)].collect().toSeq
+    assert(out.nonEmpty)
+    val langs = out.map(_._1).distinct
+    for (l <- langs) {
+      val g = out.filter(_._1 == l)
+      val byB = g.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      val n = g.size.toLong
+      // every bucket present once there are ≥ 3 distinct scores
+      if (g.map(_._2).distinct.size >= 3)
+        assert(Set("head", "middle", "tail").subsetOf(byB.keySet), s"lang=$l $byB")
+      // score ranges never interleave: head < middle < tail
+      for {
+        h <- byB.get("head"); m <- byB.get("middle")
+      } assert(h.max < m.min, s"lang=$l head/middle overlap")
+      for {
+        m <- byB.get("middle"); t <- byB.get("tail")
+      } assert(m.max < t.min, s"lang=$l middle/tail overlap")
+      // threshold semantics: head is the smallest score-prefix with
+      // ≥ N/3 docs (dropping its top score group must go below N/3)
+      val headN = byB.get("head").map(_.size.toLong).getOrElse(0L)
+      assert(headN * 3 >= n, s"lang=$l head too small: $headN of $n")
+      byB.get("head").foreach { h =>
+        val withoutTop = h.count(_ < h.max).toLong
+        assert(withoutTop * 3 < n, s"lang=$l head overshoots past its tie group")
+      }
+    }
+  }
 }

@@ -120,6 +120,55 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L), (2L, 1L)))
   }
 
+  test("blockDedup keeps first occurrences, drops repeats, reassembles exactly") {
+    val A = (0 until 20).map(i => s"a$i")   // one full block
+    val B = (0 until 20).map(i => s"b$i")
+    val C = (0 until 7).map(i => s"c$i")    // short tail block
+    val df = Seq(
+      (0L, (A ++ B).mkString(" ")),  // first owner of A and B
+      (1L, (A ++ C).mkString(" ")),  // A is a repeat; tail C unique
+      (2L, A.mkString(" ")),         // exactly A -> fully removed
+      (3L, (C ++ C).mkString(" "))   // 14 words: ONE 14-word block, not two
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.blockDedup(df, "doc_id", "text", blockWords = 20)
+      .select($"doc_id", $"n_blocks", $"n_kept", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (0L, 2L, 2L, (A ++ B).mkString(" ")),   // untouched doc reassembles verbatim
+      (1L, 2L, 1L, C.mkString(" ")),
+      (2L, 1L, 0L, ""),
+      (3L, 1L, 1L, (C ++ C).mkString(" "))))
+  }
+
+  test("blockDedup drops within-doc repeats after the first occurrence") {
+    val A = (0 until 20).map(i => s"x$i")
+    val df = Seq((7L, (A ++ A ++ A).mkString(" "))).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.blockDedup(df, "doc_id", "text", blockWords = 20)
+      .select($"n_blocks", $"n_kept", $"clean_text")
+      .as[(Long, Long, String)].head()
+    assert(out == ((3L, 1L, A.mkString(" "))))
+  }
+
+  test("gopherGate rules fire independently and compose into keep") {
+    val pass = (Seq("the", "a") ++ (1 to 58).map(i => s"word$i")).mkString(" ")
+    val short = "the a tiny doc"                            // fails word count
+    val noStop = (1 to 60).map(i => s"word$i").mkString(" ") // fails stop rule
+    val thin = (Seq("the", "a") ++ (1 to 58).map(_ => "zz")).mkString(" ") // mwl 2.1 < 3
+    val symbolic = (Seq("the", "a") ++ (1 to 29).map(i => s"w$i") ++
+      (1 to 29).map(_ => "##")).mkString(" ")               // 29/60 symbol words
+    val df = Seq((0L, pass), (1L, short), (2L, noStop), (3L, thin), (4L, symbolic))
+      .toDF("doc_id", "text")
+    val out = graft.ext.QualityGate.gopherGate(df, "doc_id", "text")
+      .select($"doc_id", $"r_words", $"r_mwl", $"r_sym", $"r_alpha", $"r_stop", $"keep")
+      .as[(Long, Int, Int, Int, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(out(0) == ((0L, 1, 1, 1, 1, 1, 1)), s"pass doc: ${out(0)}")
+    assert(out(1)._2 == 0 && out(1)._7 == 0, s"short doc: ${out(1)}")
+    assert(out(2)._6 == 0 && out(2)._7 == 0, s"no-stop doc: ${out(2)}")
+    assert(out(3)._3 == 0 && out(3)._7 == 0, s"thin doc: ${out(3)}")
+    assert(out(4)._4 == 0 && out(4)._5 == 0 && out(4)._7 == 0,
+      s"symbolic doc fails symbol AND alpha: ${out(4)}")
+  }
+
   test("DSIR importance scoring rejects an empty target slice loudly") {
     val df = Seq((1L, "some words here", "en"), (2L, "more words", "de"))
       .toDF("doc_id", "text", "lang")
