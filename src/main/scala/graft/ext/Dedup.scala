@@ -238,6 +238,64 @@ object Dedup {
       .withColumn("n_removed", col("n_blocks") - col("n_kept"))
   }
 
+  /** The block hashes of a corpus — the static "known blocks" index
+    * [[blockDedupAgainstCorpus]] and the streaming twin probe: one
+    * column `h` of distinct 8-byte polyhashes over `blockWords`-word
+    * blocks. Build once per corpus version; ~8 bytes per distinct
+    * block. */
+  def blockHashes(corpus: DataFrame, textCol: String,
+      blockWords: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    corpus
+      .select(graft.functions.TextFunctions.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(explode(expr(
+        s"transform(sequence(0, (size(t) - 1) DIV $blockWords), " +
+          s"i -> array_join(slice(t, i * $blockWords + 1, $blockWords), ' '))"))
+        .as("block"))
+      .select(graft.functions.GraftFunctions.polyhash(col("block")).as("h"))
+      .distinct()
+  }
+
+  /** Incremental block-level dedup — [[blockDedup]]'s ingest form: for
+    * a batch of FRESH documents, drop every block already present in
+    * the known-corpus hash set PLUS within-doc repeats (first
+    * occurrence wins, decided ROW-locally via the block list's first
+    * index — no cross-fresh-doc coupling, so the verdict for a
+    * document depends only on that document and the static index:
+    * exactly reproducible by the streaming twin one doc at a time).
+    * Scale shape: the fresh batch explodes to (hash, block) rows, one
+    * equi-join against the known hashes (the corpus-sized side stays
+    * partitioned — nothing broadcasts), one per-doc reassembly agg. */
+  def blockDedupAgainstCorpus(fresh: DataFrame, idCol: String, textCol: String,
+      knownHashes: DataFrame, blockWords: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(fresh.sparkSession)
+    val blocks = fresh
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) > 0)
+      .withColumn("bs", expr(
+        s"transform(sequence(0, (size(t) - 1) DIV $blockWords), " +
+          s"i -> array_join(slice(t, i * $blockWords + 1, $blockWords), ' '))"))
+      .select(col("doc_id"), col("bs"), posexplode(col("bs")).as(Seq("idx", "block")))
+      // within-doc first occurrence, decided inside the row
+      .withColumn("first_in_doc", expr("array_position(bs, block) = idx + 1"))
+      .drop("bs")
+      .withColumn("h", graft.functions.GraftFunctions.polyhash(col("block")))
+    blocks
+      .join(knownHashes.select(col("h")).distinct()
+        .withColumn("known", lit(1)), Seq("h"), "left")
+      .withColumn("keep", (col("first_in_doc") && col("known").isNull).cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("keep")).as("n_kept"),
+        count(col("known")).as("n_known"),
+        array_join(expr("transform(array_sort(collect_list(" +
+          "CASE WHEN keep = 1 THEN struct(idx, block) END)), x -> x.block)"), " ")
+          .as("clean_text"))
+      .withColumn("n_removed", col("n_blocks") - col("n_kept"))
+  }
+
   /** Static corpus index for the containment PROBE family
     * ([[containmentAgainstCorpus]] and its streaming twin
     * [[graft.streaming.Streaming.containmentProbeStream]]): the

@@ -328,6 +328,60 @@ object TextQueries {
       |       THEN 1 ELSE 0 END AS keep
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** q159: incremental block dedup — q156's ingest form
+    * ([[Dedup.blockDedupAgainstCorpus]]): even doc_ids form the known
+    * corpus (its distinct block hashes, ~8 bytes per block —
+    * [[Dedup.blockHashes]]), odd doc_ids arrive fresh and drop every
+    * block already known PLUS within-doc repeats (first occurrence
+    * wins, decided row-locally). No cross-fresh-doc coupling, so each
+    * document's verdict is reproducible one doc at a time — which is
+    * what lets the streaming twin
+    * ([[graft.streaming.Streaming.blockDedupStream]]) emit
+    * bit-identical rows (spec-pinned). */
+  def q159BlockDedupIncr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    Dedup.blockDedupAgainstCorpus(
+        docs.filter($"doc_id" % 2 === 1), "doc_id", "text",
+        Dedup.blockHashes(docs.filter($"doc_id" % 2 === 0), "text"),
+        blockWords = 20)
+      .orderBy($"doc_id")
+  }
+
+  val q159Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents WHERE trim(text) <> ''),
+      |cb AS (SELECT DISTINCT array_to_string(t[(i*20+1):(i*20+20)], ' ') AS block
+      |  FROM (SELECT t, unnest(generate_series(0, (len(t)-1)//20)) AS i
+      |        FROM toks WHERE doc_id % 2 = 0) s),
+      |kh AS (SELECT DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, length(block)),
+      |      i -> CAST(unicode(substr(block, i, 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM cb),
+      |f AS (SELECT doc_id, list_transform(generate_series(0, (len(t)-1)//20),
+      |    i -> array_to_string(t[(i*20+1):(i*20+20)], ' ')) AS bs
+      |  FROM toks WHERE doc_id % 2 = 1),
+      |fb AS (SELECT doc_id, unnest(generate_series(1, len(bs))) AS pos, bs FROM f),
+      |fb2 AS (SELECT doc_id, pos - 1 AS idx, bs[pos] AS block,
+      |    list_position(bs, bs[pos]) = pos AS first_in_doc FROM fb),
+      |h2 AS (SELECT doc_id, idx, block, first_in_doc,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(block)),
+      |        i -> CAST(unicode(substr(block, i, 1)) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM fb2),
+      |j AS (SELECT h2.*, CASE WHEN kh.h IS NOT NULL THEN 1 END AS known
+      |  FROM h2 LEFT JOIN kh ON h2.h = kh.h),
+      |k AS (SELECT doc_id, idx, block, known,
+      |    CASE WHEN first_in_doc AND known IS NULL THEN 1 ELSE 0 END AS keep FROM j)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+      |  CAST(COUNT(known) AS BIGINT) AS n_known,
+      |  COALESCE(array_to_string(list_transform(list_sort(
+      |    list({'idx': idx, 'block': block}) FILTER (WHERE keep = 1)),
+      |    x -> x.block), ' '), '') AS clean_text,
+      |  CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_removed
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q139: n-gram novelty scoring — per document, the fraction of its
     * distinct 8-gram hashes whose FIRST corpus occurrence (min doc_id)
     * is this document: 1.0 for genuinely new text, ~0 for documents
@@ -764,6 +818,7 @@ object TextQueries {
     "q155_containment_probe" -> (q155ContainmentProbe _),
     "q156_block_dedup" -> (q156BlockDedup _),
     "q157_gopher_gate" -> (q157GopherGate _),
+    "q159_block_dedup_incr" -> (q159BlockDedupIncr _),
     "q139_novelty" -> (q139Novelty _),
     "q37_pii_redact" -> (q37Redact _),
     "q43_top_tokens" -> (q43TopTokens _),
@@ -782,6 +837,7 @@ object TextQueries {
     "q155_containment_probe" -> q155Sql,
     "q156_block_dedup" -> q156Sql,
     "q157_gopher_gate" -> q157Sql,
+    "q159_block_dedup_incr" -> q159Sql,
     "q139_novelty" -> q139Sql,
     "q37_pii_redact" -> q37Sql,
     "q43_top_tokens" -> q43Sql,

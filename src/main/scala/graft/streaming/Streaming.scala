@@ -445,6 +445,48 @@ object Streaming {
       .withColumn("corpus_in_doc_ppm", expr("n_inter * 1000000L DIV n_corpus"))
   }
 
+  /** Streaming incremental block dedup — the ingest twin of
+    * [[graft.ext.Dedup.blockDedupAgainstCorpus]] (q159's batch shape):
+    * fresh documents stream in, split ROW-locally into 20-word blocks
+    * with within-doc repeats marked inside the row, probe the STATIC
+    * known-block hash set (stream-static left join, re-broadcast/
+    * re-planned per micro-batch so an index refresh is picked up on
+    * the next trigger), and each doc's cleaned reassembly emits once
+    * its event-time window closes. The batch operator's verdict for a
+    * document depends only on that document and the static index —
+    * no cross-fresh-doc coupling — so the streamed rows are
+    * bit-identical to the batch probe on the same documents
+    * (spec-pinned). `docs` must carry (doc_id, text, event_time). */
+  def blockDedupStream(docs: DataFrame, knownHashes: DataFrame,
+      blockWords: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val blocks = docs
+      .withWatermark("event_time", "10 minutes")
+      .withColumn("t", graft.functions.TextFunctions.tokens(col("text")))
+      .filter(size(col("t")) > 0)
+      .withColumn("bs", expr(
+        s"transform(sequence(0, (size(t) - 1) DIV $blockWords), " +
+          s"i -> array_join(slice(t, i * $blockWords + 1, $blockWords), ' '))"))
+      .select(col("doc_id"), col("event_time"), col("bs"),
+        posexplode(col("bs")).as(Seq("idx", "block")))
+      .withColumn("first_in_doc", expr("array_position(bs, block) = idx + 1"))
+      .drop("bs")
+      .withColumn("h", graft.functions.GraftFunctions.polyhash(col("block")))
+    blocks
+      .join(knownHashes.select(col("h")).distinct()
+        .withColumn("known", lit(1)), Seq("h"), "left")
+      .withColumn("keep", (col("first_in_doc") && col("known").isNull).cast("int"))
+      .groupBy(window(col("event_time"), "10 minutes"), col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("keep")).as("n_kept"),
+        count(col("known")).as("n_known"),
+        array_join(expr("transform(array_sort(collect_list(" +
+          "CASE WHEN keep = 1 THEN struct(idx, block) END)), x -> x.block)"), " ")
+          .as("clean_text"))
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"), col("n_known"),
+        (col("n_blocks") - col("n_kept")).as("n_removed"), col("clean_text"))
+  }
+
   /** Streaming DSIR importance filter — weights trained OFFLINE
     * ([[graft.ext.Dsir.liftArray]], a [[graft.ext.Dsir.Buckets]]-entry
     * literal riding in the plan) applied ROW-locally to a document

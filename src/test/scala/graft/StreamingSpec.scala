@@ -495,6 +495,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, "stream/batch containment probe divergence")
   }
 
+  test("streaming block dedup matches the batch probe (q159 twin)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsB = Tables.load(spark, sf, "documents")
+    val known = graft.ext.Dedup.blockHashes(
+      docsB.filter($"doc_id" % 2 === 0), "text").localCheckpoint(true)
+    val fresh = docsB.filter($"doc_id" % 2 === 1).limit(30)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "event_time")
+    val q = Streaming.blockDedupStream(stream, known)
+      .writeStream.format("memory").queryName("blk_dedup").outputMode("append").start()
+    try {
+      val t0 = 1000000L
+      input.addData(fresh.map { case (id, tx) =>
+        (id, tx, new java.sql.Timestamp(t0)) }: _*)
+      q.processAllAvailable()
+      // sentinel closes the window (passes the size(t) > 0 filter)
+      input.addData((999999999L, "sentinel words flow on",
+        new java.sql.Timestamp(t0 + 3600L * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val cols = Seq("doc_id", "n_blocks", "n_kept", "n_known", "n_removed", "clean_text")
+    val streamed = spark.table("blk_dedup")
+      .filter($"doc_id" =!= 999999999L)
+      .select(cols.map(col): _*)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+    val freshIds = fresh.map(_._1).toSet
+    val batch = graft.ext.Dedup.blockDedupAgainstCorpus(
+        docsB.filter($"doc_id".isin(freshIds.toSeq: _*)), "doc_id", "text", known)
+      .select(cols.map(col): _*)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch, "stream/batch block dedup divergence")
+  }
+
   test("eventsStream falls back to the legacy schema on an empty landing directory") {
     val emptyDir = java.nio.file.Files.createTempDirectory("graft_empty_events").toString
     // no events.parquet present: the footer sniff fails and the legacy

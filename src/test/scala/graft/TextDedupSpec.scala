@@ -149,6 +149,24 @@ class TextDedupSpec extends SparkSpec {
     assert(out == ((3L, 1L, A.mkString(" "))))
   }
 
+  test("blockDedupAgainstCorpus drops known blocks and within-doc repeats only") {
+    val A = (0 until 20).map(i => s"a$i")
+    val B = (0 until 20).map(i => s"b$i")
+    val corpus = Seq((100L, A.mkString(" "))).toDF("doc_id", "text")
+    val known = graft.ext.Dedup.blockHashes(corpus, "text")
+    // fresh doc: known block A + fresh B + B repeated (within-doc dup)
+    val fresh = Seq((1L, (A ++ B ++ B).mkString(" "))).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.blockDedupAgainstCorpus(fresh, "doc_id", "text", known)
+      .select($"n_blocks", $"n_kept", $"n_known", $"clean_text")
+      .as[(Long, Long, Long, String)].head()
+    assert(out == ((3L, 1L, 1L, B.mkString(" "))))
+    // no cross-fresh-doc coupling: two fresh docs sharing a block BOTH keep it
+    val fresh2 = Seq((1L, B.mkString(" ")), (2L, B.mkString(" "))).toDF("doc_id", "text")
+    val out2 = graft.ext.Dedup.blockDedupAgainstCorpus(fresh2, "doc_id", "text", known)
+      .select($"doc_id", $"n_kept").as[(Long, Long)].collect().toSet
+    assert(out2 == Set((1L, 1L), (2L, 1L)))
+  }
+
   test("gopherGate rules fire independently and compose into keep") {
     val pass = (Seq("the", "a") ++ (1 to 58).map(i => s"word$i")).mkString(" ")
     val short = "the a tiny doc"                            // fails word count
