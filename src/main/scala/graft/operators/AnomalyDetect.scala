@@ -43,4 +43,44 @@ object AnomalyDetect {
       round((xd - mean) / sqrt(varPop), 6))
     df.withColumn("n_prev", n).withColumn("z", z)
   }
+
+  /** One-sided integer CUSUM change-point detection (Page 1954) — the
+    * SEQUENTIAL anomaly member beside [[slidingZScore]]: per key, the
+    * statistic S_i = max(0, S_{i-1} + x_i − target − slack) over the
+    * (us, event_id)-ordered sequence, alarming and RESTARTING when S
+    * crosses the threshold. Detects sustained small shifts a per-point
+    * z-score never flags. Per-key reference values derive from the
+    * key's own exact integer mean (target = Σ div n; slack =
+    * target div 20; threshold = 2·target) — all integer, replayable.
+    *
+    * `e` must carry (user_id, us, event_id, cents). Scale shape: ONE
+    * aggregation per key builds (n, Σ, ordered seq) with map-side
+    * partials; the fold is a row-local `aggregate` over that key's
+    * bounded event list. Keys with unbounded history belong to the
+    * streaming form (mapGroupsWithState) — the batch contract is
+    * bounded per-key cardinality, like any per-key collect. */
+  def cusum(e: DataFrame): DataFrame =
+    e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_cents"),
+        array_sort(collect_list(struct(col("us"), col("event_id"), col("cents"))))
+          .as("seq"))
+      .withColumn("target", expr("sum_cents DIV n_events"))
+      .withColumn("slack", expr("target DIV 20"))
+      .withColumn("thresh", expr("target * 2"))
+      .withColumn("st", expr("""
+        aggregate(seq,
+          named_struct('s', 0L, 'maxs', 0L, 'nal', 0L, 'fid', CAST(NULL AS BIGINT)),
+          (acc, x) -> named_struct(
+            's', IF(greatest(0L, acc.s + x.cents - target - slack) > thresh, 0L,
+                    greatest(0L, acc.s + x.cents - target - slack)),
+            'maxs', greatest(acc.maxs, greatest(0L, acc.s + x.cents - target - slack)),
+            'nal', acc.nal +
+              IF(greatest(0L, acc.s + x.cents - target - slack) > thresh, 1L, 0L),
+            'fid', coalesce(acc.fid,
+              IF(greatest(0L, acc.s + x.cents - target - slack) > thresh,
+                 x.event_id, CAST(NULL AS BIGINT)))))"""))
+      .select(col("user_id"), col("n_events"), col("target").as("target_cents"),
+        col("st.nal").as("n_alarms"), col("st.fid").as("first_alarm_event_id"),
+        col("st.maxs").as("max_s"))
 }

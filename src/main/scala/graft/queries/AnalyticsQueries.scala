@@ -543,6 +543,65 @@ object AnalyticsQueries {
       |  END AS slope
       |FROM sums ORDER BY event_type""".stripMargin
 
+  /** q160: one-sided integer CUSUM change-point detection — the
+    * SEQUENTIAL anomaly member beside the window z-score (q81), TVD
+    * drift (q96), and OLS trend (q130): per user, the classic Page
+    * cumulative-sum statistic S_i = max(0, S_{i-1} + x_i − target −
+    * slack) over the event sequence in (us, event_id) order, alarming
+    * (and restarting) when S crosses the threshold. Detects sustained
+    * small shifts a per-point z-score never flags. Per-user reference
+    * values derive from the user's own exact integer mean cents
+    * (target = Σ div n; slack = target div 20; H = 2·target) — all
+    * integer, engine-replayable. Scale shape: ONE aggregation per user
+    * builds (n, Σ, ordered seq) map-side; the fold is a row-local
+    * `aggregate` over that user's bounded event list (≤ ~10² here);
+    * keys with unbounded history belong to the streaming form
+    * (mapGroupsWithState) — the batch operator's contract is bounded
+    * per-key cardinality, like any per-key collect. */
+  def q160Cusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    AnomalyDetect.cusum(
+        Tables.loadEvents(s, dir)
+          .select($"user_id", $"us", $"event_id",
+            ($"value".cast("decimal(12,2)") * 100).cast("long").as("cents")))
+      .orderBy($"user_id")
+  }
+
+
+  val q160Sql: String =
+    """WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events),
+      |ord AS (SELECT user_id, event_id, cents,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn FROM ev),
+      |p2 AS (SELECT user_id, COUNT(*) AS n_events,
+      |    CAST(SUM(cents) AS BIGINT) // COUNT(*) AS target,
+      |    (CAST(SUM(cents) AS BIGINT) // COUNT(*)) // 20 AS slack,
+      |    (CAST(SUM(cents) AS BIGINT) // COUNT(*)) * 2 AS thresh
+      |  FROM ord GROUP BY user_id),
+      |st AS (
+      |  SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS s,
+      |    CAST(0 AS BIGINT) AS maxs, CAST(0 AS BIGINT) AS nal,
+      |    CAST(NULL AS BIGINT) AS fid
+      |  FROM p2
+      |  UNION ALL
+      |  SELECT st.user_id, st.rn + 1,
+      |    CASE WHEN greatest(CAST(0 AS BIGINT), st.s + o.cents - p.target - p.slack) > p.thresh
+      |         THEN CAST(0 AS BIGINT)
+      |         ELSE greatest(CAST(0 AS BIGINT), st.s + o.cents - p.target - p.slack) END,
+      |    greatest(st.maxs, greatest(CAST(0 AS BIGINT), st.s + o.cents - p.target - p.slack)),
+      |    st.nal + CASE WHEN greatest(CAST(0 AS BIGINT), st.s + o.cents - p.target - p.slack) > p.thresh
+      |             THEN 1 ELSE 0 END,
+      |    COALESCE(st.fid,
+      |      CASE WHEN greatest(CAST(0 AS BIGINT), st.s + o.cents - p.target - p.slack) > p.thresh
+      |           THEN o.event_id END)
+      |  FROM st
+      |  JOIN ord o ON o.user_id = st.user_id AND o.rn = st.rn + 1
+      |  JOIN p2 p ON p.user_id = st.user_id)
+      |SELECT p2.user_id, p2.n_events, p2.target AS target_cents,
+      |  st.nal AS n_alarms, st.fid AS first_alarm_event_id, st.maxs AS max_s
+      |FROM st JOIN p2 USING (user_id) WHERE st.rn = p2.n_events
+      |ORDER BY user_id""".stripMargin
+
   /** q131: HITS hubs & authorities — the DIRECTIONAL importance twin of
     * PageRank on the bipartite purchase graph: customers are pure hubs,
     * suppliers pure authorities, and two unnormalized mutual-
@@ -690,6 +749,7 @@ object AnalyticsQueries {
     "q138_degree_powerlaw" -> (q138DegreePowerlaw _),
     "q135_categorical_profile" -> (q135CategoricalProfile _),
     "q131_hits" -> (q131Hits _),
+    "q160_cusum" -> (q160Cusum _),
     "q130_group_trend" -> (q130GroupTrend _),
     "q123_multi_source_bfs" -> (q123MultiSourceBfs _),
     "q81_anomaly" -> (q81Anomaly _),
@@ -706,6 +766,7 @@ object AnalyticsQueries {
     "q138_degree_powerlaw" -> q138Sql,
     "q135_categorical_profile" -> q135Sql,
     "q131_hits" -> q131Sql,
+    "q160_cusum" -> q160Sql,
     "q130_group_trend" -> q130Sql,
     "q123_multi_source_bfs" -> q123Sql,
     "q81_anomaly" -> q81Sql,

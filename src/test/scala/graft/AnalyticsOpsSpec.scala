@@ -175,4 +175,40 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(depth - 1 <= AnalyticsQueries.q119OracleRounds,
       s"oracle unroll ${AnalyticsQueries.q119OracleRounds} no longer covers depth $depth")
   }
+
+  test("CUSUM alarms on a sustained shift, restarts, and matches an independent fold") {
+    // user 1: 20 quiet events at 100 cents, then 10 shifted at 400 —
+    // the shift accumulates ~+260/event against target+slack and must
+    // alarm; user 2: constant series, S stays 0, no alarm ever
+    val rows =
+      (1 to 20).map(i => (1L, i.toLong, 100L + i, 100L)) ++
+        (21 to 30).map(i => (1L, i.toLong, 100L + i, 400L)) ++
+        (1 to 10).map(i => (2L, i.toLong, 200L + i, 70L))
+    val df = rows.toDF("user_id", "us", "event_id", "cents")
+    val out = graft.operators.AnomalyDetect.cusum(df)
+      .select($"user_id", $"n_events", $"target_cents", $"n_alarms",
+        $"first_alarm_event_id", $"max_s")
+      .as[(Long, Long, Long, Long, Option[Long], Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // independent Scala fold over the same definition
+    def fold(xs: Seq[(Long, Long)]): (Long, Long, Option[Long], Long) = {
+      val n = xs.size.toLong
+      val target = xs.map(_._2).sum / n
+      val (slack, h) = (target / 20, target * 2)
+      var s = 0L; var maxs = 0L; var nal = 0L; var fid: Option[Long] = None
+      for ((eid, c) <- xs) {
+        val ns = math.max(0L, s + c - target - slack)
+        maxs = math.max(maxs, ns)
+        if (ns > h) { nal += 1; if (fid.isEmpty) fid = Some(eid); s = 0L }
+        else s = ns
+      }
+      (target, nal, fid, maxs)
+    }
+    val u1 = fold(rows.filter(_._1 == 1L).sortBy(_._2).map(r => (r._3, r._4)))
+    val u2 = fold(rows.filter(_._1 == 2L).sortBy(_._2).map(r => (r._3, r._4)))
+    assert(out(1L) == ((1L, 30L, u1._1, u1._2, u1._3, u1._4)))
+    assert(out(2L) == ((2L, 10L, u2._1, u2._2, u2._3, u2._4)))
+    assert(u1._2 >= 1 && u1._3.nonEmpty, s"planted shift must alarm: $u1")
+    assert(u2._2 == 0 && u2._3.isEmpty && u2._4 == 0, s"steady series must not: $u2")
+  }
 }
