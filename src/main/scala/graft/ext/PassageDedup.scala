@@ -27,14 +27,21 @@ object PassageDedup {
   /** (id, pos, chunk): consecutive `w`-token chunks (trailing partial
     * chunk included; empty/blank text yields no rows). */
   def chunked(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    // tokens bound to a COLUMN before the chunk lambda — an inline
+    // tokens expression would be re-inlined into every slice() of the
+    // transform (no subexpression elimination inside Generate), so
+    // each chunk re-splits the whole document (the SurprisalScore
+    // bigram lesson)
+    val toks = col("__t")
     val chunks = when(size(toks) === 0, array().cast("array<string>"))
       .otherwise(transform(
         // Column `/` is double division; the cast truncates = floor
         // (operands are non-negative small ints, so it is exact)
         sequence(lit(0), ((size(toks) + (w - 1)) / w).cast("int") - 1),
         i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
-    df.select(col(idCol).as("id"), posexplode(chunks).as(Seq("pos", "chunk")))
+    df.select(col(idCol).as("id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col("id"), posexplode(chunks).as(Seq("pos", "chunk")))
       .select(col("id"), col("pos").cast("long").as("pos"), col("chunk"))
   }
 

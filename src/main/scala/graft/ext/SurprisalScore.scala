@@ -28,11 +28,18 @@ object SurprisalScore {
   /** (id, g): every adjacent token-bigram occurrence (duplicates kept —
     * counts, not sets, make a language model). */
   private def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    // bind the token array to a COLUMN before the bigram lambda: an
+    // inline tokens expression is re-inlined into every element_at of
+    // the transform (no subexpression elimination inside Generate), so
+    // each bigram would re-split the whole document — O(words²) string
+    // work per doc, measured ~40× slower at sf0.1
     df.select(col(idCol).as("id"),
-        explode(when(size(toks) < 2, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), size(toks) - 2),
-            i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))))
+        graft.functions.TextFunctions.tokens(col(textCol)).as("t"))
+      .select(col("id"),
+        explode(when(size(col("t")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("t")) - 2),
+            i => concat(element_at(col("t"), i + 1), lit(" "),
+              element_at(col("t"), i + 2)))))
           .as("g"))
   }
 
@@ -73,15 +80,22 @@ object SurprisalScore {
     * Output: (idCol, langCol, mb, bucket). */
   def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
       langCol: String): DataFrame = {
+    // checkpoint the per-doc scores: they feed BOTH the threshold
+    // histogram and the final assignment — without materialization the
+    // whole surprisal pipeline (bigram explode + count join) re-plans
+    // per consumer
     val scored = tokenBigramSurprisal(df, idCol, textCol)
       .filter(col("n_bigrams") > 0)
       .select(col("id").as(idCol), col("millibits_per_gram").as("mb"))
       .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+      .localCheckpoint(true)
     val hist = scored.groupBy(col(langCol), col("mb")).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(langCol)).orderBy(col("mb"))
     val cum = hist.withColumn("cumn", sum(col("n")).over(w))
-    val tot = scored.groupBy(col(langCol)).agg(count(lit(1)).as("tot"))
+    // per-lang totals roll up from the histogram — no third pass over
+    // the corpus-sized scores
+    val tot = hist.groupBy(col(langCol)).agg(sum(col("n")).as("tot"))
     val thr = cum.join(tot, Seq(langCol))
       .groupBy(col(langCol))
       .agg(min(when(col("cumn") * 3 >= col("tot"), col("mb"))).as("t1"),
