@@ -84,10 +84,8 @@ object PlanAudit {
     // four per-edge scalar audits (child count × orphan count 1-row
     // crossJoins) — the q02/q82 classes
     "q140_ref_integrity" -> Set(SinglePartition, Bnlj),
-    // q86's surprisal core: one-row bigram-total scalar agg broadcast
-    // onto the counts (q86/q104 class); the tercile thresholds join is
-    // a broadcast EQUI join on lang and never flags
-    "q158_ccnet_buckets" -> Set(SinglePartition, Bnlj),
+    // (q158's surprisal-core flags sit behind its eager checkpoint
+    // since the CSE fix — the audited final plan is clean)
     "q114_sliding_hll" -> Set(Bnlj), // windows × 256-bucket skeleton (q91 class)
     // (type, window) groups × 256-bucket register skeleton (q91/q114
     // class — the dense-bucket crossJoin is groups×256 rows, constant

@@ -156,4 +156,53 @@ object ImageCodec {
       }
     }(Encoders.row(schema))
   }
+
+  /** 64-bit difference hash (dHash) of an image, returned as 8 row
+    * bytes (one long per grid row, bits 0..7): sample a 9×8 grayscale
+    * grid by nearest-neighbor — sx(i) = i·W div 9 (i ∈ 0..8),
+    * sy(j) = j·H div 8, gray = (r+g+b) div 3, all integer — and set
+    * bit i of row j iff gray(sx(i+1), sy(j)) > gray(sx(i), sy(j)).
+    * The standard perceptual fingerprint for image near-dup: invariant
+    * to uniform brightness shifts and (with the integer grid) to
+    * resolution, cheap to compare via per-row XOR bit counts. Integer
+    * sampling instead of box averaging keeps it exactly replayable by
+    * the oracle (the [[resizeNearest]] discipline). */
+  def dHashRows(img: BufferedImage): Array[Long] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    def gray(x: Int, y: Int): Int = {
+      val p = img.getRGB(x, y)
+      (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+    }
+    val out = new Array[Long](8)
+    var j = 0
+    while (j < 8) {
+      val sy = j * h / 8
+      var bits = 0L
+      var i = 0
+      while (i < 8) {
+        if (gray((i + 1) * w / 9, sy) > gray(i * w / 9, sy)) bits |= (1L << i)
+        i += 1
+      }
+      out(j) = bits
+      j += 1
+    }
+    out
+  }
+
+  /** REAL decode + perceptual hash: appends `dhash` (array<long>,
+    * 8 row bytes of the 64-bit dHash) from the ImageIO-decoded
+    * payload. Row-local — the shuffle-side of any dedup built on it
+    * carries 64 bits per image, never pixels. */
+  def imageDHash(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields)
+      .add("dhash", org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        graft.RowUtil.appended(r,
+          dHashRows(decode(r.getAs[Array[Byte]](idx))).toSeq)
+      }
+    }(Encoders.row(schema))
+  }
 }

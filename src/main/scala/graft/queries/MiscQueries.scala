@@ -168,6 +168,51 @@ object MiscQueries {
       |  CAST(total % 256 AS BIGINT) AS checksum
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** q161: perceptual image dedup — the PERCEPTUAL twin of q92's
+    * byte-exact frame dedup: every synthetic image is decoded for real
+    * (ImageIO) and reduced to its 64-bit dHash
+    * ([[graft.ext.ImageCodec.dHashRows]]: 9×8 nearest-sampled
+    * grayscale grid, horizontal gradient signs), then images collapse
+    * into hash buckets — first doc_id is the keeper, bucket size is
+    * the copy count. Catches re-encodes and uniform brightness shifts
+    * a byte digest never matches. Bucket grouping (not pair emission)
+    * is the production pHash-dedup shape AND what keeps the output
+    * linear — this synthetic image family is heavily self-similar
+    * (~42k of 125k pairs at Hamming 0 at sf0.01), so any pairwise
+    * form would be quadratic junk. Shuffle carries 64 bits per image,
+    * never pixels; decode is row-local at scan speed. */
+  def q161ImagePhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val packed = graft.ext.ImageCodec.synthImagePayload(
+      Tables.load(s, dir, "documents").select($"doc_id")
+        .repartitionByRange($"doc_id").sortWithinPartitions($"doc_id"),
+      "doc_id", format = "png")
+    graft.ext.ImageCodec.imageDHash(packed, "payload")
+      .groupBy($"dhash")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies", $"dhash")
+      .orderBy($"keep_id")
+  }
+
+  val q161Sql: String =
+    """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+      |g AS (SELECT doc_id,
+      |  list_transform(generate_series(0, 7), j ->
+      |    list_sum(list_transform(generate_series(0, 7), i ->
+      |      CASE WHEN
+      |        (((doc_id*7 + ((i+1)*w//9)*3 + (j*h//8)*5) % 256
+      |          + (((i+1)*w//9)*((i+1)*w//9) + (j*h//8)) % 256
+      |          + (doc_id + ((i+1)*w//9) + 2*(j*h//8)) % 256) // 3)
+      |        >
+      |        (((doc_id*7 + (i*w//9)*3 + (j*h//8)*5) % 256
+      |          + ((i*w//9)*(i*w//9) + (j*h//8)) % 256
+      |          + (doc_id + (i*w//9) + 2*(j*h//8)) % 256) // 3)
+      |      THEN 1 << i ELSE 0 END))) AS dhash
+      |  FROM d)
+      |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+      |  list_transform(dhash, x -> CAST(x AS BIGINT)) AS dhash
+      |FROM g GROUP BY g.dhash ORDER BY keep_id""".stripMargin
+
   /** q92: multimodal frame dedup — sampled binary frames deduplicated
     * CORPUS-WIDE by content digest (first (doc, frame_no) occurrence
     * wins), per-doc kept-frame stats. The media twin of q79's passage
@@ -305,6 +350,7 @@ object MiscQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_frame_dedup" -> (q92FrameDedup _),
+    "q161_image_phash_dedup" -> (q161ImagePhashDedup _),
     "q103_audio" -> (q103Audio _),
     "q99_chunk_overlap" -> (q99ChunkOverlap _),
     "q28_salted_agg" -> (q28SaltedAgg _),
@@ -316,6 +362,7 @@ object MiscQueries {
 
   val oracle: Map[String, String] = Map(
     "q92_frame_dedup" -> q92Sql,
+    "q161_image_phash_dedup" -> q161Sql,
     "q103_audio" -> q103Sql,
     "q99_chunk_overlap" -> q99Sql,
     "q28_salted_agg" -> q28Sql,

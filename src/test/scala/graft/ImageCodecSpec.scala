@@ -88,4 +88,31 @@ class ImageCodecSpec extends SparkSpec {
       assert(ck == sum % 256, s"id=$id resized checksum")
     }
   }
+
+  test("dHash is brightness-shift invariant, resolution-stable, and content-sensitive") {
+    import graft.ext.ImageCodec
+    import java.awt.image.BufferedImage
+    def mk(w: Int, h: Int, f: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = f(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    val base = mk(36, 32, (x, y) => x * 5 + y)
+    // +40 uniform brightness: every gradient sign unchanged
+    val bright = mk(36, 32, (x, y) => math.min(255, x * 5 + y + 40))
+    assert(ImageCodec.dHashRows(base).toSeq == ImageCodec.dHashRows(bright).toSeq)
+    // 4x resolution of the SAME gradient field: sampled grid sees the
+    // same signs (sampling is proportional, content scaled to match)
+    val big = mk(144, 128, (x, y) => (x / 4) * 5 + y / 4)
+    assert(ImageCodec.dHashRows(base).toSeq == ImageCodec.dHashRows(big).toSeq)
+    // reversed gradient: every horizontal comparison flips
+    val flipped = mk(36, 32, (x, y) => 200 - x * 5 + y)
+    assert(ImageCodec.dHashRows(base).toSeq != ImageCodec.dHashRows(flipped).toSeq)
+    // decode round-trip (PNG lossless) preserves the hash
+    val rt = ImageCodec.decode(ImageCodec.encode(base, "png"))
+    assert(ImageCodec.dHashRows(rt).toSeq == ImageCodec.dHashRows(base).toSeq)
+  }
 }
