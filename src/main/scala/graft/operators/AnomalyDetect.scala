@@ -60,12 +60,21 @@ object AnomalyDetect {
     * streaming form (mapGroupsWithState) — the batch contract is
     * bounded per-key cardinality, like any per-key collect. */
   def cusum(e: DataFrame): DataFrame =
+    cusumWithTargets(e,
+      e.groupBy(col("user_id")).agg(expr("sum(cents) DIV count(1)").as("target")))
+
+  /** [[cusum]] against EXTERNALLY-trained per-key targets (user_id,
+    * target) — the deployment split: targets come from a historical
+    * window, the fold runs over fresh data (and is what the streaming
+    * twin [[graft.streaming.Streaming.cusumAlarmStream]] replays
+    * incrementally). Slack and threshold derive from the target by the
+    * same fixed rules as the self-trained form. */
+  def cusumWithTargets(e: DataFrame, targets: DataFrame): DataFrame =
     e.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("cents")).as("sum_cents"),
         array_sort(collect_list(struct(col("us"), col("event_id"), col("cents"))))
           .as("seq"))
-      .withColumn("target", expr("sum_cents DIV n_events"))
+      .join(targets.select(col("user_id"), col("target")), Seq("user_id"))
       .withColumn("slack", expr("target DIV 20"))
       .withColumn("thresh", expr("target * 2"))
       .withColumn("st", expr("""

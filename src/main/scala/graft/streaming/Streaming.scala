@@ -487,6 +487,48 @@ object Streaming {
         (col("n_blocks") - col("n_kept")).as("n_removed"), col("clean_text"))
   }
 
+  final case class CusumEventT(userId: Long, us: Long, eventId: Long,
+    cents: Long, target: Long)
+  final case class CusumAlarm(userId: Long, eventId: Long, sAtAlarm: Long,
+    alarmNo: Long)
+  final case class CusumState(s: Long, nal: Long)
+
+  /** Streaming CUSUM alarms — the incremental twin of
+    * [[graft.operators.AnomalyDetect.cusumWithTargets]] (q160's
+    * externally-trained form): per-key (S, alarm-count) state in
+    * `flatMapGroupsWithState`, one alarm row EMITTED THE MOMENT the
+    * statistic crosses the threshold (the monitoring deployment — the
+    * batch report only says how many fired and when the first did).
+    * Targets are trained OFFLINE and ride on the event rows (join the
+    * static per-key target table before grouping — a per-key table
+    * can be corpus-sized, so it must arrive as a join, not a closure).
+    * Constant per-key state (two longs), unbounded streams welcome —
+    * exactly the bound the batch operator's per-key collect cannot
+    * give. Within each micro-batch rows process in (us, eventId)
+    * order; cross-batch order is the caller's delivery contract (the
+    * [[conversationStream]] discipline). Alarm rows match the batch
+    * fold's count and first-alarm id exactly (spec-pinned). */
+  def cusumAlarmStream(ds: Dataset[CusumEventT]): Dataset[CusumAlarm] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[CusumEventT], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumAlarm]
+          for (r <- rows.toSeq.sortBy(e => (e.us, e.eventId))) {
+            val slack = r.target / 20
+            val thresh = r.target * 2
+            val ns = math.max(0L, st.s + r.cents - r.target - slack)
+            if (ns > thresh) {
+              st = CusumState(0L, st.nal + 1)
+              out += CusumAlarm(key, r.eventId, ns, st.nal)
+            } else st = CusumState(ns, st.nal)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming DSIR importance filter — weights trained OFFLINE
     * ([[graft.ext.Dsir.liftArray]], a [[graft.ext.Dsir.Buckets]]-entry
     * literal riding in the plan) applied ROW-locally to a document

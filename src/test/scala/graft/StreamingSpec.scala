@@ -530,6 +530,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, "stream/batch block dedup divergence")
   }
 
+  test("streaming CUSUM alarms match the batch fold's count and first alarm (q160 twin)") {
+    import Streaming.{CusumAlarm, CusumEventT}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = Tables.loadEvents(spark, sf)
+      .select($"user_id", $"us", $"event_id",
+        ($"value".cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .localCheckpoint(true)
+    val targets = e.groupBy($"user_id")
+      .agg(expr("sum(cents) DIV count(1)").as("target")).localCheckpoint(true)
+    val batch = graft.operators.AnomalyDetect.cusumWithTargets(e, targets)
+      .select($"user_id", $"n_alarms", $"first_alarm_event_id")
+      .as[(Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // stream the same events with their targets attached, split across
+    // two micro-batches at the event-time median (in-order delivery —
+    // the documented cross-batch contract)
+    val evs = e.join(targets, "user_id")
+      .select($"user_id", $"us", $"event_id", $"cents", $"target")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => CusumEventT(t._1, t._2, t._3, t._4, t._5))
+      .sortBy(ev => (ev.us, ev.eventId))
+    val input = MemoryStream[CusumEventT]
+    val q = Streaming.cusumAlarmStream(input.toDS())
+      .writeStream.format("memory").queryName("cusum_alarms")
+      .outputMode("append").start()
+    try {
+      val (first, second) = evs.splitAt(evs.length / 2)
+      input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cusum_alarms").as[CusumAlarm].collect()
+    assert(streamed.nonEmpty, "planted corpus produced no alarms to compare")
+    val byUser = streamed.groupBy(_.userId)
+    for ((u, (nal, fid)) <- batch) {
+      val s = byUser.getOrElse(u, Array.empty[CusumAlarm])
+      assert(s.length.toLong == nal, s"user $u alarm count: stream ${s.length} batch $nal")
+      assert(s.sortBy(_.alarmNo).headOption.map(_.eventId) == fid,
+        s"user $u first alarm: stream vs batch $fid")
+    }
+    assert(byUser.keySet == batch.filter(_._2._1 > 0).keySet)
+  }
+
   test("eventsStream falls back to the legacy schema on an empty landing directory") {
     val emptyDir = java.nio.file.Files.createTempDirectory("graft_empty_events").toString
     // no events.parquet present: the footer sniff fails and the legacy
