@@ -44,6 +44,43 @@ object AnomalyDetect {
     df.withColumn("n_prev", n).withColumn("z", z)
   }
 
+  /** Robust per-group outlier report — EXACT integer median + MAD
+    * (median absolute deviation) per key, the robust twin of the
+    * mean/stddev z-score: one extreme value cannot drag the reference
+    * the way it drags a mean, so the gate survives the very outliers
+    * it hunts. Medians are rank-exact via the grouped cumulative-
+    * histogram discipline (per-(key, value) counts — bounded by
+    * distinct integer values, not rows; the lower-median threshold
+    * cum·2 ≥ n — nothing row-sized sorts), applied twice: once for the
+    * median, once over |x − median| for the MAD. A row is an outlier
+    * when |x − med| > `k`·MAD (all-integer comparison). Output per
+    * key: n, med, mad, n_outliers, max_dev.
+    *
+    * `e` must carry (key, cents). */
+  def robustOutliers(e: DataFrame, k: Int = 5): DataFrame = {
+    def lowerMedian(vals: DataFrame, outName: String): DataFrame = {
+      val hist = vals.groupBy(col("key"), col("v")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("key")).orderBy(col("v"))
+      val cum = hist.withColumn("cumn", sum(col("n")).over(w))
+      val tot = hist.groupBy(col("key")).agg(sum(col("n")).as("tot"))
+      cum.join(tot, Seq("key"))
+        .groupBy(col("key"))
+        .agg(min(when(col("cumn") * 2 >= col("tot"), col("v"))).as(outName))
+    }
+    val rows = e.select(col("key"), col("cents"))
+    val med = lowerMedian(rows.select(col("key"), col("cents").as("v")), "med")
+    val dev = rows.join(broadcast(med), Seq("key"))
+      .withColumn("d", abs(col("cents") - col("med")))
+    val mad = lowerMedian(dev.select(col("key"), col("d").as("v")), "mad")
+    dev.join(broadcast(mad), Seq("key"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med_cents"),
+        first(col("mad")).as("mad_cents"),
+        count(when(col("d") > col("mad") * k, 1)).as("n_outliers"),
+        max(col("d")).as("max_dev"))
+  }
+
   /** One-sided integer CUSUM change-point detection (Page 1954) — the
     * SEQUENTIAL anomaly member beside [[slidingZScore]]: per key, the
     * statistic S_i = max(0, S_{i-1} + x_i − target − slack) over the

@@ -602,6 +602,48 @@ object AnalyticsQueries {
       |FROM st JOIN p2 USING (user_id) WHERE st.rn = p2.n_events
       |ORDER BY user_id""".stripMargin
 
+  /** q162: robust outlier report — exact integer median + MAD per
+    * event type ([[AnomalyDetect.robustOutliers]]), the ROBUST twin of
+    * q81's mean/stddev z-score: a heavy-tailed burst drags a mean and
+    * inflates a stddev until the gate goes blind, but cannot move a
+    * median or a MAD. Rank-exact medians via the grouped cumulative-
+    * histogram discipline (per-(type, value) counts, lower-median
+    * threshold — the q158/q152 family; nothing row-sized sorts),
+    * applied twice; outlier = |x − med| > 5·MAD, all-integer. */
+  def q162RobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    AnomalyDetect.robustOutliers(
+        Tables.loadEvents(s, dir)
+          .select($"event_type".as("key"),
+            ($"value".cast("decimal(12,2)") * 100).cast("long").as("cents")))
+      .select($"key".as("event_type"), $"n", $"med_cents", $"mad_cents",
+        $"n_outliers", $"max_dev")
+      .orderBy($"event_type")
+  }
+
+  val q162Sql: String =
+    """WITH e AS (SELECT event_type AS key,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events),
+      |h1 AS (SELECT key, cents AS v, COUNT(*) AS n FROM e GROUP BY key, cents),
+      |c1 AS (SELECT key, v, SUM(n) OVER (PARTITION BY key ORDER BY v) AS cumn FROM h1),
+      |t1 AS (SELECT key, SUM(n) AS tot FROM h1 GROUP BY key),
+      |med AS (SELECT key, MIN(CASE WHEN cumn * 2 >= tot THEN v END) AS med
+      |  FROM c1 JOIN t1 USING (key) GROUP BY key),
+      |d AS (SELECT e.key, e.cents, med.med, abs(e.cents - med.med) AS dv
+      |  FROM e JOIN med USING (key)),
+      |h2 AS (SELECT key, dv AS v, COUNT(*) AS n FROM d GROUP BY key, dv),
+      |c2 AS (SELECT key, v, SUM(n) OVER (PARTITION BY key ORDER BY v) AS cumn FROM h2),
+      |t2 AS (SELECT key, SUM(n) AS tot FROM h2 GROUP BY key),
+      |mad AS (SELECT key, MIN(CASE WHEN cumn * 2 >= tot THEN v END) AS mad
+      |  FROM c2 JOIN t2 USING (key) GROUP BY key)
+      |SELECT d.key AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(d.med) AS BIGINT) AS med_cents,
+      |  CAST(MIN(mad.mad) AS BIGINT) AS mad_cents,
+      |  CAST(COUNT(CASE WHEN d.dv > mad.mad * 5 THEN 1 END) AS BIGINT) AS n_outliers,
+      |  CAST(MAX(d.dv) AS BIGINT) AS max_dev
+      |FROM d JOIN mad USING (key)
+      |GROUP BY d.key ORDER BY event_type""".stripMargin
+
   /** q131: HITS hubs & authorities — the DIRECTIONAL importance twin of
     * PageRank on the bipartite purchase graph: customers are pure hubs,
     * suppliers pure authorities, and two unnormalized mutual-
@@ -750,6 +792,7 @@ object AnalyticsQueries {
     "q135_categorical_profile" -> (q135CategoricalProfile _),
     "q131_hits" -> (q131Hits _),
     "q160_cusum" -> (q160Cusum _),
+    "q162_robust_outliers" -> (q162RobustOutliers _),
     "q130_group_trend" -> (q130GroupTrend _),
     "q123_multi_source_bfs" -> (q123MultiSourceBfs _),
     "q81_anomaly" -> (q81Anomaly _),
@@ -767,6 +810,7 @@ object AnalyticsQueries {
     "q135_categorical_profile" -> q135Sql,
     "q131_hits" -> q131Sql,
     "q160_cusum" -> q160Sql,
+    "q162_robust_outliers" -> q162Sql,
     "q130_group_trend" -> q130Sql,
     "q123_multi_source_bfs" -> q123Sql,
     "q81_anomaly" -> q81Sql,

@@ -211,4 +211,19 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(u1._2 >= 1 && u1._3.nonEmpty, s"planted shift must alarm: $u1")
     assert(u2._2 == 0 && u2._3.isEmpty && u2._4 == 0, s"steady series must not: $u2")
   }
+
+  test("robustOutliers: exact lower medians, MAD, and the outlier gate") {
+    // key a: four 10s and one wild 1000 -> med 10, mad 0, 1 outlier;
+    // the mean/stddev z-score would be dragged ~200 cents by the spike
+    val rows = Seq(("a", 10L), ("a", 10L), ("a", 10L), ("a", 10L), ("a", 1000L)) ++
+      (1 to 7).map(i => ("b", i.toLong))
+    val df = rows.toDF("key", "cents")
+    val out = graft.operators.AnomalyDetect.robustOutliers(df)
+      .select($"key", $"n", $"med_cents", $"mad_cents", $"n_outliers", $"max_dev")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 5L, 10L, 0L, 1L, 990L)))
+    // b: 1..7 -> med 4, devs sorted [0,1,1,2,2,3,3] -> mad 2; 5*mad=10 > all
+    assert(out("b") == (("b", 7L, 4L, 2L, 0L, 3L)))
+  }
 }
