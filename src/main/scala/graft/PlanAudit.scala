@@ -86,6 +86,9 @@ object PlanAudit {
     "q140_ref_integrity" -> Set(SinglePartition, Bnlj),
     // (q158's surprisal-core flags sit behind its eager checkpoint
     // since the CSE fix — the audited final plan is clean)
+    // one-row corpus-doc-count scalar agg broadcast onto the scored
+    // terms (the q80/q86 one-row-total class)
+    "q163_tfidf_keywords" -> Set(SinglePartition, Bnlj),
     "q114_sliding_hll" -> Set(Bnlj), // windows × 256-bucket skeleton (q91 class)
     // (type, window) groups × 256-bucket register skeleton (q91/q114
     // class — the dense-bucket crossJoin is groups×256 rows, constant

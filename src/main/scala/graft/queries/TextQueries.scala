@@ -382,6 +382,54 @@ object TextQueries {
       |  CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_removed
       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q163: TF-IDF keyword extraction — each document's top-3 terms by
+    * tf × inverse-document-frequency, the tagging/summarization
+    * primitive beside BM25's query-side ranking (q118). The rarity
+    * factor is LOG-FREE — (N·10⁶) div df, monotone in 1/df and exact
+    * integer, so the ranking replays bit-identically in any engine
+    * (a float log would differ in the last ulp and break the hash
+    * gate); ties break on the token string. Scale shape: one token
+    * explode feeds the (doc, token) tf agg; df rolls up FROM tf (one
+    * row per distinct pair — never re-scans the corpus); the per-doc
+    * top-3 is the bounded-state [[graft.functions.TopKFunctions.topK]]
+    * aggregate (k rows per partition per doc, map-side combined), not
+    * a corpus-wide rank window. */
+  def q163TfidfKeywords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val n = tf.select($"doc_id").distinct().agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "token").crossJoin(broadcast(n))
+      .withColumn("score", $"tf" * expr("(n * 1000000L) DIV df"))
+    scored
+      .groupBy($"doc_id")
+      .agg(graft.functions.TopKFunctions.topK(
+        struct((-$"score").as("ns"), $"token", $"tf", $"df", $"score"), 3).as("top"))
+      .select($"doc_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("rank"),
+        $"t.token".as("token"), $"t.tf".as("tf"), $"t.df".as("df"),
+        $"t.score".as("score"))
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val q163Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents WHERE trim(text) <> ''),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+      |sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    tf.tf * ((n.n * 1000000) // df.df) AS score
+      |  FROM tf JOIN df USING (token) CROSS JOIN n),
+      |r AS (SELECT *, ROW_NUMBER() OVER
+      |    (PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM sc)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+      |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |  CAST(score AS BIGINT) AS score
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   /** q139: n-gram novelty scoring — per document, the fraction of its
     * distinct 8-gram hashes whose FIRST corpus occurrence (min doc_id)
     * is this document: 1.0 for genuinely new text, ~0 for documents
@@ -819,6 +867,7 @@ object TextQueries {
     "q156_block_dedup" -> (q156BlockDedup _),
     "q157_gopher_gate" -> (q157GopherGate _),
     "q159_block_dedup_incr" -> (q159BlockDedupIncr _),
+    "q163_tfidf_keywords" -> (q163TfidfKeywords _),
     "q139_novelty" -> (q139Novelty _),
     "q37_pii_redact" -> (q37Redact _),
     "q43_top_tokens" -> (q43TopTokens _),
@@ -838,6 +887,7 @@ object TextQueries {
     "q156_block_dedup" -> q156Sql,
     "q157_gopher_gate" -> q157Sql,
     "q159_block_dedup_incr" -> q159Sql,
+    "q163_tfidf_keywords" -> q163Sql,
     "q139_novelty" -> q139Sql,
     "q37_pii_redact" -> q37Sql,
     "q43_top_tokens" -> q43Sql,
