@@ -110,6 +110,29 @@ object PlanAudit {
       if (error.nonEmpty) Set.empty else justified.getOrElse(name, Set.empty) -- hits
   }
 
+  /** Driver-harness output contract: the correctness gate row-sorts
+    * each gated result in pandas, which cannot sort Array/Map/Struct/
+    * Binary cells — a query emitting one at top level ERRS the hard
+    * hash signal regardless of value equality (q161 hit exactly this
+    * with an `array<bigint>` dhash before it was packed into one long).
+    * Returns (query, offending "col: type" list); empty = contract holds.
+    * Schema-only — never executes a query. */
+  def scalarLint(spark: SparkSession, dir: String): Seq[(String, Seq[String])] = {
+    import org.apache.spark.sql.types._
+    def sortable(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+      case _ => true
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val bad = fn(spark, dir).schema.fields.toSeq.collect {
+          case f if !sortable(f.dataType) => s"${f.name}: ${f.dataType.simpleString}"
+        }
+        if (bad.isEmpty) None else Some(name -> bad)
+      } catch { case _: Throwable => None } // plan errors are audit()'s finding
+    }
+  }
+
   /** Plan (never execute) every registered query and collect flag hits. */
   def audit(spark: SparkSession, dir: String): Seq[Result] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -143,11 +166,15 @@ object PlanAudit {
     results.filter(_.stale.nonEmpty).foreach { r =>
       println(f"[audit] ${r.name}%-22s STALE allowlist entry: ${r.stale.mkString(", ")} — prune it")
     }
+    val nonScalar = scalarLint(spark, dir)
+    nonScalar.foreach { case (name, cols) =>
+      println(f"[audit] $name%-22s NON-SCALAR OUTPUT ${cols.mkString(", ")} — the driver gate cannot sort it")
+    }
     val bad = results.count(r =>
-      r.unjustified.nonEmpty || r.error.nonEmpty || r.stale.nonEmpty)
+      r.unjustified.nonEmpty || r.error.nonEmpty || r.stale.nonEmpty) + nonScalar.size
     spark.stop()
     if (bad > 0) {
-      println(s"[audit] FAIL: $bad quer${if (bad == 1) "y" else "ies"} with unjustified scale flags, stale allowlist entries, or plan errors")
+      println(s"[audit] FAIL: $bad quer${if (bad == 1) "y" else "ies"} with unjustified scale flags, stale allowlist entries, plan errors, or non-scalar gated outputs")
       sys.exit(1)
     }
     println(s"[audit] PASS: ${results.size} plans, ${results.count(_.hits.nonEmpty)} justified hits, 0 violations")

@@ -190,18 +190,32 @@ object ImageCodec {
     out
   }
 
-  /** REAL decode + perceptual hash: appends `dhash` (array<long>,
-    * 8 row bytes of the 64-bit dHash) from the ImageIO-decoded
-    * payload. Row-local — the shuffle-side of any dedup built on it
-    * carries 64 bits per image, never pixels. */
+  /** The full 64-bit dHash packed into ONE long: row j contributes its
+    * 8 bits at positions 8·j..8·j+7 (`Σ row_j << (8·j)` — the rows are
+    * 8-bit, so the pack is exact and lossless). Bit 63 may be set, so
+    * the value is the SIGNED 64-bit reinterpretation — both grouping
+    * and the oracle compare the same signed long. */
+  def dHash64(img: BufferedImage): Long = {
+    val rows = dHashRows(img)
+    var acc = 0L
+    var j = 0
+    while (j < 8) { acc |= rows(j) << (8 * j); j += 1 }
+    acc
+  }
+
+  /** REAL decode + perceptual hash: appends `dhash` (ONE long — the
+    * 64-bit dHash via [[dHash64]]) from the ImageIO-decoded payload.
+    * Row-local — the shuffle-side of any dedup built on it carries
+    * 64 bits per image, never pixels; a scalar key also groups cheaper
+    * than an array and keeps gated outputs scalar-only (the driver
+    * harness row-sorts results and cannot sort array columns). */
   def imageDHash(df: DataFrame, payloadCol: String): DataFrame = {
-    val schema = StructType(df.schema.fields)
-      .add("dhash", org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))
+    val schema = StructType(df.schema.fields).add("dhash", LongType)
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { it =>
       it.map { r =>
         graft.RowUtil.appended(r,
-          dHashRows(decode(r.getAs[Array[Byte]](idx))).toSeq)
+          dHash64(decode(r.getAs[Array[Byte]](idx))))
       }
     }(Encoders.row(schema))
   }

@@ -27,65 +27,74 @@ object ProductQuantize {
   val SubDim = 16
   val K = 8
 
-  /** PQ-encode 64-dim int8 code vectors (id, codes array<long>):
-    * (id, pq array<long> of [[NumSub]] codeword ids, recon_dist2).
-    * Codebooks are trained per subspace from [[KMeansInt.seedCents]]'
-    * hash-rank + farthest-first seeds to the exact assignment fixed
-    * point ([[KMeansInt.fitConvergedAssign]]). */
-  def encode(codes: DataFrame): DataFrame = {
+  /** Train all [[NumSub]] per-subspace codebooks to their assignment
+    * fixed points and return the FULL [[KMeansInt.FitResult]] per
+    * subspace — the single training entry everything else (encode,
+    * codebook table, compressed corpus) derives from, so a session
+    * cache holding these fits shares ONE training across the whole PQ
+    * family (q107's encode, q108's books + compressed scan). The M
+    * trainings are independent, so they run as CONCURRENT Spark jobs
+    * (job submission is thread-safe); each result is a deterministic
+    * function of its subspace alone, so parallel order cannot change
+    * the output. The input is eagerly checkpointed HERE so the
+    * concurrent fits race on a computed RDD, never on a lazy upstream
+    * plan (a bare count() would only compute — not truncate — an
+    * arbitrary plan, and each concurrent fit would replan the whole
+    * upstream lineage). */
+  def subspaceFits(codes: DataFrame): IndexedSeq[KMeansInt.FitResult] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    // independent per-subspace trainings run as concurrent Spark jobs
-    // (see [[codebooks]]); eagerly checkpoint HERE so the fits race on a
-    // computed RDD even when the caller passes a plain lazy frame (a bare
-    // count() would only compute — not truncate — an arbitrary plan, and
-    // each concurrent fit would replan the whole upstream lineage)
     val mat = codes.localCheckpoint(true)
-    val parts = Await.result(Future.sequence((0 until NumSub).map { m =>
+    Await.result(Future.sequence((0 until NumSub).map { m =>
       Future {
-        KMeansInt.fitConvergedAssign(
-            mat.select(col("id"),
-              slice(col("codes"), m * SubDim + 1, SubDim).as("codes")),
-            k = K, maxRounds = KMeansInt.MaxRounds)
-          .assignment
-          .select(col("id"), lit(m).as("sub"), col("cluster"), col("dist2"))
+        KMeansInt.fitConvergedAssign(subCodes(mat, m), k = K,
+          maxRounds = KMeansInt.MaxRounds)
       }
-    }), Duration.Inf)
-    parts.reduce(_ unionByName _)
+    }), Duration.Inf).toIndexedSeq
+  }
+
+  /** (id, pq array of M codeword ids, recon_dist2) from trained fits —
+    * the fit's final assignment IS assign-vs-converged-centroids, so no
+    * extra assignment pass runs. */
+  def encodeFromFits(fits: IndexedSeq[KMeansInt.FitResult]): DataFrame =
+    fits.zipWithIndex.map { case (f, m) =>
+      f.assignment.select(col("id"), lit(m).as("sub"), col("cluster"), col("dist2"))
+    }.reduce(_ unionByName _)
       .groupBy(col("id"))
       .agg(
         transform(array_sort(collect_list(struct(col("sub"), col("cluster")))),
           s => s("cluster")).as("pq"),
         sum(col("dist2")).as("recon_dist2"))
-  }
+
+  /** The (sub, cluster, d, m) codebook table from trained fits. */
+  def codebooksFromFits(fits: IndexedSeq[KMeansInt.FitResult]): DataFrame =
+    fits.zipWithIndex.map { case (f, m) =>
+      f.centroids.select(lit(m).as("sub"), col("cluster"), col("d"), col("m"))
+    }.reduce(_ unionByName _)
+
+  /** The compressed corpus (id, sub, cluster) from trained fits —
+    * value-identical to [[encodeWith]] against the converged codebooks
+    * (same argmin, same ties), without re-assigning. */
+  def encFromFits(fits: IndexedSeq[KMeansInt.FitResult]): DataFrame =
+    fits.zipWithIndex.map { case (f, m) =>
+      f.assignment.select(col("id"), lit(m).as("sub"), col("cluster"))
+    }.reduce(_ unionByName _)
+
+  /** PQ-encode 64-dim int8 code vectors (id, codes array<long>):
+    * (id, pq array<long> of [[NumSub]] codeword ids, recon_dist2).
+    * Codebooks are trained per subspace from [[KMeansInt.seedCents]]'
+    * hash-rank + farthest-first seeds to the exact assignment fixed
+    * point ([[KMeansInt.fitConvergedAssign]]). */
+  def encode(codes: DataFrame): DataFrame = encodeFromFits(subspaceFits(codes))
 
   private def subCodes(codes: DataFrame, m: Int): DataFrame =
     codes.select(col("id"), slice(col("codes"), m * SubDim + 1, SubDim).as("codes"))
 
   /** Train all M codebooks to their assignment fixed points: (sub,
-    * cluster, d, m) — M·K·SubDim rows, eagerly checkpointed (each
-    * Lloyd round already is). The M trainings are independent, so they
-    * run as CONCURRENT Spark jobs (job submission is thread-safe);
-    * each result is a deterministic function of its subspace alone, so
-    * parallel order cannot change the output. The input is eagerly
-    * checkpointed HERE (not left to the caller) so the concurrent fits
-    * race on a computed RDD, never on a lazy upstream plan. */
-  def codebooks(codes: DataFrame): DataFrame = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val mat = codes.localCheckpoint(true)
-    val trained = Future.sequence((0 until NumSub).map { m =>
-      Future {
-        KMeansInt.fitConvergedAssign(subCodes(mat, m), k = K,
-            maxRounds = KMeansInt.MaxRounds)
-          .centroids
-          .select(lit(m).as("sub"), col("cluster"), col("d"), col("m"))
-      }
-    })
-    Await.result(trained, Duration.Inf).reduce(_ unionByName _)
-  }
+    * cluster, d, m) — M·K·SubDim rows. See [[subspaceFits]] for the
+    * concurrency and determinism notes. */
+  def codebooks(codes: DataFrame): DataFrame = codebooksFromFits(subspaceFits(codes))
 
   /** Assign every vector to its nearest codeword per subspace against
     * FIXED codebooks: (id, sub, cluster). */
@@ -109,6 +118,14 @@ object ProductQuantize {
     * SQ8 codes like the corpus). Returns (qid, rank, vec_id, adc_dist2),
     * rank 1..topK by (distance, id). */
   def adcTopK(codes: DataFrame, queries: DataFrame, books: DataFrame,
+      topK: Int): DataFrame =
+    adcTopKEnc(encodeWith(codes, books), queries, books, topK)
+
+  /** [[adcTopK]] against an ALREADY-COMPRESSED corpus `enc`
+    * (id, sub, cluster) — the cached-index query path: when the fits
+    * are session-cached, search touches only the compressed form and
+    * never re-assigns the corpus. */
+  def adcTopKEnc(enc: DataFrame, queries: DataFrame, books: DataFrame,
       topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // LUT: |queries|·M·K rows of Σ_d (q_d − m_d)² — broadcast-sized
@@ -119,7 +136,6 @@ object ProductQuantize {
     val lut = qexpl.join(broadcast(books), Seq("sub", "d"))
       .groupBy(col("qid"), col("sub"), col("cluster"))
       .agg(sum((col("c") - col("m")) * (col("c") - col("m"))).as("lutd2"))
-    val enc = encodeWith(codes, books)
     val byDist = Window.partitionBy(col("qid")).orderBy(col("adc_dist2"), col("id"))
     enc.join(broadcast(lut), Seq("sub", "cluster"))
       .filter(col("id") =!= col("qid"))
@@ -149,9 +165,18 @@ object ProductQuantize {
     * corpus, the M codeword ids encode the residual.
     * Returns (coarse (cluster,d,m), asg (id,coarse),
     * booksR (sub,cluster,d,m), encR (id,sub,cluster)). */
-  def ivfPqIndex(codes: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val fit = KMeansInt.fitConvergedAssign(codes, k = K,
-      maxRounds = KMeansInt.MaxRounds)
+  def ivfPqIndex(codes: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    ivfPqIndexFrom(codes, KMeansInt.fitConvergedAssign(codes, k = K,
+      maxRounds = KMeansInt.MaxRounds))
+
+  /** [[ivfPqIndex]] from an ALREADY-TRAINED coarse quantizer fit — the
+    * session-cache path: the full-dim k=K Lloyd fit is the identical
+    * training q77 runs over the same codes, so one cached fit serves
+    * both the k-means query and the IVF-PQ coarse layer. The residual
+    * codebooks and compressed corpus both derive from ONE set of
+    * residual-subspace fits (no re-assignment pass). */
+  def ivfPqIndexFrom(codes: DataFrame, fit: KMeansInt.FitResult)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val coarse = fit.centroids
     // the fit's final assignment IS assign-vs-converged-centroids —
     // reuse it instead of paying another full assignment pass
@@ -166,8 +191,8 @@ object ProductQuantize {
       .select(col("id"),
         zip_with(col("codes"), col("marr"), (c, m) => c - m + lit(ResidShift)).as("codes"))
       .localCheckpoint(false)
-    val booksR = codebooks(resid)
-    (coarse, asg, booksR, encodeWith(resid, booksR))
+    val fitsR = subspaceFits(resid)
+    (coarse, asg, codebooksFromFits(fitsR), encFromFits(fitsR))
   }
 
   /** IVF-PQ search: probe the `nProbe` nearest coarse clusters per
@@ -178,9 +203,15 @@ object ProductQuantize {
     * remains is table lookups over 3-bit codewords. Self-matches
     * excluded; ties break by id. */
   def ivfPqTopK(codes: DataFrame, queries: DataFrame, nProbe: Int,
-      topK: Int): DataFrame = {
+      topK: Int): DataFrame =
+    ivfPqTopKWith(ivfPqIndex(codes), queries, nProbe, topK)
+
+  /** [[ivfPqTopK]] against a PREBUILT (possibly session-cached) index —
+    * search cost is independent of training. */
+  def ivfPqTopKWith(index: (DataFrame, DataFrame, DataFrame, DataFrame),
+      queries: DataFrame, nProbe: Int, topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (coarse, asg, booksR, encR) = ivfPqIndex(codes)
+    val (coarse, asg, booksR, encR) = index
     val qexpl = KMeansInt.explodedCodes(queries)
       .select(col("id").as("qid"), col("d"), col("c"))
       .localCheckpoint(false)

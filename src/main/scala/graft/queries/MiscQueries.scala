@@ -194,24 +194,36 @@ object MiscQueries {
       .orderBy($"keep_id")
   }
 
+  // The oracle packs bit p (p = 8*j + i) of the dHash into one signed
+  // BIGINT: low/high 32-bit halves summed separately (each < 2^32, so
+  // BIGINT arithmetic never overflows), then the high half is mapped to
+  // its signed two's-complement contribution — bit 63 set means the
+  // packed long is negative, exactly as the engine's `|=`/`<<` pack.
   val q161Sql: String =
     """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+      |b AS (SELECT doc_id,
+      |  list_transform(generate_series(0, 63), p ->
+      |    CASE WHEN
+      |      (((doc_id*7 + (((p%8)+1)*w//9)*3 + ((p//8)*h//8)*5) % 256
+      |        + ((((p%8)+1)*w//9)*(((p%8)+1)*w//9) + ((p//8)*h//8)) % 256
+      |        + (doc_id + (((p%8)+1)*w//9) + 2*((p//8)*h//8)) % 256) // 3)
+      |      >
+      |      (((doc_id*7 + ((p%8)*w//9)*3 + ((p//8)*h//8)*5) % 256
+      |        + (((p%8)*w//9)*((p%8)*w//9) + ((p//8)*h//8)) % 256
+      |        + (doc_id + ((p%8)*w//9) + 2*((p//8)*h//8)) % 256) // 3)
+      |    THEN 1 ELSE 0 END) AS bits
+      |  FROM d),
+      |g0 AS (SELECT doc_id,
+      |  CAST(list_sum(list_transform(generate_series(0, 31), p ->
+      |    bits[p+1] * (CAST(1 AS BIGINT) << p))) AS BIGINT) AS lo,
+      |  CAST(list_sum(list_transform(generate_series(32, 63), p ->
+      |    bits[p+1] * (CAST(1 AS BIGINT) << (p-32)))) AS BIGINT) AS hi
+      |  FROM b),
       |g AS (SELECT doc_id,
-      |  list_transform(generate_series(0, 7), j ->
-      |    list_sum(list_transform(generate_series(0, 7), i ->
-      |      CASE WHEN
-      |        (((doc_id*7 + ((i+1)*w//9)*3 + (j*h//8)*5) % 256
-      |          + (((i+1)*w//9)*((i+1)*w//9) + (j*h//8)) % 256
-      |          + (doc_id + ((i+1)*w//9) + 2*(j*h//8)) % 256) // 3)
-      |        >
-      |        (((doc_id*7 + (i*w//9)*3 + (j*h//8)*5) % 256
-      |          + ((i*w//9)*(i*w//9) + (j*h//8)) % 256
-      |          + (doc_id + (i*w//9) + 2*(j*h//8)) % 256) // 3)
-      |      THEN 1 << i ELSE 0 END))) AS dhash
-      |  FROM d)
-      |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
-      |  list_transform(dhash, x -> CAST(x AS BIGINT)) AS dhash
-      |FROM g GROUP BY g.dhash ORDER BY keep_id""".stripMargin
+      |  lo + (hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296 AS dhash
+      |  FROM g0)
+      |SELECT min(doc_id) AS keep_id, count(*) AS n_copies, dhash
+      |FROM g GROUP BY dhash ORDER BY keep_id""".stripMargin
 
   /** q92: multimodal frame dedup — sampled binary frames deduplicated
     * CORPUS-WIDE by content digest (first (doc, frame_no) occurrence

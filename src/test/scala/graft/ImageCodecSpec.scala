@@ -115,4 +115,27 @@ class ImageCodecSpec extends SparkSpec {
     val rt = ImageCodec.decode(ImageCodec.encode(base, "png"))
     assert(ImageCodec.dHashRows(rt).toSeq == ImageCodec.dHashRows(base).toSeq)
   }
+
+  test("dHash64 packs the 8 row bytes losslessly (bit 8j+i = row j bit i)") {
+    import graft.ext.ImageCodec
+    // synthetic ids cover varied dims; verify pack against rows bit-by-bit,
+    // including a hash with bit 63 set (negative long) if one occurs
+    var sawNegative = false
+    for (id <- 0L until 512L) {
+      val img = ImageCodec.synth(id)
+      val rows = ImageCodec.dHashRows(img)
+      val packed = ImageCodec.dHash64(img)
+      if (packed < 0) sawNegative = true
+      for (j <- 0 until 8; i <- 0 until 8) {
+        val fromRows = (rows(j) >> i) & 1L
+        val fromPack = (packed >>> (8 * j + i)) & 1L
+        assert(fromRows == fromPack, s"id=$id j=$j i=$i")
+      }
+      // rows are 8-bit, so the pack must round-trip exactly
+      val unpacked = (0 until 8).map(j => (packed >>> (8 * j)) & 0xffL)
+      assert(unpacked == rows.toSeq)
+    }
+    // the signed-reinterpretation path (bit 63 set) must be exercised
+    assert(sawNegative, "expected at least one dHash with bit 63 set in 512 synthetic images")
+  }
 }

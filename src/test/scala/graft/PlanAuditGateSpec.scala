@@ -20,6 +20,16 @@ class PlanAuditGateSpec extends SparkSpec {
         violations.map(r => s"${r.name} -> ${r.unjustified.mkString("+")}").mkString(", "))
   }
 
+  test("every gated query emits scalar-only top-level columns") {
+    // the driver's pandas harness row-sorts results; Array/Map/Struct/
+    // Binary columns crash its sort and err the hash gate silently —
+    // catch the contract break here, in `sbt test`, not at the driver
+    val offenders = PlanAudit.scalarLint(spark, sf)
+    assert(offenders.isEmpty,
+      "queries with non-sortable top-level columns (pack or drop them): " +
+        offenders.map { case (n, cols) => s"$n -> ${cols.mkString("+")}" }.mkString(", "))
+  }
+
   test("the allowlist carries no stale entries for unknown queries") {
     val known = SparkEntry.queries.keySet
     val unknown = PlanAudit.justified.keySet -- known
