@@ -93,17 +93,35 @@ object Dedup {
       textCol: String,
       n: Int = 8,
       threshold: Double = 0.4,
-      maxShingleDf: Int = 50): DataFrame = {
+      maxShingleDf: Int = 50): DataFrame =
+    ngramJaccardPairsFromSets(hashedShingleSets(df, idCol, textCol, n),
+      threshold, maxShingleDf)
+
+  /** The (id, sh_set) hashed n-gram shingle sets a document table
+    * explodes to — the shared upstream of the whole shingle-dedup
+    * family ([[ngramJaccardPairsFromSets]], [[containmentPairsFromSets]],
+    * [[containmentCorpusIndex]]): shingles travel as 8-byte hashes, not
+    * strings — the verification joins ship two ~300-element arrays per
+    * candidate pair, and the hashed+sorted representation shrinks that
+    * ~3x and makes set intersections a two-pointer merge. Hash
+    * collisions merge shingles identically in the oracle (same
+    * arithmetic), so parity holds. Compute ONCE per corpus version and
+    * feed every consumer — shingling re-scans the full text, the
+    * dominant upstream cost of the family. */
+  def hashedShingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
-    // shingles travel as 8-byte hashes, not strings: the verification
-    // join ships two ~300-element arrays per candidate pair, and the
-    // hashed+sorted representation shrinks that ~3x and makes the
-    // jaccard a two-pointer merge. Hash collisions merge shingles
-    // identically in the oracle (same arithmetic), so parity holds.
-    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh_set",
-        graft.functions.VectorFunctions.hashedShingles(col("text"), n, ShingleHashMod))
-    val withSets = candidateSetPairs(docs, maxShingleDf)
+    df.select(col(idCol).as("id"),
+      graft.functions.VectorFunctions
+        .hashedShingles(col(textCol), n, ShingleHashMod).as("sh_set"))
+  }
+
+  /** [[ngramJaccardPairs]] over precomputed [[hashedShingleSets]]. */
+  def ngramJaccardPairsFromSets(
+      sets: DataFrame,
+      threshold: Double,
+      maxShingleDf: Int): DataFrame = {
+    val withSets = candidateSetPairs(sets, maxShingleDf)
     // lossless size prefilter before the merge kernel: |A∩B| ≤ min and
     // |A∪B| ≥ max, so J ≤ min(|A|,|B|)/max(|A|,|B|) — pairs whose size
     // ratio is below the threshold cannot pass and skip the O(|A|+|B|)
@@ -171,12 +189,17 @@ object Dedup {
       n: Int = 8,
       thresholdBp: Int = 9000,
       minShingles: Int = 20,
-      maxShingleDf: Int = 20): DataFrame = {
-    graft.functions.VectorFunctions.register(df.sparkSession)
-    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh_set",
-        graft.functions.VectorFunctions.hashedShingles(col("text"), n, ShingleHashMod))
-      .filter(size(col("sh_set")) >= minShingles)
+      maxShingleDf: Int = 20): DataFrame =
+    containmentPairsFromSets(hashedShingleSets(df, idCol, textCol, n),
+      thresholdBp, minShingles, maxShingleDf)
+
+  /** [[containmentPairs]] over precomputed [[hashedShingleSets]]. */
+  def containmentPairsFromSets(
+      sets: DataFrame,
+      thresholdBp: Int,
+      minShingles: Int,
+      maxShingleDf: Int): DataFrame = {
+    val docs = sets.filter(size(col("sh_set")) >= minShingles)
     val scored = candidateSetPairs(docs, maxShingleDf)
       // arrays are distinct by construction, so the built-in intersect
       // size is the exact integer overlap — computed ONCE per unordered
@@ -310,11 +333,17 @@ object Dedup {
   def containmentCorpusIndex(
       corpus: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minShingles: Int = 20, maxShingleDf: Int = 20)
+    : (DataFrame, DataFrame) =
+    containmentCorpusIndexFromSets(
+      hashedShingleSets(corpus, idCol, textCol, n), minShingles, maxShingleDf)
+
+  /** [[containmentCorpusIndex]] over precomputed [[hashedShingleSets]]
+    * (id, sh_set) rows for the corpus side. */
+  def containmentCorpusIndexFromSets(
+      corpusSets: DataFrame, minShingles: Int, maxShingleDf: Int)
     : (DataFrame, DataFrame) = {
-    graft.functions.VectorFunctions.register(corpus.sparkSession)
-    val sets = corpus.select(col(idCol).as("corpus_id"),
-        graft.functions.VectorFunctions
-          .hashedShingles(col(textCol), n, ShingleHashMod).as("set_c"))
+    val sets = corpusSets
+      .select(col("id").as("corpus_id"), col("sh_set").as("set_c"))
       .filter(size(col("set_c")) >= minShingles)
     val postings = sets
       .select(col("corpus_id"), explode(col("set_c")).as("sh"))
@@ -341,11 +370,17 @@ object Dedup {
   def containmentAgainstCorpus(
       newDocs: DataFrame, idCol: String, textCol: String,
       postings: DataFrame, sets: DataFrame,
-      n: Int = 8, thresholdBp: Int = 9000, minShingles: Int = 20): DataFrame = {
-    graft.functions.VectorFunctions.register(newDocs.sparkSession)
-    val docs = newDocs.select(col(idCol).as("doc_id"),
-        graft.functions.VectorFunctions
-          .hashedShingles(col(textCol), n, ShingleHashMod).as("sh_set"))
+      n: Int = 8, thresholdBp: Int = 9000, minShingles: Int = 20): DataFrame =
+    containmentAgainstCorpusFromSets(
+      hashedShingleSets(newDocs, idCol, textCol, n),
+      postings, sets, thresholdBp, minShingles)
+
+  /** [[containmentAgainstCorpus]] over precomputed [[hashedShingleSets]]
+    * (id, sh_set) rows for the fresh batch. */
+  def containmentAgainstCorpusFromSets(
+      freshSets: DataFrame, postings: DataFrame, sets: DataFrame,
+      thresholdBp: Int, minShingles: Int): DataFrame = {
+    val docs = freshSets.select(col("id").as("doc_id"), col("sh_set"))
       .filter(size(col("sh_set")) >= minShingles)
     val cand = docs.select(col("doc_id"), explode(col("sh_set")).as("sh"))
       .join(postings, Seq("sh"))
