@@ -25,22 +25,33 @@ import org.apache.spark.sql.functions._
   */
 object SurprisalScore {
 
+  /** The adjacent-bigram array of a BOUND token-array column `t`
+    * (callers must bind the token array to a column first: an inline
+    * tokens expression is re-inlined into every element_at of the
+    * transform — no subexpression elimination inside Generate — so
+    * each bigram would re-split the whole document, O(words²) string
+    * work per doc, measured ~40× slower at sf0.1). Shared with the
+    * streaming scorer so batch and stream can never fork. */
+  private[graft] def bigramArray(t: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(t) - 2),
+        i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
+
   /** (id, g): every adjacent token-bigram occurrence (duplicates kept —
     * counts, not sets, make a language model). */
-  private def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // bind the token array to a COLUMN before the bigram lambda: an
-    // inline tokens expression is re-inlined into every element_at of
-    // the transform (no subexpression elimination inside Generate), so
-    // each bigram would re-split the whole document — O(words²) string
-    // work per doc, measured ~40× slower at sf0.1
+  private def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         graft.functions.TextFunctions.tokens(col(textCol)).as("t"))
-      .select(col("id"),
-        explode(when(size(col("t")) < 2, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), size(col("t")) - 2),
-            i => concat(element_at(col("t"), i + 1), lit(" "),
-              element_at(col("t"), i + 2)))))
-          .as("g"))
+      .select(col("id"), explode(bigramArray(col("t"))).as("g"))
+
+  /** The static bigram LM table a streaming scorer joins: (g, c,
+    * n_total) — trained OFFLINE from a reference corpus. Vocabulary-
+    * sized, not corpus-sized (the [[Quantize]] min/max-row discipline:
+    * the only artifact that crosses from training to serving). */
+  def bigramModel(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = bigrams(df, idCol, textCol).groupBy(col("g")).agg(count(lit(1)).as("c"))
+    counts.crossJoin(broadcast(counts.agg(sum(col("c")).as("n_total"))))
   }
 
   /** Per-document integer surprisal: (id, n_bigrams, surprisal_bits,
@@ -89,6 +100,17 @@ object SurprisalScore {
       .select(col("id").as(idCol), col("millibits_per_gram").as("mb"))
       .join(df.select(col(idCol), col(langCol)), Seq(idCol))
       .localCheckpoint(true)
+    scored.join(broadcast(ccnetThresholds(scored, langCol)), Seq(langCol))
+      .select(col(idCol), col(langCol), col("mb"), bucketExpr.as("bucket"))
+  }
+
+  /** Per-language tercile thresholds (langCol, t1, t2) from (langCol,
+    * mb) rows — rank-exact from the per-(lang, score) cumulative
+    * histogram (bounded by distinct integer scores, never a corpus
+    * sort). Exposed so a streaming deployment can train the thresholds
+    * OFFLINE and assign buckets row-locally on the stream
+    * ([[graft.streaming.Streaming.ccnetBucketStream]]). */
+  def ccnetThresholds(scored: DataFrame, langCol: String): DataFrame = {
     val hist = scored.groupBy(col(langCol), col("mb")).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(langCol)).orderBy(col("mb"))
@@ -96,14 +118,17 @@ object SurprisalScore {
     // per-lang totals roll up from the histogram — no third pass over
     // the corpus-sized scores
     val tot = hist.groupBy(col(langCol)).agg(sum(col("n")).as("tot"))
-    val thr = cum.join(tot, Seq(langCol))
+    cum.join(tot, Seq(langCol))
       .groupBy(col(langCol))
       .agg(min(when(col("cumn") * 3 >= col("tot"), col("mb"))).as("t1"),
         min(when(col("cumn") * 3 >= col("tot") * 2, col("mb"))).as("t2"))
-    scored.join(broadcast(thr), Seq(langCol))
-      .select(col(idCol), col(langCol), col("mb"),
-        when(col("mb") <= col("t1"), "head")
-          .when(col("mb") <= col("t2"), "middle")
-          .otherwise("tail").as("bucket"))
   }
+
+  /** The row-local bucket verdict over (mb, t1, t2) — shared between
+    * the batch assignment and the streaming twin so the two can never
+    * fork. */
+  private[graft] def bucketExpr: org.apache.spark.sql.Column =
+    when(col("mb") <= col("t1"), "head")
+      .when(col("mb") <= col("t2"), "middle")
+      .otherwise("tail")
 }

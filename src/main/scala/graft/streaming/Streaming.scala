@@ -560,6 +560,42 @@ object Streaming {
       .filter(graft.ext.Mixing.keyBp(col(idCol)) < col("rate_bp"))
   }
 
+  /** Streaming CCNet tercile assignment — the q144/q154 DSIR split
+    * applied to q158: the bigram LM
+    * ([[graft.ext.SurprisalScore.bigramModel]]) and per-language
+    * tercile thresholds ([[graft.ext.SurprisalScore.ccnetThresholds]])
+    * are trained OFFLINE and arrive as STATIC tables; each streaming
+    * document is scored by the same integer bit-length arithmetic —
+    * bigrams explode row-locally (the shared `bigramArray`, so batch
+    * and stream can never fork), stream-static join against the model
+    * (a vocabulary-sized table rides a join, never a closure), one
+    * windowed per-doc fold — and bucketed ROW-locally against the
+    * broadcast thresholds via the shared verdict expression. Bigrams
+    * the model never saw carry no evidence (they drop from the inner
+    * join — a case the self-trained batch query cannot produce, so
+    * parity over training-corpus docs is exact, spec-pinned).
+    * `docs` must carry (doc_id, text, lang, event_time). */
+  def ccnetBucketStream(docs: DataFrame, model: DataFrame,
+      thresholds: DataFrame): DataFrame = {
+    import graft.ext.SurprisalScore
+    val occ = docs
+      .withWatermark("event_time", "10 minutes")
+      .select(col("doc_id"), col("lang"), col("event_time"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("lang"), col("event_time"),
+        explode(SurprisalScore.bigramArray(col("t"))).as("g"))
+    occ.join(model, Seq("g"))
+      .groupBy(window(col("event_time"), "10 minutes"),
+        col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(length(bin(col("n_total"))).cast("long") - length(bin(col("c"))).cast("long"))
+          .as("surprisal_bits"))
+      .withColumn("mb", expr("surprisal_bits * 1000 DIV n_bigrams"))
+      .join(broadcast(thresholds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("mb"),
+        SurprisalScore.bucketExpr.as("bucket"))
+  }
+
   final case class GapEvent(userId: Long, day: Long, cents: Long,
     eventTime: java.sql.Timestamp)
   final case class GapRow(userId: Long, day: Long, nEvents: Long,

@@ -530,6 +530,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, "stream/batch block dedup divergence")
   }
 
+  test("streaming CCNet buckets match the batch terciles (q158 twin)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsB = Tables.load(spark, sf, "documents")
+    // offline training: bigram LM + per-lang tercile thresholds, pinned
+    // so the stream's per-batch re-joins reuse one deterministic build
+    val model = graft.ext.SurprisalScore.bigramModel(docsB, "doc_id", "text")
+      .localCheckpoint(true)
+    val batch = graft.ext.SurprisalScore
+      .ccnetBuckets(docsB, "doc_id", "text", "lang").localCheckpoint(true)
+    val thr = graft.ext.SurprisalScore
+      .ccnetThresholds(batch.select($"lang", $"mb"), "lang").localCheckpoint(true)
+    val fresh = docsB.orderBy($"doc_id").limit(40)
+      .select($"doc_id", $"text", $"lang").as[(Long, String, String)].collect()
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "lang", "event_time")
+    val q = Streaming.ccnetBucketStream(stream, model, thr)
+      .writeStream.format("memory").queryName("ccnet_stream").outputMode("append").start()
+    try {
+      val t0 = 1000000L
+      input.addData(fresh.map { case (id, tx, lg) =>
+        (id, tx, lg, new java.sql.Timestamp(t0)) }: _*)
+      q.processAllAvailable()
+      // far-future sentinel advances the watermark and closes the window
+      // (the watermark node sits before the bigram explode/model join,
+      // so the sentinel only has to reach it, not survive the join)
+      input.addData((999999999L, "sentinel words flow on", "xx",
+        new java.sql.Timestamp(t0 + 3600L * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ccnet_stream")
+      .filter($"doc_id" =!= 999999999L)
+      .select($"doc_id", $"lang", $"mb", $"bucket")
+      .as[(Long, String, Long, String)].collect().toSet
+    val freshIds = fresh.map(_._1).toSet
+    val expect = batch.filter($"doc_id".isin(freshIds.toSeq: _*))
+      .select($"doc_id", $"lang", $"mb", $"bucket")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === expect, "stream/batch ccnet bucket divergence")
+  }
+
   test("streaming CUSUM alarms match the batch fold's count and first alarm (q160 twin)") {
     import Streaming.{CusumAlarm, CusumEventT}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
