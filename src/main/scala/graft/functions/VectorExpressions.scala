@@ -185,6 +185,70 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](bd, bc))
   }
+
+  /** The k×k inter-centroid squared-distance matrix [[kmNearestElkan]]
+    * prunes with — computed ONCE per expression instance on the driver
+    * (k² · dim integer ops, a few KB). */
+  def pairwiseD2(cents: Array[Array[Long]]): Array[Array[Long]] = {
+    val k = cents.length
+    val out = Array.ofDim[Long](k, k)
+    var a = 0
+    while (a < k) {
+      var b = a + 1
+      while (b < k) {
+        var d2 = 0L
+        var i = 0
+        while (i < cents(a).length) {
+          val diff = cents(a)(i) - cents(b)(i)
+          d2 += diff * diff
+          i += 1
+        }
+        out(a)(b) = d2
+        out(b)(a) = d2
+        b += 1
+      }
+      a += 1
+    }
+    out
+  }
+
+  /** [[kmNearest]] with Elkan-style triangle-inequality pruning: if
+    * d(c_j, c_best)² > 4·bd then d(x, c_j) ≥ d(c_j, c_best) − d(x,
+    * c_best) > 2√bd − √bd = √bd STRICTLY, so candidate j can neither
+    * beat the current best nor tie it — its full dim-loop is skipped.
+    * The STRICT inequality is what makes the skip value-exact under
+    * the ties-to-smaller-cluster rule (at d² = 4·bd exactly, a
+    * boundary point could tie, so that case still evaluates). Saves
+    * per-row distance work at the identical fixed point; the win grows
+    * as Lloyd converges (bd tightens, centroids separate). */
+  def kmNearestElkan(codes: ArrayData, clusters: Array[Long],
+      cents: Array[Array[Long]], ccd2: Array[Array[Long]])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    var bd = Long.MaxValue
+    var bc = Long.MaxValue
+    var bj = -1
+    var j = 0
+    while (j < cents.length) {
+      // (bd << 2 would overflow before any candidate is evaluated or on
+      // pathological magnitudes — both guards fall through to evaluate)
+      if (bj < 0 || bd >= (Long.MaxValue >> 2) || ccd2(j)(bj) <= (bd << 2)) {
+        val m = cents(j)
+        var d2 = 0L
+        var i = 0
+        while (i < m.length) {
+          val diff = codes.getLong(i) - m(i)
+          d2 += diff * diff
+          i += 1
+        }
+        if (d2 < bd || (d2 == bd && clusters(j) < bc)) {
+          bd = d2; bc = clusters(j); bj = j
+        }
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bd, bc))
+  }
 }
 
 /** dot(a, b) over array<double> — codegen'd single pass. */
@@ -288,21 +352,28 @@ case class WinnowFps(child: Expression, k: Int, w: Int, mod: Long,
 
 /** k-means argmin against LITERAL centroids: struct(dist2, cluster) of
   * the nearest centroid to an array<long> codes column — one primitive
-  * JVM loop per row ([[VectorKernels.kmNearest]]). The centroid matrix
-  * rides in the expression (constant per Lloyd round, a few KB), so
-  * the reassignment map needs no join at all. */
+  * JVM loop per row with Elkan-style triangle-inequality pruning
+  * ([[VectorKernels.kmNearestElkan]]: candidates provably unable to
+  * beat or tie the running best skip their dim-loop entirely; the
+  * strict 4·bd bound keeps the ties-to-smaller-cluster result exact).
+  * The centroid matrix AND its k×k inter-centroid distance matrix ride
+  * in the expression (constant per Lloyd round, a few KB), so the
+  * reassignment map needs no join at all. */
 case class KmNearest(child: Expression, clusters: Array[Long],
     cents: Array[Array[Long]]) extends UnaryExpression {
+  @transient private lazy val ccd2: Array[Array[Long]] =
+    VectorKernels.pairwiseD2(cents)
   override def dataType: DataType = StructType(Seq(
     StructField("dist2", LongType, nullable = false),
     StructField("cluster", LongType, nullable = false)))
   override def nullSafeEval(input: Any): Any =
-    VectorKernels.kmNearest(input.asInstanceOf[ArrayData], clusters, cents)
+    VectorKernels.kmNearestElkan(input.asInstanceOf[ArrayData], clusters, cents, ccd2)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val clRef = ctx.addReferenceObj("kmClusters", clusters, "long[]")
     val ceRef = ctx.addReferenceObj("kmCents", cents, "long[][]")
+    val ccRef = ctx.addReferenceObj("kmCcd2", ccd2, "long[][]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.VectorKernels.kmNearest($c, $clRef, $ceRef)")
+      s"graft.functions.VectorKernels.kmNearestElkan($c, $clRef, $ceRef, $ccRef)")
   }
   override protected def withNewChildInternal(newChild: Expression): KmNearest =
     copy(child = newChild)

@@ -324,4 +324,36 @@ class PropertySpec extends SparkSpec {
       assert(got === want, s"seed=$seed")
     }
   }
+
+  test("property: Elkan-pruned k-means argmin equals the exhaustive scan, ties included") {
+    import graft.functions.VectorKernels
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 40) {
+      val k = 2 + rnd.nextInt(7)
+      val dim = 1 + rnd.nextInt(16)
+      // small value range forces duplicate centroids and equidistant
+      // rows — the tie cases the strict 4·bd bound must not disturb
+      val range = if (trial % 2 == 0) 3 else 256
+      val cents = Array.fill(k)(Array.fill(dim)(rnd.nextInt(range).toLong))
+      // shuffled non-sequential cluster ids exercise the ties-to-
+      // smaller-CLUSTER (not smaller-index) rule
+      val clusters = rnd.shuffle((0 until k).map(i => (i * 7 + 3).toLong)).toArray
+      val ccd2 = VectorKernels.pairwiseD2(cents)
+      for (_ <- 1 to 50) {
+        val row = new GenericArrayData(Array.fill(dim)(rnd.nextInt(range).toLong))
+        val plain = VectorKernels.kmNearest(row, clusters, cents)
+        val elkan = VectorKernels.kmNearestElkan(row, clusters, cents, ccd2)
+        assert(plain.getLong(0) == elkan.getLong(0) &&
+          plain.getLong(1) == elkan.getLong(1),
+          s"trial=$trial plain=(${plain.getLong(0)},${plain.getLong(1)}) " +
+            s"elkan=(${elkan.getLong(0)},${elkan.getLong(1)})")
+      }
+      // a row AT a centroid (bd=0 — maximal pruning) must still tie-break
+      val onCent = new GenericArrayData(cents(rnd.nextInt(k)).clone())
+      val p = VectorKernels.kmNearest(onCent, clusters, cents)
+      val e = VectorKernels.kmNearestElkan(onCent, clusters, cents, ccd2)
+      assert(p.getLong(0) == e.getLong(0) && p.getLong(1) == e.getLong(1))
+    }
+  }
 }
