@@ -89,6 +89,10 @@ object PlanAudit {
     // one-row corpus-doc-count scalar agg broadcast onto the scored
     // terms (the q80/q86 one-row-total class)
     "q163_tfidf_keywords" -> Set(SinglePartition, Bnlj),
+    // exact-truth brute force broadcasts the 4-row query-vector table
+    // under a cross join (the q22/q94/q121 class) — the measurement
+    // baseline, not the index path being measured
+    "q164_ivfpq_recall" -> Set(Bnlj),
     "q114_sliding_hll" -> Set(Bnlj), // windows × 256-bucket skeleton (q91 class)
     // (type, window) groups × 256-bucket register skeleton (q91/q114
     // class — the dense-bucket crossJoin is groups×256 rows, constant

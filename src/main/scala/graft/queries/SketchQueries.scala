@@ -451,29 +451,20 @@ object SketchQueries {
       .orderBy($"qid", $"rank")
   }
 
-  val q110Sql: String = {
+  /** Shared IVF-PQ oracle chain (codes → seeds → full-dim coarse chain
+    * `g` → shifted residuals `er` → four residual subspace chains →
+    * per-query coarse distances `qd`) — shared verbatim between q110
+    * and q164 so the search and its recall measurement replay the SAME
+    * index. */
+  private def ivfPqCoreSql: String = {
     val pq = graft.ext.ProductQuantize
     val shift = pq.ResidShift
-    val subs = 0 until pq.NumSub
-    val residChains = subs.map { m =>
+    val residChains = (0 until pq.NumSub).map { m =>
       val off = m * pq.SubDim
       lloydChainSql(m.toString,
         s"SELECT id, d - $off AS d, c FROM er WHERE d > $off AND d <= ${off + pq.SubDim}")
     }.mkString(",\n")
-    val luts = subs.map { m =>
-      val off = m * pq.SubDim
-      s"""lut$m AS (SELECT qs.qid, qs.pc, cb.cluster,
-        |  SUM((qs.c - cb.m)*(qs.c - cb.m)) AS lutd2
-        |  FROM (SELECT qid, pc, d - $off AS d, c FROM qr
-        |        WHERE d > $off AND d <= ${off + pq.SubDim}) qs
-        |  JOIN cb$m cb ON qs.d = cb.d GROUP BY qs.qid, qs.pc, cb.cluster),
-        |sc$m AS (SELECT l.qid, f.id, l.lutd2
-        |  FROM f$m f JOIN fg g ON g.id = f.id
-        |  JOIN lut$m l ON l.pc = g.cluster AND l.cluster = f.cluster
-        |  WHERE f.id <> l.qid)""".stripMargin
-    }.mkString(",\n")
-    val unioned = subs.map(m => s"SELECT * FROM sc$m").mkString(" UNION ALL ")
-    s"""WITH $sq8CodesSql,
+    s"""$sq8CodesSql,
       |$seedCandSql,
       |${lloydChainSql("g",
         "SELECT vec_id AS id, d, cs[d] AS c FROM codes, generate_series(1, 64) AS t(d)")},
@@ -484,20 +475,125 @@ object SketchQueries {
       |qd AS (SELECT q.id AS qid, c.cluster AS pc,
       |  SUM((q.c - c.m)*(q.c - c.m)) AS d2
       |  FROM eg q JOIN cbg c ON q.d = c.d WHERE q.id < 4
-      |  GROUP BY q.id, c.cluster),
-      |probe AS MATERIALIZED (SELECT qid, pc FROM (SELECT *, ROW_NUMBER() OVER
-      |  (PARTITION BY qid ORDER BY d2, pc) AS rn FROM qd) t WHERE rn <= 2),
-      |qr AS MATERIALIZED (SELECT p.qid, p.pc, e.d, e.c - c.m + $shift AS c
-      |  FROM probe p JOIN eg e ON e.id = p.qid
+      |  GROUP BY q.id, c.cluster)""".stripMargin
+  }
+
+  /** One nProbe's probe → query-residual → LUT → candidate-rank block
+    * (CTE names suffixed with the nProbe so several coexist in one
+    * query); emits `rk$np(qid, id, adc_dist2, rank)`. */
+  private def ivfPqProbeSql(np: Int): String = {
+    val pq = graft.ext.ProductQuantize
+    val subs = 0 until pq.NumSub
+    val luts = subs.map { m =>
+      val off = m * pq.SubDim
+      s"""lut${np}_$m AS (SELECT qs.qid, qs.pc, cb.cluster,
+        |  SUM((qs.c - cb.m)*(qs.c - cb.m)) AS lutd2
+        |  FROM (SELECT qid, pc, d - $off AS d, c FROM qr$np
+        |        WHERE d > $off AND d <= ${off + pq.SubDim}) qs
+        |  JOIN cb$m cb ON qs.d = cb.d GROUP BY qs.qid, qs.pc, cb.cluster),
+        |sc${np}_$m AS (SELECT l.qid, f.id, l.lutd2
+        |  FROM f$m f JOIN fg g ON g.id = f.id
+        |  JOIN lut${np}_$m l ON l.pc = g.cluster AND l.cluster = f.cluster
+        |  WHERE f.id <> l.qid)""".stripMargin
+    }.mkString(",\n")
+    val unioned = subs.map(m => s"SELECT * FROM sc${np}_$m").mkString(" UNION ALL ")
+    s"""probe$np AS MATERIALIZED (SELECT qid, pc FROM (SELECT *, ROW_NUMBER() OVER
+      |  (PARTITION BY qid ORDER BY d2, pc) AS rn FROM qd) t WHERE rn <= $np),
+      |qr$np AS MATERIALIZED (SELECT p.qid, p.pc, e.d, e.c - c.m + ${pq.ResidShift} AS c
+      |  FROM probe$np p JOIN eg e ON e.id = p.qid
       |  JOIN cbg c ON c.cluster = p.pc AND c.d = e.d),
       |$luts,
-      |tot AS (SELECT qid, id, SUM(lutd2) AS adc_dist2 FROM ($unioned) u
+      |tot$np AS (SELECT qid, id, SUM(lutd2) AS adc_dist2 FROM ($unioned) u
       |  GROUP BY qid, id),
-      |rk AS (SELECT *, ROW_NUMBER() OVER
-      |  (PARTITION BY qid ORDER BY adc_dist2, id) AS rank FROM tot)
+      |rk$np AS (SELECT *, ROW_NUMBER() OVER
+      |  (PARTITION BY qid ORDER BY adc_dist2, id) AS rank FROM tot$np)""".stripMargin
+  }
+
+  val q110Sql: String =
+    s"""WITH $ivfPqCoreSql,
+      |${ivfPqProbeSql(2)}
       |SELECT qid, CAST(rank AS BIGINT) AS rank, id AS vec_id,
       |  CAST(adc_dist2 AS BIGINT) AS adc_dist2
-      |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+      |FROM rk2 WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  /** The nProbe sweep q164 measures — covers the full probe range of
+    * the K-cluster coarse quantizer. */
+  private val RecallProbes = Seq(1, 2, 4, 8)
+
+  /** q164: IVF-PQ recall self-measurement — the swap-exact-for-approx
+    * discipline (q137's LSH operating curve) closed over the vector
+    * stack: for each nProbe ∈ {1,2,4,8}, recall@10 of
+    * [[graft.ext.ProductQuantize.ivfPqTopKWith]] against TWO ground
+    * truths per query vector. `recall_exact` compares to the exact
+    * full-dim L2 top-10 in code space (the q22-class brute-force scan —
+    * end-to-end quality of coarse pruning + residual PQ). `recall_full`
+    * compares to the ADC ranking at nProbe=K (full probe): because the
+    * probed candidate set only GROWS with nProbe and every full-probe
+    * winner present in a candidate set must rank in its top-10, this
+    * recall is PROVABLY monotone non-decreasing in nProbe (spec-pinned)
+    * and reaches 10/10 at nProbe=K by construction — the operating
+    * curve an index tuner actually reads. All-integer ppm; ties by id
+    * everywhere, so both truths and the sweep are bit-replayable. */
+  def q164IvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pq = graft.ext.ProductQuantize
+    val idx = sharedIvfPqIndex(s, dir)
+    val codes = sharedCodes(s, dir)
+    val queries = codes.filter($"id" < 4)
+    // exact code-space L2 truth: the q22-class broadcast brute force
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"d2", $"id")
+    val truthExact = codes
+      .crossJoin(broadcast(queries.select($"id".as("qid"), $"codes".as("qcs"))))
+      .filter($"id" =!= $"qid")
+      .select($"qid", $"id",
+        aggregate(zip_with($"codes", $"qcs", (c, q) => (c - q) * (c - q)),
+          lit(0L), (a, x) => a + x).as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"qid", $"id".as("vec_id"))
+    // full-probe ADC truth: the same index probed everywhere
+    val truthFull = pq.ivfPqTopKWith(idx, queries, nProbe = pq.K, topK = 10)
+      .select($"qid", $"vec_id")
+    val ret = RecallProbes.map { np =>
+      pq.ivfPqTopKWith(idx, queries, nProbe = np, topK = 10)
+        .select(lit(np.toLong).as("n_probe"), $"qid", $"vec_id")
+    }.reduce(_ unionByName _)
+    ret
+      .join(truthExact.withColumn("hx", lit(1)), Seq("qid", "vec_id"), "left")
+      .join(truthFull.withColumn("hf", lit(1)), Seq("qid", "vec_id"), "left")
+      .groupBy($"n_probe", $"qid")
+      .agg(count($"hx").as("n_hits_exact"), count($"hf").as("n_hits_full"))
+      .withColumn("recall_exact_ppm", expr("n_hits_exact * 1000000L DIV 10"))
+      .withColumn("recall_full_ppm", expr("n_hits_full * 1000000L DIV 10"))
+      .orderBy($"n_probe", $"qid")
+  }
+
+  val q164Sql: String = {
+    val probeBlocks = RecallProbes.map(ivfPqProbeSql).mkString(",\n")
+    val rets = RecallProbes.map(np =>
+      s"SELECT $np AS n_probe, qid, id FROM rk$np WHERE rank <= 10")
+      .mkString(" UNION ALL ")
+    s"""WITH $ivfPqCoreSql,
+      |$probeBlocks,
+      |exd AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+      |  list_sum(list_transform(generate_series(1, 64),
+      |    d -> (q.cs[d] - c.cs[d]) * (q.cs[d] - c.cs[d]))) AS d2
+      |  FROM codes q, codes c WHERE q.vec_id < 4 AND c.vec_id <> q.vec_id),
+      |tx AS (SELECT qid, id FROM (SELECT *, ROW_NUMBER() OVER
+      |  (PARTITION BY qid ORDER BY d2, id) AS rank FROM exd) t WHERE rank <= 10),
+      |tf AS (SELECT qid, id FROM rk8 WHERE rank <= 10),
+      |ret AS ($rets)
+      |SELECT CAST(r.n_probe AS BIGINT) AS n_probe, r.qid,
+      |  CAST(COUNT(x.id) AS BIGINT) AS n_hits_exact,
+      |  CAST(COUNT(f.id) AS BIGINT) AS n_hits_full,
+      |  CAST(COUNT(x.id) * 1000000 // 10 AS BIGINT) AS recall_exact_ppm,
+      |  CAST(COUNT(f.id) * 1000000 // 10 AS BIGINT) AS recall_full_ppm
+      |FROM ret r
+      |LEFT JOIN tx x ON r.qid = x.qid AND r.id = x.id
+      |LEFT JOIN tf f ON r.qid = f.qid AND r.id = f.id
+      |GROUP BY r.n_probe, r.qid
+      |ORDER BY n_probe, r.qid""".stripMargin
   }
 
   /** q122: count-min sketch — per-term frequency estimates from a
@@ -754,7 +850,8 @@ object SketchQueries {
     "q88_grouped_topk" -> (q88GroupedTopK _),
     "q107_pq" -> (q107Pq _),
     "q108_adc_search" -> (q108AdcSearch _),
-    "q110_ivfpq" -> (q110IvfPq _))
+    "q110_ivfpq" -> (q110IvfPq _),
+    "q164_ivfpq_recall" -> (q164IvfPqRecall _))
 
   val oracle: Map[String, String] = Map(
     "q152_hist_quantiles" -> q152Sql,
@@ -769,5 +866,6 @@ object SketchQueries {
     "q88_grouped_topk" -> q88Sql,
     "q107_pq" -> q107Sql,
     "q108_adc_search" -> q108Sql,
-    "q110_ivfpq" -> q110Sql)
+    "q110_ivfpq" -> q110Sql,
+    "q164_ivfpq_recall" -> q164Sql)
 }

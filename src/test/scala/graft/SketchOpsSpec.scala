@@ -76,6 +76,32 @@ class SketchOpsSpec extends SparkSpec {
       "both assignment forms must be value-identical")
   }
 
+  test("q164 IVF-PQ recall vs the full-probe ranking is monotone in nProbe") {
+    // theorem-backed: the probed candidate set only grows with nProbe,
+    // and any full-probe top-10 member inside a candidate set must rank
+    // in that set's top-10 — so recall_full_ppm can never decrease, and
+    // at nProbe = K (full probe) every returned row is a truth row
+    val rows = graft.queries.SketchQueries.q164IvfPqRecall(spark, sf)
+      .select($"n_probe", $"qid", $"n_hits_full", $"recall_full_ppm",
+        $"recall_exact_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byQid = rows.groupBy(_._2)
+    byQid.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._1)
+      val recalls = sorted.map(_._4)
+      assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+        s"qid=$qid recall_full not monotone: ${sorted.map(r => r._1 -> r._4).toSeq}")
+      // the sweep covers the full probe range, so the last point is
+      // nProbe = K, where the ranking IS the truth: 10/10 by
+      // construction (the corpus exceeds 11 vectors at every sf)
+      val last = sorted.last
+      assert(last._1 == graft.ext.ProductQuantize.K.toLong)
+      assert(last._3 == 10L && last._4 == 1000000L,
+        s"qid=$qid full-probe recall must be exactly 10/10, got $last")
+    }
+  }
+
   test("kmeans keeps previous centroid for emptied clusters") {
     // seed 1 = (9,9) attracts nothing once points re-assign to seed
     // 0's updated mean; k stays 2 and assignment still totals all rows
