@@ -206,6 +206,62 @@ object ProductQuantize {
       topK: Int): DataFrame =
     ivfPqTopKWith(ivfPqIndex(codes), queries, nProbe, topK)
 
+  /** The whole nProbe operating sweep in ONE corpus pass: a vector's
+    * ADC distance to a query is independent of nProbe (probing only
+    * gates WHICH coarse cells contribute candidates), so score every
+    * vector once at full probe, carry the probe RANK of its coarse
+    * cell per query, and slice each sweep point out of the scored set
+    * — value-identical to running [[ivfPqTopKWith]] once per nProbe
+    * (candidates at nProbe = vectors whose cell rank ≤ nProbe; same
+    * LUT arithmetic, same (distance, id) tie-break), at one search's
+    * cost instead of |probes|. Returns (n_probe, qid, rank, vec_id,
+    * adc_dist2). */
+  def ivfPqSweep(index: (DataFrame, DataFrame, DataFrame, DataFrame),
+      queries: DataFrame, probes: Seq[Int], topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (coarse, asg, booksR, encR) = index
+    val qexpl = KMeansInt.explodedCodes(queries)
+      .select(col("id").as("qid"), col("d"), col("c"))
+      .localCheckpoint(false)
+    // ALL coarse cells ranked per query (no nProbe filter)
+    val byD2 = Window.partitionBy(col("qid")).orderBy(col("d2"), col("pc"))
+    val ranked = qexpl.join(broadcast(coarse), Seq("d"))
+      .groupBy(col("qid"), col("cluster").as("pc"))
+      .agg(sum((col("c") - col("m")) * (col("c") - col("m"))).as("d2"))
+      .withColumn("rn", row_number().over(byD2))
+      .select(col("qid"), col("pc"), col("rn"))
+    val qr = ranked
+      .join(qexpl, "qid")
+      .join(broadcast(coarse.select(col("cluster").as("pc"), col("d"), col("m"))),
+        Seq("pc", "d"))
+      .select(col("qid"), col("pc"), col("rn"), col("d"),
+        (col("c") - col("m") + lit(ResidShift)).as("c"))
+    val lut = qr
+      .withColumn("sub", ((col("d") - 1) / SubDim).cast("int"))
+      .withColumn("d", col("d") - col("sub") * SubDim)
+      .join(broadcast(booksR), Seq("sub", "d"))
+      .groupBy(col("qid"), col("pc"), col("rn"), col("sub"), col("cluster"))
+      .agg(sum((col("c") - col("m")) * (col("c") - col("m"))).as("lutd2"))
+    val lutR = lut.select(col("qid"), col("pc").as("coarse"),
+      col("rn"), col("sub"), col("cluster"), col("lutd2"))
+    // each candidate's rn is constant across its M LUT rows — min is it
+    val scored = encR.join(asg, "id")
+      .join(broadcast(lutR), Seq("sub", "cluster", "coarse"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("lutd2")).as("adc_dist2"), min(col("rn")).as("rn"))
+      .localCheckpoint(false) // one corpus pass feeds every sweep point
+    val byDist = Window.partitionBy(col("qid")).orderBy(col("adc_dist2"), col("id"))
+    probes.map { np =>
+      scored.filter(col("rn") <= np)
+        .withColumn("rank", row_number().over(byDist))
+        .filter(col("rank") <= topK)
+        .select(lit(np.toLong).as("n_probe"), col("qid"),
+          col("rank").cast("long").as("rank"), col("id").as("vec_id"),
+          col("adc_dist2"))
+    }.reduce(_ unionByName _)
+  }
+
   /** [[ivfPqTopK]] against a PREBUILT (possibly session-cached) index —
     * search cost is independent of training. */
   def ivfPqTopKWith(index: (DataFrame, DataFrame, DataFrame, DataFrame),

@@ -552,13 +552,14 @@ object SketchQueries {
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 10)
       .select($"qid", $"id".as("vec_id"))
-    // full-probe ADC truth: the same index probed everywhere
-    val truthFull = pq.ivfPqTopKWith(idx, queries, nProbe = pq.K, topK = 10)
+    // the whole sweep in ONE corpus pass (ADC distances are nProbe-
+    // independent — ivfPqSweep scores once and slices); the full-probe
+    // truth is the sweep's own nProbe=K point
+    val sweep = pq.ivfPqSweep(idx, queries, RecallProbes, topK = 10)
+      .localCheckpoint(false)
+    val truthFull = sweep.filter($"n_probe" === pq.K.toLong)
       .select($"qid", $"vec_id")
-    val ret = RecallProbes.map { np =>
-      pq.ivfPqTopKWith(idx, queries, nProbe = np, topK = 10)
-        .select(lit(np.toLong).as("n_probe"), $"qid", $"vec_id")
-    }.reduce(_ unionByName _)
+    val ret = sweep.select($"n_probe", $"qid", $"vec_id")
     ret
       .join(truthExact.withColumn("hx", lit(1)), Seq("qid", "vec_id"), "left")
       .join(truthFull.withColumn("hf", lit(1)), Seq("qid", "vec_id"), "left")

@@ -70,6 +70,29 @@ class ProductQuantizeSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqSweep slices are value-identical to per-nProbe searches") {
+    import spark.implicits._
+    // noisy fixture (ties + nonzero residual distances) so equality is
+    // exercised on real rankings, not just zero-distance degeneracy
+    val noisy = (0L until 64L).map { i =>
+      val p = i % 8
+      (i, (0 until 64).map(d => p * 30L + (i + d) % 3).toSeq)
+    }.toDF("id", "codes")
+    val idx = ProductQuantize.ivfPqIndex(noisy)
+    val queries = noisy.filter(col("id") < 3)
+    val probes = Seq(1, 2, 4, 8)
+    val sweep = ProductQuantize.ivfPqSweep(idx, queries, probes, topK = 5)
+      .select($"n_probe", $"qid", $"rank", $"vec_id", $"adc_dist2")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val perNp = probes.flatMap { np =>
+      ProductQuantize.ivfPqTopKWith(idx, queries, nProbe = np, topK = 5)
+        .select(lit(np.toLong).as("n_probe"), $"qid", $"rank", $"vec_id", $"adc_dist2")
+        .as[(Long, Long, Long, Long, Long)].collect()
+    }.toSet
+    assert(sweep.nonEmpty)
+    assert(sweep === perNp, "sweep must equal the per-nProbe searches exactly")
+  }
+
   test("codeword ids stay within the codebook and encoding is deterministic") {
     import spark.implicits._
     // noisy variant: pattern + a per-dim wobble that keeps clusters apart
