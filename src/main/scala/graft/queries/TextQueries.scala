@@ -412,15 +412,34 @@ object TextQueries {
     * top-3 is the bounded-state [[graft.functions.TopKFunctions.topK]]
     * aggregate (k rows per partition per doc, map-side combined), not
     * a corpus-wide rank window. */
-  def q163TfidfKeywords(s: SparkSession, dir: String): DataFrame = {
+  /** The per-(doc, token) term frequencies the TF-IDF family builds
+    * on — one token explode, one map-side-combined agg. */
+  private def tfidfTf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tf = Tables.load(s, dir, "documents")
+    Tables.load(s, dir, "documents")
       .select($"doc_id", explode(tokens($"text")).as("token"))
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+  }
+
+  /** The static TF-IDF rarity table (token, df, rarity) — rarity =
+    * (N·10⁶) div df, the log-free integer inverse-document-frequency
+    * q163 ranks with. Vocabulary-sized; trained OFFLINE from a
+    * reference corpus and joined onto serving paths (the streaming
+    * twin [[graft.streaming.Streaming.tfidfKeywordStream]]). */
+  def tfidfRarity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = tfidfTf(s, dir)
     val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val n = tf.select($"doc_id").distinct().agg(count(lit(1)).as("n"))
-    val scored = tf.join(df, "token").crossJoin(broadcast(n))
-      .withColumn("score", $"tf" * expr("(n * 1000000L) DIV df"))
+    df.crossJoin(broadcast(n))
+      .select($"token", $"df", expr("(n * 1000000L) DIV df").as("rarity"))
+  }
+
+  def q163TfidfKeywords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = tfidfTf(s, dir)
+    val scored = tf.join(tfidfRarity(s, dir), "token")
+      .withColumn("score", $"tf" * $"rarity")
     scored
       .groupBy($"doc_id")
       .agg(graft.functions.TopKFunctions.topK(

@@ -596,6 +596,43 @@ object Streaming {
         SurprisalScore.bucketExpr.as("bucket"))
   }
 
+  /** Streaming TF-IDF keyword extraction — q163's deployment split
+    * (the q158/q144 discipline): the rarity table
+    * ([[graft.queries.TextQueries.tfidfRarity]] — (token, df, rarity),
+    * vocabulary-sized) is trained OFFLINE and arrives static; each
+    * streaming document computes its term frequencies INSIDE the row
+    * (distinct-token counts over the bound token array — no streaming
+    * tf agg, so the whole operator needs exactly ONE stateful
+    * aggregation: the windowed per-doc top-k), joins the static rarity,
+    * and emits its top-3 keywords when the window closes. Tokens the
+    * reference corpus never saw carry no evidence (inner join — a case
+    * the self-trained batch query cannot produce, so parity over
+    * training-corpus docs is exact, spec-pinned). The per-doc top-k is
+    * the same bounded-state [[graft.functions.TopKFunctions.topK]]
+    * aggregate as batch — never a rank window.
+    * `docs` must carry (doc_id, text, event_time). */
+  def tfidfKeywordStream(docs: DataFrame, rarity: DataFrame): DataFrame = {
+    val tf = docs
+      .withWatermark("event_time", "10 minutes")
+      .select(col("doc_id"), col("event_time"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("event_time"),
+        explode(expr("transform(array_distinct(t), " +
+          "tok -> struct(tok AS token, size(filter(t, x -> x = tok)) AS tf))")).as("p"))
+      .select(col("doc_id"), col("event_time"),
+        col("p.token").as("token"), col("p.tf").cast("long").as("tf"))
+    tf.join(rarity, Seq("token"))
+      .withColumn("score", col("tf") * col("rarity"))
+      .groupBy(window(col("event_time"), "10 minutes"), col("doc_id"))
+      .agg(graft.functions.TopKFunctions.topK(
+        struct((-col("score")).as("ns"), col("token"), col("tf"), col("df"),
+          col("score")), 3).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.token").as("token"), col("t.tf").as("tf"), col("t.df").as("df"),
+        col("t.score").as("score"))
+  }
+
   final case class GapEvent(userId: Long, day: Long, cents: Long,
     eventTime: java.sql.Timestamp)
   final case class GapRow(userId: Long, day: Long, nEvents: Long,

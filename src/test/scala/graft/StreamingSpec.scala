@@ -571,6 +571,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === expect, "stream/batch ccnet bucket divergence")
   }
 
+  test("streaming TF-IDF keywords match the batch extraction (q163 twin)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // offline training: the rarity table over the full corpus
+    val rarity = graft.queries.TextQueries.tfidfRarity(spark, sf).localCheckpoint(true)
+    val batch = graft.queries.TextQueries.q163TfidfKeywords(spark, sf)
+    val fresh = Tables.load(spark, sf, "documents").orderBy($"doc_id").limit(40)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "event_time")
+    val q = Streaming.tfidfKeywordStream(stream, rarity)
+      .writeStream.format("memory").queryName("tfidf_stream").outputMode("append").start()
+    try {
+      val t0 = 1000000L
+      input.addData(fresh.map { case (id, tx) =>
+        (id, tx, new java.sql.Timestamp(t0)) }: _*)
+      q.processAllAvailable()
+      // far-future sentinel advances the watermark and closes the window
+      input.addData((999999999L, "sentinel words flow on",
+        new java.sql.Timestamp(t0 + 3600L * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("tfidf_stream")
+      .filter($"doc_id" =!= 999999999L)
+      .select($"doc_id", $"rank", $"token", $"tf", $"df", $"score")
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    val freshIds = fresh.map(_._1).toSet
+    val expect = batch.filter($"doc_id".isin(freshIds.toSeq: _*))
+      .select($"doc_id", $"rank", $"token", $"tf", $"df", $"score")
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === expect, "stream/batch tfidf keyword divergence")
+  }
+
   test("streaming CUSUM alarms match the batch fold's count and first alarm (q160 twin)") {
     import Streaming.{CusumAlarm, CusumEventT}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
