@@ -120,7 +120,9 @@ object PlanAudit {
     * hash signal regardless of value equality (q161 hit exactly this
     * with an `array<bigint>` dhash before it was packed into one long).
     * Returns (query, offending "col: type" list); empty = contract holds.
-    * Schema-only — never executes a query. */
+    * Reads only each query's schema — but plan CONSTRUCTION may run the
+    * eager session caches (checkpointed shingle sets, k-means/PQ
+    * training), so a lint pass is not free on a cold session. */
   def scalarLint(spark: SparkSession, dir: String): Seq[(String, Seq[String])] = {
     import org.apache.spark.sql.types._
     def sortable(dt: DataType): Boolean = dt match {
@@ -133,7 +135,9 @@ object PlanAudit {
           case f if !sortable(f.dataType) => s"${f.name}: ${f.dataType.simpleString}"
         }
         if (bad.isEmpty) None else Some(name -> bad)
-      } catch { case _: Throwable => None } // plan errors are audit()'s finding
+      } catch { // plan errors are audit()'s finding; fatal VM errors propagate
+        case scala.util.control.NonFatal(_) => None
+      }
     }
   }
 

@@ -126,6 +126,38 @@ object TextKernel {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(n, w, punct, chars))
   }
+
+  /** One-pass per-row term frequencies of a token array:
+    * array<struct<token, tf>> in first-occurrence order (deterministic
+    * per row; consumers explode, so the order never reaches a result).
+    * Replaces the `transform(array_distinct(t), tok -> size(filter(t,
+    * x = tok)))` HOF shape, which re-scans the whole array per
+    * distinct token — O(distinct·len) and interpreted; this is one
+    * amortized-O(len) hashed pass, codegen'd. Null tokens are skipped
+    * (the tokenizers never emit them). */
+  def tokenCounts(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val tok = arr.getUTF8String(i)
+        val c = counts.get(tok)
+        if (c == null) counts.put(tok.clone(), Array(1L)) else c(0) += 1L
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue()(0))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** One-pass n-gram repetition kernel — the row-local scale path for the
@@ -251,6 +283,34 @@ case class TokenStats(child: Expression, words: Seq[String]) extends UnaryExpres
   override def prettyName: String = "token_stats"
 }
 
+/** Per-row term frequencies ([[TextKernel.tokenCounts]]) —
+  * array<struct<token string, tf bigint>> of a token array in ONE
+  * codegen'd hashed pass. */
+case class TokenCounts(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_counts requires an ARRAY<STRING> column, got ${other.sql}")
+    }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("tf", LongType, nullable = false))),
+      containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernel.tokenCounts(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernel.tokenCounts($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+    copy(child = newChild)
+  override def prettyName: String = "token_counts"
+}
+
 /** Rolling polynomial string hash as a native Catalyst expression —
   * single pass over the string, codegen'd (whole-stage), no per-row
   * array materialization. The scale workhorse under MinHash: hashing
@@ -318,6 +378,12 @@ object GraftFunctions {
     org.apache.spark.sql.GraftShim.column(
       TokenStats(org.apache.spark.sql.GraftShim.expression(c), words))
 
+  /** Registration-free (expression→Column bridge): one-pass per-row
+    * term frequencies of a token-array column. */
+  def tokenCounts(c: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      TokenCounts(org.apache.spark.sql.GraftShim.expression(c)))
+
   /** Registration-free, like [[tokenStats]]. */
   def gramStats(c: Column): Column =
     org.apache.spark.sql.GraftShim.column(
@@ -345,6 +411,8 @@ object GraftFunctions {
       exprs => SimHash32(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("gram_stats",
       exprs => GramStats(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("token_counts",
+      exprs => TokenCounts(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("hash_embed",
       exprs => {
         if (exprs.length != 2)

@@ -32,9 +32,33 @@ object SketchQueries {
   private val vecCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), AnyRef]()
 
+  /** Nest-safe memoization. NOT `computeIfAbsent`: a mapping function
+    * that touches other keys of the same ConcurrentHashMap violates its
+    * contract and throws `IllegalStateException: Recursive update`
+    * whenever two keys land in one hash bin — intermittent per JVM,
+    * since bin placement hashes the SparkSession's identity. Instead:
+    * lock-free read for the hot hit path, then double-checked compute
+    * under the map's monitor. The monitor is reentrant, so even a
+    * dependent entry populated from inside `mk` is safe (the entry
+    * points below additionally hoist their dependencies OUT of `mk`,
+    * so the nested path never occurs). Single compute per key — the
+    * eagerly-checkpointed values must not be built twice. */
   private def vcached[T <: AnyRef](s: SparkSession, dir: String, tag: String)(
-      mk: => T): T =
-    vecCache.computeIfAbsent((s, dir, tag), _ => mk).asInstanceOf[T]
+      mk: => T): T = {
+    val key = (s, dir, tag)
+    val hit = vecCache.get(key)
+    if (hit != null) hit.asInstanceOf[T]
+    else vecCache.synchronized {
+      val again = vecCache.get(key)
+      if (again != null) again.asInstanceOf[T]
+      else { val v = mk; vecCache.put(key, v); v }
+    }
+  }
+
+  /** Test hook: drop every cached entry, so a spec can exercise each
+    * entry point of the training chain against an EMPTY cache (the
+    * regression surface of the former nested-computeIfAbsent bug). */
+  private[graft] def vecCacheClear(): Unit = vecCache.clear()
 
   /** The SQ8 code matrix, materialized once per (session, dir): the
     * corpus min/max pass behind the codes runs once, not once per
@@ -47,28 +71,33 @@ object SketchQueries {
 
   /** The full-dim k=8 converged fit shared by q77 (as the query result)
     * and q110 (as the IVF coarse quantizer). */
-  private[queries] def sharedFullFit(s: SparkSession, dir: String): KMeansInt.FitResult =
+  private[queries] def sharedFullFit(s: SparkSession, dir: String): KMeansInt.FitResult = {
+    val codes = sharedCodes(s, dir) // resolve BEFORE entering the cache
     vcached(s, dir, "fullfit") {
-      KMeansInt.fitConvergedAssign(sharedCodes(s, dir), k = 8,
-        maxRounds = KMeansInt.MaxRounds)
+      KMeansInt.fitConvergedAssign(codes, k = 8, maxRounds = KMeansInt.MaxRounds)
     }
+  }
 
   /** The four per-subspace PQ fits shared by q107 (encode + recon
     * error) and q108 (codebooks + compressed corpus). */
   private[queries] def sharedSubFits(s: SparkSession, dir: String)
-      : IndexedSeq[KMeansInt.FitResult] =
+      : IndexedSeq[KMeansInt.FitResult] = {
+    val codes = sharedCodes(s, dir) // resolve BEFORE entering the cache
     vcached(s, dir, "subfits") {
-      graft.ext.ProductQuantize.subspaceFits(sharedCodes(s, dir))
+      graft.ext.ProductQuantize.subspaceFits(codes)
     }
+  }
 
   /** The full IVF-PQ index (coarse, asg, residual books, compressed
     * residual corpus), built on the shared coarse fit. */
   private[queries] def sharedIvfPqIndex(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val codes = sharedCodes(s, dir)   // resolve dependencies BEFORE
+    val full = sharedFullFit(s, dir)  // entering the cache
     vcached(s, dir, "ivfpq") {
-      graft.ext.ProductQuantize.ivfPqIndexFrom(sharedCodes(s, dir),
-        sharedFullFit(s, dir))
+      graft.ext.ProductQuantize.ivfPqIndexFrom(codes, full)
     }
+  }
 
   /** q77: k-means (k=8) over int8 quantization codes, trained to the
     * EXACT assignment-set fixed point ([[KMeansInt.fitConvergedAssign]]
@@ -456,7 +485,7 @@ object SketchQueries {
     * per-query coarse distances `qd`) — shared verbatim between q110
     * and q164 so the search and its recall measurement replay the SAME
     * index. */
-  private def ivfPqCoreSql: String = {
+  private def ivfPqCoreSql(qsetSql: String): String = {
     val pq = graft.ext.ProductQuantize
     val shift = pq.ResidShift
     val residChains = (0 until pq.NumSub).map { m =>
@@ -466,6 +495,7 @@ object SketchQueries {
     }.mkString(",\n")
     s"""$sq8CodesSql,
       |$seedCandSql,
+      |qset AS MATERIALIZED ($qsetSql),
       |${lloydChainSql("g",
         "SELECT vec_id AS id, d, cs[d] AS c FROM codes, generate_series(1, 64) AS t(d)")},
       |er AS MATERIALIZED (SELECT e.id, e.d, e.c - c.m + $shift AS c
@@ -474,7 +504,7 @@ object SketchQueries {
       |$residChains,
       |qd AS (SELECT q.id AS qid, c.cluster AS pc,
       |  SUM((q.c - c.m)*(q.c - c.m)) AS d2
-      |  FROM eg q JOIN cbg c ON q.d = c.d WHERE q.id < 4
+      |  FROM eg q JOIN qset s ON q.id = s.id JOIN cbg c ON q.d = c.d
       |  GROUP BY q.id, c.cluster)""".stripMargin
   }
 
@@ -510,15 +540,25 @@ object SketchQueries {
   }
 
   val q110Sql: String =
-    s"""WITH $ivfPqCoreSql,
+    s"""WITH ${ivfPqCoreSql("SELECT vec_id AS id FROM codes WHERE vec_id < 4")},
       |${ivfPqProbeSql(2)}
       |SELECT qid, CAST(rank AS BIGINT) AS rank, id AS vec_id,
       |  CAST(adc_dist2 AS BIGINT) AS adc_dist2
       |FROM rk2 WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   /** The nProbe sweep q164 measures — covers the full probe range of
-    * the K-cluster coarse quantizer. */
+    * the K-cluster coarse quantizer. MUST contain
+    * [[graft.ext.ProductQuantize.K]]: the full-probe ground truth is
+    * the sweep's own nProbe=K slice (enforced by `require` in q164). */
   private val RecallProbes = Seq(1, 2, 4, 8)
+
+  /** q164's query-workload size: a deterministic hash-rank sample of
+    * the corpus (top N ids by the q78/q122 avalanched 31-bit hash of
+    * the stringified id, ties to the smaller id — the
+    * [[graft.ext.KMeansInt.SeedCandidates]] sampling discipline reused
+    * verbatim), wide enough that the recall ppm is a real operating
+    * curve rather than a 4-point anecdote. */
+  private val RecallQueryCount = 32
 
   /** q164: IVF-PQ recall self-measurement — the swap-exact-for-approx
     * discipline (q137's LSH operating curve) closed over the vector
@@ -537,9 +577,19 @@ object SketchQueries {
   def q164IvfPqRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pq = graft.ext.ProductQuantize
+    require(RecallProbes.contains(pq.K),
+      s"RecallProbes must include K=${pq.K}: the full-probe truth is the sweep's nProbe=K slice")
     val idx = sharedIvfPqIndex(s, dir)
     val codes = sharedCodes(s, dir)
-    val queries = codes.filter($"id" < 4)
+    // deterministic hash-rank query sample (TakeOrderedAndProject —
+    // map-side partial top-N, no sort exchange; N rows collectable at
+    // any corpus scale)
+    graft.functions.GraftFunctions.register(s) // polyhash behind hash31
+    val queries = codes
+      .select($"id", $"codes", Hll.hash31($"id".cast("string")).as("qh"))
+      .orderBy($"qh", $"id")
+      .limit(RecallQueryCount)
+      .select($"id", $"codes")
     // exact code-space L2 truth: the q22-class broadcast brute force
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"qid").orderBy($"d2", $"id")
@@ -575,12 +625,14 @@ object SketchQueries {
     val rets = RecallProbes.map(np =>
       s"SELECT $np AS n_probe, qid, id FROM rk$np WHERE rank <= 10")
       .mkString(" UNION ALL ")
-    s"""WITH $ivfPqCoreSql,
+    s"""WITH ${ivfPqCoreSql(
+        s"SELECT id FROM scand ORDER BY h, id LIMIT $RecallQueryCount")},
       |$probeBlocks,
       |exd AS (SELECT q.vec_id AS qid, c.vec_id AS id,
       |  list_sum(list_transform(generate_series(1, 64),
       |    d -> (q.cs[d] - c.cs[d]) * (q.cs[d] - c.cs[d]))) AS d2
-      |  FROM codes q, codes c WHERE q.vec_id < 4 AND c.vec_id <> q.vec_id),
+      |  FROM codes q JOIN qset s ON q.vec_id = s.id, codes c
+      |  WHERE c.vec_id <> q.vec_id),
       |tx AS (SELECT qid, id FROM (SELECT *, ROW_NUMBER() OVER
       |  (PARTITION BY qid ORDER BY d2, id) AS rank FROM exd) t WHERE rank <= 10),
       |tf AS (SELECT qid, id FROM rk8 WHERE rank <= 10),

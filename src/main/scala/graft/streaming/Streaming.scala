@@ -610,17 +610,25 @@ object Streaming {
     * training-corpus docs is exact, spec-pinned). The per-doc top-k is
     * the same bounded-state [[graft.functions.TopKFunctions.topK]]
     * aggregate as batch — never a rank window.
-    * `docs` must carry (doc_id, text, event_time). */
+    * `docs` must carry (doc_id, text, event_time).
+    *
+    * ASSUMES each doc_id arrives at most once per watermark window:
+    * because tf is computed row-locally, an at-least-once source that
+    * redelivers a document inside one window would feed the top-k
+    * duplicate (token, tf) rows and double the scores. Sources that
+    * can redeliver must dedupe upstream
+    * (`dropDuplicatesWithinWatermark("doc_id")`) — kept OUT of this
+    * operator so the exactly-once path pays no second stateful op. */
   def tfidfKeywordStream(docs: DataFrame, rarity: DataFrame): DataFrame = {
+    // per-row tf in ONE hashed pass (native token_counts — the
+    // HOF alternative re-scans the token array per distinct token)
     val tf = docs
       .withWatermark("event_time", "10 minutes")
       .select(col("doc_id"), col("event_time"),
-        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+        explode(graft.functions.GraftFunctions.tokenCounts(
+          graft.functions.TextFunctions.tokens(col("text")))).as("p"))
       .select(col("doc_id"), col("event_time"),
-        explode(expr("transform(array_distinct(t), " +
-          "tok -> struct(tok AS token, size(filter(t, x -> x = tok)) AS tf))")).as("p"))
-      .select(col("doc_id"), col("event_time"),
-        col("p.token").as("token"), col("p.tf").cast("long").as("tf"))
+        col("p.token").as("token"), col("p.tf").as("tf"))
     tf.join(rarity, Seq("token"))
       .withColumn("score", col("tf") * col("rarity"))
       .groupBy(window(col("event_time"), "10 minutes"), col("doc_id"))

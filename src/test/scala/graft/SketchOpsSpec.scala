@@ -100,6 +100,31 @@ class SketchOpsSpec extends SparkSpec {
       assert(last._3 == 10L && last._4 == 1000000L,
         s"qid=$qid full-probe recall must be exactly 10/10, got $last")
     }
+    // the widened deterministic hash-rank workload: exactly 32 queries
+    assert(byQid.size == 32, s"expected 32 query vectors, got ${byQid.size}")
+  }
+
+  test("vector cache: every entry point populates a FRESH cache") {
+    // regression surface of the nested-computeIfAbsent bug (round 11):
+    // sharedFullFit/sharedSubFits/sharedIvfPqIndex each depend on other
+    // cache entries; populating the chain from ANY starting point on an
+    // empty cache must never throw (the former shape died with
+    // IllegalStateException "Recursive update" whenever two keys
+    // collided into one hash bin). Building the DataFrame is enough —
+    // the caches populate at plan-construction time.
+    val entryPoints: Seq[(String, () => Any)] = Seq(
+      "q77_fullfit" -> (() => graft.queries.SketchQueries.q77Kmeans(spark, sf)),
+      "q107_subfits" -> (() => graft.queries.SketchQueries.q107Pq(spark, sf)),
+      "q110_ivfpq" -> (() => graft.queries.SketchQueries.q110IvfPq(spark, sf)),
+      "q164_recall" -> (() => graft.queries.SketchQueries.q164IvfPqRecall(spark, sf)))
+    entryPoints.foreach { case (name, build) =>
+      graft.queries.SketchQueries.vecCacheClear()
+      try build()
+      catch {
+        case e: IllegalStateException =>
+          fail(s"entry point $name hit a cache self-update: ${e.getMessage}")
+      }
+    }
   }
 
   test("kmeans keeps previous centroid for emptied clusters") {
