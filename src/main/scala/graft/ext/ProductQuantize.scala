@@ -106,6 +106,25 @@ object ProductQuantize {
         .select(col("id"), lit(m).as("sub"), col("cluster"))
     }.reduce(_ unionByName _)
 
+  /** PQ-encode vectors against FIXED (e.g. parquet-loaded) codebooks:
+    * (id, pq array of M codeword ids, recon_dist2) — the frozen-
+    * codebook ingest path: new arrivals are encoded by [[KMeansInt.assign]]
+    * against broadcast codebooks, touching no training code. Same
+    * argmin and ties as training-side assignment, so encoding a vector
+    * the books were trained on reproduces its training codeword. */
+  def encodeAgainst(codes: DataFrame, books: DataFrame): DataFrame =
+    (0 until NumSub).map { m =>
+      KMeansInt.assign(
+          KMeansInt.explodedCodes(subCodes(codes, m)),
+          books.filter(col("sub") === m).select(col("cluster"), col("d"), col("m")))
+        .select(col("id"), lit(m).as("sub"), col("cluster"), col("dist2"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("sub"), col("cluster")))),
+          s => s("cluster")).as("pq"),
+        sum(col("dist2")).as("recon_dist2"))
+
   /** Asymmetric-distance top-k: score every encoded vector against each
     * query by table lookup — the PQ search path. Per query only a
     * M×K lookup table (LUT) of exact integer sub-distances is computed

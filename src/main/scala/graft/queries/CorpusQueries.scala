@@ -404,7 +404,7 @@ object CorpusQueries {
   def q148ReleasePipeline(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{GraftFunctions, TextFunctions}
-    import graft.ext.{BpeTrain, Hll, Winnowing}
+    import graft.ext.{BpeTrain, Hll}
     val docs = Tables.load(s, dir, "documents")
     val gated = docs.select($"doc_id", $"text",
         TextFunctions.tokenCount($"text").as("n_tokens"),
@@ -416,8 +416,9 @@ object CorpusQueries {
       .agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
     val deduped = train.join(keepIds, "doc_id")
-    val fpsAll = Winnowing.fingerprints(docs, "doc_id", "text")
-      .localCheckpoint(false) // feeds the eval set AND the contamination probe
+    // session-cached fingerprints — the same (session, dir) artifact
+    // q124/q146 read; feeds the eval set AND the contamination probe
+    val fpsAll = MiningQueries.sharedWinnowFps(s, dir)
     val evalFps = fpsAll.filter($"id" % 10 === 0).select($"fp").distinct()
     val contaminated = fpsAll.filter($"id" % 10 =!= 0)
       .join(evalFps.withColumn("hit", lit(1)), Seq("fp"), "left")

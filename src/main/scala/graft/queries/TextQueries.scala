@@ -23,7 +23,12 @@ object TextQueries {
     * pipeline computes once per corpus version (the
     * [[AnalyticsQueries]] graph-cache / [[SketchQueries]] vector-cache
     * discipline). Hash-neutral: consumers run the identical operators
-    * over the identical sets. */
+    * over the identical sets. Entries are keyed by SparkSession and
+    * live for the process (the driver's one-process contract) — a
+    * long-lived multi-session service would evict on session stop and
+    * persist the artifact instead ([[graft.ext.VectorIndexStore]]);
+    * `localCheckpoint` blocks are also unrecoverable after executor
+    * loss, another reason a real deployment prefers storage. */
   private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 

@@ -487,6 +487,30 @@ object Streaming {
         (col("n_blocks") - col("n_kept")).as("n_removed"), col("clean_text"))
   }
 
+  /** Streaming perceptual image dedup — the ingest twin of q161's
+    * batch buckets (the [[blockDedupStream]] q159 form for images):
+    * fresh images stream in, each is ImageIO-decoded and reduced to
+    * its 64-bit dHash ROW-locally
+    * ([[graft.ext.ImageCodec.imageDHash]] — pixels never leave the
+    * row), then probed against the STATIC known-hash corpus (dhash →
+    * bucket keeper, the q161 grouping collapsed to its first doc_id)
+    * via a stream-static left join, re-planned per micro-batch so an
+    * index refresh lands on the next trigger. Per image: is_dup (its
+    * hash already has a corpus bucket) and keep_id (that bucket's
+    * keeper, or the image itself when the hash is new). Stateless —
+    * the verdict depends only on the row and the static index, so
+    * rows emit immediately and match the batch probe bit-identically
+    * (spec-pinned); no watermark, no window state.
+    * `imgs` must carry (doc_id, payload binary); extra columns pass
+    * through ahead of the appended verdict columns. */
+  def imageDedupStream(imgs: DataFrame, knownHashes: DataFrame): DataFrame =
+    graft.ext.ImageCodec.imageDHash(imgs, "payload")
+      .join(knownHashes.select(col("dhash"), col("keep_id").as("corpus_keep")),
+        Seq("dhash"), "left")
+      .withColumn("is_dup", col("corpus_keep").isNotNull.cast("int"))
+      .withColumn("keep_id", coalesce(col("corpus_keep"), col("doc_id")))
+      .drop("corpus_keep", "payload")
+
   final case class CusumEventT(userId: Long, us: Long, eventId: Long,
     cents: Long, target: Long)
   final case class CusumAlarm(userId: Long, eventId: Long, sAtAlarm: Long,

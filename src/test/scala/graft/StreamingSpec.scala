@@ -739,4 +739,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, "stream and batch must agree exactly")
     assert(streamed(107L)._2.exists(z => z > 2.0), "the spike must be flagged")
   }
+
+  test("streaming image dedup matches the batch probe (q161 twin)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ids = Tables.load(spark, sf, "documents").select($"doc_id")
+      .repartitionByRange($"doc_id").sortWithinPartitions($"doc_id")
+    val packedAll = graft.ext.ImageCodec.synthImagePayload(ids, "doc_id")
+    val hashedAll = graft.ext.ImageCodec.imageDHash(packedAll, "payload")
+      .select($"doc_id", $"dhash").localCheckpoint(true)
+    // static index: the even half's q161 buckets collapsed to keepers
+    val known = hashedAll.filter($"doc_id" % 2 === 0)
+      .groupBy($"dhash").agg(min($"doc_id").as("keep_id"))
+      .localCheckpoint(true)
+    // stream a mix of odd docs that DO and do NOT hit a corpus bucket
+    val dupIds = hashedAll.filter($"doc_id" % 2 === 1)
+      .join(known, "dhash").select($"doc_id").as[Long].collect().take(10).toSet
+    assert(dupIds.nonEmpty, "corpus has no cross-parity dHash dups to probe")
+    val missIds = hashedAll.filter($"doc_id" % 2 === 1)
+      .filter(!$"doc_id".isin(dupIds.toSeq: _*))
+      .select($"doc_id").as[Long].collect().take(5).toSet
+    val streamedIds = dupIds ++ missIds
+    val fresh = packedAll.filter($"doc_id".isin(streamedIds.toSeq: _*))
+      .select($"doc_id", $"payload").as[(Long, Array[Byte])].collect()
+    val input = MemoryStream[(Long, Array[Byte])]
+    val stream = input.toDF().toDF("doc_id", "payload")
+    val q = Streaming.imageDedupStream(stream, known)
+      .writeStream.format("memory").queryName("img_dedup").outputMode("append").start()
+    try {
+      input.addData(fresh: _*)
+      q.processAllAvailable() // stateless: rows emit without a watermark
+    } finally q.stop()
+    val streamed = spark.table("img_dedup")
+      .select($"doc_id", $"dhash", $"is_dup", $"keep_id")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val batch = hashedAll.filter($"doc_id".isin(streamedIds.toSeq: _*))
+      .join(known.withColumnRenamed("keep_id", "ck"), Seq("dhash"), "left")
+      .select($"doc_id", $"dhash", $"ck".isNotNull.cast("int").as("is_dup"),
+        coalesce($"ck", $"doc_id").as("keep_id"))
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed.exists(_._3 == 1))
+    assert(streamed === batch, "stream/batch image dedup divergence")
+  }
 }
