@@ -93,6 +93,13 @@ object PlanAudit {
     // under a cross join (the q22/q94/q121 class) — the measurement
     // baseline, not the index path being measured
     "q164_ivfpq_recall" -> Set(Bnlj),
+    // the lazily-checkpointed query workload (RecallQueryCount·64 =
+    // 2048 exploded rows from the TakeOrdered sample) scans as a
+    // 1-partition ExistingRDD — constant-size per the sample bound,
+    // never data-sized (the q128 checkpointed-sample class); the
+    // corpus-side search plan itself is q110's, exchange-free on the
+    // candidate path
+    "q165_persisted_probe" -> Set(SinglePartition),
     "q114_sliding_hll" -> Set(Bnlj), // windows × 256-bucket skeleton (q91 class)
     // (type, window) groups × 256-bucket register skeleton (q91/q114
     // class — the dense-bucket crossJoin is groups×256 rows, constant

@@ -125,6 +125,75 @@ object ProductQuantize {
           s => s("cluster")).as("pq"),
         sum(col("dist2")).as("recon_dist2"))
 
+  /** The K centroid arrays of a (cluster, d, m) centroid table,
+    * dim-ordered — the broadcast-able form residual computation zips
+    * against (shared by index build and index ADD, so the two can
+    * never disagree on the residual arithmetic). */
+  def centroidArrays(cent: DataFrame): DataFrame =
+    cent.groupBy(col("cluster").as("coarse"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        s => s("m")).as("marr"))
+
+  /** IVF-PQ index ADD — encode NEW vectors against a FROZEN (e.g.
+    * parquet-loaded) index without touching any training code: each
+    * arrival is coarse-assigned to its nearest coarse centroid
+    * ([[KMeansInt.assign]] against the broadcast coarse table), its
+    * shifted residual computed row-locally, and the residual
+    * PQ-encoded against the frozen residual books
+    * ([[encodeAgainst]]). Returns (id, coarse, coarse_dist2, pq,
+    * recon_dist2) — exactly the rows an ingest batch appends to the
+    * index's `asg`/`enc` parts, plus the two exact integer error
+    * columns an operator watches for index staleness. Same argmin and
+    * ties as index construction, so adding a vector the index was
+    * built on reproduces its stored assignment. */
+  def ivfPqAdd(codes: DataFrame,
+      index: (DataFrame, DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (coarse, _, booksR, _) = index
+    val casg = KMeansInt.assign(KMeansInt.explodedCodes(codes), coarse)
+      .select(col("id"), col("cluster").as("coarse"),
+        col("dist2").as("coarse_dist2"))
+    val resid = codes.join(casg, "id")
+      .join(broadcast(centroidArrays(coarse)), "coarse")
+      .select(col("id"),
+        zip_with(col("codes"), col("marr"), (c, m) => c - m + lit(ResidShift)).as("codes"))
+    encodeAgainst(resid, booksR).join(casg, "id")
+      .select(col("id"), col("coarse"), col("coarse_dist2"),
+        col("pq"), col("recon_dist2"))
+  }
+
+  /** Collect a (sub, cluster, d, m) codebook table into per-subspace
+    * literal centroid lists — the constant-size (M·K·SubDim integers)
+    * driver artifact [[pqEncodeExpr]] embeds, so a stateless stream
+    * can encode with zero joins. */
+  def collectBooks(books: DataFrame): IndexedSeq[Seq[(Long, Seq[Long])]] = {
+    // integer widths vary by provenance (in-memory lit vs parquet) —
+    // normalize before the typed read
+    val rows = books.select(col("sub").cast("int"), col("cluster").cast("long"),
+        col("d").cast("int"), col("m").cast("long"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    (0 until NumSub).map { m =>
+      rows.filter(_._1 == m).groupBy(_._2).toSeq.map { case (cl, rs) =>
+        (cl, rs.sortBy(_._3).map(_._4).toSeq)
+      }.sortBy(_._1)
+    }
+  }
+
+  /** Row-local PQ encode against LITERAL codebooks: struct(pq0..pq3,
+    * recon_dist2) from a 64-long codes array — [[KMeansInt.bestOf]]'s
+    * native argmin per subspace, no join, no shuffle, no state. The
+    * streaming ingest form of [[encodeAgainst]] (value-identical —
+    * same argmin, same ties; spec-pinned). */
+  def pqEncodeExpr(books: IndexedSeq[Seq[(Long, Seq[Long])]],
+      codes: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val parts = (0 until NumSub).map { m =>
+      KMeansInt.bestOf(books(m), slice(codes, m * SubDim + 1, SubDim))
+    }
+    struct(
+      parts.zipWithIndex.map { case (p, m) => p("cluster").as(s"pq$m") } :+
+        parts.map(_("dist2")).reduce(_ + _).as("recon_dist2"): _*)
+  }
+
   /** Asymmetric-distance top-k: score every encoded vector against each
     * query by table lookup — the PQ search path. Per query only a
     * M×K lookup table (LUT) of exact integer sub-distances is computed
@@ -203,9 +272,7 @@ object ProductQuantize {
       .select(col("id"), col("cluster").as("coarse"))
       .localCheckpoint(false)
     // K centroid arrays, dim-ordered — broadcast onto the corpus
-    val carr = coarse.groupBy(col("cluster").as("coarse"))
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-        s => s("m")).as("marr"))
+    val carr = centroidArrays(coarse)
     val resid = codes.join(asg, "id").join(broadcast(carr), "coarse")
       .select(col("id"),
         zip_with(col("codes"), col("marr"), (c, m) => c - m + lit(ResidShift)).as("codes"))

@@ -785,6 +785,100 @@ object SketchQueries {
       |ORDER BY vec_id""".stripMargin
   }
 
+  /** The IVF-PQ index trained ONLY on the standing corpus
+    * (vec_id % 10 ≠ 0), persisted to parquet and handed back LOADED —
+    * the frozen index q167's arrival batch is added against.
+    * Three sequential cache entries, dependencies hoisted out of every
+    * compute closure (the nest-safe discipline). */
+  private[queries] def sharedOldIvfPq(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val codes = sharedCodes(s, dir) // resolve BEFORE entering the cache
+    val old = codes.filter(col("id") % 10 =!= 0)
+    val fit = vcached(s, dir, "fullfit_old") {
+      KMeansInt.fitConvergedAssign(old, k = 8, maxRounds = KMeansInt.MaxRounds)
+    }
+    val idx = vcached(s, dir, "ivfpq_old") {
+      graft.ext.ProductQuantize.ivfPqIndexFrom(old, fit)
+    }
+    vcached(s, dir, "ivfpq_old_persisted") {
+      val path = graft.ext.VectorIndexStore.defaultPath(dir, "ivfpq_old")
+      graft.ext.VectorIndexStore.writeIvfPq(idx, path)
+      graft.ext.VectorIndexStore.readIvfPq(s, path)
+    }
+  }
+
+  /** q167: IVF-PQ index ADD — the full incremental-ingest path q166
+    * covers for plain PQ, applied to the production index layout: the
+    * NEW-arrival slice (vec_id % 10 = 0) is coarse-assigned, residual-
+    * shifted, and residual-PQ-encoded against the FROZEN index trained
+    * only on the standing corpus and loaded from parquet
+    * ([[graft.ext.ProductQuantize.ivfPqAdd]] over [[sharedOldIvfPq]]).
+    * Output per arrival: its coarse cell, exact coarse distance, four
+    * residual codewords, and exact residual reconstruction error —
+    * precisely the rows an ingest batch appends to the index's
+    * `asg`/`enc` parquet parts, with the two error columns an operator
+    * watches for index staleness. The oracle retrains coarse + all
+    * four residual chains on the old slice and replays the
+    * assign/shift/encode of the new rows. */
+  def q167IvfPqAdd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ext.ProductQuantize.ivfPqAdd(
+        sharedCodes(s, dir).filter($"id" % 10 === 0),
+        sharedOldIvfPq(s, dir))
+      .select($"id".as("vec_id"), $"coarse", $"coarse_dist2",
+        element_at($"pq", 1).as("pq0"), element_at($"pq", 2).as("pq1"),
+        element_at($"pq", 3).as("pq2"), element_at($"pq", 4).as("pq3"),
+        $"recon_dist2")
+      .orderBy($"vec_id")
+  }
+
+  val q167Sql: String = {
+    val pq = graft.ext.ProductQuantize
+    val shift = pq.ResidShift
+    val residChains = (0 until pq.NumSub).map { m =>
+      val off = m * pq.SubDim
+      lloydChainSql(m.toString,
+        s"SELECT id, d - $off AS d, c FROM er WHERE d > $off AND d <= ${off + pq.SubDim}")
+    }.mkString(",\n")
+    val newSubAssigns = (0 until pq.NumSub).map { m =>
+      val off = m * pq.SubDim
+      s"""enr$m AS (SELECT id, d - $off AS d, c FROM ern
+        |  WHERE d > $off AND d <= ${off + pq.SubDim}),
+        |dnr$m AS (SELECT e.id, c.cluster, SUM((e.c - c.m)*(e.c - c.m)) AS dist2
+        |  FROM enr$m e JOIN cb$m c ON e.d = c.d GROUP BY e.id, c.cluster),
+        |fnr$m AS (SELECT id, cluster, dist2 FROM (SELECT *, ROW_NUMBER() OVER
+        |  (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM dnr$m) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sq8CodesSql,
+      |ocodes AS MATERIALIZED (SELECT * FROM codes WHERE vec_id % 10 <> 0),
+      |ncodes AS MATERIALIZED (SELECT * FROM codes WHERE vec_id % 10 = 0),
+      |${seedCandSqlFrom("ocodes")},
+      |${lloydChainSql("g",
+        "SELECT vec_id AS id, d, cs[d] AS c FROM ocodes, generate_series(1, 64) AS t(d)")},
+      |er AS MATERIALIZED (SELECT e.id, e.d, e.c - c.m + $shift AS c
+      |  FROM eg e JOIN fg f ON e.id = f.id
+      |  JOIN cbg c ON c.cluster = f.cluster AND c.d = e.d),
+      |$residChains,
+      |eng AS MATERIALIZED (SELECT vec_id AS id, d, cs[d] AS c
+      |  FROM ncodes, generate_series(1, 64) AS t(d)),
+      |dgn AS (SELECT e.id, c.cluster, SUM((e.c - c.m)*(e.c - c.m)) AS dist2
+      |  FROM eng e JOIN cbg c ON e.d = c.d GROUP BY e.id, c.cluster),
+      |fgn AS (SELECT id, cluster, dist2 FROM (SELECT *, ROW_NUMBER() OVER
+      |  (PARTITION BY id ORDER BY dist2, cluster) AS rn FROM dgn) t WHERE rn = 1),
+      |ern AS MATERIALIZED (SELECT e.id, e.d, e.c - c.m + $shift AS c
+      |  FROM eng e JOIN fgn f ON e.id = f.id
+      |  JOIN cbg c ON c.cluster = f.cluster AND c.d = e.d),
+      |$newSubAssigns
+      |SELECT fgn.id AS vec_id, fgn.cluster AS coarse,
+      |  CAST(fgn.dist2 AS BIGINT) AS coarse_dist2,
+      |  fnr0.cluster AS pq0, fnr1.cluster AS pq1, fnr2.cluster AS pq2,
+      |  fnr3.cluster AS pq3,
+      |  CAST(fnr0.dist2 + fnr1.dist2 + fnr2.dist2 + fnr3.dist2 AS BIGINT) AS recon_dist2
+      |FROM fgn JOIN fnr0 ON fgn.id = fnr0.id JOIN fnr1 ON fgn.id = fnr1.id
+      |  JOIN fnr2 ON fgn.id = fnr2.id JOIN fnr3 ON fgn.id = fnr3.id
+      |ORDER BY vec_id""".stripMargin
+  }
+
   /** q122: count-min sketch — per-term frequency estimates from a
     * fixed 4×32 counter matrix beside the exact counts. The build's
     * shuffle is constant-size (≤ 128 partials per partition, map-side
@@ -1042,7 +1136,8 @@ object SketchQueries {
     "q110_ivfpq" -> (q110IvfPq _),
     "q164_ivfpq_recall" -> (q164IvfPqRecall _),
     "q165_persisted_probe" -> (q165PersistedProbe _),
-    "q166_frozen_encode" -> (q166FrozenEncode _))
+    "q166_frozen_encode" -> (q166FrozenEncode _),
+    "q167_ivfpq_add" -> (q167IvfPqAdd _))
 
   val oracle: Map[String, String] = Map(
     "q152_hist_quantiles" -> q152Sql,
@@ -1060,5 +1155,6 @@ object SketchQueries {
     "q110_ivfpq" -> q110Sql,
     "q164_ivfpq_recall" -> q164Sql,
     "q165_persisted_probe" -> q165Sql,
-    "q166_frozen_encode" -> q166Sql)
+    "q166_frozen_encode" -> q166Sql,
+    "q167_ivfpq_add" -> q167Sql)
 }

@@ -511,6 +511,26 @@ object Streaming {
       .withColumn("keep_id", coalesce(col("corpus_keep"), col("doc_id")))
       .drop("corpus_keep", "payload")
 
+  /** Streaming frozen-codebook PQ encode — the ingest twin of q166:
+    * arriving vectors are PQ-encoded ROW-locally against LITERAL
+    * codebooks ([[graft.ext.ProductQuantize.pqEncodeExpr]] — the
+    * native k-means argmin per subspace, M·K·SubDim integers embedded
+    * in the plan). Books are trained OFFLINE and collected once
+    * ([[graft.ext.ProductQuantize.collectBooks]]) — the
+    * [[ccnetBucketStream]] serving split: constant-size trained
+    * artifacts ride as literals, the stream does zero joins, zero
+    * shuffles, zero state, so rows emit immediately at any rate.
+    * Value-identical to the batch [[graft.ext.ProductQuantize.encodeAgainst]]
+    * (same argmin, same ties; spec-pinned).
+    * `vecs` must carry (vec_id, codes array<long> of 64). */
+  def pqEncodeStream(vecs: DataFrame,
+      books: IndexedSeq[Seq[(Long, Seq[Long])]]): DataFrame =
+    vecs
+      .withColumn("enc", graft.ext.ProductQuantize.pqEncodeExpr(books, col("codes")))
+      .select(col("vec_id"), col("enc.pq0").as("pq0"), col("enc.pq1").as("pq1"),
+        col("enc.pq2").as("pq2"), col("enc.pq3").as("pq3"),
+        col("enc.recon_dist2").as("recon_dist2"))
+
   final case class CusumEventT(userId: Long, us: Long, eventId: Long,
     cents: Long, target: Long)
   final case class CusumAlarm(userId: Long, eventId: Long, sAtAlarm: Long,

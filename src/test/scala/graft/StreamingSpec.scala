@@ -780,4 +780,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.exists(_._3 == 1))
     assert(streamed === batch, "stream/batch image dedup divergence")
   }
+
+  test("streaming PQ encode matches the batch frozen-codebook encode (q166 twin)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ext.{ProductQuantize, Quantize}
+    val codes = Quantize.sq8Codes(
+        Tables.load(spark, sf, "embeddings"), "vec_id", "embedding")
+      .localCheckpoint(true)
+    val old = codes.filter($"id" % 10 =!= 0)
+    val fresh = codes.filter($"id" % 10 === 0)
+    val books = ProductQuantize.codebooksFromFits(ProductQuantize.subspaceFits(old))
+    val lit = ProductQuantize.collectBooks(books)
+    val freshRows = fresh.select($"id", $"codes").as[(Long, Array[Long])].collect()
+    val input = MemoryStream[(Long, Array[Long])]
+    val stream = input.toDF().toDF("vec_id", "codes")
+    val q = Streaming.pqEncodeStream(stream, lit)
+      .writeStream.format("memory").queryName("pq_enc").outputMode("append").start()
+    try {
+      input.addData(freshRows: _*)
+      q.processAllAvailable() // stateless: rows emit without a watermark
+    } finally q.stop()
+    val streamed = spark.table("pq_enc")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val batch = ProductQuantize.encodeAgainst(fresh, books)
+      .select($"id", element_at($"pq", 1), element_at($"pq", 2),
+        element_at($"pq", 3), element_at($"pq", 4), $"recon_dist2")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch, "stream/batch PQ encode divergence")
+  }
 }

@@ -56,8 +56,31 @@ class VectorIndexStoreSpec extends SparkSpec {
     assertSame("re-encode", fromTraining, fromFrozen)
   }
 
+  test("ivfPqAdd of indexed vectors reproduces their stored assignments") {
+    val built = ProductQuantize.ivfPqIndex(codes)
+    val path = VectorIndexStore.defaultPath(sf + "#spec-add", "ivfpq")
+    VectorIndexStore.writeIvfPq(built, path)
+    val loaded = VectorIndexStore.readIvfPq(spark, path)
+    val (_, asg, _, enc) = loaded
+    // re-adding vectors the index was BUILT on must land them in the
+    // same coarse cell with the same residual codewords — the add path
+    // is a continuation of construction, not a different quantizer
+    val sample = codes.filter($"id" % 7 === 0)
+    val added = ProductQuantize.ivfPqAdd(sample, loaded).localCheckpoint(true)
+    val coarseDrift = added.select($"id", $"coarse")
+      .except(asg.select($"id", $"coarse"))
+    assert(coarseDrift.isEmpty, "coarse re-assignment drifted from the stored asg part")
+    val encStored = enc.join(sample.select($"id"), "id")
+      .groupBy($"id")
+      .agg(transform(array_sort(collect_list(struct($"sub", $"cluster"))),
+        s => s("cluster")).as("pq"))
+    val pqDrift = added.select($"id", $"pq").except(encStored)
+    assert(pqDrift.isEmpty, "residual re-encode drifted from the stored enc part")
+  }
+
   test("q165/q166 gated queries return rows with scalar-only schemas") {
-    for (name <- Seq("q165_persisted_probe", "q166_frozen_encode")) {
+    for (name <- Seq("q165_persisted_probe", "q166_frozen_encode",
+        "q167_ivfpq_add")) {
       val df = SparkEntry.queries(name)(spark, sf)
       assert(df.schema.fields.forall(f =>
         !f.dataType.typeName.contains("array")), s"$name: non-scalar output")
