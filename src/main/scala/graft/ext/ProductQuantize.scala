@@ -161,6 +161,23 @@ object ProductQuantize {
         col("pq"), col("recon_dist2"))
   }
 
+  /** DELETE a set of vector ids from an IVF-PQ index: anti-join the
+    * corpus-sized `asg`/`enc` parts against the delete list; the
+    * broadcast-sized centroid/codebook parts are untouched — deletion
+    * never retrains (a shrunken cell's codewords merely cover more
+    * space than they need until the recon_dist2 drift signal schedules
+    * the next retrain). The delete list is a DataFrame, not a literal
+    * (takedown batches arrive as data): at scale the anti-join is a
+    * plain keyed shuffle, and AQE turns it into a broadcast when the
+    * batch is small. */
+  def ivfPqDelete(index: (DataFrame, DataFrame, DataFrame, DataFrame),
+      deletes: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (coarse, asg, books, enc) = index
+    val del = deletes.select(col("id")).distinct()
+    (coarse, asg.join(del, Seq("id"), "left_anti"), books,
+      enc.join(del, Seq("id"), "left_anti"))
+  }
+
   /** Collect a (sub, cluster, d, m) codebook table into per-subspace
     * literal centroid lists — the constant-size (M·K·SubDim integers)
     * driver artifact [[pqEncodeExpr]] embeds, so a stateless stream

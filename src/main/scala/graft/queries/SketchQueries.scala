@@ -879,6 +879,99 @@ object SketchQueries {
       |ORDER BY vec_id""".stripMargin
   }
 
+  /** The compacted (version-2) persisted index: version 1
+    * ([[sharedOldIvfPq]]) minus the retraction slice (id % 7 = 0 — a
+    * takedown batch), deleted via [[graft.ext.ProductQuantize.ivfPqDelete]],
+    * written to its own parquet location and handed back LOADED — so
+    * q168's report provably reads the compacted storage, never the
+    * in-memory diff. Dependencies resolved BEFORE entering the cache
+    * slot (the nest-safe discipline). */
+  private[queries] def sharedCompactedOldIvfPq(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val v1 = sharedOldIvfPq(s, dir) // resolve BEFORE entering the cache
+    vcached(s, dir, "ivfpq_old_v2_persisted") {
+      val deletes = v1._2.filter(col("id") % 7 === 0).select(col("id"))
+      val v2 = graft.ext.ProductQuantize.ivfPqDelete(v1, deletes)
+      val path = graft.ext.VectorIndexStore.defaultPath(dir, "ivfpq_old_v2")
+      graft.ext.VectorIndexStore.writeIvfPq(v2, path)
+      graft.ext.VectorIndexStore.readIvfPq(s, path)
+    }
+  }
+
+  /** q168: index DELETE + COMPACT — the retraction pass that completes
+    * the persisted index's lifecycle (build/probe q165, frozen-book
+    * encode q166, add q167, delete here): a takedown batch (id % 7 = 0
+    * of the standing corpus) is anti-joined out of the index's
+    * corpus-sized `asg`/`enc` parquet parts and the compacted index is
+    * written as version 2, codebooks untouched (deletion never
+    * retrains). The report diffs the two LOADED index versions — per
+    * coarse cell: vectors remaining, vectors dropped (v1 ∖ v2, an
+    * anti-join of the two storage generations), and an exact integer
+    * checksum over the surviving compressed codewords
+    * (Σ (sub+1)·(codeword+1)) proving the `enc` rows that remain are
+    * bit-identical to what the build wrote. The oracle retrains coarse
+    * + residual chains from the raw tables and replays the deletion,
+    * so a green hash certifies the whole delete→compact→reload round
+    * trip. Scale shape: two anti-joins and three keyed aggregations
+    * over corpus-sized parts, output = K cells. */
+  def q168IndexCompact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (coarse1, asg1, _, _) = sharedOldIvfPq(s, dir)
+    val (_, asg2, _, enc2) = sharedCompactedOldIvfPq(s, dir)
+    val cells = coarse1.select($"cluster".as("coarse")).distinct()
+    val kept = asg2.groupBy($"coarse").agg(count(lit(1)).as("n_kept"))
+    val dropped = asg1.join(asg2.select($"id"), Seq("id"), "left_anti")
+      .groupBy($"coarse").agg(count(lit(1)).as("n_dropped"))
+    val chk = enc2.join(asg2, "id")
+      .groupBy($"coarse")
+      .agg(sum(($"sub" + 1) * ($"cluster" + 1)).as("enc_checksum"))
+    cells.join(kept, Seq("coarse"), "left")
+      .join(dropped, Seq("coarse"), "left")
+      .join(chk, Seq("coarse"), "left")
+      .select($"coarse",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"n_dropped", lit(0L)).as("n_dropped"),
+        coalesce($"enc_checksum", lit(0L)).as("enc_checksum"))
+      .orderBy($"coarse")
+  }
+
+  val q168Sql: String = {
+    val pq = graft.ext.ProductQuantize
+    val shift = pq.ResidShift
+    val residChains = (0 until pq.NumSub).map { m =>
+      val off = m * pq.SubDim
+      lloydChainSql(m.toString,
+        s"SELECT id, d - $off AS d, c FROM er WHERE d > $off AND d <= ${off + pq.SubDim}")
+    }.mkString(",\n")
+    s"""WITH $sq8CodesSql,
+      |ocodes AS MATERIALIZED (SELECT * FROM codes WHERE vec_id % 10 <> 0),
+      |${seedCandSqlFrom("ocodes")},
+      |${lloydChainSql("g",
+        "SELECT vec_id AS id, d, cs[d] AS c FROM ocodes, generate_series(1, 64) AS t(d)")},
+      |er AS MATERIALIZED (SELECT e.id, e.d, e.c - c.m + $shift AS c
+      |  FROM eg e JOIN fg f ON e.id = f.id
+      |  JOIN cbg c ON c.cluster = f.cluster AND c.d = e.d),
+      |$residChains,
+      |keepasg AS (SELECT id, cluster FROM fg WHERE id % 7 <> 0),
+      |dropasg AS (SELECT id, cluster FROM fg WHERE id % 7 = 0),
+      |kn AS (SELECT cluster, COUNT(*) AS n FROM keepasg GROUP BY cluster),
+      |dn AS (SELECT cluster, COUNT(*) AS n FROM dropasg GROUP BY cluster),
+      |chk AS (SELECT k.cluster,
+      |    SUM(1*(f0.cluster+1) + 2*(f1.cluster+1) + 3*(f2.cluster+1) + 4*(f3.cluster+1)) AS s
+      |  FROM keepasg k JOIN f0 ON k.id = f0.id JOIN f1 ON k.id = f1.id
+      |    JOIN f2 ON k.id = f2.id JOIN f3 ON k.id = f3.id
+      |  GROUP BY k.cluster),
+      |cells AS (SELECT DISTINCT cluster FROM cbg)
+      |SELECT CAST(c.cluster AS BIGINT) AS coarse,
+      |  CAST(COALESCE(kn.n, 0) AS BIGINT) AS n_kept,
+      |  CAST(COALESCE(dn.n, 0) AS BIGINT) AS n_dropped,
+      |  CAST(COALESCE(chk.s, 0) AS BIGINT) AS enc_checksum
+      |FROM cells c LEFT JOIN kn ON c.cluster = kn.cluster
+      |  LEFT JOIN dn ON c.cluster = dn.cluster
+      |  LEFT JOIN chk ON c.cluster = chk.cluster
+      |ORDER BY coarse""".stripMargin
+  }
+
   /** q122: count-min sketch — per-term frequency estimates from a
     * fixed 4×32 counter matrix beside the exact counts. The build's
     * shuffle is constant-size (≤ 128 partials per partition, map-side
@@ -1137,7 +1230,8 @@ object SketchQueries {
     "q164_ivfpq_recall" -> (q164IvfPqRecall _),
     "q165_persisted_probe" -> (q165PersistedProbe _),
     "q166_frozen_encode" -> (q166FrozenEncode _),
-    "q167_ivfpq_add" -> (q167IvfPqAdd _))
+    "q167_ivfpq_add" -> (q167IvfPqAdd _),
+    "q168_index_compact" -> (q168IndexCompact _))
 
   val oracle: Map[String, String] = Map(
     "q152_hist_quantiles" -> q152Sql,
@@ -1156,5 +1250,6 @@ object SketchQueries {
     "q164_ivfpq_recall" -> q164Sql,
     "q165_persisted_probe" -> q165Sql,
     "q166_frozen_encode" -> q166Sql,
-    "q167_ivfpq_add" -> q167Sql)
+    "q167_ivfpq_add" -> q167Sql,
+    "q168_index_compact" -> q168Sql)
 }

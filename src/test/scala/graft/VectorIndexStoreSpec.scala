@@ -78,9 +78,35 @@ class VectorIndexStoreSpec extends SparkSpec {
     assert(pqDrift.isEmpty, "residual re-encode drifted from the stored enc part")
   }
 
+  test("ivfPqDelete compacts asg/enc, leaves codebooks, round-trips") {
+    val built = ProductQuantize.ivfPqIndex(codes)
+    val deletes = built._2.filter($"id" % 5 === 0).select($"id")
+      .localCheckpoint(true)
+    val nDel = deletes.count()
+    assert(nDel > 0, "vacuous: delete batch is empty")
+    val compacted = ProductQuantize.ivfPqDelete(built, deletes)
+    // codebook parts untouched; corpus parts lose exactly the deletes
+    assertSame("coarse", built._1, compacted._1)
+    assertSame("books", built._3, compacted._3)
+    assert(compacted._2.count() == built._2.count() - nDel,
+      "asg: compacted count is not v1 minus deletes")
+    assert(compacted._4.count() ==
+      built._4.count() - nDel * ProductQuantize.NumSub,
+      "enc: compacted count is not v1 minus deletes")
+    assert(compacted._2.join(deletes, "id").isEmpty &&
+      compacted._4.join(deletes, "id").isEmpty,
+      "a deleted id survived compaction")
+    // surviving rows are bit-identical after a parquet round trip
+    val path = VectorIndexStore.defaultPath(sf + "#spec-del", "ivfpq")
+    VectorIndexStore.writeIvfPq(compacted, path)
+    val loaded = VectorIndexStore.readIvfPq(spark, path)
+    assertSame("asg v2", compacted._2, loaded._2)
+    assertSame("enc v2", compacted._4, loaded._4)
+  }
+
   test("q165/q166 gated queries return rows with scalar-only schemas") {
     for (name <- Seq("q165_persisted_probe", "q166_frozen_encode",
-        "q167_ivfpq_add")) {
+        "q167_ivfpq_add", "q168_index_compact")) {
       val df = SparkEntry.queries(name)(spark, sf)
       assert(df.schema.fields.forall(f =>
         !f.dataType.typeName.contains("array")), s"$name: non-scalar output")
