@@ -48,6 +48,9 @@ object PlanAudit {
     // DSIR lift table: one-row token-totals scalar agg broadcast onto
     // the 64-row bucket stats (the q86/q104 class — constant-size)
     "q144_dsir_mix" -> Set(SinglePartition, Bnlj),
+    // NB training globals: the 1-row (d_bits, prior_bits) scalar agg
+    // broadcast onto the scored docs (the q80/q86 one-row-total class)
+    "q169_nb_quality" -> Set(SinglePartition, Bnlj),
     // final rank window over the checkpointed 100-row TakeOrdered
     // top-k (the q128 class); the top-k itself is map-side partial
     "q150_dsir_topk" -> Set(SinglePartition),

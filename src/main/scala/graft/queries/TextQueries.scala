@@ -322,8 +322,12 @@ object TextQueries {
   }
 
 
-  val q157Sql: String =
-    """WITH toks AS (SELECT doc_id,
+  /** The q157 rule-gate CTE chain (toks → st → m → r → gate) — shared
+    * verbatim by q157's output and q169's training labels, so the
+    * teacher gate and its replay can never fork. Emits `toks`
+    * (doc_id, t) and `gate` (doc_id, stats, rule flags, keep). */
+  private val gateCtesSql: String =
+    """toks AS (SELECT doc_id,
       |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
       |         ELSE string_split_regex(trim(text), '\s+') END AS t
       |  FROM documents),
@@ -344,12 +348,79 @@ object TextQueries {
       |    CASE WHEN n_sym * 10 < n_words THEN 1 ELSE 0 END AS r_sym,
       |    CASE WHEN n_alpha * 10 > n_words * 8 THEN 1 ELSE 0 END AS r_alpha,
       |    CASE WHEN n_stopset >= 2 THEN 1 ELSE 0 END AS r_stop
-      |  FROM m)
-      |SELECT doc_id, n_words, n_sym, n_alpha, n_stopset, mwl_milli,
+      |  FROM m),
+      |gate AS (SELECT doc_id, n_words, n_sym, n_alpha, n_stopset, mwl_milli,
       |  r_words, r_mwl, r_sym, r_alpha, r_stop,
       |  CASE WHEN r_words + r_mwl + r_sym + r_alpha + r_stop = 5
       |       THEN 1 ELSE 0 END AS keep
-      |FROM r ORDER BY doc_id""".stripMargin
+      |FROM r)""".stripMargin
+
+  val q157Sql: String =
+    s"""WITH $gateCtesSql
+      |SELECT * FROM gate ORDER BY doc_id""".stripMargin
+
+  /** q169: distilled Naive-Bayes quality classifier
+    * ([[graft.ext.NbClassifier]]) — the CCNet/DCLM move of training a
+    * cheap linear classifier on a labeled proxy and scoring everything
+    * with it: the q157 rule gate is the TEACHER (its keep verdicts on
+    * the standing slice, doc_id % 10 ≠ 0, are the training labels) and
+    * multinomial NB with add-one smoothing on integer bit-length logs
+    * is the student, scoring the ARRIVAL slice (doc_id % 10 = 0) the
+    * teacher never trained on. Output per arrival: token count, the
+    * integer score, the NB verdict, the rule gate's own verdict on the
+    * same doc, and their agreement — the generalization report a
+    * pipeline operator reads before swapping the classifier in front
+    * of the rule gate. All integers (bitlen = length(bin(x)), the q86
+    * discipline), so DuckDB replays training AND scoring bit-exactly. */
+  def q169NbQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val gate = graft.ext.QualityGate.gopherGate(docs, "doc_id", "text")
+      .select($"doc_id", $"keep")
+    val (w, g) = graft.ext.NbClassifier.trainWeights(
+      docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text",
+      gate.filter($"doc_id" % 10 =!= 0))
+    graft.ext.NbClassifier.score(docs.filter($"doc_id" % 10 === 0),
+        "doc_id", "text", w, g)
+      .withColumnRenamed("id", "doc_id")
+      .join(gate.withColumnRenamed("keep", "rule_keep"), "doc_id")
+      .withColumn("agree", ($"nb_keep" === $"rule_keep").cast("int"))
+      .select($"doc_id", $"n_tokens", $"score_bits", $"nb_keep",
+        $"rule_keep", $"agree")
+      .orderBy($"doc_id")
+  }
+
+  val q169Sql: String =
+    s"""WITH $gateCtesSql,
+      |lab AS (SELECT doc_id, keep FROM gate WHERE doc_id % 10 <> 0),
+      |occ AS (SELECT doc_id, unnest(t) AS tok FROM toks WHERE doc_id % 10 <> 0),
+      |jt AS (SELECT o.tok, l.keep FROM occ o JOIN lab l USING (doc_id)),
+      |tc AS (SELECT tok, CAST(SUM(keep) AS BIGINT) AS c1,
+      |    CAST(SUM(1 - keep) AS BIGINT) AS c0 FROM jt GROUP BY tok),
+      |w AS (SELECT tok, CAST(length(bin(c1 + 1)) AS BIGINT)
+      |    - CAST(length(bin(c0 + 1)) AS BIGINT) AS w_bits FROM tc),
+      |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c0) AS BIGINT) AS n0,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM tc),
+      |dc AS (SELECT CAST(SUM(keep) AS BIGINT) AS nd1,
+      |    CAST(SUM(1 - keep) AS BIGINT) AS nd0 FROM lab),
+      |pri AS (SELECT CAST(length(bin(n0 + v)) AS BIGINT)
+      |    - CAST(length(bin(n1 + v)) AS BIGINT) AS d_bits,
+      |  CAST(length(bin(nd1)) AS BIGINT)
+      |    - CAST(length(bin(nd0)) AS BIGINT) AS prior_bits FROM tot, dc),
+      |arr AS (SELECT doc_id, t FROM toks WHERE doc_id % 10 = 0),
+      |aocc AS (SELECT doc_id, unnest(t) AS tok FROM arr),
+      |ws AS (SELECT a.doc_id, CAST(SUM(COALESCE(w.w_bits, 0)) AS BIGINT) AS w_sum
+      |  FROM aocc a LEFT JOIN w USING (tok) GROUP BY a.doc_id),
+      |sc AS (SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_tokens,
+      |    CAST(p.prior_bits + len(b.t) * p.d_bits + COALESCE(s.w_sum, 0) AS BIGINT)
+      |      AS score_bits
+      |  FROM arr b LEFT JOIN ws s USING (doc_id), pri p)
+      |SELECT s.doc_id, s.n_tokens, s.score_bits,
+      |  CASE WHEN s.score_bits > 0 THEN 1 ELSE 0 END AS nb_keep,
+      |  g.keep AS rule_keep,
+      |  CASE WHEN (CASE WHEN s.score_bits > 0 THEN 1 ELSE 0 END) = g.keep
+      |       THEN 1 ELSE 0 END AS agree
+      |FROM sc s JOIN gate g USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** q159: incremental block dedup — q156's ingest form
     * ([[Dedup.blockDedupAgainstCorpus]]): even doc_ids form the known
@@ -908,6 +979,7 @@ object TextQueries {
     "q155_containment_probe" -> (q155ContainmentProbe _),
     "q156_block_dedup" -> (q156BlockDedup _),
     "q157_gopher_gate" -> (q157GopherGate _),
+    "q169_nb_quality" -> (q169NbQuality _),
     "q159_block_dedup_incr" -> (q159BlockDedupIncr _),
     "q163_tfidf_keywords" -> (q163TfidfKeywords _),
     "q139_novelty" -> (q139Novelty _),
@@ -928,6 +1000,7 @@ object TextQueries {
     "q155_containment_probe" -> q155Sql,
     "q156_block_dedup" -> q156Sql,
     "q157_gopher_gate" -> q157Sql,
+    "q169_nb_quality" -> q169Sql,
     "q159_block_dedup_incr" -> q159Sql,
     "q163_tfidf_keywords" -> q163Sql,
     "q139_novelty" -> q139Sql,

@@ -685,6 +685,41 @@ object Streaming {
         col("t.score").as("score"))
   }
 
+  /** Streaming NB quality scoring — q169's deployment split (the
+    * [[tfidfKeywordStream]] discipline): the vocab-sized weight table
+    * ([[graft.ext.NbClassifier.trainWeights]]) arrives static, the two
+    * global integers (per-occurrence constant D and the class prior)
+    * ride as literals — they are the ENTIRE non-vocabulary training
+    * artifact, so serving state is one static table and two numbers.
+    * Each arrival folds its term frequencies row-locally (one hashed
+    * `token_counts` pass), left-joins the static weights (a token the
+    * training corpus never saw carries weight 0 — exactly the batch
+    * scorer's smoothing-constant algebra), and ONE windowed per-doc
+    * aggregation emits (doc_id, n_tokens, score_bits, nb_keep)
+    * bit-identical to [[graft.ext.NbClassifier.score]] (spec-pinned).
+    * Zero-token docs survive via explode_outer and score prior-only.
+    * Same unique-doc-per-window assumption as [[tfidfKeywordStream]]:
+    * redelivering sources must dedupe upstream. */
+  def nbScoreStream(docs: DataFrame, weights: DataFrame,
+      dBits: Long, priorBits: Long): DataFrame = {
+    val tf = docs
+      .withWatermark("event_time", "10 minutes")
+      .select(col("doc_id"), col("event_time"),
+        explode_outer(graft.functions.GraftFunctions.tokenCounts(
+          graft.functions.TextFunctions.tokens(col("text")))).as("p"))
+      .select(col("doc_id"), col("event_time"),
+        col("p.token").as("token"), col("p.tf").as("tf"))
+    tf.join(weights.withColumnRenamed("tok", "token"), Seq("token"), "left_outer")
+      .groupBy(window(col("event_time"), "10 minutes"), col("doc_id"))
+      .agg(sum(coalesce(col("tf"), lit(0L))).as("n_tokens"),
+        sum(coalesce(col("tf"), lit(0L)) * coalesce(col("w_bits"), lit(0L)))
+          .as("w_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        (lit(priorBits) + col("n_tokens") * lit(dBits) + col("w_sum"))
+          .as("score_bits"))
+      .withColumn("nb_keep", (col("score_bits") > 0).cast("int"))
+  }
+
   final case class GapEvent(userId: Long, day: Long, cents: Long,
     eventTime: java.sql.Timestamp)
   final case class GapRow(userId: Long, day: Long, nEvents: Long,

@@ -604,6 +604,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === expect, "stream/batch tfidf keyword divergence")
   }
 
+  test("streaming NB scores match the batch classifier (q169 twin)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.load(spark, sf, "documents")
+    // offline training: rule-gate labels on the standing slice
+    val gate = graft.ext.QualityGate.gopherGate(docs, "doc_id", "text")
+      .select($"doc_id", $"keep")
+    val (w, g) = graft.ext.NbClassifier.trainWeights(
+      docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text",
+      gate.filter($"doc_id" % 10 =!= 0))
+    val weights = w.localCheckpoint(true)
+    val gRow = g.collect().head
+    val (dBits, priorBits) = (gRow.getLong(0), gRow.getLong(1))
+    val arrivals = docs.filter($"doc_id" % 10 === 0)
+    val batch = graft.ext.NbClassifier.score(
+      arrivals, "doc_id", "text", weights, g)
+    val fresh = arrivals.select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "event_time")
+    val q = Streaming.nbScoreStream(stream, weights, dBits, priorBits)
+      .writeStream.format("memory").queryName("nb_stream")
+      .outputMode("append").start()
+    try {
+      val t0 = 1000000L
+      input.addData(fresh.map { case (id, tx) =>
+        (id, tx, new java.sql.Timestamp(t0)) }: _*)
+      q.processAllAvailable()
+      input.addData((999999999L, "sentinel words flow on",
+        new java.sql.Timestamp(t0 + 3600L * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("nb_stream")
+      .filter($"doc_id" =!= 999999999L)
+      .select($"doc_id", $"n_tokens", $"score_bits", $"nb_keep")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val expect = batch
+      .select($"id", $"n_tokens", $"score_bits", $"nb_keep")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === expect, "stream/batch NB score divergence")
+  }
+
   test("streaming CUSUM alarms match the batch fold's count and first alarm (q160 twin)") {
     import Streaming.{CusumAlarm, CusumEventT}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

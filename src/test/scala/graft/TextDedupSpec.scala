@@ -167,6 +167,31 @@ class TextDedupSpec extends SparkSpec {
     assert(out2 == Set((1L, 1L), (2L, 1L)))
   }
 
+  test("NB classifier: integer weights, globals, and scoring edge cases") {
+    val train = Seq((1L, "good good fine"), (2L, "good nice"),
+      (3L, "bad bad awful"), (4L, "bad fine")).toDF("doc_id", "text")
+    val labels = Seq((1L, 1), (2L, 1), (3L, 0), (4L, 0)).toDF("doc_id", "keep")
+    val (w, g) = graft.ext.NbClassifier.trainWeights(
+      train, "doc_id", "text", labels)
+    // w(t) = bitlen(c1+1) − bitlen(c0+1): good (3,0)→3−1, nice (1,0)→2−1,
+    // fine (1,1)→0, bad (0,3)→1−3, awful (0,1)→1−2
+    val wm = w.as[(String, Long)].collect().toMap
+    assert(wm == Map("good" -> 2L, "nice" -> 1L, "fine" -> 0L,
+      "bad" -> -2L, "awful" -> -1L), s"weights: $wm")
+    // balanced classes: n1=n0=5, v=5, nd1=nd0=2 → D = prior = 0
+    val gRow = g.collect().head
+    assert(gRow.getLong(0) == 0L && gRow.getLong(1) == 0L, s"globals: $gRow")
+    val score = graft.ext.NbClassifier.score(
+      Seq((10L, "good fine"), (11L, "bad bad"), (12L, ""), (13L, "zzz qqq"))
+        .toDF("doc_id", "text"), "doc_id", "text", w, g)
+      .select($"id", $"n_tokens", $"score_bits", $"nb_keep")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(score(0) == ((10L, 2L, 2L, 1)), s"keep-ish doc: ${score(0)}")
+    assert(score(1) == ((11L, 2L, -4L, 0)), s"reject-ish doc: ${score(1)}")
+    assert(score(2) == ((12L, 0L, 0L, 0)), s"empty doc scores prior: ${score(2)}")
+    assert(score(3) == ((13L, 2L, 0L, 0)), s"unseen tokens add D only: ${score(3)}")
+  }
+
   test("gopherGate rules fire independently and compose into keep") {
     val pass = (Seq("the", "a") ++ (1 to 58).map(i => s"word$i")).mkString(" ")
     val short = "the a tiny doc"                            // fails word count
