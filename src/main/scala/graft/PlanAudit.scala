@@ -51,6 +51,11 @@ object PlanAudit {
     // NB training globals: the 1-row (d_bits, prior_bits) scalar agg
     // broadcast onto the scored docs (the q80/q86 one-row-total class)
     "q169_nb_quality" -> Set(SinglePartition, Bnlj),
+    // calibration table build: cumulative walk over the (sources ×
+    // buckets)-bounded global histogram (the q83 class) + its 1-row
+    // grand-total broadcast (the q80/q86 class); the corpus-sized
+    // surprisal stage sits behind the eager checkpoint
+    "q171_score_calibration" -> Set(SinglePartition, Bnlj),
     // final rank window over the checkpointed 100-row TakeOrdered
     // top-k (the q128 class); the top-k itself is map-side partial
     "q150_dsir_topk" -> Set(SinglePartition),

@@ -67,6 +67,38 @@ object MinHashLsh {
   private def bandSlice(sig: Column, b: Int): Column =
     slice(sig, b * RowsPerBand + 1, RowsPerBand)
 
+  /** [[bandedIndex]] with passenger columns carried through — a
+    * stream-side probe needs its event_time (for the window) and
+    * source tag on the banded row, and the static corpus index can
+    * carry its source tag so the matrix join needs no second id-keyed
+    * lookup. Stream-safe: row-local signature + explode, no state. */
+  def bandedIndexWith(df: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String], n: Int = 8): DataFrame = {
+    graft.functions.VectorFunctions.registerMinhash(df.sparkSession, n, A, B, P)
+    val sigs = df.filter(length(col(textCol)) >= n)
+      .select(col(idCol).as("id") +: carry.map(col) :+
+        signature(col(textCol)).as("sig"): _*)
+    sigs.select(col("id") +: carry.map(col) :+ col("sig") :+
+        explode(array((0 until Bands).map(b =>
+          struct(lit(b).as("band"),
+            slice(col("sig"), b * RowsPerBand + 1, RowsPerBand).as("bslice"))): _*))
+          .as("bs"): _*)
+      .select(col("id") +: carry.map(col) :+ col("sig") :+
+        col("bs.band").as("band") :+ col("bs.bslice").as("bslice"): _*)
+  }
+
+  /** Count of agreeing signature positions (16·est_sim, exact integer)
+    * — shared with the streaming overlap monitor so the estimate can
+    * never fork from [[nearDupPairs]]'s. */
+  private[graft] def sigMatches(a: Column, b: Column): Column =
+    (0 until K).map(i =>
+      when(element_at(a, i + 1) === element_at(b, i + 1), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** First-agreeing-band predicate over aliased sides `a`/`b` — exposed
+    * for the streaming probe (same multi-band dedup, no shuffle). */
+  private[graft] def firstMatchBandPred: Column = firstMatchPred
+
   /** Emit a colliding pair only at the FIRST agreeing band: all earlier
     * bands must disagree — a pure predicate over the two signatures
     * already in the join, so the candidate stream never pays a dedup
@@ -76,12 +108,9 @@ object MinHashLsh {
       when(col("a.band") > lit(bp), bandSlice(col("a.sig"), bp) =!= bandSlice(col("b.sig"), bp))
         .otherwise(lit(true))).reduce(_ && _)
 
-  private def estSim(pairs: DataFrame, leftId: String, rightId: String): DataFrame = {
-    val matches = (0 until K).map(i =>
-      when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1)
-        .otherwise(0)).reduce(_ + _)
-    pairs.select(col(leftId), col(rightId), (matches.cast("double") / K).as("est_sim"))
-  }
+  private def estSim(pairs: DataFrame, leftId: String, rightId: String): DataFrame =
+    pairs.select(col(leftId), col(rightId),
+      (sigMatches(col("sig_a"), col("sig_b")).cast("double") / K).as("est_sim"))
 
   /** Near-dup pairs with estimated similarity ≥ `minEstSim`.
     *

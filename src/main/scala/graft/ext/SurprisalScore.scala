@@ -131,4 +131,77 @@ object SurprisalScore {
     when(col("mb") <= col("t1"), "head")
       .when(col("mb") <= col("t2"), "middle")
       .otherwise("tail")
+
+  /** ECDF bucket width for [[sourceCalibration]] — the surprisal rate
+    * is quantized to `mb DIV CalibW` before ranking, so the serving
+    * artifact is a bounded (source, bucket) table a stream can join on
+    * EXACT keys (a fresh document's raw mb value need not have occurred
+    * in the reference corpus, but its bucket has a well-defined rank
+    * either way). */
+  val CalibW = 64L
+
+  /** Per-source score-calibration table from (srcCol, bkt) rows —
+    * (srcCol, bkt, src_pct_ppm, glob_pct_ppm, gap_ppm): for each
+    * source and score bucket, the exact fraction (in ppm, integer) of
+    * that source's documents scoring STRICTLY below the bucket, next
+    * to the same fraction over the whole corpus, and their difference.
+    * A source whose gap_ppm is systematically non-zero is mis-calibrated
+    * against the corpus-wide quality scale — the CCNet-style artifact a
+    * mixing pipeline consults before comparing scores ACROSS sources.
+    *
+    * Scale shape: ONE aggregation to a per-(source, bucket) histogram
+    * (bounded by sources × buckets, never documents), cumulative
+    * windows over those few rows, totals rolled up from the histogram
+    * itself — the [[ccnetThresholds]] discipline. The result is the
+    * vocabulary-sized offline artifact of the train/serve split;
+    * assignment (batch or stream) is a broadcast join + row-local
+    * arithmetic. */
+  def calibrationTable(bucketed: DataFrame, srcCol: String): DataFrame = {
+    val hist = bucketed.groupBy(col(srcCol), col("bkt")).agg(count(lit(1)).as("n"))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(col("bkt"))
+    val src = hist.withColumn("below", sum(col("n")).over(wSrc) - col("n"))
+    val srcTot = hist.groupBy(col(srcCol)).agg(sum(col("n")).as("tot"))
+    val srcPct = src.join(srcTot, Seq(srcCol))
+      .select(col(srcCol), col("bkt"),
+        expr("below * 1000000 DIV tot").as("src_pct_ppm"))
+    // the global histogram rolls up from the per-source one — no second
+    // pass over the corpus-sized scores
+    val ghist = hist.groupBy(col("bkt")).agg(sum(col("n")).as("gn"))
+    val wG = org.apache.spark.sql.expressions.Window.orderBy(col("bkt"))
+    val glob = ghist
+      .withColumn("gbelow", sum(col("gn")).over(wG) - col("gn"))
+      .crossJoin(broadcast(ghist.agg(sum(col("gn")).as("gtot"))))
+      .select(col("bkt"), expr("gbelow * 1000000 DIV gtot").as("glob_pct_ppm"))
+    srcPct.join(glob, Seq("bkt"))
+      .select(col(srcCol), col("bkt"), col("src_pct_ppm"), col("glob_pct_ppm"),
+        (col("src_pct_ppm") - col("glob_pct_ppm")).as("gap_ppm"))
+  }
+
+  /** (idCol, srcCol, mb, bkt) — the bucketed per-document surprisal
+    * rate joined back to its source, the input of [[calibrationTable]]
+    * and the per-doc side of the calibration join. Documents with no
+    * bigrams are excluded (no score to calibrate). Eagerly
+    * checkpointed: it feeds BOTH the histogram and the final
+    * assignment. */
+  def bucketedScores(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame =
+    tokenBigramSurprisal(df, idCol, textCol)
+      .filter(col("n_bigrams") > 0)
+      .select(col("id").as(idCol), col("millibits_per_gram").as("mb"))
+      .join(df.select(col(idCol), col(srcCol)), Seq(idCol))
+      .withColumn("bkt", expr(s"mb DIV $CalibW"))
+      .localCheckpoint(true)
+
+  /** Per-source score calibration (the full batch operator): every
+    * scored document mapped to its within-source and corpus-global
+    * ECDF position (integer ppm) plus the calibration gap. Output:
+    * (idCol, srcCol, mb, bkt, src_pct_ppm, glob_pct_ppm, gap_ppm). */
+  def sourceCalibration(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame = {
+    val scored = bucketedScores(df, idCol, textCol, srcCol)
+    scored.join(broadcast(calibrationTable(scored, srcCol)), Seq(srcCol, "bkt"))
+      .select(col(idCol), col(srcCol), col("mb"), col("bkt"),
+        col("src_pct_ppm"), col("glob_pct_ppm"), col("gap_ppm"))
+  }
 }

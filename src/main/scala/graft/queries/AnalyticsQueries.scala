@@ -21,16 +21,20 @@ object AnalyticsQueries {
     * orders⋈lineitem scan+join+distinct AND re-materializes the
     * vertex/degree tables, the dominant cold cost of the family under
     * the driver's one-shot-per-query contract. Entries persist for the
-    * session's lifetime (two bounded graphs: |E| ≪ lineitem, 16 bytes
-    * a row — the deliberate trade; a long-lived service would evict on
-    * source-data version change, keyed here by the data dir). */
+    * session's lifetime and evict once its context stops
+    * ([[SessionCaches.purgeStopped]]); two bounded graphs: |E| ≪
+    * lineitem, 16 bytes a row — the deliberate trade. A long-lived
+    * service would additionally evict on source-data version change,
+    * keyed here by the data dir. */
   private val graphCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), PageRank.Graph]()
 
   private def preparedGraph(s: SparkSession, dir: String, variant: String)(
-      edges: => DataFrame): PageRank.Graph =
+      edges: => DataFrame): PageRank.Graph = {
+    SessionCaches.purgeStopped(graphCache)(_._1)
     graphCache.computeIfAbsent((s, dir, variant),
       _ => PageRank.prepare(edges, prePartition = true))
+  }
 
   /** The full customer↔supplier purchase graph shared by q84 (global
     * PageRank) and q111 (personalized PageRank) — both directions,

@@ -259,8 +259,58 @@ object HashDedupQueries {
       |  CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) END AS recall_ppm
       |FROM c ORDER BY thr_ppm""".stripMargin
 
+  /** q170: cross-source near-duplicate overlap matrix — how much of
+    * each source pair duplicates each other, the question a corpus
+    * mixer asks before weighting sources (two crawl dumps that are 40%
+    * mutual near-dups are NOT two independent sources). Candidate pairs
+    * come from the SAME banded-LSH path as q20 (never all-pairs); each
+    * side joins to its source tag and the matrix aggregates to
+    * source-pair granularity: n_pairs and the exact integer sum of
+    * matching signature positions (sum_match16 = Σ est_sim·16, so
+    * avg similarity is recoverable without a float column). The pair
+    * key is orientation-normalized (least/greatest), so within-source
+    * duplication lands on the diagonal. Scale shape: banded bucket
+    * join → two id-keyed joins to the thin (id, source) projection →
+    * one aggregation to ≤ sources² rows. At petabyte scale the source
+    * tag would ride the banded index itself (+~10 B/row) and skip the
+    * two joins; the join form keeps the index artifact source-agnostic. */
+  def q170SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", n = 8, minEstSim = 0.5)
+    val src = docs.select($"doc_id", $"source")
+    pairs
+      .join(src.select($"doc_id".as("id_a"), $"source".as("src_a")), "id_a")
+      .join(src.select($"doc_id".as("id_b"), $"source".as("src_b")), "id_b")
+      .select(least($"src_a", $"src_b").as("source_a"),
+        greatest($"src_a", $"src_b").as("source_b"),
+        ($"est_sim" * 16).cast("long").as("m16"))
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"), sum($"m16").as("sum_match16"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val q170Sql: String =
+    s"""WITH $sigChainSql,
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
+      |est AS (SELECT id_a, id_b,
+      |  list_sum(list_transform(generate_series(1,16),
+      |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS m16
+      |  FROM cand JOIN sig sa ON cand.id_a = sa.id JOIN sig sb ON cand.id_b = sb.id),
+      |flt AS (SELECT * FROM est WHERE m16 * 2 >= 16),
+      |tagged AS (SELECT least(da.source, db.source) AS source_a,
+      |    greatest(da.source, db.source) AS source_b, flt.m16
+      |  FROM flt JOIN documents da ON flt.id_a = da.doc_id
+      |           JOIN documents db ON flt.id_b = db.doc_id)
+      |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+      |  CAST(SUM(m16) AS BIGINT) AS sum_match16
+      |FROM tagged GROUP BY source_a, source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_lsh_eval" -> (q137LshEval _),
+    "q170_source_overlap" -> (q170SourceOverlap _),
     "q147_lsh_roc" -> (q147LshRoc _),
     "q20_minhash_lsh" -> (q20MinHash _),
     "q21_simhash" -> (q21SimHash _),
@@ -269,6 +319,7 @@ object HashDedupQueries {
 
   val oracle: Map[String, String] = Map(
     "q137_lsh_eval" -> q137Sql,
+    "q170_source_overlap" -> q170Sql,
     "q147_lsh_roc" -> q147Sql,
     "q20_minhash_lsh" -> q20Sql,
     "q21_simhash" -> q21Sql,

@@ -20,10 +20,11 @@ object MiningQueries {
     * real pipeline computes once (the [[TextQueries]] shingle-cache /
     * [[SketchQueries]] vector-cache discipline). Hash-neutral:
     * consumers run identical operators over identical rows. Entries
-    * live for the process (the driver's one-process contract);
-    * `localCheckpoint` blocks are unrecoverable after executor loss —
-    * a long-lived service would persist to storage instead
-    * (the [[graft.ext.VectorIndexStore]] path). */
+    * live for the session and evict once its context stops
+    * ([[SessionCaches.purgeStopped]]); `localCheckpoint` blocks are
+    * unrecoverable after executor loss — a long-lived service would
+    * persist to storage instead (the [[graft.ext.VectorIndexStore]]
+    * path). */
   private val winnowCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
@@ -31,10 +32,12 @@ object MiningQueries {
     * (session, dir). Single-entry builder — never nests another
     * lookup on the same map (the [[SketchQueries]] recursive-update
     * lesson). */
-  private[queries] def sharedWinnowFps(s: SparkSession, dir: String): DataFrame =
+  private[queries] def sharedWinnowFps(s: SparkSession, dir: String): DataFrame = {
+    SessionCaches.purgeStopped(winnowCache)(_._1)
     winnowCache.computeIfAbsent((s, dir), _ =>
       graft.ext.Winnowing.fingerprints(
         Tables.load(s, dir, "documents"), "doc_id", "text").localCheckpoint(true))
+  }
 
   /** q86: integer surprisal per document — the perplexity-style quality
     * gate with the corpus's own token-bigram counts as the LM and
@@ -441,8 +444,62 @@ object MiningQueries {
       |          CROSS JOIN n
       |ORDER BY pk_a, pk_b""".stripMargin
 
+  /** q171: per-source score calibration — every scored document mapped
+    * to its within-source AND corpus-global ECDF position (exact
+    * integer ppm over [[SurprisalScore.CalibW]]-wide score buckets)
+    * plus the calibration gap between the two. Scores from different
+    * sources are NOT comparable raw (a source full of boilerplate
+    * scores uniformly low-surprisal); the gap column is what a mixing
+    * pipeline consults before applying one corpus-wide quality
+    * threshold across heterogeneous sources (the per-language
+    * normalization of CCNet, Wenzek et al. 2020, generalized to
+    * sources). Scale shape: one corpus aggregation to a
+    * (sources × buckets)-bounded histogram, cumulative windows over
+    * those few rows, broadcast join back — no per-source corpus sort;
+    * the serving table is the offline artifact of the train/serve
+    * split ([[graft.streaming.Streaming.calibrationStream]] consumes
+    * it statically). */
+  def q171ScoreCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SurprisalScore.sourceCalibration(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "source")
+      .orderBy($"doc_id")
+  }
+
+  val q171Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+      |        i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
+      |c AS (SELECT g, COUNT(*) AS c FROM g2 GROUP BY g),
+      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c),
+      |s AS (SELECT g2.doc_id, COUNT(*) AS nb,
+      |    CAST(SUM(CAST(length(bin(n.n_total)) AS BIGINT)
+      |             - CAST(length(bin(c.c)) AS BIGINT)) AS BIGINT) AS sb
+      |  FROM g2 JOIN c USING (g) CROSS JOIN n GROUP BY g2.doc_id),
+      |b AS (SELECT d.doc_id, d.source, CAST(s.sb * 1000 // s.nb AS BIGINT) AS mb,
+      |    CAST((s.sb * 1000 // s.nb) // 64 AS BIGINT) AS bkt
+      |  FROM documents d JOIN s USING (doc_id) WHERE s.nb > 0),
+      |hist AS (SELECT source, bkt, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      |src AS (SELECT source, bkt,
+      |    SUM(n) OVER (PARTITION BY source ORDER BY bkt) - n AS below FROM hist),
+      |stot AS (SELECT source, SUM(n) AS tot FROM hist GROUP BY 1),
+      |sp AS (SELECT src.source, src.bkt,
+      |    CAST(below * 1000000 // tot AS BIGINT) AS src_pct_ppm
+      |  FROM src JOIN stot USING (source)),
+      |gh AS (SELECT bkt, SUM(n) AS gn FROM hist GROUP BY 1),
+      |g AS (SELECT bkt, SUM(gn) OVER (ORDER BY bkt) - gn AS gbelow FROM gh),
+      |gt AS (SELECT SUM(gn) AS gtot FROM gh),
+      |gp AS (SELECT bkt, CAST(gbelow * 1000000 // gtot AS BIGINT) AS glob_pct_ppm
+      |  FROM g CROSS JOIN gt)
+      |SELECT b.doc_id, b.source, b.mb, b.bkt, sp.src_pct_ppm, gp.glob_pct_ppm,
+      |  sp.src_pct_ppm - gp.glob_pct_ppm AS gap_ppm
+      |FROM b JOIN sp ON b.source = sp.source AND b.bkt = sp.bkt
+      |       JOIN gp ON b.bkt = gp.bkt
+      |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_basket_rules" -> (q136BasketRules _),
+    "q171_score_calibration" -> (q171ScoreCalibration _),
     "q86_surprisal" -> (q86Surprisal _),
     "q158_ccnet_buckets" -> (q158CcnetBuckets _),
     "q87_hard_negatives" -> (q87HardNegatives _),
@@ -455,6 +512,7 @@ object MiningQueries {
 
   val oracle: Map[String, String] = Map(
     "q136_basket_rules" -> q136Sql,
+    "q171_score_calibration" -> q171Sql,
     "q86_surprisal" -> q86Sql,
     "q158_ccnet_buckets" -> q158Sql,
     "q87_hard_negatives" -> q87Sql,

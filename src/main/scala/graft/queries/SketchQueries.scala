@@ -27,8 +27,10 @@ object SketchQueries {
     * checkpointed codes (n×64 longs), the full-dim fit, the subspace
     * fits, and the IVF-PQ index — all bounded by the embeddings table,
     * hash-neutral (deterministic training: same input → same fixed
-    * point). A long-lived service would evict on source-data version
-    * change, keyed here by the data dir. */
+    * point). Entries evict once their session's context stops
+    * ([[SessionCaches.purgeStopped]]); a long-lived service would
+    * additionally evict on source-data version change, keyed here by
+    * the data dir. */
   private val vecCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), AnyRef]()
 
@@ -45,6 +47,7 @@ object SketchQueries {
     * eagerly-checkpointed values must not be built twice. */
   private def vcached[T <: AnyRef](s: SparkSession, dir: String, tag: String)(
       mk: => T): T = {
+    SessionCaches.purgeStopped(vecCache)(_._1)
     val key = (s, dir, tag)
     val hit = vecCache.get(key)
     if (hit != null) hit.asInstanceOf[T]

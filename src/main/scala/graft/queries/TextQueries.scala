@@ -23,19 +23,21 @@ object TextQueries {
     * pipeline computes once per corpus version (the
     * [[AnalyticsQueries]] graph-cache / [[SketchQueries]] vector-cache
     * discipline). Hash-neutral: consumers run the identical operators
-    * over the identical sets. Entries are keyed by SparkSession and
-    * live for the process (the driver's one-process contract) — a
-    * long-lived multi-session service would evict on session stop and
-    * persist the artifact instead ([[graft.ext.VectorIndexStore]]);
-    * `localCheckpoint` blocks are also unrecoverable after executor
-    * loss, another reason a real deployment prefers storage. */
+    * over the identical sets. Entries are keyed by SparkSession, live
+    * for the session, and evict once the owning session's context
+    * stops ([[SessionCaches.purgeStopped]] — the checkpoint blocks die
+    * with it); `localCheckpoint` blocks are also unrecoverable after
+    * executor loss, a reason a long-lived deployment would persist the
+    * artifact to storage instead ([[graft.ext.VectorIndexStore]]). */
   private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
-  private def sharedShingleSets(s: SparkSession, dir: String): DataFrame =
+  private def sharedShingleSets(s: SparkSession, dir: String): DataFrame = {
+    SessionCaches.purgeStopped(shingleCache)(_._1)
     shingleCache.computeIfAbsent((s, dir), _ =>
       Dedup.hashedShingleSets(Tables.load(s, dir, "documents"),
         "doc_id", "text", n = 8).localCheckpoint(true))
+  }
 
   /** q16: per-document text statistics — token counts, average token
     * length, stopword ratio, punctuation ratio, composite quality score.

@@ -640,6 +640,81 @@ object Streaming {
         SurprisalScore.bucketExpr.as("bucket"))
   }
 
+  /** Streaming cross-source overlap monitor — q170's ingest-side twin
+    * (the q120 probe discipline lifted to the source-pair matrix): the
+    * standing corpus arrives as its STATIC banded LSH index with the
+    * source tag riding each banded row
+    * ([[graft.ext.MinHashLsh.bandedIndexWith]] — ~200 B/doc, never
+    * text), each arriving document signs and bands itself row-locally,
+    * probes only its own buckets, and confirmed near-dup hits
+    * (est_sim ≥ 1/2, same first-agreeing-band dedup as batch) fold
+    * into a watermarked per-window source-pair matrix: (window_start,
+    * source_a, source_b, n_pairs, sum_match16). This is the live
+    * contamination dashboard a crawl operator watches — "the new dump
+    * is re-crawling source X" shows up as a swelling off-diagonal cell
+    * within minutes of ingest, not after the next batch job. ONE
+    * stateful op (the windowed count); the probe join is stateless
+    * stream-static. `docs` must carry (doc_id, source, text,
+    * event_time); same-id echoes of corpus docs are dropped like
+    * [[graft.ext.MinHashLsh.nearDupAgainstIndex]] does. */
+  def sourceOverlapStream(docs: DataFrame, index: DataFrame): DataFrame = {
+    import graft.ext.MinHashLsh
+    val fb = MinHashLsh.bandedIndexWith(
+      docs.withWatermark("event_time", "10 minutes"),
+      "doc_id", "text", Seq("source", "event_time"))
+    index.as("a").join(fb.as("b"),
+        col("a.band") === col("b.band") && col("a.bslice") === col("b.bslice") &&
+          col("a.id") =!= col("b.id") && MinHashLsh.firstMatchBandPred)
+      .select(col("b.event_time").as("event_time"),
+        least(col("a.source"), col("b.source")).as("source_a"),
+        greatest(col("a.source"), col("b.source")).as("source_b"),
+        MinHashLsh.sigMatches(col("a.sig"), col("b.sig")).as("m16"))
+      .filter(col("m16") * 2 >= MinHashLsh.K)
+      .groupBy(window(col("event_time"), "10 minutes"),
+        col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("m16")).cast("long").as("sum_match16"))
+      .select(col("window.start").as("window_start"),
+        col("source_a"), col("source_b"), col("n_pairs"), col("sum_match16"))
+  }
+
+  /** Streaming per-source score calibration — q171's deployment split
+    * (the ccnet-stream discipline): BOTH offline artifacts arrive
+    * static — the bigram LM `model` ([[graft.ext.SurprisalScore.bigramModel]],
+    * vocabulary-sized) and the calibration table `calib`
+    * ([[graft.ext.SurprisalScore.calibrationTable]], (sources ×
+    * buckets)-bounded) — and each arriving document needs one windowed
+    * per-doc aggregation (its surprisal fold) followed by two static
+    * joins and row-local integer arithmetic. The score is quantized to
+    * [[graft.ext.SurprisalScore.CalibW]]-wide buckets precisely so the
+    * serve-time lookup is an EXACT equi-join: a fresh document's raw mb
+    * value need not have occurred offline, but its bucket key has.
+    * A (source, bucket) pair the reference corpus never produced drops
+    * (inner join — no evidence to rank against, the tfidf-stream
+    * unseen-token case), so parity over training-corpus documents is
+    * exact (spec-pinned). `docs` must carry (doc_id, source, text,
+    * event_time). */
+  def calibrationStream(docs: DataFrame, model: DataFrame,
+      calib: DataFrame): DataFrame = {
+    import graft.ext.SurprisalScore
+    val occ = docs
+      .withWatermark("event_time", "10 minutes")
+      .select(col("doc_id"), col("source"), col("event_time"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("source"), col("event_time"),
+        explode(SurprisalScore.bigramArray(col("t"))).as("g"))
+    occ.join(model, Seq("g"))
+      .groupBy(window(col("event_time"), "10 minutes"),
+        col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(length(bin(col("n_total"))).cast("long") - length(bin(col("c"))).cast("long"))
+          .as("surprisal_bits"))
+      .withColumn("mb", expr("surprisal_bits * 1000 DIV n_bigrams"))
+      .withColumn("bkt", expr(s"mb DIV ${SurprisalScore.CalibW}"))
+      .join(broadcast(calib), Seq("source", "bkt"))
+      .select(col("doc_id"), col("source"), col("mb"), col("bkt"),
+        col("src_pct_ppm"), col("glob_pct_ppm"), col("gap_ppm"))
+  }
+
   /** Streaming TF-IDF keyword extraction — q163's deployment split
     * (the q158/q144 discipline): the rarity table
     * ([[graft.queries.TextQueries.tfidfRarity]] — (token, df, rarity),

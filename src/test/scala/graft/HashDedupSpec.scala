@@ -92,4 +92,23 @@ class HashDedupSpec extends SparkSpec {
     assert(inc == full, s"incremental=${inc.size} full-slice=${full.size}")
     assert(inc.nonEmpty, "fixture has no cross-split near-dups — weak test")
   }
+
+  test("q170 source-overlap matrix aggregates the LSH pair list exactly") {
+    val docs = Tables.load(spark, sf, "documents")
+    val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", minEstSim = 0.5)
+      .select($"id_a", $"id_b", $"est_sim")
+      .as[(Long, Long, Double)].collect()
+    val srcMap = docs.select($"doc_id", $"source")
+      .as[(Long, String)].collect().toMap
+    val expect = pairs.map { case (a, b, est) =>
+      val (sa, sb) = (srcMap(a), srcMap(b))
+      (if (sa <= sb) (sa, sb) else (sb, sa), math.round(est * 16))
+    }.groupBy(_._1).map { case ((sa, sb), vs) =>
+      (sa, sb, vs.length.toLong, vs.map(_._2).sum)
+    }.toSet
+    val got = graft.queries.HashDedupQueries.q170SourceOverlap(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got.nonEmpty, "fixture has no near-dup pairs — weak test")
+    assert(got == expect, "matrix diverges from the folded pair list")
+  }
 }

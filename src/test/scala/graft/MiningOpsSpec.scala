@@ -231,4 +231,25 @@ class MiningOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q171 calibration ppm ranks replay the bucketed-score ECDF") {
+    val docs = Tables.load(spark, sf, "documents")
+    val scored = SurprisalScore.bucketedScores(docs, "doc_id", "text", "source")
+      .select($"doc_id", $"source", $"mb", $"bkt")
+      .as[(Long, String, Long, Long)].collect()
+    val bySrc = scored.groupBy(_._2)
+    def ppm(below: Long, tot: Long): Long = below * 1000000L / tot
+    val n = scored.length.toLong
+    val got = graft.queries.MiningQueries.q171ScoreCalibration(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+    // every scored document survives the calibration join (the serving
+    // table covers exactly the training corpus's (source, bucket) keys)
+    assert(got.length == scored.length && got.nonEmpty)
+    got.foreach { case (_, src, _, bkt, sp, gp, gap) =>
+      val inSrc = bySrc(src)
+      assert(sp == ppm(inSrc.count(_._4 < bkt).toLong, inSrc.length.toLong))
+      assert(gp == ppm(scored.count(_._4 < bkt).toLong, n))
+      assert(gap == sp - gp)
+    }
+  }
 }

@@ -571,6 +571,97 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === expect, "stream/batch ccnet bucket divergence")
   }
 
+  test("streaming source-overlap matrix matches the batch probe fold (q170 twin)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsB = Tables.load(spark, sf, "documents")
+    val split = 250L
+    val corpus = docsB.filter($"doc_id" < split)
+    // the static corpus index with the source tag riding each row
+    val index = graft.ext.MinHashLsh
+      .bandedIndexWith(corpus, "doc_id", "text", Seq("source"))
+      .localCheckpoint(true)
+    val fresh = docsB.filter($"doc_id" >= split)
+      .select($"doc_id", $"text", $"source").as[(Long, String, String)].collect()
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "source", "event_time")
+    val q = Streaming.sourceOverlapStream(stream, index)
+      .writeStream.format("memory").queryName("overlap_stream")
+      .outputMode("append").start()
+    val t0 = 1000000L
+    try {
+      input.addData(fresh.map { case (id, tx, src) =>
+        (id, tx, src, new java.sql.Timestamp(t0)) }: _*)
+      q.processAllAvailable()
+      // far-future sentinel advances the watermark and closes the window
+      input.addData((999999999L, "sentinel words flow on", "srcX",
+        new java.sql.Timestamp(t0 + 3600L * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ws = new java.sql.Timestamp((t0 / 600000L) * 600000L)
+    val streamed = spark.table("overlap_stream")
+      .filter($"window_start" === ws)
+      .select($"source_a", $"source_b", $"n_pairs", $"sum_match16")
+      .as[(String, String, Long, Long)].collect().toSet
+    // batch probe of the same fresh slice, folded to the same matrix
+    val srcMap = docsB.select($"doc_id", $"source")
+      .as[(Long, String)].collect().toMap
+    val pairs = graft.ext.MinHashLsh.nearDupAgainstIndex(
+        docsB.filter($"doc_id" >= split), "doc_id", "text",
+        graft.ext.MinHashLsh.bandedIndex(corpus, "doc_id", "text"))
+      .select($"corpus_id", $"fresh_id", $"est_sim")
+      .as[(Long, Long, Double)].collect()
+    val expect = pairs.map { case (c, f, est) =>
+      val (sa, sb) = (srcMap(c), srcMap(f))
+      (if (sa <= sb) (sa, sb) else (sb, sa), math.round(est * 16))
+    }.groupBy(_._1).map { case ((sa, sb), vs) =>
+      (sa, sb, vs.length.toLong, vs.map(_._2).sum)
+    }.toSet
+    assert(streamed.nonEmpty, "no cross-split near-dups reached the monitor")
+    assert(streamed == expect, "stream/batch overlap matrix divergence")
+  }
+
+  test("streaming score calibration matches the batch ppm ranks (q171 twin)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsB = Tables.load(spark, sf, "documents")
+    // offline training: bigram LM + the (source, bucket) calibration
+    // table, both pinned static
+    val model = graft.ext.SurprisalScore.bigramModel(docsB, "doc_id", "text")
+      .localCheckpoint(true)
+    val scored = graft.ext.SurprisalScore
+      .bucketedScores(docsB, "doc_id", "text", "source")
+    val calib = graft.ext.SurprisalScore.calibrationTable(scored, "source")
+      .localCheckpoint(true)
+    val batch = graft.queries.MiningQueries.q171ScoreCalibration(spark, sf)
+    val fresh = docsB.orderBy($"doc_id").limit(40)
+      .select($"doc_id", $"text", $"source").as[(Long, String, String)].collect()
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "source", "event_time")
+    val q = Streaming.calibrationStream(stream, model, calib)
+      .writeStream.format("memory").queryName("calib_stream").outputMode("append").start()
+    try {
+      val t0 = 1000000L
+      input.addData(fresh.map { case (id, tx, src) =>
+        (id, tx, src, new java.sql.Timestamp(t0)) }: _*)
+      q.processAllAvailable()
+      // far-future sentinel advances the watermark and closes the window
+      input.addData((999999999L, "sentinel words flow on", "srcX",
+        new java.sql.Timestamp(t0 + 3600L * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("calib_stream")
+      .filter($"doc_id" =!= 999999999L)
+      .select($"doc_id", $"source", $"mb", $"bkt",
+        $"src_pct_ppm", $"glob_pct_ppm", $"gap_ppm")
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSet
+    val freshIds = fresh.map(_._1).toSet
+    val expect = batch.filter($"doc_id".isin(freshIds.toSeq: _*))
+      .select($"doc_id", $"source", $"mb", $"bkt",
+        $"src_pct_ppm", $"glob_pct_ppm", $"gap_ppm")
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === expect, "stream/batch calibration divergence")
+  }
+
   test("streaming TF-IDF keywords match the batch extraction (q163 twin)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // offline training: the rarity table over the full corpus
