@@ -39,7 +39,8 @@ object PlanAudit {
     "q80_heavy_hitters" -> Set(SinglePartition, Bnlj), // 1-row total recount
     "q82_join_card" -> Set(SinglePartition, Bnlj), // sketch-sum scalars
     "q83_power_hist" -> Set(SinglePartition), // cumulative walk over ≤64-row hist
-    "q86_surprisal" -> Set(SinglePartition, Bnlj), // corpus bigram total scalar
+    // (q86's former one-row-total flags sit behind the session-cached
+    // checkpointed surprisal table now — no entry)
     "q87_hard_negatives" -> Set(Bnlj), // broadcast query set, label-inequality
     "q91_group_hll" -> Set(Bnlj), // groups × 256-bucket skeleton
     "q94_text_ann" -> Set(Bnlj), // broadcast query set, non-equi (q22 class)
@@ -56,6 +57,13 @@ object PlanAudit {
     // grand-total broadcast (the q80/q86 class); the corpus-sized
     // surprisal stage sits behind the eager checkpoint
     "q171_score_calibration" -> Set(SinglePartition, Bnlj),
+    // same calibration-table build as q171 under a sources-bounded
+    // final aggregation
+    "q172_calibrated_gate" -> Set(SinglePartition, Bnlj),
+    // serve-time scoring: the LOADED one-row globals parquet broadcast
+    // onto the per-doc roll-up (the q169 class minus its in-plan
+    // training — the training-side SinglePartition is gone)
+    "q174_persisted_nb_score" -> Set(Bnlj),
     // final rank window over the checkpointed 100-row TakeOrdered
     // top-k (the q128 class); the top-k itself is map-side partial
     "q150_dsir_topk" -> Set(SinglePartition),

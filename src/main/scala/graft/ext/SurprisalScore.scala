@@ -90,12 +90,20 @@ object SurprisalScore {
     * with no bigrams are excluded (no rate to rank).
     * Output: (idCol, langCol, mb, bucket). */
   def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame =
+    ccnetBucketsFrom(tokenBigramSurprisal(df, idCol, textCol), df, idCol, langCol)
+
+  /** [[ccnetBuckets]] over an ALREADY-SCORED per-doc frame
+    * ([[tokenBigramSurprisal]] shape) — so a session-cached scored
+    * table ([[graft.queries.MiningQueries]]) feeds the whole surprisal
+    * family without re-running the bigram chain per consumer. */
+  def ccnetBucketsFrom(perDoc: DataFrame, df: DataFrame, idCol: String,
       langCol: String): DataFrame = {
     // checkpoint the per-doc scores: they feed BOTH the threshold
     // histogram and the final assignment — without materialization the
     // whole surprisal pipeline (bigram explode + count join) re-plans
     // per consumer
-    val scored = tokenBigramSurprisal(df, idCol, textCol)
+    val scored = perDoc
       .filter(col("n_bigrams") > 0)
       .select(col("id").as(idCol), col("millibits_per_gram").as("mb"))
       .join(df.select(col(idCol), col(langCol)), Seq(idCol))
@@ -186,7 +194,13 @@ object SurprisalScore {
     * assignment. */
   def bucketedScores(df: DataFrame, idCol: String, textCol: String,
       srcCol: String): DataFrame =
-    tokenBigramSurprisal(df, idCol, textCol)
+    bucketedScoresFrom(tokenBigramSurprisal(df, idCol, textCol), df, idCol, srcCol)
+
+  /** [[bucketedScores]] over an already-scored per-doc frame (the
+    * [[ccnetBucketsFrom]] split, for the session-cached scored table). */
+  def bucketedScoresFrom(perDoc: DataFrame, df: DataFrame, idCol: String,
+      srcCol: String): DataFrame =
+    perDoc
       .filter(col("n_bigrams") > 0)
       .select(col("id").as(idCol), col("millibits_per_gram").as("mb"))
       .join(df.select(col(idCol), col(srcCol)), Seq(idCol))
@@ -198,8 +212,13 @@ object SurprisalScore {
     * ECDF position (integer ppm) plus the calibration gap. Output:
     * (idCol, srcCol, mb, bkt, src_pct_ppm, glob_pct_ppm, gap_ppm). */
   def sourceCalibration(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String): DataFrame =
+    sourceCalibrationFrom(tokenBigramSurprisal(df, idCol, textCol), df, idCol, srcCol)
+
+  /** [[sourceCalibration]] over an already-scored per-doc frame. */
+  def sourceCalibrationFrom(perDoc: DataFrame, df: DataFrame, idCol: String,
       srcCol: String): DataFrame = {
-    val scored = bucketedScores(df, idCol, textCol, srcCol)
+    val scored = bucketedScoresFrom(perDoc, df, idCol, srcCol)
     scored.join(broadcast(calibrationTable(scored, srcCol)), Seq(srcCol, "bkt"))
       .select(col(idCol), col(srcCol), col("mb"), col("bkt"),
         col("src_pct_ppm"), col("glob_pct_ppm"), col("gap_ppm"))

@@ -259,6 +259,45 @@ object HashDedupQueries {
       |  CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) END AS recall_ppm
       |FROM c ORDER BY thr_ppm""".stripMargin
 
+  /** Session-scoped cache of the PERSISTED banded LSH index of the
+    * standing corpus (doc_id < 250): built once per (session, dir),
+    * written to parquet (corpus-sized, natural partitioning — ~200 B
+    * per doc per band, never text), and handed back as a LAZY scan, so
+    * a probe against the result reads storage and touches no signing
+    * code for the corpus side. This is the persisted half q120's
+    * Scaladoc promised ("in production this index is PERSISTED from
+    * the previous ingest") — the [[graft.ext.VectorIndexStore]]
+    * discipline applied to the dedup family. */
+  private val lshIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def sharedPersistedLshIndex(s: SparkSession, dir: String): DataFrame = {
+    SessionCaches.purgeStopped(lshIndexCache)(_._1)
+    lshIndexCache.computeIfAbsent((s, dir), _ => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = graft.ext.VectorIndexStore.defaultPath(dir, "lsh_bands")
+      MinHashLsh.bandedIndex(docs.filter(col("doc_id") < 250), "doc_id", "text")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    })
+  }
+
+  /** q173: incremental near-dup against the LOADED index — q120's
+    * exact semantics, but the corpus side arrives from parquet storage
+    * instead of being signed in-process: the crawl-ingest deployment
+    * shape, where yesterday's index is an artifact on disk and only
+    * the fresh batch pays signing cost. Shares q120's oracle (which
+    * retrains signatures from raw text in SQL), so the green hash
+    * certifies the banded index's storage round trip bit-lossless —
+    * the q165 discipline applied to the dedup family. */
+  def q173PersistedLshProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    MinHashLsh.nearDupAgainstIndex(docs.filter($"doc_id" >= 250),
+        "doc_id", "text", sharedPersistedLshIndex(s, dir))
+      .orderBy($"corpus_id", $"fresh_id")
+  }
+
   /** q170: cross-source near-duplicate overlap matrix — how much of
     * each source pair duplicates each other, the question a corpus
     * mixer asks before weighting sources (two crawl dumps that are 40%
@@ -311,6 +350,7 @@ object HashDedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_lsh_eval" -> (q137LshEval _),
     "q170_source_overlap" -> (q170SourceOverlap _),
+    "q173_persisted_lsh_probe" -> (q173PersistedLshProbe _),
     "q147_lsh_roc" -> (q147LshRoc _),
     "q20_minhash_lsh" -> (q20MinHash _),
     "q21_simhash" -> (q21SimHash _),
@@ -320,6 +360,10 @@ object HashDedupQueries {
   val oracle: Map[String, String] = Map(
     "q137_lsh_eval" -> q137Sql,
     "q170_source_overlap" -> q170Sql,
+    // q173 shares q120's oracle on purpose: same query semantics, the
+    // engine side differing only in WHERE the index frames come from
+    // (parquet storage) — the green hash proves the round trip lossless
+    "q173_persisted_lsh_probe" -> q120Sql,
     "q147_lsh_roc" -> q147Sql,
     "q20_minhash_lsh" -> q20Sql,
     "q21_simhash" -> q21Sql,

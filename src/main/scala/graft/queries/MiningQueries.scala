@@ -39,13 +39,30 @@ object MiningQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text").localCheckpoint(true))
   }
 
+  /** Session-scoped cache of the documents table's per-doc surprisal
+    * scores ([[SurprisalScore.tokenBigramSurprisal]] shape: id,
+    * n_bigrams, surprisal_bits, millibits_per_gram) — the shared
+    * upstream of the whole surprisal family (q86 raw scores, q158
+    * CCNet terciles, q171/q172 calibration): each consumer otherwise
+    * re-runs the bigram explode + LM-count join, the family's dominant
+    * cost. One thin row per document; the winnow/shingle-cache
+    * discipline, eviction included. */
+  private val surprisalCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[queries] def sharedSurprisal(s: SparkSession, dir: String): DataFrame = {
+    SessionCaches.purgeStopped(surprisalCache)(_._1)
+    surprisalCache.computeIfAbsent((s, dir), _ =>
+      SurprisalScore.tokenBigramSurprisal(
+        Tables.load(s, dir, "documents"), "doc_id", "text").localCheckpoint(true))
+  }
+
   /** q86: integer surprisal per document — the perplexity-style quality
     * gate with the corpus's own token-bigram counts as the LM and
     * bit-length arithmetic instead of floating logs. */
   def q86Surprisal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    SurprisalScore.tokenBigramSurprisal(
-        Tables.load(s, dir, "documents"), "doc_id", "text")
+    sharedSurprisal(s, dir)
       .select($"id".as("doc_id"), $"n_bigrams", $"surprisal_bits", $"millibits_per_gram")
       .orderBy($"doc_id")
   }
@@ -83,8 +100,8 @@ object MiningQueries {
     * rank). */
   def q158CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    SurprisalScore.ccnetBuckets(
-        Tables.load(s, dir, "documents"), "doc_id", "text", "lang")
+    SurprisalScore.ccnetBucketsFrom(sharedSurprisal(s, dir),
+        Tables.load(s, dir, "documents"), "doc_id", "lang")
       .orderBy($"doc_id")
   }
 
@@ -461,10 +478,70 @@ object MiningQueries {
     * it statically). */
   def q171ScoreCalibration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    SurprisalScore.sourceCalibration(
-        Tables.load(s, dir, "documents"), "doc_id", "text", "source")
+    SurprisalScore.sourceCalibrationFrom(sharedSurprisal(s, dir),
+        Tables.load(s, dir, "documents"), "doc_id", "source")
       .orderBy($"doc_id")
   }
+
+  /** q172: the calibrated cross-source quality GATE — the decision
+    * layer over q171 (score → keep/drop): per source, how many
+    * documents survive (a) the RAW policy "global ECDF position in the
+    * better half" (glob_pct_ppm < 500000 — one corpus-wide threshold
+    * applied to raw scores) vs (b) the CALIBRATED policy "within-source
+    * better half" (src_pct_ppm < 500000), plus the swing between them.
+    * A source whose text is systematically well-modeled (boilerplate)
+    * sails through the raw gate and starves everyone else; the
+    * calibrated gate keeps each source's own best half, which is the
+    * budget-preserving mix a curation pipeline actually wants (CCNet's
+    * per-language split, applied at the keep/drop decision). Row-local
+    * integer comparisons over q171's output — the whole query adds ONE
+    * aggregation to sources-bounded rows. */
+  def q172CalibratedGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SurprisalScore.sourceCalibrationFrom(sharedSurprisal(s, dir),
+        Tables.load(s, dir, "documents"), "doc_id", "source")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(($"glob_pct_ppm" < 500000).cast("long")).as("n_raw_keep"),
+        sum(($"src_pct_ppm" < 500000).cast("long")).as("n_calib_keep"))
+      .withColumn("swing", $"n_calib_keep" - $"n_raw_keep")
+      .orderBy($"source")
+  }
+
+  val q172Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+      |        i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
+      |c AS (SELECT g, COUNT(*) AS c FROM g2 GROUP BY g),
+      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c),
+      |s AS (SELECT g2.doc_id, COUNT(*) AS nb,
+      |    CAST(SUM(CAST(length(bin(n.n_total)) AS BIGINT)
+      |             - CAST(length(bin(c.c)) AS BIGINT)) AS BIGINT) AS sb
+      |  FROM g2 JOIN c USING (g) CROSS JOIN n GROUP BY g2.doc_id),
+      |b AS (SELECT d.doc_id, d.source,
+      |    CAST((s.sb * 1000 // s.nb) // 64 AS BIGINT) AS bkt
+      |  FROM documents d JOIN s USING (doc_id) WHERE s.nb > 0),
+      |hist AS (SELECT source, bkt, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      |src AS (SELECT source, bkt,
+      |    SUM(n) OVER (PARTITION BY source ORDER BY bkt) - n AS below FROM hist),
+      |stot AS (SELECT source, SUM(n) AS tot FROM hist GROUP BY 1),
+      |sp AS (SELECT src.source, src.bkt,
+      |    CAST(below * 1000000 // tot AS BIGINT) AS src_pct_ppm
+      |  FROM src JOIN stot USING (source)),
+      |gh AS (SELECT bkt, SUM(n) AS gn FROM hist GROUP BY 1),
+      |g AS (SELECT bkt, SUM(gn) OVER (ORDER BY bkt) - gn AS gbelow FROM gh),
+      |gt AS (SELECT SUM(gn) AS gtot FROM gh),
+      |gp AS (SELECT bkt, CAST(gbelow * 1000000 // gtot AS BIGINT) AS glob_pct_ppm
+      |  FROM g CROSS JOIN gt)
+      |SELECT b.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN gp.glob_pct_ppm < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_raw_keep,
+      |  CAST(SUM(CASE WHEN sp.src_pct_ppm < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_calib_keep,
+      |  CAST(SUM(CASE WHEN sp.src_pct_ppm < 500000 THEN 1 ELSE 0 END)
+      |     - SUM(CASE WHEN gp.glob_pct_ppm < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS swing
+      |FROM b JOIN sp ON b.source = sp.source AND b.bkt = sp.bkt
+      |       JOIN gp ON b.bkt = gp.bkt
+      |GROUP BY b.source
+      |ORDER BY b.source""".stripMargin
 
   val q171Sql: String =
     """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
@@ -500,6 +577,7 @@ object MiningQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_basket_rules" -> (q136BasketRules _),
     "q171_score_calibration" -> (q171ScoreCalibration _),
+    "q172_calibrated_gate" -> (q172CalibratedGate _),
     "q86_surprisal" -> (q86Surprisal _),
     "q158_ccnet_buckets" -> (q158CcnetBuckets _),
     "q87_hard_negatives" -> (q87HardNegatives _),
@@ -513,6 +591,7 @@ object MiningQueries {
   val oracle: Map[String, String] = Map(
     "q136_basket_rules" -> q136Sql,
     "q171_score_calibration" -> q171Sql,
+    "q172_calibrated_gate" -> q172Sql,
     "q86_surprisal" -> q86Sql,
     "q158_ccnet_buckets" -> q158Sql,
     "q87_hard_negatives" -> q87Sql,

@@ -374,6 +374,61 @@ object TextQueries {
     * pipeline operator reads before swapping the classifier in front
     * of the rule gate. All integers (bitlen = length(bin(x)), the q86
     * discipline), so DuckDB replays training AND scoring bit-exactly. */
+  /** Session-scoped cache of the PERSISTED NB quality model: trained
+    * once per (session, dir) on the standing slice with the Gopher
+    * gate as teacher (exactly q169's recipe), written to parquet
+    * (`weights/` vocab-sized, `globals/` one row — the COMPLETE
+    * serving artifact), and handed back as LAZY scans, so scoring
+    * against the result reads storage and touches no training code.
+    * The model-registry half of the q169 train/serve split — the
+    * [[graft.ext.VectorIndexStore]] / q173 discipline applied to the
+    * quality classifier. */
+  private val nbModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def sharedPersistedNbModel(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    SessionCaches.purgeStopped(nbModelCache)(_._1)
+    nbModelCache.computeIfAbsent((s, dir), _ => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val gate = graft.ext.QualityGate.gopherGate(docs, "doc_id", "text")
+        .select($"doc_id", $"keep")
+      val (w, g) = graft.ext.NbClassifier.trainWeights(
+        docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text",
+        gate.filter($"doc_id" % 10 =!= 0))
+      val base = graft.ext.VectorIndexStore.defaultPath(dir, "nb_model")
+      w.write.mode("overwrite").parquet(s"$base/weights")
+      g.write.mode("overwrite").parquet(s"$base/globals")
+      (s.read.parquet(s"$base/weights"), s.read.parquet(s"$base/globals"))
+    })
+  }
+
+  /** q174: NB scoring against the LOADED model — q169's exact
+    * semantics, but the weight table and globals arrive from parquet
+    * storage (the [[sharedPersistedNbModel]] registry) instead of
+    * being trained in-plan: the serving deployment shape, where the
+    * classifier is a published artifact and scoring a new batch pays
+    * one left join + one roll-up. Shares q169's oracle (which retrains
+    * from raw tables in SQL), so the green hash certifies the model's
+    * storage round trip bit-lossless — the q173 discipline applied to
+    * the quality classifier. */
+  def q174PersistedNbScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val gate = graft.ext.QualityGate.gopherGate(docs, "doc_id", "text")
+      .select($"doc_id", $"keep")
+    val (w, g) = sharedPersistedNbModel(s, dir)
+    graft.ext.NbClassifier.score(docs.filter($"doc_id" % 10 === 0),
+        "doc_id", "text", w, g)
+      .withColumnRenamed("id", "doc_id")
+      .join(gate.withColumnRenamed("keep", "rule_keep"), "doc_id")
+      .withColumn("agree", ($"nb_keep" === $"rule_keep").cast("int"))
+      .select($"doc_id", $"n_tokens", $"score_bits", $"nb_keep",
+        $"rule_keep", $"agree")
+      .orderBy($"doc_id")
+  }
+
   def q169NbQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
@@ -982,6 +1037,7 @@ object TextQueries {
     "q156_block_dedup" -> (q156BlockDedup _),
     "q157_gopher_gate" -> (q157GopherGate _),
     "q169_nb_quality" -> (q169NbQuality _),
+    "q174_persisted_nb_score" -> (q174PersistedNbScore _),
     "q159_block_dedup_incr" -> (q159BlockDedupIncr _),
     "q163_tfidf_keywords" -> (q163TfidfKeywords _),
     "q139_novelty" -> (q139Novelty _),
@@ -1003,6 +1059,9 @@ object TextQueries {
     "q156_block_dedup" -> q156Sql,
     "q157_gopher_gate" -> q157Sql,
     "q169_nb_quality" -> q169Sql,
+    // q174 shares q169's oracle: same semantics, the engine side
+    // reading the model from parquet — green hash = lossless round trip
+    "q174_persisted_nb_score" -> q169Sql,
     "q159_block_dedup_incr" -> q159Sql,
     "q163_tfidf_keywords" -> q163Sql,
     "q139_novelty" -> q139Sql,

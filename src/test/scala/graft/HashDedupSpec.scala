@@ -93,6 +93,15 @@ class HashDedupSpec extends SparkSpec {
     assert(inc.nonEmpty, "fixture has no cross-split near-dups — weak test")
   }
 
+  test("q173 persisted-index probe equals the in-process q120 (round trip lossless)") {
+    val inProc = graft.queries.HashDedupQueries.q120IncrementalLsh(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    val loaded = graft.queries.HashDedupQueries.q173PersistedLshProbe(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(loaded.nonEmpty, "no cross-split near-dups — weak test")
+    assert(loaded == inProc, "probe against the parquet index diverged")
+  }
+
   test("q170 source-overlap matrix aggregates the LSH pair list exactly") {
     val docs = Tables.load(spark, sf, "documents")
     val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", minEstSim = 0.5)

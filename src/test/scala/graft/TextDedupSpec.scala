@@ -192,6 +192,15 @@ class TextDedupSpec extends SparkSpec {
     assert(score(3) == ((13L, 2L, 0L, 0)), s"unseen tokens add D only: ${score(3)}")
   }
 
+  test("q174 persisted-model scoring equals the in-process q169 (round trip lossless)") {
+    val inProc = graft.queries.TextQueries.q169NbQuality(spark, sf)
+      .as[(Long, Long, Long, Int, Int, Int)].collect().toSeq
+    val loaded = graft.queries.TextQueries.q174PersistedNbScore(spark, sf)
+      .as[(Long, Long, Long, Int, Int, Int)].collect().toSeq
+    assert(loaded.nonEmpty)
+    assert(loaded == inProc, "scoring against the parquet model diverged")
+  }
+
   test("gopherGate rules fire independently and compose into keep") {
     val pass = (Seq("the", "a") ++ (1 to 58).map(i => s"word$i")).mkString(" ")
     val short = "the a tiny doc"                            // fails word count
