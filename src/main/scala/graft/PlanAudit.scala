@@ -64,6 +64,10 @@ object PlanAudit {
     // onto the per-doc roll-up (the q169 class minus its in-plan
     // training — the training-side SinglePartition is gone)
     "q174_persisted_nb_score" -> Set(Bnlj),
+    // mixing plan: q171/q172's bounded calibration walk + the one-row
+    // token-total broadcast onto the sources-bounded per-source rows
+    // (the q80/q86 class)
+    "q175_mixing_plan" -> Set(SinglePartition, Bnlj),
     // final rank window over the checkpointed 100-row TakeOrdered
     // top-k (the q128 class); the top-k itself is map-side partial
     "q150_dsir_topk" -> Set(SinglePartition),

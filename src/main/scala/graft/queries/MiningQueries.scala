@@ -574,8 +574,95 @@ object MiningQueries {
       |       JOIN gp ON b.bkt = gp.bkt
       |ORDER BY b.doc_id""".stripMargin
 
+  /** q175: the release MIXING PLAN — the deterministic synthesis a
+    * corpus release actually ships: per source, how many documents it
+    * contributed, how many survive exact dedup (first-occurrence
+    * content-digest owner — a duplicate crawled by two sources counts
+    * ONCE, for the source that owns its digest), how many of those
+    * survivors pass the calibrated quality gate (q172's within-source
+    * better half), the unique-kept token mass, and the source's
+    * sampling weight in ppm — token mass normalized over the total, the
+    * proportional-to-unique-quality-content weighting (the degenerate
+    * but auditable point DoReMi-style optimizers start from; Xie et
+    * al. 2023). All integers end-to-end. Scale shape: one row-local
+    * scan (digest + token count), one digest-keyed min-owner
+    * aggregation, the calibration broadcast join, ONE sources-bounded
+    * aggregation + a one-row total broadcast — nothing corpus-sized
+    * ever sits in one partition. Docs the surprisal scorer cannot rank
+    * (< 2 tokens) fail the gate by definition (no evidence). */
+  def q175MixingPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val base = docs.select($"doc_id", $"source",
+      graft.functions.TextFunctions.contentHash($"text").as("h"),
+      size(graft.functions.TextFunctions.tokens($"text")).cast("long").as("n_tokens"))
+    val owners = base.groupBy($"h").agg(min($"doc_id").as("owner"))
+    val keep = SurprisalScore
+      .sourceCalibrationFrom(sharedSurprisal(s, dir), docs, "doc_id", "source")
+      .select($"doc_id", ($"src_pct_ppm" < 500000).cast("long").as("cal_keep"))
+    val perSrc = base.join(owners, Seq("h"))
+      .withColumn("is_uniq", ($"doc_id" === $"owner").cast("long"))
+      .join(keep, Seq("doc_id"), "left")
+      .withColumn("cal_keep", coalesce($"cal_keep", lit(0L)))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"is_uniq").as("n_unique"),
+        sum($"is_uniq" * $"cal_keep").as("n_kept_unique"),
+        sum($"is_uniq" * $"cal_keep" * $"n_tokens").as("tok_kept_unique"))
+    perSrc
+      .crossJoin(broadcast(perSrc.agg(sum($"tok_kept_unique").as("tot_tok"))))
+      .select($"source", $"n_docs", $"n_unique", $"n_kept_unique",
+        $"tok_kept_unique",
+        expr("tok_kept_unique * 1000000 DIV tot_tok").as("weight_ppm"))
+      .orderBy($"source")
+  }
+
+  val q175Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+      |        i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
+      |c AS (SELECT g, COUNT(*) AS c FROM g2 GROUP BY g),
+      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c),
+      |s AS (SELECT g2.doc_id, COUNT(*) AS nb,
+      |    CAST(SUM(CAST(length(bin(n.n_total)) AS BIGINT)
+      |             - CAST(length(bin(c.c)) AS BIGINT)) AS BIGINT) AS sb
+      |  FROM g2 JOIN c USING (g) CROSS JOIN n GROUP BY g2.doc_id),
+      |b AS (SELECT d.doc_id, d.source,
+      |    CAST((s.sb * 1000 // s.nb) // 64 AS BIGINT) AS bkt
+      |  FROM documents d JOIN s USING (doc_id) WHERE s.nb > 0),
+      |hist AS (SELECT source, bkt, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      |src AS (SELECT source, bkt,
+      |    SUM(n) OVER (PARTITION BY source ORDER BY bkt) - n AS below FROM hist),
+      |stot AS (SELECT source, SUM(n) AS tot FROM hist GROUP BY 1),
+      |sp AS (SELECT src.source, src.bkt,
+      |    CAST(below * 1000000 // tot AS BIGINT) AS src_pct_ppm
+      |  FROM src JOIN stot USING (source)),
+      |kp AS (SELECT b.doc_id,
+      |    CASE WHEN sp.src_pct_ppm < 500000 THEN 1 ELSE 0 END AS cal_keep
+      |  FROM b JOIN sp ON b.source = sp.source AND b.bkt = sp.bkt),
+      |base AS (SELECT doc_id, source, md5(lower(trim(text))) AS h,
+      |    CAST(CASE WHEN trim(text) = '' THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |own AS (SELECT h, MIN(doc_id) AS owner FROM base GROUP BY h),
+      |tagged AS (SELECT base.source,
+      |    CASE WHEN base.doc_id = own.owner THEN 1 ELSE 0 END AS is_uniq,
+      |    COALESCE(kp.cal_keep, 0) AS cal_keep, base.n_tokens
+      |  FROM base JOIN own USING (h) LEFT JOIN kp USING (doc_id)),
+      |per AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(is_uniq) AS BIGINT) AS n_unique,
+      |    CAST(SUM(is_uniq * cal_keep) AS BIGINT) AS n_kept_unique,
+      |    CAST(SUM(is_uniq * cal_keep * n_tokens) AS BIGINT) AS tok_kept_unique
+      |  FROM tagged GROUP BY source),
+      |tot AS (SELECT CAST(SUM(tok_kept_unique) AS BIGINT) AS tot_tok FROM per)
+      |SELECT source, n_docs, n_unique, n_kept_unique, tok_kept_unique,
+      |  CAST(tok_kept_unique * 1000000 // tot_tok AS BIGINT) AS weight_ppm
+      |FROM per CROSS JOIN tot
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_basket_rules" -> (q136BasketRules _),
+    "q175_mixing_plan" -> (q175MixingPlan _),
     "q171_score_calibration" -> (q171ScoreCalibration _),
     "q172_calibrated_gate" -> (q172CalibratedGate _),
     "q86_surprisal" -> (q86Surprisal _),
@@ -592,6 +679,7 @@ object MiningQueries {
     "q136_basket_rules" -> q136Sql,
     "q171_score_calibration" -> q171Sql,
     "q172_calibrated_gate" -> q172Sql,
+    "q175_mixing_plan" -> q175Sql,
     "q86_surprisal" -> q86Sql,
     "q158_ccnet_buckets" -> q158Sql,
     "q87_hard_negatives" -> q87Sql,

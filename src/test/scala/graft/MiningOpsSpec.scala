@@ -232,6 +232,22 @@ class MiningOpsSpec extends SparkSpec {
     }
   }
 
+  test("q175 mixing plan: weights are the normalized unique-kept token mass") {
+    val rows = graft.queries.MiningQueries.q175MixingPlan(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val totTok = rows.map(_._5).sum
+    rows.foreach { case (src, nDocs, nUniq, nKept, tok, w) =>
+      assert(nUniq <= nDocs && nKept <= nUniq, s"$src counts disordered")
+      // a calibrated-kept doc carries >= 2 tokens by construction
+      assert(nKept == 0 || tok >= 2 * nKept, s"$src token mass too small")
+      assert(w == tok * 1000000L / totTok, s"$src weight not normalized")
+    }
+    // integer floor: weights sum to 1e6 minus at most one ulp per source
+    val wsum = rows.map(_._6).sum
+    assert(wsum <= 1000000L && wsum > 1000000L - rows.length)
+  }
+
   test("q171 calibration ppm ranks replay the bucketed-score ECDF") {
     val docs = Tables.load(spark, sf, "documents")
     val scored = SurprisalScore.bucketedScores(docs, "doc_id", "text", "source")
