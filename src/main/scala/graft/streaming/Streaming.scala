@@ -677,6 +677,60 @@ object Streaming {
         col("source_a"), col("source_b"), col("n_pairs"), col("sum_match16"))
   }
 
+  /** Streaming mix-drift monitor — q175's live twin: the per-source
+    * contribution dashboard of an ingest pipeline, maintained per
+    * watermark window. Arrivals pass the exact-dedup gate (content
+    * digest anti-joined against the STATIC corpus digest set, then
+    * deduplicated within the watermark for at-least-once redelivery),
+    * score themselves against the STATIC bigram LM (one windowed
+    * per-doc fold — the [[calibrationStream]] shape), take the
+    * calibrated-gate verdict from the STATIC calibration table, and
+    * roll up per (window, source): unique scored arrivals, calibrated
+    * keeps, and kept token mass — exactly the quantities q175
+    * normalizes into sampling weights, so an operator watches source
+    * mix shift WHILE a crawl lands instead of after the next release
+    * build. Three stateful ops (stream dedup + two chained window
+    * aggregations on one watermark); every reference artifact is
+    * static and offline-trained. Documents the scorer cannot rank
+    * (< 2 tokens, or no LM-known bigram) drop — no evidence, the
+    * q175 convention; a (source, bucket) pair the reference corpus
+    * never produced likewise drops (the [[calibrationStream]]
+    * unseen-key case). `docs` must carry (doc_id, source, text,
+    * event_time). */
+  def mixMonitorStream(docs: DataFrame, knownHashes: DataFrame,
+      model: DataFrame, calib: DataFrame): DataFrame = {
+    import graft.ext.SurprisalScore
+    import graft.functions.TextFunctions
+    val fresh = docs
+      .withWatermark("event_time", "10 minutes")
+      .withColumn("__gch", TextFunctions.contentHash(col("text")))
+      .join(knownHashes.select(col("content_hash").as("__gch")), Seq("__gch"), "left_anti")
+      .dropDuplicatesWithinWatermark("__gch")
+    val occ = fresh
+      .select(col("doc_id"), col("source"), col("event_time"),
+        TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("source"), col("event_time"),
+        size(col("t")).cast("long").as("n_tokens"),
+        explode(SurprisalScore.bigramArray(col("t"))).as("g"))
+    val perDoc = occ.join(model, Seq("g"))
+      .groupBy(window(col("event_time"), "10 minutes"),
+        col("doc_id"), col("source"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_bigrams"),
+        sum(length(bin(col("n_total"))).cast("long") - length(bin(col("c"))).cast("long"))
+          .as("surprisal_bits"))
+      .withColumn("mb", expr("surprisal_bits * 1000 DIV n_bigrams"))
+      .withColumn("bkt", expr(s"mb DIV ${SurprisalScore.CalibW}"))
+    perDoc.join(broadcast(calib), Seq("source", "bkt"))
+      .withColumn("cal_keep", (col("src_pct_ppm") < 500000).cast("long"))
+      .groupBy(col("window"), col("source"))
+      .agg(count(lit(1)).as("n_unique_scored"),
+        sum(col("cal_keep")).as("n_kept"),
+        sum(col("cal_keep") * col("n_tokens")).as("tok_kept"))
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_unique_scored"), col("n_kept"), col("tok_kept"))
+  }
+
   /** Streaming per-source score calibration — q171's deployment split
     * (the ccnet-stream discipline): BOTH offline artifacts arrive
     * static — the bigram LM `model` ([[graft.ext.SurprisalScore.bigramModel]],

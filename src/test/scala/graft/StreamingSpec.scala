@@ -571,6 +571,64 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === expect, "stream/batch ccnet bucket divergence")
   }
 
+  test("streaming mix monitor matches the batch fold (q175 twin)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsB = Tables.load(spark, sf, "documents")
+    val split = 250L
+    // offline artifacts: corpus digest set, bigram LM, calibration table
+    val known = docsB.filter($"doc_id" < split)
+      .select(graft.functions.TextFunctions.contentHash($"text").as("content_hash"))
+      .distinct().localCheckpoint(true)
+    val model = graft.ext.SurprisalScore.bigramModel(docsB, "doc_id", "text")
+      .localCheckpoint(true)
+    val scored = graft.ext.SurprisalScore
+      .bucketedScores(docsB, "doc_id", "text", "source")
+    val calib = graft.ext.SurprisalScore.calibrationTable(scored, "source")
+      .localCheckpoint(true)
+    // fresh slice: unseen digests, ONE doc per digest (deterministic min
+    // id) so the stream's redelivery dedup stage is a provable no-op
+    val knownSet = known.as[String].collect().toSet
+    val fresh = docsB.filter($"doc_id" >= split)
+      .select($"doc_id", $"source", $"text",
+        graft.functions.TextFunctions.contentHash($"text").as("h"))
+      .as[(Long, String, String, String)].collect()
+      .filter(r => !knownSet.contains(r._4))
+      .groupBy(_._4).map(_._2.minBy(_._1)).toSeq.sortBy(_._1)
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "source", "text", "event_time")
+    val q = Streaming.mixMonitorStream(stream, known, model, calib)
+      .writeStream.format("memory").queryName("mix_stream")
+      .outputMode("append").start()
+    val t0 = 1000000L
+    try {
+      input.addData(fresh.map { case (id, src, tx, _) =>
+        (id, src, tx, new java.sql.Timestamp(t0)) }: _*)
+      q.processAllAvailable()
+      // far-future sentinel advances the watermark and closes the window
+      input.addData((999999999L, "srcX", "sentinel words flow on",
+        new java.sql.Timestamp(t0 + 3600L * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ws = new java.sql.Timestamp((t0 / 600000L) * 600000L)
+    val streamed = spark.table("mix_stream").filter($"window_start" === ws)
+      .select($"source", $"n_unique_scored", $"n_kept", $"tok_kept")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // batch fold: the q171 calibration rows of the surviving fresh ids
+    val freshIds = fresh.map(_._1).toSet
+    val ntok = docsB.select($"doc_id",
+        size(graft.functions.TextFunctions.tokens($"text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val expect = graft.queries.MiningQueries.q171ScoreCalibration(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+      .filter(r => freshIds.contains(r._1))
+      .groupBy(_._2).map { case (src, rs) =>
+        val kept = rs.filter(_._5 < 500000)
+        (src, rs.length.toLong, kept.length.toLong, kept.map(r => ntok(r._1)).sum)
+      }.toSet
+    assert(streamed.nonEmpty, "no fresh docs reached the monitor")
+    assert(streamed === expect, "stream/batch mix monitor divergence")
+  }
+
   test("streaming source-overlap matrix matches the batch probe fold (q170 twin)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docsB = Tables.load(spark, sf, "documents")
