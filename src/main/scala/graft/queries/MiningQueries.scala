@@ -574,6 +574,91 @@ object MiningQueries {
       |       JOIN gp ON b.bkt = gp.bkt
       |ORDER BY b.doc_id""".stripMargin
 
+  /** Session-scoped cache of the PERSISTED calibration registry: the
+    * bigram LM (vocabulary-sized) and the (source, bucket) calibration
+    * table — the two offline artifacts the calibrated-gate serving
+    * path needs — trained once per (session, dir), written to parquet,
+    * and handed back as LAZY scans (the q174 model-registry discipline
+    * applied to the quality-calibration stack; with this, every
+    * serving artifact in the engine persists: vectors q165, LSH q173,
+    * NB q174, calibration here). */
+  private val calibRegistryCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def sharedPersistedCalibRegistry(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    SessionCaches.purgeStopped(calibRegistryCache)(_._1)
+    calibRegistryCache.computeIfAbsent((s, dir), _ => {
+      val docs = Tables.load(s, dir, "documents")
+      val lm = SurprisalScore.bigramModel(docs, "doc_id", "text")
+      val scored = SurprisalScore.bucketedScoresFrom(
+        sharedSurprisal(s, dir), docs, "doc_id", "source")
+      val calib = SurprisalScore.calibrationTable(scored, "source")
+      val base = graft.ext.VectorIndexStore.defaultPath(dir, "calib_registry")
+      lm.write.mode("overwrite").parquet(s"$base/lm")
+      calib.write.mode("overwrite").parquet(s"$base/calib")
+      (s.read.parquet(s"$base/lm"), s.read.parquet(s"$base/calib"))
+    })
+  }
+
+  /** q176: calibrated-gate SERVING from the loaded registry — the
+    * arrival slice (doc_id % 10 = 0) scores itself against the LOADED
+    * bigram LM (explode + equi-join + one per-doc fold — the
+    * [[graft.streaming.Streaming.calibrationStream]] plan shape in
+    * batch) and takes its within-source ppm rank and keep verdict from
+    * the LOADED calibration table; no training code on the execution
+    * path. The oracle retrains the whole chain from raw tables, so the
+    * green hash certifies both artifacts' storage round trips
+    * bit-lossless. Serving cost per batch: one vocabulary-sized join +
+    * one roll-up + one broadcast lookup. */
+  def q176PersistedCalibServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (lm, calib) = sharedPersistedCalibRegistry(s, dir)
+    val docs = Tables.load(s, dir, "documents").filter($"doc_id" % 10 === 0)
+    val occ = docs
+      .select($"doc_id", $"source",
+        graft.functions.TextFunctions.tokens($"text").as("t"))
+      .select($"doc_id", $"source",
+        explode(SurprisalScore.bigramArray($"t")).as("g"))
+    occ.join(lm, Seq("g"))
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(length(bin($"n_total")).cast("long") - length(bin($"c")).cast("long"))
+          .as("surprisal_bits"))
+      .withColumn("mb", expr("surprisal_bits * 1000 DIV n_bigrams"))
+      .withColumn("bkt", expr(s"mb DIV ${SurprisalScore.CalibW}"))
+      .join(broadcast(calib), Seq("source", "bkt"))
+      .select($"doc_id", $"source", $"mb", $"bkt", $"src_pct_ppm",
+        ($"src_pct_ppm" < 500000).cast("int").as("cal_keep"))
+      .orderBy($"doc_id")
+  }
+
+  val q176Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+      |        i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
+      |c AS (SELECT g, COUNT(*) AS c FROM g2 GROUP BY g),
+      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c),
+      |s AS (SELECT g2.doc_id, COUNT(*) AS nb,
+      |    CAST(SUM(CAST(length(bin(n.n_total)) AS BIGINT)
+      |             - CAST(length(bin(c.c)) AS BIGINT)) AS BIGINT) AS sb
+      |  FROM g2 JOIN c USING (g) CROSS JOIN n GROUP BY g2.doc_id),
+      |b AS (SELECT d.doc_id, d.source, CAST(s.sb * 1000 // s.nb AS BIGINT) AS mb,
+      |    CAST((s.sb * 1000 // s.nb) // 64 AS BIGINT) AS bkt
+      |  FROM documents d JOIN s USING (doc_id) WHERE s.nb > 0),
+      |hist AS (SELECT source, bkt, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      |src AS (SELECT source, bkt,
+      |    SUM(n) OVER (PARTITION BY source ORDER BY bkt) - n AS below FROM hist),
+      |stot AS (SELECT source, SUM(n) AS tot FROM hist GROUP BY 1),
+      |sp AS (SELECT src.source, src.bkt,
+      |    CAST(below * 1000000 // tot AS BIGINT) AS src_pct_ppm
+      |  FROM src JOIN stot USING (source))
+      |SELECT b.doc_id, b.source, b.mb, b.bkt, sp.src_pct_ppm,
+      |  CASE WHEN sp.src_pct_ppm < 500000 THEN 1 ELSE 0 END AS cal_keep
+      |FROM b JOIN sp ON b.source = sp.source AND b.bkt = sp.bkt
+      |WHERE b.doc_id % 10 = 0
+      |ORDER BY b.doc_id""".stripMargin
+
   /** q175: the release MIXING PLAN — the deterministic synthesis a
     * corpus release actually ships: per source, how many documents it
     * contributed, how many survive exact dedup (first-occurrence
@@ -663,6 +748,7 @@ object MiningQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_basket_rules" -> (q136BasketRules _),
     "q175_mixing_plan" -> (q175MixingPlan _),
+    "q176_persisted_calib_serve" -> (q176PersistedCalibServe _),
     "q171_score_calibration" -> (q171ScoreCalibration _),
     "q172_calibrated_gate" -> (q172CalibratedGate _),
     "q86_surprisal" -> (q86Surprisal _),
@@ -680,6 +766,7 @@ object MiningQueries {
     "q171_score_calibration" -> q171Sql,
     "q172_calibrated_gate" -> q172Sql,
     "q175_mixing_plan" -> q175Sql,
+    "q176_persisted_calib_serve" -> q176Sql,
     "q86_surprisal" -> q86Sql,
     "q158_ccnet_buckets" -> q158Sql,
     "q87_hard_negatives" -> q87Sql,

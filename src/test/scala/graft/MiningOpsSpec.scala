@@ -232,6 +232,18 @@ class MiningOpsSpec extends SparkSpec {
     }
   }
 
+  test("q176 persisted-registry serving equals the q171 slice (round trip lossless)") {
+    val expect = graft.queries.MiningQueries.q171ScoreCalibration(spark, sf)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", $"source", $"mb", $"bkt", $"src_pct_ppm",
+        ($"src_pct_ppm" < 500000).cast("int").as("cal_keep"))
+      .as[(Long, String, Long, Long, Long, Int)].collect().toSeq
+    val got = graft.queries.MiningQueries.q176PersistedCalibServe(spark, sf)
+      .as[(Long, String, Long, Long, Long, Int)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == expect, "serving from the parquet registry diverged")
+  }
+
   test("q175 mixing plan: weights are the normalized unique-kept token mass") {
     val rows = graft.queries.MiningQueries.q175MixingPlan(spark, sf)
       .as[(String, Long, Long, Long, Long, Long)].collect()
