@@ -347,7 +347,127 @@ object HashDedupQueries {
       |FROM tagged GROUP BY source_a, source_b
       |ORDER BY source_a, source_b""".stripMargin
 
+  /** Shared DuckDB replay of the exact duplicated-n-gram chain over
+    * `documents` (CTEs `toks`, `g`, `dup`, `hits`) — q177 and q178 must
+    * never let the gram recipe fork. Tokenization is the engine-wide
+    * trim/lower/whitespace split; gram identity is the joined token
+    * STRING (collision-free — see [[graft.ext.DupNgrams]]). */
+  private val gramChainSql: String =
+    """toks AS (SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+      |g AS (SELECT id, CAST(i AS BIGINT) AS pos, array_to_string(t[i:i+7], ' ') AS gram
+      |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i) WHERE len(t) >= 8)""".stripMargin
+
+  private val dupGramChainSql: String =
+    s"""$gramChainSql,
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      |hits AS (SELECT id, pos FROM g JOIN dup USING (gram))""".stripMargin
+
+  /** Shared DuckDB replay of the per-doc interval-union coverage tail
+    * (consumes `toks` + `hits`); `docFilter` restricts the reported doc
+    * slice (q179 probes only the fresh batch). */
+  private def coverageTailSql(docFilter: String): String =
+    s"""gaps AS (SELECT id, pos,
+      |    pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) AS gap FROM hits),
+      |cov AS (SELECT id, count(*) AS dup_grams,
+      |    sum(least(CAST(8 AS BIGINT), coalesce(gap, 8))) AS covered FROM gaps GROUP BY id)
+      |SELECT t.id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(cov.dup_grams, 0) AS BIGINT) AS dup_grams,
+      |  CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+      |  CAST(CASE WHEN len(t.t) > 0
+      |    THEN coalesce(cov.covered, 0) * 1000000 // len(t.t) ELSE 0 END AS BIGINT) AS coverage_ppm
+      |FROM toks t LEFT JOIN cov ON t.id = cov.id$docFilter
+      |ORDER BY t.id""".stripMargin
+
+  /** q177: exact duplicated-n-gram coverage — the token-level exact
+    * substring dedup statistic (Lee et al. 2022): per doc, how many
+    * 8-token grams occur ≥2× corpus-wide and how many tokens their
+    * spans cover (exact interval-union). This is the memorization-risk
+    * profile a pretraining pipeline gates on BEFORE destructive
+    * pruning (q178 is the destructive half). Plan shape: explode →
+    * one gram-keyed shuffle (dict) → left-semi back → one (doc, pos)
+    * window — no pair emission, linear at 100 TB (see
+    * [[graft.ext.DupNgrams]] for the hash-key scale lever). */
+  def q177DupNgramCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ext.DupNgrams.coverage(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy($"id")
+  }
+
+  val q177Sql: String =
+    s"""WITH $dupGramChainSql,
+      |${coverageTailSql("")}""".stripMargin
+
+  /** q178: exact substring pruning — rebuild each doc keeping only
+    * tokens NOT covered by a corpus-duplicated 8-gram (the destructive
+    * half of q177; docs with nothing duplicated pass through modulo
+    * the lower/whitespace normalization). Covered positions enumerate
+    * per duplicated START (n × starts, not doc length), distinct, and
+    * mask row-locally. */
+  def q178DupNgramPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ext.DupNgrams.prune(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy($"id")
+  }
+
+  val q178Sql: String =
+    s"""WITH $dupGramChainSql,
+      |covpos AS (SELECT DISTINCT id, p FROM hits, unnest(generate_series(pos, pos + 7)) AS v(p)),
+      |tk AS (SELECT id, CAST(i AS BIGINT) AS p, t[i] AS tok
+      |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)),
+      |kept AS (SELECT tk.id, tk.p, tk.tok FROM tk ANTI JOIN covpos USING (id, p)),
+      |agg AS (SELECT id, count(*) AS kept_tokens,
+      |    string_agg(tok, ' ' ORDER BY p) AS pruned_text FROM kept GROUP BY id)
+      |SELECT t.id, CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+      |  coalesce(a.pruned_text, '') AS pruned_text
+      |FROM toks t LEFT JOIN agg a ON t.id = a.id
+      |ORDER BY t.id""".stripMargin
+
+  /** The duplicated-gram dictionary of the STANDING corpus (doc_id <
+    * 250), persisted to parquet once per (session, dir) and served back
+    * as a loaded lazy scan — the [[graft.ext.VectorIndexStore]] /
+    * `sharedPersistedLshIndex` discipline applied to exact substring
+    * dedup. */
+  private val dupDictCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def sharedPersistedDupDict(s: SparkSession, dir: String): DataFrame = {
+    SessionCaches.purgeStopped(dupDictCache)(_._1)
+    dupDictCache.computeIfAbsent((s, dir), _ => {
+      val corpus = Tables.load(s, dir, "documents").filter(col("doc_id") < 250)
+      val path = graft.ext.VectorIndexStore.defaultPath(dir, "dupgram_dict")
+      graft.ext.DupNgrams.dupGramDict(
+          graft.ext.DupNgrams.gramPositions(corpus, "doc_id", "text"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    })
+  }
+
+  /** q179: incremental exact-substring probe against the LOADED
+    * dictionary — the fresh batch (doc_id ≥ 250) gets its q177-style
+    * coverage profile w.r.t. grams already duplicated in the standing
+    * corpus, which arrives from parquet storage: the serving side never
+    * rescans or regroups the corpus (the q120/q173 ingest split applied
+    * to exact substring dedup). The oracle rebuilds the dictionary from
+    * raw text in SQL, so the green hash certifies the storage round
+    * trip lossless. */
+  def q179PersistedDupgramProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fresh = Tables.load(s, dir, "documents").filter($"doc_id" >= 250)
+    graft.ext.DupNgrams.coverageAgainstDict(fresh, "doc_id", "text",
+        sharedPersistedDupDict(s, dir))
+      .orderBy($"id")
+  }
+
+  val q179Sql: String =
+    s"""WITH $gramChainSql,
+      |dup AS (SELECT gram FROM g WHERE id < 250 GROUP BY gram HAVING count(*) >= 2),
+      |hits AS (SELECT id, pos FROM g JOIN dup USING (gram) WHERE id >= 250),
+      |${coverageTailSql("\nWHERE t.id >= 250")}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_dup_ngram_coverage" -> (q177DupNgramCoverage _),
+    "q178_dup_ngram_prune" -> (q178DupNgramPrune _),
+    "q179_persisted_dupgram_probe" -> (q179PersistedDupgramProbe _),
     "q137_lsh_eval" -> (q137LshEval _),
     "q170_source_overlap" -> (q170SourceOverlap _),
     "q173_persisted_lsh_probe" -> (q173PersistedLshProbe _),
@@ -358,6 +478,9 @@ object HashDedupQueries {
     "q120_incremental_lsh" -> (q120IncrementalLsh _))
 
   val oracle: Map[String, String] = Map(
+    "q177_dup_ngram_coverage" -> q177Sql,
+    "q178_dup_ngram_prune" -> q178Sql,
+    "q179_persisted_dupgram_probe" -> q179Sql,
     "q137_lsh_eval" -> q137Sql,
     "q170_source_overlap" -> q170Sql,
     // q173 shares q120's oracle on purpose: same query semantics, the

@@ -511,6 +511,50 @@ object Streaming {
       .withColumn("keep_id", coalesce(col("corpus_keep"), col("doc_id")))
       .drop("corpus_keep", "payload")
 
+  /** Streaming exact-substring probe — the ingest twin of q179: fresh
+    * documents stream in, token n-grams with positions are computed
+    * ROW-locally ([[graft.ext.DupNgrams.gramStructsExpr]] — the ONE
+    * gram recipe, shared with batch), each gram probes the STATIC
+    * duplicated-gram dictionary (stream-static left join, re-planned
+    * per micro-batch so a dictionary refresh lands on the next
+    * trigger), and the doc's coverage profile emits when its
+    * event-time window closes: the q177 columns computed from the
+    * collected sorted starts with the SAME interval-union arithmetic
+    * ([[graft.ext.DupNgrams.coveredFromSortedStarts]]). Gram-less docs
+    * (shorter than n) flow through explode_outer and emit a zero
+    * profile, so emitted rows are bit-identical to the batch
+    * [[graft.ext.DupNgrams.coverageAgainstDict]] over the same
+    * documents (spec-pinned). State is bounded: per (window, doc) one
+    * position list, watermark-GC'd. `docs` must carry (doc_id, text,
+    * event_time); `dict` is the loaded
+    * [[graft.ext.DupNgrams.dupGramDict]] artifact (unique by gram — a
+    * duplicated dictionary row would double-count a start). */
+  def dupGramProbeStream(docs: DataFrame, dict: DataFrame,
+      n: Int = graft.ext.DupNgrams.DefaultN): DataFrame = {
+    val grams = docs
+      .withWatermark("event_time", "10 minutes")
+      .withColumn("__t", graft.functions.TextFunctions.tokens(lower(col("text"))))
+      .select(col("doc_id"), col("event_time"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        explode_outer(expr(
+          s"CASE WHEN size(__t) >= $n THEN ${graft.ext.DupNgrams.gramStructsExpr("__t", n)} " +
+          "ELSE cast(array() as array<struct<pos:bigint,gram:string>>) END")).as("g"))
+      .select(col("doc_id"), col("event_time"), col("n_tokens"),
+        col("g.pos").as("pos"), col("g.gram").as("gram"))
+    grams
+      .join(dict.select(col("gram")).withColumn("__hit", lit(1)), Seq("gram"), "left")
+      .groupBy(window(col("event_time"), "10 minutes"), col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        sort_array(collect_list(when(col("__hit") === 1, col("pos")))).as("__ps"))
+      .select(col("doc_id").as("id"), col("n_tokens"),
+        size(col("__ps")).cast("long").as("dup_grams"),
+        graft.ext.DupNgrams.coveredFromSortedStarts(col("__ps"), n)
+          .as("covered_tokens"))
+      .withColumn("coverage_ppm",
+        when(col("n_tokens") > 0, expr("covered_tokens * 1000000L DIV n_tokens"))
+          .otherwise(lit(0L)))
+  }
+
   /** Streaming frozen-codebook PQ encode — the ingest twin of q166:
     * arriving vectors are PQ-encoded ROW-locally against LITERAL
     * codebooks ([[graft.ext.ProductQuantize.pqEncodeExpr]] — the

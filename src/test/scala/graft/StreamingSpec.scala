@@ -1000,4 +1000,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed === batch, "stream/batch PQ encode divergence")
   }
+
+  test("streaming dup-gram probe matches the batch frozen-dict coverage (q179 twin)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsB = Tables.load(spark, sf, "documents")
+    val dict = graft.ext.DupNgrams.dupGramDict(
+        graft.ext.DupNgrams.gramPositions(
+          docsB.filter($"doc_id" < 250), "doc_id", "text"))
+      .localCheckpoint(true)
+    // sample fresh docs that INCLUDE dictionary hits (duplication is
+    // sparse at sf0.001 — a prefix slice can be all-zero profiles)
+    val profile = graft.ext.DupNgrams.coverageAgainstDict(
+      docsB.filter($"doc_id" >= 250), "doc_id", "text", dict)
+    val hitIds = profile.filter($"dup_grams" > 0)
+      .select($"id").as[Long].collect().toSet
+    assert(hitIds.nonEmpty, "corpus has no duplicated grams at this sf")
+    val zeroIds = profile.filter($"dup_grams" === 0).orderBy($"id").limit(20)
+      .select($"id").as[Long].collect().toSet
+    val pick = (hitIds ++ zeroIds).toSeq
+    val fresh = docsB.filter($"doc_id".isin(pick: _*))
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "event_time")
+    val q = Streaming.dupGramProbeStream(stream, dict)
+      .writeStream.format("memory").queryName("dupgram_probe")
+      .outputMode("append").start()
+    try {
+      val t0 = 1000000L
+      input.addData(fresh.map { case (id, tx) =>
+        (id, tx, new java.sql.Timestamp(t0)) }: _*)
+      q.processAllAvailable()
+      input.addData((999999999L, "sentinel words flow on",
+        new java.sql.Timestamp(t0 + 3600L * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val cols = Seq("id", "n_tokens", "dup_grams", "covered_tokens", "coverage_ppm")
+    val streamed = spark.table("dupgram_probe")
+      .filter($"id" =!= 999999999L)
+      .select(cols.map(col): _*)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val freshIds = fresh.map(_._1).toSet
+    val batch = graft.ext.DupNgrams.coverageAgainstDict(
+        docsB.filter($"doc_id".isin(freshIds.toSeq: _*)), "doc_id", "text", dict)
+      .select(cols.map(col): _*)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed.exists(_._3 > 0),
+      "probe emitted no duplicated-gram profile")
+    assert(streamed === batch, "stream/batch dup-gram coverage divergence")
+  }
 }

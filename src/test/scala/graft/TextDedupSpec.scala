@@ -221,6 +221,52 @@ class TextDedupSpec extends SparkSpec {
       s"symbolic doc fails symbol AND alpha: ${out(4)}")
   }
 
+  test("DupNgrams.coverage: exact interval-union over duplicated grams") {
+    val docs = Seq(
+      (1L, "a b c d e"),       // "a b c"@1 "b c d"@2 dup with doc 2
+      (2L, "x y a b c d q"),   // dup starts at 3,4
+      (3L, "z z z z"),         // "z z z" twice WITHIN one doc -> dup
+      (4L, "p q")              // shorter than n -> no grams
+    ).toDF("doc_id", "text")
+    val out = graft.ext.DupNgrams.coverage(docs, "doc_id", "text", n = 3)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 5L, 2L, 4L, 800000L),   // [1..3]u[2..4] = 4 of 5 tokens
+      (2L, 7L, 2L, 4L, 571428L),   // [3..5]u[4..6] = 4 of 7
+      (3L, 4L, 2L, 4L, 1000000L),  // whole doc covered
+      (4L, 2L, 0L, 0L, 0L)))
+  }
+
+  test("DupNgrams: case/whitespace-normalized gram identity") {
+    val docs = Seq((1L, "A  b C"), (2L, " a B   c ")).toDF("doc_id", "text")
+    val out = graft.ext.DupNgrams.coverage(docs, "doc_id", "text", n = 3)
+      .orderBy("id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 1L, 3L, 1000000L), (2L, 3L, 1L, 3L, 1000000L)))
+  }
+
+  test("DupNgrams.prune drops exactly the covered tokens, keeps order") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "x y a b c d q"), (3L, "z z z z"), (4L, "p q")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.DupNgrams.prune(docs, "doc_id", "text", n = 3)
+      .orderBy("id").as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, "e"), (2L, 3L, "x y q"), (3L, 0L, ""), (4L, 2L, "p q")))
+  }
+
+  test("DupNgrams.coverageAgainstDict probes a frozen dictionary only") {
+    val corpus = Seq((1L, "a b c d e"), (2L, "x y a b c d q")).toDF("doc_id", "text")
+    val dict = graft.ext.DupNgrams.dupGramDict(
+      graft.ext.DupNgrams.gramPositions(corpus, "doc_id", "text", n = 3))
+    // fresh batch: hits on "a b c" and "b c d" only; "q a b" is novel
+    val fresh = Seq((10L, "q a b c d"), (11L, "u v w")).toDF("doc_id", "text")
+    val out = graft.ext.DupNgrams
+      .coverageAgainstDict(fresh, "doc_id", "text", dict, n = 3)
+      .orderBy("id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((10L, 5L, 2L, 4L, 800000L), (11L, 3L, 0L, 0L, 0L)))
+  }
+
   test("DSIR importance scoring rejects an empty target slice loudly") {
     val df = Seq((1L, "some words here", "en"), (2L, "more words", "de"))
       .toDF("doc_id", "text", "lang")
