@@ -113,6 +113,32 @@ object Bm25 {
     Index(tf, dl, n, t, dfreq)
   }
 
+  /** Persist an [[Index]] as four parquet parts — the serving artifact
+    * of the retrieval family (the [[VectorIndexStore]] discipline
+    * applied to sparse retrieval): corpus-sized `tf/` and `dl/` keep
+    * their upstream partitioning, the vocab-sized `dfreq/` (with
+    * idf_bits frozen at build time, so serving never needs N to
+    * recompute idf) and the one-row `globals/` (n, t) read whole. */
+  def writeIndex(ix: Index, path: String): Unit = {
+    ix.tf.write.mode("overwrite").parquet(s"$path/tf")
+    ix.dl.write.mode("overwrite").parquet(s"$path/dl")
+    ix.dfreq.write.mode("overwrite").parquet(s"$path/dfreq")
+    ix.tf.sparkSession.range(1)
+      .select(lit(ix.n).as("n"), lit(ix.t).as("t"))
+      .write.mode("overwrite").parquet(s"$path/globals")
+  }
+
+  /** Load a persisted index: lazy parquet scans for every table part;
+    * the two scalar corpus constants are one driver-side one-row read
+    * (the loaded-globals class — they ride the scoring expression as
+    * literals exactly like the in-process build). Scoring against the
+    * result touches no tokenize/aggregate training path. */
+  def readIndex(s: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val g = s.read.parquet(s"$path/globals").head()
+    Index(s.read.parquet(s"$path/tf"), s.read.parquet(s"$path/dl"),
+      g.getAs[Long]("n"), g.getAs[Long]("t"), s.read.parquet(s"$path/dfreq"))
+  }
+
   /** Rank a (qid, id, score_fp) score table to its per-query top `k`:
     * (qid, rank, id, score_fp), rank 1..k by (score_fp DESC, id). */
   def rankTopK(score: DataFrame, k: Int): DataFrame = {

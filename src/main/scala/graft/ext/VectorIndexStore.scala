@@ -59,13 +59,24 @@ object VectorIndexStore {
   def readBooks(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
-  /** Deterministic per-corpus index location under the JVM temp dir —
-    * keyed by the data dir's md5 so concurrent sessions over different
-    * corpora never collide; a production deployment would point this
-    * at durable object storage instead. */
+  /** One random token per JVM: two PROCESSES writing the same corpus's
+    * artifacts must not clobber each other mid-read (observed: a
+    * concurrently running Verify overwrote `nb_model/` while a test
+    * JVM's lazy scan was reading it → FAILED_READ_FILE). Within one
+    * JVM the (session, dir) caches already guarantee a single write;
+    * across JVMs the artifacts were never shared anyway — every
+    * process rebuilds on first access — so isolating the root loses
+    * nothing. A production deployment replaces this with versioned
+    * paths on durable storage (write once, readers pin a version). */
+  private val jvmToken: String = java.util.UUID.randomUUID.toString.take(8)
+
+  /** Deterministic-per-corpus, isolated-per-process index location
+    * under the JVM temp dir — keyed by the data dir's md5 so sessions
+    * over different corpora never collide, and by [[jvmToken]] so
+    * concurrent processes never overwrite each other's live scans. */
   def defaultPath(dir: String, kind: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft-index/$h/$kind"
+    s"${System.getProperty("java.io.tmpdir")}/graft-index/$jvmToken-$h/$kind"
   }
 }

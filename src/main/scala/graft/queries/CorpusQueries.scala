@@ -307,7 +307,11 @@ object CorpusQueries {
     * the sparse (`sp`, r_bm25) and dense (`dn`, r_dense) per-query
     * top-10 rankings. Like regChainSql, this block must never fork
     * between the two hybrid-retrieval oracles. */
-  private val hybridRankersSql: String =
+  /** DuckDB replay of the BM25-over-documents chain through the
+    * summed `score` CTE — shared by the hybrid rankers (q121/q142) and
+    * the persisted-index serve (q180), so the scoring recipe cannot
+    * fork between the in-process and loaded paths. */
+  private val bm25ScoreChainSql: String =
     s"""btoks AS (SELECT id, term FROM (
       |    SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
       |    FROM documents WHERE length(trim(text)) > 0) t
@@ -324,7 +328,10 @@ object CorpusQueries {
       |      * (tf.tf * (20 * tt.t)) * 1000000
       |      // (tf.tf * (8 * tt.t) + 3 * tt.t + dl.dl * (9 * nn.n)) AS c
       |  FROM tf JOIN qt USING (term) JOIN dl USING (id) CROSS JOIN nn CROSS JOIN tt),
-      |score AS (SELECT qid, id, CAST(SUM(c) AS BIGINT) AS score_fp FROM contrib GROUP BY qid, id),
+      |score AS (SELECT qid, id, CAST(SUM(c) AS BIGINT) AS score_fp FROM contrib GROUP BY qid, id)""".stripMargin
+
+  private val hybridRankersSql: String =
+    s"""$bm25ScoreChainSql,
       |sp AS (SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, id) AS BIGINT) AS r_bm25
       |  FROM score QUALIFY r_bm25 <= 10),
       |${EmbeddingQueries.embedChain("documents", "doc_id", "text")},
@@ -474,7 +481,52 @@ object CorpusQueries {
       |FROM shh s LEFT JOIN agg ON s.doc_id = agg.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  /** The BM25 index over the documents corpus, persisted to parquet
+    * once per (session, dir) and served back as LOADED lazy scans —
+    * the `sharedPersistedLshIndex` / `VectorIndexStore` discipline
+    * applied to sparse retrieval. */
+  private val bm25StoreCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.ext.Bm25.Index]()
+
+  private def sharedPersistedBm25(s: SparkSession, dir: String): graft.ext.Bm25.Index = {
+    SessionCaches.purgeStopped(bm25StoreCache)(_._1)
+    bm25StoreCache.computeIfAbsent((s, dir), _ => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+      val path = graft.ext.VectorIndexStore.defaultPath(dir, "bm25_index")
+      graft.ext.Bm25.writeIndex(graft.ext.Bm25.index(docs, "doc_id", "text"), path)
+      graft.ext.Bm25.readIndex(s, path)
+    })
+  }
+
+  /** q180: BM25 serving from the PERSISTED index — the q121 sparse
+    * ranking with every index part (tf, dl, idf-annotated vocabulary,
+    * the two scalar globals) arriving from parquet storage: the
+    * search-serving deployment shape, where the inverted index is a
+    * storage artifact and a query batch pays one broadcast join + one
+    * id-keyed aggregation, never a tokenize or train pass (the
+    * q173/q174/q176 registry discipline applied to retrieval — its
+    * last uncovered serving artifact). idf_bits persists WITH the
+    * vocabulary, frozen at build time, exactly what an index snapshot
+    * means. The oracle rebuilds the whole chain from raw text, so the
+    * green hash certifies the four-part round trip bit-lossless. */
+  def q180PersistedBm25Serve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ix = sharedPersistedBm25(s, dir)
+    graft.ext.Bm25.rankTopK(ix.scores(ix.queryTerms(8, 3)), 10)
+      .select($"qid", $"rank", $"id".as("doc_id"), $"score_fp")
+      .orderBy($"qid", $"rank")
+  }
+
+  val q180Sql: String =
+    s"""WITH $bm25ScoreChainSql,
+      |rk AS (SELECT qid, id, score_fp,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, id) AS BIGINT) AS rank FROM score)
+      |SELECT qid, rank, id AS doc_id, score_fp
+      |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_persisted_bm25_serve" -> (q180PersistedBm25Serve _),
     "q148_release_pipeline" -> (q148ReleasePipeline _),
     "q34_corpus_clean" -> (q34CorpusClean _),
     "q36_async_enrich" -> (q36AsyncEnrich _),
@@ -484,6 +536,7 @@ object CorpusQueries {
     "q121_rrf_fusion" -> (q121RrfFusion _))
 
   val oracle: Map[String, String] = Map(
+    "q180_persisted_bm25_serve" -> q180Sql,
     "q34_corpus_clean" -> q34Sql,
     "q148_release_pipeline" -> q148Sql,
     "q36_async_enrich" -> q36Sql,

@@ -106,4 +106,24 @@ class Bm25Spec extends SparkSpec {
       (2L, 2L, c2, Some(2L), None),           // sparse only; id tie-break
       (3L, 3L, c2, None, Some(2L))))          // dense only
   }
+
+  test("persisted index round-trips: loaded scoring equals in-process scoring") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(length(trim($"text")) > 0).limit(60)
+    val ix = Bm25.index(docs, "doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("bm25ix").toString
+    Bm25.writeIndex(ix, path)
+    val lx = Bm25.readIndex(spark, path)
+    assert(lx.n == ix.n && lx.t == ix.t, "globals round trip")
+    def run(i: Bm25.Index) =
+      Bm25.rankTopK(i.scores(i.queryTerms(4, 3)), 10)
+        .select($"qid", $"rank", $"id", $"score_fp".cast("string"))
+        .as[(Long, Long, Long, String)].collect().toSet
+    val built = run(ix)
+    val loaded = run(lx)
+    assert(built.nonEmpty)
+    assert(loaded === built, "loaded-index ranking diverged from built-index")
+  }
 }
