@@ -68,6 +68,15 @@ object PlanAudit {
     // token-total broadcast onto the sources-bounded per-source rows
     // (the q80/q86 class)
     "q175_mixing_plan" -> Set(SinglePartition, Bnlj),
+    // dictionary-update audit: the gen2_total row is one global scalar
+    // aggregate over the loaded counts (the q80/q86 one-row-total
+    // class) unioned under the sources-bounded transition classes
+    "q182_dupgram_dict_update" -> Set(SinglePartition),
+    // mix materialization: q175's chain plus TWO more one-row scalars
+    // (token total, source count) crossed onto the sources-bounded
+    // rate table — all constant-size sides; the per-doc keep decision
+    // itself is a broadcast-equi-join + row-local filter
+    "q181_mix_materialize" -> Set(SinglePartition, Bnlj),
     // final rank window over the checkpointed 100-row TakeOrdered
     // top-k (the q128 class); the top-k itself is map-side partial
     "q150_dsir_topk" -> Set(SinglePartition),

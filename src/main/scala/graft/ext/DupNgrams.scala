@@ -90,6 +90,26 @@ object DupNgrams {
         count_distinct(col("id")).as("n_docs"))
       .filter(col("n_occ") >= 2)
 
+  /** The FULL gram-count table (gram, n_occ) — the standing state an
+    * INCREMENTAL exact-substring-dedup deployment maintains across
+    * ingests ([[dupGramDict]] is its n_occ ≥ 2 projection: a gram seen
+    * once must stay on file, or its second occurrence in a later batch
+    * could never be recognized as a duplication). */
+  def gramCounts(grams: DataFrame): DataFrame =
+    grams.groupBy("gram").agg(count(lit(1)).as("n_occ"))
+
+  /** Merge a batch's gram counts into the standing counts — the next
+    * generation of the standing state: one full-outer join on the gram
+    * key, counts added (a gram absent from one side contributes 0).
+    * Exact and associative, so daily ingests fold in any order. */
+  def mergeCounts(standing: DataFrame, batch: DataFrame): DataFrame =
+    standing.select(col("gram"), col("n_occ").as("__c0"))
+      .join(batch.select(col("gram"), col("n_occ").as("__cb")),
+        Seq("gram"), "full_outer")
+      .select(col("gram"),
+        (coalesce(col("__c0"), lit(0L)) + coalesce(col("__cb"), lit(0L)))
+          .as("n_occ"))
+
   /** Duplicated-gram start positions per document: (id, pos) for each
     * gram of the doc present in `dict`. The join is a left-semi on the
     * gram key — only (id, pos) survives the shuffle back. */

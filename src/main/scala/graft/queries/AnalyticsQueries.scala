@@ -121,6 +121,16 @@ object AnalyticsQueries {
        |      i -> CAST(unicode(substr($v, i, 1)) AS BIGINT))),
        |    (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
 
+  /** DuckDB replay of [[graft.ext.Mixing.keyBp]]'s keep-decision point
+    * given an alias `a` holding the FIRST LCG round
+    * `(polyhash·1103515245 + 12345) mod 2³¹`: the second round folds
+    * the high bits into the low ones (`a ⊕ (a div 2¹⁶)`, another LCG,
+    * mod 10⁴) — see keyBp's scaladoc for why one LCG round is not
+    * enough. Every sampler oracle composes THIS string so the chain
+    * can never fork from the engine. */
+  private[queries] def keyBp2Sql(a: String): String =
+    s"(xor($a, $a // 65536) * 69069 + 1) % 2147483648 % 10000"
+
   /** CTE chain applying the fmix31 avalanche (the oracle twin of
     * `Hll.fmix31`) to column `h` of `from`, carrying `carry` columns
     * through unchanged; the final CTE `${p}h` yields (carry…, h).

@@ -181,11 +181,10 @@ object CurationQueries {
   }
 
   val q70Sql: String =
-    """WITH h AS (SELECT *, (list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |    list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
-      |      i -> CAST(unicode(substr(CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
-      |    (acc, x) -> (acc * 31 + x) % 1000000007) * 1103515245 + 12345)
-      |    % 2147483648 % 10000 AS hk FROM documents),
+    s"""WITH h AS (SELECT *,
+      |    (${AnalyticsQueries.polyhashSql("CAST(doc_id AS VARCHAR)")}
+      |      * 1103515245 + 12345) % 2147483648 AS __a,
+      |    ${AnalyticsQueries.keyBp2Sql("__a")} AS hk FROM documents),
       |kept AS (SELECT * FROM h WHERE hk < CASE lang WHEN 'en' THEN 4000
       |                                              WHEN 'de' THEN 8000
       |                                              ELSE 10000 END)
@@ -213,15 +212,14 @@ object CurationQueries {
   }
 
   val q106Sql: String =
-    """WITH n AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    s"""WITH n AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
       |w AS (SELECT lang, n_docs, CAST(FLOOR(SQRT(n_docs)) AS BIGINT) AS w FROM n),
       |r AS (SELECT lang, n_docs, w,
       |  LEAST(10000, 10000 * (SELECT MIN(w) FROM w) // w) AS rate_bp FROM w),
-      |h AS (SELECT d.lang, (list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |    list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
-      |      i -> CAST(unicode(substr(CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
-      |    (acc, x) -> (acc * 31 + x) % 1000000007) * 1103515245 + 12345)
-      |    % 2147483648 % 10000 AS hk, r.rate_bp
+      |h AS (SELECT d.lang,
+      |    (${AnalyticsQueries.polyhashSql("CAST(doc_id AS VARCHAR)")}
+      |      * 1103515245 + 12345) % 2147483648 AS __a,
+      |    ${AnalyticsQueries.keyBp2Sql("__a")} AS hk, r.rate_bp
       |  FROM documents d JOIN r ON d.lang = r.lang),
       |k AS (SELECT lang, COUNT(*) AS n_kept FROM h WHERE hk < rate_bp GROUP BY lang)
       |SELECT r.lang, r.n_docs, r.w, CAST(r.rate_bp AS BIGINT) AS rate_bp,
@@ -348,12 +346,11 @@ object CurationQueries {
       |  FROM cand JOIN sig sa ON cand.id_a = sa.id JOIN sig sb ON cand.id_b = sb.id),
       |losers AS (SELECT DISTINCT id_b FROM est WHERE est_sim >= 0.5),
       |nk AS (SELECT * FROM ek WHERE doc_id NOT IN (SELECT id_b FROM losers)),
-      |mixed AS (SELECT * FROM nk WHERE
-      |  (list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |    list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
-      |      i -> CAST(unicode(substr(CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
-      |    (acc, x) -> (acc * 31 + x) % 1000000007) * 1103515245 + 12345)
-      |    % 2147483648 % 10000 < CASE lang WHEN 'en' THEN 5000 ELSE 10000 END),
+      |mixed AS (SELECT * FROM (
+      |    SELECT *, (${AnalyticsQueries.polyhashSql("CAST(doc_id AS VARCHAR)")}
+      |      * 1103515245 + 12345) % 2147483648 AS __a FROM nk) mk
+      |  WHERE ${AnalyticsQueries.keyBp2Sql("__a")}
+      |    < CASE lang WHEN 'en' THEN 5000 ELSE 10000 END),
       |cum AS (SELECT doc_id, lang, n_tokens, quality,
       |  SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
       |  FROM mixed)
@@ -526,8 +523,8 @@ object CurationQueries {
     s"""WITH $dsirChainSql,
       |rt AS (SELECT *, LEAST(10000, GREATEST(0, 5000 + score // 200)) AS rate_bp
       |  FROM ds),
-      |kp AS (SELECT *, ($keep * 1103515245 + 12345)
-      |    % 2147483648 % 10000 AS hk FROM rt)
+      |kp AS (SELECT *, ($keep * 1103515245 + 12345) % 2147483648 AS __a,
+      |    ${AnalyticsQueries.keyBp2Sql("__a")} AS hk FROM rt)
       |SELECT lang, COUNT(*) AS n_docs,
       |  COUNT(*) FILTER (hk < rate_bp) AS n_kept,
       |  CAST(SUM(rate_bp) AS BIGINT) AS sum_rate_bp,

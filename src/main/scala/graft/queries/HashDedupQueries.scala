@@ -464,7 +464,87 @@ object HashDedupQueries {
       |hits AS (SELECT id, pos FROM g JOIN dup USING (gram) WHERE id >= 250),
       |${coverageTailSql("\nWHERE t.id >= 250")}""".stripMargin
 
+  /** Generations 1 and 2 of the standing gram-count state: gen1 is the
+    * standing corpus's (doc_id < 250) FULL counts persisted to parquet,
+    * gen2 is gen1 merged with an ingest batch's (250 ≤ doc_id < 375)
+    * counts and persisted as the next generation — the q167/q168
+    * build/add lifecycle applied to the dedup dictionary. Both hands
+    * back LOADED lazy scans. */
+  private val dupCountsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def sharedDupgramGenerations(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    SessionCaches.purgeStopped(dupCountsCache)(_._1)
+    dupCountsCache.computeIfAbsent((s, dir), _ => {
+      val docs = Tables.load(s, dir, "documents")
+      val p1 = graft.ext.VectorIndexStore.defaultPath(dir, "dupgram_counts_gen1")
+      val p2 = graft.ext.VectorIndexStore.defaultPath(dir, "dupgram_counts_gen2")
+      graft.ext.DupNgrams.gramCounts(graft.ext.DupNgrams.gramPositions(
+          docs.filter(col("doc_id") < 250), "doc_id", "text"))
+        .write.mode("overwrite").parquet(p1)
+      val gen1 = s.read.parquet(p1)
+      val batch = graft.ext.DupNgrams.gramCounts(graft.ext.DupNgrams.gramPositions(
+        docs.filter(col("doc_id") >= 250 && col("doc_id") < 375), "doc_id", "text"))
+      graft.ext.DupNgrams.mergeCounts(gen1, batch)
+        .write.mode("overwrite").parquet(p2)
+      (gen1, s.read.parquet(p2))
+    })
+  }
+
+  /** q182: incremental dictionary UPDATE audit — merge an ingest
+    * batch into the standing gram-count state and report what changed,
+    * computed entirely from the two LOADED generations (cb = gen2 −
+    * gen1 per gram): per transition class, how many grams and how
+    * many occurrences the batch added. `promoted` is the class exact
+    * substring dedup exists for — grams seen ONCE before that the
+    * batch turned into duplications (invisible to any dict-only state,
+    * which is why the full counts persist). `gen2_total` rows up the
+    * new standing state. The oracle recounts both slices from raw
+    * text, so the green hash certifies both generation round trips
+    * AND the merge arithmetic. */
+  def q182DupgramDictUpdate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (gen1, gen2) = sharedDupgramGenerations(s, dir)
+    val joined = gen2.select($"gram", $"n_occ".as("c2"))
+      .join(gen1.select($"gram", $"n_occ".as("c0")), Seq("gram"), "left")
+      .select($"gram", coalesce($"c0", lit(0L)).as("c0"),
+        ($"c2" - coalesce($"c0", lit(0L))).as("cb"))
+    val touched = joined.filter($"cb" > 0)
+      .withColumn("class",
+        when($"c0" === 0 && $"cb" === 1, "new_unique")
+          .when($"c0" === 0, "new_dup")
+          .when($"c0" === 1, "promoted")
+          .otherwise("grown_dup"))
+      .groupBy($"class")
+      .agg(count(lit(1)).as("n_grams"), sum($"cb").as("occ_added"))
+    val tot = gen2.agg(count(lit(1)).as("n_grams"), sum($"n_occ").as("occ_added"))
+      .select(lit("gen2_total").as("class"), $"n_grams", $"occ_added")
+    touched.unionByName(tot).orderBy($"class")
+  }
+
+  val q182Sql: String =
+    s"""WITH $gramChainSql,
+      |st AS (SELECT gram, COUNT(*) AS c0 FROM g WHERE id < 250 GROUP BY gram),
+      |bt AS (SELECT gram, COUNT(*) AS cb FROM g WHERE id >= 250 AND id < 375 GROUP BY gram),
+      |cls AS (SELECT COALESCE(st.c0, 0) AS c0, bt.cb
+      |  FROM bt LEFT JOIN st USING (gram)),
+      |lab AS (SELECT CASE WHEN c0 = 0 AND cb = 1 THEN 'new_unique'
+      |                    WHEN c0 = 0 THEN 'new_dup'
+      |                    WHEN c0 = 1 THEN 'promoted'
+      |                    ELSE 'grown_dup' END AS class, cb FROM cls),
+      |agg AS (SELECT class, COUNT(*) AS n_grams, CAST(SUM(cb) AS BIGINT) AS occ_added
+      |  FROM lab GROUP BY class),
+      |tot AS (SELECT 'gen2_total' AS class, COUNT(*) AS n_grams,
+      |    CAST(SUM(c) AS BIGINT) AS occ_added FROM (
+      |      SELECT COALESCE(st.c0, 0) + COALESCE(bt.cb, 0) AS c
+      |      FROM st FULL OUTER JOIN bt USING (gram)) t)
+      |SELECT class, n_grams, occ_added FROM agg
+      |UNION ALL SELECT class, n_grams, occ_added FROM tot
+      |ORDER BY class""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_dupgram_dict_update" -> (q182DupgramDictUpdate _),
     "q177_dup_ngram_coverage" -> (q177DupNgramCoverage _),
     "q178_dup_ngram_prune" -> (q178DupNgramPrune _),
     "q179_persisted_dupgram_probe" -> (q179PersistedDupgramProbe _),
@@ -478,6 +558,7 @@ object HashDedupQueries {
     "q120_incremental_lsh" -> (q120IncrementalLsh _))
 
   val oracle: Map[String, String] = Map(
+    "q182_dupgram_dict_update" -> q182Sql,
     "q177_dup_ngram_coverage" -> q177Sql,
     "q178_dup_ngram_prune" -> q178Sql,
     "q179_persisted_dupgram_probe" -> q179Sql,

@@ -675,7 +675,11 @@ object MiningQueries {
     * aggregation + a one-row total broadcast — nothing corpus-sized
     * ever sits in one partition. Docs the surprisal scorer cannot rank
     * (< 2 tokens) fail the gate by definition (no evidence). */
-  def q175MixingPlan(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc release tags shared by q175 (the plan) and q181 (the
+    * materialized sample): (doc_id, source, n_tokens, is_uniq,
+    * cal_keep) — exact-dedup first-ownership plus the calibrated-gate
+    * verdict, computed ONCE so the two queries cannot fork. */
+  private def mixTagged(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     val base = docs.select($"doc_id", $"source",
@@ -685,10 +689,16 @@ object MiningQueries {
     val keep = SurprisalScore
       .sourceCalibrationFrom(sharedSurprisal(s, dir), docs, "doc_id", "source")
       .select($"doc_id", ($"src_pct_ppm" < 500000).cast("long").as("cal_keep"))
-    val perSrc = base.join(owners, Seq("h"))
+    base.join(owners, Seq("h"))
       .withColumn("is_uniq", ($"doc_id" === $"owner").cast("long"))
       .join(keep, Seq("doc_id"), "left")
       .withColumn("cal_keep", coalesce($"cal_keep", lit(0L)))
+      .select($"doc_id", $"source", $"n_tokens", $"is_uniq", $"cal_keep")
+  }
+
+  def q175MixingPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSrc = mixTagged(s, dir)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum($"is_uniq").as("n_unique"),
@@ -702,8 +712,11 @@ object MiningQueries {
       .orderBy($"source")
   }
 
-  val q175Sql: String =
-    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+  /** DuckDB replay of the shared per-doc release tags (through the
+    * `tagged` CTE) — q175 and q181 build on the same chain so the
+    * dedup-ownership + calibration recipe cannot fork. */
+  private val mixTaggedSql: String =
+    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
       |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
       |        i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
       |c AS (SELECT g, COUNT(*) AS c FROM g2 GROUP BY g),
@@ -730,10 +743,13 @@ object MiningQueries {
       |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
       |  FROM documents),
       |own AS (SELECT h, MIN(doc_id) AS owner FROM base GROUP BY h),
-      |tagged AS (SELECT base.source,
+      |tagged AS (SELECT base.doc_id, base.source,
       |    CASE WHEN base.doc_id = own.owner THEN 1 ELSE 0 END AS is_uniq,
       |    COALESCE(kp.cal_keep, 0) AS cal_keep, base.n_tokens
-      |  FROM base JOIN own USING (h) LEFT JOIN kp USING (doc_id)),
+      |  FROM base JOIN own USING (h) LEFT JOIN kp USING (doc_id))""".stripMargin
+
+  val q175Sql: String =
+    s"""WITH $mixTaggedSql,
       |per AS (SELECT source, COUNT(*) AS n_docs,
       |    CAST(SUM(is_uniq) AS BIGINT) AS n_unique,
       |    CAST(SUM(is_uniq * cal_keep) AS BIGINT) AS n_kept_unique,
@@ -745,9 +761,84 @@ object MiningQueries {
       |FROM per CROSS JOIN tot
       |ORDER BY source""".stripMargin
 
+  /** q181: mixing-plan MATERIALIZATION — turn q175's per-source weights
+    * into an actual deterministic document sample, the step that ships
+    * a dataset rather than a table of intentions. Policy (all integer,
+    * replayable): smooth the weights halfway toward uniform
+    * (`sm_ppm = (weight_ppm + 10⁶/n_src) / 2` — the standard
+    * interpolation that boosts small sources without a transcendental
+    * temperature power), spend a half-budget
+    * (`tot_tok DIV 2` tokens) proportionally to the smoothed weights,
+    * convert each source's token target into a keep-rate over its
+    * kept-unique pool (capped at 100%), and decide each candidate doc
+    * by the engine-wide avalanched-hash point ([[graft.ext.Mixing.keyBp]]
+    * — same hash as every other sampler, so samples nest across rate
+    * sweeps). Output is the per-source audit: rates, candidates,
+    * sampled docs and sampled token mass. Scale shape: the per-doc
+    * tags computed once ([[mixTagged]]), a sources-bounded rate table
+    * broadcast back, the keep decision a pure row-local filter — the
+    * sample itself never shuffles. */
+  def q181MixMaterialize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val tagged = mixTagged(s, dir).localCheckpoint(true)
+    val perSrc = tagged.groupBy($"source")
+      .agg(sum($"is_uniq" * $"cal_keep" * $"n_tokens").as("tok_kept_unique"))
+    val tot = perSrc.agg(sum($"tok_kept_unique").as("tot_tok"))
+    val nsrc = perSrc.agg(count(lit(1)).as("n_src"))
+    val rates = perSrc.crossJoin(broadcast(tot)).crossJoin(broadcast(nsrc))
+      .withColumn("weight_ppm", expr("tok_kept_unique * 1000000 DIV tot_tok"))
+      .withColumn("sm_ppm", expr("(weight_ppm + 1000000 DIV n_src) DIV 2"))
+      .withColumn("tgt_tok", expr("(tot_tok DIV 2) * sm_ppm DIV 1000000"))
+      .withColumn("rate_bp", when($"tok_kept_unique" > 0,
+        least(lit(10000L), expr("tgt_tok * 10000 DIV tok_kept_unique")))
+        .otherwise(lit(0L)))
+      .select($"source", $"weight_ppm", $"sm_ppm", $"rate_bp")
+    tagged.filter($"is_uniq" === 1 && $"cal_keep" === 1)
+      .join(broadcast(rates), "source")
+      .withColumn("kept",
+        (graft.ext.Mixing.keyBp($"doc_id") < $"rate_bp").cast("long"))
+      .groupBy($"source", $"weight_ppm", $"sm_ppm", $"rate_bp")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum($"kept").as("n_sampled"),
+        sum($"kept" * $"n_tokens").as("tok_sampled"))
+      .orderBy($"source")
+  }
+
+  val q181Sql: String =
+    s"""WITH $mixTaggedSql,
+      |per AS (SELECT source,
+      |    CAST(SUM(is_uniq * cal_keep * n_tokens) AS BIGINT) AS tok_kept_unique
+      |  FROM tagged GROUP BY source),
+      |tot AS (SELECT CAST(SUM(tok_kept_unique) AS BIGINT) AS tot_tok FROM per),
+      |ns AS (SELECT COUNT(*) AS n_src FROM per),
+      |r1 AS (SELECT source, tok_kept_unique, tot_tok, n_src,
+      |    CAST(tok_kept_unique * 1000000 // tot_tok AS BIGINT) AS weight_ppm
+      |  FROM per CROSS JOIN tot CROSS JOIN ns),
+      |r2 AS (SELECT *, CAST((weight_ppm + 1000000 // n_src) // 2 AS BIGINT) AS sm_ppm FROM r1),
+      |r3 AS (SELECT *, CAST((tot_tok // 2) * sm_ppm // 1000000 AS BIGINT) AS tgt_tok FROM r2),
+      |r4 AS (SELECT source, weight_ppm, sm_ppm,
+      |    CAST(CASE WHEN tok_kept_unique > 0
+      |      THEN LEAST(10000, tgt_tok * 10000 // tok_kept_unique) ELSE 0 END AS BIGINT) AS rate_bp
+      |  FROM r3),
+      |cand AS (SELECT doc_id, source, n_tokens FROM tagged WHERE is_uniq = 1 AND cal_keep = 1),
+      |hk AS (SELECT doc_id, source, n_tokens,
+      |    (${AnalyticsQueries.polyhashSql("CAST(doc_id AS VARCHAR)")}
+      |      * 1103515245 + 12345) % 2147483648 AS __a,
+      |    ${AnalyticsQueries.keyBp2Sql("__a")} AS hk FROM cand),
+      |sel AS (SELECT hk.source, r4.weight_ppm, r4.sm_ppm, r4.rate_bp, hk.n_tokens,
+      |    CASE WHEN hk.hk < r4.rate_bp THEN 1 ELSE 0 END AS kept
+      |  FROM hk JOIN r4 USING (source))
+      |SELECT source, weight_ppm, sm_ppm, rate_bp, COUNT(*) AS n_candidates,
+      |  CAST(SUM(kept) AS BIGINT) AS n_sampled,
+      |  CAST(SUM(kept * n_tokens) AS BIGINT) AS tok_sampled
+      |FROM sel GROUP BY source, weight_ppm, sm_ppm, rate_bp
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_basket_rules" -> (q136BasketRules _),
     "q175_mixing_plan" -> (q175MixingPlan _),
+    "q181_mix_materialize" -> (q181MixMaterialize _),
     "q176_persisted_calib_serve" -> (q176PersistedCalibServe _),
     "q171_score_calibration" -> (q171ScoreCalibration _),
     "q172_calibrated_gate" -> (q172CalibratedGate _),
@@ -766,6 +857,7 @@ object MiningQueries {
     "q171_score_calibration" -> q171Sql,
     "q172_calibrated_gate" -> q172Sql,
     "q175_mixing_plan" -> q175Sql,
+    "q181_mix_materialize" -> q181Sql,
     "q176_persisted_calib_serve" -> q176Sql,
     "q86_surprisal" -> q86Sql,
     "q158_ccnet_buckets" -> q158Sql,

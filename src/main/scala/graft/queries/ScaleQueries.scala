@@ -110,8 +110,9 @@ object ScaleQueries {
   val q153Sql: String = {
     val keep = AnalyticsQueries.polyhashSql("CAST(cluster_id AS VARCHAR)")
     s"""WITH RECURSIVE $lshCcChainSql,
-      |hk AS (SELECT doc_id, cluster_id, ($keep * 1103515245 + 12345)
-      |    % 2147483648 % 10000 AS hk FROM lab)
+      |hk AS (SELECT doc_id, cluster_id,
+      |    ($keep * 1103515245 + 12345) % 2147483648 AS __a,
+      |    ${AnalyticsQueries.keyBp2Sql("__a")} AS hk FROM lab)
       |SELECT doc_id, cluster_id,
       |  CASE WHEN hk < 8000 THEN 'train' WHEN hk < 9000 THEN 'val'
       |       ELSE 'test' END AS split

@@ -139,6 +139,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("keyBp is unbiased across residue-correlated strata (LCG low-bit regression)") {
+    import graft.ext.Mixing
+    // strata assigned round-robin by id residue — the layout that exposed
+    // the single-round LCG's low-bit lattice (kept fractions 8%-80% at a
+    // 50% rate before the xor-fold second round)
+    val docs = (0L until 1600L).map(i => (i, s"s${i % 8}")).toDF("id", "stratum")
+    val kept = Mixing.stratifiedSample(docs, "id", "stratum",
+        ratesBp = Map.empty, defaultBp = 5000)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    (0 until 8).foreach { s =>
+      val frac = kept.getOrElse(s"s$s", 0L).toDouble / 200.0
+      assert(frac > 0.38 && frac < 0.62,
+        s"stratum s$s kept fraction $frac outside [0.38, 0.62] at a 50% rate")
+    }
+  }
+
   test("temperature rates: sqrt weights, smallest stratum keeps all, kept ∝ √n") {
     import graft.ext.Mixing
     // 6400 "en" docs vs 100 "fr": w = 80 vs 10, so en's rate is

@@ -267,6 +267,17 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Seq((10L, 5L, 2L, 4L, 800000L), (11L, 3L, 0L, 0L, 0L)))
   }
 
+  test("DupNgrams.mergeCounts adds generations; absent grams count zero") {
+    val g = (df: org.apache.spark.sql.DataFrame) =>
+      graft.ext.DupNgrams.gramCounts(
+        graft.ext.DupNgrams.gramPositions(df, "doc_id", "text", n = 3))
+    val standing = g(Seq((1L, "a b c d")).toDF("doc_id", "text"))
+    val batch = g(Seq((2L, "a b c x")).toDF("doc_id", "text"))
+    val merged = graft.ext.DupNgrams.mergeCounts(standing, batch)
+      .orderBy("gram").as[(String, Long)].collect().toSeq
+    assert(merged == Seq(("a b c", 2L), ("b c d", 1L), ("b c x", 1L)))
+  }
+
   test("DSIR importance scoring rejects an empty target slice loudly") {
     val df = Seq((1L, "some words here", "en"), (2L, "more words", "de"))
       .toDF("doc_id", "text", "lang")
