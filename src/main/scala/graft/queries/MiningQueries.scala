@@ -345,18 +345,24 @@ object MiningQueries {
     * selected fingerprints `fps(doc_id, fp)` — mirrors
     * [[graft.ext.Winnowing.fingerprints]] and must never fork between
     * the two oracles. */
-  private[queries] val winnowFpsSql: String =
-    s"""d AS (SELECT doc_id, text, length(text) - 7 AS ngrams
-      |  FROM documents WHERE length(text) - 7 >= 4),
+  /** DuckDB replay of [[graft.ext.Winnowing.fingerprints]] for ANY
+    * (k, w) — one CTE chain yielding `fps` (doc_id, fp). The engine's
+    * defaults (8, 4) stay the shared `winnowFpsSql` below; q183's
+    * long-span evaluation instantiates (20, 8). */
+  private[queries] def winnowFpsSqlFor(k: Int, w: Int): String =
+    s"""d AS (SELECT doc_id, text, length(text) - ${k - 1} AS ngrams
+      |  FROM documents WHERE length(text) - ${k - 1} >= $w),
       |pos AS (SELECT doc_id, ngrams, unnest(generate_series(1, ngrams)) AS off, text
       |  FROM d),
       |ph AS (SELECT doc_id, ngrams, off,
-      |    ${AnalyticsQueries.polyhashSql("substr(text, off, 8)")} AS h FROM pos),
+      |    ${AnalyticsQueries.polyhashSql(s"substr(text, off, $k)")} AS h FROM pos),
       |sel AS (SELECT doc_id, ngrams, off,
       |    MIN(h * 4294967296 + off) OVER (PARTITION BY doc_id ORDER BY off
-      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mc FROM ph),
+      |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mc FROM ph),
       |fps AS MATERIALIZED (SELECT DISTINCT doc_id, mc // 4294967296 AS fp FROM sel
-      |  WHERE off + 3 <= ngrams)""".stripMargin
+      |  WHERE off + ${w - 1} <= ngrams)""".stripMargin
+
+  private[queries] val winnowFpsSql: String = winnowFpsSqlFor(8, 4)
 
   val q124Sql: String =
     s"""WITH $winnowFpsSql,
@@ -364,6 +370,69 @@ object MiningQueries {
       |    MAX(doc_id) AS last_doc FROM fps GROUP BY fp)
       |SELECT fp, n_docs, first_doc, last_doc FROM sh WHERE n_docs >= 2
       |ORDER BY fp""".stripMargin
+
+  /** q183: winnowing RECALL/PRECISION evaluation against exact span
+    * truth — the q137/q147/q164 swap-exact-for-approx discipline
+    * applied to the span family, at a LONG-span operating point
+    * (k = 20, w = 8 → guarantee length 27) where the truth set is
+    * discriminating (at the default 8/4 point every doc of this
+    * corpus shares an 11-char span with another — common phrases —
+    * and the matrix degenerates to all-TP). Truth: a document shares
+    * a 27-char substring with ANOTHER document — computed on raw
+    * substrings, collision-free. Estimate: the document shares a
+    * selected winnowing fingerprint with another document (the q124
+    * detector at 20/8). The winnowing theorem makes FN structurally
+    * impossible (every shared ≥27-char span plants one common
+    * fingerprint in both docs), so the matrix certifies the guarantee
+    * ON THE DATA — the FN row must be absent (spec-pinned) — while FP
+    * counts the detector's honest price: docs sharing only a
+    * 20-26-char window-min gram. Scale shape: fingerprint selection
+    * is row-local; the truth side explodes raw 27-grams (at 100 TB
+    * the key would be a 128-bit content hash — same plan; strings
+    * keep the oracle exact here). */
+  def q183WinnowEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (k, w) = (20, 8)
+    val guarantee = k + w - 1 // 27
+    val docs = Tables.load(s, dir, "documents")
+    val fps = graft.ext.Winnowing.fingerprints(docs, "doc_id", "text", k, w)
+    val dupFp = fps.groupBy($"fp")
+      .agg(count_distinct($"id").as("nd")).filter($"nd" >= 2)
+    val est = fps.join(dupFp.select("fp"), Seq("fp"), "left_semi")
+      .select($"id").distinct()
+    val tg = docs.filter(length($"text") >= guarantee)
+      .select($"doc_id".as("id"), explode(expr(
+        s"transform(sequence(1, length(text) - ${guarantee - 1}), " +
+        s"i -> substring(text, i, $guarantee))")).as("g"))
+    val dupG = tg.groupBy($"g")
+      .agg(count_distinct($"id").as("nd")).filter($"nd" >= 2)
+    val truth = tg.join(dupG.select("g"), Seq("g"), "left_semi")
+      .select($"id").distinct()
+    docs.select($"doc_id".as("id"))
+      .join(est.withColumn("e", lit(1L)), Seq("id"), "left")
+      .join(truth.withColumn("t", lit(1L)), Seq("id"), "left")
+      .select(when($"e" === 1 && $"t" === 1, "TP").when($"e" === 1, "FP")
+        .when($"t" === 1, "FN").otherwise("TN").as("class"))
+      .groupBy($"class").agg(count(lit(1)).as("n"))
+      .orderBy($"class")
+  }
+
+  val q183Sql: String =
+    s"""WITH ${winnowFpsSqlFor(20, 8)},
+      |dupfp AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+      |est AS (SELECT DISTINCT doc_id AS id FROM fps JOIN dupfp USING (fp)),
+      |tg AS (SELECT doc_id AS id, substr(text, i, 27) AS g
+      |  FROM documents, unnest(generate_series(1, length(text) - 26)) AS u(i)
+      |  WHERE length(text) >= 27),
+      |dupg AS (SELECT g FROM tg GROUP BY g HAVING COUNT(DISTINCT id) >= 2),
+      |truth AS (SELECT DISTINCT id FROM tg JOIN dupg USING (g)),
+      |cls AS (SELECT d.doc_id,
+      |    CASE WHEN e.id IS NOT NULL AND t.id IS NOT NULL THEN 'TP'
+      |         WHEN e.id IS NOT NULL THEN 'FP'
+      |         WHEN t.id IS NOT NULL THEN 'FN' ELSE 'TN' END AS class
+      |  FROM documents d LEFT JOIN est e ON d.doc_id = e.id
+      |                   LEFT JOIN truth t ON d.doc_id = t.id)
+      |SELECT class, COUNT(*) AS n FROM cls GROUP BY class ORDER BY class""".stripMargin
 
   /** q146: train/eval DECONTAMINATION report — the LLM-pipeline step
     * that keeps benchmark answers out of training data: with a
@@ -849,6 +918,7 @@ object MiningQueries {
     "q91_group_hll" -> (q91GroupHll _),
     "q114_sliding_hll" -> (q114SlidingHll _),
     "q124_winnowing" -> (q124Winnowing _),
+    "q183_winnow_eval" -> (q183WinnowEval _),
     "q141_group_sliding_hll" -> (q141GroupSlidingHll _),
     "q146_decontam" -> (q146Decontam _))
 
@@ -866,6 +936,7 @@ object MiningQueries {
     "q91_group_hll" -> q91Sql,
     "q114_sliding_hll" -> q114Sql,
     "q124_winnowing" -> q124Sql,
+    "q183_winnow_eval" -> q183Sql,
     "q141_group_sliding_hll" -> q141Sql,
     "q146_decontam" -> q146Sql)
 }

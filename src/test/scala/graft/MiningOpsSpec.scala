@@ -280,4 +280,32 @@ class MiningOpsSpec extends SparkSpec {
       assert(gap == sp - gp)
     }
   }
+
+  test("q183: winnowing long-span guarantee holds — no FN class on the corpus") {
+    val out = graft.queries.MiningQueries.q183WinnowEval(spark, sf)
+      .as[(String, Long)].collect().toMap
+    // the theorem: any shared >= 27-char span plants a common selected
+    // fingerprint in both docs, so truth-positive docs can never be missed
+    assert(!out.contains("FN"), s"winnowing guarantee violated: $out")
+    assert(out.getOrElse("TP", 0L) > 0, s"degenerate matrix (no TP): $out")
+    assert(out.getOrElse("TN", 0L) > 0, s"degenerate matrix (no TN): $out")
+    assert(out.values.sum == 500L, s"classes must partition the corpus: $out")
+  }
+
+  test("winnowing guarantee on a crafted shared-span pair") {
+    val span = "abcdefghijklmnopqrstuvwxyz!" // 27 chars, unique content
+    val docs = Seq(
+      (1L, "XX1 " * 10 + span + " YY1 tail one"),
+      (2L, "ZZ2 " * 12 + span + " QQ2 other tail"),
+      (3L, "completely unrelated text with no shared span at all 333"))
+      .toDF("doc_id", "text")
+    val fps = graft.ext.Winnowing.fingerprints(docs, "doc_id", "text", k = 20, w = 8)
+    val shared = fps.groupBy($"fp")
+      .agg(count_distinct($"id").as("nd")).filter($"nd" >= 2)
+    val flagged = fps.join(shared.select("fp"), Seq("fp"), "left_semi")
+      .select($"id").distinct().as[Long].collect().toSet
+    assert(flagged.contains(1L) && flagged.contains(2L),
+      s"docs sharing a 27-char span must both be flagged: $flagged")
+    assert(!flagged.contains(3L), s"unrelated doc flagged: $flagged")
+  }
 }
