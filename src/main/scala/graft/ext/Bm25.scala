@@ -81,9 +81,7 @@ object Bm25 {
       // T ~ 10^14
       val contrib = tf.join(broadcast(qterms), "term")
         .join(dl, "id")
-        .withColumn("c", expr(
-          s"CAST(idf_bits * tf AS DECIMAL(38,0)) * ${20L * t}L * ${Scale}L" +
-            s" DIV (tf * ${8L * t}L + ${3L * t}L + dl * ${9L * n}L)"))
+        .withColumn("c", contribExpr(n, t))
         .select(col("qid"), col("id"), col("c"))
       contrib.groupBy(col("qid"), col("id"))
         .agg(sum(col("c")).as("score_fp"))
@@ -112,6 +110,14 @@ object Bm25 {
         (length(bin(lit(2 * n + 1))) - length(bin(col("df") * 2 + 1))).cast("long"))
     Index(tf, dl, n, t, dfreq)
   }
+
+  /** The per-term fixed-point contribution over columns (idf_bits, tf,
+    * dl) with the corpus constants as literals — ONE formula shared by
+    * the batch scorer ([[Index.scores]]) and the streaming serve twin,
+    * so the arithmetic can never fork. */
+  def contribExpr(n: Long, t: Long): org.apache.spark.sql.Column = expr(
+    s"CAST(idf_bits * tf AS DECIMAL(38,0)) * ${20L * t}L * ${Scale}L" +
+      s" DIV (tf * ${8L * t}L + ${3L * t}L + dl * ${9L * n}L)")
 
   /** Persist an [[Index]] as four parquet parts — the serving artifact
     * of the retrieval family (the [[VectorIndexStore]] discipline

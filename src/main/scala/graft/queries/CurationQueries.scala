@@ -618,7 +618,37 @@ object CurationQueries {
       |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
   }
 
+  /** q184: per-source quality cap — keep each source's top-k documents
+    * by quality score (the C4/Gopher-style per-domain cap: a single
+    * prolific domain must not dominate the mix no matter how much it
+    * crawls; complements q101's hash-uniform exact-k with the
+    * QUALITY-RANKED variant a curation pass actually ships). Rank is
+    * a per-source window over (quality DESC, doc_id) — deterministic
+    * ties, no global sort; at 100 TB this is one shuffle on the
+    * source key with map-side partial top-k via the windowed filter.
+    * Quality is the engine-wide q16 score, whose arithmetic already
+    * hash-matches DuckDB bit-for-bit. */
+  def q184SourceCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.qualityScore
+    val w = Window.partitionBy($"source").orderBy($"quality".desc, $"doc_id")
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source", qualityScore($"text").as("quality"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"source", $"rank", $"doc_id", $"quality")
+      .orderBy($"source", $"rank")
+  }
+
+  val q184Sql: String =
+    s"""SELECT source, rank, doc_id, quality FROM (
+      |  SELECT source, doc_id, q AS quality,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS BIGINT) AS rank
+      |  FROM (SELECT doc_id, source, ${CorpusQueries.quality} AS q FROM documents) t) r
+      |WHERE rank <= 10 ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_source_cap" -> (q184SourceCap _),
     "q144_dsir_mix" -> (q144DsirMix _),
     "q150_dsir_topk" -> (q150DsirTopk _),
     "q154_dsir_gumbel_topk" -> (q154DsirGumbelTopk _),
@@ -636,6 +666,7 @@ object CurationQueries {
     "q71_decontaminate" -> (q71Decontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "q184_source_cap" -> q184Sql,
     "q144_dsir_mix" -> q144Sql,
     "q150_dsir_topk" -> q150Sql,
     "q154_dsir_gumbel_topk" -> q154Sql,

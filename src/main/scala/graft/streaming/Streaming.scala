@@ -555,6 +555,49 @@ object Streaming {
           .otherwise(lit(0L)))
   }
 
+  /** Streaming BM25 query serving — the live twin of q180's
+    * persisted-index serve: free-text QUERIES stream in (qid, qtext,
+    * event_time), tokenize and distinct ROW-locally
+    * (`array_distinct` — no dedup state), join the STATIC loaded
+    * index parts (vocab-sized idf table, corpus tf, doc lengths —
+    * re-planned per micro-batch so an index refresh lands on the next
+    * trigger), accumulate per-(window, qid, doc) scores with the ONE
+    * shared contribution formula ([[graft.ext.Bm25.contribExpr]] —
+    * corpus constants ride as literals from the loaded globals), and
+    * emit each query's top-`k` (rank by score DESC, id ASC — the
+    * batch `rankTopK` tie-break, realized as a sorted-slice array
+    * reduce) when its window closes. TWO chained stateful
+    * aggregations on one watermark (the [[mixMonitorStream]]
+    * multi-stateful-op shape). State bound: per (window, qid) the
+    * candidate docs sharing ≥1 query term — at web scale the query
+    * terms would be df-capped before the tf join (the q19 rare-
+    * shingle discipline); the corpus side itself never re-tokenizes.
+    * Value-identical to batch [[graft.ext.Bm25.Index.scores]] +
+    * `rankTopK` over the same (qid, term) sets (spec-pinned). */
+  def bm25ServeStream(queries: DataFrame, ix: graft.ext.Bm25.Index,
+      k: Int = 10): DataFrame = {
+    val terms = queries
+      .withWatermark("event_time", "10 minutes")
+      .select(col("qid"), col("event_time"),
+        explode(array_distinct(graft.functions.TextFunctions.tokens(
+          lower(col("qtext"))))).as("term"))
+      .filter(col("term") =!= "")
+    val contrib = terms
+      .join(ix.dfreq.select(col("term"), col("idf_bits")), Seq("term"))
+      .join(ix.tf, Seq("term"))
+      .join(ix.dl, Seq("id"))
+      .withColumn("c", graft.ext.Bm25.contribExpr(ix.n, ix.t))
+    contrib
+      .groupBy(window(col("event_time"), "10 minutes"), col("qid"), col("id"))
+      .agg(sum(col("c")).as("score_fp"))
+      .groupBy(col("window"), col("qid"))
+      .agg(expr(s"slice(array_sort(collect_list(struct(-score_fp AS ns, id))), 1, $k)")
+        .as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("id"), (-col("col.ns")).as("score_fp"))
+  }
+
   /** Streaming frozen-codebook PQ encode — the ingest twin of q166:
     * arriving vectors are PQ-encoded ROW-locally against LITERAL
     * codebooks ([[graft.ext.ProductQuantize.pqEncodeExpr]] — the

@@ -1001,6 +1001,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, "stream/batch PQ encode divergence")
   }
 
+  test("streaming BM25 serve matches the batch persisted-index ranking (q180 twin)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ext.Bm25
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(length(trim($"text")) > 0)
+    val ix0 = Bm25.index(docs, "doc_id", "text")
+    // persist + load: the stream must serve from the storage artifact
+    val path = java.nio.file.Files.createTempDirectory("bm25serve").toString
+    Bm25.writeIndex(ix0, path)
+    val ix = Bm25.readIndex(spark, path)
+    val qt = ix.queryTerms(4, 3).localCheckpoint(true)
+    val batch = Bm25.rankTopK(ix.scores(qt), 10)
+      .select($"qid", $"rank", $"id", $"score_fp".cast("string"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    // the same queries as free text (terms are distinct within a group)
+    val qtexts = qt.groupBy($"qid")
+      .agg(concat_ws(" ", collect_list($"term")).as("qtext"))
+      .as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("qid", "qtext", "event_time")
+    val q = Streaming.bm25ServeStream(stream, ix)
+      .writeStream.format("memory").queryName("bm25_serve")
+      .outputMode("append").start()
+    try {
+      val t0 = 1000000L
+      input.addData(qtexts.map { case (qid, tx) =>
+        (qid, tx, new java.sql.Timestamp(t0)) }: _*)
+      q.processAllAvailable()
+      input.addData((999999L, "sentinel closing words",
+        new java.sql.Timestamp(t0 + 3600L * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("bm25_serve")
+      .filter($"qid" =!= 999999L)
+      .select($"qid", $"rank", $"id", $"score_fp".cast("string"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch, "stream/batch BM25 serving divergence")
+  }
+
   test("streaming dup-gram probe matches the batch frozen-dict coverage (q179 twin)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docsB = Tables.load(spark, sf, "documents")
