@@ -233,6 +233,37 @@ object BpeTrain {
   def merges(words: DataFrame, nMerges: Int): DataFrame =
     train(words, nMerges).merges
 
+  /** Collect a merge table into its ranked (lhs, rhs, merged) list —
+    * vocabulary-sized (one row per merge), the driver-literal form a
+    * frozen tokenizer ships with ([[applyMerges]]); typically read
+    * from a persisted artifact, never from live training. */
+  def collectMerges(merges: DataFrame): Seq[(String, String, String)] =
+    merges.orderBy(col("merge_rank"))
+      .select(col("lhs"), col("rhs"), col("merged"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+
+  /** Apply a FROZEN ranked merge list to an arbitrary word table —
+    * the serving-side tokenizer: each merge is training's own rewrite
+    * (replace `" a; b;"` with `" ab;"`, all non-overlapping
+    * occurrences left-to-right) applied in rank order as a chain of
+    * codegen'd string replaces, so (a) replaying it over the training
+    * words reproduces the trained dictionary's `sym` EXACTLY
+    * (spec-pinned — the tokenizer round-trip theorem) and (b) words
+    * the trainer never saw tokenize correctly under the same frozen
+    * vocabulary — the property a (word → count) dictionary join
+    * cannot provide. Row-local, zero shuffle; the merge list rides
+    * the plan as literals (24-10⁵ rules — the collectBooks class). */
+  def applyMerges(words: DataFrame,
+      mergeList: Seq[(String, String, String)]): DataFrame = {
+    val init = expr(
+      "concat_ws('', transform(sequence(1, length(word)), " +
+        "i -> concat(' ', substring(word, i, 1), ';')))")
+    val sym = mergeList.foldLeft(init) { case (c, (a, b, ab)) =>
+      replace(c, lit(s" $a; $b;"), lit(s" $ab;"))
+    }
+    words.withColumn("sym", sym)
+  }
+
   /** Driver-local trainer over the COLLECTED word dictionary — the
     * production-vocabulary scale path. [[train]] pays one Spark job
     * (one driver round-trip + one TakeOrdered) per merge: fine at the

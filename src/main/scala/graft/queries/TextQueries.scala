@@ -1023,7 +1023,110 @@ object TextQueries {
       |FROM nd LEFT JOIN wa USING (lang, pred_lang)
       |ORDER BY lang, pred_lang""".stripMargin
 
+  /** The tokenizer trained on the STANDING corpus (doc_id < 250),
+    * persisted as two parquet parts (ranked merge table + final word
+    * dictionary) and handed back as LOADED lazy scans — the model
+    * registry's LAST uncovered trained artifact (after the NB weights,
+    * the calibration registry, the PQ codebooks, the LSH index, the
+    * BM25 index, the dup-gram dictionary). */
+  private val bpeStoreCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def sharedPersistedBpe(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    SessionCaches.purgeStopped(bpeStoreCache)(_._1)
+    bpeStoreCache.computeIfAbsent((s, dir), _ => {
+      import graft.ext.BpeTrain
+      val standing = Tables.load(s, dir, "documents").filter(col("doc_id") < 250)
+      val trained = BpeTrain.trainBatched(BpeTrain.wordDict(standing, "text"), BpeMerges)
+      val base = graft.ext.VectorIndexStore.defaultPath(dir, "bpe_tokenizer")
+      trained.merges.write.mode("overwrite").parquet(s"$base/merges")
+      trained.dict.write.mode("overwrite").parquet(s"$base/dict")
+      (s.read.parquet(s"$base/merges"), s.read.parquet(s"$base/dict"))
+    })
+  }
+
+  /** q185: FROZEN tokenizer application to an arrival batch — the
+    * registry serve for the tokenizer: merges load from parquet,
+    * collect to driver literals (24 rules — the collectBooks class),
+    * and apply ROW-locally to the arrival slice's word dictionary via
+    * training's own rewrite chain ([[graft.ext.BpeTrain.applyMerges]]),
+    * so words the trainer NEVER SAW tokenize correctly under the
+    * frozen vocabulary (the q145 dictionary join cannot do that — it
+    * only covers training words). Per arrival doc: word count, OOV
+    * word count (novelty vs the loaded training dictionary — the
+    * vocabulary-drift signal that schedules retraining), BPE token
+    * count, characters, and fixed-point compression. No training code
+    * on the execution path; the oracle retrains from the raw standing
+    * slice and replays the application chain per merge round, so the
+    * green hash certifies the artifact round trip AND the frozen
+    * rewrite. */
+  def q185PersistedBpeApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.BpeTrain
+    val (mergesL, dictL) = sharedPersistedBpe(s, dir)
+    val rules = BpeTrain.collectMerges(mergesL)
+    val fresh = Tables.load(s, dir, "documents").filter($"doc_id" >= 250)
+    val words = BpeTrain.docWords(fresh, "text", carry = Seq("doc_id"))
+    val wd = words.groupBy($"word").agg(count(lit(1)).as("freq"))
+    val perWord = BpeTrain.applyMerges(wd, rules)
+      .select($"word", (size(split($"sym", " ")) - 1).cast("long").as("n_bpe"))
+      .join(dictL.select($"word").withColumn("known", lit(1L)), Seq("word"), "left")
+      .withColumn("known", coalesce($"known", lit(0L)))
+    val agg = words.join(perWord, "word")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(($"known" === 0).cast("long")).as("n_oov_words"),
+        sum($"n_bpe").as("n_bpe_tokens"),
+        sum(length($"word")).cast("long").as("n_chars"))
+    fresh.select($"doc_id").join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_words", lit(0L)).as("n_words"),
+        coalesce($"n_oov_words", lit(0L)).as("n_oov_words"),
+        coalesce($"n_bpe_tokens", lit(0L)).as("n_bpe_tokens"),
+        coalesce($"n_chars", lit(0L)).as("n_chars"),
+        expr("CASE WHEN n_bpe_tokens > 0 THEN n_chars * 1000000L DIV n_bpe_tokens END")
+          .as("cpt_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  val q185Sql: String = {
+    val applyRounds = (1 to BpeMerges).map { i =>
+      s"""a$i AS (SELECT word, replace(sym, ' ' || m.a || '; ' || m.b || ';', ' ' || m.a || m.b || ';') AS sym
+        |  FROM a${i - 1}, m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeChainSqlFrom("(SELECT * FROM documents WHERE doc_id < 250)")},
+      |ftoks AS (SELECT doc_id, word FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      |    FROM documents WHERE doc_id >= 250) t
+      |  WHERE regexp_matches(word, '^[a-z0-9]+$$')),
+      |a0 AS (SELECT word, array_to_string(
+      |    list_transform(generate_series(1, length(word)), i -> ' ' || substr(word, i, 1) || ';'),
+      |    '') AS sym FROM (SELECT word FROM ftoks GROUP BY word) fw),
+      |$applyRounds,
+      |pw AS (SELECT a$BpeMerges.word,
+      |    CAST(len(string_split(sym, ' ')) - 1 AS BIGINT) AS n_bpe,
+      |    CASE WHEN kn.word IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM a$BpeMerges LEFT JOIN (SELECT word FROM w$BpeMerges) kn USING (word)),
+      |ag AS (SELECT doc_id, COUNT(*) AS n_words,
+      |    CAST(SUM(pw.oov) AS BIGINT) AS n_oov_words,
+      |    CAST(SUM(pw.n_bpe) AS BIGINT) AS n_bpe_tokens,
+      |    CAST(SUM(length(ftoks.word)) AS BIGINT) AS n_chars
+      |  FROM ftoks JOIN pw USING (word) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(ag.n_words, 0) AS n_words,
+      |  COALESCE(ag.n_oov_words, 0) AS n_oov_words,
+      |  COALESCE(ag.n_bpe_tokens, 0) AS n_bpe_tokens,
+      |  COALESCE(ag.n_chars, 0) AS n_chars,
+      |  CASE WHEN COALESCE(ag.n_bpe_tokens, 0) > 0
+      |       THEN COALESCE(ag.n_chars, 0) * 1000000 // ag.n_bpe_tokens END AS cpt_ppm
+      |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+      |LEFT JOIN ag USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_persisted_bpe_apply" -> (q185PersistedBpeApply _),
     "q149_bpe_fertility" -> (q149BpeFertility _),
     "q143_bpe_train" -> (q143BpeTrain _),
     "q145_bpe_tokenize" -> (q145BpeTokenize _),
@@ -1047,6 +1150,7 @@ object TextQueries {
     "q104_collocations" -> (q104Collocations _))
 
   val oracle: Map[String, String] = Map(
+    "q185_persisted_bpe_apply" -> q185Sql,
     "q149_bpe_fertility" -> q149Sql,
     "q143_bpe_train" -> q143Sql,
     "q145_bpe_tokenize" -> q145Sql,

@@ -292,6 +292,31 @@ class MiningOpsSpec extends SparkSpec {
     assert(out.values.sum == 500L, s"classes must partition the corpus: $out")
   }
 
+  test("applyMerges replays training exactly and tokenizes unseen words") {
+    import graft.ext.BpeTrain
+    val docs = Seq((1L, "low low low low low lower lower newest newest newest " +
+      "newest newest newest widest widest widest")).toDF("doc_id", "text")
+    val words = BpeTrain.wordDict(docs, "text")
+    val trained = BpeTrain.trainBatched(words, 8)
+    val rules = BpeTrain.collectMerges(trained.merges)
+    // round trip: applying the frozen rules to the TRAINING words must
+    // reproduce the trained dictionary's symbol state bit-for-bit
+    val replayed = BpeTrain.applyMerges(words, rules)
+      .select($"word", $"sym").as[(String, String)].collect().toMap
+    val dict = trained.dict.select($"word", $"sym")
+      .as[(String, String)].collect().toMap
+    assert(replayed === dict, "frozen-rule replay diverged from training")
+    // unseen words tokenize under the same vocabulary: "lowest" was
+    // never trained but is built from trained merges (low + est)
+    val unseen = Seq(("lowest", 1L), ("zq", 1L)).toDF("word", "freq")
+    val out = BpeTrain.applyMerges(unseen, rules)
+      .select($"word", (size(split($"sym", " ")) - 1).as("n"))
+      .as[(String, Int)].collect().toMap
+    assert(out("lowest") < "lowest".length,
+      s"unseen word got no merges: ${out("lowest")} tokens")
+    assert(out("zq") == 2, "never-merged chars must stay one token each")
+  }
+
   test("winnowing guarantee on a crafted shared-span pair") {
     val span = "abcdefghijklmnopqrstuvwxyz!" // 27 chars, unique content
     val docs = Seq(
