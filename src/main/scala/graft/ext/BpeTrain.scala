@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding VOCABULARY TRAINING (Sennrich et al.) — the
@@ -254,14 +254,20 @@ object BpeTrain {
     * cannot provide. Row-local, zero shuffle; the merge list rides
     * the plan as literals (24-10⁵ rules — the collectBooks class). */
   def applyMerges(words: DataFrame,
-      mergeList: Seq[(String, String, String)]): DataFrame = {
-    val init = expr(
-      "concat_ws('', transform(sequence(1, length(word)), " +
-        "i -> concat(' ', substring(word, i, 1), ';')))")
-    val sym = mergeList.foldLeft(init) { case (c, (a, b, ab)) =>
+      mergeList: Seq[(String, String, String)]): DataFrame =
+    words.withColumn("sym", symExpr(col("word"), mergeList))
+
+  /** The frozen-rule rewrite chain as a pure Column over ANY word
+    * expression — usable on a scalar word column ([[applyMerges]]) or
+    * INSIDE an array lambda (the row-local streaming serve, where each
+    * doc's words tokenize without an explode or any state). */
+  def symExpr(word: Column,
+      mergeList: Seq[(String, String, String)]): Column = {
+    val init = concat_ws("", transform(sequence(lit(1), length(word)),
+      i => concat(lit(" "), word.substr(i, lit(1)), lit(";"))))
+    mergeList.foldLeft(init) { case (c, (a, b, ab)) =>
       replace(c, lit(s" $a; $b;"), lit(s" $ab;"))
     }
-    words.withColumn("sym", sym)
   }
 
   /** Driver-local trainer over the COLLECTED word dictionary — the

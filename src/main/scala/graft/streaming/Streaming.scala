@@ -555,6 +555,41 @@ object Streaming {
           .otherwise(lit(0L)))
   }
 
+  /** Streaming frozen-tokenizer application — the live twin of q185:
+    * arriving documents tokenize against the PERSISTED BPE vocabulary
+    * entirely ROW-locally — the loaded merge rules AND the known-word
+    * vocabulary ride the plan as literals (rules through
+    * [[graft.ext.BpeTrain.symExpr]] inside an array lambda, the vocab
+    * as a typedLit for the OOV membership test), so each document's
+    * words rewrite in place with no explode, no join, no state, no
+    * watermark — verdicts emit immediately at any rate (the
+    * [[pqEncodeStream]] serving shape taken one step further: even
+    * the dictionary is a literal). Per doc: word count, OOV words,
+    * BPE tokens, chars, fixed-point compression — the q185 columns,
+    * bit-identical to the batch serve over the same docs
+    * (spec-pinned). `docs` must carry (doc_id, text); `vocab` is the
+    * loaded training dictionary's word list (vocabulary-sized). */
+  def bpeApplyStream(docs: DataFrame,
+      rules: Seq[(String, String, String)], vocab: Seq[String]): DataFrame = {
+    val vocabLit = typedLit(vocab)
+    docs
+      .withColumn("__w", filter(
+        graft.functions.TextFunctions.tokens(lower(col("text"))),
+        w => w.rlike("^[a-z0-9]+$")))
+      .select(col("doc_id"),
+        size(col("__w")).cast("long").as("n_words"),
+        size(filter(col("__w"), w => !array_contains(vocabLit, w)))
+          .cast("long").as("n_oov_words"),
+        aggregate(
+          transform(col("__w"), w => graft.ext.BpeTrain.symExpr(w, rules)),
+          lit(0L), (acc, s) => acc + size(split(s, " ")) - 1)
+          .as("n_bpe_tokens"),
+        aggregate(col("__w"), lit(0L), (acc, w) => acc + length(w))
+          .as("n_chars"))
+      .withColumn("cpt_ppm",
+        expr("CASE WHEN n_bpe_tokens > 0 THEN n_chars * 1000000L DIV n_bpe_tokens END"))
+  }
+
   /** Streaming BM25 query serving — the live twin of q180's
     * persisted-index serve: free-text QUERIES stream in (qid, qtext,
     * event_time), tokenize and distinct ROW-locally

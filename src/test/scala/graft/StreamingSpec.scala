@@ -1001,6 +1001,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, "stream/batch PQ encode divergence")
   }
 
+  test("streaming frozen-tokenizer serve matches the batch q185 profile") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ext.BpeTrain
+    val docsB = Tables.load(spark, sf, "documents")
+    val trained = BpeTrain.trainBatched(
+      BpeTrain.wordDict(docsB.filter($"doc_id" < 250), "text"), 24)
+    val rules = BpeTrain.collectMerges(trained.merges)
+    val vocab = trained.dict.select($"word").as[String].collect().toSeq
+    val fresh = docsB.filter($"doc_id" >= 250).orderBy($"doc_id").limit(40)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = Streaming.bpeApplyStream(stream, rules, vocab)
+      .writeStream.format("memory").queryName("bpe_serve")
+      .outputMode("append").start()
+    try { input.addData(fresh.toSeq: _*); q.processAllAvailable() } finally q.stop()
+    val cols = Seq("doc_id", "n_words", "n_oov_words", "n_bpe_tokens",
+      "n_chars", "cpt_ppm")
+    val streamed = spark.table("bpe_serve").select(cols.map(col): _*)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSet
+    // the gated q185 trains on the same standing slice (deterministic),
+    // so its rows restricted to the streamed ids are the batch truth
+    val ids = fresh.map(_._1).toSet
+    val batch = graft.queries.TextQueries
+      .q185PersistedBpeApply(spark, sf)
+      .filter($"doc_id".isin(ids.toSeq: _*))
+      .select(cols.map(col): _*)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSet
+    assert(streamed.size == 40 && streamed.exists(_._4 > 0))
+    assert(streamed === batch, "stream/batch tokenizer serve divergence")
+  }
+
   test("streaming BM25 serve matches the batch persisted-index ranking (q180 twin)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.ext.Bm25
