@@ -543,7 +543,43 @@ object HashDedupQueries {
       |UNION ALL SELECT class, n_grams, occ_added FROM tot
       |ORDER BY class""".stripMargin
 
+  /** q186: cross-source EXACT-substring provenance matrix — which
+    * source pairs share verbatim 8-gram content, counted as distinct
+    * shared grams per ordered pair: q170 answers the near-dup
+    * question at document granularity (MinHash estimate), this
+    * answers the boilerplate-provenance question at span granularity
+    * EXACTLY — two crawls sharing thousands of verbatim grams carry
+    * copied boilerplate even when no whole document is a near-dup.
+    * Scale shape: the (gram, source) presence set is distinct-
+    * collapsed BEFORE the self-join, so a gram in k sources emits
+    * ≤ k² pairs (k ≤ #sources, a constant) — never doc×doc; the
+    * gram recipe is the q177 chain verbatim. */
+  def q186SourceGramOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val grams = graft.ext.DupNgrams.gramPositions(docs, "doc_id", "text")
+    val gs = grams
+      .join(docs.select($"doc_id".as("id"), $"source"), "id")
+      .select($"gram", $"source").distinct()
+    gs.as("a").join(gs.as("b"), "gram")
+      .filter($"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count_distinct($"gram").as("n_shared_grams"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val q186Sql: String =
+    s"""WITH $gramChainSql,
+      |gs AS (SELECT DISTINCT g.gram, d.source
+      |  FROM g JOIN documents d ON g.id = d.doc_id),
+      |pr AS (SELECT a.source AS source_a, b.source AS source_b, a.gram
+      |  FROM gs a JOIN gs b ON a.gram = b.gram AND a.source < b.source)
+      |SELECT source_a, source_b, COUNT(DISTINCT gram) AS n_shared_grams
+      |FROM pr GROUP BY source_a, source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_source_gram_overlap" -> (q186SourceGramOverlap _),
     "q182_dupgram_dict_update" -> (q182DupgramDictUpdate _),
     "q177_dup_ngram_coverage" -> (q177DupNgramCoverage _),
     "q178_dup_ngram_prune" -> (q178DupNgramPrune _),
@@ -558,6 +594,7 @@ object HashDedupQueries {
     "q120_incremental_lsh" -> (q120IncrementalLsh _))
 
   val oracle: Map[String, String] = Map(
+    "q186_source_gram_overlap" -> q186Sql,
     "q182_dupgram_dict_update" -> q182Sql,
     "q177_dup_ngram_coverage" -> q177Sql,
     "q178_dup_ngram_prune" -> q178Sql,
