@@ -64,6 +64,17 @@ object PlanAudit {
     // onto the per-doc roll-up (the q169 class minus its in-plan
     // training — the training-side SinglePartition is gone)
     "q174_persisted_nb_score" -> Set(Bnlj),
+    // ensemble's NB member is the q174 serve path (loaded one-row
+    // globals broadcast); the three rank windows each run over a
+    // ≤100-row TakeOrdered top-n (the q150/q128 class) and the fused
+    // re-rank over ≤300 rows — none reach SinglePartition because the
+    // limit collapses them first
+    "q188_quality_ensemble" -> Set(Bnlj),
+    // t-closeness global tercile distribution: a one-row rollup OF THE
+    // attribute-bounded class table, broadcast back onto it (the
+    // q80/q86 one-row-total class); the per-doc audit join upstream is
+    // broadcast-equi
+    "q190_t_closeness" -> Set(SinglePartition, Bnlj),
     // mixing plan: q171/q172's bounded calibration walk + the one-row
     // token-total broadcast onto the sources-bounded per-source rows
     // (the q80/q86 class)

@@ -647,6 +647,223 @@ object CurationQueries {
       |  FROM (SELECT doc_id, source, ${CorpusQueries.quality} AS q FROM documents) t) r
       |WHERE rank <= 10 ORDER BY source, rank""".stripMargin
 
+  /** q187: k-anonymity generalization ladder over the release
+    * metadata's quasi-identifiers (lang, source, length bucket) —
+    * the privacy gate a published training-data manifest passes
+    * before its per-document metadata ships (Sweeney's k-anonymity;
+    * a rare (lang, source, length) combination pinpoints a document
+    * even with the text withheld). Local recoding against the
+    * ORIGINAL marginal counts: each document publishes the finest
+    * prefix of the ladder
+    *   L0 (lang, source, len_bucket) → L1 (lang, source) →
+    *   L2 (lang) → L3 (fully suppressed)
+    * whose marginal count is ≥ k. The anonymity set of a published
+    * pattern is every document matching it on the RETAINED
+    * attributes — exactly the marginal count (`class_n` certifies
+    * it; a withheld attribute matches anything), so every published
+    * row is k-anonymous by construction and `class_n = 0` marks the
+    * suppressed class.
+    *
+    * Scale shape: the three marginal tables are bounded by attribute
+    * cardinality (langs × sources × buckets), so they broadcast; the
+    * corpus takes three broadcast hash joins inside one scan pass and
+    * never shuffles. The level decision is a row-local comparison. */
+  def q187KAnonymize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = graft.ext.KAnon.quasi(Tables.load(s, dir, "documents"))
+    val (c0, c1, c2) = graft.ext.KAnon.marginals(q)
+    graft.ext.KAnon.publish(q, c0, c1, c2).orderBy($"doc_id")
+  }
+
+  /** The q187 generalization-ladder CTE chain (d → marginals → lv →
+    * pub, the per-doc published pattern) — shared verbatim by q187's
+    * oracle and q189's diversity audit, so the release the audit
+    * inspects can never fork from the one q187 publishes. */
+  private[queries] val kAnonCtesSql: String =
+    """d AS (SELECT doc_id, lang, source, n_chars // 500 AS len_bucket FROM documents),
+      |c0 AS (SELECT lang, source, len_bucket, COUNT(*) AS n0 FROM d GROUP BY ALL),
+      |c1 AS (SELECT lang, source, COUNT(*) AS n1 FROM d GROUP BY ALL),
+      |c2 AS (SELECT lang, COUNT(*) AS n2 FROM d GROUP BY ALL),
+      |lv AS (SELECT d.doc_id, d.lang, d.source, d.len_bucket, c0.n0, c1.n1, c2.n2,
+      |    CASE WHEN c0.n0 >= 5 THEN 0 WHEN c1.n1 >= 5 THEN 1
+      |         WHEN c2.n2 >= 5 THEN 2 ELSE 3 END AS level
+      |  FROM d JOIN c0 USING (lang, source, len_bucket)
+      |    JOIN c1 USING (lang, source) JOIN c2 USING (lang)),
+      |pub AS (SELECT doc_id,
+      |  CASE WHEN level <= 2 THEN lang ELSE '*' END AS g_lang,
+      |  CASE WHEN level <= 1 THEN source ELSE '*' END AS g_source,
+      |  CASE WHEN level = 0 THEN CAST(len_bucket AS VARCHAR) ELSE '*' END AS g_len,
+      |  CAST(level AS INT) AS level,
+      |  CAST(CASE level WHEN 0 THEN n0 WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE 0 END AS BIGINT) AS class_n
+      |FROM lv)""".stripMargin
+
+  val q187Sql: String =
+    s"""WITH $kAnonCtesSql
+      |SELECT doc_id, g_lang, g_source, g_len, level, class_n
+      |FROM pub ORDER BY doc_id""".stripMargin
+
+  /** q189: l-diversity audit of the q187 release (Machanavajjhala et
+    * al.'s homogeneity attack) — k-anonymity alone doesn't stop
+    * inference: if every document in a published equivalence class
+    * shares the same SENSITIVE value, matching the class reveals it
+    * even though no individual row is identifiable. Sensitive
+    * attribute here: the q158 CCNet surprisal tercile (head/middle/
+    * tail — the quality verdict a release's consumers act on). Per
+    * published class: audited member count, l = distinct buckets
+    * present, the majority bucket's size and exact-ppm share, and the
+    * l ≥ 2 verdict. Classes with l_diverse = 0 leak their members'
+    * verdicts; the release shipper either coarsens them further or
+    * withholds the bucket column for them. Docs without bigrams carry
+    * no bucket and are outside the audit (n_audited counts audited
+    * members only).
+    *
+    * Scale shape: the published pattern is q187's broadcast-marginal
+    * chain; the bucket is the session-shared surprisal table + the
+    * bounded-histogram tercile walk; the audit itself is two
+    * aggregations on keys bounded by attribute cardinality — nothing
+    * corpus-sized shuffles beyond the one class-keyed fold. */
+  def q189LDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pub = q187KAnonymize(s, dir)
+      .select($"doc_id", $"g_lang", $"g_source", $"g_len", $"level")
+    val sens = graft.ext.SurprisalScore.ccnetBucketsFrom(
+        MiningQueries.sharedSurprisal(s, dir),
+        Tables.load(s, dir, "documents"), "doc_id", "lang")
+      .select($"doc_id", $"bucket")
+    pub.join(sens, "doc_id")
+      .groupBy($"g_lang", $"g_source", $"g_len", $"level", $"bucket")
+      .agg(count(lit(1)).as("nb"))
+      .groupBy($"g_lang", $"g_source", $"g_len", $"level")
+      .agg(sum($"nb").as("n_audited"),
+        count(lit(1)).as("l_distinct"),
+        max($"nb").as("top_bucket_n"))
+      .withColumn("majority_ppm", expr("top_bucket_n * 1000000L DIV n_audited"))
+      .withColumn("l_diverse", ($"l_distinct" >= 2).cast("int"))
+      .orderBy($"g_lang", $"g_source", $"g_len", $"level")
+  }
+
+  /** The q189/q190 shared audit prefix: the q187 release chain
+    * ([[kAnonCtesSql]]) + the q158 CCNet tercile chain + the per-doc
+    * (published class, sensitive bucket) join `j` — one recipe, so
+    * the two privacy audits inspect the SAME release and the SAME
+    * sensitive attribute by construction. */
+  private[queries] val kAnonAuditCtesSql: String =
+    s"""$kAnonCtesSql,
+      |toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+      |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+      |        i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
+      |c AS (SELECT g, COUNT(*) AS c FROM g2 GROUP BY g),
+      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c),
+      |s AS (SELECT g2.doc_id, COUNT(*) AS n_bigrams,
+      |    CAST(SUM(CAST(length(bin(n.n_total)) AS BIGINT)
+      |             - CAST(length(bin(c.c)) AS BIGINT)) AS BIGINT) AS surprisal_bits
+      |  FROM g2 JOIN c USING (g) CROSS JOIN n GROUP BY g2.doc_id),
+      |sc AS (SELECT dd.doc_id, dd.lang,
+      |    CAST(s.surprisal_bits * 1000 // s.n_bigrams AS BIGINT) AS mb
+      |  FROM documents dd JOIN s USING (doc_id) WHERE s.n_bigrams > 0),
+      |hist AS (SELECT lang, mb, COUNT(*) AS n FROM sc GROUP BY lang, mb),
+      |cum AS (SELECT lang, mb,
+      |    SUM(n) OVER (PARTITION BY lang ORDER BY mb) AS cumn FROM hist),
+      |tot AS (SELECT lang, COUNT(*) AS tot FROM sc GROUP BY lang),
+      |thr AS (SELECT lang,
+      |    MIN(CASE WHEN cumn * 3 >= tot THEN mb END) AS t1,
+      |    MIN(CASE WHEN cumn * 3 >= tot * 2 THEN mb END) AS t2
+      |  FROM cum JOIN tot USING (lang) GROUP BY lang),
+      |sens AS (SELECT sc.doc_id,
+      |    CASE WHEN sc.mb <= t.t1 THEN 'head'
+      |         WHEN sc.mb <= t.t2 THEN 'middle'
+      |         ELSE 'tail' END AS bucket
+      |  FROM sc JOIN thr t USING (lang)),
+      |j AS (SELECT p.g_lang, p.g_source, p.g_len, p.level, se.bucket
+      |  FROM pub p JOIN sens se USING (doc_id))""".stripMargin
+
+  val q189Sql: String =
+    s"""WITH $kAnonAuditCtesSql,
+      |cb AS (SELECT g_lang, g_source, g_len, level, bucket, COUNT(*) AS nb
+      |  FROM j GROUP BY ALL)
+      |SELECT g_lang, g_source, g_len, level,
+      |  CAST(SUM(nb) AS BIGINT) AS n_audited,
+      |  CAST(COUNT(*) AS BIGINT) AS l_distinct,
+      |  CAST(MAX(nb) AS BIGINT) AS top_bucket_n,
+      |  CAST(MAX(nb) * 1000000 // SUM(nb) AS BIGINT) AS majority_ppm,
+      |  CAST(CASE WHEN COUNT(*) >= 2 THEN 1 ELSE 0 END AS INT) AS l_diverse
+      |FROM cb GROUP BY g_lang, g_source, g_len, level
+      |ORDER BY g_lang, g_source, g_len, level""".stripMargin
+
+  /** t-closeness threshold (ppm): a class's tercile distribution may
+    * sit at most this EMD from the corpus-global one (Li et al. use
+    * t ≈ 0.15–0.2 in the paper's examples; 0.2 here). */
+  private val TClosePpm = 200000L
+
+  /** q190: t-closeness audit of the q187 release (Li, Li &
+    * Venkatasubramanian) — l-diversity's known failure mode: a class
+    * can be l-diverse yet SKEWED (90% tail / 10% head still tells an
+    * attacker the member is almost surely tail). Per published class,
+    * the Earth Mover's Distance between the class's sensitive
+    * distribution and the corpus-global one, over the ORDERED tercile
+    * attribute (head < middle < tail), computed on exact
+    * ppm-quantized ECDFs (the q171 integer-ECDF discipline):
+    *   emd_ppm = (|F_class − F_global|(head)
+    *            + |F_class − F_global|(head+middle)) DIV 2
+    * where each F is count·10⁶ DIV n — plain BIGINT all the way (no
+    * count×count cross-products, so no overflow at any corpus size).
+    * t_close flags classes within [[TClosePpm]]; the release shipper
+    * coarsens or withholds the rest. Completes the release-privacy
+    * trio: q187 k-anonymity, q189 l-diversity, q190 t-closeness.
+    *
+    * Scale shape: reuses q189's audit join (broadcast ladder +
+    * shared surprisal terciles); the class pivot is one aggregation
+    * on attribute-bounded keys; the global distribution is a one-row
+    * rollup OF THE CLASS TABLE (already bounded), broadcast back —
+    * nothing corpus-sized moves after the per-doc join. */
+  def q190TCloseness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pub = q187KAnonymize(s, dir)
+      .select($"doc_id", $"g_lang", $"g_source", $"g_len", $"level")
+    val sens = graft.ext.SurprisalScore.ccnetBucketsFrom(
+        MiningQueries.sharedSurprisal(s, dir),
+        Tables.load(s, dir, "documents"), "doc_id", "lang")
+      .select($"doc_id", $"bucket")
+    val cls = pub.join(sens, "doc_id")
+      .groupBy($"g_lang", $"g_source", $"g_len", $"level")
+      .agg(count(lit(1)).as("n_audited"),
+        sum(when($"bucket" === "head", 1L).otherwise(0L)).as("n_head"),
+        sum(when($"bucket" === "middle", 1L).otherwise(0L)).as("n_middle"),
+        sum(when($"bucket" === "tail", 1L).otherwise(0L)).as("n_tail"))
+    val glob = cls.agg(sum($"n_audited").as("gn"), sum($"n_head").as("gh"),
+      sum($"n_middle").as("gm"))
+    cls.crossJoin(broadcast(glob))
+      .withColumn("emd_ppm", expr(
+        """(abs(n_head * 1000000L DIV n_audited - gh * 1000000L DIV gn)
+          | + abs((n_head + n_middle) * 1000000L DIV n_audited
+          |        - (gh + gm) * 1000000L DIV gn)) DIV 2""".stripMargin))
+      .withColumn("t_close", ($"emd_ppm" <= TClosePpm).cast("int"))
+      .select($"g_lang", $"g_source", $"g_len", $"level", $"n_audited",
+        $"n_head", $"n_middle", $"n_tail", $"emd_ppm", $"t_close")
+      .orderBy($"g_lang", $"g_source", $"g_len", $"level")
+  }
+
+  val q190Sql: String =
+    s"""WITH $kAnonAuditCtesSql,
+      |cls AS (SELECT g_lang, g_source, g_len, level,
+      |    CAST(COUNT(*) AS BIGINT) AS n_audited,
+      |    CAST(SUM(CASE WHEN bucket = 'head' THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+      |    CAST(SUM(CASE WHEN bucket = 'middle' THEN 1 ELSE 0 END) AS BIGINT) AS n_middle,
+      |    CAST(SUM(CASE WHEN bucket = 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS n_tail
+      |  FROM j GROUP BY ALL),
+      |gtot AS (SELECT SUM(n_audited) AS gn, SUM(n_head) AS gh,
+      |    SUM(n_middle) AS gm FROM cls)
+      |SELECT g_lang, g_source, g_len, level, n_audited, n_head, n_middle, n_tail,
+      |  CAST((abs(n_head * 1000000 // n_audited - gh * 1000000 // gn)
+      |      + abs((n_head + n_middle) * 1000000 // n_audited
+      |             - (gh + gm) * 1000000 // gn)) // 2 AS BIGINT) AS emd_ppm,
+      |  CAST(CASE WHEN (abs(n_head * 1000000 // n_audited - gh * 1000000 // gn)
+      |      + abs((n_head + n_middle) * 1000000 // n_audited
+      |             - (gh + gm) * 1000000 // gn)) // 2 <= $TClosePpm
+      |    THEN 1 ELSE 0 END AS INT) AS t_close
+      |FROM cls, gtot
+      |ORDER BY g_lang, g_source, g_len, level""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q184_source_cap" -> (q184SourceCap _),
     "q144_dsir_mix" -> (q144DsirMix _),
@@ -663,6 +880,9 @@ object CurationQueries {
     "q67_token_shards" -> (q67TokenShards _),
     "q70_corpus_mix" -> (q70CorpusMix _),
     "q106_temperature_mix" -> (q106TemperatureMix _),
+    "q187_k_anonymize" -> (q187KAnonymize _),
+    "q189_l_diversity" -> (q189LDiversity _),
+    "q190_t_closeness" -> (q190TCloseness _),
     "q71_decontaminate" -> (q71Decontaminate _))
 
   val oracle: Map[String, String] = Map(
@@ -681,5 +901,8 @@ object CurationQueries {
     "q67_token_shards" -> q67Sql,
     "q70_corpus_mix" -> q70Sql,
     "q71_decontaminate" -> q71Sql,
-    "q106_temperature_mix" -> q106Sql)
+    "q106_temperature_mix" -> q106Sql,
+    "q187_k_anonymize" -> q187Sql,
+    "q189_l_diversity" -> q189Sql,
+    "q190_t_closeness" -> q190Sql)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ext.{Similarity, SurprisalScore}
@@ -904,7 +905,113 @@ object MiningQueries {
       |FROM sel GROUP BY source, weight_ppm, sm_ppm, rate_bp
       |ORDER BY source""".stripMargin
 
+  /** Distributed top-n ranking: `orderBy(...).limit(n)` plans
+    * `TakeOrderedAndProject` (per-partition heaps merged on the
+    * driver, never a global sort), then the ≤ n survivors get dense
+    * 1-based ranks from a window over a constant-size input. */
+  private def topRanked(df: DataFrame, n: Int, ord: Column*): DataFrame =
+    df.orderBy(ord: _*).limit(n)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(ord: _*)).cast("long"))
+
+  /** q188: quality-ensemble consensus ranking — three incomparable
+    * quality signals fused with reciprocal-rank fusion
+    * ([[graft.ext.Rrf]], the q142 retrieval discipline applied to
+    * CURATION): a corpus doesn't have one quality score, it has a
+    * perplexity filter (CCNet), a repetition gate (Gopher), and a
+    * learned classifier (DCLM), each on its own scale. Per signal a
+    * corpus-wide top-100 ranking (ties broken by doc_id):
+    *   - surprisal: q86's integer millibits-per-bigram, ascending
+    *     (well-modeled text first), from the session-shared scores;
+    *   - repetition: within-doc duplicate-3-gram rate in integer ppm
+    *     ascending, from q65's stats;
+    *   - nb: the PERSISTED q169 classifier's score_bits descending —
+    *     the ensemble's learned member arrives from the model
+    *     registry ([[TextQueries.sharedPersistedNbModel]]), not from
+    *     in-plan training.
+    * RRF then scores each candidate Σ 10⁶ DIV (60 + rank) in exact
+    * fixed point and keeps the consensus top-50 with every member's
+    * rank attached (NULL = unranked by that signal) — the
+    * "documents every signal agrees are gold" shortlist a curation
+    * run audits first.
+    *
+    * Scale shape: each signal reduces corpus → 100 rows via
+    * TakeOrderedAndProject (no global sort, no corpus-wide window);
+    * the fusion join and final re-rank touch ≤ 300 rows total. */
+  def q188QualityEnsemble(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 100
+    val docs = Tables.load(s, dir, "documents")
+    val sur = sharedSurprisal(s, dir).filter($"n_bigrams" > 0)
+      .select($"id", $"millibits_per_gram")
+    val rep = graft.ext.Repetition
+      .ngramRepetitionStatsLocal(docs, "doc_id", "text")
+      .filter($"n3_total" > 0)
+      .select($"id",
+        expr("(n3_total - n3_distinct) * 1000000L DIV n3_total").as("rep_ppm"))
+    val (w, g) = TextQueries.sharedPersistedNbModel(s, dir)
+    val nb = graft.ext.NbClassifier.score(docs, "doc_id", "text", w, g)
+      .select($"id", $"score_bits")
+    def asList(df: DataFrame) =
+      df.select(lit("corpus").as("qid"), $"id", $"rank")
+    graft.ext.Rrf.fuse(Seq(
+        "surprisal" -> asList(topRanked(sur, n, $"millibits_per_gram".asc, $"id".asc)),
+        "repetition" -> asList(topRanked(rep, n, $"rep_ppm".asc, $"id".asc)),
+        "nb" -> asList(topRanked(nb, n, $"score_bits".desc, $"id".asc))),
+        topK = 50)
+      .select($"rank", $"id".as("doc_id"), $"rrf_fp",
+        $"r_surprisal", $"r_repetition", $"r_nb")
+      .orderBy($"rank")
+  }
+
+  val q188Sql: String =
+    s"""WITH ${TextQueries.gateCtesSql},
+      |${TextQueries.nbTrainCtesSql},
+      |aocc AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+      |ws AS (SELECT a.doc_id, CAST(SUM(COALESCE(w.w_bits, 0)) AS BIGINT) AS w_sum
+      |  FROM aocc a LEFT JOIN w USING (tok) GROUP BY a.doc_id),
+      |sc AS (SELECT b.doc_id,
+      |    CAST(p.prior_bits + len(b.t) * p.d_bits + COALESCE(s.w_sum, 0) AS BIGINT)
+      |      AS score_bits
+      |  FROM toks b LEFT JOIN ws s USING (doc_id), pri p),
+      |nbr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_bits DESC, doc_id) AS BIGINT) AS r
+      |  FROM sc QUALIFY r <= 100),
+      |stoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+      |sg2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+      |        i -> t[i] || ' ' || t[i+1])) AS g FROM stoks),
+      |scnt AS (SELECT g, COUNT(*) AS c FROM sg2 GROUP BY g),
+      |sn AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM scnt),
+      |ss AS (SELECT sg2.doc_id, COUNT(*) AS n_bigrams,
+      |    CAST(SUM(CAST(length(bin(sn.n_total)) AS BIGINT)
+      |             - CAST(length(bin(scnt.c)) AS BIGINT)) AS BIGINT) AS surprisal_bits
+      |  FROM sg2 JOIN scnt USING (g) CROSS JOIN sn GROUP BY sg2.doc_id),
+      |srate AS (SELECT doc_id, surprisal_bits * 1000 // n_bigrams AS mbpg
+      |  FROM ss WHERE n_bigrams > 0),
+      |surr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY mbpg ASC, doc_id) AS BIGINT) AS r
+      |  FROM srate QUALIFY r <= 100),
+      |rg3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM stoks),
+      |rc3 AS (SELECT doc_id, g, COUNT(*) AS c FROM rg3 GROUP BY doc_id, g),
+      |rs3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n3_total,
+      |    CAST(COUNT(*) AS BIGINT) AS n3_distinct FROM rc3 GROUP BY doc_id),
+      |rrate AS (SELECT doc_id, (n3_total - n3_distinct) * 1000000 // n3_total AS rep_ppm
+      |  FROM rs3 WHERE n3_total > 0),
+      |repr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY rep_ppm ASC, doc_id) AS BIGINT) AS r
+      |  FROM rrate QUALIFY r <= 100),
+      |ids AS (SELECT doc_id FROM surr UNION SELECT doc_id FROM repr
+      |  UNION SELECT doc_id FROM nbr),
+      |fused AS (SELECT i.doc_id,
+      |    CAST(COALESCE(1000000 // (60 + s.r), 0) + COALESCE(1000000 // (60 + rp.r), 0)
+      |       + COALESCE(1000000 // (60 + nb.r), 0) AS BIGINT) AS rrf_fp,
+      |    s.r AS r_surprisal, rp.r AS r_repetition, nb.r AS r_nb
+      |  FROM ids i LEFT JOIN surr s USING (doc_id)
+      |    LEFT JOIN repr rp USING (doc_id) LEFT JOIN nbr nb USING (doc_id))
+      |SELECT CAST(row_number() OVER (ORDER BY rrf_fp DESC, doc_id) AS BIGINT) AS rank,
+      |  doc_id, rrf_fp, r_surprisal, r_repetition, r_nb
+      |FROM fused QUALIFY rank <= 50 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_quality_ensemble" -> (q188QualityEnsemble _),
     "q136_basket_rules" -> (q136BasketRules _),
     "q175_mixing_plan" -> (q175MixingPlan _),
     "q181_mix_materialize" -> (q181MixMaterialize _),
@@ -923,6 +1030,7 @@ object MiningQueries {
     "q146_decontam" -> (q146Decontam _))
 
   val oracle: Map[String, String] = Map(
+    "q188_quality_ensemble" -> q188Sql,
     "q136_basket_rules" -> q136Sql,
     "q171_score_calibration" -> q171Sql,
     "q172_calibrated_gate" -> q172Sql,

@@ -328,7 +328,7 @@ object TextQueries {
     * verbatim by q157's output and q169's training labels, so the
     * teacher gate and its replay can never fork. Emits `toks`
     * (doc_id, t) and `gate` (doc_id, stats, rule flags, keep). */
-  private val gateCtesSql: String =
+  private[queries] val gateCtesSql: String =
     """toks AS (SELECT doc_id,
       |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
       |         ELSE string_split_regex(trim(text), '\s+') END AS t
@@ -386,7 +386,7 @@ object TextQueries {
   private val nbModelCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame)]()
 
-  private def sharedPersistedNbModel(s: SparkSession, dir: String)
+  private[queries] def sharedPersistedNbModel(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     SessionCaches.purgeStopped(nbModelCache)(_._1)
     nbModelCache.computeIfAbsent((s, dir), _ => {
@@ -447,9 +447,14 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
-  val q169Sql: String =
-    s"""WITH $gateCtesSql,
-      |lab AS (SELECT doc_id, keep FROM gate WHERE doc_id % 10 <> 0),
+  /** The q169 NB-training CTE chain (lab → … → pri over `toks`/`gate`)
+    * — shared verbatim by q169/q174's oracle and q188's ensemble
+    * oracle, so the replayed classifier can never fork from the one
+    * the ensemble consumes. Trains on the standing slice
+    * (doc_id % 10 ≠ 0); emits `w` (tok, w_bits) and `pri`
+    * (d_bits, prior_bits). */
+  private[queries] val nbTrainCtesSql: String =
+    """lab AS (SELECT doc_id, keep FROM gate WHERE doc_id % 10 <> 0),
       |occ AS (SELECT doc_id, unnest(t) AS tok FROM toks WHERE doc_id % 10 <> 0),
       |jt AS (SELECT o.tok, l.keep FROM occ o JOIN lab l USING (doc_id)),
       |tc AS (SELECT tok, CAST(SUM(keep) AS BIGINT) AS c1,
@@ -463,7 +468,11 @@ object TextQueries {
       |pri AS (SELECT CAST(length(bin(n0 + v)) AS BIGINT)
       |    - CAST(length(bin(n1 + v)) AS BIGINT) AS d_bits,
       |  CAST(length(bin(nd1)) AS BIGINT)
-      |    - CAST(length(bin(nd0)) AS BIGINT) AS prior_bits FROM tot, dc),
+      |    - CAST(length(bin(nd0)) AS BIGINT) AS prior_bits FROM tot, dc)""".stripMargin
+
+  val q169Sql: String =
+    s"""WITH $gateCtesSql,
+      |$nbTrainCtesSql,
       |arr AS (SELECT doc_id, t FROM toks WHERE doc_id % 10 = 0),
       |aocc AS (SELECT doc_id, unnest(t) AS tok FROM arr),
       |ws AS (SELECT a.doc_id, CAST(SUM(COALESCE(w.w_bits, 0)) AS BIGINT) AS w_sum

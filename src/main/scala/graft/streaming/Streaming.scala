@@ -653,6 +653,25 @@ object Streaming {
         col("enc.pq2").as("pq2"), col("enc.pq3").as("pq3"),
         col("enc.recon_dist2").as("recon_dist2"))
 
+  /** Streaming k-anonymity serve — the live twin of q187
+    * ([[graft.ext.KAnon]]): arriving documents' quasi-identifier
+    * tuples project row-locally, then take the SAME three broadcast
+    * left joins against the FROZEN marginal tables (the release
+    * policy, trained offline on the reference corpus) and the same
+    * row-local ladder decision — the one shared [[KAnon.publish]]
+    * recipe, so batch and stream cannot fork. Stateless, no
+    * watermark: each arrival's published pattern emits immediately.
+    * An arrival whose (lang, source, len_bucket) combination the
+    * frozen corpus never saw counts 0 at that level and falls
+    * through the ladder — the left join's NULL → 0 IS the verdict
+    * (its anonymity set in the reference release is empty), which is
+    * exactly why serving joins must be left, not inner. `docs` must
+    * carry (doc_id, lang, source, n_chars); marginals are
+    * [[KAnon.marginals]] output, bounded by attribute cardinality. */
+  def kAnonServeStream(docs: DataFrame, c0: DataFrame, c1: DataFrame,
+      c2: DataFrame): DataFrame =
+    graft.ext.KAnon.publish(graft.ext.KAnon.quasi(docs), c0, c1, c2)
+
   final case class CusumEventT(userId: Long, us: Long, eventId: Long,
     cents: Long, target: Long)
   final case class CusumAlarm(userId: Long, eventId: Long, sAtAlarm: Long,

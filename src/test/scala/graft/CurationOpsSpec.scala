@@ -315,6 +315,84 @@ class CurationOpsSpec extends SparkSpec {
     assert(cums.toSeq == expect.toSeq)
   }
 
+  test("q187 every published row is k-anonymous, minimal, and class_n certifies its anonymity set") {
+    val k = 5
+    val out = graft.queries.CurationQueries.q187KAnonymize(spark, sf).collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"lang", $"source",
+        expr("CAST(n_chars AS BIGINT) DIV 500").as("lb"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(out.length == docs.size) // one published row per document
+    out.foreach { r =>
+      val (id, lvl, n) = (r.getLong(0), r.getInt(4), r.getLong(5))
+      val (lang, src, lb) = docs(id)
+      if (lvl == 3) { // suppressed: all-star pattern, zero certificate
+        assert(n == 0L && r.getString(1) == "*" && r.getString(2) == "*" && r.getString(3) == "*")
+      } else {
+        assert(n >= k, s"doc $id level $lvl class_n $n < k")
+        // anonymity-set certificate: class_n == #docs matching the RETAINED attrs
+        val (gl, gs, gn) = (r.getString(1), r.getString(2), r.getString(3))
+        assert(gl == lang) // level<3 always retains lang
+        val matching = docs.valuesIterator.count(d =>
+          d._1 == gl && (gs == "*" || d._2 == gs) && (gn == "*" || d._3.toString == gn))
+        assert(matching.toLong == n, s"doc $id certificate $n != anonymity set $matching")
+        // minimality: the next-finer prefix must violate k (local recoding, not over-suppression)
+        val finer = lvl match {
+          case 1 => docs.valuesIterator.count(d => d._1 == lang && d._2 == src && d._3 == lb)
+          case 2 => docs.valuesIterator.count(d => d._1 == lang && d._2 == src)
+          case _ => 0 // level 0 is already the finest
+        }
+        if (lvl > 0) assert(finer < k, s"doc $id at level $lvl but finer class has $finer >= k")
+      }
+    }
+  }
+
+  test("q189 audits exactly the bucketed members of q187's classes, with exact majority shares") {
+    val audit = graft.queries.CurationQueries.q189LDiversity(spark, sf).collect()
+    assert(audit.nonEmpty)
+    // class keys unique; counts consistent: l_distinct ∈ [1,3],
+    // top bucket within [ceil(n/l), n], ppm exact integer arithmetic
+    val keys = audit.map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(keys.distinct.length == keys.length)
+    audit.foreach { r =>
+      val (n, l, top, ppm, div) =
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getInt(8))
+      assert(l >= 1L && l <= 3L) // head/middle/tail
+      assert(top >= (n + l - 1) / l && top <= n)
+      assert(ppm == top * 1000000L / n)
+      assert(div == (if (l >= 2) 1 else 0))
+    }
+    // audited mass = #docs that are both published (always) and bucketed
+    val bucketed = graft.ext.SurprisalScore.ccnetBuckets(
+      Tables.load(spark, sf, "documents"), "doc_id", "text", "lang").count()
+    assert(audit.map(_.getLong(4)).sum == bucketed)
+    // the corpus must exercise BOTH verdicts or the audit is vacuous
+    assert(audit.exists(_.getInt(8) == 0) && audit.exists(_.getInt(8) == 1))
+  }
+
+  test("q190 EMD is the exact quantized-ECDF distance, zero iff the class mirrors the corpus") {
+    val out = graft.queries.CurationQueries.q190TCloseness(spark, sf).collect()
+    assert(out.nonEmpty)
+    val gn = out.map(_.getLong(4)).sum
+    val gh = out.map(_.getLong(5)).sum
+    val gm = out.map(_.getLong(6)).sum
+    out.foreach { r =>
+      val (n, h, m, t) = (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(h + m + t == n)
+      // replay the quantized-ECDF EMD exactly
+      val expect = (math.abs(h * 1000000L / n - gh * 1000000L / gn) +
+        math.abs((h + m) * 1000000L / n - (gh + gm) * 1000000L / gn)) / 2
+      assert(r.getLong(8) == expect, s"class ${r.getString(0)}/${r.getString(1)} emd")
+      assert(r.getInt(9) == (if (expect <= 200000L) 1 else 0))
+    }
+    // the audit must discriminate: both verdicts present on this corpus
+    assert(out.exists(_.getInt(9) == 0) && out.exists(_.getInt(9) == 1))
+    // same classes as the l-diversity audit — the two inspect ONE release
+    val lKeys = graft.queries.CurationQueries.q189LDiversity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toSet == lKeys)
+  }
+
   test("IVF search recall@10 vs brute force is high at nProbe=4/16") {
     val emb = Tables.load(spark, sf, "embeddings")
     val queries = emb.filter($"vec_id" < 10)

@@ -317,6 +317,26 @@ class MiningOpsSpec extends SparkSpec {
     assert(out("zq") == 2, "never-merged chars must stay one token each")
   }
 
+  test("q188 ensemble: dense ranks, exact RRF arithmetic, and members ranked by at least one signal") {
+    val out = graft.queries.MiningQueries.q188QualityEnsemble(spark, sf).collect()
+    assert(out.length == 50)
+    // dense 1..50 consensus ranks, non-increasing fused scores
+    assert(out.map(_.getLong(0)).toSeq == (1L to 50L))
+    val fps = out.map(_.getLong(2))
+    assert(fps.zip(fps.tail).forall { case (a, b) => a >= b })
+    out.foreach { r =>
+      val ranks = Seq(3, 4, 5).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i)))
+      assert(ranks.exists(_.isDefined), s"doc ${r.getLong(1)} in consensus but unranked by every signal")
+      // exact fixed-point RRF: sum of 10^6 DIV (60 + rank) over attached ranks
+      val expect = ranks.flatten.map(rk => 1000000L / (60L + rk)).sum
+      assert(r.getLong(2) == expect, s"doc ${r.getLong(1)} rrf_fp ${r.getLong(2)} != $expect")
+      ranks.flatten.foreach(rk => assert(rk >= 1L && rk <= 100L))
+    }
+    // consensus head: the top doc must be ranked by at least two signals
+    // (a single 1st place scores 16393 < two mid-list placements)
+    assert(Seq(3, 4, 5).count(i => !out.head.isNullAt(i)) >= 2)
+  }
+
   test("winnowing guarantee on a crafted shared-span pair") {
     val span = "abcdefghijklmnopqrstuvwxyz!" // 27 chars, unique content
     val docs = Seq(

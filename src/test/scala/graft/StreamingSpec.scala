@@ -931,6 +931,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(107L)._2.exists(z => z > 2.0), "the spike must be flagged")
   }
 
+  test("streaming k-anonymity serve matches the batch release, and unseen combos suppress (q187 twin)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ext.KAnon
+    val docs = Tables.load(spark, sf, "documents")
+    val (c0, c1, c2) = KAnon.marginals(KAnon.quasi(docs))
+    val (f0, f1, f2) = (c0.localCheckpoint(true), c1.localCheckpoint(true),
+      c2.localCheckpoint(true)) // the frozen release policy
+    val arrivals = docs.select($"doc_id", $"lang", $"source", $"n_chars")
+      .as[(Long, String, String, Long)].collect().take(60) :+
+      ((999999L, "zz", "web", 100L)) // a combo the corpus never saw
+    val input = MemoryStream[(Long, String, String, Long)]
+    val stream = input.toDF().toDF("doc_id", "lang", "source", "n_chars")
+    val q = Streaming.kAnonServeStream(stream, f0, f1, f2)
+      .writeStream.format("memory").queryName("kanon_serve")
+      .outputMode("append").start()
+    try {
+      input.addData(arrivals: _*)
+      q.processAllAvailable() // stateless: rows emit without a watermark
+    } finally q.stop()
+    val streamed = spark.table("kanon_serve")
+      .as[(Long, String, String, String, Int, Long)].collect().toSet
+    val corpusIds = arrivals.dropRight(1).map(_._1).toSet
+    val batch = graft.queries.CurationQueries.q187KAnonymize(spark, sf)
+      .filter($"doc_id".isin(corpusIds.toSeq: _*))
+      .as[(Long, String, String, String, Int, Long)].collect().toSet
+    assert(streamed.filter(r => corpusIds(r._1)) === batch,
+      "stream/batch k-anonymity divergence on corpus arrivals")
+    // the unseen language falls through the whole ladder: suppressed, set size 0
+    assert(streamed(((999999L, "*", "*", "*", 3, 0L))),
+      s"unseen combo not suppressed: ${streamed.filter(_._1 == 999999L)}")
+  }
+
   test("streaming image dedup matches the batch probe (q161 twin)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ids = Tables.load(spark, sf, "documents").select($"doc_id")
