@@ -63,6 +63,20 @@ object Mixing {
     ((a.bitwiseXOR(shiftright(a, 16)) * 69069L + 1L) % 2147483648L) % 10000L
   }
 
+  /** Full-range deterministic shuffle key for (epoch, id): the
+    * [[keyBp]] two-round avalanche WITHOUT the final mod 10⁴ — a
+    * total order over [0, 2³¹) that re-randomizes per epoch because
+    * the epoch tag is hashed WITH the id (concatenated into the
+    * polyhash input), not added afterwards. Same overflow bound as
+    * keyBp (max intermediate < 2⁴⁸), replayable in plain SQL. */
+  def shuffleKey(epoch: Int, idCol: Column): Column = {
+    require(epoch >= 0, "epoch is a non-negative tag")
+    val h = GraftFunctions.polyhash(
+      concat(lit(epoch.toString), lit(":"), idCol.cast("string")))
+    val a = (h * 1103515245L + 12345L) % 2147483648L
+    (a.bitwiseXOR(shiftright(a, 16)) * 69069L + 1L) % 2147483648L
+  }
+
   /** Importance sampling: keep each row iff its hash point falls under
     * the row's OWN rate column (basis points) — the per-document
     * selection primitive (DSIR-style weights, [[Dsir]]); stratified /

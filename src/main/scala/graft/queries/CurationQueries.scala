@@ -742,14 +742,12 @@ object CurationQueries {
       .orderBy($"g_lang", $"g_source", $"g_len", $"level")
   }
 
-  /** The q189/q190 shared audit prefix: the q187 release chain
-    * ([[kAnonCtesSql]]) + the q158 CCNet tercile chain + the per-doc
-    * (published class, sensitive bucket) join `j` — one recipe, so
-    * the two privacy audits inspect the SAME release and the SAME
-    * sensitive attribute by construction. */
-  private[queries] val kAnonAuditCtesSql: String =
-    s"""$kAnonCtesSql,
-      |toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+  /** The q158 CCNet tercile chain (toks → … → sens, the per-doc
+    * sensitive bucket) — shared by the privacy audits (q189/q190 via
+    * [[kAnonAuditCtesSql]]) and the q192 curriculum schedule, so every
+    * consumer replays the ONE tercile recipe. */
+  private[queries] val ccnetSensCtesSql: String =
+    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
       |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
       |        i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
       |c AS (SELECT g, COUNT(*) AS c FROM g2 GROUP BY g),
@@ -773,7 +771,16 @@ object CurationQueries {
       |    CASE WHEN sc.mb <= t.t1 THEN 'head'
       |         WHEN sc.mb <= t.t2 THEN 'middle'
       |         ELSE 'tail' END AS bucket
-      |  FROM sc JOIN thr t USING (lang)),
+      |  FROM sc JOIN thr t USING (lang))""".stripMargin
+
+  /** The q189/q190 shared audit prefix: the q187 release chain
+    * ([[kAnonCtesSql]]) + the tercile chain ([[ccnetSensCtesSql]]) +
+    * the per-doc (published class, sensitive bucket) join `j` — one
+    * recipe, so the two privacy audits inspect the SAME release and
+    * the SAME sensitive attribute by construction. */
+  private[queries] val kAnonAuditCtesSql: String =
+    s"""$kAnonCtesSql,
+      |$ccnetSensCtesSql,
       |j AS (SELECT p.g_lang, p.g_source, p.g_len, p.level, se.bucket
       |  FROM pub p JOIN sens se USING (doc_id))""".stripMargin
 
@@ -864,7 +871,128 @@ object CurationQueries {
       |FROM cls, gtot
       |ORDER BY g_lang, g_source, g_len, level""".stripMargin
 
+  /** Shard count of the q191 epoch shuffle (a real deployment sizes
+    * this to its file/loader parallelism — hundreds of thousands at
+    * 100 TB; the mechanics are shard-count-independent). */
+  private val ShuffleShards = 8L
+
+  /** q191: epoch-deterministic corpus shuffle — the data-ordering step
+    * a multi-epoch training run needs: every epoch must visit the
+    * whole corpus in a DIFFERENT pseudo-random order, yet the order
+    * must be reproducible (resume after preemption, replay for debug,
+    * audit which examples a checkpoint saw). No materialized
+    * permutation, no RNG state: each (epoch, doc) gets a full-range
+    * avalanched key ([[graft.ext.Mixing.shuffleKey]] — the engine-wide
+    * two-round sampler hash with the epoch tag hashed INTO the id),
+    * the key's HIGH bits pick the shard (low-bit lattice safe), and
+    * the within-shard position is the key order. A loader streams
+    * shard files in position order; epochs 0-2 here.
+    *
+    * Scale shape: the key is row-local; the only shuffle is the
+    * (epoch, shard)-keyed exchange a sharded output needs anyway, and
+    * the within-shard rank window partitions by (epoch, shard) — at
+    * real scale the shard count grows with the corpus, so no partition
+    * outgrows a loader file. Nothing global: no corpus-wide sort, no
+    * driver state. */
+  def q191EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val docs = Tables.load(s, dir, "documents").select($"doc_id")
+    val keyed = (0 until 3).map { e =>
+      docs.select(lit(e).cast("int").as("epoch"), $"doc_id",
+        graft.ext.Mixing.shuffleKey(e, $"doc_id").as("skey"))
+    }.reduce(_ unionAll _)
+    val w = Window.partitionBy($"epoch", $"shard").orderBy($"skey", $"doc_id")
+    keyed
+      .withColumn("shard", expr(s"skey DIV ${2147483648L / ShuffleShards}"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"epoch", $"shard", $"pos", $"doc_id", $"skey")
+      .orderBy($"epoch", $"shard", $"pos")
+  }
+
+  val q191Sql: String = {
+    val ph = AnalyticsQueries.polyhashSql(
+      "(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))")
+    s"""WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
+      |h AS (SELECT e.epoch, d.doc_id, $ph AS ph
+      |  FROM documents d CROSS JOIN e),
+      |a1 AS (SELECT epoch, doc_id,
+      |    (ph * 1103515245 + 12345) % 2147483648 AS a FROM h),
+      |k AS (SELECT epoch, doc_id,
+      |    (xor(a, a // 65536) * 69069 + 1) % 2147483648 AS skey FROM a1),
+      |p AS (SELECT epoch, doc_id, skey,
+      |    skey // ${2147483648L / ShuffleShards} AS shard FROM k)
+      |SELECT CAST(epoch AS INT) AS epoch, CAST(shard AS BIGINT) AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY skey, doc_id) AS BIGINT) AS pos,
+      |  doc_id, CAST(skey AS BIGINT) AS skey
+      |FROM p ORDER BY epoch, shard, pos""".stripMargin
+  }
+
+  /** q192: surprisal-staged curriculum schedule (Bengio et al. 2009's
+    * baby-steps curriculum, materialized) — multi-epoch training that
+    * starts on the best-modeled text and widens: epoch 0 schedules
+    * only the head tercile of the q158 CCNet split, epoch 1 adds the
+    * middle, epoch 2 the tail (docs the LM can't score — no bigrams —
+    * never enter: a curriculum is defined by its difficulty signal).
+    * Each epoch's admitted set then takes the q191 epoch shuffle
+    * (full-range per-epoch avalanched key → high-bit shard →
+    * within-shard position), so stages are reproducible, resumable,
+    * and differently ordered per epoch — the loader consumes
+    * (epoch, shard, pos) exactly as q191's. Composes the ONE tercile
+    * recipe (shared with q189/q190's audits) with the ONE shuffle
+    * key ([[graft.ext.Mixing.shuffleKey]]); oracle replays both
+    * chains via the shared fragments.
+    *
+    * Scale shape: tercile assignment is the bounded-histogram walk
+    * behind the session-cached surprisal table; admission is a
+    * row-local comparison; the rest is q191's plan (row-local key,
+    * one (epoch, shard) exchange, shard-bounded rank window). */
+  def q192Curriculum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val sens = graft.ext.SurprisalScore.ccnetBucketsFrom(
+        MiningQueries.sharedSurprisal(s, dir),
+        Tables.load(s, dir, "documents"), "doc_id", "lang")
+      .select($"doc_id", $"bucket",
+        when($"bucket" === "head", 0).when($"bucket" === "middle", 1)
+          .otherwise(2).as("stage"))
+    val keyed = (0 until 3).map { e =>
+      sens.filter($"stage" <= e)
+        .select(lit(e).cast("int").as("epoch"), $"doc_id", $"bucket",
+          graft.ext.Mixing.shuffleKey(e, $"doc_id").as("skey"))
+    }.reduce(_ unionAll _)
+    val w = Window.partitionBy($"epoch", $"shard").orderBy($"skey", $"doc_id")
+    keyed
+      .withColumn("shard", expr(s"skey DIV ${2147483648L / ShuffleShards}"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"epoch", $"shard", $"pos", $"doc_id", $"bucket")
+      .orderBy($"epoch", $"shard", $"pos")
+  }
+
+  val q192Sql: String = {
+    val ph = AnalyticsQueries.polyhashSql(
+      "(CAST(e.epoch AS VARCHAR) || ':' || CAST(sens.doc_id AS VARCHAR))")
+    s"""WITH $ccnetSensCtesSql,
+      |e AS (SELECT unnest([0, 1, 2]) AS epoch),
+      |adm AS (SELECT e.epoch, sens.doc_id, sens.bucket, $ph AS ph
+      |  FROM sens CROSS JOIN e
+      |  WHERE (CASE sens.bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1
+      |         ELSE 2 END) <= e.epoch),
+      |a1 AS (SELECT epoch, doc_id, bucket,
+      |    (ph * 1103515245 + 12345) % 2147483648 AS a FROM adm),
+      |k AS (SELECT epoch, doc_id, bucket,
+      |    (xor(a, a // 65536) * 69069 + 1) % 2147483648 AS skey FROM a1),
+      |p AS (SELECT epoch, doc_id, bucket, skey,
+      |    skey // ${2147483648L / ShuffleShards} AS shard FROM k)
+      |SELECT CAST(epoch AS INT) AS epoch, CAST(shard AS BIGINT) AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY skey, doc_id) AS BIGINT) AS pos,
+      |  doc_id, bucket
+      |FROM p ORDER BY epoch, shard, pos""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_curriculum" -> (q192Curriculum _),
+    "q191_epoch_shuffle" -> (q191EpochShuffle _),
     "q184_source_cap" -> (q184SourceCap _),
     "q144_dsir_mix" -> (q144DsirMix _),
     "q150_dsir_topk" -> (q150DsirTopk _),
@@ -904,5 +1032,7 @@ object CurationQueries {
     "q106_temperature_mix" -> q106Sql,
     "q187_k_anonymize" -> q187Sql,
     "q189_l_diversity" -> q189Sql,
-    "q190_t_closeness" -> q190Sql)
+    "q190_t_closeness" -> q190Sql,
+    "q191_epoch_shuffle" -> q191Sql,
+    "q192_curriculum" -> q192Sql)
 }

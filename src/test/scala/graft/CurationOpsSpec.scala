@@ -393,6 +393,60 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toSet == lKeys)
   }
 
+  test("q191 each epoch is a distinct deterministic permutation with dense per-shard positions") {
+    val out = graft.queries.CurationQueries.q191EpochShuffle(spark, sf).collect()
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(out.length == 3 * nDocs)
+    (0 to 2).foreach { e =>
+      val ep = out.filter(_.getInt(0) == e)
+      // a permutation: every doc exactly once per epoch
+      assert(ep.map(_.getLong(3)).distinct.length.toLong == nDocs)
+      // shard = high bits of the key; positions dense 1..n_shard in key order
+      ep.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
+        val sorted = rows.sortBy(r => (r.getLong(4), r.getLong(3)))
+        assert(sorted.map(_.getLong(2)).toSeq == (1L to rows.length).toSeq)
+        rows.foreach(r => assert(r.getLong(4) / (2147483648L / 8L) == shard))
+      }
+    }
+    // epochs genuinely reshuffle: almost no doc keeps its (shard, pos) slot
+    val slot0 = out.filter(_.getInt(0) == 0)
+      .map(r => r.getLong(3) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val stuck = out.filter(_.getInt(0) == 1)
+      .count(r => slot0(r.getLong(3)) == ((r.getLong(1), r.getLong(2))))
+    assert(stuck <= nDocs / 20, s"$stuck docs kept their epoch-0 slot in epoch 1")
+    // replayable: a second evaluation is bit-identical
+    val again = graft.queries.CurationQueries.q191EpochShuffle(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("q192 curriculum stages nest (head ⊂ +middle ⊂ +tail) and reuse the q191 shuffle order") {
+    val out = graft.queries.CurationQueries.q192Curriculum(spark, sf).collect()
+    def docsOf(e: Int) = out.filter(_.getInt(0) == e).map(_.getLong(3)).toSet
+    val (e0, e1, e2) = (docsOf(0), docsOf(1), docsOf(2))
+    // baby steps: each epoch's admitted set strictly contains the previous
+    assert(e0.subsetOf(e1) && e1.subsetOf(e2))
+    assert(e0.size < e1.size && e1.size < e2.size)
+    // stage gating exact: epoch 0 all head; epoch 1 head+middle; tail only in epoch 2
+    assert(out.filter(_.getInt(0) == 0).forall(_.getString(4) == "head"))
+    assert(out.filter(_.getInt(0) == 1).forall(r => r.getString(4) != "tail"))
+    assert(out.exists(r => r.getInt(0) == 2 && r.getString(4) == "tail"))
+    // admitted set = exactly the bucketed docs at full width
+    val buckets = graft.ext.SurprisalScore.ccnetBuckets(
+        Tables.load(spark, sf, "documents"), "doc_id", "text", "lang")
+      .select($"doc_id", $"bucket").as[(Long, String)].collect().toMap
+    assert(e2 == buckets.keySet)
+    assert(e0 == buckets.filter(_._2 == "head").keySet)
+    // epoch 2 (full corpus width) orders docs exactly as q191's epoch-2 shuffle
+    val q191e2 = graft.queries.CurationQueries.q191EpochShuffle(spark, sf)
+      .filter($"epoch" === 2).select($"shard", $"pos", $"doc_id")
+      .as[(Long, Long, Long)].collect()
+      .filter(r => buckets.contains(r._3)) // q191 also schedules unbucketed docs
+      .sortBy(r => (r._1, r._2)).map(r => (r._1, r._3))
+    val q192e2 = out.filter(_.getInt(0) == 2)
+      .sortBy(r => (r.getLong(1), r.getLong(2))).map(r => (r.getLong(1), r.getLong(3)))
+    assert(q192e2.toSeq == q191e2.toSeq, "curriculum epoch-2 order forked from the shuffle")
+  }
+
   test("IVF search recall@10 vs brute force is high at nProbe=4/16") {
     val emb = Tables.load(spark, sf, "embeddings")
     val queries = emb.filter($"vec_id" < 10)
