@@ -57,24 +57,33 @@ object Mixing {
     * per-stratum kept fractions sit inside binomial noise (36%–64% on
     * the same data, n≈25/stratum). Both rounds are plain 64-bit-safe
     * integer ops (max intermediate < 2⁴⁸), replayable in any engine. */
-  def keyBp(idCol: Column): Column = {
-    val h = GraftFunctions.polyhash(idCol.cast("string"))
+  def keyBp(idCol: Column): Column =
+    avalanche2(GraftFunctions.polyhash(idCol.cast("string"))) % 10000L
+
+  /** The ONE two-round avalanche (LCG → fold high bits → LCG, mod
+    * 2³¹) behind every sampler point and shuffle key in the engine —
+    * a single definition, so the constants can never fork between
+    * [[keyBp]] and [[shuffleKey]]. Max intermediate < 2⁴⁸, replayable
+    * in plain SQL. */
+  private def avalanche2(h: Column): Column = {
     val a = (h * 1103515245L + 12345L) % 2147483648L
-    ((a.bitwiseXOR(shiftright(a, 16)) * 69069L + 1L) % 2147483648L) % 10000L
+    (a.bitwiseXOR(shiftright(a, 16)) * 69069L + 1L) % 2147483648L
   }
 
   /** Full-range deterministic shuffle key for (epoch, id): the
-    * [[keyBp]] two-round avalanche WITHOUT the final mod 10⁴ — a
-    * total order over [0, 2³¹) that re-randomizes per epoch because
-    * the epoch tag is hashed WITH the id (concatenated into the
-    * polyhash input), not added afterwards. Same overflow bound as
-    * keyBp (max intermediate < 2⁴⁸), replayable in plain SQL. */
+    * [[keyBp]] two-round avalanche ([[avalanche2]]) WITHOUT the final
+    * mod 10⁴ — a total order over [0, 2³¹) that re-randomizes per
+    * epoch because the epoch tag is hashed WITH the id (concatenated
+    * into the polyhash input), not added afterwards. The column-typed
+    * overload lets one corpus scan carry every epoch (explode the
+    * epoch array, then key row-locally). */
+  def shuffleKey(epochCol: Column, idCol: Column): Column =
+    avalanche2(GraftFunctions.polyhash(
+      concat(epochCol.cast("string"), lit(":"), idCol.cast("string"))))
+
   def shuffleKey(epoch: Int, idCol: Column): Column = {
     require(epoch >= 0, "epoch is a non-negative tag")
-    val h = GraftFunctions.polyhash(
-      concat(lit(epoch.toString), lit(":"), idCol.cast("string")))
-    val a = (h * 1103515245L + 12345L) % 2147483648L
-    (a.bitwiseXOR(shiftright(a, 16)) * 69069L + 1L) % 2147483648L
+    shuffleKey(lit(epoch), idCol)
   }
 
   /** Importance sampling: keep each row iff its hash point falls under

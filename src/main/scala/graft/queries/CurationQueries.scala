@@ -652,50 +652,58 @@ object CurationQueries {
     * the privacy gate a published training-data manifest passes
     * before its per-document metadata ships (Sweeney's k-anonymity;
     * a rare (lang, source, length) combination pinpoints a document
-    * even with the text withheld). Local recoding against the
-    * ORIGINAL marginal counts: each document publishes the finest
+    * even with the text withheld). Local recoding
+    * ([[graft.ext.KAnon]]): each document publishes the finest
     * prefix of the ladder
     *   L0 (lang, source, len_bucket) → L1 (lang, source) →
     *   L2 (lang) → L3 (fully suppressed)
-    * whose marginal count is ≥ k. The anonymity set of a published
-    * pattern is every document matching it on the RETAINED
-    * attributes — exactly the marginal count (`class_n` certifies
-    * it; a withheld attribute matches anything), so every published
-    * row is k-anonymous by construction and `class_n = 0` marks the
-    * suppressed class.
+    * whose RELEASE equivalence class clears k — gated on residual
+    * masses (sub-k cell mass per pair, sub-k pair mass per lang),
+    * not raw marginals, because under local recoding an attacker
+    * with full quasi-identifiers excludes every finer row whose
+    * retained attributes disagree (see the KAnon object doc).
+    * `class_n` certifies the class size; a spec re-groups the output
+    * by published pattern and checks count = class_n ≥ k.
     *
-    * Scale shape: the three marginal tables are bounded by attribute
-    * cardinality (langs × sources × buckets), so they broadcast; the
-    * corpus takes three broadcast hash joins inside one scan pass and
-    * never shuffles. The level decision is a row-local comparison. */
+    * Scale shape: cell counts and residual tables are bounded by
+    * attribute cardinality (langs × sources × buckets), so they
+    * broadcast; the corpus takes three broadcast hash joins inside
+    * one scan pass and never shuffles. The level decision is a
+    * row-local comparison. */
   def q187KAnonymize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val q = graft.ext.KAnon.quasi(Tables.load(s, dir, "documents"))
-    val (c0, c1, c2) = graft.ext.KAnon.marginals(q)
-    graft.ext.KAnon.publish(q, c0, c1, c2).orderBy($"doc_id")
+    val (c0, r1, r2) = graft.ext.KAnon.marginals(q)
+    graft.ext.KAnon.publish(q, c0, r1, r2).orderBy($"doc_id")
   }
 
-  /** The q187 generalization-ladder CTE chain (d → marginals → lv →
-    * pub, the per-doc published pattern) — shared verbatim by q187's
-    * oracle and q189's diversity audit, so the release the audit
-    * inspects can never fork from the one q187 publishes. */
-  private[queries] val kAnonCtesSql: String =
-    """d AS (SELECT doc_id, lang, source, n_chars // 500 AS len_bucket FROM documents),
+  /** The q187 generalization-ladder CTE chain (d → cell counts →
+    * residual masses → lv → pub, the per-doc published pattern) —
+    * shared verbatim by q187's oracle and the q189/q190 audits, so
+    * the release the audits inspect can never fork from the one q187
+    * publishes. k and the bucket width interpolate from
+    * [[graft.ext.KAnon]] so engine and oracle cannot drift. */
+  private[queries] val kAnonCtesSql: String = {
+    val k = graft.ext.KAnon.K
+    s"""d AS (SELECT doc_id, lang, source,
+      |    n_chars // ${graft.ext.KAnon.BucketChars} AS len_bucket FROM documents),
       |c0 AS (SELECT lang, source, len_bucket, COUNT(*) AS n0 FROM d GROUP BY ALL),
-      |c1 AS (SELECT lang, source, COUNT(*) AS n1 FROM d GROUP BY ALL),
-      |c2 AS (SELECT lang, COUNT(*) AS n2 FROM d GROUP BY ALL),
-      |lv AS (SELECT d.doc_id, d.lang, d.source, d.len_bucket, c0.n0, c1.n1, c2.n2,
-      |    CASE WHEN c0.n0 >= 5 THEN 0 WHEN c1.n1 >= 5 THEN 1
-      |         WHEN c2.n2 >= 5 THEN 2 ELSE 3 END AS level
+      |r1 AS (SELECT lang, source, SUM(n0) AS r1 FROM c0 WHERE n0 < $k GROUP BY ALL),
+      |r2 AS (SELECT lang, SUM(r1) AS r2 FROM r1 WHERE r1 < $k GROUP BY ALL),
+      |lv AS (SELECT d.doc_id, d.lang, d.source, d.len_bucket, c0.n0,
+      |    COALESCE(r1.r1, 0) AS r1, COALESCE(r2.r2, 0) AS r2,
+      |    CASE WHEN c0.n0 >= $k THEN 0 WHEN COALESCE(r1.r1, 0) >= $k THEN 1
+      |         WHEN COALESCE(r2.r2, 0) >= $k THEN 2 ELSE 3 END AS level
       |  FROM d JOIN c0 USING (lang, source, len_bucket)
-      |    JOIN c1 USING (lang, source) JOIN c2 USING (lang)),
+      |    LEFT JOIN r1 USING (lang, source) LEFT JOIN r2 USING (lang)),
       |pub AS (SELECT doc_id,
       |  CASE WHEN level <= 2 THEN lang ELSE '*' END AS g_lang,
       |  CASE WHEN level <= 1 THEN source ELSE '*' END AS g_source,
       |  CASE WHEN level = 0 THEN CAST(len_bucket AS VARCHAR) ELSE '*' END AS g_len,
       |  CAST(level AS INT) AS level,
-      |  CAST(CASE level WHEN 0 THEN n0 WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE 0 END AS BIGINT) AS class_n
+      |  CAST(CASE level WHEN 0 THEN n0 WHEN 1 THEN r1 WHEN 2 THEN r2 ELSE 0 END AS BIGINT) AS class_n
       |FROM lv)""".stripMargin
+  }
 
   val q187Sql: String =
     s"""WITH $kAnonCtesSql
@@ -722,7 +730,12 @@ object CurationQueries {
     * bounded-histogram tercile walk; the audit itself is two
     * aggregations on keys bounded by attribute cardinality — nothing
     * corpus-sized shuffles beyond the one class-keyed fold. */
-  def q189LDiversity(s: SparkSession, dir: String): DataFrame = {
+  /** The one per-doc (published class, sensitive bucket) frame both
+    * privacy audits fold — the Spark twin of [[kAnonAuditCtesSql]]'s
+    * `j` CTE, factored for the same reason: q189 and q190 must
+    * inspect the SAME release and the SAME sensitive attribute, and a
+    * shared constructor makes a fork impossible. */
+  private def kAnonAudited(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pub = q187KAnonymize(s, dir)
       .select($"doc_id", $"g_lang", $"g_source", $"g_len", $"level")
@@ -731,6 +744,11 @@ object CurationQueries {
         Tables.load(s, dir, "documents"), "doc_id", "lang")
       .select($"doc_id", $"bucket")
     pub.join(sens, "doc_id")
+  }
+
+  def q189LDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kAnonAudited(s, dir)
       .groupBy($"g_lang", $"g_source", $"g_len", $"level", $"bucket")
       .agg(count(lit(1)).as("nb"))
       .groupBy($"g_lang", $"g_source", $"g_len", $"level")
@@ -742,45 +760,15 @@ object CurationQueries {
       .orderBy($"g_lang", $"g_source", $"g_len", $"level")
   }
 
-  /** The q158 CCNet tercile chain (toks → … → sens, the per-doc
-    * sensitive bucket) — shared by the privacy audits (q189/q190 via
-    * [[kAnonAuditCtesSql]]) and the q192 curriculum schedule, so every
-    * consumer replays the ONE tercile recipe. */
-  private[queries] val ccnetSensCtesSql: String =
-    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-      |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
-      |        i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
-      |c AS (SELECT g, COUNT(*) AS c FROM g2 GROUP BY g),
-      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c),
-      |s AS (SELECT g2.doc_id, COUNT(*) AS n_bigrams,
-      |    CAST(SUM(CAST(length(bin(n.n_total)) AS BIGINT)
-      |             - CAST(length(bin(c.c)) AS BIGINT)) AS BIGINT) AS surprisal_bits
-      |  FROM g2 JOIN c USING (g) CROSS JOIN n GROUP BY g2.doc_id),
-      |sc AS (SELECT dd.doc_id, dd.lang,
-      |    CAST(s.surprisal_bits * 1000 // s.n_bigrams AS BIGINT) AS mb
-      |  FROM documents dd JOIN s USING (doc_id) WHERE s.n_bigrams > 0),
-      |hist AS (SELECT lang, mb, COUNT(*) AS n FROM sc GROUP BY lang, mb),
-      |cum AS (SELECT lang, mb,
-      |    SUM(n) OVER (PARTITION BY lang ORDER BY mb) AS cumn FROM hist),
-      |tot AS (SELECT lang, COUNT(*) AS tot FROM sc GROUP BY lang),
-      |thr AS (SELECT lang,
-      |    MIN(CASE WHEN cumn * 3 >= tot THEN mb END) AS t1,
-      |    MIN(CASE WHEN cumn * 3 >= tot * 2 THEN mb END) AS t2
-      |  FROM cum JOIN tot USING (lang) GROUP BY lang),
-      |sens AS (SELECT sc.doc_id,
-      |    CASE WHEN sc.mb <= t.t1 THEN 'head'
-      |         WHEN sc.mb <= t.t2 THEN 'middle'
-      |         ELSE 'tail' END AS bucket
-      |  FROM sc JOIN thr t USING (lang))""".stripMargin
-
   /** The q189/q190 shared audit prefix: the q187 release chain
-    * ([[kAnonCtesSql]]) + the tercile chain ([[ccnetSensCtesSql]]) +
-    * the per-doc (published class, sensitive bucket) join `j` — one
+    * ([[kAnonCtesSql]]) + the ONE tercile chain
+    * ([[MiningQueries.ccnetSensCtesSql]], q158's recipe) + the
+    * per-doc (published class, sensitive bucket) join `j` — one
     * recipe, so the two privacy audits inspect the SAME release and
     * the SAME sensitive attribute by construction. */
   private[queries] val kAnonAuditCtesSql: String =
     s"""$kAnonCtesSql,
-      |$ccnetSensCtesSql,
+      |${MiningQueries.ccnetSensCtesSql},
       |j AS (SELECT p.g_lang, p.g_source, p.g_len, p.level, se.bucket
       |  FROM pub p JOIN sens se USING (doc_id))""".stripMargin
 
@@ -825,13 +813,7 @@ object CurationQueries {
     * nothing corpus-sized moves after the per-doc join. */
   def q190TCloseness(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pub = q187KAnonymize(s, dir)
-      .select($"doc_id", $"g_lang", $"g_source", $"g_len", $"level")
-    val sens = graft.ext.SurprisalScore.ccnetBucketsFrom(
-        MiningQueries.sharedSurprisal(s, dir),
-        Tables.load(s, dir, "documents"), "doc_id", "lang")
-      .select($"doc_id", $"bucket")
-    val cls = pub.join(sens, "doc_id")
+    val cls = kAnonAudited(s, dir)
       .groupBy($"g_lang", $"g_source", $"g_len", $"level")
       .agg(count(lit(1)).as("n_audited"),
         sum(when($"bucket" === "head", 1L).otherwise(0L)).as("n_head"),
@@ -894,17 +876,23 @@ object CurationQueries {
     * real scale the shard count grows with the corpus, so no partition
     * outgrows a loader file. Nothing global: no corpus-wide sort, no
     * driver state. */
+  /** Proportional shard from a full-range key: `skey·S DIV 2³¹` maps
+    * [0, 2³¹) onto exactly 0..S-1 for ANY shard count (dividing the
+    * ring by a truncated width would spill past S-1 whenever S does
+    * not divide 2³¹); high-bits-first, so the LCG low-bit lattice
+    * never reaches the shard decision. Product < 2³¹·S — safe for any
+    * realistic shard count. */
+  private def shardOf = expr(s"skey * $ShuffleShards DIV 2147483648")
+
   def q191EpochShuffle(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     GraftFunctions.register(s)
-    val docs = Tables.load(s, dir, "documents").select($"doc_id")
-    val keyed = (0 until 3).map { e =>
-      docs.select(lit(e).cast("int").as("epoch"), $"doc_id",
-        graft.ext.Mixing.shuffleKey(e, $"doc_id").as("skey"))
-    }.reduce(_ unionAll _)
     val w = Window.partitionBy($"epoch", $"shard").orderBy($"skey", $"doc_id")
-    keyed
-      .withColumn("shard", expr(s"skey DIV ${2147483648L / ShuffleShards}"))
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", explode(array((0 until 3).map(lit): _*)).as("epoch"))
+      .select($"epoch", $"doc_id",
+        graft.ext.Mixing.shuffleKey($"epoch", $"doc_id").as("skey"))
+      .withColumn("shard", shardOf)
       .withColumn("pos", row_number().over(w).cast("long"))
       .select($"epoch", $"shard", $"pos", $"doc_id", $"skey")
       .orderBy($"epoch", $"shard", $"pos")
@@ -921,7 +909,7 @@ object CurationQueries {
       |k AS (SELECT epoch, doc_id,
       |    (xor(a, a // 65536) * 69069 + 1) % 2147483648 AS skey FROM a1),
       |p AS (SELECT epoch, doc_id, skey,
-      |    skey // ${2147483648L / ShuffleShards} AS shard FROM k)
+      |    skey * $ShuffleShards // 2147483648 AS shard FROM k)
       |SELECT CAST(epoch AS INT) AS epoch, CAST(shard AS BIGINT) AS shard,
       |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY skey, doc_id) AS BIGINT) AS pos,
       |  doc_id, CAST(skey AS BIGINT) AS skey
@@ -956,14 +944,14 @@ object CurationQueries {
       .select($"doc_id", $"bucket",
         when($"bucket" === "head", 0).when($"bucket" === "middle", 1)
           .otherwise(2).as("stage"))
-    val keyed = (0 until 3).map { e =>
-      sens.filter($"stage" <= e)
-        .select(lit(e).cast("int").as("epoch"), $"doc_id", $"bucket",
-          graft.ext.Mixing.shuffleKey(e, $"doc_id").as("skey"))
-    }.reduce(_ unionAll _)
     val w = Window.partitionBy($"epoch", $"shard").orderBy($"skey", $"doc_id")
-    keyed
-      .withColumn("shard", expr(s"skey DIV ${2147483648L / ShuffleShards}"))
+    sens
+      .select($"doc_id", $"bucket", $"stage",
+        explode(array((0 until 3).map(lit): _*)).as("epoch"))
+      .filter($"stage" <= $"epoch")
+      .select($"epoch", $"doc_id", $"bucket",
+        graft.ext.Mixing.shuffleKey($"epoch", $"doc_id").as("skey"))
+      .withColumn("shard", shardOf)
       .withColumn("pos", row_number().over(w).cast("long"))
       .select($"epoch", $"shard", $"pos", $"doc_id", $"bucket")
       .orderBy($"epoch", $"shard", $"pos")
@@ -972,7 +960,7 @@ object CurationQueries {
   val q192Sql: String = {
     val ph = AnalyticsQueries.polyhashSql(
       "(CAST(e.epoch AS VARCHAR) || ':' || CAST(sens.doc_id AS VARCHAR))")
-    s"""WITH $ccnetSensCtesSql,
+    s"""WITH ${MiningQueries.ccnetSensCtesSql},
       |e AS (SELECT unnest([0, 1, 2]) AS epoch),
       |adm AS (SELECT e.epoch, sens.doc_id, sens.bucket, $ph AS ph
       |  FROM sens CROSS JOIN e
@@ -983,7 +971,7 @@ object CurationQueries {
       |k AS (SELECT epoch, doc_id, bucket,
       |    (xor(a, a // 65536) * 69069 + 1) % 2147483648 AS skey FROM a1),
       |p AS (SELECT epoch, doc_id, bucket, skey,
-      |    skey // ${2147483648L / ShuffleShards} AS shard FROM k)
+      |    skey * $ShuffleShards // 2147483648 AS shard FROM k)
       |SELECT CAST(epoch AS INT) AS epoch, CAST(shard AS BIGINT) AS shard,
       |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY skey, doc_id) AS BIGINT) AS pos,
       |  doc_id, bucket

@@ -68,22 +68,59 @@ object MiningQueries {
       .orderBy($"doc_id")
   }
 
+  /** Parameterized DuckDB replica of the token-bigram surprisal core
+    * (the q86 chain), CTE names prefixed with `p`:
+    * ${p}toks → ${p}g2 → ${p}cnt → ${p}n →
+    * ${p}s (doc_id, n_bigrams, surprisal_bits) →
+    * ${p}rate (doc_id, mbpg; bigram-less docs excluded). ONE
+    * definition feeds q86, the tercile chain ([[ccnetSensCtesSql]] →
+    * q158/q189/q190/q192), and q188's surprisal ranking, so the LM
+    * recipe can never fork across oracles. */
+  private[queries] def surprisalCtesSqlFor(p: String): String =
+    s"""${p}toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+      |${p}g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+      |        i -> t[i] || ' ' || t[i+1])) AS g FROM ${p}toks),
+      |${p}cnt AS (SELECT g, COUNT(*) AS c FROM ${p}g2 GROUP BY g),
+      |${p}n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM ${p}cnt),
+      |${p}s AS (SELECT ${p}g2.doc_id, COUNT(*) AS n_bigrams,
+      |    CAST(SUM(CAST(length(bin(${p}n.n_total)) AS BIGINT)
+      |             - CAST(length(bin(${p}cnt.c)) AS BIGINT)) AS BIGINT) AS surprisal_bits
+      |  FROM ${p}g2 JOIN ${p}cnt USING (g) CROSS JOIN ${p}n GROUP BY ${p}g2.doc_id),
+      |${p}rate AS (SELECT doc_id, surprisal_bits * 1000 // n_bigrams AS mbpg
+      |  FROM ${p}s WHERE n_bigrams > 0)""".stripMargin
+
   val q86Sql: String =
-    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-      |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
-      |        i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
-      |c AS (SELECT g, COUNT(*) AS c FROM g2 GROUP BY g),
-      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c),
-      |s AS (SELECT g2.doc_id, COUNT(*) AS n_bigrams,
-      |    CAST(SUM(CAST(length(bin(n.n_total)) AS BIGINT)
-      |             - CAST(length(bin(c.c)) AS BIGINT)) AS BIGINT) AS surprisal_bits
-      |  FROM g2 JOIN c USING (g) CROSS JOIN n GROUP BY g2.doc_id)
+    s"""WITH ${surprisalCtesSqlFor("")}
       |SELECT d.doc_id,
       |  CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
       |  s.surprisal_bits,
       |  CAST(CASE WHEN s.n_bigrams > 0 THEN s.surprisal_bits * 1000 // s.n_bigrams END AS BIGINT)
       |    AS millibits_per_gram
       |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** The q158 CCNet tercile chain over the shared surprisal core:
+    * … → sc (doc_id, lang, mb) → hist/cum/tot/thr (the per-language
+    * rank-exact tercile cuts) → sens (doc_id, lang, mb, bucket).
+    * Shared by q158's oracle, the privacy audits (q189/q190 via
+    * `kAnonAuditCtesSql`), and the q192 curriculum — every consumer
+    * replays the ONE tercile recipe. */
+  private[queries] val ccnetSensCtesSql: String =
+    s"""${surprisalCtesSqlFor("")},
+      |sc AS (SELECT dd.doc_id, dd.lang, r.mbpg AS mb
+      |  FROM rate r JOIN documents dd USING (doc_id)),
+      |hist AS (SELECT lang, mb, COUNT(*) AS n FROM sc GROUP BY lang, mb),
+      |cum AS (SELECT lang, mb,
+      |    SUM(n) OVER (PARTITION BY lang ORDER BY mb) AS cumn FROM hist),
+      |tot AS (SELECT lang, COUNT(*) AS tot FROM sc GROUP BY lang),
+      |thr AS (SELECT lang,
+      |    MIN(CASE WHEN cumn * 3 >= tot THEN mb END) AS t1,
+      |    MIN(CASE WHEN cumn * 3 >= tot * 2 THEN mb END) AS t2
+      |  FROM cum JOIN tot USING (lang) GROUP BY lang),
+      |sens AS (SELECT sc.doc_id, sc.lang, sc.mb,
+      |    CASE WHEN sc.mb <= t.t1 THEN 'head'
+      |         WHEN sc.mb <= t.t2 THEN 'middle'
+      |         ELSE 'tail' END AS bucket
+      |  FROM sc JOIN thr t USING (lang))""".stripMargin
 
   /** q158: CCNet-style perplexity buckets — per language, documents
     * split into head/middle/tail terciles of the q86 integer surprisal
@@ -108,31 +145,8 @@ object MiningQueries {
 
 
   val q158Sql: String =
-    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-      |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
-      |        i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
-      |c AS (SELECT g, COUNT(*) AS c FROM g2 GROUP BY g),
-      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c),
-      |s AS (SELECT g2.doc_id, COUNT(*) AS n_bigrams,
-      |    CAST(SUM(CAST(length(bin(n.n_total)) AS BIGINT)
-      |             - CAST(length(bin(c.c)) AS BIGINT)) AS BIGINT) AS surprisal_bits
-      |  FROM g2 JOIN c USING (g) CROSS JOIN n GROUP BY g2.doc_id),
-      |sc AS (SELECT d.doc_id, d.lang,
-      |    CAST(s.surprisal_bits * 1000 // s.n_bigrams AS BIGINT) AS mb
-      |  FROM documents d JOIN s USING (doc_id) WHERE s.n_bigrams > 0),
-      |hist AS (SELECT lang, mb, COUNT(*) AS n FROM sc GROUP BY lang, mb),
-      |cum AS (SELECT lang, mb,
-      |    SUM(n) OVER (PARTITION BY lang ORDER BY mb) AS cumn FROM hist),
-      |tot AS (SELECT lang, COUNT(*) AS tot FROM sc GROUP BY lang),
-      |thr AS (SELECT lang,
-      |    MIN(CASE WHEN cumn * 3 >= tot THEN mb END) AS t1,
-      |    MIN(CASE WHEN cumn * 3 >= tot * 2 THEN mb END) AS t2
-      |  FROM cum JOIN tot USING (lang) GROUP BY lang)
-      |SELECT sc.doc_id, sc.lang, sc.mb,
-      |  CASE WHEN sc.mb <= t.t1 THEN 'head'
-      |       WHEN sc.mb <= t.t2 THEN 'middle'
-      |       ELSE 'tail' END AS bucket
-      |FROM sc JOIN thr t USING (lang) ORDER BY sc.doc_id""".stripMargin
+    s"""WITH $ccnetSensCtesSql
+      |SELECT doc_id, lang, mb, bucket FROM sens ORDER BY doc_id""".stripMargin
 
   /** q87: hard negatives — for each of the first 10 query vectors, the
     * 5 most cosine-similar vectors with a DIFFERENT label. */
@@ -940,24 +954,34 @@ object MiningQueries {
     * the fusion join and final re-rank touch ≤ 300 rows total. */
   def q188QualityEnsemble(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val n = 100
     val docs = Tables.load(s, dir, "documents")
-    val sur = sharedSurprisal(s, dir).filter($"n_bigrams" > 0)
-      .select($"id", $"millibits_per_gram")
-    val rep = graft.ext.Repetition
+    // ties broken by the engine-wide avalanched hash, NOT by doc_id: a
+    // signal that saturates at its good end (most docs have ZERO
+    // duplicate trigrams) would otherwise fill its list with the 100
+    // lowest ids and bias the consensus toward early documents
+    def hk(df: DataFrame) = df.withColumn("hk",
+      graft.ext.Mixing.shuffleKey(lit("rrf"), col("id")))
+    val sur = hk(sharedSurprisal(s, dir).filter($"n_bigrams" > 0)
+      .select($"id", $"millibits_per_gram"))
+    val rep = hk(graft.ext.Repetition
       .ngramRepetitionStatsLocal(docs, "doc_id", "text")
       .filter($"n3_total" > 0)
       .select($"id",
-        expr("(n3_total - n3_distinct) * 1000000L DIV n3_total").as("rep_ppm"))
+        expr("(n3_total - n3_distinct) * 1000000L DIV n3_total").as("rep_ppm")))
     val (w, g) = TextQueries.sharedPersistedNbModel(s, dir)
-    val nb = graft.ext.NbClassifier.score(docs, "doc_id", "text", w, g)
-      .select($"id", $"score_bits")
+    val nb = hk(graft.ext.NbClassifier.score(docs, "doc_id", "text", w, g)
+      .select($"id", $"score_bits"))
     def asList(df: DataFrame) =
       df.select(lit("corpus").as("qid"), $"id", $"rank")
     graft.ext.Rrf.fuse(Seq(
-        "surprisal" -> asList(topRanked(sur, n, $"millibits_per_gram".asc, $"id".asc)),
-        "repetition" -> asList(topRanked(rep, n, $"rep_ppm".asc, $"id".asc)),
-        "nb" -> asList(topRanked(nb, n, $"score_bits".desc, $"id".asc))),
+        "surprisal" -> asList(topRanked(sur, n,
+          $"millibits_per_gram".asc, $"hk".asc, $"id".asc)),
+        "repetition" -> asList(topRanked(rep, n,
+          $"rep_ppm".asc, $"hk".asc, $"id".asc)),
+        "nb" -> asList(topRanked(nb, n,
+          $"score_bits".desc, $"hk".asc, $"id".asc))),
         topK = 50)
       .select($"rank", $"id".as("doc_id"), $"rrf_fp",
         $"r_surprisal", $"r_repetition", $"r_nb")
@@ -967,6 +991,10 @@ object MiningQueries {
   val q188Sql: String =
     s"""WITH ${TextQueries.gateCtesSql},
       |${TextQueries.nbTrainCtesSql},
+      |hk0 AS (SELECT doc_id, ${AnalyticsQueries.polyhashSql(
+          "('rrf:' || CAST(doc_id AS VARCHAR))")} AS ph FROM documents),
+      |hk1 AS (SELECT doc_id, (ph * 1103515245 + 12345) % 2147483648 AS a FROM hk0),
+      |hkt AS (SELECT doc_id, (xor(a, a // 65536) * 69069 + 1) % 2147483648 AS hk FROM hk1),
       |aocc AS (SELECT doc_id, unnest(t) AS tok FROM toks),
       |ws AS (SELECT a.doc_id, CAST(SUM(COALESCE(w.w_bits, 0)) AS BIGINT) AS w_sum
       |  FROM aocc a LEFT JOIN w USING (tok) GROUP BY a.doc_id),
@@ -974,21 +1002,11 @@ object MiningQueries {
       |    CAST(p.prior_bits + len(b.t) * p.d_bits + COALESCE(s.w_sum, 0) AS BIGINT)
       |      AS score_bits
       |  FROM toks b LEFT JOIN ws s USING (doc_id), pri p),
-      |nbr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_bits DESC, doc_id) AS BIGINT) AS r
-      |  FROM sc QUALIFY r <= 100),
-      |stoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
-      |sg2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
-      |        i -> t[i] || ' ' || t[i+1])) AS g FROM stoks),
-      |scnt AS (SELECT g, COUNT(*) AS c FROM sg2 GROUP BY g),
-      |sn AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM scnt),
-      |ss AS (SELECT sg2.doc_id, COUNT(*) AS n_bigrams,
-      |    CAST(SUM(CAST(length(bin(sn.n_total)) AS BIGINT)
-      |             - CAST(length(bin(scnt.c)) AS BIGINT)) AS BIGINT) AS surprisal_bits
-      |  FROM sg2 JOIN scnt USING (g) CROSS JOIN sn GROUP BY sg2.doc_id),
-      |srate AS (SELECT doc_id, surprisal_bits * 1000 // n_bigrams AS mbpg
-      |  FROM ss WHERE n_bigrams > 0),
-      |surr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY mbpg ASC, doc_id) AS BIGINT) AS r
-      |  FROM srate QUALIFY r <= 100),
+      |nbr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_bits DESC, hk, doc_id) AS BIGINT) AS r
+      |  FROM sc JOIN hkt USING (doc_id) QUALIFY r <= 100),
+      |${surprisalCtesSqlFor("s")},
+      |surr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY mbpg ASC, hk, doc_id) AS BIGINT) AS r
+      |  FROM srate JOIN hkt USING (doc_id) QUALIFY r <= 100),
       |rg3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM stoks),
       |rc3 AS (SELECT doc_id, g, COUNT(*) AS c FROM rg3 GROUP BY doc_id, g),
@@ -996,8 +1014,8 @@ object MiningQueries {
       |    CAST(COUNT(*) AS BIGINT) AS n3_distinct FROM rc3 GROUP BY doc_id),
       |rrate AS (SELECT doc_id, (n3_total - n3_distinct) * 1000000 // n3_total AS rep_ppm
       |  FROM rs3 WHERE n3_total > 0),
-      |repr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY rep_ppm ASC, doc_id) AS BIGINT) AS r
-      |  FROM rrate QUALIFY r <= 100),
+      |repr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY rep_ppm ASC, hk, doc_id) AS BIGINT) AS r
+      |  FROM rrate JOIN hkt USING (doc_id) QUALIFY r <= 100),
       |ids AS (SELECT doc_id FROM surr UNION SELECT doc_id FROM repr
       |  UNION SELECT doc_id FROM nbr),
       |fused AS (SELECT i.doc_id,

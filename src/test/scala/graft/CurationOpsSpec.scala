@@ -315,35 +315,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(cums.toSeq == expect.toSeq)
   }
 
-  test("q187 every published row is k-anonymous, minimal, and class_n certifies its anonymity set") {
-    val k = 5
+  test("q187 release classes are k-anonymous on the RELEASE itself, certified and minimal") {
+    val k = graft.ext.KAnon.K
     val out = graft.queries.CurationQueries.q187KAnonymize(spark, sf).collect()
     val docs = Tables.load(spark, sf, "documents")
       .select($"doc_id", $"lang", $"source",
-        expr("CAST(n_chars AS BIGINT) DIV 500").as("lb"))
+        expr(s"CAST(n_chars AS BIGINT) DIV ${graft.ext.KAnon.BucketChars}").as("lb"))
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
     assert(out.length == docs.size) // one published row per document
-    out.foreach { r =>
-      val (id, lvl, n) = (r.getLong(0), r.getInt(4), r.getLong(5))
-      val (lang, src, lb) = docs(id)
-      if (lvl == 3) { // suppressed: all-star pattern, zero certificate
-        assert(n == 0L && r.getString(1) == "*" && r.getString(2) == "*" && r.getString(3) == "*")
-      } else {
-        assert(n >= k, s"doc $id level $lvl class_n $n < k")
-        // anonymity-set certificate: class_n == #docs matching the RETAINED attrs
-        val (gl, gs, gn) = (r.getString(1), r.getString(2), r.getString(3))
-        assert(gl == lang) // level<3 always retains lang
-        val matching = docs.valuesIterator.count(d =>
-          d._1 == gl && (gs == "*" || d._2 == gs) && (gn == "*" || d._3.toString == gn))
-        assert(matching.toLong == n, s"doc $id certificate $n != anonymity set $matching")
-        // minimality: the next-finer prefix must violate k (local recoding, not over-suppression)
-        val finer = lvl match {
-          case 1 => docs.valuesIterator.count(d => d._1 == lang && d._2 == src && d._3 == lb)
-          case 2 => docs.valuesIterator.count(d => d._1 == lang && d._2 == src)
-          case _ => 0 // level 0 is already the finest
-        }
-        if (lvl > 0) assert(finer < k, s"doc $id at level $lvl but finer class has $finer >= k")
+    // THE k-anonymity property, checked on the release: group the
+    // published rows by their exact pattern — every non-suppressed
+    // class has >= k members, and class_n certifies the true size
+    out.filter(_.getInt(4) < 3)
+      .groupBy(r => (r.getString(1), r.getString(2), r.getString(3), r.getInt(4)))
+      .foreach { case (pat, rows) =>
+        assert(rows.length >= k, s"release class $pat has ${rows.length} < k members")
+        rows.foreach(r => assert(r.getLong(5) == rows.length.toLong,
+          s"doc ${r.getLong(0)} certificate ${r.getLong(5)} != class size ${rows.length}"))
       }
+    // residual-ladder replay: n0 / r1 / r2 recomputed from raw docs
+    val n0 = docs.values.groupBy(identity).map { case (c, v) => c -> v.size.toLong }
+    val r1 = n0.filter(_._2 < k).groupBy { case ((l, s2, _), _) => (l, s2) }
+      .map { case (p, m) => p -> m.values.sum }
+    val r2 = r1.filter(_._2 < k).groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    out.foreach { r =>
+      val (id, lvl) = (r.getLong(0), r.getInt(4))
+      val (lang, src, lb) = docs(id)
+      val (cn0, cr1, cr2) = (n0((lang, src, lb)),
+        r1.getOrElse((lang, src), 0L), r2.getOrElse(lang, 0L))
+      val expect = if (cn0 >= k) 0 else if (cr1 >= k) 1 else if (cr2 >= k) 2 else 3
+      assert(lvl == expect, s"doc $id level $lvl, residual ladder says $expect")
+      if (lvl == 3) // suppressed: all-star pattern, zero certificate
+        assert(r.getLong(5) == 0L && r.getString(1) == "*" &&
+          r.getString(2) == "*" && r.getString(3) == "*")
     }
   }
 
@@ -405,7 +409,7 @@ class CurationOpsSpec extends SparkSpec {
       ep.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
         val sorted = rows.sortBy(r => (r.getLong(4), r.getLong(3)))
         assert(sorted.map(_.getLong(2)).toSeq == (1L to rows.length).toSeq)
-        rows.foreach(r => assert(r.getLong(4) / (2147483648L / 8L) == shard))
+        rows.foreach(r => assert(r.getLong(4) * 8L / 2147483648L == shard))
       }
     }
     // epochs genuinely reshuffle: almost no doc keeps its (shard, pos) slot
