@@ -52,14 +52,8 @@ object PlanAudit {
     // NB training globals: the 1-row (d_bits, prior_bits) scalar agg
     // broadcast onto the scored docs (the q80/q86 one-row-total class)
     "q169_nb_quality" -> Set(SinglePartition, Bnlj),
-    // calibration table build: cumulative walk over the (sources ×
-    // buckets)-bounded global histogram (the q83 class) + its 1-row
-    // grand-total broadcast (the q80/q86 class); the corpus-sized
-    // surprisal stage sits behind the eager checkpoint
-    "q171_score_calibration" -> Set(SinglePartition, Bnlj),
-    // same calibration-table build as q171 under a sources-bounded
-    // final aggregation
-    "q172_calibrated_gate" -> Set(SinglePartition, Bnlj),
+    // (q171/q172's former calibration-walk flags sit behind the
+    // session-cached checkpointed calibration frame now — no entries)
     // serve-time scoring: the LOADED one-row globals parquet broadcast
     // onto the per-doc roll-up (the q169 class minus its in-plan
     // training — the training-side SinglePartition is gone)

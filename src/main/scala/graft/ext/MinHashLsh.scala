@@ -57,12 +57,18 @@ object MinHashLsh {
       n: Int = 8): DataFrame =
     banded(signatures(df, idCol, textCol, n))
 
-  private def banded(sigs: DataFrame): DataFrame =
-    sigs.select(col("id"), col("sig"),
+  /** Explode (id, carry…, sig) rows into one row per band — THE band
+    * layout (band index + [[bandSlice]] slice), defined once so the
+    * batch path and the carry-columns stream/index path can never
+    * desynchronize their bucket shapes. */
+  private def banded(sigs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val keep = col("id") +: carry.map(col) :+ col("sig")
+    sigs.select(keep :+
         explode(array((0 until Bands).map(b =>
-          struct(lit(b).as("band"), slice(col("sig"), b * RowsPerBand + 1, RowsPerBand).as("bslice"))): _*))
-          .as("bs"))
-      .select(col("id"), col("sig"), col("bs.band").as("band"), col("bs.bslice").as("bslice"))
+          struct(lit(b).as("band"), bandSlice(col("sig"), b).as("bslice"))): _*))
+          .as("bs"): _*)
+      .select(keep :+ col("bs.band").as("band") :+ col("bs.bslice").as("bslice"): _*)
+  }
 
   private def bandSlice(sig: Column, b: Int): Column =
     slice(sig, b * RowsPerBand + 1, RowsPerBand)
@@ -75,16 +81,9 @@ object MinHashLsh {
   def bandedIndexWith(df: DataFrame, idCol: String, textCol: String,
       carry: Seq[String], n: Int = 8): DataFrame = {
     graft.functions.VectorFunctions.registerMinhash(df.sparkSession, n, A, B, P)
-    val sigs = df.filter(length(col(textCol)) >= n)
+    banded(df.filter(length(col(textCol)) >= n)
       .select(col(idCol).as("id") +: carry.map(col) :+
-        signature(col(textCol)).as("sig"): _*)
-    sigs.select(col("id") +: carry.map(col) :+ col("sig") :+
-        explode(array((0 until Bands).map(b =>
-          struct(lit(b).as("band"),
-            slice(col("sig"), b * RowsPerBand + 1, RowsPerBand).as("bslice"))): _*))
-          .as("bs"): _*)
-      .select(col("id") +: carry.map(col) :+ col("sig") :+
-        col("bs.band").as("band") :+ col("bs.bslice").as("bslice"): _*)
+        signature(col(textCol)).as("sig"): _*), carry)
   }
 
   /** Count of agreeing signature positions (16·est_sim, exact integer)

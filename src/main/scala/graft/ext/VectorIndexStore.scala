@@ -70,6 +70,27 @@ object VectorIndexStore {
     * paths on durable storage (write once, readers pin a version). */
   private val jvmToken: String = java.util.UUID.randomUUID.toString.take(8)
 
+  // every per-JVM tree is garbage the moment its process exits (no
+  // other process ever reads it) — delete it on shutdown, or a CI host
+  // running many JVMs fills java.io.tmpdir with orphaned artifact trees
+  locally {
+    val root = java.nio.file.Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft-index")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try {
+        if (java.nio.file.Files.isDirectory(root))
+          java.nio.file.Files.list(root)
+            .filter(_.getFileName.toString.startsWith(s"$jvmToken-"))
+            .forEach(rm(_))
+      } catch { case _: Throwable => () } // best-effort cleanup only
+    }, "graft-index-cleanup"))
+  }
+
   /** Deterministic-per-corpus, isolated-per-process index location
     * under the JVM temp dir — keyed by the data dir's md5 so sessions
     * over different corpora never collide, and by [[jvmToken]] so

@@ -353,7 +353,10 @@ object HashDedupQueries {
     * trim/lower/whitespace split; gram identity is the joined token
     * STRING (collision-free — see [[graft.ext.DupNgrams]]). */
   private val gramChainSql: String =
-    """toks AS (SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+    """toks AS (SELECT doc_id AS id,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+      |  FROM documents),
       |g AS (SELECT id, CAST(i AS BIGINT) AS pos, array_to_string(t[i:i+7], ' ') AS gram
       |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i) WHERE len(t) >= 8)""".stripMargin
 

@@ -122,6 +122,32 @@ object MiningQueries {
       |         ELSE 'tail' END AS bucket
       |  FROM sc JOIN thr t USING (lang))""".stripMargin
 
+  /** The per-source calibration prefix over the shared surprisal
+    * core: … → b (doc_id, source, mb, 64-millibit bkt) →
+    * hist/src/stot/sp (the within-source ppm ECDF). ONE definition
+    * feeds q171, q172, q176 and the mixTagged chain (q175/q181), so
+    * the bucketing and ECDF arithmetic can never fork. */
+  private[queries] val calibCtesSql: String =
+    s"""${surprisalCtesSqlFor("")},
+      |b AS (SELECT d.doc_id, d.source, r.mbpg AS mb, r.mbpg // 64 AS bkt
+      |  FROM rate r JOIN documents d USING (doc_id)),
+      |hist AS (SELECT source, bkt, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      |src AS (SELECT source, bkt,
+      |    SUM(n) OVER (PARTITION BY source ORDER BY bkt) - n AS below FROM hist),
+      |stot AS (SELECT source, SUM(n) AS tot FROM hist GROUP BY 1),
+      |sp AS (SELECT src.source, src.bkt,
+      |    CAST(below * 1000000 // tot AS BIGINT) AS src_pct_ppm
+      |  FROM src JOIN stot USING (source))""".stripMargin
+
+  /** The corpus-global ECDF companion (gh/g/gt/gp over `hist`) shared
+    * by q171 and q172 — the gap the calibration exists to measure. */
+  private[queries] val globalCalibCtesSql: String =
+    """gh AS (SELECT bkt, SUM(n) AS gn FROM hist GROUP BY 1),
+      |g AS (SELECT bkt, SUM(gn) OVER (ORDER BY bkt) - gn AS gbelow FROM gh),
+      |gt AS (SELECT SUM(gn) AS gtot FROM gh),
+      |gp AS (SELECT bkt, CAST(gbelow * 1000000 // gtot AS BIGINT) AS glob_pct_ppm
+      |  FROM g CROSS JOIN gt)""".stripMargin
+
   /** q158: CCNet-style perplexity buckets — per language, documents
     * split into head/middle/tail terciles of the q86 integer surprisal
     * rate (Wenzek et al. 2020's triage: keep the well-modeled head,
@@ -560,11 +586,26 @@ object MiningQueries {
     * the serving table is the offline artifact of the train/serve
     * split ([[graft.streaming.Streaming.calibrationStream]] consumes
     * it statically). */
+  /** Session-scoped cache of the per-doc calibration frame (q171's
+    * exact output shape, thin: 7 ints/doc) — q171, q172 and the
+    * mixTagged chain (q175/q181) all read ONE eagerly checkpointed
+    * materialization instead of each re-running the bucket histogram +
+    * ECDF walk (the [[sharedSurprisal]] discipline one layer up). */
+  private val calibFrameCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[queries] def sharedCalibration(s: SparkSession, dir: String): DataFrame = {
+    SessionCaches.purgeStopped(calibFrameCache)(_._1)
+    val perDoc = sharedSurprisal(s, dir) // resolve BEFORE entering the cache
+    calibFrameCache.computeIfAbsent((s, dir), _ =>
+      SurprisalScore.sourceCalibrationFrom(perDoc,
+          Tables.load(s, dir, "documents"), "doc_id", "source")
+        .localCheckpoint(true))
+  }
+
   def q171ScoreCalibration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    SurprisalScore.sourceCalibrationFrom(sharedSurprisal(s, dir),
-        Tables.load(s, dir, "documents"), "doc_id", "source")
-      .orderBy($"doc_id")
+    sharedCalibration(s, dir).orderBy($"doc_id")
   }
 
   /** q172: the calibrated cross-source quality GATE — the decision
@@ -582,8 +623,7 @@ object MiningQueries {
     * aggregation to sources-bounded rows. */
   def q172CalibratedGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    SurprisalScore.sourceCalibrationFrom(sharedSurprisal(s, dir),
-        Tables.load(s, dir, "documents"), "doc_id", "source")
+    sharedCalibration(s, dir)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum(($"glob_pct_ppm" < 500000).cast("long")).as("n_raw_keep"),
@@ -593,30 +633,8 @@ object MiningQueries {
   }
 
   val q172Sql: String =
-    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-      |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
-      |        i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
-      |c AS (SELECT g, COUNT(*) AS c FROM g2 GROUP BY g),
-      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c),
-      |s AS (SELECT g2.doc_id, COUNT(*) AS nb,
-      |    CAST(SUM(CAST(length(bin(n.n_total)) AS BIGINT)
-      |             - CAST(length(bin(c.c)) AS BIGINT)) AS BIGINT) AS sb
-      |  FROM g2 JOIN c USING (g) CROSS JOIN n GROUP BY g2.doc_id),
-      |b AS (SELECT d.doc_id, d.source,
-      |    CAST((s.sb * 1000 // s.nb) // 64 AS BIGINT) AS bkt
-      |  FROM documents d JOIN s USING (doc_id) WHERE s.nb > 0),
-      |hist AS (SELECT source, bkt, COUNT(*) AS n FROM b GROUP BY 1, 2),
-      |src AS (SELECT source, bkt,
-      |    SUM(n) OVER (PARTITION BY source ORDER BY bkt) - n AS below FROM hist),
-      |stot AS (SELECT source, SUM(n) AS tot FROM hist GROUP BY 1),
-      |sp AS (SELECT src.source, src.bkt,
-      |    CAST(below * 1000000 // tot AS BIGINT) AS src_pct_ppm
-      |  FROM src JOIN stot USING (source)),
-      |gh AS (SELECT bkt, SUM(n) AS gn FROM hist GROUP BY 1),
-      |g AS (SELECT bkt, SUM(gn) OVER (ORDER BY bkt) - gn AS gbelow FROM gh),
-      |gt AS (SELECT SUM(gn) AS gtot FROM gh),
-      |gp AS (SELECT bkt, CAST(gbelow * 1000000 // gtot AS BIGINT) AS glob_pct_ppm
-      |  FROM g CROSS JOIN gt)
+    s"""WITH $calibCtesSql,
+      |$globalCalibCtesSql
       |SELECT b.source, COUNT(*) AS n_docs,
       |  CAST(SUM(CASE WHEN gp.glob_pct_ppm < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_raw_keep,
       |  CAST(SUM(CASE WHEN sp.src_pct_ppm < 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_calib_keep,
@@ -628,30 +646,8 @@ object MiningQueries {
       |ORDER BY b.source""".stripMargin
 
   val q171Sql: String =
-    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-      |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
-      |        i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
-      |c AS (SELECT g, COUNT(*) AS c FROM g2 GROUP BY g),
-      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c),
-      |s AS (SELECT g2.doc_id, COUNT(*) AS nb,
-      |    CAST(SUM(CAST(length(bin(n.n_total)) AS BIGINT)
-      |             - CAST(length(bin(c.c)) AS BIGINT)) AS BIGINT) AS sb
-      |  FROM g2 JOIN c USING (g) CROSS JOIN n GROUP BY g2.doc_id),
-      |b AS (SELECT d.doc_id, d.source, CAST(s.sb * 1000 // s.nb AS BIGINT) AS mb,
-      |    CAST((s.sb * 1000 // s.nb) // 64 AS BIGINT) AS bkt
-      |  FROM documents d JOIN s USING (doc_id) WHERE s.nb > 0),
-      |hist AS (SELECT source, bkt, COUNT(*) AS n FROM b GROUP BY 1, 2),
-      |src AS (SELECT source, bkt,
-      |    SUM(n) OVER (PARTITION BY source ORDER BY bkt) - n AS below FROM hist),
-      |stot AS (SELECT source, SUM(n) AS tot FROM hist GROUP BY 1),
-      |sp AS (SELECT src.source, src.bkt,
-      |    CAST(below * 1000000 // tot AS BIGINT) AS src_pct_ppm
-      |  FROM src JOIN stot USING (source)),
-      |gh AS (SELECT bkt, SUM(n) AS gn FROM hist GROUP BY 1),
-      |g AS (SELECT bkt, SUM(gn) OVER (ORDER BY bkt) - gn AS gbelow FROM gh),
-      |gt AS (SELECT SUM(gn) AS gtot FROM gh),
-      |gp AS (SELECT bkt, CAST(gbelow * 1000000 // gtot AS BIGINT) AS glob_pct_ppm
-      |  FROM g CROSS JOIN gt)
+    s"""WITH $calibCtesSql,
+      |$globalCalibCtesSql
       |SELECT b.doc_id, b.source, b.mb, b.bkt, sp.src_pct_ppm, gp.glob_pct_ppm,
       |  sp.src_pct_ppm - gp.glob_pct_ppm AS gap_ppm
       |FROM b JOIN sp ON b.source = sp.source AND b.bkt = sp.bkt
@@ -718,25 +714,7 @@ object MiningQueries {
   }
 
   val q176Sql: String =
-    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-      |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
-      |        i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
-      |c AS (SELECT g, COUNT(*) AS c FROM g2 GROUP BY g),
-      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c),
-      |s AS (SELECT g2.doc_id, COUNT(*) AS nb,
-      |    CAST(SUM(CAST(length(bin(n.n_total)) AS BIGINT)
-      |             - CAST(length(bin(c.c)) AS BIGINT)) AS BIGINT) AS sb
-      |  FROM g2 JOIN c USING (g) CROSS JOIN n GROUP BY g2.doc_id),
-      |b AS (SELECT d.doc_id, d.source, CAST(s.sb * 1000 // s.nb AS BIGINT) AS mb,
-      |    CAST((s.sb * 1000 // s.nb) // 64 AS BIGINT) AS bkt
-      |  FROM documents d JOIN s USING (doc_id) WHERE s.nb > 0),
-      |hist AS (SELECT source, bkt, COUNT(*) AS n FROM b GROUP BY 1, 2),
-      |src AS (SELECT source, bkt,
-      |    SUM(n) OVER (PARTITION BY source ORDER BY bkt) - n AS below FROM hist),
-      |stot AS (SELECT source, SUM(n) AS tot FROM hist GROUP BY 1),
-      |sp AS (SELECT src.source, src.bkt,
-      |    CAST(below * 1000000 // tot AS BIGINT) AS src_pct_ppm
-      |  FROM src JOIN stot USING (source))
+    s"""WITH $calibCtesSql
       |SELECT b.doc_id, b.source, b.mb, b.bkt, sp.src_pct_ppm,
       |  CASE WHEN sp.src_pct_ppm < 500000 THEN 1 ELSE 0 END AS cal_keep
       |FROM b JOIN sp ON b.source = sp.source AND b.bkt = sp.bkt
@@ -763,21 +741,28 @@ object MiningQueries {
     * materialized sample): (doc_id, source, n_tokens, is_uniq,
     * cal_keep) — exact-dedup first-ownership plus the calibrated-gate
     * verdict, computed ONCE so the two queries cannot fork. */
+  private val mixTagCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
   private def mixTagged(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.load(s, dir, "documents")
-    val base = docs.select($"doc_id", $"source",
-      graft.functions.TextFunctions.contentHash($"text").as("h"),
-      size(graft.functions.TextFunctions.tokens($"text")).cast("long").as("n_tokens"))
-    val owners = base.groupBy($"h").agg(min($"doc_id").as("owner"))
-    val keep = SurprisalScore
-      .sourceCalibrationFrom(sharedSurprisal(s, dir), docs, "doc_id", "source")
-      .select($"doc_id", ($"src_pct_ppm" < 500000).cast("long").as("cal_keep"))
-    base.join(owners, Seq("h"))
-      .withColumn("is_uniq", ($"doc_id" === $"owner").cast("long"))
-      .join(keep, Seq("doc_id"), "left")
-      .withColumn("cal_keep", coalesce($"cal_keep", lit(0L)))
-      .select($"doc_id", $"source", $"n_tokens", $"is_uniq", $"cal_keep")
+    SessionCaches.purgeStopped(mixTagCache)(_._1)
+    val calib = sharedCalibration(s, dir) // resolve BEFORE entering the cache
+    mixTagCache.computeIfAbsent((s, dir), _ => {
+      val docs = Tables.load(s, dir, "documents")
+      val base = docs.select($"doc_id", $"source",
+        graft.functions.TextFunctions.contentHash($"text").as("h"),
+        size(graft.functions.TextFunctions.tokens($"text")).cast("long").as("n_tokens"))
+      val owners = base.groupBy($"h").agg(min($"doc_id").as("owner"))
+      val keep = calib
+        .select($"doc_id", ($"src_pct_ppm" < 500000).cast("long").as("cal_keep"))
+      base.join(owners, Seq("h"))
+        .withColumn("is_uniq", ($"doc_id" === $"owner").cast("long"))
+        .join(keep, Seq("doc_id"), "left")
+        .withColumn("cal_keep", coalesce($"cal_keep", lit(0L)))
+        .select($"doc_id", $"source", $"n_tokens", $"is_uniq", $"cal_keep")
+        .localCheckpoint(true)
+    })
   }
 
   def q175MixingPlan(s: SparkSession, dir: String): DataFrame = {
@@ -792,7 +777,11 @@ object MiningQueries {
       .crossJoin(broadcast(perSrc.agg(sum($"tok_kept_unique").as("tot_tok"))))
       .select($"source", $"n_docs", $"n_unique", $"n_kept_unique",
         $"tok_kept_unique",
-        expr("tok_kept_unique * 1000000 DIV tot_tok").as("weight_ppm"))
+        // DECIMAL(38,0) numerator: tok·10⁶ exceeds 2^63 past ~9×10¹²
+        // kept tokens (the Bm25.contribExpr discipline); DIV result
+        // is ppm-bounded, back in long
+        expr("CAST(tok_kept_unique AS DECIMAL(38,0)) * 1000000 DIV tot_tok")
+          .as("weight_ppm"))
       .orderBy($"source")
   }
 
@@ -800,31 +789,13 @@ object MiningQueries {
     * `tagged` CTE) — q175 and q181 build on the same chain so the
     * dedup-ownership + calibration recipe cannot fork. */
   private val mixTaggedSql: String =
-    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-      |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
-      |        i -> t[i] || ' ' || t[i+1])) AS g FROM toks),
-      |c AS (SELECT g, COUNT(*) AS c FROM g2 GROUP BY g),
-      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c),
-      |s AS (SELECT g2.doc_id, COUNT(*) AS nb,
-      |    CAST(SUM(CAST(length(bin(n.n_total)) AS BIGINT)
-      |             - CAST(length(bin(c.c)) AS BIGINT)) AS BIGINT) AS sb
-      |  FROM g2 JOIN c USING (g) CROSS JOIN n GROUP BY g2.doc_id),
-      |b AS (SELECT d.doc_id, d.source,
-      |    CAST((s.sb * 1000 // s.nb) // 64 AS BIGINT) AS bkt
-      |  FROM documents d JOIN s USING (doc_id) WHERE s.nb > 0),
-      |hist AS (SELECT source, bkt, COUNT(*) AS n FROM b GROUP BY 1, 2),
-      |src AS (SELECT source, bkt,
-      |    SUM(n) OVER (PARTITION BY source ORDER BY bkt) - n AS below FROM hist),
-      |stot AS (SELECT source, SUM(n) AS tot FROM hist GROUP BY 1),
-      |sp AS (SELECT src.source, src.bkt,
-      |    CAST(below * 1000000 // tot AS BIGINT) AS src_pct_ppm
-      |  FROM src JOIN stot USING (source)),
+    s"""$calibCtesSql,
       |kp AS (SELECT b.doc_id,
       |    CASE WHEN sp.src_pct_ppm < 500000 THEN 1 ELSE 0 END AS cal_keep
       |  FROM b JOIN sp ON b.source = sp.source AND b.bkt = sp.bkt),
       |base AS (SELECT doc_id, source, md5(lower(trim(text))) AS h,
       |    CAST(CASE WHEN trim(text) = '' THEN 0
-      |      ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      |      ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
       |  FROM documents),
       |own AS (SELECT h, MIN(doc_id) AS owner FROM base GROUP BY h),
       |tagged AS (SELECT base.doc_id, base.source,
@@ -841,7 +812,7 @@ object MiningQueries {
       |  FROM tagged GROUP BY source),
       |tot AS (SELECT CAST(SUM(tok_kept_unique) AS BIGINT) AS tot_tok FROM per)
       |SELECT source, n_docs, n_unique, n_kept_unique, tok_kept_unique,
-      |  CAST(tok_kept_unique * 1000000 // tot_tok AS BIGINT) AS weight_ppm
+      |  CAST(CAST(tok_kept_unique AS HUGEINT) * 1000000 // tot_tok AS BIGINT) AS weight_ppm
       |FROM per CROSS JOIN tot
       |ORDER BY source""".stripMargin
 
@@ -865,17 +836,24 @@ object MiningQueries {
   def q181MixMaterialize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val tagged = mixTagged(s, dir).localCheckpoint(true)
+    val tagged = mixTagged(s, dir) // session-cached, already checkpointed
     val perSrc = tagged.groupBy($"source")
       .agg(sum($"is_uniq" * $"cal_keep" * $"n_tokens").as("tok_kept_unique"))
     val tot = perSrc.agg(sum($"tok_kept_unique").as("tot_tok"))
     val nsrc = perSrc.agg(count(lit(1)).as("n_src"))
     val rates = perSrc.crossJoin(broadcast(tot)).crossJoin(broadcast(nsrc))
-      .withColumn("weight_ppm", expr("tok_kept_unique * 1000000 DIV tot_tok"))
+      // every count×scale product runs in DECIMAL(38,0): tok·10⁶,
+      // (tot/2)·sm_ppm and tgt·10⁴ all pass 2^63 between 10¹³ and
+      // 10¹⁵ corpus tokens (the Bm25.contribExpr discipline); each
+      // DIV lands back in a long-ranged value
+      .withColumn("weight_ppm",
+        expr("CAST(tok_kept_unique AS DECIMAL(38,0)) * 1000000 DIV tot_tok"))
       .withColumn("sm_ppm", expr("(weight_ppm + 1000000 DIV n_src) DIV 2"))
-      .withColumn("tgt_tok", expr("(tot_tok DIV 2) * sm_ppm DIV 1000000"))
+      .withColumn("tgt_tok",
+        expr("CAST(tot_tok DIV 2 AS DECIMAL(38,0)) * sm_ppm DIV 1000000"))
       .withColumn("rate_bp", when($"tok_kept_unique" > 0,
-        least(lit(10000L), expr("tgt_tok * 10000 DIV tok_kept_unique")))
+        least(lit(10000L),
+          expr("CAST(tgt_tok AS DECIMAL(38,0)) * 10000 DIV tok_kept_unique")))
         .otherwise(lit(0L)))
       .select($"source", $"weight_ppm", $"sm_ppm", $"rate_bp")
     tagged.filter($"is_uniq" === 1 && $"cal_keep" === 1)
@@ -897,13 +875,13 @@ object MiningQueries {
       |tot AS (SELECT CAST(SUM(tok_kept_unique) AS BIGINT) AS tot_tok FROM per),
       |ns AS (SELECT COUNT(*) AS n_src FROM per),
       |r1 AS (SELECT source, tok_kept_unique, tot_tok, n_src,
-      |    CAST(tok_kept_unique * 1000000 // tot_tok AS BIGINT) AS weight_ppm
+      |    CAST(CAST(tok_kept_unique AS HUGEINT) * 1000000 // tot_tok AS BIGINT) AS weight_ppm
       |  FROM per CROSS JOIN tot CROSS JOIN ns),
       |r2 AS (SELECT *, CAST((weight_ppm + 1000000 // n_src) // 2 AS BIGINT) AS sm_ppm FROM r1),
-      |r3 AS (SELECT *, CAST((tot_tok // 2) * sm_ppm // 1000000 AS BIGINT) AS tgt_tok FROM r2),
+      |r3 AS (SELECT *, CAST(CAST(tot_tok // 2 AS HUGEINT) * sm_ppm // 1000000 AS BIGINT) AS tgt_tok FROM r2),
       |r4 AS (SELECT source, weight_ppm, sm_ppm,
       |    CAST(CASE WHEN tok_kept_unique > 0
-      |      THEN LEAST(10000, tgt_tok * 10000 // tok_kept_unique) ELSE 0 END AS BIGINT) AS rate_bp
+      |      THEN LEAST(10000, CAST(tgt_tok AS HUGEINT) * 10000 // tok_kept_unique) ELSE 0 END AS BIGINT) AS rate_bp
       |  FROM r3),
       |cand AS (SELECT doc_id, source, n_tokens FROM tagged WHERE is_uniq = 1 AND cal_keep = 1),
       |hk AS (SELECT doc_id, source, n_tokens,

@@ -386,17 +386,27 @@ object TextQueries {
   private val nbModelCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame)]()
 
+  /** THE q169 training recipe — Gopher rule gate as teacher, standing
+    * slice (doc_id % 10 ≠ 0) as training data — stated once, so the
+    * in-process classifier (q169) and the persisted registry model
+    * (q174 and the q188 ensemble's learned member) can never train on
+    * different labels or slices. Returns (weights, globals). */
+  private def nbTeacherTrain(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val gate = graft.ext.QualityGate.gopherGate(docs, "doc_id", "text")
+      .select($"doc_id", $"keep")
+    graft.ext.NbClassifier.trainWeights(
+      docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text",
+      gate.filter($"doc_id" % 10 =!= 0))
+  }
+
   private[queries] def sharedPersistedNbModel(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     SessionCaches.purgeStopped(nbModelCache)(_._1)
     nbModelCache.computeIfAbsent((s, dir), _ => {
-      import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
-      val gate = graft.ext.QualityGate.gopherGate(docs, "doc_id", "text")
-        .select($"doc_id", $"keep")
-      val (w, g) = graft.ext.NbClassifier.trainWeights(
-        docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text",
-        gate.filter($"doc_id" % 10 =!= 0))
+      val (w, g) = nbTeacherTrain(s, dir)
       val base = graft.ext.VectorIndexStore.defaultPath(dir, "nb_model")
       w.write.mode("overwrite").parquet(s"$base/weights")
       g.write.mode("overwrite").parquet(s"$base/globals")
@@ -434,9 +444,7 @@ object TextQueries {
     val docs = Tables.load(s, dir, "documents")
     val gate = graft.ext.QualityGate.gopherGate(docs, "doc_id", "text")
       .select($"doc_id", $"keep")
-    val (w, g) = graft.ext.NbClassifier.trainWeights(
-      docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text",
-      gate.filter($"doc_id" % 10 =!= 0))
+    val (w, g) = nbTeacherTrain(s, dir)
     graft.ext.NbClassifier.score(docs.filter($"doc_id" % 10 === 0),
         "doc_id", "text", w, g)
       .withColumnRenamed("id", "doc_id")

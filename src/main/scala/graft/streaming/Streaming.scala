@@ -546,7 +546,11 @@ object Streaming {
       .groupBy(window(col("event_time"), "10 minutes"), col("doc_id"))
       .agg(first(col("n_tokens")).as("n_tokens"),
         sort_array(collect_list(when(col("__hit") === 1, col("pos")))).as("__ps"))
-      .select(col("doc_id").as("id"), col("n_tokens"),
+      // window.start stays in the output: a doc_id redelivered in a
+      // later window emits a second profile, and the consumer needs
+      // the window to tell the emissions apart
+      .select(col("window.start").as("window_start"),
+        col("doc_id").as("id"), col("n_tokens"),
         size(col("__ps")).cast("long").as("dup_grams"),
         graft.ext.DupNgrams.coveredFromSortedStarts(col("__ps"), n)
           .as("covered_tokens"))
@@ -628,8 +632,12 @@ object Streaming {
       .groupBy(col("window"), col("qid"))
       .agg(expr(s"slice(array_sort(collect_list(struct(-score_fp AS ns, id))), 1, $k)")
         .as("top"))
-      .select(col("qid"), posexplode(col("top")))
-      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+      .select(col("window"), col("qid"), posexplode(col("top")))
+      // window.start stays in the output: the same qid re-queried in a
+      // later window emits a SECOND ranking, and without the window
+      // column the consumer cannot tell which one is current
+      .select(col("window.start").as("window_start"), col("qid"),
+        (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("id"), (-col("col.ns")).as("score_fp"))
   }
 

@@ -1097,6 +1097,9 @@ class StreamingSpec extends SparkSpec {
         new java.sql.Timestamp(t0 + 3600L * 1000)))
       q.processAllAvailable()
     } finally q.stop()
+    // rankings carry their window: a qid re-queried later must be
+    // distinguishable from this window's answer
+    assert(spark.table("bm25_serve").columns.contains("window_start"))
     val streamed = spark.table("bm25_serve")
       .filter($"qid" =!= 999999L)
       .select($"qid", $"rank", $"id", $"score_fp".cast("string"))
@@ -1139,6 +1142,9 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     val cols = Seq("id", "n_tokens", "dup_grams", "covered_tokens", "coverage_ppm")
+    // profiles carry their window: a doc_id redelivered later must be
+    // distinguishable from this window's profile
+    assert(spark.table("dupgram_probe").columns.contains("window_start"))
     val streamed = spark.table("dupgram_probe")
       .filter($"id" =!= 999999999L)
       .select(cols.map(col): _*)
