@@ -884,18 +884,69 @@ object CurationQueries {
     * realistic shard count. */
   private def shardOf = expr(s"skey * $ShuffleShards DIV 2147483648")
 
-  def q191EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+  /** The keyed-and-sharded (epoch, doc_id, skey, shard) frame behind
+    * the shuffle family — q191 ranks it, q193 folds it into the
+    * loader manifest; one definition so schedule and manifest can
+    * never disagree on a key or a shard boundary. */
+  private def epochKeyed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     GraftFunctions.register(s)
-    val w = Window.partitionBy($"epoch", $"shard").orderBy($"skey", $"doc_id")
     Tables.load(s, dir, "documents")
       .select($"doc_id", explode(array((0 until 3).map(lit): _*)).as("epoch"))
       .select($"epoch", $"doc_id",
         graft.ext.Mixing.shuffleKey($"epoch", $"doc_id").as("skey"))
       .withColumn("shard", shardOf)
+  }
+
+  def q191EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"epoch", $"shard").orderBy($"skey", $"doc_id")
+    epochKeyed(s, dir)
       .withColumn("pos", row_number().over(w).cast("long"))
       .select($"epoch", $"shard", $"pos", $"doc_id", $"skey")
       .orderBy($"epoch", $"shard", $"pos")
+  }
+
+  /** q193: epoch-shard integrity manifest — the bounded artifact a
+    * data loader validates BEFORE streaming an epoch's shard files
+    * (and re-validates on resume): per (epoch, shard) the member
+    * count, the key range, and order-independent XOR checksums of the
+    * member ids and keys. XOR, not SUM: commutative/associative like
+    * the shard's unordered file layout, and it cannot overflow at any
+    * corpus size (a 10¹²-doc shard's id-sum would pass 2⁶³; its XOR
+    * cannot). A shard file that lost, duplicated, or swapped a
+    * document fails count, checksum, or range — cheaply, without
+    * re-reading the schedule. One scan + an (epochs × shards)-bounded
+    * rollup; no window, no sort. */
+  def q193ShardManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    epochKeyed(s, dir)
+      .groupBy($"epoch", $"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"skey").as("min_skey"), max($"skey").as("max_skey"),
+        expr("bit_xor(doc_id)").as("xor_doc"),
+        expr("bit_xor(skey)").as("xor_skey"))
+      .orderBy($"epoch", $"shard")
+  }
+
+  val q193Sql: String = {
+    val ph = AnalyticsQueries.polyhashSql(
+      "(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))")
+    s"""WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
+      |h AS (SELECT e.epoch, d.doc_id, $ph AS ph
+      |  FROM documents d CROSS JOIN e),
+      |a1 AS (SELECT epoch, doc_id,
+      |    (ph * 1103515245 + 12345) % 2147483648 AS a FROM h),
+      |k AS (SELECT epoch, doc_id,
+      |    (xor(a, a // 65536) * 69069 + 1) % 2147483648 AS skey FROM a1),
+      |p AS (SELECT epoch, doc_id, skey,
+      |    skey * $ShuffleShards // 2147483648 AS shard FROM k)
+      |SELECT CAST(epoch AS INT) AS epoch, CAST(shard AS BIGINT) AS shard,
+      |  COUNT(*) AS n_docs,
+      |  CAST(MIN(skey) AS BIGINT) AS min_skey, CAST(MAX(skey) AS BIGINT) AS max_skey,
+      |  CAST(bit_xor(doc_id) AS BIGINT) AS xor_doc,
+      |  CAST(bit_xor(skey) AS BIGINT) AS xor_skey
+      |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin
   }
 
   val q191Sql: String = {
@@ -980,6 +1031,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q192_curriculum" -> (q192Curriculum _),
+    "q193_shard_manifest" -> (q193ShardManifest _),
     "q191_epoch_shuffle" -> (q191EpochShuffle _),
     "q184_source_cap" -> (q184SourceCap _),
     "q144_dsir_mix" -> (q144DsirMix _),
@@ -1022,5 +1074,6 @@ object CurationQueries {
     "q189_l_diversity" -> q189Sql,
     "q190_t_closeness" -> q190Sql,
     "q191_epoch_shuffle" -> q191Sql,
-    "q192_curriculum" -> q192Sql)
+    "q192_curriculum" -> q192Sql,
+    "q193_shard_manifest" -> q193Sql)
 }

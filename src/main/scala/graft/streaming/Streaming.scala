@@ -789,6 +789,37 @@ object Streaming {
         SurprisalScore.bucketExpr.as("bucket"))
   }
 
+  /** Streaming curriculum routing — the ingest twin of q192: an
+    * arriving document is scored against the STATIC bigram LM, takes
+    * its CCNet tercile from the broadcast frozen thresholds (the
+    * [[ccnetBucketStream]] serving split, reused verbatim as the
+    * upstream), and then routes itself ROW-locally: stage = tercile
+    * index, one output row per epoch ≥ stage carrying the q192 shuffle
+    * key ([[graft.ext.Mixing.shuffleKey]] — the SAME epoch-hashed key)
+    * and its proportional shard. The loader appends the row to
+    * (epoch, shard) and resolves within-shard order at read time by
+    * the key — which is why `pos` is absent here: position depends on
+    * the rest of the shard, the one thing a row-local serve cannot
+    * know. Emits (window-finalized by the upstream agg): doc_id,
+    * bucket, stage, epoch, skey, shard. `shards` must match the batch
+    * schedule's shard count. */
+  def curriculumRouteStream(docs: DataFrame, model: DataFrame,
+      thresholds: DataFrame, shards: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    ccnetBucketStream(docs, model, thresholds)
+      .withColumn("stage",
+        when(col("bucket") === "head", 0).when(col("bucket") === "middle", 1)
+          .otherwise(2))
+      .withColumn("epoch",
+        explode(array((0 until 3).map(lit): _*)))
+      .filter(col("stage") <= col("epoch"))
+      .withColumn("skey",
+        graft.ext.Mixing.shuffleKey(col("epoch"), col("doc_id")))
+      .withColumn("shard", expr(s"skey * $shards DIV 2147483648"))
+      .select(col("doc_id"), col("bucket"), col("stage"),
+        col("epoch"), col("skey"), col("shard"))
+  }
+
   /** Streaming cross-source overlap monitor — q170's ingest-side twin
     * (the q120 probe discipline lifted to the source-pair matrix): the
     * standing corpus arrives as its STATIC banded LSH index with the

@@ -423,6 +423,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("q193 manifest certifies the q191 schedule and catches a lost or swapped document") {
+    val sched = graft.queries.CurationQueries.q191EpochShuffle(spark, sf).collect()
+    val manifest = graft.queries.CurationQueries.q193ShardManifest(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val folded = sched.groupBy(r => (r.getInt(0), r.getLong(1))).map { case (k, rows) =>
+      k -> ((rows.length.toLong,
+        rows.map(_.getLong(4)).min, rows.map(_.getLong(4)).max,
+        rows.map(_.getLong(3)).reduce(_ ^ _), rows.map(_.getLong(4)).reduce(_ ^ _)))
+    }
+    assert(folded == manifest, "manifest does not certify the schedule")
+    // a shard file that LOST a doc fails count + checksum; one that
+    // SWAPPED a doc for another fails checksum even at equal count
+    val (k0, (n, _, _, xd, _)) = folded.head
+    val lost = sched.filter(r => (r.getInt(0), r.getLong(1)) == k0).drop(1)
+    assert(lost.length.toLong != n &&
+      lost.map(_.getLong(3)).reduce(_ ^ _) != xd)
+    val swapped = sched.filter(r => (r.getInt(0), r.getLong(1)) == k0)
+      .map(_.getLong(3)).updated(0, -1L)
+    assert(swapped.length.toLong == n && swapped.reduce(_ ^ _) != xd)
+  }
+
   test("q192 curriculum stages nest (head ⊂ +middle ⊂ +tail) and reuse the q191 shuffle order") {
     val out = graft.queries.CurationQueries.q192Curriculum(spark, sf).collect()
     def docsOf(e: Int) = out.filter(_.getInt(0) == e).map(_.getLong(3)).toSet

@@ -530,6 +530,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, "stream/batch block dedup divergence")
   }
 
+  test("streaming curriculum routing matches the batch schedule's membership, keys and shards (q192 twin)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsB = Tables.load(spark, sf, "documents")
+    val model = graft.ext.SurprisalScore.bigramModel(docsB, "doc_id", "text")
+      .localCheckpoint(true)
+    val thr = graft.ext.SurprisalScore.ccnetThresholds(
+      graft.ext.SurprisalScore.ccnetBuckets(docsB, "doc_id", "text", "lang")
+        .select($"lang", $"mb"), "lang").localCheckpoint(true)
+    val fresh = docsB.orderBy($"doc_id").limit(40)
+      .select($"doc_id", $"text", $"lang").as[(Long, String, String)].collect()
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "lang", "event_time")
+    val q = Streaming.curriculumRouteStream(stream, model, thr, shards = 8L)
+      .writeStream.format("memory").queryName("curr_route")
+      .outputMode("append").start()
+    try {
+      val t0 = 1000000L
+      input.addData(fresh.map { case (id, tx, lg) =>
+        (id, tx, lg, new java.sql.Timestamp(t0)) }: _*)
+      q.processAllAvailable()
+      input.addData((999999999L, "sentinel words flow on", "xx",
+        new java.sql.Timestamp(t0 + 3600L * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // (epoch, doc_id) membership + bucket + shard must equal the batch
+    // schedule restricted to the streamed ids; pos is loader-side (it
+    // depends on the rest of the shard), so it is absent by design
+    val streamed = spark.table("curr_route")
+      .filter($"doc_id" =!= 999999999L)
+      .select($"epoch", $"doc_id", $"bucket", $"shard")
+      .as[(Int, Long, String, Long)].collect().toSet
+    val freshIds = fresh.map(_._1).toSet
+    val expect = graft.queries.CurationQueries.q192Curriculum(spark, sf)
+      .filter($"doc_id".isin(freshIds.toSeq: _*))
+      .select($"epoch", $"doc_id", $"bucket", $"shard")
+      .as[(Int, Long, String, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed.exists(_._1 == 0))
+    assert(streamed === expect, "stream/batch curriculum routing divergence")
+    // the streamed key reproduces the batch shard mapping exactly
+    spark.table("curr_route").filter($"doc_id" =!= 999999999L)
+      .select($"skey", $"shard").as[(Long, Long)].collect()
+      .foreach { case (k, sh) => assert(k * 8L / 2147483648L == sh) }
+  }
+
   test("streaming CCNet buckets match the batch terciles (q158 twin)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docsB = Tables.load(spark, sf, "documents")
