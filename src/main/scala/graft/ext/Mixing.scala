@@ -86,6 +86,32 @@ object Mixing {
     shuffleKey(lit(epoch), idCol)
   }
 
+  /** Ring width of the avalanched key space: [[shuffleKey]] is uniform
+    * on [0, KeyRing). Public because shard math and specs must divide
+    * by the SAME ring the key was built on. */
+  val KeyRing: Long = 2147483648L // 2^31
+
+  /** Shard count of the epoch shuffle — ONE definition shared by the
+    * batch schedule (q191/q192/q193), the streaming router
+    * ([[graft.streaming.Streaming.curriculumRouteStream]]) and the
+    * specs, so a deployment cannot silently fork the stream's shard
+    * mapping from the batch schedule's. A real deployment sizes this
+    * to its file/loader parallelism — hundreds of thousands at 100 TB;
+    * the mechanics are shard-count-independent. */
+  val ShuffleShards: Long = 8L
+
+  /** Proportional shard from a full-range [[shuffleKey]]:
+    * `skey·S DIV 2³¹` maps [0, 2³¹) onto exactly 0..S-1 for ANY shard
+    * count (dividing the ring by a truncated width would spill past
+    * S-1 whenever S does not divide 2³¹); high-bits-first, so the LCG
+    * low-bit lattice never reaches the shard decision. The divide is a
+    * 31-bit shift — exact integer, no float on the path; product
+    * < 2³¹·S, safe for any realistic shard count. */
+  def shardOf(skey: Column, shards: Long = ShuffleShards): Column = {
+    require(shards > 0, "shard count must be positive")
+    shiftright(skey * shards, 31) // == skey·shards DIV KeyRing
+  }
+
   /** Importance sampling: keep each row iff its hash point falls under
     * the row's OWN rate column (basis points) — the per-document
     * selection primitive (DSIR-style weights, [[Dsir]]); stratified /

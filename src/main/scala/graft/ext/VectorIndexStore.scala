@@ -77,16 +77,28 @@ object VectorIndexStore {
     val root = java.nio.file.Paths.get(
       s"${System.getProperty("java.io.tmpdir")}/graft-index")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
-        java.nio.file.Files.deleteIfExists(p)
+      import java.nio.file.{Files, Path}
+      // collect each listing BEFORE deleting (deleting under a live
+      // directory stream leaks the descriptor and may skip entries on
+      // some filesystems); walk deepest-first so children go before
+      // their parent, every stream closed before any delete runs
+      def rmTree(top: Path): Unit = {
+        val walk = Files.walk(top)
+        val all = try {
+          walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .collect(java.util.stream.Collectors.toList[Path])
+        } finally walk.close()
+        all.forEach(p => Files.deleteIfExists(p))
       }
       try {
-        if (java.nio.file.Files.isDirectory(root))
-          java.nio.file.Files.list(root)
-            .filter(_.getFileName.toString.startsWith(s"$jvmToken-"))
-            .forEach(rm(_))
+        if (Files.isDirectory(root)) {
+          val ls = Files.list(root)
+          val mine = try {
+            ls.filter(_.getFileName.toString.startsWith(s"$jvmToken-"))
+              .collect(java.util.stream.Collectors.toList[Path])
+          } finally ls.close()
+          mine.forEach(rmTree(_))
+        }
       } catch { case _: Throwable => () } // best-effort cleanup only
     }, "graft-index-cleanup"))
   }

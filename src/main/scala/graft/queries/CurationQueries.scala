@@ -755,7 +755,11 @@ object CurationQueries {
       .agg(sum($"nb").as("n_audited"),
         count(lit(1)).as("l_distinct"),
         max($"nb").as("top_bucket_n"))
-      .withColumn("majority_ppm", expr("top_bucket_n * 1000000L DIV n_audited"))
+      // DECIMAL(38,0) numerator: count·10⁶ exceeds 2^63 past ~9.2e12
+      // audited docs in a class (the q175/q181 token-mass discipline);
+      // IntegralDivide lands the ppm-bounded result back in a long
+      .withColumn("majority_ppm",
+        expr("CAST(top_bucket_n AS DECIMAL(38,0)) * 1000000 DIV n_audited"))
       .withColumn("l_diverse", ($"l_distinct" >= 2).cast("int"))
       .orderBy($"g_lang", $"g_source", $"g_len", $"level")
   }
@@ -780,7 +784,7 @@ object CurationQueries {
       |  CAST(SUM(nb) AS BIGINT) AS n_audited,
       |  CAST(COUNT(*) AS BIGINT) AS l_distinct,
       |  CAST(MAX(nb) AS BIGINT) AS top_bucket_n,
-      |  CAST(MAX(nb) * 1000000 // SUM(nb) AS BIGINT) AS majority_ppm,
+      |  CAST(CAST(MAX(nb) AS HUGEINT) * 1000000 // SUM(nb) AS BIGINT) AS majority_ppm,
       |  CAST(CASE WHEN COUNT(*) >= 2 THEN 1 ELSE 0 END AS INT) AS l_diverse
       |FROM cb GROUP BY g_lang, g_source, g_len, level
       |ORDER BY g_lang, g_source, g_len, level""".stripMargin
@@ -800,8 +804,10 @@ object CurationQueries {
     * ppm-quantized ECDFs (the q171 integer-ECDF discipline):
     *   emd_ppm = (|F_class − F_global|(head)
     *            + |F_class − F_global|(head+middle)) DIV 2
-    * where each F is count·10⁶ DIV n — plain BIGINT all the way (no
-    * count×count cross-products, so no overflow at any corpus size).
+    * where each F is count·10⁶ DIV n, the count·10⁶ product carried in
+    * DECIMAL(38,0) (it passes 2^63 past ~9.2e12 audited docs — the
+    * q175/q181 token-mass discipline) and every quotient ppm-bounded
+    * back in BIGINT, so the audit is exact at any corpus size.
     * t_close flags classes within [[TClosePpm]]; the release shipper
     * coarsens or withholds the rest. Completes the release-privacy
     * trio: q187 k-anonymity, q189 l-diversity, q190 t-closeness.
@@ -822,10 +828,13 @@ object CurationQueries {
     val glob = cls.agg(sum($"n_audited").as("gn"), sum($"n_head").as("gh"),
       sum($"n_middle").as("gm"))
     cls.crossJoin(broadcast(glob))
+      // each count·10⁶ product in DECIMAL(38,0) (overflow-free at any
+      // class size); every DIV lands back in a ppm-bounded long
       .withColumn("emd_ppm", expr(
-        """(abs(n_head * 1000000L DIV n_audited - gh * 1000000L DIV gn)
-          | + abs((n_head + n_middle) * 1000000L DIV n_audited
-          |        - (gh + gm) * 1000000L DIV gn)) DIV 2""".stripMargin))
+        """(abs(CAST(n_head AS DECIMAL(38,0)) * 1000000 DIV n_audited
+          |      - CAST(gh AS DECIMAL(38,0)) * 1000000 DIV gn)
+          | + abs(CAST(n_head + n_middle AS DECIMAL(38,0)) * 1000000 DIV n_audited
+          |        - CAST(gh + gm AS DECIMAL(38,0)) * 1000000 DIV gn)) DIV 2""".stripMargin))
       .withColumn("t_close", ($"emd_ppm" <= TClosePpm).cast("int"))
       .select($"g_lang", $"g_source", $"g_len", $"level", $"n_audited",
         $"n_head", $"n_middle", $"n_tail", $"emd_ppm", $"t_close")
@@ -843,20 +852,22 @@ object CurationQueries {
       |gtot AS (SELECT SUM(n_audited) AS gn, SUM(n_head) AS gh,
       |    SUM(n_middle) AS gm FROM cls)
       |SELECT g_lang, g_source, g_len, level, n_audited, n_head, n_middle, n_tail,
-      |  CAST((abs(n_head * 1000000 // n_audited - gh * 1000000 // gn)
-      |      + abs((n_head + n_middle) * 1000000 // n_audited
-      |             - (gh + gm) * 1000000 // gn)) // 2 AS BIGINT) AS emd_ppm,
-      |  CAST(CASE WHEN (abs(n_head * 1000000 // n_audited - gh * 1000000 // gn)
-      |      + abs((n_head + n_middle) * 1000000 // n_audited
-      |             - (gh + gm) * 1000000 // gn)) // 2 <= $TClosePpm
+      |  CAST((abs(CAST(n_head AS HUGEINT) * 1000000 // n_audited
+      |          - CAST(gh AS HUGEINT) * 1000000 // gn)
+      |      + abs(CAST(n_head + n_middle AS HUGEINT) * 1000000 // n_audited
+      |             - CAST(gh + gm AS HUGEINT) * 1000000 // gn)) // 2 AS BIGINT) AS emd_ppm,
+      |  CAST(CASE WHEN (abs(CAST(n_head AS HUGEINT) * 1000000 // n_audited
+      |          - CAST(gh AS HUGEINT) * 1000000 // gn)
+      |      + abs(CAST(n_head + n_middle AS HUGEINT) * 1000000 // n_audited
+      |             - CAST(gh + gm AS HUGEINT) * 1000000 // gn)) // 2 <= $TClosePpm
       |    THEN 1 ELSE 0 END AS INT) AS t_close
       |FROM cls, gtot
       |ORDER BY g_lang, g_source, g_len, level""".stripMargin
 
-  /** Shard count of the q191 epoch shuffle (a real deployment sizes
-    * this to its file/loader parallelism — hundreds of thousands at
-    * 100 TB; the mechanics are shard-count-independent). */
-  private val ShuffleShards = 8L
+  /** Shard count of the q191 epoch shuffle — the ONE engine-wide
+    * definition ([[graft.ext.Mixing.ShuffleShards]]), shared with the
+    * streaming router so batch and stream can never disagree. */
+  private val ShuffleShards = graft.ext.Mixing.ShuffleShards
 
   /** q191: epoch-deterministic corpus shuffle — the data-ordering step
     * a multi-epoch training run needs: every epoch must visit the
@@ -876,13 +887,10 @@ object CurationQueries {
     * real scale the shard count grows with the corpus, so no partition
     * outgrows a loader file. Nothing global: no corpus-wide sort, no
     * driver state. */
-  /** Proportional shard from a full-range key: `skey·S DIV 2³¹` maps
-    * [0, 2³¹) onto exactly 0..S-1 for ANY shard count (dividing the
-    * ring by a truncated width would spill past S-1 whenever S does
-    * not divide 2³¹); high-bits-first, so the LCG low-bit lattice
-    * never reaches the shard decision. Product < 2³¹·S — safe for any
-    * realistic shard count. */
-  private def shardOf = expr(s"skey * $ShuffleShards DIV 2147483648")
+  /** Proportional shard from the full-range key — the ONE shard map
+    * ([[graft.ext.Mixing.shardOf]]), shared with the streaming
+    * router. */
+  private def shardOf = graft.ext.Mixing.shardOf(col("skey"))
 
   /** The keyed-and-sharded (epoch, doc_id, skey, shard) frame behind
     * the shuffle family — q191 ranks it, q193 folds it into the

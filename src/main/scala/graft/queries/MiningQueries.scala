@@ -27,17 +27,22 @@ object MiningQueries {
     * persist to storage instead (the [[graft.ext.VectorIndexStore]]
     * path). */
   private val winnowCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+    (SparkSession, String, Int, Int), DataFrame]()
 
   /** The per-doc distinct selected fingerprints, cached per
-    * (session, dir). Single-entry builder — never nests another
+    * (session, dir, k, w) — the cache key carries the OPERATING POINT,
+    * because fingerprint sets at different (k, w) are different
+    * artifacts: the default 8/4 point feeds q124/q146/q148, the
+    * long-span 20/8 point feeds q183's evaluation, and each is
+    * materialized once. Single-entry builder — never nests another
     * lookup on the same map (the [[SketchQueries]] recursive-update
     * lesson). */
-  private[queries] def sharedWinnowFps(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def sharedWinnowFps(s: SparkSession, dir: String,
+      k: Int = graft.ext.Winnowing.K, w: Int = graft.ext.Winnowing.W): DataFrame = {
     SessionCaches.purgeStopped(winnowCache)(_._1)
-    winnowCache.computeIfAbsent((s, dir), _ =>
+    winnowCache.computeIfAbsent((s, dir, k, w), _ =>
       graft.ext.Winnowing.fingerprints(
-        Tables.load(s, dir, "documents"), "doc_id", "text").localCheckpoint(true))
+        Tables.load(s, dir, "documents"), "doc_id", "text", k, w).localCheckpoint(true))
   }
 
   /** Session-scoped cache of the documents table's per-doc surprisal
@@ -436,7 +441,7 @@ object MiningQueries {
     val (k, w) = (20, 8)
     val guarantee = k + w - 1 // 27
     val docs = Tables.load(s, dir, "documents")
-    val fps = graft.ext.Winnowing.fingerprints(docs, "doc_id", "text", k, w)
+    val fps = sharedWinnowFps(s, dir, k, w) // session-cached at THIS (k, w)
     val dupFp = fps.groupBy($"fp")
       .agg(count_distinct($"id").as("nd")).filter($"nd" >= 2)
     val est = fps.join(dupFp.select("fp"), Seq("fp"), "left_semi")

@@ -801,10 +801,13 @@ object Streaming {
     * the key — which is why `pos` is absent here: position depends on
     * the rest of the shard, the one thing a row-local serve cannot
     * know. Emits (window-finalized by the upstream agg): doc_id,
-    * bucket, stage, epoch, skey, shard. `shards` must match the batch
-    * schedule's shard count. */
+    * bucket, stage, epoch, skey, shard. `shards` defaults to the
+    * engine-wide [[graft.ext.Mixing.ShuffleShards]] — the batch
+    * schedule's count — so a deployment has to OPT OUT to fork the
+    * stream's shard mapping from the batch schedule's. */
   def curriculumRouteStream(docs: DataFrame, model: DataFrame,
-      thresholds: DataFrame, shards: Long): DataFrame = {
+      thresholds: DataFrame,
+      shards: Long = graft.ext.Mixing.ShuffleShards): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     ccnetBucketStream(docs, model, thresholds)
       .withColumn("stage",
@@ -815,7 +818,7 @@ object Streaming {
       .filter(col("stage") <= col("epoch"))
       .withColumn("skey",
         graft.ext.Mixing.shuffleKey(col("epoch"), col("doc_id")))
-      .withColumn("shard", expr(s"skey * $shards DIV 2147483648"))
+      .withColumn("shard", graft.ext.Mixing.shardOf(col("skey"), shards))
       .select(col("doc_id"), col("bucket"), col("stage"),
         col("epoch"), col("skey"), col("shard"))
   }

@@ -409,7 +409,8 @@ class CurationOpsSpec extends SparkSpec {
       ep.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
         val sorted = rows.sortBy(r => (r.getLong(4), r.getLong(3)))
         assert(sorted.map(_.getLong(2)).toSeq == (1L to rows.length).toSeq)
-        rows.foreach(r => assert(r.getLong(4) * 8L / 2147483648L == shard))
+        rows.foreach(r => assert(r.getLong(4) * graft.ext.Mixing.ShuffleShards
+          / graft.ext.Mixing.KeyRing == shard))
       }
     }
     // epochs genuinely reshuffle: almost no doc keeps its (shard, pos) slot

@@ -542,7 +542,8 @@ class StreamingSpec extends SparkSpec {
       .select($"doc_id", $"text", $"lang").as[(Long, String, String)].collect()
     val input = MemoryStream[(Long, String, String, java.sql.Timestamp)]
     val stream = input.toDF().toDF("doc_id", "text", "lang", "event_time")
-    val q = Streaming.curriculumRouteStream(stream, model, thr, shards = 8L)
+    // no shards argument: the default IS the batch schedule's count
+    val q = Streaming.curriculumRouteStream(stream, model, thr)
       .writeStream.format("memory").queryName("curr_route")
       .outputMode("append").start()
     try {
@@ -571,7 +572,8 @@ class StreamingSpec extends SparkSpec {
     // the streamed key reproduces the batch shard mapping exactly
     spark.table("curr_route").filter($"doc_id" =!= 999999999L)
       .select($"skey", $"shard").as[(Long, Long)].collect()
-      .foreach { case (k, sh) => assert(k * 8L / 2147483648L == sh) }
+      .foreach { case (k, sh) => assert(
+        k * graft.ext.Mixing.ShuffleShards / graft.ext.Mixing.KeyRing == sh) }
   }
 
   test("streaming CCNet buckets match the batch terciles (q158 twin)") {
