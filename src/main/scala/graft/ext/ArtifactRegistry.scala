@@ -1,0 +1,147 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned artifact registry on durable storage — the production
+  * form of the engine's serving artifacts (vector indexes, dedup
+  * dictionaries, classifiers, calibration tables, tokenizers): every
+  * artifact generation is WRITE-ONCE under an explicit version path,
+  * a small append-only parquet manifest records what was published,
+  * and readers PIN a version — so yesterday's readers finish against
+  * generation N while today's publisher lands generation N+1 next to
+  * it. Nothing is ever overwritten: upgrading is publishing a new
+  * version; rollback is re-pinning an old one; garbage collection is
+  * a separate administrative delete of versions no reader pins.
+  *
+  * Layout under `root/kind/`:
+  *   - `v<version>/<part>/` — one parquet directory per artifact part,
+  *     immutable once published (`errorIfExists`, never `overwrite`)
+  *   - `_manifest/` — append-only parquet: one row per published part
+  *     (version, part, corpus_fp, n_rows, created_at_ms)
+  *
+  * Publish protocol: all part directories land FIRST, the manifest
+  * rows land LAST — a version exists for readers only once its
+  * manifest rows are visible, so a crashed half-publish is invisible
+  * to every reader; the next publish numbers PAST any orphan directory
+  * (max of manifest version and directory version, + 1), so a crash
+  * never blocks the pipeline and cleanup stays administrative. The
+  * manifest is KB-sized at any corpus scale (rows = versions × parts,
+  * never data-sized); parts keep their upstream partitioning —
+  * corpus-sized parts stay many-file parallel parquet, broadcast-sized
+  * parts read whole. All path probing goes through the Hadoop
+  * FileSystem API, so `root` can be any durable scheme Spark can reach
+  * (HDFS, S3A, local).
+  *
+  * `corpus_fp` is the publisher's fingerprint of the training corpus
+  * (any stable integer — a count, an XOR checksum, a version tag); the
+  * registry stores it so a reader can audit WHAT a generation was
+  * built from without loading the generation.
+  */
+object ArtifactRegistry {
+
+  private val ManifestDir = "_manifest"
+
+  private def versionDir(root: String, kind: String, version: Long): String =
+    f"$root/$kind/v$version%06d"
+
+  private def fs(s: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def exists(s: SparkSession, path: String): Boolean = {
+    val (f, p) = fs(s, path); f.exists(p)
+  }
+
+  /** The full manifest for `kind` — (version, part, corpus_fp, n_rows,
+    * created_at_ms), one row per published part; empty frame with that
+    * schema if nothing was ever published. */
+  def manifest(s: SparkSession, root: String, kind: String): DataFrame = {
+    val path = s"$root/$kind/$ManifestDir"
+    if (exists(s, path)) s.read.parquet(path)
+    else s.range(0).select(
+      col("id").as("version"), lit("").as("part"), col("id").as("corpus_fp"),
+      col("id").as("n_rows"), col("id").as("created_at_ms"))
+  }
+
+  /** Latest published version of `kind`, 0 if none — resolved from the
+    * manifest (the only authority a READER consults: a part directory
+    * without manifest rows is an invisible half-publish). KB-sized
+    * scan. */
+  def latestVersion(s: SparkSession, root: String, kind: String): Long = {
+    val m = manifest(s, root, kind).agg(max(col("version"))).collect()(0)
+    if (m.isNullAt(0)) 0L else m.getLong(0)
+  }
+
+  /** Highest version DIRECTORY present, published or not — the
+    * publisher-side floor that makes a crashed half-publish skippable
+    * instead of blocking (`errorIfExists` would otherwise collide with
+    * its orphan directory forever). */
+  private def maxDirVersion(s: SparkSession, root: String, kind: String): Long = {
+    val (f, p) = fs(s, s"$root/$kind")
+    if (!f.exists(p)) 0L
+    else f.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Publish the next generation of `kind`: write every part under the
+    * next version's directory (write-once — the mode throws rather
+    * than clobbering a possibly in-use generation), then append the
+    * manifest rows that make the version visible. Returns the
+    * published version number.
+    *
+    * Single-publisher per (root, kind) by contract (the deployment's
+    * release pipeline); readers need no coordination at all. */
+  def publish(s: SparkSession, root: String, kind: String,
+      corpusFp: Long, parts: Seq[(String, DataFrame)]): Long = {
+    require(parts.nonEmpty, "an artifact has at least one part")
+    val v = math.max(latestVersion(s, root, kind),
+      maxDirVersion(s, root, kind)) + 1
+    val counts = parts.map { case (name, df) =>
+      require(name.nonEmpty && !name.startsWith("_"),
+        s"part name '$name' is reserved")
+      df.write.mode("errorifexists")
+        .parquet(s"${versionDir(root, kind, v)}/$name")
+      // count the LANDED parquet, not the input plan: the manifest
+      // certifies what storage holds
+      name -> s.read.parquet(s"${versionDir(root, kind, v)}/$name").count()
+    }
+    val now = System.currentTimeMillis()
+    import s.implicits._
+    counts.map { case (name, n) => (v, name, corpusFp, n, now) }
+      .toDF("version", "part", "corpus_fp", "n_rows", "created_at_ms")
+      .coalesce(1) // parts-count rows — one manifest file per publish
+      .write.mode("append").parquet(s"$root/$kind/$ManifestDir")
+    v
+  }
+
+  /** Read one part of a PINNED version as a lazy parquet scan — the
+    * serving entry point: execution against the result reads only that
+    * generation's immutable files, so a concurrent newer publish
+    * cannot perturb it (spec-pinned in ArtifactRegistrySpec). */
+  def read(s: SparkSession, root: String, kind: String,
+      version: Long, part: String): DataFrame = {
+    val path = s"${versionDir(root, kind, version)}/$part"
+    require(exists(s, path),
+      s"no published part '$part' at $kind v$version under $root")
+    s.read.parquet(path)
+  }
+
+  /** Convenience: publish an IVF-PQ index tuple (the
+    * [[VectorIndexStore]] part layout) as one registry generation. */
+  def publishIvfPq(s: SparkSession, root: String, kind: String,
+      corpusFp: Long,
+      index: (DataFrame, DataFrame, DataFrame, DataFrame)): Long = {
+    val (coarse, asg, books, enc) = index
+    publish(s, root, kind, corpusFp,
+      Seq("coarse" -> coarse, "asg" -> asg, "books" -> books, "enc" -> enc))
+  }
+
+  /** Read a PINNED IVF-PQ generation as the four-frame index tuple. */
+  def readIvfPq(s: SparkSession, root: String, kind: String, version: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    (read(s, root, kind, version, "coarse"), read(s, root, kind, version, "asg"),
+      read(s, root, kind, version, "books"), read(s, root, kind, version, "enc"))
+}

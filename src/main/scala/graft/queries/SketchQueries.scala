@@ -524,7 +524,13 @@ object SketchQueries {
     * per-query coarse distances `qd`) — shared verbatim between q110
     * and q164 so the search and its recall measurement replay the SAME
     * index. */
-  private def ivfPqCoreSql(qsetSql: String): String = {
+  /** [[ivfPqCoreSql]] training from an arbitrary codes CTE — q194's
+    * registry oracle retrains the STANDING-corpus generation only, the
+    * way [[sharedOldIvfPq]] builds it; the full-corpus form below
+    * instantiates this with `codes`. Emits the same CTE surface
+    * (scand, qset, eg/fg/cbg, er, per-sub chains, qd), so
+    * [[ivfPqProbeSql]] blocks compose unchanged. */
+  private def ivfPqCoreSqlFrom(src: String, qsetSql: String): String = {
     val pq = graft.ext.ProductQuantize
     val shift = pq.ResidShift
     val residChains = (0 until pq.NumSub).map { m =>
@@ -532,11 +538,10 @@ object SketchQueries {
       lloydChainSql(m.toString,
         s"SELECT id, d - $off AS d, c FROM er WHERE d > $off AND d <= ${off + pq.SubDim}")
     }.mkString(",\n")
-    s"""$sq8CodesSql,
-      |$seedCandSql,
+    s"""${seedCandSqlFrom(src)},
       |qset AS MATERIALIZED ($qsetSql),
       |${lloydChainSql("g",
-        "SELECT vec_id AS id, d, cs[d] AS c FROM codes, generate_series(1, 64) AS t(d)")},
+        s"SELECT vec_id AS id, d, cs[d] AS c FROM $src, generate_series(1, 64) AS t(d)")},
       |er AS MATERIALIZED (SELECT e.id, e.d, e.c - c.m + $shift AS c
       |  FROM eg e JOIN fg f ON e.id = f.id
       |  JOIN cbg c ON c.cluster = f.cluster AND c.d = e.d),
@@ -546,6 +551,10 @@ object SketchQueries {
       |  FROM eg q JOIN qset s ON q.id = s.id JOIN cbg c ON q.d = c.d
       |  GROUP BY q.id, c.cluster)""".stripMargin
   }
+
+  private def ivfPqCoreSql(qsetSql: String): String =
+    s"""$sq8CodesSql,
+      |${ivfPqCoreSqlFrom("codes", qsetSql)}""".stripMargin
 
   /** One nProbe's probe → query-residual → LUT → candidate-rank block
     * (CTE names suffixed with the nProbe so several coexist in one
@@ -975,6 +984,80 @@ object SketchQueries {
       |ORDER BY coarse""".stripMargin
   }
 
+  /** The registry generations of the standing-corpus IVF-PQ index —
+    * the production form of every `defaultPath` persistence above
+    * ([[graft.ext.ArtifactRegistry]]): generation 1 is the
+    * standing-corpus index ([[sharedOldIvfPq]]'s tuple) published
+    * write-once under an explicit version path; generation 2 is the
+    * UPGRADE — generation 1 with the arrival batch's ADD rows
+    * ([[graft.ext.ProductQuantize.ivfPqAdd]], the q167 ingest)
+    * appended to the corpus-sized `asg`/`enc` parts, codebooks frozen.
+    * Returns (pinned generation-1 frames, pinned version, latest
+    * version). Published once per (session, dir); corpus fingerprints
+    * recorded in the manifest are the XOR id-checksums of each
+    * generation's membership (the q193 manifest discipline). */
+  private[queries] def sharedIvfPqRegistry(s: SparkSession, dir: String)
+      : ((DataFrame, DataFrame, DataFrame, DataFrame), Long, Long) = {
+    val codes = sharedCodes(s, dir)  // resolve dependencies BEFORE
+    val v1idx = sharedOldIvfPq(s, dir) // entering the cache slot
+    vcached(s, dir, "ivfpq_registry") {
+      import org.apache.spark.sql.functions.{col, posexplode, expr}
+      val reg = graft.ext.ArtifactRegistry
+      val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
+      def fp(asg: DataFrame): Long =
+        asg.agg(expr("bit_xor(id)")).collect()(0).getLong(0)
+      val (coarse1, asg1, books1, enc1) = v1idx
+      val v1 = reg.publishIvfPq(s, root, "ivfpq", fp(asg1), v1idx)
+      val add = graft.ext.ProductQuantize.ivfPqAdd(
+        codes.filter(col("id") % 10 === 0), v1idx)
+      val asg2 = asg1.unionByName(add.select(col("id"), col("coarse")))
+      val enc2 = enc1.unionByName(
+        add.select(col("id"), posexplode(col("pq"))).toDF("id", "sub", "cluster"))
+      reg.publishIvfPq(s, root, "ivfpq", fp(asg2), (coarse1, asg2, books1, enc2))
+      (reg.readIvfPq(s, root, "ivfpq", v1), v1,
+        reg.latestVersion(s, root, "ivfpq"))
+    }
+  }
+
+  /** q194: registry-PINNED serve — the read path the versioned
+    * registry exists for: a probe batch serves against generation 1 of
+    * the index BY EXPLICIT PIN while generation 2 (the q167-style
+    * upgrade, arrivals added) already exists on the same storage — the
+    * two-generations-coexist read that lets yesterday's readers finish
+    * while today's publisher lands the upgrade. The execution path
+    * reads only the pinned generation's immutable parquet (no training
+    * code, no latest-resolution on the data path); pinned and latest
+    * version numbers ride the output, so the gate certifies BOTH that
+    * the pinned read is bit-lossless (the oracle retrains the
+    * standing-corpus index from raw tables) AND that a newer
+    * generation was present when it ran. Workload: the 32-query
+    * hash-rank sample drawn from the standing corpus at nProbe=4.
+    * Scale shape: identical to q165's serve — broadcast-sized
+    * centroids/books read whole, corpus-sized parts scan with their
+    * upstream partitioning. */
+  def q194RegistryPinnedServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (pinned, v1, latest) = sharedIvfPqRegistry(s, dir)
+    graft.ext.ProductQuantize.ivfPqTopKWith(pinned,
+        recallQuerySample(s, sharedCodes(s, dir).filter($"id" % 10 =!= 0)),
+        nProbe = 4, topK = 10)
+      .select(lit(v1).as("pinned_version"), lit(latest).as("latest_version"),
+        $"qid", $"rank", $"vec_id", $"adc_dist2")
+      .orderBy($"qid", $"rank")
+  }
+
+  val q194Sql: String =
+    s"""WITH $sq8CodesSql,
+      |ocodes AS MATERIALIZED (SELECT * FROM codes WHERE vec_id % 10 <> 0),
+      |${ivfPqCoreSqlFrom("ocodes",
+        s"SELECT id FROM scand ORDER BY h, id LIMIT $RecallQueryCount")},
+      |${ivfPqProbeSql(4)}
+      |SELECT CAST(1 AS BIGINT) AS pinned_version,
+      |  CAST(2 AS BIGINT) AS latest_version,
+      |  qid, CAST(rank AS BIGINT) AS rank, id AS vec_id,
+      |  CAST(adc_dist2 AS BIGINT) AS adc_dist2
+      |FROM rk4 WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   /** q122: count-min sketch — per-term frequency estimates from a
     * fixed 4×32 counter matrix beside the exact counts. The build's
     * shuffle is constant-size (≤ 128 partials per partition, map-side
@@ -1234,7 +1317,8 @@ object SketchQueries {
     "q165_persisted_probe" -> (q165PersistedProbe _),
     "q166_frozen_encode" -> (q166FrozenEncode _),
     "q167_ivfpq_add" -> (q167IvfPqAdd _),
-    "q168_index_compact" -> (q168IndexCompact _))
+    "q168_index_compact" -> (q168IndexCompact _),
+    "q194_registry_pinned_serve" -> (q194RegistryPinnedServe _))
 
   val oracle: Map[String, String] = Map(
     "q152_hist_quantiles" -> q152Sql,
@@ -1254,5 +1338,6 @@ object SketchQueries {
     "q165_persisted_probe" -> q165Sql,
     "q166_frozen_encode" -> q166Sql,
     "q167_ivfpq_add" -> q167Sql,
-    "q168_index_compact" -> q168Sql)
+    "q168_index_compact" -> q168Sql,
+    "q194_registry_pinned_serve" -> q194Sql)
 }

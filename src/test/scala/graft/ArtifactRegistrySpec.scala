@@ -1,0 +1,96 @@
+package graft
+
+import graft.ext.ArtifactRegistry
+import org.apache.spark.sql.functions._
+
+/** The versioned registry's contract: write-once generations, manifest
+  * as the only reader-visible authority, and — the point of the whole
+  * design — a PINNED reader that a concurrent newer publish cannot
+  * perturb. */
+class ArtifactRegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-index/" +
+      s"spec-${java.util.UUID.randomUUID.toString.take(8)}"
+
+  test("publish/read round trip with a KB-sized manifest") {
+    val root = freshRoot()
+    val w = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    val b = Seq((1L, "x")).toDF("id", "tag")
+    val v = ArtifactRegistry.publish(spark, root, "model", corpusFp = 42L,
+      Seq("weights" -> w, "globals" -> b))
+    assert(v == 1L)
+    assert(ArtifactRegistry.latestVersion(spark, root, "model") == 1L)
+    val wBack = ArtifactRegistry.read(spark, root, "model", 1L, "weights")
+    assert(wBack.except(w).isEmpty && w.except(wBack).isEmpty)
+    val m = ArtifactRegistry.manifest(spark, root, "model")
+      .select($"version", $"part", $"corpus_fp", $"n_rows")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._2)
+    assert(m.toSeq == Seq((1L, "globals", 42L, 1L), (1L, "weights", 42L, 2L)))
+  }
+
+  test("a pinned reader is not perturbed by a concurrent newer publish") {
+    val root = freshRoot()
+    val gen1 = Seq((1L, 100L), (2L, 200L)).toDF("id", "v")
+    ArtifactRegistry.publish(spark, root, "model", 1L, Seq("weights" -> gen1))
+    // the reader pins generation 1 and starts serving
+    val pinned = ArtifactRegistry.read(spark, root, "model", 1L, "weights")
+    val before = pinned.orderBy($"id").as[(Long, Long)].collect().toSeq
+    // ... while the publisher lands generation 2 with DIFFERENT content
+    val gen2 = Seq((1L, -1L), (2L, -2L), (3L, -3L)).toDF("id", "v")
+    val v2 = ArtifactRegistry.publish(spark, root, "model", 2L, Seq("weights" -> gen2))
+    assert(v2 == 2L)
+    assert(ArtifactRegistry.latestVersion(spark, root, "model") == 2L)
+    // the pinned frame re-executes against the SAME immutable files
+    val after = pinned.orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(after == before, "newer publish perturbed the pinned generation")
+    assert(after == Seq((1L, 100L), (2L, 200L)))
+    // an unpinned reader that resolves latest sees the upgrade
+    val latest = ArtifactRegistry.read(spark, root, "model", v2, "weights")
+    assert(latest.count() == 3L)
+  }
+
+  test("a crashed half-publish is invisible to readers and skipped by the publisher") {
+    val root = freshRoot()
+    ArtifactRegistry.publish(spark, root, "model", 1L,
+      Seq("weights" -> Seq((1L, 1L)).toDF("id", "v")))
+    // simulate a publisher crash: version directory landed, manifest
+    // rows never did
+    Seq((9L, 9L)).toDF("id", "v").write
+      .parquet(s"$root/model/v000002/weights")
+    assert(ArtifactRegistry.latestVersion(spark, root, "model") == 1L,
+      "orphan directory leaked into the reader-visible version set")
+    intercept[IllegalArgumentException] {
+      ArtifactRegistry.read(spark, root, "model", 3L, "weights")
+    }
+    // the next publish numbers PAST the orphan instead of colliding
+    val v = ArtifactRegistry.publish(spark, root, "model", 3L,
+      Seq("weights" -> Seq((2L, 2L)).toDF("id", "v")))
+    assert(v == 3L)
+    assert(ArtifactRegistry.latestVersion(spark, root, "model") == 3L)
+  }
+
+  test("q194 serves the pinned generation while the upgrade coexists") {
+    val df = SparkEntry.queries("q194_registry_pinned_serve")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // generation 1 pinned, generation 2 (the arrivals-added upgrade)
+    // already on storage when the probe ran
+    assert(rows.forall(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    // the registry recorded both generations of every index part, and
+    // the upgrade's asg part grew by exactly the arrival batch
+    val root = graft.ext.VectorIndexStore.defaultPath(sf, "registry")
+    val m = ArtifactRegistry.manifest(spark, root, "ivfpq")
+      .select($"version", $"part", $"n_rows")
+      .as[(Long, String, Long)].collect()
+    assert(m.map(_._1).toSet == Set(1L, 2L))
+    assert(m.filter(_._1 == 1L).map(_._2).toSet ==
+      Set("coarse", "asg", "books", "enc"))
+    val asg = m.filter(_._2 == "asg").map(t => t._1 -> t._3).toMap
+    val nArrivals = Tables.load(spark, sf, "embeddings")
+      .filter($"vec_id" % 10 === 0).count()
+    assert(asg(2L) == asg(1L) + nArrivals,
+      "generation 2's asg is not generation 1 plus the arrival batch")
+  }
+}
