@@ -937,10 +937,14 @@ object CurationQueries {
       .orderBy($"epoch", $"shard")
   }
 
-  val q193Sql: String = {
+  /** The ONE DuckDB replay of the epoch-key chain behind the whole
+    * shuffle/loader family (q191 schedule, q193 manifest, q195 resume)
+    * — yields `p (epoch, doc_id, skey, shard)`. One definition so the
+    * three oracles can never fork on a constant. */
+  private def epochChainSql: String = {
     val ph = AnalyticsQueries.polyhashSql(
       "(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))")
-    s"""WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
+    s"""e AS (SELECT unnest([0, 1, 2]) AS epoch),
       |h AS (SELECT e.epoch, d.doc_id, $ph AS ph
       |  FROM documents d CROSS JOIN e),
       |a1 AS (SELECT epoch, doc_id,
@@ -948,32 +952,94 @@ object CurationQueries {
       |k AS (SELECT epoch, doc_id,
       |    (xor(a, a // 65536) * 69069 + 1) % 2147483648 AS skey FROM a1),
       |p AS (SELECT epoch, doc_id, skey,
-      |    skey * $ShuffleShards // 2147483648 AS shard FROM k)
+      |    skey * $ShuffleShards // 2147483648 AS shard FROM k)""".stripMargin
+  }
+
+  val q193Sql: String =
+    s"""WITH $epochChainSql
       |SELECT CAST(epoch AS INT) AS epoch, CAST(shard AS BIGINT) AS shard,
       |  COUNT(*) AS n_docs,
       |  CAST(MIN(skey) AS BIGINT) AS min_skey, CAST(MAX(skey) AS BIGINT) AS max_skey,
       |  CAST(bit_xor(doc_id) AS BIGINT) AS xor_doc,
       |  CAST(bit_xor(skey) AS BIGINT) AS xor_skey
       |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin
-  }
 
-  val q191Sql: String = {
-    val ph = AnalyticsQueries.polyhashSql(
-      "(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))")
-    s"""WITH e AS (SELECT unnest([0, 1, 2]) AS epoch),
-      |h AS (SELECT e.epoch, d.doc_id, $ph AS ph
-      |  FROM documents d CROSS JOIN e),
-      |a1 AS (SELECT epoch, doc_id,
-      |    (ph * 1103515245 + 12345) % 2147483648 AS a FROM h),
-      |k AS (SELECT epoch, doc_id,
-      |    (xor(a, a // 65536) * 69069 + 1) % 2147483648 AS skey FROM a1),
-      |p AS (SELECT epoch, doc_id, skey,
-      |    skey * $ShuffleShards // 2147483648 AS shard FROM k)
+  val q191Sql: String =
+    s"""WITH $epochChainSql
       |SELECT CAST(epoch AS INT) AS epoch, CAST(shard AS BIGINT) AS shard,
       |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY skey, doc_id) AS BIGINT) AS pos,
       |  doc_id, CAST(skey AS BIGINT) AS skey
       |FROM p ORDER BY epoch, shard, pos""".stripMargin
+
+  /** The (epoch, shard) checkpoint q195 resumes from — epoch 1 (a
+    * mid-run epoch), shard 3 (an arbitrary fixed shard); the position
+    * is size-relative (the shard midpoint), so the query stays
+    * meaningful at any scale factor. */
+  private val ResumeEpoch = 1
+  private val ResumeShard = 3L
+
+  /** The loader artifacts on the versioned registry: the q191 schedule
+    * and the q193 manifest, published together as ONE write-once
+    * generation (they certify each other — shipping them separately
+    * could pair a schedule with the wrong manifest) and handed back as
+    * LOADED pinned scans. Corpus fingerprint: XOR of document ids, the
+    * manifest discipline. */
+  private val loaderRegistryCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  private[queries] def sharedLoaderArtifacts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    SessionCaches.purgeStopped(loaderRegistryCache)(_._1)
+    // resolve dependencies BEFORE entering the cache slot (the
+    // SketchQueries nest-safe discipline)
+    val sched = q191EpochShuffle(s, dir)
+    val man = q193ShardManifest(s, dir)
+    loaderRegistryCache.computeIfAbsent((s, dir), _ => {
+      val reg = graft.ext.ArtifactRegistry
+      val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
+      val fp = Tables.load(s, dir, "documents")
+        .agg(expr("bit_xor(doc_id)")).collect()(0).getLong(0)
+      val v = reg.publish(s, root, "epoch_loader", fp,
+        Seq("schedule" -> sched, "manifest" -> man))
+      (reg.read(s, root, "epoch_loader", v, "schedule"),
+        reg.read(s, root, "epoch_loader", v, "manifest"))
+    })
   }
+
+  /** q195: mid-epoch RESUME from the persisted loader artifacts — the
+    * query that turns the q193 manifest from write-only bookkeeping
+    * into the loader contract it claims to be: both the schedule and
+    * the manifest are read from the REGISTRY (no recompute on the
+    * execution path), the shard about to be re-entered is re-folded
+    * and certified against the manifest (count, key range, XOR
+    * checksums, dense key-ordered positions —
+    * [[graft.ext.EpochResume]]), and only then is the remainder of the
+    * epoch emitted from the checkpoint (the shard midpoint, positions
+    * strictly past it). A corrupted shard produces ZERO rows — resume
+    * refuses, never fabricates (spec-pinned with a tampered manifest).
+    * The oracle replays the schedule chain from the raw tables, so the
+    * green hash additionally certifies both artifacts' storage round
+    * trips. Scale shape: one-shard-bounded fold + rank window, one-row
+    * certificate broadcast; nothing corpus-sized moves. */
+  def q195EpochResume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (sched, man) = sharedLoaderArtifacts(s, dir)
+    graft.ext.EpochResume.resume(sched, man, ResumeEpoch, ResumeShard)
+      .orderBy($"pos")
+  }
+
+  val q195Sql: String =
+    s"""WITH $epochChainSql,
+      |sh AS (SELECT doc_id, skey FROM p
+      |  WHERE epoch = $ResumeEpoch AND shard = $ResumeShard),
+      |n AS (SELECT COUNT(*) AS n FROM sh),
+      |r AS (SELECT doc_id, skey,
+      |    ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS pos FROM sh)
+      |SELECT CAST($ResumeEpoch AS INT) AS epoch,
+      |  CAST($ResumeShard AS BIGINT) AS shard,
+      |  CAST(n.n // 2 AS BIGINT) AS ckpt_pos, CAST(pos AS BIGINT) AS pos,
+      |  doc_id, CAST(skey AS BIGINT) AS skey
+      |FROM r CROSS JOIN n WHERE pos > n.n // 2 ORDER BY pos""".stripMargin
 
   /** q192: surprisal-staged curriculum schedule (Bengio et al. 2009's
     * baby-steps curriculum, materialized) — multi-epoch training that
@@ -1040,6 +1106,7 @@ object CurationQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q192_curriculum" -> (q192Curriculum _),
     "q193_shard_manifest" -> (q193ShardManifest _),
+    "q195_epoch_resume" -> (q195EpochResume _),
     "q191_epoch_shuffle" -> (q191EpochShuffle _),
     "q184_source_cap" -> (q184SourceCap _),
     "q144_dsir_mix" -> (q144DsirMix _),
@@ -1083,5 +1150,6 @@ object CurationQueries {
     "q190_t_closeness" -> q190Sql,
     "q191_epoch_shuffle" -> q191Sql,
     "q192_curriculum" -> q192Sql,
-    "q193_shard_manifest" -> q193Sql)
+    "q193_shard_manifest" -> q193Sql,
+    "q195_epoch_resume" -> q195Sql)
 }

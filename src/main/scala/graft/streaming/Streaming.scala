@@ -823,6 +823,33 @@ object Streaming {
         col("epoch"), col("skey"), col("shard"))
   }
 
+  /** Streaming mid-epoch RESUME — q195's serve-side twin, completing
+    * the loader story: preemption checkpoints arrive as a STREAM of
+    * cursors (epoch, shard, ckpt_pos) — the shape a fleet of training
+    * workers emits when it restarts — and each cursor stream-statically
+    * joins the PERSISTED schedule restricted to CERTIFIED shards
+    * ([[graft.ext.EpochResume.certificates]] against the loaded
+    * manifest: count, key range, XOR checksums, dense key-ordered
+    * positions), emitting the remainder of its shard (positions
+    * strictly past the cursor). A cursor pointing at a corrupted shard
+    * emits NOTHING — same refuse-don't-fabricate contract as batch.
+    * Stateless: one stream-static inner join, verdicts emit
+    * immediately; the certification fold runs on the static side.
+    * `schedule`/`manifest` are the q191/q193 artifacts (e.g. loaded
+    * from the [[graft.ext.ArtifactRegistry]]). */
+  def epochResumeStream(cursors: DataFrame, schedule: DataFrame,
+      manifest: DataFrame): DataFrame = {
+    val certified = schedule.join(
+      graft.ext.EpochResume.certificates(schedule, manifest)
+        .select(col("epoch"), col("shard")),
+      Seq("epoch", "shard"))
+    cursors.select(col("epoch"), col("shard"), col("ckpt_pos"))
+      .join(certified, Seq("epoch", "shard"))
+      .filter(col("pos") > col("ckpt_pos"))
+      .select(col("epoch"), col("shard"), col("ckpt_pos"), col("pos"),
+        col("doc_id"), col("skey"))
+  }
+
   /** Streaming cross-source overlap monitor — q170's ingest-side twin
     * (the q120 probe discipline lifted to the source-pair matrix): the
     * standing corpus arrives as its STATIC banded LSH index with the

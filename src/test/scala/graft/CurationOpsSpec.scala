@@ -446,6 +446,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(swapped.length.toLong == n && swapped.reduce(_ ^ _) != xd)
   }
 
+  test("q195 resumes exactly the schedule suffix and refuses corrupted shards") {
+    val out = graft.queries.CurationQueries.q195EpochResume(spark, sf).collect()
+    assert(out.nonEmpty, "vacuous: resume emitted nothing on a healthy shard")
+    // resumed suffix ≡ the original q191 ordering's suffix, bit for bit
+    val sched = graft.queries.CurationQueries.q191EpochShuffle(spark, sf)
+      .localCheckpoint(true)
+    val shardRows = sched.filter($"epoch" === 1 && $"shard" === 3L)
+      .select($"pos", $"doc_id", $"skey").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    val ckpt = shardRows.length.toLong / 2
+    val expect = shardRows.filter(_._1 > ckpt).toSeq
+    assert(out.map(r => (r.getLong(3), r.getLong(4), r.getLong(5))).toSeq == expect)
+    assert(out.forall(r =>
+      r.getInt(0) == 1 && r.getLong(1) == 3L && r.getLong(2) == ckpt))
+    // a manifest whose checksum disagrees fails certification: the
+    // resume emits ZERO rows rather than serving a suspect shard
+    val man = graft.queries.CurationQueries.q193ShardManifest(spark, sf)
+      .localCheckpoint(true)
+    val badMan = man.withColumn("xor_doc",
+      when($"epoch" === 1 && $"shard" === 3L, $"xor_doc" + 1L)
+        .otherwise($"xor_doc"))
+    assert(graft.ext.EpochResume.resume(sched, badMan, 1, 3L).isEmpty,
+      "resume served a shard whose manifest checksum disagreed")
+    // ... but an untouched shard of the same tampered manifest still serves
+    assert(!graft.ext.EpochResume.resume(sched, badMan, 1, 2L).isEmpty)
+    // a schedule whose stored positions are NOT the dense key order
+    // (two swapped positions — invisible to count/range/XOR) is refused
+    val swapped = sched.withColumn("pos",
+      when($"epoch" === 1 && $"shard" === 3L && $"pos" === 1L, 2L)
+        .when($"epoch" === 1 && $"shard" === 3L && $"pos" === 2L, 1L)
+        .otherwise($"pos"))
+    assert(graft.ext.EpochResume.resume(swapped, man, 1, 3L).isEmpty,
+      "resume served a shard whose positions were re-ordered")
+  }
+
   test("q192 curriculum stages nest (head ⊂ +middle ⊂ +tail) and reuse the q191 shuffle order") {
     val out = graft.queries.CurationQueries.q192Curriculum(spark, sf).collect()
     def docsOf(e: Int) = out.filter(_.getInt(0) == e).map(_.getLong(3)).toSet

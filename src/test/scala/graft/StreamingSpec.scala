@@ -576,6 +576,46 @@ class StreamingSpec extends SparkSpec {
         k * graft.ext.Mixing.ShuffleShards / graft.ext.Mixing.KeyRing == sh) }
   }
 
+  test("streaming epoch resume serves certified suffixes and refuses corrupted cursors (q195 twin)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sched = graft.queries.CurationQueries.q191EpochShuffle(spark, sf)
+      .localCheckpoint(true)
+    val man = graft.queries.CurationQueries.q193ShardManifest(spark, sf)
+      .localCheckpoint(true)
+    // tamper ONE shard's checksum: cursors into it must emit nothing
+    // while every other shard keeps serving
+    val badMan = man.withColumn("xor_skey",
+      when($"epoch" === 2 && $"shard" === 5L, $"xor_skey" + 1L)
+        .otherwise($"xor_skey")).localCheckpoint(true)
+    val n13 = man.filter($"epoch" === 1 && $"shard" === 3L)
+      .select($"n_docs").as[Long].head()
+    val input = MemoryStream[(Int, Long, Long)]
+    val cursors = input.toDF().toDF("epoch", "shard", "ckpt_pos")
+    val q = Streaming.epochResumeStream(cursors, sched, badMan)
+      .writeStream.format("memory").queryName("epoch_resume")
+      .outputMode("append").start()
+    try {
+      input.addData((1, 3L, n13 / 2), (2, 5L, 0L), (0, 0L, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val served = spark.table("epoch_resume")
+      .select($"epoch", $"shard", $"ckpt_pos", $"pos", $"doc_id", $"skey")
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    // the corrupted shard's cursor emitted nothing
+    assert(!served.exists(r => r._1 == 2 && r._2 == 5L),
+      "stream served a shard whose manifest disagreed")
+    // the (1, 3, midpoint) cursor reproduces the batch q195 suffix
+    val batch = graft.queries.CurationQueries.q195EpochResume(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSet
+    assert(served.filter(r => r._1 == 1 && r._2 == 3L).toSet == batch,
+      "stream/batch resume divergence")
+    // the pos-0 cursor on a healthy shard replays its WHOLE shard
+    val full = served.filter(r => r._1 == 0 && r._2 == 0L)
+    val n00 = man.filter($"epoch" === 0 && $"shard" === 0L)
+      .select($"n_docs").as[Long].head()
+    assert(full.length.toLong == n00 && full.map(_._4).sorted.toSeq == (1L to n00))
+  }
+
   test("streaming CCNet buckets match the batch terciles (q158 twin)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docsB = Tables.load(spark, sf, "documents")
