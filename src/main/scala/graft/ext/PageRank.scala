@@ -190,6 +190,27 @@ object PageRank {
     Graph(e, vertices, ed, bcast)
   }
 
+  /** Rebuild a prepared [[Graph]] from LOADED parts (e.g. a pinned
+    * [[ArtifactRegistry]] generation): edges (src, dst), vertices
+    * (id), degree-annotated edges (src, dst, deg). Same caching and
+    * hot-key pre-partitioning decisions as [[prepare]], but ZERO
+    * recomputation — the vertex and degree artifacts come from
+    * storage, so the serve path touches no build code (the
+    * ingest-vs-serve split of the index/model registries, applied to
+    * graphs). */
+  private[graft] def prepareLoaded(edges: DataFrame, vertices: DataFrame,
+      degEdges: DataFrame): Graph = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).persist(lvl)
+    val v = vertices.select(col("id")).persist(lvl)
+    val nV = v.count() // materializes the vertex cache
+    val bcast = nV <= BroadcastVertexLimit
+    val ed = degEdges.select(col("src"), col("dst"), col("deg"))
+      .repartition(col(if (bcast) "dst" else "src"))
+      .persist(lvl)
+    Graph(e, v, ed, bcast)
+  }
+
   /** One damped message-passing round (lazy plan): join ranks to the
     * cached edge list (broadcast when small), partial-aggregate
     * contributions on dst, rejoin to the vertex table. Callers decide

@@ -71,6 +71,21 @@ class ArtifactRegistrySpec extends SparkSpec {
     assert(ArtifactRegistry.latestVersion(spark, root, "model") == 3L)
   }
 
+  test("q196 serves the purchase graph from its registry generation") {
+    val rows = SparkEntry.queries("q196_graph_registry_serve")(spark, sf).collect()
+    assert(rows.length == 20)
+    // every served node carries a real out-degree from the loaded part
+    assert(rows.forall(_.getLong(2) > 0))
+    // the registry holds all three graph parts, and the degree part is
+    // one row per edge (degree-annotated edges, not a degree table)
+    val root = graft.ext.VectorIndexStore.defaultPath(sf, "registry")
+    val m = ArtifactRegistry.manifest(spark, root, "purchase_graph")
+      .select($"part", $"n_rows").as[(String, Long)].collect().toMap
+    assert(m.keySet == Set("edges", "vertices", "deg"))
+    assert(m("edges") == m("deg"))
+    assert(m("vertices") < m("edges"))
+  }
+
   test("q194 serves the pinned generation while the upgrade coexists") {
     val df = SparkEntry.queries("q194_registry_pinned_serve")(spark, sf)
     val rows = df.collect()
