@@ -305,7 +305,7 @@ object AnalyticsQueries {
   private val graphRegistryCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), PageRank.Graph]()
 
-  private def loadedPurchaseGraph(s: SparkSession, dir: String): PageRank.Graph = {
+  private[queries] def loadedPurchaseGraph(s: SparkSession, dir: String): PageRank.Graph = {
     SessionCaches.purgeStopped(graphRegistryCache)(_._1)
     // resolve the session-built graph BEFORE entering the cache slot
     val g = preparedGraph(s, dir, "full")(fullPurchaseEdges(s, dir))

@@ -941,7 +941,7 @@ object CurationQueries {
     * shuffle/loader family (q191 schedule, q193 manifest, q195 resume)
     * — yields `p (epoch, doc_id, skey, shard)`. One definition so the
     * three oracles can never fork on a constant. */
-  private def epochChainSql: String = {
+  private[queries] def epochChainSql: String = {
     val ph = AnalyticsQueries.polyhashSql(
       "(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))")
     s"""e AS (SELECT unnest([0, 1, 2]) AS epoch),

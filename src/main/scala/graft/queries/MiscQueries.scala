@@ -360,7 +360,87 @@ object MiscQueries {
       |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** q197: registry AUDIT — the ops query that closes the versioned-
+    * registry loop (publish q194/q195/q196 → pin → serve → audit): it
+    * forces every registry family's publish (session-cached no-ops
+    * after the first call), then reads back the manifests and reports,
+    * per (kind, version, part): row count, corpus fingerprint, and the
+    * is-latest flag. The oracle recomputes every expected row from the
+    * RAW tables — part cardinalities from corpus counts and the model
+    * constants (coarse K×64 and codebook M×K×SubDim rows, 3 epochs ×
+    * corpus for the schedule, both edge directions for the graph),
+    * fingerprints as the same XOR id-checksums the publishers wrote —
+    * so a green hash certifies that what the manifests CLAIM storage
+    * holds is exactly what the corpus implies they must hold: the
+    * audit an operator trusts before flipping a pin or deleting an old
+    * generation. Scale shape: manifests are KB-sized; the expected
+    * side is four corpus aggregations (counts + XORs), no training
+    * replay needed — auditing is cheap by design. */
+  def q197RegistryAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SketchQueries.sharedIvfPqRegistry(s, dir)
+    CurationQueries.sharedLoaderArtifacts(s, dir)
+    AnalyticsQueries.loadedPurchaseGraph(s, dir)
+    val reg = graft.ext.ArtifactRegistry
+    val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
+    val man = Seq("ivfpq", "epoch_loader", "purchase_graph")
+      .map(k => reg.manifest(s, root, k).withColumn("kind", lit(k)))
+      .reduce(_ unionByName _)
+    val latest = man.groupBy($"kind").agg(max($"version").as("latest_v"))
+    man.join(broadcast(latest), "kind")
+      .select($"kind", $"version", $"part", $"n_rows", $"corpus_fp",
+        ($"version" === $"latest_v").cast("int").as("is_latest"))
+      .orderBy($"kind", $"version", $"part")
+  }
+
+  val q197Sql: String = {
+    val pq = graft.ext.ProductQuantize
+    val coarseRows = 8 * 64 // coarse K × dims
+    val bookRows = pq.NumSub * pq.K * pq.SubDim
+    s"""WITH nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+      |    CAST(SUM(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+      |    CAST(bit_xor(vec_id) AS BIGINT) AS fp_all FROM embeddings),
+      |fpo AS (SELECT CAST(bit_xor(vec_id) AS BIGINT) AS fp_old
+      |  FROM embeddings WHERE vec_id % 10 <> 0),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(bit_xor(doc_id) AS BIGINT) AS fp_docs FROM documents),
+      |${CurationQueries.epochChainSql},
+      |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups
+      |  FROM (SELECT DISTINCT epoch, shard FROM p) t),
+      |base AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS s
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |ge AS (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
+      |gn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+      |    CAST(bit_xor(src) AS BIGINT) AS fp_g FROM ge),
+      |gv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vert
+      |  FROM (SELECT src AS id FROM ge UNION SELECT dst FROM ge) t),
+      |exp0 AS (
+      |  SELECT 'ivfpq' AS kind, 1 AS version, 'asg' AS part,
+      |    nv.n_old AS n_rows, fpo.fp_old AS corpus_fp, 0 AS is_latest
+      |    FROM nv CROSS JOIN fpo
+      |  UNION ALL SELECT 'ivfpq', 1, 'books', $bookRows, fp_old, 0 FROM fpo
+      |  UNION ALL SELECT 'ivfpq', 1, 'coarse', $coarseRows, fp_old, 0 FROM fpo
+      |  UNION ALL SELECT 'ivfpq', 1, 'enc', ${pq.NumSub} * nv.n_old, fp_old, 0
+      |    FROM nv CROSS JOIN fpo
+      |  UNION ALL SELECT 'ivfpq', 2, 'asg', n_all, fp_all, 1 FROM nv
+      |  UNION ALL SELECT 'ivfpq', 2, 'books', $bookRows, fp_all, 1 FROM nv
+      |  UNION ALL SELECT 'ivfpq', 2, 'coarse', $coarseRows, fp_all, 1 FROM nv
+      |  UNION ALL SELECT 'ivfpq', 2, 'enc', ${pq.NumSub} * n_all, fp_all, 1 FROM nv
+      |  UNION ALL SELECT 'epoch_loader', 1, 'manifest', ns.n_groups, nd.fp_docs, 1
+      |    FROM ns CROSS JOIN nd
+      |  UNION ALL SELECT 'epoch_loader', 1, 'schedule', 3 * n_docs, fp_docs, 1 FROM nd
+      |  UNION ALL SELECT 'purchase_graph', 1, 'deg', n_edges, fp_g, 1 FROM gn
+      |  UNION ALL SELECT 'purchase_graph', 1, 'edges', n_edges, fp_g, 1 FROM gn
+      |  UNION ALL SELECT 'purchase_graph', 1, 'vertices', gv.n_vert, gn.fp_g, 1
+      |    FROM gv CROSS JOIN gn)
+      |SELECT kind, CAST(version AS BIGINT) AS version, part,
+      |  CAST(n_rows AS BIGINT) AS n_rows, corpus_fp,
+      |  CAST(is_latest AS INT) AS is_latest
+      |FROM exp0 ORDER BY kind, version, part""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_registry_audit" -> (q197RegistryAudit _),
     "q92_frame_dedup" -> (q92FrameDedup _),
     "q161_image_phash_dedup" -> (q161ImagePhashDedup _),
     "q103_audio" -> (q103Audio _),
@@ -373,6 +453,7 @@ object MiscQueries {
     "q60_resize" -> (q60Resize _))
 
   val oracle: Map[String, String] = Map(
+    "q197_registry_audit" -> q197Sql,
     "q92_frame_dedup" -> q92Sql,
     "q161_image_phash_dedup" -> q161Sql,
     "q103_audio" -> q103Sql,
