@@ -129,6 +129,30 @@ object ArtifactRegistry {
     s.read.parquet(path)
   }
 
+  /** Administrative garbage collection: delete the part directories of
+    * every published version of `kind` BELOW `keepFrom` (the oldest
+    * version any reader still pins — the deployment's pin floor).
+    * Returns the versions whose storage was removed. Deliberately NOT
+    * part of any serve path: the manifest keeps its rows as publish
+    * history (append-only stays append-only, `latestVersion` is
+    * unaffected), and a read of a collected version fails the
+    * existence check with a clear error instead of scanning half a
+    * tree. Orphan directories of crashed publishes below the floor are
+    * swept too. */
+  def gc(s: SparkSession, root: String, kind: String, keepFrom: Long): Seq[Long] = {
+    require(keepFrom >= 1, "keepFrom is a version number (>= 1)")
+    val (f, p) = fs(s, s"$root/$kind")
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+      .filter(_ < keepFrom).toSeq.sorted
+      .map { v =>
+        val (vf, vp) = fs(s, versionDir(root, kind, v))
+        vf.delete(vp, true)
+        v
+      }
+  }
+
   /** Convenience: publish an IVF-PQ index tuple (the
     * [[VectorIndexStore]] part layout) as one registry generation. */
   def publishIvfPq(s: SparkSession, root: String, kind: String,

@@ -71,6 +71,29 @@ class ArtifactRegistrySpec extends SparkSpec {
     assert(ArtifactRegistry.latestVersion(spark, root, "model") == 3L)
   }
 
+  test("gc removes storage below the pin floor, keeps history and the floor itself") {
+    val root = freshRoot()
+    (1 to 3).foreach { i =>
+      ArtifactRegistry.publish(spark, root, "model", i.toLong,
+        Seq("weights" -> Seq((i.toLong, i.toLong)).toDF("id", "v")))
+    }
+    // an orphan half-publish below the floor is swept with the rest
+    Seq((0L, 0L)).toDF("id", "v").write.parquet(s"$root/model/v000000/weights")
+    val removed = ArtifactRegistry.gc(spark, root, "model", keepFrom = 3L)
+    assert(removed == Seq(0L, 1L, 2L))
+    // the floor serves; collected versions fail fast; history intact
+    assert(ArtifactRegistry.read(spark, root, "model", 3L, "weights").count() == 1L)
+    intercept[IllegalArgumentException] {
+      ArtifactRegistry.read(spark, root, "model", 2L, "weights")
+    }
+    assert(ArtifactRegistry.latestVersion(spark, root, "model") == 3L)
+    assert(ArtifactRegistry.manifest(spark, root, "model")
+      .select($"version").distinct().count() == 3L)
+    // the next publish still numbers past everything ever seen
+    assert(ArtifactRegistry.publish(spark, root, "model", 4L,
+      Seq("weights" -> Seq((4L, 4L)).toDF("id", "v"))) == 4L)
+  }
+
   test("q196 serves the purchase graph from its registry generation") {
     val rows = SparkEntry.queries("q196_graph_registry_serve")(spark, sf).collect()
     assert(rows.length == 20)
