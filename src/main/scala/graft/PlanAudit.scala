@@ -134,6 +134,11 @@ object PlanAudit {
     // corpus-side search plan itself is q110's, exchange-free on the
     // candidate path
     "q165_persisted_probe" -> Set(SinglePartition),
+    // q165's class exactly: the registry-pinned probe runs the same
+    // checkpointed constant-size query-sample scan (32 hash-ranked
+    // vectors) against the loaded generation; the corpus-side search
+    // plan is unchanged
+    "q194_registry_pinned_serve" -> Set(SinglePartition),
     "q114_sliding_hll" -> Set(Bnlj), // windows × 256-bucket skeleton (q91 class)
     // (type, window) groups × 256-bucket register skeleton (q91/q114
     // class — the dense-bucket crossJoin is groups×256 rows, constant
