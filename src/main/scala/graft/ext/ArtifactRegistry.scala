@@ -129,6 +129,18 @@ object ArtifactRegistry {
     s.read.parquet(path)
   }
 
+  /** Root path of a PINNED, manifest-visible version — for loaders
+    * that read a multi-part layout themselves (e.g.
+    * [[Bm25.readIndex]]). Rejects versions the manifest has never
+    * seen (an orphan half-publish directory is not servable). */
+  def versionPath(s: SparkSession, root: String, kind: String,
+      version: Long): String = {
+    val known = manifest(s, root, kind)
+      .filter(col("version") === version).limit(1).count() > 0
+    require(known, s"version $version of $kind is not manifest-visible under $root")
+    versionDir(root, kind, version)
+  }
+
   /** Administrative garbage collection: delete the part directories of
     * every published version of `kind` BELOW `keepFrom` (the oldest
     * version any reader still pins — the deployment's pin floor).

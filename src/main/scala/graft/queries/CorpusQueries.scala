@@ -311,7 +311,7 @@ object CorpusQueries {
     * summed `score` CTE — shared by the hybrid rankers (q121/q142) and
     * the persisted-index serve (q180), so the scoring recipe cannot
     * fork between the in-process and loaded paths. */
-  private val bm25ScoreChainSql: String =
+  private[queries] val bm25ScoreChainSql: String =
     s"""btoks AS (SELECT id, term FROM (
       |    SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
       |    FROM documents WHERE length(trim(text)) > 0) t
@@ -488,14 +488,19 @@ object CorpusQueries {
   private val bm25StoreCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), graft.ext.Bm25.Index]()
 
-  private def sharedPersistedBm25(s: SparkSession, dir: String): graft.ext.Bm25.Index = {
+  private[queries] def sharedPersistedBm25(s: SparkSession, dir: String): graft.ext.Bm25.Index = {
     SessionCaches.purgeStopped(bm25StoreCache)(_._1)
     bm25StoreCache.computeIfAbsent((s, dir), _ => {
       val docs = Tables.load(s, dir, "documents")
         .filter(length(trim(col("text"))) > 0)
-      val path = graft.ext.VectorIndexStore.defaultPath(dir, "bm25_index")
-      graft.ext.Bm25.writeIndex(graft.ext.Bm25.index(docs, "doc_id", "text"), path)
-      graft.ext.Bm25.readIndex(s, path)
+      val reg = graft.ext.ArtifactRegistry
+      val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
+      val ix = graft.ext.Bm25.index(docs, "doc_id", "text")
+      val fp = docs.agg(expr("bit_xor(doc_id)")).collect()(0).getLong(0)
+      val v = reg.publish(s, root, "bm25_index", fp, Seq(
+        "tf" -> ix.tf, "dl" -> ix.dl, "dfreq" -> ix.dfreq,
+        "globals" -> s.range(1).select(lit(ix.n).as("n"), lit(ix.t).as("t"))))
+      graft.ext.Bm25.readIndex(s, reg.versionPath(s, root, "bm25_index", v))
     })
   }
 

@@ -274,11 +274,13 @@ object HashDedupQueries {
   private def sharedPersistedLshIndex(s: SparkSession, dir: String): DataFrame = {
     SessionCaches.purgeStopped(lshIndexCache)(_._1)
     lshIndexCache.computeIfAbsent((s, dir), _ => {
-      val docs = Tables.load(s, dir, "documents")
-      val path = graft.ext.VectorIndexStore.defaultPath(dir, "lsh_bands")
-      MinHashLsh.bandedIndex(docs.filter(col("doc_id") < 250), "doc_id", "text")
-        .write.mode("overwrite").parquet(path)
-      s.read.parquet(path)
+      val reg = graft.ext.ArtifactRegistry
+      val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
+      val standing = Tables.load(s, dir, "documents").filter(col("doc_id") < 250)
+      val fp = standing.agg(expr("bit_xor(doc_id)")).collect()(0).getLong(0)
+      val v = reg.publish(s, root, "lsh_index", fp, Seq(
+        "bands" -> MinHashLsh.bandedIndex(standing, "doc_id", "text")))
+      reg.read(s, root, "lsh_index", v, "bands")
     })
   }
 
@@ -352,13 +354,18 @@ object HashDedupQueries {
     * never let the gram recipe fork. Tokenization is the engine-wide
     * trim/lower/whitespace split; gram identity is the joined token
     * STRING (collision-free — see [[graft.ext.DupNgrams]]). */
-  private val gramChainSql: String =
-    """toks AS (SELECT doc_id AS id,
+  /** The ONE gram recipe, CTE names prefixed so other oracles (q197's
+    * registry audit) can compose it next to fragments that also spell
+    * a `toks` — emits `${p}toks (id, t)` and `${p}g (id, pos, gram)`. */
+  private[queries] def gramChainSqlFor(p: String): String =
+    s"""${p}toks AS (SELECT doc_id AS id,
       |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-      |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+      |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
       |  FROM documents),
-      |g AS (SELECT id, CAST(i AS BIGINT) AS pos, array_to_string(t[i:i+7], ' ') AS gram
-      |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i) WHERE len(t) >= 8)""".stripMargin
+      |${p}g AS (SELECT id, CAST(i AS BIGINT) AS pos, array_to_string(t[i:i+7], ' ') AS gram
+      |  FROM ${p}toks, unnest(generate_series(1, len(t) - 7)) AS u(i) WHERE len(t) >= 8)""".stripMargin
+
+  private val gramChainSql: String = gramChainSqlFor("")
 
   private val dupGramChainSql: String =
     s"""$gramChainSql,
@@ -433,15 +440,17 @@ object HashDedupQueries {
   private val dupDictCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
-  private def sharedPersistedDupDict(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def sharedPersistedDupDict(s: SparkSession, dir: String): DataFrame = {
     SessionCaches.purgeStopped(dupDictCache)(_._1)
     dupDictCache.computeIfAbsent((s, dir), _ => {
+      val reg = graft.ext.ArtifactRegistry
+      val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
       val corpus = Tables.load(s, dir, "documents").filter(col("doc_id") < 250)
-      val path = graft.ext.VectorIndexStore.defaultPath(dir, "dupgram_dict")
-      graft.ext.DupNgrams.dupGramDict(
-          graft.ext.DupNgrams.gramPositions(corpus, "doc_id", "text"))
-        .write.mode("overwrite").parquet(path)
-      s.read.parquet(path)
+      val fp = corpus.agg(expr("bit_xor(doc_id)")).collect()(0).getLong(0)
+      val v = reg.publish(s, root, "dupgram_dict", fp, Seq(
+        "dict" -> graft.ext.DupNgrams.dupGramDict(
+          graft.ext.DupNgrams.gramPositions(corpus, "doc_id", "text"))))
+      reg.read(s, root, "dupgram_dict", v, "dict")
     })
   }
 
@@ -476,22 +485,29 @@ object HashDedupQueries {
   private val dupCountsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame)]()
 
-  private def sharedDupgramGenerations(s: SparkSession, dir: String)
+  private[queries] def sharedDupgramGenerations(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     SessionCaches.purgeStopped(dupCountsCache)(_._1)
     dupCountsCache.computeIfAbsent((s, dir), _ => {
+      // the two dictionary generations ARE registry versions of one
+      // kind — exactly the coexist-and-pin lifecycle the registry
+      // models (gen2 merges the ingest batch into LOADED gen1)
+      val reg = graft.ext.ArtifactRegistry
+      val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
       val docs = Tables.load(s, dir, "documents")
-      val p1 = graft.ext.VectorIndexStore.defaultPath(dir, "dupgram_counts_gen1")
-      val p2 = graft.ext.VectorIndexStore.defaultPath(dir, "dupgram_counts_gen2")
-      graft.ext.DupNgrams.gramCounts(graft.ext.DupNgrams.gramPositions(
-          docs.filter(col("doc_id") < 250), "doc_id", "text"))
-        .write.mode("overwrite").parquet(p1)
-      val gen1 = s.read.parquet(p1)
+      def fpOf(df: DataFrame): Long =
+        df.agg(expr("bit_xor(doc_id)")).collect()(0).getLong(0)
+      val standing = docs.filter(col("doc_id") < 250)
+      val v1 = reg.publish(s, root, "dupgram_counts", fpOf(standing), Seq(
+        "counts" -> graft.ext.DupNgrams.gramCounts(
+          graft.ext.DupNgrams.gramPositions(standing, "doc_id", "text"))))
+      val gen1 = reg.read(s, root, "dupgram_counts", v1, "counts")
       val batch = graft.ext.DupNgrams.gramCounts(graft.ext.DupNgrams.gramPositions(
         docs.filter(col("doc_id") >= 250 && col("doc_id") < 375), "doc_id", "text"))
-      graft.ext.DupNgrams.mergeCounts(gen1, batch)
-        .write.mode("overwrite").parquet(p2)
-      (gen1, s.read.parquet(p2))
+      val v2 = reg.publish(s, root, "dupgram_counts",
+        fpOf(docs.filter(col("doc_id") < 375)), Seq(
+          "counts" -> graft.ext.DupNgrams.mergeCounts(gen1, batch)))
+      (gen1, reg.read(s, root, "dupgram_counts", v2, "counts"))
     })
   }
 

@@ -701,10 +701,13 @@ object MiningQueries {
       val scored = SurprisalScore.bucketedScoresFrom(
         sharedSurprisal(s, dir), docs, "doc_id", "source")
       val calib = SurprisalScore.calibrationTable(scored, "source")
-      val base = graft.ext.VectorIndexStore.defaultPath(dir, "calib_registry")
-      lm.write.mode("overwrite").parquet(s"$base/lm")
-      calib.write.mode("overwrite").parquet(s"$base/calib")
-      (s.read.parquet(s"$base/lm"), s.read.parquet(s"$base/calib"))
+      val reg = graft.ext.ArtifactRegistry
+      val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
+      val fp = docs.agg(expr("bit_xor(doc_id)")).collect()(0).getLong(0)
+      val v = reg.publish(s, root, "calib_registry", fp,
+        Seq("lm" -> lm, "calib" -> calib))
+      (reg.read(s, root, "calib_registry", v, "lm"),
+        reg.read(s, root, "calib_registry", v, "calib"))
     })
   }
 

@@ -361,29 +361,45 @@ object MiscQueries {
   }
 
   /** q197: registry AUDIT — the ops query that closes the versioned-
-    * registry loop (publish q194/q195/q196 → pin → serve → audit): it
-    * forces every registry family's publish (session-cached no-ops
-    * after the first call), then reads back the manifests and reports,
-    * per (kind, version, part): row count, corpus fingerprint, and the
-    * is-latest flag. The oracle recomputes every expected row from the
-    * RAW tables — part cardinalities from corpus counts and the model
-    * constants (coarse K×64 and codebook M×K×SubDim rows, 3 epochs ×
-    * corpus for the schedule, both edge directions for the graph),
-    * fingerprints as the same XOR id-checksums the publishers wrote —
-    * so a green hash certifies that what the manifests CLAIM storage
-    * holds is exactly what the corpus implies they must hold: the
-    * audit an operator trusts before flipping a pin or deleting an old
-    * generation. Scale shape: manifests are KB-sized; the expected
-    * side is four corpus aggregations (counts + XORs), no training
-    * replay needed — auditing is cheap by design. */
+    * registry loop (publish → pin → serve → audit): it forces every
+    * registry family's publish (session-cached no-ops after the first
+    * call), then reads back the manifests of SEVEN kinds — the IVF-PQ
+    * index (two generations), the epoch-loader schedule+manifest pair,
+    * the purchase graph, the NB classifier, the BM25 index, the
+    * dup-gram dictionary and the dup-gram count state (two
+    * generations) — and reports, per (kind, version, part): row count,
+    * corpus fingerprint, and the is-latest flag. The oracle recomputes
+    * every expected row from the RAW tables — part cardinalities from
+    * corpus counts, tokenize/vocabulary cardinalities via the SAME
+    * shared CTE fragments the content oracles use (`gateCtesSql` +
+    * `nbTrainCtesSql`, `bm25ScoreChainSql`, `gramChainSqlFor`), and
+    * the model constants (coarse K×64 and codebook M×K×SubDim rows, 3
+    * epochs × corpus for the schedule, both edge directions for the
+    * graph); fingerprints are the same XOR id-checksums the
+    * publishers wrote. A green hash certifies that what the manifests
+    * CLAIM storage holds is exactly what the corpus implies they must
+    * hold: the audit an operator trusts before flipping a pin or
+    * running `gc`. The three kinds left outside the audit
+    * (lsh_index, bpe_tokenizer, calib_registry) are registry-versioned
+    * too, content-certified by their own gated oracles
+    * (q173/q185/q176); their expected-cardinality replays (LSH
+    * eligibility, BPE merge unrolling, ECDF buckets) would cost more
+    * gate time than they add assurance. Scale shape: manifests are
+    * KB-sized; the expected side is a handful of corpus aggregations
+    * (counts, distincts, XORs) — no training replay anywhere. */
   def q197RegistryAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     SketchQueries.sharedIvfPqRegistry(s, dir)
     CurationQueries.sharedLoaderArtifacts(s, dir)
     AnalyticsQueries.loadedPurchaseGraph(s, dir)
+    TextQueries.sharedPersistedNbModel(s, dir)
+    CorpusQueries.sharedPersistedBm25(s, dir)
+    HashDedupQueries.sharedPersistedDupDict(s, dir)
+    HashDedupQueries.sharedDupgramGenerations(s, dir)
     val reg = graft.ext.ArtifactRegistry
     val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
-    val man = Seq("ivfpq", "epoch_loader", "purchase_graph")
+    val man = Seq("ivfpq", "epoch_loader", "purchase_graph",
+        "nb_model", "bm25_index", "dupgram_dict", "dupgram_counts")
       .map(k => reg.manifest(s, root, k).withColumn("kind", lit(k)))
       .reduce(_ unionByName _)
     val latest = man.groupBy($"kind").agg(max($"version").as("latest_v"))
@@ -414,6 +430,26 @@ object MiscQueries {
       |    CAST(bit_xor(src) AS BIGINT) AS fp_g FROM ge),
       |gv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vert
       |  FROM (SELECT src AS id FROM ge UNION SELECT dst FROM ge) t),
+      |${TextQueries.gateCtesSql},
+      |${TextQueries.nbTrainCtesSql},
+      |fnb AS (SELECT CAST(bit_xor(doc_id) AS BIGINT) AS fp FROM documents
+      |  WHERE doc_id % 10 <> 0),
+      |wcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w),
+      |${CorpusQueries.bm25ScoreChainSql},
+      |fbm AS (SELECT CAST(bit_xor(doc_id) AS BIGINT) AS fp FROM documents
+      |  WHERE length(trim(text)) > 0),
+      |bmc AS (SELECT CAST((SELECT COUNT(*) FROM tf) AS BIGINT) AS n_tf,
+      |    CAST((SELECT COUNT(*) FROM dl) AS BIGINT) AS n_dl,
+      |    CAST((SELECT COUNT(*) FROM dfreq) AS BIGINT) AS n_df),
+      |${HashDedupQueries.gramChainSqlFor("d")},
+      |f250 AS (SELECT CAST(bit_xor(doc_id) AS BIGINT) AS fp FROM documents
+      |  WHERE doc_id < 250),
+      |f375 AS (SELECT CAST(bit_xor(doc_id) AS BIGINT) AS fp FROM documents
+      |  WHERE doc_id < 375),
+      |dgdict AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |    SELECT gram FROM dg WHERE id < 250 GROUP BY gram HAVING COUNT(*) >= 2) t),
+      |dgc1 AS (SELECT CAST(COUNT(DISTINCT gram) AS BIGINT) AS n FROM dg WHERE id < 250),
+      |dgc2 AS (SELECT CAST(COUNT(DISTINCT gram) AS BIGINT) AS n FROM dg WHERE id < 375),
       |exp0 AS (
       |  SELECT 'ivfpq' AS kind, 1 AS version, 'asg' AS part,
       |    nv.n_old AS n_rows, fpo.fp_old AS corpus_fp, 0 AS is_latest
@@ -432,7 +468,23 @@ object MiscQueries {
       |  UNION ALL SELECT 'purchase_graph', 1, 'deg', n_edges, fp_g, 1 FROM gn
       |  UNION ALL SELECT 'purchase_graph', 1, 'edges', n_edges, fp_g, 1 FROM gn
       |  UNION ALL SELECT 'purchase_graph', 1, 'vertices', gv.n_vert, gn.fp_g, 1
-      |    FROM gv CROSS JOIN gn)
+      |    FROM gv CROSS JOIN gn
+      |  UNION ALL SELECT 'nb_model', 1, 'globals', 1, fp, 1 FROM fnb
+      |  UNION ALL SELECT 'nb_model', 1, 'weights', wcnt.n, fnb.fp, 1
+      |    FROM wcnt CROSS JOIN fnb
+      |  UNION ALL SELECT 'bm25_index', 1, 'dfreq', bmc.n_df, fbm.fp, 1
+      |    FROM bmc CROSS JOIN fbm
+      |  UNION ALL SELECT 'bm25_index', 1, 'dl', bmc.n_dl, fbm.fp, 1
+      |    FROM bmc CROSS JOIN fbm
+      |  UNION ALL SELECT 'bm25_index', 1, 'globals', 1, fp, 1 FROM fbm
+      |  UNION ALL SELECT 'bm25_index', 1, 'tf', bmc.n_tf, fbm.fp, 1
+      |    FROM bmc CROSS JOIN fbm
+      |  UNION ALL SELECT 'dupgram_dict', 1, 'dict', dgdict.n, f250.fp, 1
+      |    FROM dgdict CROSS JOIN f250
+      |  UNION ALL SELECT 'dupgram_counts', 1, 'counts', dgc1.n, f250.fp, 0
+      |    FROM dgc1 CROSS JOIN f250
+      |  UNION ALL SELECT 'dupgram_counts', 2, 'counts', dgc2.n, f375.fp, 1
+      |    FROM dgc2 CROSS JOIN f375)
       |SELECT kind, CAST(version AS BIGINT) AS version, part,
       |  CAST(n_rows AS BIGINT) AS n_rows, corpus_fp,
       |  CAST(is_latest AS INT) AS is_latest

@@ -407,10 +407,15 @@ object TextQueries {
     SessionCaches.purgeStopped(nbModelCache)(_._1)
     nbModelCache.computeIfAbsent((s, dir), _ => {
       val (w, g) = nbTeacherTrain(s, dir)
-      val base = graft.ext.VectorIndexStore.defaultPath(dir, "nb_model")
-      w.write.mode("overwrite").parquet(s"$base/weights")
-      g.write.mode("overwrite").parquet(s"$base/globals")
-      (s.read.parquet(s"$base/weights"), s.read.parquet(s"$base/globals"))
+      val reg = graft.ext.ArtifactRegistry
+      val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
+      val fp = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 10 =!= 0) // the teacher's training slice
+        .agg(expr("bit_xor(doc_id)")).collect()(0).getLong(0)
+      val v = reg.publish(s, root, "nb_model", fp,
+        Seq("weights" -> w, "globals" -> g))
+      (reg.read(s, root, "nb_model", v, "weights"),
+        reg.read(s, root, "nb_model", v, "globals"))
     })
   }
 
@@ -1056,10 +1061,13 @@ object TextQueries {
       import graft.ext.BpeTrain
       val standing = Tables.load(s, dir, "documents").filter(col("doc_id") < 250)
       val trained = BpeTrain.trainBatched(BpeTrain.wordDict(standing, "text"), BpeMerges)
-      val base = graft.ext.VectorIndexStore.defaultPath(dir, "bpe_tokenizer")
-      trained.merges.write.mode("overwrite").parquet(s"$base/merges")
-      trained.dict.write.mode("overwrite").parquet(s"$base/dict")
-      (s.read.parquet(s"$base/merges"), s.read.parquet(s"$base/dict"))
+      val reg = graft.ext.ArtifactRegistry
+      val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
+      val fp = standing.agg(expr("bit_xor(doc_id)")).collect()(0).getLong(0)
+      val v = reg.publish(s, root, "bpe_tokenizer", fp,
+        Seq("merges" -> trained.merges, "dict" -> trained.dict))
+      (reg.read(s, root, "bpe_tokenizer", v, "merges"),
+        reg.read(s, root, "bpe_tokenizer", v, "dict"))
     })
   }
 

@@ -94,6 +94,35 @@ class ArtifactRegistrySpec extends SparkSpec {
       Seq("weights" -> Seq((4L, 4L)).toDF("id", "v"))) == 4L)
   }
 
+  test("every persisted artifact family versions through the registry") {
+    // q197 forces the seven audited kinds; the other three families'
+    // serving queries force theirs
+    SparkEntry.queries("q197_registry_audit")(spark, sf).collect()
+    SparkEntry.queries("q173_persisted_lsh_probe")(spark, sf).count()
+    SparkEntry.queries("q185_persisted_bpe_apply")(spark, sf).count()
+    SparkEntry.queries("q176_persisted_calib_serve")(spark, sf).count()
+    val root = graft.ext.VectorIndexStore.defaultPath(sf, "registry")
+    val expect = Map(
+      "ivfpq" -> Set("coarse", "asg", "books", "enc"),
+      "epoch_loader" -> Set("schedule", "manifest"),
+      "purchase_graph" -> Set("edges", "vertices", "deg"),
+      "nb_model" -> Set("weights", "globals"),
+      "bm25_index" -> Set("tf", "dl", "dfreq", "globals"),
+      "dupgram_dict" -> Set("dict"),
+      "dupgram_counts" -> Set("counts"),
+      "lsh_index" -> Set("bands"),
+      "bpe_tokenizer" -> Set("merges", "dict"),
+      "calib_registry" -> Set("lm", "calib"))
+    expect.foreach { case (kind, parts) =>
+      val m = ArtifactRegistry.manifest(spark, root, kind)
+        .select($"part").distinct().as[String].collect().toSet
+      assert(m == parts, s"$kind published parts $m, expected $parts")
+    }
+    // the incremental dictionary is the second kind with two live
+    // generations (after the ivfpq upgrade)
+    assert(ArtifactRegistry.latestVersion(spark, root, "dupgram_counts") == 2L)
+  }
+
   test("q196 serves the purchase graph from its registry generation") {
     val rows = SparkEntry.queries("q196_graph_registry_serve")(spark, sf).collect()
     assert(rows.length == 20)
