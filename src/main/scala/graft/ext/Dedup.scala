@@ -193,6 +193,19 @@ object Dedup {
     containmentPairsFromSets(hashedShingleSets(df, idCol, textCol, n),
       thresholdBp, minShingles, maxShingleDf)
 
+  /** Exact |A ∩ B| of two sorted hashed shingle sets — the native
+    * two-pointer kernel ([[graft.functions.VectorKernels
+    * .intersectSizeSortedLong]]); the builtin `array_intersect`
+    * materializes the intersection array through a per-row hash set
+    * just to take its size, and on ~300-element sets over millions of
+    * candidate pairs that allocation IS the containment family's hot
+    * loop. */
+  private def intersectSize(a: Column, b: Column): Column = {
+    val shim = org.apache.spark.sql.GraftShim
+    shim.column(graft.functions.ArrayIntersectSizeLong(
+      shim.expression(a), shim.expression(b)))
+  }
+
   /** [[containmentPairs]] over precomputed [[hashedShingleSets]]. */
   def containmentPairsFromSets(
       sets: DataFrame,
@@ -205,7 +218,7 @@ object Dedup {
       // size is the exact integer overlap — computed ONCE per unordered
       // pair, then fanned into the two directed tests
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("inter"),
+        intersectSize(col("set_a"), col("set_b")).as("inter"),
         size(col("set_a")).cast("long").as("n_a"),
         size(col("set_b")).cast("long").as("n_b"))
     scored
@@ -387,7 +400,7 @@ object Dedup {
       .select(col("doc_id"), col("corpus_id")).distinct()
     cand.join(docs, Seq("doc_id")).join(sets, Seq("corpus_id"))
       .select(col("doc_id"), col("corpus_id"),
-        size(array_intersect(col("sh_set"), col("set_c"))).cast("long").as("n_inter"),
+        intersectSize(col("sh_set"), col("set_c")).as("n_inter"),
         size(col("sh_set")).cast("long").as("n_doc"),
         size(col("set_c")).cast("long").as("n_corpus"))
       .filter(col("n_inter") * 10000L >=

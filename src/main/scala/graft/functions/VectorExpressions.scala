@@ -94,6 +94,23 @@ object VectorKernels {
     if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 
+  /** |A ∩ B| of two ASCENDING-sorted distinct long arrays (two-pointer)
+    * — the containment family's verification kernel. The builtin
+    * `array_intersect` materializes the intersection ARRAY through a
+    * per-row hash set just to take its size; on sorted distinct hash
+    * sets the count is one linear merge with zero allocation. */
+  def intersectSizeSortedLong(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** MinHash signature in one pass: for every n-char window, rolling
     * polynomial hash H (mod p), then sig_j = min(a_j·H + b_j mod p).
     * Identical to min over the distinct-shingle set (duplicates cannot
@@ -335,6 +352,22 @@ case class ArrayJaccardLong(left: Expression, right: Expression) extends BinaryE
   override def prettyName: String = "array_jaccard_long"
 }
 
+/** Exact |A ∩ B| over sorted distinct long arrays — see
+  * [[VectorKernels.intersectSizeSortedLong]]. */
+case class ArrayIntersectSizeLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.intersectSizeSortedLong(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.intersectSizeSortedLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : ArrayIntersectSizeLong = copy(left = l, right = r)
+  override def prettyName: String = "array_intersect_size_long"
+}
+
 /** Distinct winnowing fingerprints of a text column — array<long>, one
   * row-local pass ([[VectorKernels.winnowFps]]). */
 case class WinnowFps(child: Expression, k: Int, w: Int, mod: Long,
@@ -389,6 +422,8 @@ object VectorFunctions {
   def hashedShingles(text: Column, n: Int, mod: Long): Column =
     call_function("hashed_shingles", text, lit(n), lit(mod))
   def arrayJaccardLong(a: Column, b: Column): Column = call_function("array_jaccard_long", a, b)
+  def arrayIntersectSizeLong(a: Column, b: Column): Column =
+    call_function("array_intersect_size_long", a, b)
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -411,6 +446,8 @@ object VectorFunctions {
       exprs => HashedShingles(exprs(0), litInt(exprs(1)), litLong(exprs(2))), "built-in")
     registry.createOrReplaceTempFunction("array_jaccard_long",
       exprs => ArrayJaccardLong(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("array_intersect_size_long",
+      exprs => ArrayIntersectSizeLong(exprs(0), exprs(1)), "built-in")
   }
 
   /** MinHash registration carries the coefficient set (caller-owned). */
