@@ -196,6 +196,42 @@ object ProductQuantize {
     }
   }
 
+  /** Collect a (cluster, d, m) coarse-centroid table into literal
+    * arrays (cluster ids ascending, dims 1..64 ordered) — the few-KB
+    * driver artifact the streaming probe expression embeds. */
+  def collectCoarse(coarse: DataFrame): (Array[Long], Array[Array[Long]]) = {
+    val rows = coarse.select(col("cluster").cast("long"), col("d").cast("int"),
+        col("m").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byC = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    (byC.map(_._1).toArray,
+      byC.map(_._2.sortBy(_._2).map(_._3).toArray).toArray)
+  }
+
+  /** [[collectBooks]] reshaped to the primitive arrays
+    * [[graft.functions.IvfPqLutRows]] embeds: per subspace the cluster
+    * ids (ascending) and the matching SubDim-ordered centroid rows. */
+  def collectBookArrays(books: DataFrame)
+      : (Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val bs = collectBooks(books)
+    (bs.map(_.map(_._1).toArray).toArray,
+      bs.map(_.map(_._2.toArray).toArray).toArray)
+  }
+
+  /** Row-local flat probe LUT (pc, sub, cluster, lutd2) against the
+    * LITERAL collected index — coarse top-`nProbe` selection, shifted
+    * residual, and every sub-distance in one primitive JVM pass; the
+    * streaming serve form of [[ivfPqTopKWith]]'s probe + LUT stages
+    * (same (d², cluster) probe tie-break, same shifted-residual
+    * arithmetic — parity spec-pinned). */
+  def ivfPqLutExpr(coarse: (Array[Long], Array[Array[Long]]),
+      books: (Array[Array[Long]], Array[Array[Array[Long]]]),
+      nProbe: Int, codes: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val shim = org.apache.spark.sql.GraftShim
+    shim.column(graft.functions.IvfPqLutRows(shim.expression(codes),
+      coarse._1, coarse._2, books._1, books._2, nProbe, SubDim, ResidShift))
+  }
+
   /** Row-local PQ encode against LITERAL codebooks: struct(pq0..pq3,
     * recon_dist2) from a 64-long codes array — [[KMeansInt.bestOf]]'s
     * native argmin per subspace, no join, no shuffle, no state. The

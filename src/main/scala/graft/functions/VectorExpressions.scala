@@ -111,6 +111,59 @@ object VectorKernels {
     inter
   }
 
+  /** Row-local IVF-PQ probe preparation: coarse distances to every
+    * literal centroid, top-`nProbe` cells by (d², cluster) — the exact
+    * batch probe tie-break — then per probed cell the SHIFTED residual
+    * and the full M×K LUT of exact integer sub-distances against the
+    * literal residual books. Returns flat (pc, sub, cluster, lutd2)
+    * rows, nProbe·M·K per query (128 at the default operating point) —
+    * the constant-size artifact a serving stream joins against the
+    * compressed corpus, replacing the batch path's two broadcast
+    * joins + two aggregations with ONE row-local pass. */
+  def ivfPqLut(codes: ArrayData, coarseClusters: Array[Long],
+      coarseCents: Array[Array[Long]], bookClusters: Array[Array[Long]],
+      bookCents: Array[Array[Array[Long]]], nProbe: Int, subDim: Int,
+      shift: Long): ArrayData = {
+    val n = codes.numElements()
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) { q(i) = codes.getLong(i); i += 1 }
+    val nc = coarseClusters.length
+    val d2 = new Array[Long](nc)
+    var k = 0
+    while (k < nc) {
+      val m = coarseCents(k); var s = 0L; var d = 0
+      while (d < n) { val df = q(d) - m(d); s += df * df; d += 1 }
+      d2(k) = s; k += 1
+    }
+    val probed = (0 until nc).sortBy(k => (d2(k), coarseClusters(k)))
+      .take(math.min(nProbe, nc))
+    val numSub = bookClusters.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    probed.foreach { pi =>
+      val cm = coarseCents(pi)
+      val res = new Array[Long](n)
+      var d = 0
+      while (d < n) { res(d) = q(d) - cm(d) + shift; d += 1 }
+      var m = 0
+      while (m < numSub) {
+        val bcl = bookClusters(m); val bc = bookCents(m)
+        var c = 0
+        while (c < bcl.length) {
+          var s = 0L; var dd = 0
+          while (dd < subDim) {
+            val df = res(m * subDim + dd) - bc(c)(dd); s += df * df; dd += 1
+          }
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](coarseClusters(pi), m.toLong, bcl(c), s))
+          c += 1
+        }
+        m += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** MinHash signature in one pass: for every n-char window, rolling
     * polynomial hash H (mod p), then sig_j = min(a_j·H + b_j mod p).
     * Identical to min over the distinct-shingle set (duplicates cannot
@@ -366,6 +419,35 @@ case class ArrayIntersectSizeLong(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : ArrayIntersectSizeLong = copy(left = l, right = r)
   override def prettyName: String = "array_intersect_size_long"
+}
+
+/** Flat IVF-PQ probe LUT rows against LITERAL coarse centroids and
+  * residual books — see [[VectorKernels.ivfPqLut]]. The trained
+  * artifacts (a few KB) ride the expression, so a serving stream's
+  * probe preparation needs no joins and no state. */
+case class IvfPqLutRows(child: Expression, coarseClusters: Array[Long],
+    coarseCents: Array[Array[Long]], bookClusters: Array[Array[Long]],
+    bookCents: Array[Array[Array[Long]]], nProbe: Int, subDim: Int,
+    shift: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pc", LongType, nullable = false),
+    StructField("sub", LongType, nullable = false),
+    StructField("cluster", LongType, nullable = false),
+    StructField("lutd2", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.ivfPqLut(input.asInstanceOf[ArrayData], coarseClusters,
+      coarseCents, bookClusters, bookCents, nProbe, subDim, shift)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ccl = ctx.addReferenceObj("ivfCoarseClusters", coarseClusters, "long[]")
+    val cce = ctx.addReferenceObj("ivfCoarseCents", coarseCents, "long[][]")
+    val bcl = ctx.addReferenceObj("ivfBookClusters", bookClusters, "long[][]")
+    val bce = ctx.addReferenceObj("ivfBookCents", bookCents, "long[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.ivfPqLut($c, $ccl, $cce, $bcl, $bce, $nProbe, $subDim, ${shift}L)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): IvfPqLutRows =
+    copy(child = newChild)
+  override def prettyName: String = "ivfpq_lut_rows"
 }
 
 /** Distinct winnowing fingerprints of a text column — array<long>, one

@@ -661,6 +661,53 @@ object Streaming {
         col("enc.pq2").as("pq2"), col("enc.pq3").as("pq3"),
         col("enc.recon_dist2").as("recon_dist2"))
 
+  /** Streaming IVF-PQ vector search — the live serve twin of the q165
+    * persisted-index probe: arriving query vectors prepare their WHOLE
+    * probe row-locally ([[graft.ext.ProductQuantize.ivfPqLutExpr]] —
+    * coarse top-nProbe selection, shifted residual, and the full M×K
+    * LUT of exact integer sub-distances, computed in one primitive
+    * pass against the LITERAL collected centroids and books; the
+    * trained artifacts are a few KB and ride the plan), then the flat
+    * LUT rows equi-join the STATIC compressed corpus — the loaded
+    * `asg`/`enc` parts, pre-joined to (id, coarse, sub, cluster) — on
+    * (coarse, sub, cluster), and each query's candidates fold through
+    * the [[bm25ServeStream]] shape: per-(window, qid, id) ADC sums,
+    * then the per-query top-k emitted on window close. Two chained
+    * stateful aggregations; self-matches excluded and ties broken by
+    * id exactly as the batch search. At 100 TB the stream-static join
+    * is the ADC scan itself — candidates shrink by nProbe/K before
+    * any distance math, and only 8-byte codeword rows of probed cells
+    * move. Emits (window_start, qid, rank, vec_id, adc_dist2); parity
+    * spec pins stream ≡ batch [[graft.ext.ProductQuantize.ivfPqTopKWith]].
+    * `queries` must carry (qid, codes array<long> of 64, event_time). */
+  def ivfPqServeStream(queries: DataFrame,
+      index: (DataFrame, DataFrame, DataFrame, DataFrame),
+      nProbe: Int, topK: Int): DataFrame = {
+    val pq = graft.ext.ProductQuantize
+    val (coarse, asg, booksR, encR) = index
+    val coarseLit = pq.collectCoarse(coarse)
+    val booksLit = pq.collectBookArrays(booksR)
+    val lutRows = queries
+      .withWatermark("event_time", "10 minutes")
+      .select(col("qid"), col("event_time"),
+        explode(pq.ivfPqLutExpr(coarseLit, booksLit, nProbe, col("codes"))).as("l"))
+      .select(col("qid"), col("event_time"), col("l.pc").as("coarse"),
+        col("l.sub").cast("int").as("sub"), col("l.cluster").as("cluster"),
+        col("l.lutd2").as("lutd2"))
+    val candidates = encR.join(asg, "id") // static: (id, sub, cluster, coarse)
+    lutRows.join(candidates, Seq("coarse", "sub", "cluster"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(window(col("event_time"), "10 minutes"), col("qid"), col("id"))
+      .agg(sum(col("lutd2")).as("adc_dist2"))
+      .groupBy(col("window"), col("qid"))
+      .agg(expr(s"slice(array_sort(collect_list(struct(adc_dist2, id))), 1, $topK)")
+        .as("top"))
+      .select(col("window"), col("qid"), posexplode(col("top")))
+      .select(col("window.start").as("window_start"), col("qid"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"), col("col.adc_dist2").as("adc_dist2"))
+  }
+
   /** Streaming k-anonymity serve — the live twin of q187
     * ([[graft.ext.KAnon]]): arriving documents' quasi-identifier
     * tuples project row-locally, then take the SAME three broadcast

@@ -1119,6 +1119,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, "stream/batch PQ encode divergence")
   }
 
+  test("streaming IVF-PQ vector search matches the batch index probe (q165 twin)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ext.{ProductQuantize, Quantize}
+    val codes = Quantize.sq8Codes(
+        Tables.load(spark, sf, "embeddings"), "vec_id", "embedding")
+      .localCheckpoint(true)
+    val idx = ProductQuantize.ivfPqIndex(codes)
+    val queries = codes.filter($"id" < 4).localCheckpoint(true)
+    val qRows = queries.select($"id", $"codes").as[(Long, Array[Long])].collect()
+    val t0 = new java.sql.Timestamp(1000000L)
+    val input = MemoryStream[(Long, Array[Long], java.sql.Timestamp)]
+    val stream = input.toDF().toDF("qid", "codes", "event_time")
+    val q = Streaming.ivfPqServeStream(stream, idx, nProbe = 2, topK = 10)
+      .writeStream.format("memory").queryName("ivfpq_serve")
+      .outputMode("append").start()
+    try {
+      input.addData(qRows.map { case (id, cs) => (id, cs, t0) }: _*)
+      q.processAllAvailable()
+      // advance the watermark so the window finalizes and emits
+      input.addData((999999999L, qRows.head._2, new java.sql.Timestamp(
+        t0.getTime + 3600L * 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ivfpq_serve")
+      .filter($"qid" =!= 999999999L)
+      .select($"qid", $"rank", $"vec_id", $"adc_dist2")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = ProductQuantize.ivfPqTopKWith(idx, queries, nProbe = 2, topK = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed.map(_._1).size >= 4)
+    assert(streamed === batch, "stream/batch IVF-PQ search divergence")
+  }
+
   test("streaming frozen-tokenizer serve matches the batch q185 profile") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.ext.BpeTrain
