@@ -25,6 +25,28 @@ class PropertySpec extends SparkSpec {
     Gen.listOf(Gen.frequency(9 -> Gen.alphaNumChar, 1 -> Gen.oneOf(' ', '-', '_', '.')))
       .map(_.mkString.take(20))
 
+  test("property: native intersect count equals the builtin on sorted distinct sets") {
+    import graft.functions.VectorKernels
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val setGen: Gen[Array[Long]] =
+      Gen.listOf(Gen.chooseNum(0L, 40L)).map(_.distinct.sorted.toArray)
+    for (seed <- 1L to 40L) {
+      val a = sample(setGen, seed)
+      val b = sample(setGen, seed + 1000)
+      val got = VectorKernels.intersectSizeSortedLong(
+        new GenericArrayData(a), new GenericArrayData(b))
+      assert(got == a.toSet.intersect(b.toSet).size.toLong, s"seed=$seed")
+    }
+    // edges: empty sides, disjoint, identical
+    def isz(a: Array[Long], b: Array[Long]) =
+      VectorKernels.intersectSizeSortedLong(
+        new GenericArrayData(a), new GenericArrayData(b))
+    assert(isz(Array.empty, Array(1L, 2L)) == 0L)
+    assert(isz(Array(1L, 2L), Array.empty) == 0L)
+    assert(isz(Array(1L, 3L, 5L), Array(2L, 4L, 6L)) == 0L)
+    assert(isz(Array(1L, 3L, 5L), Array(1L, 3L, 5L)) == 3L)
+  }
+
   test("property: CSV export -> re-ingest is identity on non-blank string rows") {
     val rows = Gen.nonEmptyListOf(Gen.zip(cell.suchThat(_.trim.nonEmpty), cell)).map(_.take(8))
     for (seed <- 1L to 5L) {
