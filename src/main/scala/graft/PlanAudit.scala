@@ -139,6 +139,11 @@ object PlanAudit {
     // vectors) against the loaded generation; the corpus-side search
     // plan is unchanged
     "q194_registry_pinned_serve" -> Set(SinglePartition),
+    // the ≤1-row verification verdict (cursor certificate fold) rides
+    // a broadcast crossJoin onto the resumed rows — the refuse-gate is
+    // one KB-sized row at any scale, never data-sized; SinglePartition
+    // is the certificate fold itself (a global agg to ONE row)
+    "q198_enrich_resume" -> Set(SinglePartition, Bnlj),
     "q114_sliding_hll" -> Set(Bnlj), // windows × 256-bucket skeleton (q91 class)
     // (type, window) groups × 256-bucket register skeleton (q91/q114
     // class — the dense-bucket crossJoin is groups×256 rows, constant

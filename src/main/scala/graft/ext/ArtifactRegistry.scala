@@ -105,8 +105,10 @@ object ArtifactRegistry {
       df.write.mode("errorifexists")
         .parquet(s"${versionDir(root, kind, v)}/$name")
       // count the LANDED parquet, not the input plan: the manifest
-      // certifies what storage holds
-      name -> s.read.parquet(s"${versionDir(root, kind, v)}/$name").count()
+      // certifies what storage holds — from the footers' row-group
+      // metadata, never a data re-scan (a corpus-sized part would
+      // otherwise be read twice per publish)
+      name -> countLandedRows(s, s"${versionDir(root, kind, v)}/$name")
     }
     val now = System.currentTimeMillis()
     import s.implicits._
@@ -115,6 +117,34 @@ object ArtifactRegistry {
       .coalesce(1) // parts-count rows — one manifest file per publish
       .write.mode("append").parquet(s"$root/$kind/$ManifestDir")
     v
+  }
+
+  /** Exact row count of a landed parquet directory from its footers'
+    * row-group metadata — what the manifest certifies, at the cost of
+    * one KB-sized footer read per file instead of a full data scan
+    * (the difference between "publish is metadata-priced" and "publish
+    * re-reads the corpus-sized artifact it just wrote"). Runs no Spark
+    * job at all (spec-pinned in ArtifactRegistrySpec); at cluster
+    * scale the per-file reads are independent and could fan out, but
+    * even driver-side they are O(files) footer fetches, never O(rows).
+    */
+  private[graft] def countLandedRows(s: SparkSession, path: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val (f, p) = fs(s, path)
+    val conf = s.sparkContext.hadoopConfiguration
+    val it = f.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith(".")) {
+        val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+        try total += r.getRecordCount finally r.close()
+      }
+    }
+    total
   }
 
   /** Read one part of a PINNED version as a lazy parquet scan — the
@@ -150,9 +180,15 @@ object ArtifactRegistry {
     * unaffected), and a read of a collected version fails the
     * existence check with a clear error instead of scanning half a
     * tree. Orphan directories of crashed publishes below the floor are
-    * swept too. */
+    * swept too. Refuses a floor above the latest manifest-visible
+    * version: that typo would delete every generation including the
+    * only serveable one while the manifest kept advertising it. */
   def gc(s: SparkSession, root: String, kind: String, keepFrom: Long): Seq[Long] = {
     require(keepFrom >= 1, "keepFrom is a version number (>= 1)")
+    val latest = latestVersion(s, root, kind)
+    require(latest == 0L || keepFrom <= latest,
+      s"gc floor $keepFrom is above the latest published version $latest " +
+        s"of $kind — refusing to delete the only serveable generation")
     val (f, p) = fs(s, s"$root/$kind")
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).iterator.map(_.getPath.getName)

@@ -116,7 +116,10 @@ object Dedup {
         .hashedShingles(col(textCol), n, ShingleHashMod).as("sh_set"))
   }
 
-  /** [[ngramJaccardPairs]] over precomputed [[hashedShingleSets]]. */
+  /** [[ngramJaccardPairs]] over precomputed [[hashedShingleSets]].
+    * Same ASCENDING-sorted-distinct `sh_set` precondition as
+    * [[containmentPairsFromSets]] (the Jaccard kernel is the same
+    * two-pointer merge). */
   def ngramJaccardPairsFromSets(
       sets: DataFrame,
       threshold: Double,
@@ -206,7 +209,17 @@ object Dedup {
       shim.expression(a), shim.expression(b)))
   }
 
-  /** [[containmentPairs]] over precomputed [[hashedShingleSets]]. */
+  /** [[containmentPairs]] over precomputed [[hashedShingleSets]].
+    *
+    * PRECONDITION: every `sh_set` array must be ASCENDING-sorted and
+    * distinct — the [[hashedShingleSets]] representation. The
+    * verification kernel is a two-pointer merge whose count is only
+    * correct under that contract; arbitrary caller arrays (e.g. raw
+    * `collect_set` output, which Spark does NOT sort) violate it. The
+    * kernel detects violations on every element it visits and throws
+    * rather than undercounting (VectorKernels.intersectSizeSortedLong),
+    * but callers should normalize with `array_sort(array_distinct(…))`
+    * up front, not rely on the tripwire. */
   def containmentPairsFromSets(
       sets: DataFrame,
       thresholdBp: Int,
@@ -389,7 +402,14 @@ object Dedup {
       postings, sets, thresholdBp, minShingles)
 
   /** [[containmentAgainstCorpus]] over precomputed [[hashedShingleSets]]
-    * (id, sh_set) rows for the fresh batch. */
+    * (id, sh_set) rows for the fresh batch.
+    *
+    * PRECONDITION: `sh_set` (fresh batch) and `set_c` (corpus sets)
+    * arrays must be ASCENDING-sorted and distinct — the
+    * [[hashedShingleSets]] representation; see
+    * [[containmentPairsFromSets]] for why and what happens otherwise
+    * (the merge kernel throws on any violation it visits instead of
+    * silently undercounting). */
   def containmentAgainstCorpusFromSets(
       freshSets: DataFrame, postings: DataFrame, sets: DataFrame,
       thresholdBp: Int, minShingles: Int): DataFrame = {

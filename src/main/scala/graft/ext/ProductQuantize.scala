@@ -27,6 +27,16 @@ object ProductQuantize {
   val SubDim = 16
   val K = 8
 
+  /** Coarse (IVF) quantizer cluster count — the k of the full-dim
+    * k-means the index's cell structure is built from. Referenced by
+    * every trainer AND by audit oracles that derive expected centroid
+    * cardinalities (coarse part rows = CoarseK × Dims), so a future
+    * change cannot desynchronize them. */
+  val CoarseK = 8
+
+  /** Full code dimensionality — the NumSub × SubDim concatenation. */
+  val Dims: Int = NumSub * SubDim
+
   /** Train all [[NumSub]] per-subspace codebooks to their assignment
     * fixed points and return the FULL [[KMeansInt.FitResult]] per
     * subspace — the single training entry everything else (encode,

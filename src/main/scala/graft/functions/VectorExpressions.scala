@@ -98,15 +98,32 @@ object VectorKernels {
     * — the containment family's verification kernel. The builtin
     * `array_intersect` materializes the intersection ARRAY through a
     * per-row hash set just to take its size; on sorted distinct hash
-    * sets the count is one linear merge with zero allocation. */
+    * sets the count is one linear merge with zero allocation.
+    *
+    * The merge only visits elements while BOTH cursors advance, so it
+    * cannot verify full sortedness — but every step it DOES take checks
+    * the strict-ascending invariant and throws on violation: an
+    * unsorted or duplicated input (e.g. a raw `collect_set` array that
+    * never went through [[hashedShingles]]) fails loudly instead of
+    * silently undercounting the intersection. One predictable branch
+    * per advance — free next to the two loads already in the loop. */
   def intersectSizeSortedLong(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var inter = 0L
+    var px = 0L; var py = 0L // previous value at each cursor (valid when idx > 0)
     while (i < na && j < nb) {
       val x = a.getLong(i); val y = b.getLong(j)
-      if (x == y) { inter += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+      if (i > 0 && x <= px) throw new IllegalArgumentException(
+        s"intersect_size_sorted_long: left array not strictly ascending " +
+          s"at index $i ($px then $x) — inputs must be sorted distinct " +
+          "(see hashedShingles)")
+      if (j > 0 && y <= py) throw new IllegalArgumentException(
+        s"intersect_size_sorted_long: right array not strictly ascending " +
+          s"at index $j ($py then $y) — inputs must be sorted distinct " +
+          "(see hashedShingles)")
+      if (x == y) { inter += 1; px = x; py = y; i += 1; j += 1 }
+      else if (x < y) { px = x; i += 1 }
+      else { py = y; j += 1 }
     }
     inter
   }

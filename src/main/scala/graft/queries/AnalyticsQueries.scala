@@ -26,8 +26,8 @@ object AnalyticsQueries {
     * lineitem, 16 bytes a row — the deliberate trade. A long-lived
     * service would additionally evict on source-data version change,
     * keyed here by the data dir. */
-  private val graphCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), PageRank.Graph]()
+  private val graphCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), PageRank.Graph]())
 
   private def preparedGraph(s: SparkSession, dir: String, variant: String)(
       edges: => DataFrame): PageRank.Graph = {
@@ -302,8 +302,8 @@ object AnalyticsQueries {
     * family (vectors, dedup dicts, models, calibration, tokenizer,
     * loader schedule, now graphs) has a persisted registry form.
     * Corpus fingerprint: XOR of edge srcs, the manifest discipline. */
-  private val graphRegistryCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), PageRank.Graph]()
+  private val graphRegistryCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), PageRank.Graph]())
 
   private[queries] def loadedPurchaseGraph(s: SparkSession, dir: String): PageRank.Graph = {
     SessionCaches.purgeStopped(graphRegistryCache)(_._1)
@@ -311,7 +311,7 @@ object AnalyticsQueries {
     val g = preparedGraph(s, dir, "full")(fullPurchaseEdges(s, dir))
     graphRegistryCache.computeIfAbsent((s, dir), _ => {
       val reg = graft.ext.ArtifactRegistry
-      val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
+      val root = RegistryRoots.root(s, dir)
       val fp = g.e.agg(expr("bit_xor(src)")).collect()(0).getLong(0)
       val v = reg.publish(s, root, "purchase_graph", fp, Seq(
         "edges" -> g.e, "vertices" -> g.vertices,

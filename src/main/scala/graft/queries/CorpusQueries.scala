@@ -485,8 +485,8 @@ object CorpusQueries {
     * once per (session, dir) and served back as LOADED lazy scans —
     * the `sharedPersistedLshIndex` / `VectorIndexStore` discipline
     * applied to sparse retrieval. */
-  private val bm25StoreCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), graft.ext.Bm25.Index]()
+  private val bm25StoreCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.ext.Bm25.Index]())
 
   private[queries] def sharedPersistedBm25(s: SparkSession, dir: String): graft.ext.Bm25.Index = {
     SessionCaches.purgeStopped(bm25StoreCache)(_._1)
@@ -494,7 +494,7 @@ object CorpusQueries {
       val docs = Tables.load(s, dir, "documents")
         .filter(length(trim(col("text"))) > 0)
       val reg = graft.ext.ArtifactRegistry
-      val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
+      val root = RegistryRoots.root(s, dir)
       val ix = graft.ext.Bm25.index(docs, "doc_id", "text")
       val fp = docs.agg(expr("bit_xor(doc_id)")).collect()(0).getLong(0)
       val v = reg.publish(s, root, "bm25_index", fp, Seq(

@@ -984,8 +984,8 @@ object CurationQueries {
     * could pair a schedule with the wrong manifest) and handed back as
     * LOADED pinned scans. Corpus fingerprint: XOR of document ids, the
     * manifest discipline. */
-  private val loaderRegistryCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
+  private val loaderRegistryCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]())
 
   private[queries] def sharedLoaderArtifacts(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
@@ -996,7 +996,7 @@ object CurationQueries {
     val man = q193ShardManifest(s, dir)
     loaderRegistryCache.computeIfAbsent((s, dir), _ => {
       val reg = graft.ext.ArtifactRegistry
-      val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
+      val root = RegistryRoots.root(s, dir)
       val fp = Tables.load(s, dir, "documents")
         .agg(expr("bit_xor(doc_id)")).collect()(0).getLong(0)
       val v = reg.publish(s, root, "epoch_loader", fp,

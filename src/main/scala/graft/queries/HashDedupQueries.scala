@@ -268,14 +268,14 @@ object HashDedupQueries {
     * Scaladoc promised ("in production this index is PERSISTED from
     * the previous ingest") — the [[graft.ext.VectorIndexStore]]
     * discipline applied to the dedup family. */
-  private val lshIndexCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val lshIndexCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]())
 
-  private def sharedPersistedLshIndex(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def sharedPersistedLshIndex(s: SparkSession, dir: String): DataFrame = {
     SessionCaches.purgeStopped(lshIndexCache)(_._1)
     lshIndexCache.computeIfAbsent((s, dir), _ => {
       val reg = graft.ext.ArtifactRegistry
-      val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
+      val root = RegistryRoots.root(s, dir)
       val standing = Tables.load(s, dir, "documents").filter(col("doc_id") < 250)
       val fp = standing.agg(expr("bit_xor(doc_id)")).collect()(0).getLong(0)
       val v = reg.publish(s, root, "lsh_index", fp, Seq(
@@ -437,14 +437,14 @@ object HashDedupQueries {
     * as a loaded lazy scan — the [[graft.ext.VectorIndexStore]] /
     * `sharedPersistedLshIndex` discipline applied to exact substring
     * dedup. */
-  private val dupDictCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val dupDictCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]())
 
   private[queries] def sharedPersistedDupDict(s: SparkSession, dir: String): DataFrame = {
     SessionCaches.purgeStopped(dupDictCache)(_._1)
     dupDictCache.computeIfAbsent((s, dir), _ => {
       val reg = graft.ext.ArtifactRegistry
-      val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
+      val root = RegistryRoots.root(s, dir)
       val corpus = Tables.load(s, dir, "documents").filter(col("doc_id") < 250)
       val fp = corpus.agg(expr("bit_xor(doc_id)")).collect()(0).getLong(0)
       val v = reg.publish(s, root, "dupgram_dict", fp, Seq(
@@ -482,8 +482,8 @@ object HashDedupQueries {
     * counts and persisted as the next generation — the q167/q168
     * build/add lifecycle applied to the dedup dictionary. Both hands
     * back LOADED lazy scans. */
-  private val dupCountsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
+  private val dupCountsCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]())
 
   private[queries] def sharedDupgramGenerations(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
@@ -493,7 +493,7 @@ object HashDedupQueries {
       // kind — exactly the coexist-and-pin lifecycle the registry
       // models (gen2 merges the ingest batch into LOADED gen1)
       val reg = graft.ext.ArtifactRegistry
-      val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
+      val root = RegistryRoots.root(s, dir)
       val docs = Tables.load(s, dir, "documents")
       def fpOf(df: DataFrame): Long =
         df.agg(expr("bit_xor(doc_id)")).collect()(0).getLong(0)

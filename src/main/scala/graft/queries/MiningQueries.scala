@@ -26,8 +26,8 @@ object MiningQueries {
     * unrecoverable after executor loss — a long-lived service would
     * persist to storage instead (the [[graft.ext.VectorIndexStore]]
     * path). */
-  private val winnowCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int), DataFrame]()
+  private val winnowCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), DataFrame]())
 
   /** The per-doc distinct selected fingerprints, cached per
     * (session, dir, k, w) — the cache key carries the OPERATING POINT,
@@ -53,8 +53,8 @@ object MiningQueries {
     * re-runs the bigram explode + LM-count join, the family's dominant
     * cost. One thin row per document; the winnow/shingle-cache
     * discipline, eviction included. */
-  private val surprisalCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val surprisalCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]())
 
   private[queries] def sharedSurprisal(s: SparkSession, dir: String): DataFrame = {
     SessionCaches.purgeStopped(surprisalCache)(_._1)
@@ -132,17 +132,19 @@ object MiningQueries {
     * hist/src/stot/sp (the within-source ppm ECDF). ONE definition
     * feeds q171, q172, q176 and the mixTagged chain (q175/q181), so
     * the bucketing and ECDF arithmetic can never fork. */
-  private[queries] val calibCtesSql: String =
-    s"""${surprisalCtesSqlFor("")},
-      |b AS (SELECT d.doc_id, d.source, r.mbpg AS mb, r.mbpg // 64 AS bkt
-      |  FROM rate r JOIN documents d USING (doc_id)),
-      |hist AS (SELECT source, bkt, COUNT(*) AS n FROM b GROUP BY 1, 2),
-      |src AS (SELECT source, bkt,
-      |    SUM(n) OVER (PARTITION BY source ORDER BY bkt) - n AS below FROM hist),
-      |stot AS (SELECT source, SUM(n) AS tot FROM hist GROUP BY 1),
-      |sp AS (SELECT src.source, src.bkt,
+  private[queries] def calibCtesSqlFor(p: String): String =
+    s"""${surprisalCtesSqlFor(p)},
+      |${p}b AS (SELECT d.doc_id, d.source, r.mbpg AS mb, r.mbpg // 64 AS bkt
+      |  FROM ${p}rate r JOIN documents d USING (doc_id)),
+      |${p}hist AS (SELECT source, bkt, COUNT(*) AS n FROM ${p}b GROUP BY 1, 2),
+      |${p}src AS (SELECT source, bkt,
+      |    SUM(n) OVER (PARTITION BY source ORDER BY bkt) - n AS below FROM ${p}hist),
+      |${p}stot AS (SELECT source, SUM(n) AS tot FROM ${p}hist GROUP BY 1),
+      |${p}sp AS (SELECT s.source, s.bkt,
       |    CAST(below * 1000000 // tot AS BIGINT) AS src_pct_ppm
-      |  FROM src JOIN stot USING (source))""".stripMargin
+      |  FROM ${p}src s JOIN ${p}stot USING (source))""".stripMargin
+
+  private[queries] val calibCtesSql: String = calibCtesSqlFor("")
 
   /** The corpus-global ECDF companion (gh/g/gt/gp over `hist`) shared
     * by q171 and q172 — the gap the calibration exists to measure. */
@@ -444,8 +446,8 @@ object MiningQueries {
     * evaluation (the [[sharedWinnowFps]] discipline; one thin id
     * column checkpointed). Hash-neutral: consumers see identical
     * rows. */
-  private val winnowTruthCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int), DataFrame]()
+  private val winnowTruthCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]())
 
   private def sharedSpanTruth(s: SparkSession, dir: String,
       guarantee: Int): DataFrame = {
@@ -618,8 +620,8 @@ object MiningQueries {
     * mixTagged chain (q175/q181) all read ONE eagerly checkpointed
     * materialization instead of each re-running the bucket histogram +
     * ECDF walk (the [[sharedSurprisal]] discipline one layer up). */
-  private val calibFrameCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val calibFrameCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]())
 
   private[queries] def sharedCalibration(s: SparkSession, dir: String): DataFrame = {
     SessionCaches.purgeStopped(calibFrameCache)(_._1)
@@ -689,10 +691,10 @@ object MiningQueries {
     * applied to the quality-calibration stack; with this, every
     * serving artifact in the engine persists: vectors q165, LSH q173,
     * NB q174, calibration here). */
-  private val calibRegistryCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
+  private val calibRegistryCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]())
 
-  private def sharedPersistedCalibRegistry(s: SparkSession, dir: String)
+  private[queries] def sharedPersistedCalibRegistry(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     SessionCaches.purgeStopped(calibRegistryCache)(_._1)
     calibRegistryCache.computeIfAbsent((s, dir), _ => {
@@ -702,7 +704,7 @@ object MiningQueries {
         sharedSurprisal(s, dir), docs, "doc_id", "source")
       val calib = SurprisalScore.calibrationTable(scored, "source")
       val reg = graft.ext.ArtifactRegistry
-      val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
+      val root = RegistryRoots.root(s, dir)
       val fp = docs.agg(expr("bit_xor(doc_id)")).collect()(0).getLong(0)
       val v = reg.publish(s, root, "calib_registry", fp,
         Seq("lm" -> lm, "calib" -> calib))
@@ -771,8 +773,8 @@ object MiningQueries {
     * materialized sample): (doc_id, source, n_tokens, is_uniq,
     * cal_keep) — exact-dedup first-ownership plus the calibrated-gate
     * verdict, computed ONCE so the two queries cannot fork. */
-  private val mixTagCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val mixTagCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]())
 
   private def mixTagged(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

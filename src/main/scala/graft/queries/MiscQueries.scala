@@ -363,28 +363,31 @@ object MiscQueries {
   /** q197: registry AUDIT — the ops query that closes the versioned-
     * registry loop (publish → pin → serve → audit): it forces every
     * registry family's publish (session-cached no-ops after the first
-    * call), then reads back the manifests of SEVEN kinds — the IVF-PQ
-    * index (two generations), the epoch-loader schedule+manifest pair,
-    * the purchase graph, the NB classifier, the BM25 index, the
-    * dup-gram dictionary and the dup-gram count state (two
-    * generations) — and reports, per (kind, version, part): row count,
-    * corpus fingerprint, and the is-latest flag. The oracle recomputes
-    * every expected row from the RAW tables — part cardinalities from
-    * corpus counts, tokenize/vocabulary cardinalities via the SAME
-    * shared CTE fragments the content oracles use (`gateCtesSql` +
-    * `nbTrainCtesSql`, `bm25ScoreChainSql`, `gramChainSqlFor`), and
-    * the model constants (coarse K×64 and codebook M×K×SubDim rows, 3
-    * epochs × corpus for the schedule, both edge directions for the
-    * graph); fingerprints are the same XOR id-checksums the
-    * publishers wrote. A green hash certifies that what the manifests
-    * CLAIM storage holds is exactly what the corpus implies they must
-    * hold: the audit an operator trusts before flipping a pin or
-    * running `gc`. The three kinds left outside the audit
-    * (lsh_index, bpe_tokenizer, calib_registry) are registry-versioned
-    * too, content-certified by their own gated oracles
-    * (q173/q185/q176); their expected-cardinality replays (LSH
-    * eligibility, BPE merge unrolling, ECDF buckets) would cost more
-    * gate time than they add assurance. Scale shape: manifests are
+    * call), then reads back the manifests of ALL TEN kinds — the
+    * IVF-PQ index (two generations), the epoch-loader
+    * schedule+manifest pair, the purchase graph, the NB classifier,
+    * the BM25 index, the dup-gram dictionary, the dup-gram count state
+    * (two generations), the banded LSH index, the BPE tokenizer and
+    * the calibration registry — and reports, per (kind, version,
+    * part): row count, corpus fingerprint, and the is-latest flag. The
+    * oracle recomputes every expected row from the RAW tables — part
+    * cardinalities from corpus counts, tokenize/vocabulary/bucket
+    * cardinalities via the SAME shared CTE fragments the content
+    * oracles use (`gateCtesSql` + `nbTrainCtesSql`,
+    * `bm25ScoreChainSql`, `gramChainSqlFor`, `bpeWordDictSqlFrom`,
+    * `calibCtesSqlFor`), and the model constants (CoarseK×Dims and
+    * codebook M×K×SubDim rows, BpeMerges merge rows, Bands rows per
+    * eligible doc for the LSH index, 3 epochs × corpus for the
+    * schedule, both edge directions for the graph); fingerprints are
+    * the same XOR id-checksums the publishers wrote. A green hash
+    * certifies that what the manifests CLAIM storage holds is exactly
+    * what the corpus implies they must hold: the audit an operator
+    * trusts before flipping a pin or running `gc`. Cardinality
+    * surrogates keep the audit training-free: the LSH expectation is
+    * eligible-docs × Bands (never a signature replay), the dictionary
+    * expectation stops at the word dict (never the merge unrolling),
+    * the calibration expectation counts distinct bigrams / (source ×
+    * bucket) rows (never the ECDF walk). Scale shape: manifests are
     * KB-sized; the expected side is a handful of corpus aggregations
     * (counts, distincts, XORs) — no training replay anywhere. */
   def q197RegistryAudit(s: SparkSession, dir: String): DataFrame = {
@@ -396,10 +399,14 @@ object MiscQueries {
     CorpusQueries.sharedPersistedBm25(s, dir)
     HashDedupQueries.sharedPersistedDupDict(s, dir)
     HashDedupQueries.sharedDupgramGenerations(s, dir)
+    HashDedupQueries.sharedPersistedLshIndex(s, dir)
+    TextQueries.sharedPersistedBpe(s, dir)
+    MiningQueries.sharedPersistedCalibRegistry(s, dir)
     val reg = graft.ext.ArtifactRegistry
-    val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
+    val root = RegistryRoots.root(s, dir)
     val man = Seq("ivfpq", "epoch_loader", "purchase_graph",
-        "nb_model", "bm25_index", "dupgram_dict", "dupgram_counts")
+        "nb_model", "bm25_index", "dupgram_dict", "dupgram_counts",
+        "lsh_index", "bpe_tokenizer", "calib_registry")
       .map(k => reg.manifest(s, root, k).withColumn("kind", lit(k)))
       .reduce(_ unionByName _)
     val latest = man.groupBy($"kind").agg(max($"version").as("latest_v"))
@@ -411,7 +418,7 @@ object MiscQueries {
 
   val q197Sql: String = {
     val pq = graft.ext.ProductQuantize
-    val coarseRows = 8 * 64 // coarse K × dims
+    val coarseRows = pq.CoarseK * pq.Dims // derived, never a literal
     val bookRows = pq.NumSub * pq.K * pq.SubDim
     s"""WITH nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
       |    CAST(SUM(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
@@ -442,6 +449,14 @@ object MiscQueries {
       |    CAST((SELECT COUNT(*) FROM dl) AS BIGINT) AS n_dl,
       |    CAST((SELECT COUNT(*) FROM dfreq) AS BIGINT) AS n_df),
       |${HashDedupQueries.gramChainSqlFor("d")},
+      |${MiningQueries.calibCtesSqlFor("cal_")},
+      |${TextQueries.bpeWordDictSqlFrom(
+          "(SELECT * FROM documents WHERE doc_id < 250)", "bp_")},
+      |lshn AS (SELECT CAST(${graft.ext.MinHashLsh.Bands} * COUNT(*) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id < 250 AND length(text) >= 8),
+      |bpdict AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bp_wd),
+      |callm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cal_cnt),
+      |caltab AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cal_sp),
       |f250 AS (SELECT CAST(bit_xor(doc_id) AS BIGINT) AS fp FROM documents
       |  WHERE doc_id < 250),
       |f375 AS (SELECT CAST(bit_xor(doc_id) AS BIGINT) AS fp FROM documents
@@ -484,7 +499,17 @@ object MiscQueries {
       |  UNION ALL SELECT 'dupgram_counts', 1, 'counts', dgc1.n, f250.fp, 0
       |    FROM dgc1 CROSS JOIN f250
       |  UNION ALL SELECT 'dupgram_counts', 2, 'counts', dgc2.n, f375.fp, 1
-      |    FROM dgc2 CROSS JOIN f375)
+      |    FROM dgc2 CROSS JOIN f375
+      |  UNION ALL SELECT 'lsh_index', 1, 'bands', lshn.n, f250.fp, 1
+      |    FROM lshn CROSS JOIN f250
+      |  UNION ALL SELECT 'bpe_tokenizer', 1, 'merges', ${TextQueries.BpeMerges},
+      |    fp, 1 FROM f250
+      |  UNION ALL SELECT 'bpe_tokenizer', 1, 'dict', bpdict.n, f250.fp, 1
+      |    FROM bpdict CROSS JOIN f250
+      |  UNION ALL SELECT 'calib_registry', 1, 'lm', callm.n, nd.fp_docs, 1
+      |    FROM callm CROSS JOIN nd
+      |  UNION ALL SELECT 'calib_registry', 1, 'calib', caltab.n, nd.fp_docs, 1
+      |    FROM caltab CROSS JOIN nd)
       |SELECT kind, CAST(version AS BIGINT) AS version, part,
       |  CAST(n_rows AS BIGINT) AS n_rows, corpus_fp,
       |  CAST(is_latest AS INT) AS is_latest

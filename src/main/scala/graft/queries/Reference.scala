@@ -155,13 +155,87 @@ object Reference {
       |    ' ctx=' || CAST(history_chars AS VARCHAR) AS response
       |FROM base ORDER BY o_custkey, turn_number""".stripMargin
 
+  /** The indexed enrichment input the pause/resume pair shares: one
+    * prompt per order, deterministically indexed by order key (the W1
+    * distributed index, no single-partition window). */
+  private def enrichResumeInput(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    CoreOps.withRowIndexByOrder(
+      Tables.load(s, dir, "orders")
+        .select($"o_orderkey",
+          concat(lit("Order "), $"o_orderkey".cast("string")).as("prompt")),
+      "row_index", $"o_orderkey")
+  }
+
+  /** The persisted pause: the first half of the run (row_index below
+    * the midpoint cursor — size-relative, meaningful at any scale)
+    * enriched and published WITH its certificate as one registry
+    * generation, once per (session, dir). What a real stop leaves on
+    * storage; q198 resumes from nothing else. */
+  private val enrichCkptCache = SessionCaches.registerMap(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (DataFrame, DataFrame, Long)]())
+
+  private def sharedEnrichCheckpoint(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long) = {
+    SessionCaches.purgeStopped(enrichCkptCache)(_._1)
+    enrichCkptCache.computeIfAbsent((s, dir), _ => {
+      import graft.enrich.EnrichCheckpoint
+      val indexed = enrichResumeInput(s, dir)
+      val pos = indexed.count() / 2
+      val pre = EnrichRunner.mapWithResponse(
+        indexed.filter(col("row_index") < pos), "prompt",
+        DeterministicEnricher(), AiConfig.test()).drop("error")
+      val reg = graft.ext.ArtifactRegistry
+      val root = RegistryRoots.root(s, dir)
+      val v = EnrichCheckpoint.publish(s, root, "enrich_ckpt", pre, pos)
+      (reg.read(s, root, "enrich_ckpt", v, "results"),
+        reg.read(s, root, "enrich_ckpt", v, "cursor"), pos)
+    })
+  }
+
+  /** q198: batch pause→resume PARITY for enrichment — the last
+    * behavioral delta vs the reference's mid-job pause
+    * (`main.py:631-638`), closed the durable way: the resume trusts
+    * ONLY the loaded artifacts (results + cursor certificate), refuses
+    * a corrupted checkpoint with zero rows (the q195 discipline — see
+    * [[graft.enrich.EnrichCheckpoint]]), reuses every verified prior
+    * row VERBATIM, and enriches only the remainder. The oracle replays
+    * the whole UNINTERRUPTED run from the raw table, so the green hash
+    * certifies resumed ∪ pre-stop ≡ uninterrupted, bit-exact — pause
+    * was free. Scale shape: the verification is one KB-sized fold +
+    * broadcast verdict; the anti-join inside `resumeEnrichment` is the
+    * only data-sized exchange. */
+  def q198EnrichResume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (results, cursor, _) = sharedEnrichCheckpoint(s, dir)
+    graft.enrich.EnrichCheckpoint.resumeVerified(
+        enrichResumeInput(s, dir), results, cursor, "prompt",
+        DeterministicEnricher(), AiConfig.test())
+      .select($"cursor_pos", $"n_prior", $"row_index", $"o_orderkey", $"response")
+      .orderBy($"row_index")
+  }
+
+  val q198Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey,
+      |    'Order ' || CAST(o_orderkey AS VARCHAR) AS prompt,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS row_index
+      |  FROM orders),
+      |n AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS pos FROM base)
+      |SELECT n.pos AS cursor_pos, n.pos AS n_prior,
+      |  row_index, o_orderkey,
+      |  '[gpt-test] ' || upper(substr(prompt, 1, 64)) AS response
+      |FROM base CROSS JOIN n ORDER BY row_index""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_template" -> (q10Template _),
     "q11_group_key" -> (q11GroupKey _),
     "q12_sanitize" -> (q12Sanitize _),
     "q13_row_index" -> (q13RowIndex _),
     "q14_pipeline" -> (q14Pipeline _),
-    "q15_conversation_fold" -> (q15ConversationFold _))
+    "q15_conversation_fold" -> (q15ConversationFold _),
+    "q198_enrich_resume" -> (q198EnrichResume _))
 
   val oracle: Map[String, String] = Map(
     "q10_template" -> q10Sql,
@@ -169,5 +243,6 @@ object Reference {
     "q12_sanitize" -> q12Sql,
     "q13_row_index" -> q13Sql,
     "q14_pipeline" -> q14Sql,
-    "q15_conversation_fold" -> q15Sql)
+    "q15_conversation_fold" -> q15Sql,
+    "q198_enrich_resume" -> q198Sql)
 }

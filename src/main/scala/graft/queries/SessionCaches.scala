@@ -33,4 +33,26 @@ private[queries] object SessionCaches {
       if (session(it.next()).sparkContext.isStopped) it.remove()
     }
   }
+
+  private val registered =
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+
+  /** Enroll a cache in the engine-wide clear ([[clearRegistered]]).
+    * Every per-(session, dir) artifact cache registers at declaration,
+    * so "cold caches" is one call that cannot silently miss a module —
+    * the invariant [[RegistryRoots]] depends on: a registry artifact is
+    * only ever re-published after ALL publish caches dropped together
+    * with the root they published into. */
+  def registerMap[K, V](m: ConcurrentHashMap[K, V]): ConcurrentHashMap[K, V] = {
+    registered.add(() => m.clear())
+    m
+  }
+
+  /** Clear every registered cache AND allocate a fresh registry root on
+    * next use — the engine-wide cold-cache hook behind
+    * [[SketchQueries.vecCacheClear]]. */
+  def clearRegistered(): Unit = {
+    registered.forEach(_.apply())
+    RegistryRoots.reset()
+  }
 }

@@ -31,8 +31,8 @@ object SketchQueries {
     * ([[SessionCaches.purgeStopped]]); a long-lived service would
     * additionally evict on source-data version change, keyed here by
     * the data dir. */
-  private val vecCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), AnyRef]()
+  private val vecCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), AnyRef]())
 
   /** Nest-safe memoization. NOT `computeIfAbsent`: a mapping function
     * that touches other keys of the same ConcurrentHashMap violates its
@@ -58,10 +58,16 @@ object SketchQueries {
     }
   }
 
-  /** Test hook: drop every cached entry, so a spec can exercise each
+  /** Test hook: drop every cached artifact ENGINE-WIDE — all modules'
+    * per-(session, dir) caches plus the registry-root allocation
+    * ([[SessionCaches.clearRegistered]]) — so a spec can exercise each
     * entry point of the training chain against an EMPTY cache (the
-    * regression surface of the former nested-computeIfAbsent bug). */
-  private[graft] def vecCacheClear(): Unit = vecCache.clear()
+    * regression surface of the former nested-computeIfAbsent bug).
+    * Engine-wide on purpose: clearing only THIS module's caches while
+    * registry publishes stayed cached elsewhere would republish into a
+    * shared root and shift version numbers under the gated oracles
+    * (see [[RegistryRoots]]). */
+  private[graft] def vecCacheClear(): Unit = SessionCaches.clearRegistered()
 
   /** The SQ8 code matrix, materialized once per (session, dir): the
     * corpus min/max pass behind the codes runs once, not once per
@@ -77,7 +83,8 @@ object SketchQueries {
   private[queries] def sharedFullFit(s: SparkSession, dir: String): KMeansInt.FitResult = {
     val codes = sharedCodes(s, dir) // resolve BEFORE entering the cache
     vcached(s, dir, "fullfit") {
-      KMeansInt.fitConvergedAssign(codes, k = 8, maxRounds = KMeansInt.MaxRounds)
+      KMeansInt.fitConvergedAssign(codes,
+        k = graft.ext.ProductQuantize.CoarseK, maxRounds = KMeansInt.MaxRounds)
     }
   }
 
@@ -807,7 +814,8 @@ object SketchQueries {
     val codes = sharedCodes(s, dir) // resolve BEFORE entering the cache
     val old = codes.filter(col("id") % 10 =!= 0)
     val fit = vcached(s, dir, "fullfit_old") {
-      KMeansInt.fitConvergedAssign(old, k = 8, maxRounds = KMeansInt.MaxRounds)
+      KMeansInt.fitConvergedAssign(old,
+        k = graft.ext.ProductQuantize.CoarseK, maxRounds = KMeansInt.MaxRounds)
     }
     val idx = vcached(s, dir, "ivfpq_old") {
       graft.ext.ProductQuantize.ivfPqIndexFrom(old, fit)
@@ -1003,7 +1011,7 @@ object SketchQueries {
     vcached(s, dir, "ivfpq_registry") {
       import org.apache.spark.sql.functions.{col, posexplode, expr}
       val reg = graft.ext.ArtifactRegistry
-      val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
+      val root = RegistryRoots.root(s, dir)
       def fp(asg: DataFrame): Long =
         asg.agg(expr("bit_xor(id)")).collect()(0).getLong(0)
       val (coarse1, asg1, books1, enc1) = v1idx

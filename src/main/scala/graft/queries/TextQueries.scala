@@ -29,8 +29,8 @@ object TextQueries {
     * with it); `localCheckpoint` blocks are also unrecoverable after
     * executor loss, a reason a long-lived deployment would persist the
     * artifact to storage instead ([[graft.ext.VectorIndexStore]]). */
-  private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  private val shingleCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]())
 
   private def sharedShingleSets(s: SparkSession, dir: String): DataFrame = {
     SessionCaches.purgeStopped(shingleCache)(_._1)
@@ -383,8 +383,8 @@ object TextQueries {
     * The model-registry half of the q169 train/serve split — the
     * [[graft.ext.VectorIndexStore]] / q173 discipline applied to the
     * quality classifier. */
-  private val nbModelCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
+  private val nbModelCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]())
 
   /** THE q169 training recipe — Gopher rule gate as teacher, standing
     * slice (doc_id % 10 ≠ 0) as training data — stated once, so the
@@ -408,7 +408,7 @@ object TextQueries {
     nbModelCache.computeIfAbsent((s, dir), _ => {
       val (w, g) = nbTeacherTrain(s, dir)
       val reg = graft.ext.ArtifactRegistry
-      val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
+      val root = RegistryRoots.root(s, dir)
       val fp = Tables.load(s, dir, "documents")
         .filter(col("doc_id") % 10 =!= 0) // the teacher's training slice
         .agg(expr("bit_xor(doc_id)")).collect()(0).getLong(0)
@@ -897,6 +897,18 @@ object TextQueries {
     * [[BpeMerges]] unrolled merge rounds — `m$i` (round i's chosen
     * pair) and `w$i(word, sym, freq)` (the dictionary after i merges).
     * Like regChainSql, the two oracles must replay the SAME training. */
+  /** The tokenize → word-dictionary prefix of the BPE chain —
+    * `${p}toks(doc_id, word)` and `${p}wd(word, freq)` — factored out
+    * so the q197 registry audit can count the trained dictionary's
+    * cardinality from the SAME token recipe the training oracle
+    * replays, without unrolling the merge rounds. */
+  private[queries] def bpeWordDictSqlFrom(docsRel: String, p: String = ""): String =
+    s"""${p}toks AS (SELECT doc_id, word FROM (
+      |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      |    FROM $docsRel) t
+      |  WHERE regexp_matches(word, '^[a-z0-9]+$$')),
+      |${p}wd AS (SELECT word, COUNT(*) AS freq FROM ${p}toks GROUP BY word)""".stripMargin
+
   private[queries] def bpeChainSqlFrom(docsRel: String): String = {
     val rounds = (1 to BpeMerges).map { i =>
       s"""p$i AS (SELECT replace(s[j], ';', '') AS a, replace(s[j + 1], ';', '') AS b, freq FROM
@@ -909,11 +921,7 @@ object TextQueries {
         |    replace(sym, ' ' || m.a || '; ' || m.b || ';', ' ' || m.a || m.b || ';') AS sym, freq
         |  FROM w${i - 1}, m$i m)""".stripMargin
     }.mkString(",\n")
-    s"""toks AS (SELECT doc_id, word FROM (
-      |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
-      |    FROM $docsRel) t
-      |  WHERE regexp_matches(word, '^[a-z0-9]+$$')),
-      |wd AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word),
+    s"""${bpeWordDictSqlFrom(docsRel)},
       |w0 AS MATERIALIZED (SELECT word, array_to_string(
       |    list_transform(generate_series(1, length(word)), i -> ' ' || substr(word, i, 1) || ';'),
       |    '') AS sym, freq FROM wd),
@@ -1051,10 +1059,10 @@ object TextQueries {
     * registry's LAST uncovered trained artifact (after the NB weights,
     * the calibration registry, the PQ codebooks, the LSH index, the
     * BM25 index, the dup-gram dictionary). */
-  private val bpeStoreCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
+  private val bpeStoreCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]())
 
-  private def sharedPersistedBpe(s: SparkSession, dir: String)
+  private[queries] def sharedPersistedBpe(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     SessionCaches.purgeStopped(bpeStoreCache)(_._1)
     bpeStoreCache.computeIfAbsent((s, dir), _ => {
@@ -1062,7 +1070,7 @@ object TextQueries {
       val standing = Tables.load(s, dir, "documents").filter(col("doc_id") < 250)
       val trained = BpeTrain.trainBatched(BpeTrain.wordDict(standing, "text"), BpeMerges)
       val reg = graft.ext.ArtifactRegistry
-      val root = graft.ext.VectorIndexStore.defaultPath(dir, "registry")
+      val root = RegistryRoots.root(s, dir)
       val fp = standing.agg(expr("bit_xor(doc_id)")).collect()(0).getLong(0)
       val v = reg.publish(s, root, "bpe_tokenizer", fp,
         Seq("merges" -> trained.merges, "dict" -> trained.dict))

@@ -94,6 +94,44 @@ class ArtifactRegistrySpec extends SparkSpec {
       Seq("weights" -> Seq((4L, 4L)).toDF("id", "v"))) == 4L)
   }
 
+  test("publish certifies landed rows from parquet footers, never a re-scan") {
+    val root = freshRoot()
+    val w = spark.range(0, 1000, 1, 4).selectExpr("id", "id * 2 AS v")
+    ArtifactRegistry.publish(spark, root, "model", 7L, Seq("weights" -> w))
+    // the manifest certifies exactly what storage holds
+    val m = ArtifactRegistry.manifest(spark, root, "model")
+      .select($"n_rows").as[Long].collect()
+    assert(m.toSeq == Seq(1000L))
+    // and certifying runs NO Spark job at all — the count is footer
+    // metadata, so a corpus-sized part is never read back after write
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = ArtifactRegistry.countLandedRows(spark, s"$root/model/v000001/weights")
+      assert(n == 1000L)
+      org.apache.spark.GraftTestShim.waitListeners(spark.sparkContext)
+      assert(jobs == 0, s"footer count launched $jobs Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("gc refuses a floor above the latest published version") {
+    val root = freshRoot()
+    ArtifactRegistry.publish(spark, root, "model", 1L,
+      Seq("weights" -> Seq((1L, 1L)).toDF("id", "v")))
+    // a typo'd floor would delete the ONLY serveable generation while
+    // the manifest kept advertising it — refused, storage untouched
+    intercept[IllegalArgumentException] {
+      ArtifactRegistry.gc(spark, root, "model", keepFrom = 5L)
+    }
+    assert(ArtifactRegistry.read(spark, root, "model", 1L, "weights").count() == 1L)
+    // the latest version itself is a legal floor (deletes nothing here)
+    assert(ArtifactRegistry.gc(spark, root, "model", keepFrom = 1L).isEmpty)
+  }
+
   test("every persisted artifact family versions through the registry") {
     // q197 forces the seven audited kinds; the other three families'
     // serving queries force theirs
@@ -101,7 +139,7 @@ class ArtifactRegistrySpec extends SparkSpec {
     SparkEntry.queries("q173_persisted_lsh_probe")(spark, sf).count()
     SparkEntry.queries("q185_persisted_bpe_apply")(spark, sf).count()
     SparkEntry.queries("q176_persisted_calib_serve")(spark, sf).count()
-    val root = graft.ext.VectorIndexStore.defaultPath(sf, "registry")
+    val root = graft.queries.RegistryRoots.root(spark, sf)
     val expect = Map(
       "ivfpq" -> Set("coarse", "asg", "books", "enc"),
       "epoch_loader" -> Set("schedule", "manifest"),
@@ -130,7 +168,7 @@ class ArtifactRegistrySpec extends SparkSpec {
     assert(rows.forall(_.getLong(2) > 0))
     // the registry holds all three graph parts, and the degree part is
     // one row per edge (degree-annotated edges, not a degree table)
-    val root = graft.ext.VectorIndexStore.defaultPath(sf, "registry")
+    val root = graft.queries.RegistryRoots.root(spark, sf)
     val m = ArtifactRegistry.manifest(spark, root, "purchase_graph")
       .select($"part", $"n_rows").as[(String, Long)].collect().toMap
     assert(m.keySet == Set("edges", "vertices", "deg"))
@@ -147,7 +185,7 @@ class ArtifactRegistrySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
     // the registry recorded both generations of every index part, and
     // the upgrade's asg part grew by exactly the arrival batch
-    val root = graft.ext.VectorIndexStore.defaultPath(sf, "registry")
+    val root = graft.queries.RegistryRoots.root(spark, sf)
     val m = ArtifactRegistry.manifest(spark, root, "ivfpq")
       .select($"version", $"part", $"n_rows")
       .as[(Long, String, Long)].collect()

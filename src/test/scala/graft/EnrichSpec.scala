@@ -126,6 +126,56 @@ class EnrichSpec extends SparkSpec {
     assert(metrics.processed.value == 4) // only the missing rows ran
   }
 
+  test("checkpointed pause→resume is bit-exact parity; corruption is refused (T5)") {
+    val indexed = (0L until 10L).map(i => (i, s"p$i")).toDF("row_index", "prompt")
+    val uninterrupted = EnrichRunner.mapWithResponse(
+        indexed, "prompt", DeterministicEnricher(), AiConfig.test())
+      .select($"row_index", $"prompt", $"response")
+      .orderBy($"row_index").collect().toSeq
+    // the pause: first 6 rows enriched, published with their certificate
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-index/" +
+      s"ckpt-${java.util.UUID.randomUUID.toString.take(8)}"
+    val pre = EnrichRunner.mapWithResponse(
+      indexed.filter($"row_index" < 6), "prompt",
+      DeterministicEnricher(), AiConfig.test()).drop("error")
+    val v = EnrichCheckpoint.publish(spark, root, "ckpt", pre, cursorPos = 6L)
+    val reg = graft.ext.ArtifactRegistry
+    val results = reg.read(spark, root, "ckpt", v, "results")
+    val cursor = reg.read(spark, root, "ckpt", v, "cursor")
+    def resume(res: org.apache.spark.sql.DataFrame,
+        cur: org.apache.spark.sql.DataFrame) =
+      EnrichCheckpoint.resumeVerified(indexed, res, cur, "prompt",
+        DeterministicEnricher(), AiConfig.test())
+    // healthy checkpoint: resumed ∪ pre-stop ≡ uninterrupted, bit-exact
+    val metrics = new EnrichMetrics(spark)
+    val resumedRows = EnrichCheckpoint.resumeVerified(indexed, results, cursor,
+        "prompt", DeterministicEnricher(), AiConfig.test(), Some(metrics))
+      .select($"row_index", $"prompt", $"response", $"cursor_pos", $"n_prior")
+      // ONE action, NO orderBy: a sort's range-sampling pass would
+      // execute the enrichment a second time and double the counters
+      .collect().toSeq.sortBy(_.getLong(0))
+    assert(resumedRows.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      == uninterrupted.map(r => (r.getLong(0), r.getString(1), r.getString(2))))
+    assert(metrics.processed.value == 4, "verified prior rows must be reused, not re-enriched")
+    assert(resumedRows.map(r => (r.getLong(3), r.getLong(4))).distinct == Seq((6L, 6L)))
+    // a tampered response → pair-XOR mismatch → refuse with zero rows
+    val flipped = results.withColumn("response",
+      when($"row_index" === 3L, lit("TAMPERED")).otherwise($"response"))
+    assert(resume(flipped, cursor).count() == 0)
+    // two responses SWAPPED between rows (every response-only stat
+    // preserved) → the pair binding catches it → refuse
+    val swapped = results.withColumn("response",
+      when($"row_index" === 1L, lit("[gpt-test] P2"))
+        .when($"row_index" === 2L, lit("[gpt-test] P1"))
+        .otherwise($"response"))
+    assert(resume(swapped, cursor).count() == 0)
+    // a truncated prefix (last row missing) → count/max mismatch → refuse
+    assert(resume(results.filter($"row_index" < 5), cursor).count() == 0)
+    // a tampered cursor position → complete-prefix check fails → refuse
+    assert(resume(results,
+      cursor.withColumn("cursor_pos", lit(7L))).count() == 0)
+  }
+
   test("pipeline handles non-ASCII text end-to-end (template, enrich, assemble)") {
     val df = Seq(("héllo wörld", "日本語のテキスト", "naïve"), ("中文文档", "Ω≈ç", "emoji 🚀 ok"))
       .toDF("topic", "audience", "priority")

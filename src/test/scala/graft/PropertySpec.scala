@@ -45,6 +45,16 @@ class PropertySpec extends SparkSpec {
     assert(isz(Array(1L, 2L), Array.empty) == 0L)
     assert(isz(Array(1L, 3L, 5L), Array(2L, 4L, 6L)) == 0L)
     assert(isz(Array(1L, 3L, 5L), Array(1L, 3L, 5L)) == 3L)
+    // contract tripwire: an unsorted or duplicated input the merge
+    // actually visits throws instead of silently undercounting
+    intercept[IllegalArgumentException] {
+      isz(Array(5L, 3L, 4L), Array(5L, 6L, 7L))
+    }
+    intercept[IllegalArgumentException] {
+      isz(Array(1L, 2L, 3L), Array(2L, 2L, 3L))
+    }
+    // a violation past the shorter side's exhaustion is legitimately
+    // invisible (the merge never visits it) — documented, not asserted
   }
 
   test("property: CSV export -> re-ingest is identity on non-blank string rows") {
