@@ -171,6 +171,46 @@ object ArtifactRegistry {
     versionDir(root, kind, version)
   }
 
+  private val PinDir = "_pin"
+
+  /** Flip the CURRENT PIN of `kind` to a manifest-visible version —
+    * the deployment primitive behind upgrade (pin the new generation)
+    * and rollback (re-pin an old one). The pin is an APPEND-ONLY log
+    * of (version, seq) rows, current = highest seq: appending is
+    * atomic for readers in a way an overwritten one-row file is not (a
+    * reader never observes a half-flipped pin, only the previous one),
+    * and the log doubles as the pin HISTORY an audit reads. KB-sized
+    * forever (rows = flips, never data-sized). Single-operator per
+    * (root, kind) by the same contract as [[publish]]. */
+  def setPin(s: SparkSession, root: String, kind: String, version: Long): Unit = {
+    val known = manifest(s, root, kind)
+      .filter(col("version") === version).limit(1).count() > 0
+    require(known, s"cannot pin $kind v$version under $root: not manifest-visible")
+    val seq = pinLog(s, root, kind).agg(max(col("seq"))).collect()(0) match {
+      case r if r.isNullAt(0) => 1L
+      case r => r.getLong(0) + 1L
+    }
+    import s.implicits._
+    Seq((version, seq)).toDF("version", "seq")
+      .coalesce(1).write.mode("append").parquet(s"$root/$kind/$PinDir")
+  }
+
+  /** The pin log of `kind` (version, seq), empty frame if never pinned. */
+  def pinLog(s: SparkSession, root: String, kind: String): DataFrame = {
+    val path = s"$root/$kind/$PinDir"
+    if (exists(s, path)) s.read.parquet(path)
+    else s.range(0).select(col("id").as("version"), col("id").as("seq"))
+  }
+
+  /** The currently pinned version of `kind`, if any — the version at
+    * the pin log's highest seq. A serving path that re-resolves this
+    * per batch picks up a flip WITHOUT restart (see
+    * [[graft.streaming.Streaming.nbServeStreamRotating]]). */
+  def currentPin(s: SparkSession, root: String, kind: String): Option[Long] = {
+    val rows = pinLog(s, root, kind).orderBy(col("seq").desc).limit(1).collect()
+    rows.headOption.map(_.getLong(0))
+  }
+
   /** Administrative garbage collection: delete the part directories of
     * every published version of `kind` BELOW `keepFrom` (the oldest
     * version any reader still pins — the deployment's pin floor).
@@ -189,6 +229,10 @@ object ArtifactRegistry {
     require(latest == 0L || keepFrom <= latest,
       s"gc floor $keepFrom is above the latest published version $latest " +
         s"of $kind — refusing to delete the only serveable generation")
+    val pinned = currentPin(s, root, kind)
+    require(pinned.forall(_ >= keepFrom),
+      s"gc floor $keepFrom would delete the currently pinned version " +
+        s"${pinned.getOrElse(-1L)} of $kind — re-pin before collecting")
     val (f, p) = fs(s, s"$root/$kind")
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).iterator.map(_.getPath.getName)

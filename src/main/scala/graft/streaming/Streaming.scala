@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -1086,6 +1086,44 @@ object Streaming {
     * Zero-token docs survive via explode_outer and score prior-only.
     * Same unique-doc-per-window assumption as [[tfidfKeywordStream]]:
     * redelivering sources must dedupe upstream. */
+  /** Registry-pin ROTATION for a live serve — the deployment reason
+    * the versioned registry exists, demonstrated on the NB classifier:
+    * upgrade a serving stream from generation v1 to v2 (or roll back)
+    * BETWEEN micro-batches, without restarting the query.
+    *
+    * A static frame embedded in a streaming plan is frozen at stream
+    * start (Spark re-plans the join per micro-batch from the SAME
+    * frame), so rotation needs the one mechanism that re-RESOLVES per
+    * batch: `foreachBatch`. Each micro-batch reads the registry's
+    * current pin ([[graft.ext.ArtifactRegistry.currentPin]] — a
+    * KB-sized append-only log), lazily loads THAT generation's
+    * immutable parts, scores the batch with the SAME batch classifier
+    * the gated q174 serve uses ([[graft.ext.NbClassifier.score]] —
+    * stream/batch parity by construction, not by reimplementation),
+    * stamps every row with `served_version`, and hands the result to
+    * `sink`. Falls back to the latest manifest-visible version when
+    * nothing was ever pinned. Per-batch overhead: one pin-log read +
+    * two lazy parquet opens — the generation's data is only scanned by
+    * the join itself. Spec-pinned in StreamingSpec: batches before and
+    * after a re-pin provably serve from DIFFERENT generations, each
+    * bit-identical to its batch twin. */
+  def nbServeStreamRotating(docs: DataFrame, root: String, kind: String)(
+      sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        val reg = graft.ext.ArtifactRegistry
+        val v = reg.currentPin(s, root, kind)
+          .getOrElse(reg.latestVersion(s, root, kind))
+        val scored = graft.ext.NbClassifier.score(batch, "doc_id", "text",
+            reg.read(s, root, kind, v, "weights"),
+            reg.read(s, root, kind, v, "globals"))
+          .withColumn("served_version", lit(v))
+        sink(v, scored)
+      }
+      .start()
+
   def nbScoreStream(docs: DataFrame, weights: DataFrame,
       dBits: Long, priorBits: Long): DataFrame = {
     val tf = docs

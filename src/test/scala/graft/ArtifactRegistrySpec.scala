@@ -132,6 +132,33 @@ class ArtifactRegistrySpec extends SparkSpec {
     assert(ArtifactRegistry.gc(spark, root, "model", keepFrom = 1L).isEmpty)
   }
 
+  test("pins: append-only log, current = last flip, gc respects the pin") {
+    val root = freshRoot()
+    (1 to 3).foreach { i =>
+      ArtifactRegistry.publish(spark, root, "model", i.toLong,
+        Seq("weights" -> Seq((i.toLong, i.toLong)).toDF("id", "v")))
+    }
+    assert(ArtifactRegistry.currentPin(spark, root, "model").isEmpty)
+    // a pin must point at a manifest-visible version
+    intercept[IllegalArgumentException] {
+      ArtifactRegistry.setPin(spark, root, "model", 9L)
+    }
+    ArtifactRegistry.setPin(spark, root, "model", 2L)
+    assert(ArtifactRegistry.currentPin(spark, root, "model").contains(2L))
+    // rollback is another append — history stays readable
+    ArtifactRegistry.setPin(spark, root, "model", 1L)
+    assert(ArtifactRegistry.currentPin(spark, root, "model").contains(1L))
+    assert(ArtifactRegistry.pinLog(spark, root, "model")
+      .orderBy($"seq").select($"version").as[Long].collect().toSeq == Seq(2L, 1L))
+    // gc cannot delete the generation the pin still points at
+    intercept[IllegalArgumentException] {
+      ArtifactRegistry.gc(spark, root, "model", keepFrom = 2L)
+    }
+    ArtifactRegistry.setPin(spark, root, "model", 3L)
+    assert(ArtifactRegistry.gc(spark, root, "model", keepFrom = 3L) == Seq(1L, 2L))
+    assert(ArtifactRegistry.read(spark, root, "model", 3L, "weights").count() == 1L)
+  }
+
   test("every persisted artifact family versions through the registry") {
     // q197 forces the seven audited kinds; the other three families'
     // serving queries force theirs

@@ -881,6 +881,61 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === expect, "stream/batch NB score divergence")
   }
 
+  test("a live serve rotates registry pins between micro-batches without restart") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reg = graft.ext.ArtifactRegistry
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-index/" +
+      s"rot-${java.util.UUID.randomUUID.toString.take(8)}"
+    val docs = Tables.load(spark, sf, "documents")
+    val gate = graft.ext.QualityGate.gopherGate(docs, "doc_id", "text")
+      .select($"doc_id", $"keep")
+    // two genuinely different generations: v1 trained on the standing
+    // slice, v2 on the full corpus
+    def publishGen(train: org.apache.spark.sql.DataFrame): Long = {
+      val (w, g) = graft.ext.NbClassifier.trainWeights(
+        train, "doc_id", "text", gate.join(train.select("doc_id"), "doc_id"))
+      reg.publish(spark, root, "nb_model", 0L, Seq("weights" -> w, "globals" -> g))
+    }
+    val v1 = publishGen(docs.filter($"doc_id" % 10 =!= 0))
+    val v2 = publishGen(docs)
+    // batch twins straight from the pinned generations (parity target)
+    val arrivals = docs.filter($"doc_id" % 10 === 0)
+    def twin(v: Long) = graft.ext.NbClassifier.score(arrivals, "doc_id", "text",
+        reg.read(spark, root, "nb_model", v, "weights"),
+        reg.read(spark, root, "nb_model", v, "globals"))
+      .select($"id", $"n_tokens", $"score_bits", $"nb_keep")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val (twin1, twin2) = (twin(v1), twin(v2))
+    assert(twin1 != twin2, "generations must differ or the rotation proves nothing")
+    // the serve: pin v1, stream a batch, FLIP the pin, stream again —
+    // one continuous query, no restart
+    reg.setPin(spark, root, "nb_model", v1)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(Long, Long, Long, Int)])]
+    val fresh = arrivals.select($"doc_id", $"text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.nbServeStreamRotating(
+        input.toDF().toDF("doc_id", "text"), root, "nb_model") { (v, scored) =>
+      got += ((v, scored
+        .select($"id", $"n_tokens", $"score_bits", $"nb_keep",
+          $"served_version")
+        .collect().map(r => { assert(r.getLong(4) == v);
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)) }).toSet))
+    }
+    try {
+      input.addData(fresh: _*)
+      q.processAllAvailable()
+      reg.setPin(spark, root, "nb_model", v2) // the rotation
+      input.addData(fresh: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val nonEmpty = got.filter(_._2.nonEmpty).toSeq
+    assert(nonEmpty.map(_._1) == Seq(v1, v2),
+      s"expected one batch served from each generation, got ${nonEmpty.map(_._1)}")
+    assert(nonEmpty(0)._2 === twin1, "pre-rotation batch must equal the v1 batch twin")
+    assert(nonEmpty(1)._2 === twin2, "post-rotation batch must equal the v2 batch twin")
+  }
+
   test("streaming CUSUM alarms match the batch fold's count and first alarm (q160 twin)") {
     import Streaming.{CusumAlarm, CusumEventT}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
