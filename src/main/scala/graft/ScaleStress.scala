@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness: measure how the expensive queries GROW, not
+  * just how fast they are at one size — the evidence behind every
+  * "scale-safe" claim in the plan audit. Deterministically replicates
+  * the driver's tables `factor`× with re-keyed ids (ids are multiplied
+  * then offset, so replicas never collide and every join stays
+  * consistent: `o_orderkey`/`l_orderkey` share one scheme), runs the
+  * named queries at BOTH scales in one warm JVM, and prints per-query
+  * medians plus the observed scaling exponent
+  * e = log(t_big/t_base) / log(factor) — e ≈ 1 is linear, e ≪ 1 means
+  * a fixed-cost floor (job overhead/training side) still dominates,
+  * e > 1 is the super-linear smell the audit exists to catch.
+  *
+  * Notes on fidelity: standing-corpus slices (doc_id < 250, %10
+  * arithmetic) keep their absolute definitions, so TRAINING sides stay
+  * fixed-size while serving/corpus sides grow — exactly the
+  * production shape (yesterday's artifact, 10× today's corpus).
+  * Dimension tables (region/nation/customer/supplier/part) are
+  * symlinked, not replicated: they are broadcast-sized by design.
+  *
+  * Usage: runMain graft.ScaleStress <srcDir> <outDir> <factor> <q...>
+  * (blown-up tables are built once; an existing outDir is reused). */
+object ScaleStress {
+
+  /** Tables that grow with the corpus, and how to re-key each replica:
+    * id -> id + k·10·2³² — replica 0 keeps every id VERBATIM (so
+    * absolute-threshold slices like doc_id < 250 stay the fixed
+    * standing corpus), the offset keeps ids globally unique, AND it is
+    * ≡ 0 (mod 10) so every replica stays in its source's %10 class:
+    * train/eval and standing/arrival splits keep their MEANING at any
+    * factor. (A non-multiple-of-10 offset scatters each text's
+    * replicas across the classes — a copy of every training text lands
+    * in the eval slice and decontamination rightly deletes the whole
+    * corpus; q148 caught exactly that in the first run of this
+    * harness.) Join keys share the scheme on both sides; passenger
+    * keys (o_custkey, l_suppkey, user_id) stay — hot keys get factor×
+    * hotter, which is the honest stress. Text replicates VERBATIM:
+    * near-dup density rises with factor, and the df-capped posting
+    * lists are exactly the lever that must keep candidate growth
+    * bounded — that is part of what gets measured. */
+  private val factTables: Map[String, Seq[String]] = Map(
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "events" -> Seq("event_id"),
+    "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey"))
+
+  private val dimTables =
+    Seq("region", "nation", "customer", "supplier", "part")
+
+  def blowUp(s: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+    val out = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.isDirectory(out)) return // built once, reused
+    java.nio.file.Files.createDirectories(out)
+    factTables.foreach { case (t, idCols) =>
+      val df = s.read.parquet(s"$srcDir/$t.parquet")
+      // replica k re-keys id -> id * factor + k: ids stay unique,
+      // replica 0 keeps id MOD-class arithmetic meaningful, and the
+      // scheme is identical for both sides of every key pair
+      val blown = df.withColumn("__k",
+          explode(sequence(lit(0), lit(factor - 1))))
+      idCols.foldLeft(blown) { (d, c) =>
+          d.withColumn(c, col(c) + col("__k").cast("long") * (10L << 32))
+        }.drop("__k")
+        .write.mode("errorifexists").parquet(s"$outDir/$t.parquet")
+    }
+    dimTables.foreach { t =>
+      java.nio.file.Files.createSymbolicLink(
+        out.resolve(s"$t.parquet"),
+        java.nio.file.Paths.get(s"$srcDir/$t.parquet"))
+    }
+  }
+
+  private def medianSecs(s: SparkSession, name: String, dir: String,
+      reps: Int): Double = {
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(s, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    times(times.length / 2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val outDir = args(1)
+    val factor = args(2).toInt
+    val names = args.drop(3).toSeq
+    val spark = LocalSessions.create(logLevel = "ERROR")
+    blowUp(spark, srcDir, outDir, factor)
+    val reps = 3
+    println(f"SCALESTRESS factor=$factor reps=$reps (medians)")
+    println(f"${"query"}%-28s ${"base_s"}%8s ${"big_s"}%8s ${"exponent"}%8s")
+    names.foreach { name =>
+      // warm both scales once (training/publish artifacts build here),
+      // then measure steady-state medians
+      val base = medianSecs(spark, name, srcDir, reps)
+      val big = medianSecs(spark, name, outDir, reps)
+      val e = math.log(big / base) / math.log(factor.toDouble)
+      println(f"SCALESTRESS $name%-28s $base%8.2f $big%8.2f $e%8.2f")
+    }
+    spark.stop()
+  }
+}

@@ -363,12 +363,13 @@ object MiscQueries {
   /** q197: registry AUDIT — the ops query that closes the versioned-
     * registry loop (publish → pin → serve → audit): it forces every
     * registry family's publish (session-cached no-ops after the first
-    * call), then reads back the manifests of ALL TEN kinds — the
+    * call), then reads back the manifests of ALL ELEVEN kinds — the
     * IVF-PQ index (two generations), the epoch-loader
     * schedule+manifest pair, the purchase graph, the NB classifier,
     * the BM25 index, the dup-gram dictionary, the dup-gram count state
-    * (two generations), the banded LSH index, the BPE tokenizer and
-    * the calibration registry — and reports, per (kind, version,
+    * (two generations), the banded LSH index, the BPE tokenizer, the
+    * calibration registry and the enrichment pause checkpoint
+    * (results + cursor certificate) — and reports, per (kind, version,
     * part): row count, corpus fingerprint, and the is-latest flag. The
     * oracle recomputes every expected row from the RAW tables — part
     * cardinalities from corpus counts, tokenize/vocabulary/bucket
@@ -392,6 +393,27 @@ object MiscQueries {
     * (counts, distincts, XORs) — no training replay anywhere. */
   def q197RegistryAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    forceAllPublishes(s, dir)
+    val reg = graft.ext.ArtifactRegistry
+    val root = RegistryRoots.root(s, dir)
+    val man = RegistryKinds
+      .map(k => reg.manifest(s, root, k).withColumn("kind", lit(k)))
+      .reduce(_ unionByName _)
+    val latest = man.groupBy($"kind").agg(max($"version").as("latest_v"))
+    man.join(broadcast(latest), "kind")
+      .select($"kind", $"version", $"part", $"n_rows", $"corpus_fp",
+        ($"version" === $"latest_v").cast("int").as("is_latest"))
+      .orderBy($"kind", $"version", $"part")
+  }
+
+  /** The registry kinds every audit-class query reads — ONE list so
+    * q197 (content audit) and q199 (retention plan) can never audit
+    * different surfaces. */
+  private val RegistryKinds = Seq("ivfpq", "epoch_loader", "purchase_graph",
+    "nb_model", "bm25_index", "dupgram_dict", "dupgram_counts",
+    "lsh_index", "bpe_tokenizer", "calib_registry", "enrich_ckpt")
+
+  private def forceAllPublishes(s: SparkSession, dir: String): Unit = {
     SketchQueries.sharedIvfPqRegistry(s, dir)
     CurationQueries.sharedLoaderArtifacts(s, dir)
     AnalyticsQueries.loadedPurchaseGraph(s, dir)
@@ -402,19 +424,98 @@ object MiscQueries {
     HashDedupQueries.sharedPersistedLshIndex(s, dir)
     TextQueries.sharedPersistedBpe(s, dir)
     MiningQueries.sharedPersistedCalibRegistry(s, dir)
+    Reference.sharedEnrichCheckpoint(s, dir)
+  }
+
+  /** The deployment's pin posture, set once per (session, dir): the
+    * IVF-PQ serve pins generation 1 while generation 2 coexists (the
+    * q194 posture), the dup-gram count state pins its UPGRADED
+    * generation 2 (stranding generation 1 below the floor — the gc
+    * candidate q199 exists to surface), and every single-generation
+    * kind pins its latest. */
+  private val pinSetupCache = SessionCaches.registerMap(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), java.lang.Boolean]())
+
+  private def sharedPinPosture(s: SparkSession, dir: String): Unit = {
+    SessionCaches.purgeStopped(pinSetupCache)(_._1)
+    forceAllPublishes(s, dir) // publishes resolve BEFORE the cache slot
+    pinSetupCache.computeIfAbsent((s, dir), _ => {
+      val reg = graft.ext.ArtifactRegistry
+      val root = RegistryRoots.root(s, dir)
+      RegistryKinds.foreach { k =>
+        val v = k match {
+          case "ivfpq" => 1L // yesterday's readers still on gen 1 (q194)
+          case _ => reg.latestVersion(s, root, k)
+        }
+        reg.setPin(s, root, k, v)
+      }
+      java.lang.Boolean.TRUE
+    })
+  }
+
+  /** q199: registry RETENTION PLAN — the ops query an operator runs
+    * before `gc`, now data-driven by the pin log instead of a number
+    * typed from memory: per (kind, version): part count, is-latest,
+    * is-pinned (the pin log's current flip), and COLLECTIBLE — a
+    * version strictly below its kind's pin floor, i.e. exactly what
+    * `ArtifactRegistry.gc(keepFrom = pin)` would delete and nothing
+    * else. Under the session's pin posture the single collectible row
+    * is dupgram_counts v1 (its pin moved to the upgraded generation 2)
+    * while ivfpq v2 correctly stays: NEWER than its pin, so not a gc
+    * candidate — rollback headroom, not garbage. Scale shape: manifests
+    * and pin logs are KB-sized at any corpus size; the whole query
+    * touches no data files. The oracle is the closed-form state a cold
+    * publish pass plus the pin posture implies — meaningful precisely
+    * because [[RegistryRoots]] pins the registry root to the publish
+    * caches' generation. */
+  def q199RegistryRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sharedPinPosture(s, dir)
     val reg = graft.ext.ArtifactRegistry
     val root = RegistryRoots.root(s, dir)
-    val man = Seq("ivfpq", "epoch_loader", "purchase_graph",
-        "nb_model", "bm25_index", "dupgram_dict", "dupgram_counts",
-        "lsh_index", "bpe_tokenizer", "calib_registry")
+    val man = RegistryKinds
       .map(k => reg.manifest(s, root, k).withColumn("kind", lit(k)))
       .reduce(_ unionByName _)
+    val pins = RegistryKinds
+      .map(k => reg.pinLog(s, root, k).withColumn("kind", lit(k)))
+      .reduce(_ unionByName _)
+      .groupBy($"kind")
+      .agg(max_by($"version", $"seq").as("pinned_v"))
     val latest = man.groupBy($"kind").agg(max($"version").as("latest_v"))
-    man.join(broadcast(latest), "kind")
-      .select($"kind", $"version", $"part", $"n_rows", $"corpus_fp",
-        ($"version" === $"latest_v").cast("int").as("is_latest"))
-      .orderBy($"kind", $"version", $"part")
+    man.groupBy($"kind", $"version")
+      .agg(countDistinct($"part").as("n_parts"))
+      .join(broadcast(latest), "kind")
+      .join(broadcast(pins), "kind")
+      .select($"kind", $"version", $"n_parts",
+        ($"version" === $"latest_v").cast("int").as("is_latest"),
+        ($"version" === $"pinned_v").cast("int").as("is_pinned"),
+        ($"version" < $"pinned_v").cast("int").as("collectible"))
+      .orderBy($"kind", $"version")
   }
+
+  val q199Sql: String =
+    """SELECT kind, CAST(version AS BIGINT) AS version,
+      |  CAST(n_parts AS BIGINT) AS n_parts,
+      |  CAST(is_latest AS INT) AS is_latest,
+      |  CAST(is_pinned AS INT) AS is_pinned,
+      |  CAST(collectible AS INT) AS collectible
+      |FROM (VALUES
+      |  ('bm25_index', 1, 4, 1, 1, 0),
+      |  ('bpe_tokenizer', 1, 2, 1, 1, 0),
+      |  ('calib_registry', 1, 2, 1, 1, 0),
+      |  ('dupgram_counts', 1, 1, 0, 0, 1),
+      |  ('dupgram_counts', 2, 1, 1, 1, 0),
+      |  ('dupgram_dict', 1, 1, 1, 1, 0),
+      |  ('enrich_ckpt', 1, 2, 1, 1, 0),
+      |  ('epoch_loader', 1, 2, 1, 1, 0),
+      |  ('ivfpq', 1, 4, 0, 1, 0),
+      |  ('ivfpq', 2, 4, 1, 0, 0),
+      |  ('lsh_index', 1, 1, 1, 1, 0),
+      |  ('nb_model', 1, 2, 1, 1, 0),
+      |  ('purchase_graph', 1, 3, 1, 1, 0))
+      |  AS t(kind, version, n_parts, is_latest, is_pinned, collectible)
+      |ORDER BY kind, version""".stripMargin
 
   val q197Sql: String = {
     val pq = graft.ext.ProductQuantize
@@ -452,6 +553,7 @@ object MiscQueries {
       |${MiningQueries.calibCtesSqlFor("cal_")},
       |${TextQueries.bpeWordDictSqlFrom(
           "(SELECT * FROM documents WHERE doc_id < 250)", "bp_")},
+      |no AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS pos FROM orders),
       |lshn AS (SELECT CAST(${graft.ext.MinHashLsh.Bands} * COUNT(*) AS BIGINT) AS n
       |  FROM documents WHERE doc_id < 250 AND length(text) >= 8),
       |bpdict AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bp_wd),
@@ -509,7 +611,9 @@ object MiscQueries {
       |  UNION ALL SELECT 'calib_registry', 1, 'lm', callm.n, nd.fp_docs, 1
       |    FROM callm CROSS JOIN nd
       |  UNION ALL SELECT 'calib_registry', 1, 'calib', caltab.n, nd.fp_docs, 1
-      |    FROM caltab CROSS JOIN nd)
+      |    FROM caltab CROSS JOIN nd
+      |  UNION ALL SELECT 'enrich_ckpt', 1, 'cursor', 1, pos, 1 FROM no
+      |  UNION ALL SELECT 'enrich_ckpt', 1, 'results', no.pos, no.pos, 1 FROM no)
       |SELECT kind, CAST(version AS BIGINT) AS version, part,
       |  CAST(n_rows AS BIGINT) AS n_rows, corpus_fp,
       |  CAST(is_latest AS INT) AS is_latest
@@ -518,6 +622,7 @@ object MiscQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q197_registry_audit" -> (q197RegistryAudit _),
+    "q199_registry_retention" -> (q199RegistryRetention _),
     "q92_frame_dedup" -> (q92FrameDedup _),
     "q161_image_phash_dedup" -> (q161ImagePhashDedup _),
     "q103_audio" -> (q103Audio _),
@@ -531,6 +636,7 @@ object MiscQueries {
 
   val oracle: Map[String, String] = Map(
     "q197_registry_audit" -> q197Sql,
+    "q199_registry_retention" -> q199Sql,
     "q92_frame_dedup" -> q92Sql,
     "q161_image_phash_dedup" -> q161Sql,
     "q103_audio" -> q103Sql,

@@ -176,7 +176,7 @@ object Reference {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), (DataFrame, DataFrame, Long)]())
 
-  private def sharedEnrichCheckpoint(s: SparkSession, dir: String)
+  private[queries] def sharedEnrichCheckpoint(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, Long) = {
     SessionCaches.purgeStopped(enrichCkptCache)(_._1)
     enrichCkptCache.computeIfAbsent((s, dir), _ => {

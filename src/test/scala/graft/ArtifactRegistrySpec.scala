@@ -177,7 +177,8 @@ class ArtifactRegistrySpec extends SparkSpec {
       "dupgram_counts" -> Set("counts"),
       "lsh_index" -> Set("bands"),
       "bpe_tokenizer" -> Set("merges", "dict"),
-      "calib_registry" -> Set("lm", "calib"))
+      "calib_registry" -> Set("lm", "calib"),
+      "enrich_ckpt" -> Set("results", "cursor"))
     expect.foreach { case (kind, parts) =>
       val m = ArtifactRegistry.manifest(spark, root, kind)
         .select($"part").distinct().as[String].collect().toSet
