@@ -80,15 +80,25 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
-  /** Jaccard of two ASCENDING-sorted long arrays (two-pointer). */
+  /** Jaccard of two ASCENDING-sorted distinct long arrays (two-pointer).
+    * Same contract tripwire as [[intersectSizeSortedLong]]: every step
+    * the merge takes checks the strict-ascending invariant and throws
+    * on violation instead of silently mis-scoring. */
   def jaccardSortedLong(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var inter = 0
+    var px = 0L; var py = 0L
     while (i < na && j < nb) {
       val x = a.getLong(i); val y = b.getLong(j)
-      if (x == y) { inter += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+      if (i > 0 && x <= px) throw new IllegalArgumentException(
+        s"jaccard_sorted_long: left array not strictly ascending at " +
+          s"index $i ($px then $x) — inputs must be sorted distinct")
+      if (j > 0 && y <= py) throw new IllegalArgumentException(
+        s"jaccard_sorted_long: right array not strictly ascending at " +
+          s"index $j ($py then $y) — inputs must be sorted distinct")
+      if (x == y) { inter += 1; px = x; py = y; i += 1; j += 1 }
+      else if (x < y) { px = x; i += 1 }
+      else { py = y; j += 1 }
     }
     val union = na + nb - inter
     if (union == 0) 0.0 else inter.toDouble / union.toDouble

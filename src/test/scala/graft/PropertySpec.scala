@@ -55,6 +55,14 @@ class PropertySpec extends SparkSpec {
     }
     // a violation past the shorter side's exhaustion is legitimately
     // invisible (the merge never visits it) — documented, not asserted
+    // the Jaccard kernel shares the contract and the tripwire
+    def jac(a: Array[Long], b: Array[Long]) =
+      VectorKernels.jaccardSortedLong(
+        new GenericArrayData(a), new GenericArrayData(b))
+    assert(jac(Array(1L, 2L, 3L), Array(2L, 3L, 4L)) == 0.5)
+    intercept[IllegalArgumentException] {
+      jac(Array(5L, 3L, 4L), Array(5L, 6L, 7L))
+    }
   }
 
   test("property: CSV export -> re-ingest is identity on non-blank string rows") {
