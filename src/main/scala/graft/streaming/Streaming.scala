@@ -1110,19 +1110,75 @@ object Streaming {
   def nbServeStreamRotating(docs: DataFrame, root: String, kind: String)(
       sink: (Long, DataFrame) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+    rotatingServe(docs, root, kind) { (batch, v) =>
+      val s = batch.sparkSession
+      val reg = graft.ext.ArtifactRegistry
+      graft.ext.NbClassifier.score(batch, "doc_id", "text",
+        reg.read(s, root, kind, v, "weights"),
+        reg.read(s, root, kind, v, "globals"))
+    }(sink)
+
+  /** The generic per-micro-batch pin re-resolution every rotating
+    * serve shares: resolve the registry's current pin (falling back to
+    * latest if never pinned), let `serve` score the static batch frame
+    * against THAT generation with the family's own BATCH scorer, stamp
+    * `served_version`, hand to `sink`. One pin-log read + lazy part
+    * opens per batch; the generation's data is only scanned by the
+    * serve plan itself. */
+  def rotatingServe(stream: DataFrame, root: String, kind: String)(
+      serve: (DataFrame, Long) => DataFrame)(sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val s = batch.sparkSession
         val reg = graft.ext.ArtifactRegistry
         val v = reg.currentPin(s, root, kind)
           .getOrElse(reg.latestVersion(s, root, kind))
-        val scored = graft.ext.NbClassifier.score(batch, "doc_id", "text",
-            reg.read(s, root, kind, v, "weights"),
-            reg.read(s, root, kind, v, "globals"))
-          .withColumn("served_version", lit(v))
-        sink(v, scored)
+        sink(v, serve(batch, v).withColumn("served_version", lit(v)))
       }
       .start()
+
+  /** Pin-rotating BM25 serve: arriving FREE-TEXT queries (`qid`,
+    * `query`) tokenize row-locally, take their idf annotations from
+    * the pinned generation's vocab-sized `dfreq` part, and score/rank
+    * through the SAME batch scorer the gated q118/q180 serves use
+    * ([[graft.ext.Bm25.Index.scores]]/`rankTopK` — parity by
+    * construction). Terms the pinned vocabulary never saw drop out of
+    * the inner join, contributing zero — standard BM25 retrieval.
+    * Upgrade/rollback is one `setPin` between micro-batches. */
+  def bm25ServeStreamRotating(queries: DataFrame, root: String,
+      kind: String, topK: Int = 10)(sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rotatingServe(queries, root, kind) { (batch, v) =>
+      val s = batch.sparkSession
+      val ix = graft.ext.Bm25.readIndex(s,
+        graft.ext.ArtifactRegistry.versionPath(s, root, kind, v))
+      val qterms = batch.select(col("qid"),
+          explode(graft.functions.TextFunctions.tokens(lower(col("query"))))
+            .as("term"))
+        .filter(col("term") =!= "")
+        .distinct() // a repeated query term scores once (set semantics)
+        .join(ix.dfreq, "term")
+        .select(col("qid"), col("term"), col("df"), col("idf_bits"))
+      graft.ext.Bm25.rankTopK(ix.scores(qterms), topK)
+    }(sink)
+
+  /** Pin-rotating IVF-PQ vector serve: arriving query vectors (`id`,
+    * `codes`) probe the pinned generation through the SAME batch probe
+    * the gated q165/q194 serves use
+    * ([[graft.ext.ProductQuantize.ivfPqTopKWith]]). A flip to the
+    * upgraded generation (arrivals added, codebooks frozen — the q167
+    * lifecycle) changes which corpus the SAME query searches, between
+    * micro-batches, no restart. */
+  def ivfPqServeStreamRotatingPinned(queries: DataFrame, root: String,
+      kind: String, nProbe: Int = 4, topK: Int = 10)(
+      sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rotatingServe(queries, root, kind) { (batch, v) =>
+      graft.ext.ProductQuantize.ivfPqTopKWith(
+        graft.ext.ArtifactRegistry.readIvfPq(batch.sparkSession, root, kind, v),
+        batch, nProbe, topK)
+    }(sink)
 
   def nbScoreStream(docs: DataFrame, weights: DataFrame,
       dBits: Long, priorBits: Long): DataFrame = {

@@ -936,6 +936,112 @@ class StreamingSpec extends SparkSpec {
     assert(nonEmpty(1)._2 === twin2, "post-rotation batch must equal the v2 batch twin")
   }
 
+  test("the BM25 serve rotates pins mid-stream (free-text queries, batch-scorer parity)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reg = graft.ext.ArtifactRegistry
+    val bm = graft.ext.Bm25
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-index/" +
+      s"rotb-${java.util.UUID.randomUUID.toString.take(8)}"
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(length(trim($"text")) > 0)
+    def publishGen(corpus: org.apache.spark.sql.DataFrame): Long = {
+      val ix = bm.index(corpus, "doc_id", "text")
+      reg.publish(spark, root, "bm25_index", 0L, Seq(
+        "tf" -> ix.tf, "dl" -> ix.dl, "dfreq" -> ix.dfreq,
+        "globals" -> spark.range(1).select(lit(ix.n).as("n"), lit(ix.t).as("t"))))
+    }
+    val v1 = publishGen(docs.filter($"doc_id" < 250))
+    val v2 = publishGen(docs)
+    // free-text queries built from corpus terms; the synthetic vocab is
+    // ~30 near-universal words (idf_bits 0) plus the rare "dup" — each
+    // query carries it so scores are nonzero and generation-dependent
+    // (df and the corpus constants differ between the two indexes)
+    val qs = Seq((0L, "dup scan data"), (1L, "dup join window merge"))
+    def twin(v: Long): Set[(Long, Long, Long, Long)] = {
+      val ix = bm.readIndex(spark, reg.versionPath(spark, root, "bm25_index", v))
+      val qterms = qs.toDF("qid", "query")
+        .select($"qid", explode(graft.functions.TextFunctions.tokens(lower($"query"))).as("term"))
+        .filter($"term" =!= "").distinct()
+        .join(ix.dfreq, "term")
+        .select($"qid", $"term", $"df", $"idf_bits")
+      bm.rankTopK(ix.scores(qterms), 10)
+        .select($"qid", $"rank", $"id", $"score_fp")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    val (twin1, twin2) = (twin(v1), twin(v2))
+    assert(twin1 != twin2, "generations must rank differently")
+    reg.setPin(spark, root, "bm25_index", v1)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(Long, Long, Long, Long)])]
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.bm25ServeStreamRotating(
+        input.toDF().toDF("qid", "query"), root, "bm25_index") { (v, ranked) =>
+      got += ((v, ranked.select($"qid", $"rank", $"id", $"score_fp")
+        .as[(Long, Long, Long, Long)].collect().toSet))
+    }
+    try {
+      input.addData(qs: _*); q.processAllAvailable()
+      reg.setPin(spark, root, "bm25_index", v2)
+      input.addData(qs: _*); q.processAllAvailable()
+    } finally q.stop()
+    val nonEmpty = got.filter(_._2.nonEmpty).toSeq
+    assert(nonEmpty.map(_._1) == Seq(v1, v2))
+    assert(nonEmpty(0)._2 === twin1 && nonEmpty(1)._2 === twin2)
+  }
+
+  test("the IVF-PQ serve rotates to the upgraded generation mid-stream") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reg = graft.ext.ArtifactRegistry
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-index/" +
+      s"rotv-${java.util.UUID.randomUUID.toString.take(8)}"
+    // the q194 lifecycle: generation 1 = standing-corpus index,
+    // generation 2 = arrivals ADDED, codebooks frozen
+    val codes = graft.ext.Quantize.sq8Codes(
+      Tables.load(spark, sf, "embeddings"), "vec_id", "embedding")
+      .localCheckpoint(true)
+    val old = codes.filter($"id" % 10 =!= 0)
+    val fit = graft.ext.KMeansInt.fitConvergedAssign(old,
+      k = graft.ext.ProductQuantize.CoarseK, maxRounds = graft.ext.KMeansInt.MaxRounds)
+    val idx1 = graft.ext.ProductQuantize.ivfPqIndexFrom(old, fit)
+    val v1 = reg.publishIvfPq(spark, root, "ivfpq", 1L, idx1)
+    val add = graft.ext.ProductQuantize.ivfPqAdd(codes.filter($"id" % 10 === 0), idx1)
+    val (c1, a1, b1, e1) = idx1
+    val idx2 = (c1,
+      a1.unionByName(add.select($"id", $"coarse")),
+      b1,
+      e1.unionByName(add.select($"id", posexplode($"pq")).toDF("id", "sub", "cluster")))
+    val v2 = reg.publishIvfPq(spark, root, "ivfpq", 2L, idx2)
+    val queries = codes.filter($"id" % 10 === 0).limit(8)
+      .localCheckpoint(true)
+    def twin(v: Long): Set[(Long, Long, Long, Long)] =
+      graft.ext.ProductQuantize.ivfPqTopKWith(
+          reg.readIvfPq(spark, root, "ivfpq", v), queries, nProbe = 4, topK = 10)
+        .select($"qid", $"rank", $"vec_id", $"adc_dist2")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val (twin1, twin2) = (twin(v1), twin(v2))
+    assert(twin1 != twin2,
+      "the upgrade adds the query vectors themselves — results must differ")
+    reg.setPin(spark, root, "ivfpq", v1)
+    val qrows = queries.select($"id", $"codes")
+      .as[(Long, Array[Long])].collect()
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(Long, Long, Long, Long)])]
+    val input = MemoryStream[(Long, Array[Long])]
+    val q = Streaming.ivfPqServeStreamRotatingPinned(
+        input.toDF().toDF("id", "codes"), root, "ivfpq") { (v, ranked) =>
+      got += ((v, ranked.select($"qid", $"rank", $"vec_id", $"adc_dist2")
+        .as[(Long, Long, Long, Long)].collect().toSet))
+    }
+    try {
+      input.addData(qrows: _*); q.processAllAvailable()
+      reg.setPin(spark, root, "ivfpq", v2)
+      input.addData(qrows: _*); q.processAllAvailable()
+    } finally q.stop()
+    val nonEmpty = got.filter(_._2.nonEmpty).toSeq
+    assert(nonEmpty.map(_._1) == Seq(v1, v2))
+    assert(nonEmpty(0)._2 === twin1 && nonEmpty(1)._2 === twin2)
+  }
+
   test("streaming CUSUM alarms match the batch fold's count and first alarm (q160 twin)") {
     import Streaming.{CusumAlarm, CusumEventT}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
