@@ -162,9 +162,19 @@ object Dedup {
           b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
+    // the set-fetch joins must NEVER broadcast the sets side: Catalyst
+    // sizes it from the parquet scan (text compresses small), but
+    // hashedShingles inflates every row to a ~300-element long array —
+    // at 100× the "58 MB" estimate is ~12 GB in driver memory and the
+    // broadcast build OOMs (caught by the 100× scale-stress). The
+    // merge hint pins sort-merge: id-keyed, spillable, the join a
+    // 100 TB corpus needs anyway; at toy scale it costs two sorts of
+    // candidate-bounded rows.
     cand
-      .join(docs.select(col("id").as("id_a"), col("sh_set").as("set_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("sh_set").as("set_b")), Seq("id_b"))
+      .join(docs.select(col("id").as("id_a"), col("sh_set").as("set_a"))
+        .hint("merge"), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh_set").as("set_b"))
+        .hint("merge"), Seq("id_b"))
   }
 
   /** DIRECTED shingle containment — `src ⊆ dst` detection: for each
@@ -418,7 +428,10 @@ object Dedup {
     val cand = docs.select(col("doc_id"), explode(col("sh_set")).as("sh"))
       .join(postings, Seq("sh"))
       .select(col("doc_id"), col("corpus_id")).distinct()
-    cand.join(docs, Seq("doc_id")).join(sets, Seq("corpus_id"))
+    // same no-broadcast contract as candidateSetPairs: both set sides
+    // carry inflated hash arrays the scan-size estimate cannot see
+    cand.join(docs.hint("merge"), Seq("doc_id"))
+      .join(sets.hint("merge"), Seq("corpus_id"))
       .select(col("doc_id"), col("corpus_id"),
         intersectSize(col("sh_set"), col("set_c")).as("n_inter"),
         size(col("sh_set")).cast("long").as("n_doc"),

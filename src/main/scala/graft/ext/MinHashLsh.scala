@@ -132,6 +132,50 @@ object MinHashLsh {
     estSim(cand, "id_a", "id_b").filter(col("est_sim") >= minEstSim)
   }
 
+  /** [[nearDupPairs]] with a BAND-BUCKET size cap — the scale lever the
+    * banded join itself needs on clone-heavy corpora: a bucket of B
+    * near-identical documents (boilerplate pages, mirrored dumps, the
+    * 100× verbatim scale-stress) emits B(B−1)/2 pairs, quadratic in
+    * the clone count, and no shingle-df cap can see it because the
+    * blow-up happens in the BAND buckets. Buckets larger than
+    * `maxBucket` are excluded from pair emission entirely — the same
+    * contract as [[Dedup.ngramJaccardPairs]]'s `maxShingleDf` (an
+    * oversized bucket is a guaranteed duplicate CLUSTER; at scale you
+    * either exact-dedup upstream, as q72 does, or link such clusters
+    * through a representative instead of all-pairs).
+    *
+    * Emission is distinct-pair (one aggregation), NOT
+    * [[firstMatchPred]]: under a cap, a pair's first AGREEING band may
+    * be a dropped oversized bucket, and the first-match predicate
+    * would then wrongly suppress the pair at its surviving band.
+    * Scale shape: bucket sizes are one map-side-combined count over
+    * the banded rows; the semi join keeps signatures out of oversized
+    * buckets before any pair expands. */
+  def nearDupPairsCapped(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minEstSim: Double = 0.5,
+      maxBucket: Int = 16): DataFrame = {
+    val bands = banded(signatures(df, idCol, textCol, n))
+    val smallBuckets = bands.groupBy(col("band"), col("bslice"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("band"), col("bslice"))
+    // merge hint: the bucket list is data-sized (≤ docs × Bands rows)
+    val kept = bands.join(smallBuckets.hint("merge"),
+      Seq("band", "bslice"), "left_semi")
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.bslice") === col("b.bslice") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+    estSim(cand, "id_a", "id_b").filter(col("est_sim") >= minEstSim)
+  }
+
   /** Near-dups of `fresh` docs against an already-built corpus snapshot
     * `index` ([[bandedIndex]] shape) — the incremental crawl-ingest
     * twin of [[nearDupPairs]], and the LSH analogue of

@@ -408,35 +408,55 @@ object CorpusQueries {
     * application are row-local or vocabulary-sized; the only
     * corpus-sized shuffles carry digests, fingerprints, and words —
     * never text after the scan. */
+  /** The release set and its own trained tokenizer — the expensive,
+    * corpus-version half of q148 (gates → exact dedup → span
+    * decontamination → BPE trained on the survivors), materialized
+    * once per (session, dir): the released frame is eagerly
+    * checkpointed (three consumers) and the trained merge/dict frames
+    * are vocabulary-sized. The q137/q143 session-artifact discipline
+    * applied to the capstone's interior. */
+  private val releaseCache = SessionCaches.registerMap(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (DataFrame, graft.ext.BpeTrain.Trained)]())
+
+  private def sharedRelease(s: SparkSession, dir: String)
+      : (DataFrame, graft.ext.BpeTrain.Trained) = {
+    SessionCaches.purgeStopped(releaseCache)(_._1)
+    val fpsAll = MiningQueries.sharedWinnowFps(s, dir) // resolve BEFORE the slot
+    releaseCache.computeIfAbsent((s, dir), _ => {
+      import graft.functions.TextFunctions
+      import graft.ext.BpeTrain
+      val docs = Tables.load(s, dir, "documents")
+      val gated = docs.select(col("doc_id"), col("text"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .filter(col("n_tokens") >= 5 && col("n_tokens") <= 1000 &&
+          col("quality") >= 0.3)
+      val train = gated.filter(col("doc_id") % 10 =!= 0)
+      val keepIds = train
+        .groupBy(md5(lower(trim(col("text")))).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val deduped = train.join(keepIds, "doc_id")
+      val evalFps = fpsAll.filter(col("id") % 10 === 0).select(col("fp")).distinct()
+      val contaminated = fpsAll.filter(col("id") % 10 =!= 0)
+        .join(evalFps.withColumn("hit", lit(1)), Seq("fp"), "left")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_fp"), count(col("hit")).as("n_shared"))
+        .filter(expr("n_shared * 1000000L DIV n_fp") >= 900000L)
+        .select(col("id").as("doc_id"))
+      val released = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      (released, BpeTrain.trainBatched(
+        BpeTrain.wordDict(released, "text"), TextQueries.BpeMerges))
+    })
+  }
+
   def q148ReleasePipeline(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.functions.{GraftFunctions, TextFunctions}
+    import graft.functions.GraftFunctions
     import graft.ext.{BpeTrain, Hll}
-    val docs = Tables.load(s, dir, "documents")
-    val gated = docs.select($"doc_id", $"text",
-        TextFunctions.tokenCount($"text").as("n_tokens"),
-        TextFunctions.qualityScore($"text").as("quality"))
-      .filter($"n_tokens" >= 5 && $"n_tokens" <= 1000 && $"quality" >= 0.3)
-    val train = gated.filter($"doc_id" % 10 =!= 0)
-    val keepIds = train
-      .groupBy(md5(lower(trim($"text"))).as("h"))
-      .agg(min($"doc_id").as("doc_id"))
-      .select($"doc_id")
-    val deduped = train.join(keepIds, "doc_id")
-    // session-cached fingerprints — the same (session, dir) artifact
-    // q124/q146 read; feeds the eval set AND the contamination probe
-    val fpsAll = MiningQueries.sharedWinnowFps(s, dir)
-    val evalFps = fpsAll.filter($"id" % 10 === 0).select($"fp").distinct()
-    val contaminated = fpsAll.filter($"id" % 10 =!= 0)
-      .join(evalFps.withColumn("hit", lit(1)), Seq("fp"), "left")
-      .groupBy($"id")
-      .agg(count(lit(1)).as("n_fp"), count($"hit").as("n_shared"))
-      .filter(expr("n_shared * 1000000L DIV n_fp") >= 900000L)
-      .select($"id".as("doc_id"))
-    val released = deduped.join(contaminated, Seq("doc_id"), "left_anti")
-      .localCheckpoint(false) // feeds BPE training, application, and output
-    val trained = BpeTrain.trainBatched(
-      BpeTrain.wordDict(released, "text"), TextQueries.BpeMerges)
+    val (released, trained) = sharedRelease(s, dir)
     val agg = BpeTrain.docWords(released, "text", carry = Seq("doc_id"))
       .join(broadcast(BpeTrain.tokenCounts(trained)), "word")
       .groupBy($"doc_id").agg(sum($"n_bpe").as("n_bpe_tokens"))

@@ -50,6 +50,38 @@ object HashDedupQueries {
       |SELECT id_a, id_b, est_sim FROM est WHERE est_sim >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q200: bucket-CAPPED banded LSH — [[graft.ext.MinHashLsh
+    * .nearDupPairsCapped]] gated: band buckets larger than the cap are
+    * excluded from pair emission (an oversized bucket is a guaranteed
+    * duplicate CLUSTER and its all-pairs expansion is quadratic in the
+    * clone count — the pathology the 100× verbatim scale-stress drove
+    * the uncapped join into). Cap = 2 BITES at the gate's sf (the
+    * corpus has two 3-member buckets), so the green hash certifies the
+    * exclusion arithmetic, not a vacuous pass-through; emission is
+    * distinct-pair because first-match-band is unsound under a cap
+    * (the first agreeing band may be a dropped bucket). Scale shape:
+    * one map-side-combined bucket count + a semi join BEFORE any pair
+    * expands. */
+  def q200LshBucketCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    MinHashLsh.nearDupPairsCapped(Tables.load(s, dir, "documents"),
+        "doc_id", "text", n = 8, minEstSim = 0.5, maxBucket = 2)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q200Sql: String =
+    s"""WITH $sigChainSql,
+      |bsz AS (SELECT b, slice FROM bands GROUP BY b, slice HAVING COUNT(*) <= 2),
+      |kept AS (SELECT bands.* FROM bands JOIN bsz USING (b, slice)),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM kept a JOIN kept b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
+      |est AS (SELECT id_a, id_b,
+      |  CAST(list_sum(list_transform(generate_series(1,16),
+      |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS est_sim
+      |  FROM cand JOIN sig sa ON cand.id_a = sa.id JOIN sig sb ON cand.id_b = sb.id)
+      |SELECT id_a, id_b, est_sim FROM est WHERE est_sim >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   def q21SimHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     SimHashDedup.nearDupPairs(Tables.load(s, dir, "documents"),
@@ -138,15 +170,38 @@ object HashDedupQueries {
     * query, not a notebook; both the estimator and the ground truth
     * are themselves oracle-verified operators, and the eval is one
     * full-outer join of two tiny pair sets + a scalar rollup. */
+  /** The exact-Jaccard truth pairs (J ≥ 0.5, values included) and the
+    * banded-LSH estimate pairs (est ≥ 0.5) the q137/q147 evaluations
+    * BOTH judge against — corpus-version artifacts (the q183
+    * sharedSpanTruth discipline): the truth side's full shingle
+    * explode + two-pointer verify is the dominant cost of each eval
+    * and is IDENTICAL between them, so it materializes once per
+    * (session, dir). Pair sets are candidate-bounded (df-capped
+    * posting lists), far smaller than the corpus. */
+  private val lshEvalCache = SessionCaches.registerMap(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (DataFrame, DataFrame)]())
+
+  private def sharedLshEvalPairs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    SessionCaches.purgeStopped(lshEvalCache)(_._1)
+    lshEvalCache.computeIfAbsent((s, dir), _ => {
+      val docs = graft.Tables.load(s, dir, "documents")
+      (graft.ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 8,
+          threshold = 0.5, maxShingleDf = 20)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .localCheckpoint(true),
+        MinHashLsh.nearDupPairs(docs, "doc_id", "text", n = 8, minEstSim = 0.5)
+          .select(col("id_a"), col("id_b"), col("est_sim"))
+          .localCheckpoint(true))
+    })
+  }
+
   def q137LshEval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.ext.Dedup
-    val docs = Tables.load(s, dir, "documents")
-    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 8,
-        threshold = 0.5, maxShingleDf = 20)
-      .select($"id_a", $"id_b", lit(1).as("t"))
-    val est = MinHashLsh.nearDupPairs(docs, "doc_id", "text", n = 8, minEstSim = 0.5)
-      .select($"id_a", $"id_b", lit(1).as("e"))
+    val (truthP, estP) = sharedLshEvalPairs(s, dir)
+    val truth = truthP.select($"id_a", $"id_b", lit(1).as("t"))
+    val est = estP.select($"id_a", $"id_b", lit(1).as("e"))
     truth.join(est, Seq("id_a", "id_b"), "full_outer")
       .agg(
         count(when($"t".isNotNull && $"e".isNotNull, 1)).as("tp"),
@@ -220,13 +275,7 @@ object HashDedupQueries {
     * a point estimate (q137) says nothing about the tradeoff slope. */
   def q147LshRoc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.ext.Dedup
-    val docs = Tables.load(s, dir, "documents")
-    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 8,
-        threshold = 0.5, maxShingleDf = 20)
-      .select($"id_a", $"id_b", $"jaccard")
-    val est = MinHashLsh.nearDupPairs(docs, "doc_id", "text", n = 8, minEstSim = 0.5)
-      .select($"id_a", $"id_b", $"est_sim")
+    val (truth, est) = sharedLshEvalPairs(s, dir)
     val f = truth.join(est, Seq("id_a", "id_b"), "full_outer")
       .select($"jaccard".as("j"), $"est_sim".as("e"))
     val thrs = array(Seq(0.5, 0.625, 0.75, 0.875).map(lit): _*)
@@ -608,6 +657,7 @@ object HashDedupQueries {
     "q173_persisted_lsh_probe" -> (q173PersistedLshProbe _),
     "q147_lsh_roc" -> (q147LshRoc _),
     "q20_minhash_lsh" -> (q20MinHash _),
+    "q200_lsh_bucket_cap" -> (q200LshBucketCap _),
     "q21_simhash" -> (q21SimHash _),
     "q69_incremental_dedup" -> (q69IncrementalDedup _),
     "q120_incremental_lsh" -> (q120IncrementalLsh _))
@@ -626,6 +676,7 @@ object HashDedupQueries {
     "q173_persisted_lsh_probe" -> q120Sql,
     "q147_lsh_roc" -> q147Sql,
     "q20_minhash_lsh" -> q20Sql,
+    "q200_lsh_bucket_cap" -> q200Sql,
     "q21_simhash" -> q21Sql,
     "q69_incremental_dedup" -> q69Sql,
     "q120_incremental_lsh" -> q120Sql)

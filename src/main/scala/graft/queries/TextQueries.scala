@@ -886,10 +886,30 @@ object TextQueries {
     * with several merges per job. */
   def q143BpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.ext.BpeTrain.trainBatched(
+    sharedBpeTrainedAll(s, dir).merges.orderBy($"merge_rank")
+  }
+
+  /** The tokenizer trained on the FULL corpus, once per (session, dir)
+    * — q143 (the merge table), q145 (whole-corpus tokenization) and
+    * q149 (fertility cross-tab) all train the IDENTICAL
+    * `trainBatched(wordDict(documents), BpeMerges)` model; before this
+    * cache each of the three re-ran the 24-merge training loop
+    * (~2.5 s of Spark rounds) per execution. The trained frames are
+    * driver-bounded (vocabulary-sized merge/dict tables), so the cache
+    * holds artifacts, not corpus-sized plans. Distinct from
+    * [[sharedPersistedBpe]], which trains the FROZEN standing-slice
+    * tokenizer the registry serves. */
+  private val bpeTrainAllCache = SessionCaches.registerMap(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), graft.ext.BpeTrain.Trained]())
+
+  private def sharedBpeTrainedAll(s: SparkSession, dir: String)
+      : graft.ext.BpeTrain.Trained = {
+    SessionCaches.purgeStopped(bpeTrainAllCache)(_._1)
+    bpeTrainAllCache.computeIfAbsent((s, dir), _ =>
+      graft.ext.BpeTrain.trainBatched(
         graft.ext.BpeTrain.wordDict(Tables.load(s, dir, "documents"), "text"),
-        BpeMerges).merges
-      .orderBy($"merge_rank")
+        BpeMerges))
   }
 
   /** Shared DuckDB BPE training chain for q143/q145: doc-level valid
@@ -950,8 +970,7 @@ object TextQueries {
     import s.implicits._
     import graft.ext.BpeTrain
     val docs = Tables.load(s, dir, "documents")
-    val trained = BpeTrain.trainBatched(BpeTrain.wordDict(docs, "text"), BpeMerges)
-    val dict = BpeTrain.tokenCounts(trained)
+    val dict = BpeTrain.tokenCounts(sharedBpeTrainedAll(s, dir))
     val dw = BpeTrain.docWords(docs, "text", carry = Seq("doc_id"))
     val agg = dw.join(broadcast(dict), "word")
       .groupBy($"doc_id")
@@ -1004,8 +1023,7 @@ object TextQueries {
     import s.implicits._
     import graft.ext.BpeTrain
     val docs = Tables.load(s, dir, "documents")
-    val trained = BpeTrain.trainBatched(BpeTrain.wordDict(docs, "text"), BpeMerges)
-    val dict = BpeTrain.tokenCounts(trained)
+    val dict = BpeTrain.tokenCounts(sharedBpeTrainedAll(s, dir))
     // (labeled, predicted) cross-tab: the labeled axis is the equity
     // report, the predicted axis is what a labelless pipeline buckets
     // by — disagreement cells surface langID drift in the same table
