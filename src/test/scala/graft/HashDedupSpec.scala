@@ -43,6 +43,34 @@ class HashDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("bucket cap excludes clone clusters, keeps ordinary pairs, and is a no-op below the cap") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val clones = (10L to 15L).map(i => (i, "identical boilerplate page body repeated verbatim across the mirror set"))
+    val df = (Seq(
+      (1L, base), (2L, base + " x"),
+      (3L, "entirely unrelated material about spark query engines and shuffles")) ++ clones)
+      .toDF("doc_id", "text")
+    // six identical clones share every band bucket (size 6 > cap 4):
+    // the quadratic 15-pair expansion is excluded entirely, while the
+    // ordinary near-dup pair in small buckets survives
+    val capped = MinHashLsh.nearDupPairsCapped(df, "doc_id", "text",
+        minEstSim = 0.5, maxBucket = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)))
+    assert(!capped.exists(p => p._1 >= 10L && p._2 >= 10L),
+      "clone-cluster pairs must not expand past the bucket cap")
+    // with no bucket above the cap, capped == uncapped (same pair set)
+    val small = Seq((1L, base), (2L, base + " x"),
+      (3L, "entirely unrelated material about spark query engines and shuffles"))
+      .toDF("doc_id", "text")
+    val a = MinHashLsh.nearDupPairs(small, "doc_id", "text", minEstSim = 0.5)
+      .select("id_a", "id_b", "est_sim").as[(Long, Long, Double)].collect().toSet
+    val b = MinHashLsh.nearDupPairsCapped(small, "doc_id", "text",
+        minEstSim = 0.5, maxBucket = 16)
+      .select("id_a", "id_b", "est_sim").as[(Long, Long, Double)].collect().toSet
+    assert(a == b)
+  }
+
   test("SimHash banded pairs equal brute-force pairs (pigeonhole exactness)") {
     val docs = (1L to 40L).map(i =>
       (i, if (i % 10 == 0) "shared base text repeated tokens alpha beta gamma"
