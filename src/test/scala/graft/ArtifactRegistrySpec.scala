@@ -189,6 +189,23 @@ class ArtifactRegistrySpec extends SparkSpec {
     assert(ArtifactRegistry.latestVersion(spark, root, "dupgram_counts") == 2L)
   }
 
+  test("a cache clear republishes into a FRESH root — pinned versions stay 1/2") {
+    // the round-14 medium-advice scenario, end to end: the registry
+    // root is scoped per publish-cache generation (RegistryRoots), so
+    // dropping the caches mid-session must NOT shift version numbers
+    // under the gated oracles — before the fix this second run read
+    // pinned=3/latest=4 from a republish into the stale root
+    def versions(): Seq[(Long, Long)] =
+      SparkEntry.queries("q194_registry_pinned_serve")(spark, sf)
+        .select($"pinned_version", $"latest_version").distinct()
+        .as[(Long, Long)].collect().toSeq
+    assert(versions() == Seq((1L, 2L)))
+    graft.queries.SketchQueries.vecCacheClear() // engine-wide cold caches
+    assert(versions() == Seq((1L, 2L)),
+      "a republish after a cache clear shifted registry versions — " +
+        "the root did not rotate with the publish-cache generation")
+  }
+
   test("q196 serves the purchase graph from its registry generation") {
     val rows = SparkEntry.queries("q196_graph_registry_serve")(spark, sf).collect()
     assert(rows.length == 20)
