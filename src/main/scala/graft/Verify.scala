@@ -55,8 +55,13 @@ object Verify {
   def writeSummary(outDir: String, runs: Seq[QueryRun]): Unit = {
     val entries = runs.map { r =>
       val err = r.error.map(e => s""","error": ${jstr(e.take(300))}""").getOrElse("")
+      // Locale.ROOT: the default-locale f"" interpolator renders a
+      // decimal COMMA on e.g. de_DE JVMs — unparseable JSON, exactly
+      // the silent-zeroing failure jstr exists to prevent
+      val wall = String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(r.wallSec))
       s"""${jstr(r.name)}: {"ok": ${r.ok}, "rows": ${r.rows}, """ +
-        f""""wall_s": ${r.wallSec}%.3f$err}"""
+        s""""wall_s": $wall$err}"""
     }.mkString(",\n  ")
     val nOk = runs.count(_.ok)
     val json =

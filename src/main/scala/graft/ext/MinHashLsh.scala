@@ -111,29 +111,16 @@ object MinHashLsh {
     pairs.select(col(leftId), col(rightId),
       (sigMatches(col("sig_a"), col("sig_b")).cast("double") / K).as("est_sim"))
 
-  /** Near-dup pairs with estimated similarity ≥ `minEstSim`.
-    *
-    * First-match-band emission instead of `distinct()` (see
-    * [[firstMatchPred]]); signatures ride through the band join
-    * (128 bytes a row), which also removes the two candidate↔signature
-    * verification joins. */
-  def nearDupPairs(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      n: Int = 8,
-      minEstSim: Double = 0.5): DataFrame = {
-    val bands = banded(signatures(df, idCol, textCol, n))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bslice") === col("b.bslice") &&
-          col("a.id") < col("b.id") && firstMatchPred)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-    estSim(cand, "id_a", "id_b").filter(col("est_sim") >= minEstSim)
-  }
+  /** The default band-bucket cap of [[nearDupPairs]] — far above any
+    * bucket a deduplicated corpus produces (the gate corpora peak at 3
+    * at sf0.01 / 4 at sf0.1, so the cap is a no-op there), low enough
+    * that a clone cluster of ten thousand boilerplate pages is excluded
+    * instead of expanding to ~10⁸ pairs. */
+  val DefaultMaxBucket = 64
 
-  /** [[nearDupPairs]] with a BAND-BUCKET size cap — the scale lever the
-    * banded join itself needs on clone-heavy corpora: a bucket of B
+  /** Near-dup pairs with estimated similarity ≥ `minEstSim`, with a
+    * BAND-BUCKET size cap ON BY DEFAULT — the scale lever the banded
+    * join itself needs on clone-heavy corpora: a bucket of B
     * near-identical documents (boilerplate pages, mirrored dumps, the
     * 100× verbatim scale-stress) emits B(B−1)/2 pairs, quadratic in
     * the clone count, and no shingle-df cap can see it because the
@@ -150,14 +137,16 @@ object MinHashLsh {
     * would then wrongly suppress the pair at its surviving band.
     * Scale shape: bucket sizes are one map-side-combined count over
     * the banded rows; the semi join keeps signatures out of oversized
-    * buckets before any pair expands. */
-  def nearDupPairsCapped(
+    * buckets before any pair expands; signatures ride through the band
+    * join (128 bytes a row), so verification needs no candidate↔
+    * signature rejoin. */
+  def nearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 8,
       minEstSim: Double = 0.5,
-      maxBucket: Int = 16): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bands = banded(signatures(df, idCol, textCol, n))
     val smallBuckets = bands.groupBy(col("band"), col("bslice"))
       .agg(count(lit(1)).as("bsz"))
@@ -175,6 +164,18 @@ object MinHashLsh {
       .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
     estSim(cand, "id_a", "id_b").filter(col("est_sim") >= minEstSim)
   }
+
+  /** [[nearDupPairs]] with the cap spelled at the call site — kept as
+    * the explicit-cap entry point (q200 gates the exclusion arithmetic
+    * with a cap that BITES at the gate's sf). */
+  def nearDupPairsCapped(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minEstSim: Double = 0.5,
+      maxBucket: Int = 16): DataFrame =
+    nearDupPairs(df, idCol, textCol, n, minEstSim, maxBucket)
 
   /** Near-dups of `fresh` docs against an already-built corpus snapshot
     * `index` ([[bandedIndex]] shape) — the incremental crawl-ingest

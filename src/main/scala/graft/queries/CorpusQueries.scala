@@ -50,8 +50,9 @@ object CorpusQueries {
       |sig AS (SELECT id, [$mins] AS sig FROM hv),
       |bands AS (SELECT id, b, list_slice(sig, b*4+1, b*4+4) AS slice
       |  FROM sig CROSS JOIN UNNEST([0,1,2,3]) AS t(b)),
+      |${HashDedupQueries.bandCapSql},
       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      |  FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
+      |  FROM bkept a JOIN bkept b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
       |est AS (SELECT id_a, id_b,
       |  CAST(list_sum(list_transform(generate_series(1,16),
       |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS est_sim

@@ -39,10 +39,21 @@ object HashDedupQueries {
       |  FROM sig CROSS JOIN UNNEST([0,1,2,3]) AS t(b))""".stripMargin
   }
 
+  /** The default-cap bucket filter every SELF-JOIN oracle replays
+    * (engine: [[graft.ext.MinHashLsh.nearDupPairs]]'s default
+    * `maxBucket` — a no-op at the gate's sf, where buckets peak at 3,
+    * but the honest twin of the engine's clone-cluster exclusion).
+    * Cross-split PROBES (q120's `nearDupAgainstIndex`) stay uncapped. */
+  private[queries] val bandCapSql: String =
+    s"""bsz AS (SELECT b, slice FROM bands GROUP BY b, slice
+      |  HAVING COUNT(*) <= ${MinHashLsh.DefaultMaxBucket}),
+      |bkept AS (SELECT bands.* FROM bands JOIN bsz USING (b, slice))""".stripMargin
+
   val q20Sql: String =
     s"""WITH $sigChainSql,
+      |$bandCapSql,
       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      |  FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
+      |  FROM bkept a JOIN bkept b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
       |est AS (SELECT id_a, id_b,
       |  CAST(list_sum(list_transform(generate_series(1,16),
       |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16.0 AS est_sim
@@ -241,8 +252,9 @@ object HashDedupQueries {
       |  FROM jcand JOIN jdocs da ON jcand.id_a = da.id JOIN jdocs db ON jcand.id_b = db.id) x
       |  WHERE jaccard >= 0.5),
       |$sigChainSql,
+      |$bandCapSql,
       |mcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      |  FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
+      |  FROM bkept a JOIN bkept b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
       |mest AS (SELECT id_a, id_b, est_sim FROM (
       |  SELECT id_a, id_b,
       |    CAST(list_sum(list_transform(generate_series(1,16),
@@ -382,8 +394,9 @@ object HashDedupQueries {
 
   val q170Sql: String =
     s"""WITH $sigChainSql,
+      |$bandCapSql,
       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      |  FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
+      |  FROM bkept a JOIN bkept b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
       |est AS (SELECT id_a, id_b,
       |  list_sum(list_transform(generate_series(1,16),
       |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS m16

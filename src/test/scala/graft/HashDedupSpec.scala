@@ -52,23 +52,30 @@ class HashDedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     // six identical clones share every band bucket (size 6 > cap 4):
     // the quadratic 15-pair expansion is excluded entirely, while the
-    // ordinary near-dup pair in small buckets survives
-    val capped = MinHashLsh.nearDupPairsCapped(df, "doc_id", "text",
+    // ordinary near-dup pair in small buckets survives — the cap is now
+    // nearDupPairs' DEFAULT behavior, spelled explicitly here
+    val capped = MinHashLsh.nearDupPairs(df, "doc_id", "text",
         minEstSim = 0.5, maxBucket = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(capped.contains((1L, 2L)))
     assert(!capped.exists(p => p._1 >= 10L && p._2 >= 10L),
       "clone-cluster pairs must not expand past the bucket cap")
-    // with no bucket above the cap, capped == uncapped (same pair set)
+    // with no bucket above the default cap, the default-cap result
+    // equals the effectively-uncapped one (same pair set + estimates)
     val small = Seq((1L, base), (2L, base + " x"),
       (3L, "entirely unrelated material about spark query engines and shuffles"))
       .toDF("doc_id", "text")
     val a = MinHashLsh.nearDupPairs(small, "doc_id", "text", minEstSim = 0.5)
       .select("id_a", "id_b", "est_sim").as[(Long, Long, Double)].collect().toSet
-    val b = MinHashLsh.nearDupPairsCapped(small, "doc_id", "text",
-        minEstSim = 0.5, maxBucket = 16)
+    val b = MinHashLsh.nearDupPairs(small, "doc_id", "text",
+        minEstSim = 0.5, maxBucket = Int.MaxValue)
       .select("id_a", "id_b", "est_sim").as[(Long, Long, Double)].collect().toSet
     assert(a == b)
+    // the delegating explicit-cap entry point agrees with the default form
+    val c = MinHashLsh.nearDupPairsCapped(small, "doc_id", "text",
+        minEstSim = 0.5, maxBucket = MinHashLsh.DefaultMaxBucket)
+      .select("id_a", "id_b", "est_sim").as[(Long, Long, Double)].collect().toSet
+    assert(a == c)
   }
 
   test("SimHash banded pairs equal brute-force pairs (pigeonhole exactness)") {
@@ -105,7 +112,8 @@ class HashDedupSpec extends SparkSpec {
   test("nearDupAgainstIndex equals the cross-split slice of nearDupPairs") {
     // real corpus slice: the incremental probe against a snapshot index
     // must surface EXACTLY the snapshot↔fresh pairs the full self-join
-    // finds — same banding, same first-match emission, same estimate
+    // finds — same banding, same estimate (the self-join's default
+    // bucket cap is a no-op on this corpus: buckets peak at 3)
     val docs = Tables.load(spark, sf, "documents")
     val split = 250L
     val index = MinHashLsh.bandedIndex(docs.filter($"doc_id" < split), "doc_id", "text")
