@@ -20,4 +20,15 @@ object RowUtil {
     extras.foreach { e => arr(i) = e; i += 1 }
     new GenericRow(arr)
   }
+
+  /** [[appended]] keeping only the first `keep` fields of `r` — for
+    * folds that carry transient join-side columns (e.g. a resume's
+    * prior-response pair) the output schema must not expose. */
+  def prefixAppended(r: Row, keep: Int, extras: Any*): Row = {
+    val arr = new Array[Any](keep + extras.length)
+    var i = 0
+    while (i < keep) { arr(i) = r.get(i); i += 1 }
+    extras.foreach { e => arr(i) = e; i += 1 }
+    new GenericRow(arr)
+  }
 }

@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 /** Scale-stress harness: measure how the expensive queries GROW, not
   * just how fast they are at one size — the evidence behind every
   * "scale-safe" claim in the plan audit. Deterministically replicates
-  * the driver's tables `factor`× with re-keyed ids (ids are multiplied
-  * then offset, so replicas never collide and every join stays
-  * consistent: `o_orderkey`/`l_orderkey` share one scheme), runs the
+  * the driver's tables `factor`× with re-keyed ids (replica k adds the
+  * fixed offset k·10·2³², so replicas never collide and every join
+  * stays consistent: `o_orderkey`/`l_orderkey` share one scheme), runs the
   * named queries at BOTH scales in one warm JVM, and prints per-query
   * medians plus the observed scaling exponent
   * e = log(t_big/t_base) / log(factor) — e ≈ 1 is linear, e ≪ 1 means
@@ -58,9 +58,10 @@ object ScaleStress {
     java.nio.file.Files.createDirectories(out)
     factTables.foreach { case (t, idCols) =>
       val df = s.read.parquet(s"$srcDir/$t.parquet")
-      // replica k re-keys id -> id * factor + k: ids stay unique,
-      // replica 0 keeps id MOD-class arithmetic meaningful, and the
-      // scheme is identical for both sides of every key pair
+      // replica k re-keys id -> id + k·10·2³²: ids stay unique, the
+      // additive multiple-of-10 offset keeps every replica in its
+      // source's %10 class (and replica 0 verbatim), and the scheme is
+      // identical for both sides of every key pair
       val blown = df.withColumn("__k",
           explode(sequence(lit(0), lit(factor - 1))))
       idCols.foldLeft(blown) { (d, c) =>

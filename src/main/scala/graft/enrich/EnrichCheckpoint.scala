@@ -42,13 +42,32 @@ object EnrichCheckpoint {
   /** Persist the pause: results-so-far plus their certificate (with
     * the cursor position) as one write-once registry generation.
     * Returns the published version. `corpus_fp` records the cursor
-    * position — the generation's identity for the manifest audit. */
+    * position — the generation's identity for the manifest audit.
+    *
+    * The certificate is computed from the LANDED results part (a
+    * staged publish), never from re-executing the `results` plan: a
+    * live enrichment plan is nondeterministic at pause time (the
+    * external API answers differently per call), so a plan-recomputed
+    * certificate would both double the API calls and bind responses
+    * that never landed — and `resumeVerified` would then refuse every
+    * healthy checkpoint. Spec-pinned in EnrichSpec with a
+    * deliberately nondeterministic enricher. */
   def publish(s: SparkSession, root: String, kind: String,
-      results: DataFrame, cursorPos: Long): Long = {
-    val cursor = certificate(results).withColumn("cursor_pos", lit(cursorPos))
-    graft.ext.ArtifactRegistry.publish(s, root, kind, cursorPos,
-      Seq("results" -> results, "cursor" -> cursor))
-  }
+      results: DataFrame, cursorPos: Long): Long =
+    graft.ext.ArtifactRegistry.publishStaged(s, root, kind, cursorPos,
+      Seq("results" -> results),
+      landed => Seq("cursor" ->
+        certificate(landed("results")).withColumn("cursor_pos", lit(cursorPos))))
+
+  /** The most recent resume's cached frame, per session — unpersisted
+    * when the NEXT resume in that session lands, so a long-lived
+    * session running many resumes holds at most one resumed cache at a
+    * time instead of accumulating partitions forever. Stopped sessions
+    * are purged on access (their storage died with the context).
+    * Resumes are serial per session by the same single-operator
+    * contract as [[graft.ext.ArtifactRegistry.publish]]. */
+  private val lastResumed =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
   /** Resume from loaded artifacts with verification: re-fold the
     * loaded results, join the fold against the loaded cursor on EVERY
@@ -77,6 +96,11 @@ object EnrichCheckpoint {
     // BatchPipeline.run discipline, pipeline/BatchPipeline.scala:68)
     val resumed = EnrichRunner.resumeEnrichment(
       indexed, loadedResults, promptCol, enricher, config, metrics).cache()
+    val s = indexed.sparkSession
+    val it = lastResumed.keySet.iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+    Option(lastResumed.put(s, resumed))
+      .foreach(prev => prev.unpersist(blocking = false))
     resumed.crossJoin(broadcast(verdict))
   }
 }

@@ -51,6 +51,22 @@ final case class ConversationalTestEnricher() extends Enricher {
   }
 }
 
+/** Deliberately NONDETERMINISTIC enricher: every call stamps a global
+  * call counter into the response, modeling a real external API that
+  * answers differently per call. Exists to pin the checkpoint-publish
+  * discipline (EnrichSpec): the pause certificate must describe the
+  * LANDED results part, because re-executing this enricher's plan
+  * yields responses that never landed (and doubles the API calls).
+  * Single-JVM counter — exactly the local[32] test scope it serves. */
+final class NondeterministicEnricher extends Enricher {
+  override def enrich(messages: Seq[Message], config: AiConfig): String =
+    s"[${config.model}] call=${NondeterministicEnricher.calls.incrementAndGet()} " +
+      messages.last.content
+}
+object NondeterministicEnricher {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** Error-injecting wrapper for retry/quarantine tests (E2/E3).
   * Atomic counter: safe under the async runner's concurrent calls. */
 final class FlakyEnricher(inner: Enricher, failEvery: Int, transient: Boolean)

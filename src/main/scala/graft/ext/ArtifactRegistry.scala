@@ -95,11 +95,28 @@ object ArtifactRegistry {
     * Single-publisher per (root, kind) by contract (the deployment's
     * release pipeline); readers need no coordination at all. */
   def publish(s: SparkSession, root: String, kind: String,
-      corpusFp: Long, parts: Seq[(String, DataFrame)]): Long = {
+      corpusFp: Long, parts: Seq[(String, DataFrame)]): Long =
+    publishStaged(s, root, kind, corpusFp, parts, _ => Seq.empty)
+
+  /** [[publish]] with DERIVED parts: `derived` receives a lazy parquet
+    * reader per LANDED primary part and returns additional parts to
+    * land in the SAME generation. This is the countLandedRows
+    * philosophy applied to part contents — a certificate/summary part
+    * must describe what storage HOLDS, not what re-executing the input
+    * plan would produce this time: with a nondeterministic primary plan
+    * (an external-API enrichment is the canonical case) recomputing
+    * from the plan both doubles the external calls and certifies
+    * responses that never landed, so verification would refuse every
+    * healthy checkpoint. The manifest rows for primary AND derived
+    * parts land LAST, so the half-publish invisibility guarantee is
+    * unchanged. */
+  def publishStaged(s: SparkSession, root: String, kind: String,
+      corpusFp: Long, parts: Seq[(String, DataFrame)],
+      derived: Map[String, DataFrame] => Seq[(String, DataFrame)]): Long = {
     require(parts.nonEmpty, "an artifact has at least one part")
     val v = math.max(latestVersion(s, root, kind),
       maxDirVersion(s, root, kind)) + 1
-    val counts = parts.map { case (name, df) =>
+    def land(name: String, df: DataFrame): (String, Long) = {
       require(name.nonEmpty && !name.startsWith("_"),
         s"part name '$name' is reserved")
       df.write.mode("errorifexists")
@@ -110,9 +127,18 @@ object ArtifactRegistry {
       // otherwise be read twice per publish)
       name -> countLandedRows(s, s"${versionDir(root, kind, v)}/$name")
     }
+    val primary = parts.map { case (name, df) => land(name, df) }
+    val landed = parts.map { case (name, _) =>
+      name -> s.read.parquet(s"${versionDir(root, kind, v)}/$name")
+    }.toMap
+    val derivedCounts = derived(landed).map { case (name, df) =>
+      require(!landed.contains(name),
+        s"derived part '$name' collides with a primary part")
+      land(name, df)
+    }
     val now = System.currentTimeMillis()
     import s.implicits._
-    counts.map { case (name, n) => (v, name, corpusFp, n, now) }
+    (primary ++ derivedCounts).map { case (name, n) => (v, name, corpusFp, n, now) }
       .toDF("version", "part", "corpus_fp", "n_rows", "created_at_ms")
       .coalesce(1) // parts-count rows — one manifest file per publish
       .write.mode("append").parquet(s"$root/$kind/$ManifestDir")
@@ -193,12 +219,56 @@ object ArtifactRegistry {
     import s.implicits._
     Seq((version, seq)).toDF("version", "seq")
       .coalesce(1).write.mode("append").parquet(s"$root/$kind/$PinDir")
+    // keep the log's FILE count bounded: a rotating serve re-reads the
+    // log every micro-batch, so without compaction a long-lived stream
+    // pays O(total flips) file opens per batch forever
+    if (pinLogFiles(s, root, kind).length > PinCompactThreshold)
+      compactPinLog(s, root, kind)
   }
 
-  /** The pin log of `kind` (version, seq), empty frame if never pinned. */
+  /** One flip = one appended file; compaction folds them periodically. */
+  private val PinCompactThreshold = 16
+
+  private def pinLogFiles(s: SparkSession, root: String, kind: String)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    val path = s"$root/$kind/$PinDir"
+    if (!exists(s, path)) Array.empty
+    else {
+      val (f, p) = fs(s, path)
+      f.listStatus(p).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+  }
+
+  /** Compact the pin log: rewrite the full flip history into ONE file
+    * and delete the per-flip files it replaces. Reader-safe with ZERO
+    * coordination: the compacted file lands FIRST (as another append —
+    * a reader racing the compaction sees duplicate rows, which cannot
+    * change the max-seq row [[currentPin]] resolves), the replaced
+    * files are deleted after; [[pinLog]] dedupes on seq so even a
+    * crash between the two steps only leaves harmless duplicates.
+    * History is preserved in full — compaction changes the log's FILE
+    * layout, never its rows. Runs under [[setPin]]'s single-operator
+    * contract, so no flip can land between the listing and the
+    * deletes. */
+  def compactPinLog(s: SparkSession, root: String, kind: String): Unit = {
+    val old = pinLogFiles(s, root, kind)
+    if (old.length <= 1) return
+    s.read.parquet(old.map(_.getPath.toString).toIndexedSeq: _*)
+      .coalesce(1).write.mode("append").parquet(s"$root/$kind/$PinDir")
+    val (f, _) = fs(s, s"$root/$kind/$PinDir")
+    old.foreach(st => f.delete(st.getPath, false))
+  }
+
+  /** The pin log of `kind` (version, seq), empty frame if never pinned.
+    * Deduped on seq: a compaction crash can leave a flip row present
+    * both compacted and raw — same row either way. */
   def pinLog(s: SparkSession, root: String, kind: String): DataFrame = {
     val path = s"$root/$kind/$PinDir"
-    if (exists(s, path)) s.read.parquet(path)
+    if (exists(s, path)) s.read.parquet(path).dropDuplicates("seq")
     else s.range(0).select(col("id").as("version"), col("id").as("seq"))
   }
 

@@ -30,6 +30,29 @@ class ArtifactRegistrySpec extends SparkSpec {
     assert(m.toSeq == Seq((1L, "globals", 42L, 1L), (1L, "weights", 42L, 2L)))
   }
 
+  test("publishStaged derives parts from the LANDED primaries, in one generation") {
+    val root = freshRoot()
+    val w = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+    val v = ArtifactRegistry.publishStaged(spark, root, "model", corpusFp = 7L,
+      Seq("weights" -> w),
+      landed => Seq("summary" -> landed("weights").agg(
+        count(lit(1)).as("n"), sum($"v").as("total"))))
+    assert(v == 1L)
+    // derived part is manifest-visible in the SAME generation
+    val m = ArtifactRegistry.manifest(spark, root, "model")
+      .select($"version", $"part", $"n_rows")
+      .as[(Long, String, Long)].collect().sortBy(_._2)
+    assert(m.toSeq == Seq((1L, "summary", 1L), (1L, "weights", 3L)))
+    val s = ArtifactRegistry.read(spark, root, "model", 1L, "summary")
+      .as[(Long, Long)].collect().toSeq
+    assert(s == Seq((3L, 60L)))
+    // a derived part may not shadow a primary part
+    intercept[IllegalArgumentException] {
+      ArtifactRegistry.publishStaged(spark, root, "model", 8L,
+        Seq("weights" -> w), landed => Seq("weights" -> landed("weights")))
+    }
+  }
+
   test("a pinned reader is not perturbed by a concurrent newer publish") {
     val root = freshRoot()
     val gen1 = Seq((1L, 100L), (2L, 200L)).toDF("id", "v")
@@ -157,6 +180,37 @@ class ArtifactRegistrySpec extends SparkSpec {
     ArtifactRegistry.setPin(spark, root, "model", 3L)
     assert(ArtifactRegistry.gc(spark, root, "model", keepFrom = 3L) == Seq(1L, 2L))
     assert(ArtifactRegistry.read(spark, root, "model", 3L, "weights").count() == 1L)
+  }
+
+  test("pin-log compaction bounds file count; history and current pin survive") {
+    val root = freshRoot()
+    (1 to 2).foreach { i =>
+      ArtifactRegistry.publish(spark, root, "model", i.toLong,
+        Seq("weights" -> Seq((i.toLong, i.toLong)).toDF("id", "v")))
+    }
+    def logFiles(): Int = {
+      val dir = new java.io.File(s"$root/model/_pin")
+      if (!dir.isDirectory) 0
+      else dir.listFiles.count(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    }
+    // 40 flips: without compaction the log would be 40 files — a
+    // rotating serve would pay 40 file opens per micro-batch, growing
+    // with every flip forever; auto-compaction keeps it bounded
+    (1 to 40).foreach(i => ArtifactRegistry.setPin(spark, root, "model",
+      (i % 2 + 1).toLong))
+    assert(logFiles() <= 17, s"pin log grew unbounded: ${logFiles()} files")
+    // nothing was lost: full flip history, exact seqs, current = last
+    val log = ArtifactRegistry.pinLog(spark, root, "model")
+      .orderBy($"seq").as[(Long, Long)].collect().toSeq
+    assert(log.map(_._2) == (1L to 40L))
+    assert(log.map(_._1) == (1 to 40).map(i => (i % 2 + 1).toLong))
+    assert(ArtifactRegistry.currentPin(spark, root, "model").contains(1L))
+    // explicit compaction folds to ONE file; history still intact
+    ArtifactRegistry.compactPinLog(spark, root, "model")
+    assert(logFiles() == 1)
+    assert(ArtifactRegistry.pinLog(spark, root, "model").count() == 40L)
+    assert(ArtifactRegistry.currentPin(spark, root, "model").contains(1L))
   }
 
   test("every persisted artifact family versions through the registry") {

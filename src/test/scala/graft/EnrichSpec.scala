@@ -176,6 +176,41 @@ class EnrichSpec extends SparkSpec {
       cursor.withColumn("cursor_pos", lit(7L))).count() == 0)
   }
 
+  test("checkpoint certificate binds the LANDED results, not a plan re-execution") {
+    // a real pause checkpoints a NONDETERMINISTIC plan (the external
+    // API answers differently per call): the certificate must be
+    // computed from the landed parquet, or it binds responses that
+    // never landed and resumeVerified refuses every healthy checkpoint
+    val indexed = (0L until 8L).map(i => (i, s"p$i")).toDF("row_index", "prompt")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-index/" +
+      s"ndckpt-${java.util.UUID.randomUUID.toString.take(8)}"
+    NondeterministicEnricher.calls.set(0)
+    val pre = EnrichRunner.mapWithResponse(
+      indexed.filter($"row_index" < 4), "prompt",
+      new NondeterministicEnricher, AiConfig.test()).drop("error")
+    val v = EnrichCheckpoint.publish(spark, root, "ckpt", pre, cursorPos = 4L)
+    // publish executed the enrichment plan exactly ONCE: 4 external
+    // calls, not 8 (the certificate fold read the landed parquet back)
+    assert(NondeterministicEnricher.calls.get == 4,
+      s"publish must not re-execute the enrichment (calls=${NondeterministicEnricher.calls.get})")
+    val reg = graft.ext.ArtifactRegistry
+    val results = reg.read(spark, root, "ckpt", v, "results")
+    val cursor = reg.read(spark, root, "ckpt", v, "cursor")
+    // what storage actually holds (call numbers land in task order —
+    // nondeterministic pairing is the whole point)
+    val landed = results.select($"row_index", $"response").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val resumed = EnrichCheckpoint.resumeVerified(indexed, results, cursor,
+        "prompt", new NondeterministicEnricher, AiConfig.test())
+      .select($"row_index", $"response").collect()
+    // the healthy checkpoint is ACCEPTED (pre-fix: certificate mismatch
+    // → zero rows) and the landed responses survive verbatim
+    assert(resumed.length == 8)
+    val priorResumed = resumed.filter(_.getLong(0) < 4)
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(priorResumed == landed)
+  }
+
   test("pipeline handles non-ASCII text end-to-end (template, enrich, assemble)") {
     val df = Seq(("héllo wörld", "日本語のテキスト", "naïve"), ("中文文档", "Ω≈ç", "emoji 🚀 ok"))
       .toDF("topic", "audience", "priority")
