@@ -144,6 +144,10 @@ object PlanAudit {
     // one KB-sized row at any scale, never data-sized; SinglePartition
     // is the certificate fold itself (a global agg to ONE row)
     "q198_enrich_resume" -> Set(SinglePartition, Bnlj),
+    // the grouped twin of q198: the same ≤1-row verdict (grouped
+    // certificate fold + alignment count, each a global agg to ONE
+    // row) broadcast-crossJoined onto the resumed conversations
+    "q201_conversation_resume" -> Set(SinglePartition, Bnlj),
     "q114_sliding_hll" -> Set(Bnlj), // windows × 256-bucket skeleton (q91 class)
     // (type, window) groups × 256-bucket register skeleton (q91/q114
     // class — the dense-bucket crossJoin is groups×256 rows, constant

@@ -96,13 +96,26 @@ object ScaleStress {
     val reps = 3
     println(f"SCALESTRESS factor=$factor reps=$reps (medians)")
     println(f"${"query"}%-28s ${"base_s"}%8s ${"big_s"}%8s ${"exponent"}%8s")
-    names.foreach { name =>
+    val rows = names.map { name =>
       // warm both scales once (training/publish artifacts build here),
       // then measure steady-state medians
       val base = medianSecs(spark, name, srcDir, reps)
       val big = medianSecs(spark, name, outDir, reps)
       val e = math.log(big / base) / math.log(factor.toDouble)
       println(f"SCALESTRESS $name%-28s $base%8.2f $big%8.2f $e%8.2f")
+      (name, base, big, e)
+    }
+    // machine-readable artifact (SPARK_GRAFT_SCALE_OUT, append-per-run):
+    // the committed evidence behind every scale-safety claim, so a
+    // cross-round exponent question reads a JSON table, not prose
+    sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { path =>
+      def n(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+      val json = rows.map { case (q, b, g, e) =>
+        s"""{"factor":$factor,"reps":$reps,"query":"$q","base_s":${n(b)},"big_s":${n(g)},"exponent":${n(e)}}"""
+      }.mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     }
     spark.stop()
   }

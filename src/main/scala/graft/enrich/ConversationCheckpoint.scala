@@ -1,0 +1,122 @@
+package graft.enrich
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.AiConfig
+
+/** Durable pause→resume for GROUPED conversation enrichment — the
+  * reference's pause also fires mid-group inside
+  * `process_single_item` (`/root/reference/main.py:388-392`, reached
+  * from the sequential grouped branch at `main.py:508-512`), where a
+  * resume must restore the per-group message history before the next
+  * turn. [[EnrichCheckpoint]] covers the row-wise path (keyed by
+  * `row_index`); this object is its grouped twin, keyed by
+  * (group, turn).
+  *
+  * The checkpoint stores NO serialized history: a conversation's
+  * history is exactly (input prompts at positions 1..k, checkpointed
+  * responses at turns 1..k), so persisting the completed turns is
+  * sufficient — [[EnrichRunner.resumeConversations]] re-folds it.
+  * What the certificate must therefore guarantee is that the stored
+  * turns are (a) untampered, (b) a complete 1..k prefix per group
+  * (a hole would silently shift history), and (c) still aligned with
+  * TODAY's input — same group, same position, same prompt (the
+  * history is rebuilt from today's prompts, so a drifted input makes
+  * yesterday's responses unusable for replay).
+  *
+  * Certificate (the q198/q195 discipline, grouped): total rows,
+  * group count, per-group gap count (n = max ∧ 2·Σturn = max·(max+1)
+  * — the arithmetic complete-prefix test), and the XOR of per-row
+  * `xxhash64(group, turn, prompt, response)` — the four-way pair
+  * binding: a response swapped between two turns OR two groups flips
+  * the hash even though every response-only stat survives. Input
+  * alignment is verified at resume by positioning today's input
+  * (row_number per group — a partitioned window, scalable) and
+  * counting exact (group, turn, prompt) matches against the loaded
+  * results: the count must equal the certified row count. Any
+  * mismatch → empty verdict → the resume emits ZERO rows; refuse,
+  * never fabricate.
+  */
+object ConversationCheckpoint {
+
+  /** The grouped certificate fold over a results frame carrying the
+    * group/prompt columns plus (`turn_number`, `response`): ONE row —
+    * (ck_n, ck_groups, ck_gaps, ck_xor_pair). Two partial-aggregate
+    * passes (per-group, then global), KB-sized output at any scale.
+    * Empty results fold to (0, 0, 0, 0). */
+  def certificate(results: DataFrame, groupCol: String,
+      promptCol: String): DataFrame = {
+    val perGroup = results.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("g_n"),
+      max(col("turn_number")).as("g_max"),
+      sum(col("turn_number")).as("g_sum"),
+      expr(s"bit_xor(xxhash64($groupCol, turn_number, $promptCol, response))")
+        .as("g_xor"))
+    perGroup.agg(
+      coalesce(sum(col("g_n")), lit(0L)).as("ck_n"),
+      count(lit(1)).as("ck_groups"),
+      coalesce(sum(when(col("g_n") === col("g_max") &&
+          col("g_sum") * 2 === col("g_max") * (col("g_max") + 1), 0L)
+        .otherwise(1L)), lit(0L)).as("ck_gaps"),
+      coalesce(expr("bit_xor(g_xor)"), lit(0L)).as("ck_xor_pair"))
+  }
+
+  /** Persist the mid-group pause: the completed turns plus their
+    * certificate (with the cutoff turn) as one write-once registry
+    * generation. The certificate folds the LANDED results part (a
+    * staged publish — see [[EnrichCheckpoint.publish]] for why a plan
+    * recomputation is wrong with a nondeterministic enricher). */
+  def publish(s: SparkSession, root: String, kind: String,
+      results: DataFrame, groupCol: String, promptCol: String,
+      cursorTurn: Long): Long =
+    graft.ext.ArtifactRegistry.publishStaged(s, root, kind, cursorTurn,
+      Seq("results" -> results),
+      landed => Seq("cursor" ->
+        certificate(landed("results"), groupCol, promptCol)
+          .withColumn("cursor_turn", lit(cursorTurn))))
+
+  /** Resume grouped conversations from loaded artifacts with
+    * verification: re-fold the loaded results, join the fold against
+    * the loaded cursor on every certificate stat, require zero
+    * per-group gaps AND exact (group, turn, prompt) alignment with
+    * today's input, then gate [[EnrichRunner.resumeConversations]]'s
+    * output on the (≤1-row) broadcast verdict. A valid checkpoint
+    * yields the full conversation output (completed turns replayed
+    * verbatim, fresh turns enriched against the restored history)
+    * with `cursor_turn` and `n_prior` riding every row; a corrupted
+    * or input-drifted one yields zero rows. */
+  def resumeVerified(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[String],
+      promptCol: String,
+      loadedResults: DataFrame,
+      loadedCursor: DataFrame,
+      enricher: Enricher,
+      config: AiConfig,
+      systemPrompt: Option[String] = None,
+      metrics: Option[EnrichMetrics] = None): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderCols.map(col): _*)
+    val positioned = df.select(col(groupCol), col(promptCol),
+      row_number().over(w).cast("long").as("turn_number"))
+    val matched = positioned
+      .join(loadedResults.select(groupCol, "turn_number", promptCol),
+        Seq(groupCol, "turn_number", promptCol))
+      .agg(count(lit(1)).as("ck_match"))
+    val verdict = loadedCursor
+      .join(certificate(loadedResults, groupCol, promptCol),
+        Seq("ck_n", "ck_groups", "ck_gaps", "ck_xor_pair"))
+      .filter(col("ck_gaps") === 0L)
+      .crossJoin(matched)
+      .filter(col("ck_match") === col("ck_n"))
+      .select(col("cursor_turn"), col("ck_n").as("n_prior"))
+    // cache: callers restore order with a sort, whose range-sampling
+    // pass would otherwise run the fresh turns' enrichment twice
+    val resumed = EnrichRunner.resumeConversations(df, groupCol, orderCols,
+      promptCol, loadedResults, enricher, config, systemPrompt,
+      metrics = metrics).cache()
+    EnrichCheckpoint.trackResumedCache(df.sparkSession, resumed)
+    resumed.crossJoin(broadcast(verdict))
+  }
+}

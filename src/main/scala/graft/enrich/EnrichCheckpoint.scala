@@ -69,6 +69,16 @@ object EnrichCheckpoint {
   private val lastResumed =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
+  /** Register a freshly cached resumed frame, unpersisting the
+    * previous one for the same session (shared by the row-wise and
+    * grouped resume paths). */
+  private[enrich] def trackResumedCache(s: SparkSession, resumed: DataFrame): Unit = {
+    val it = lastResumed.keySet.iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+    Option(lastResumed.put(s, resumed))
+      .foreach(prev => prev.unpersist(blocking = false))
+  }
+
   /** Resume from loaded artifacts with verification: re-fold the
     * loaded results, join the fold against the loaded cursor on EVERY
     * stat plus the complete-prefix requirement, and gate the resumed
@@ -96,11 +106,7 @@ object EnrichCheckpoint {
     // BatchPipeline.run discipline, pipeline/BatchPipeline.scala:68)
     val resumed = EnrichRunner.resumeEnrichment(
       indexed, loadedResults, promptCol, enricher, config, metrics).cache()
-    val s = indexed.sparkSession
-    val it = lastResumed.keySet.iterator()
-    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
-    Option(lastResumed.put(s, resumed))
-      .foreach(prev => prev.unpersist(blocking = false))
+    trackResumedCache(indexed.sparkSession, resumed)
     resumed.crossJoin(broadcast(verdict))
   }
 }

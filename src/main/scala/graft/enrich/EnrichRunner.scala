@@ -183,6 +183,113 @@ object EnrichRunner {
     prior.unionByName(fresh, allowMissingColumns = true)
   }
 
+  /** T5 grouped resume: finish a stopped CONVERSATION run mid-group
+    * (the reference's pause also fires inside `process_single_item`,
+    * main.py:388-392, reached from the sequential grouped branch at
+    * main.py:508-512 — so resume must restore per-group message
+    * history, not just skip completed rows). `prior` carries the
+    * completed turns (the checkpoint's results part: input columns +
+    * `turn_number` + `response`, a complete 1..k prefix per group —
+    * [[ConversationCheckpoint]] verifies that before this fold runs).
+    *
+    * The fold is [[runConversations]]'s secondary sort with one twist:
+    * each input row left-joins its prior response by (group, order
+    * cols); a matched row REPLAYS — its persisted response is emitted
+    * verbatim and folded into the history (prompt from today's input,
+    * response from the checkpoint), no enricher call, no rate-limit
+    * acquire — while unmatched rows enrich against the restored
+    * history. History is reconstructed, never stored: the prompts are
+    * in the input and the responses in the checkpoint, so the
+    * checkpoint stays O(completed turns) with no serialized
+    * conversation state. A replayed row whose persisted turn number
+    * disagrees with its fold position throws (tripwire — the
+    * verification gate already proved prefix integrity, so this firing
+    * means the caller bypassed the gate). */
+  def resumeConversations(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[String],
+      promptCol: String,
+      prior: DataFrame,
+      enricher: Enricher,
+      config: AiConfig,
+      systemPrompt: Option[String] = None,
+      rateLimitPerMinute: Option[Int] = None,
+      metrics: Option[EnrichMetrics] = None): DataFrame = {
+    val keys = groupCol +: orderCols
+    val p = prior.select(
+      keys.map(col) :+ col("turn_number").as("__prior_turn")
+        :+ col("response").as("__prior_response"): _*)
+    // join keys = (group, order cols) — the same keys the repartition
+    // below shuffles on, so AQE can chain the exchanges; the prior side
+    // is the completed prefix (≤ input-sized)
+    val joined = df.join(p, keys, "left")
+      .select(df.columns.map(col) :+ col("__prior_turn")
+        :+ col("__prior_response"): _*)
+    val n = df.schema.length
+    val schema = StructType(df.schema.fields)
+      .add("response", StringType).add("turn_number", LongType)
+      .add("history_chars", LongType)
+    val keyIdx = df.schema.fieldIndex(groupCol)
+    val promptIdx = df.schema.fieldIndex(promptCol)
+    val cfg = config
+    val sys = systemPrompt
+    val enc = Encoders.row(schema)
+    val shufflePartitions = df.sparkSession.sessionState.conf.numShufflePartitions
+    val perPartitionRate = rateLimitPerMinute.map(r =>
+      math.max(1, r / math.max(1, math.min(shufflePartitions, r))))
+    val repartitioned = rateLimitPerMinute match {
+      case Some(r) if shufflePartitions > r =>
+        joined.repartition(r, col(groupCol))
+      case _ => joined.repartition(col(groupCol))
+    }
+    repartitioned
+      .sortWithinPartitions(col(groupCol) +: orderCols.map(col): _*)
+      .mapPartitions { it =>
+        enricher.open()
+        org.apache.spark.TaskContext.get() match {
+          case null => ()
+          case tc => tc.addTaskCompletionListener[Unit](_ => enricher.close())
+        }
+        val limiter = perPartitionRate.map(new SlidingWindowRateLimiter(_))
+        var currentKey: Any = null
+        var started = false
+        var history = Vector.empty[Message]
+        var turn = 0L
+        var userChars = 0L
+        it.map { r =>
+          val k = r.get(keyIdx)
+          if (!started || k != currentKey) {           // new conversation run
+            currentKey = k; started = true
+            history = sys.map(s => Message("system", s)).toVector
+            turn = 0L; userChars = 0L
+          }
+          val prompt = Option(r.get(promptIdx)).map(_.toString).getOrElse("")
+          val priorChars = userChars
+          val messages = history :+ Message("user", prompt)
+          val resp =
+            if (!r.isNullAt(n)) {                      // replay a completed turn
+              val priorTurn = r.getLong(n)
+              require(priorTurn == turn + 1,
+                s"checkpoint turn $priorTurn at fold position ${turn + 1} of " +
+                  s"group $k — resume requires the verified complete prefix")
+              r.getString(n + 1)
+            } else {                                   // enrich a fresh turn
+              limiter.foreach(_.acquire())
+              metrics.foreach(_.processed.add(1))
+              RetryPolicy.withRetries(cfg.retryAttempts)(
+                () => enricher.enrich(messages, cfg)) match {
+                case Success(s) => s
+                case Failure(e) => metrics.foreach(_.errors.add(1)); null
+              }
+            }
+          history = messages :+ Message("assistant", Option(resp).getOrElse(""))
+          turn += 1; userChars += prompt.length
+          graft.RowUtil.prefixAppended(r, n, resp, turn, priorChars)
+        }
+      }(enc)
+  }
+
   /** Split an enriched frame into (successes, quarantine) — E3 done
     * right: the reference drops failed rows (main.py:487-502); we keep
     * them routable to a dead-letter sink. */

@@ -135,11 +135,14 @@ object MinHashLsh {
     * [[firstMatchPred]]: under a cap, a pair's first AGREEING band may
     * be a dropped oversized bucket, and the first-match predicate
     * would then wrongly suppress the pair at its surviving band.
-    * Scale shape: bucket sizes are one map-side-combined count over
-    * the banded rows; the semi join keeps signatures out of oversized
-    * buckets before any pair expands; signatures ride through the band
-    * join (128 bytes a row), so verification needs no candidate↔
-    * signature rejoin. */
+    * Scale shape: the bucket size is a COUNT WINDOW over the same
+    * (band, bslice) keys the self-join shuffles on — one exchange,
+    * which the join's other side then REUSES (a separate
+    * aggregate + semi-join plan costs two more exchanges and a
+    * broadcast-misestimate risk; ShuffleBudgetSpec pins q34's total);
+    * oversized buckets are dropped before any pair expands;
+    * signatures ride through the band join (128 bytes a row), so
+    * verification needs no candidate↔signature rejoin. */
   def nearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -148,13 +151,11 @@ object MinHashLsh {
       minEstSim: Double = 0.5,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bands = banded(signatures(df, idCol, textCol, n))
-    val smallBuckets = bands.groupBy(col("band"), col("bslice"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucket)
-      .select(col("band"), col("bslice"))
-    // merge hint: the bucket list is data-sized (≤ docs × Bands rows)
-    val kept = bands.join(smallBuckets.hint("merge"),
-      Seq("band", "bslice"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bslice"))
+    val kept = bands
+      .withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= maxBucket).drop("bsz")
     val cand = kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bslice") === col("b.bslice") &&
           col("a.id") < col("b.id"))

@@ -363,13 +363,14 @@ object MiscQueries {
   /** q197: registry AUDIT — the ops query that closes the versioned-
     * registry loop (publish → pin → serve → audit): it forces every
     * registry family's publish (session-cached no-ops after the first
-    * call), then reads back the manifests of ALL ELEVEN kinds — the
+    * call), then reads back the manifests of ALL TWELVE kinds — the
     * IVF-PQ index (two generations), the epoch-loader
     * schedule+manifest pair, the purchase graph, the NB classifier,
     * the BM25 index, the dup-gram dictionary, the dup-gram count state
     * (two generations), the banded LSH index, the BPE tokenizer, the
-    * calibration registry and the enrichment pause checkpoint
-    * (results + cursor certificate) — and reports, per (kind, version,
+    * calibration registry and BOTH pause checkpoints (row-wise
+    * enrichment and grouped conversation, each results + cursor
+    * certificate) — and reports, per (kind, version,
     * part): row count, corpus fingerprint, and the is-latest flag. The
     * oracle recomputes every expected row from the RAW tables — part
     * cardinalities from corpus counts, tokenize/vocabulary/bucket
@@ -411,7 +412,8 @@ object MiscQueries {
     * different surfaces. */
   private val RegistryKinds = Seq("ivfpq", "epoch_loader", "purchase_graph",
     "nb_model", "bm25_index", "dupgram_dict", "dupgram_counts",
-    "lsh_index", "bpe_tokenizer", "calib_registry", "enrich_ckpt")
+    "lsh_index", "bpe_tokenizer", "calib_registry", "enrich_ckpt",
+    "conv_ckpt")
 
   private def forceAllPublishes(s: SparkSession, dir: String): Unit = {
     SketchQueries.sharedIvfPqRegistry(s, dir)
@@ -425,6 +427,7 @@ object MiscQueries {
     TextQueries.sharedPersistedBpe(s, dir)
     MiningQueries.sharedPersistedCalibRegistry(s, dir)
     Reference.sharedEnrichCheckpoint(s, dir)
+    Reference.sharedConvCheckpoint(s, dir)
   }
 
   /** The deployment's pin posture, set once per (session, dir): the
@@ -506,6 +509,7 @@ object MiscQueries {
       |  ('calib_registry', 1, 2, 1, 1, 0),
       |  ('dupgram_counts', 1, 1, 0, 0, 1),
       |  ('dupgram_counts', 2, 1, 1, 1, 0),
+      |  ('conv_ckpt', 1, 2, 1, 1, 0),
       |  ('dupgram_dict', 1, 1, 1, 1, 0),
       |  ('enrich_ckpt', 1, 2, 1, 1, 0),
       |  ('epoch_loader', 1, 2, 1, 1, 0),
@@ -554,6 +558,8 @@ object MiscQueries {
       |${TextQueries.bpeWordDictSqlFrom(
           "(SELECT * FROM documents WHERE doc_id < 250)", "bp_")},
       |no AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS pos FROM orders),
+      |cvn AS (SELECT CAST(SUM(LEAST(2, c)) AS BIGINT) AS n
+      |  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey) t),
       |lshn AS (SELECT CAST(${graft.ext.MinHashLsh.Bands} * COUNT(*) AS BIGINT) AS n
       |  FROM documents WHERE doc_id < 250 AND length(text) >= 8),
       |bpdict AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bp_wd),
@@ -613,7 +619,9 @@ object MiscQueries {
       |  UNION ALL SELECT 'calib_registry', 1, 'calib', caltab.n, nd.fp_docs, 1
       |    FROM caltab CROSS JOIN nd
       |  UNION ALL SELECT 'enrich_ckpt', 1, 'cursor', 1, pos, 1 FROM no
-      |  UNION ALL SELECT 'enrich_ckpt', 1, 'results', no.pos, no.pos, 1 FROM no)
+      |  UNION ALL SELECT 'enrich_ckpt', 1, 'results', no.pos, no.pos, 1 FROM no
+      |  UNION ALL SELECT 'conv_ckpt', 1, 'cursor', 1, 2, 1
+      |  UNION ALL SELECT 'conv_ckpt', 1, 'results', cvn.n, 2, 1 FROM cvn)
       |SELECT kind, CAST(version AS BIGINT) AS version, part,
       |  CAST(n_rows AS BIGINT) AS n_rows, corpus_fp,
       |  CAST(is_latest AS INT) AS is_latest

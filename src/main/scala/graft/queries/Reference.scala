@@ -228,6 +228,93 @@ object Reference {
       |  '[gpt-test] ' || upper(substr(prompt, 1, 64)) AS response
       |FROM base CROSS JOIN n ORDER BY row_index""".stripMargin
 
+  /** The grouped conversation input the mid-group pause/resume pair
+    * shares — q15's shape: one prompt per order, conversations keyed
+    * by customer, ordered by (date, key). */
+  private def convResumeInput(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "orders")
+      .withColumn("prompt", concat(lit("Summarize order "), $"o_orderkey".cast("string")))
+  }
+
+  /** The persisted MID-GROUP pause: every conversation's first 2 turns
+    * enriched (the fold actually runs — histories are real) and
+    * published with the grouped certificate as one registry
+    * generation, once per (session, dir). What a stop after each
+    * group's second turn leaves on storage; q201 resumes from nothing
+    * else. */
+  private val convCkptCache = SessionCaches.registerMap(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (DataFrame, DataFrame)]())
+
+  private[queries] def sharedConvCheckpoint(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    SessionCaches.purgeStopped(convCkptCache)(_._1)
+    convCkptCache.computeIfAbsent((s, dir), _ => {
+      import graft.enrich.ConversationCheckpoint
+      val input = convResumeInput(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val prefix = input.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 2).drop("__rn")
+      val pre = EnrichRunner.runConversations(prefix, "o_custkey",
+          Seq("o_orderdate", "o_orderkey"), "prompt",
+          ConversationalTestEnricher(), AiConfig.test())
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("prompt"), col("turn_number"), col("response"))
+      val reg = graft.ext.ArtifactRegistry
+      val root = RegistryRoots.root(s, dir)
+      val v = ConversationCheckpoint.publish(s, root, "conv_ckpt", pre,
+        "o_custkey", "prompt", cursorTurn = 2L)
+      (reg.read(s, root, "conv_ckpt", v, "results"),
+        reg.read(s, root, "conv_ckpt", v, "cursor"))
+    })
+  }
+
+  /** q201: MID-GROUP pause→resume PARITY for grouped conversations —
+    * the grouped twin of q198 and the reference's actual pause point
+    * (`main.py:388-392` fires inside `process_single_item`, reached
+    * from the sequential grouped branch at `main.py:508-512`). The
+    * resume trusts ONLY the loaded artifacts, verifies the grouped
+    * certificate (untampered pairs, complete 1..k prefix per group,
+    * exact (group, turn, prompt) alignment with today's input — see
+    * [[graft.enrich.ConversationCheckpoint]]), replays the completed
+    * turns verbatim, restores each conversation's message history from
+    * (today's prompts × checkpointed responses), and enriches only the
+    * remaining turns. The oracle replays the whole UNINTERRUPTED
+    * conversation run from the raw table, so the green hash certifies
+    * resumed ≡ uninterrupted bit-exact — the mid-group pause was free.
+    * Scale shape: verification is two KB-output aggregation passes +
+    * one broadcast verdict; the replay join and the group repartition
+    * are the only data-sized exchanges. */
+  def q201ConversationResume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (results, cursor) = sharedConvCheckpoint(s, dir)
+    graft.enrich.ConversationCheckpoint.resumeVerified(
+        convResumeInput(s, dir), "o_custkey", Seq("o_orderdate", "o_orderkey"),
+        "prompt", results, cursor, ConversationalTestEnricher(), AiConfig.test())
+      .select($"cursor_turn", $"n_prior", $"o_custkey", $"o_orderkey",
+        $"turn_number", $"history_chars", $"response")
+      .orderBy($"o_custkey", $"turn_number")
+  }
+
+  val q201Sql: String =
+    """WITH base AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS turn_number,
+      |    CAST(COALESCE(SUM(LENGTH('Summarize order ' || CAST(o_orderkey AS VARCHAR)))
+      |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS history_chars
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_prior FROM base WHERE turn_number <= 2)
+      |SELECT CAST(2 AS BIGINT) AS cursor_turn, n.n_prior,
+      |  o_custkey, o_orderkey, turn_number, history_chars,
+      |  '[gpt-test] turn=' || CAST(turn_number AS VARCHAR) ||
+      |    ' ctx=' || CAST(history_chars AS VARCHAR) AS response
+      |FROM base CROSS JOIN n ORDER BY o_custkey, turn_number""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_template" -> (q10Template _),
     "q11_group_key" -> (q11GroupKey _),
@@ -235,7 +322,8 @@ object Reference {
     "q13_row_index" -> (q13RowIndex _),
     "q14_pipeline" -> (q14Pipeline _),
     "q15_conversation_fold" -> (q15ConversationFold _),
-    "q198_enrich_resume" -> (q198EnrichResume _))
+    "q198_enrich_resume" -> (q198EnrichResume _),
+    "q201_conversation_resume" -> (q201ConversationResume _))
 
   val oracle: Map[String, String] = Map(
     "q10_template" -> q10Sql,
@@ -244,5 +332,6 @@ object Reference {
     "q13_row_index" -> q13Sql,
     "q14_pipeline" -> q14Sql,
     "q15_conversation_fold" -> q15Sql,
-    "q198_enrich_resume" -> q198Sql)
+    "q198_enrich_resume" -> q198Sql,
+    "q201_conversation_resume" -> q201Sql)
 }

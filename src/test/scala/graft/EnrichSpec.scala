@@ -176,6 +176,72 @@ class EnrichSpec extends SparkSpec {
       cursor.withColumn("cursor_pos", lit(7L))).count() == 0)
   }
 
+  test("grouped conversation pause→resume restores mid-group history; corruption refused") {
+    // two conversations: group A with 4 turns, group B with 1 turn —
+    // the pause lands after turn 2, so A resumes MID-GROUP (history
+    // must be restored before turn 3) and B is already complete
+    val df = Seq(
+      ("A", 1L, "alpha"), ("A", 2L, "bee"), ("A", 3L, "cedar"), ("A", 4L, "d"),
+      ("B", 1L, "solo")).toDF("grp", "ord", "prompt")
+    val uninterrupted = EnrichRunner.runConversations(df, "grp", Seq("ord"),
+        "prompt", ConversationalTestEnricher(), AiConfig.test())
+      .select($"grp", $"ord", $"turn_number", $"history_chars", $"response")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(t => (t._1, t._2)).toSeq
+    // the pause: each group's first 2 turns, enriched by the REAL fold
+    val prefix = df.filter($"ord" <= 2)
+    val pre = EnrichRunner.runConversations(prefix, "grp", Seq("ord"),
+        "prompt", ConversationalTestEnricher(), AiConfig.test())
+      .select($"grp", $"ord", $"prompt", $"turn_number", $"response")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-index/" +
+      s"convckpt-${java.util.UUID.randomUUID.toString.take(8)}"
+    val v = ConversationCheckpoint.publish(spark, root, "ckpt", pre,
+      "grp", "prompt", cursorTurn = 2L)
+    val reg = graft.ext.ArtifactRegistry
+    val results = reg.read(spark, root, "ckpt", v, "results")
+    val cursor = reg.read(spark, root, "ckpt", v, "cursor")
+    def resume(in: org.apache.spark.sql.DataFrame,
+        res: org.apache.spark.sql.DataFrame,
+        cur: org.apache.spark.sql.DataFrame,
+        metrics: Option[EnrichMetrics] = None) =
+      ConversationCheckpoint.resumeVerified(in, "grp", Seq("ord"), "prompt",
+        res, cur, ConversationalTestEnricher(), AiConfig.test(), metrics = metrics)
+    // healthy checkpoint: resumed ≡ uninterrupted bit-exact, and ONLY
+    // the 2 post-cursor turns of group A hit the enricher
+    val metrics = new EnrichMetrics(spark)
+    val resumed = resume(df, results, cursor, Some(metrics))
+      .select($"grp", $"ord", $"turn_number", $"history_chars", $"response",
+        $"cursor_turn", $"n_prior")
+      .collect().toSeq.sortBy(r => (r.getString(0), r.getLong(1)))
+    assert(resumed.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getString(4))) == uninterrupted)
+    assert(metrics.processed.value == 2,
+      "replayed turns must not re-enrich — only A's turns 3 and 4 are fresh")
+    assert(resumed.map(r => (r.getLong(5), r.getLong(6))).distinct == Seq((2L, 3L)))
+    // tampered response → pair-XOR mismatch → refuse with zero rows
+    val flipped = results.withColumn("response",
+      when($"grp" === "A" && $"turn_number" === 1L, lit("TAMPERED"))
+        .otherwise($"response"))
+    assert(resume(df, flipped, cursor).count() == 0)
+    // responses SWAPPED between A's two turns (response-only stats all
+    // preserved) → the (group, turn, prompt, response) binding refuses
+    val swapped = results.withColumn("response",
+      when($"grp" === "A" && $"turn_number" === 1L, lit("[gpt-test] turn=2 ctx=5"))
+        .when($"grp" === "A" && $"turn_number" === 2L, lit("[gpt-test] turn=1 ctx=0"))
+        .otherwise($"response"))
+    assert(resume(df, swapped, cursor).count() == 0)
+    // a HOLE in a group's prefix (turn 1 gone, turn 2 kept) → per-group
+    // gap check refuses — replay would silently shift A's history
+    assert(resume(df, results.filter(!($"grp" === "A" && $"turn_number" === 1L)),
+      cursor).count() == 0)
+    // input drift: today's prompt at a checkpointed position changed →
+    // the (group, turn, prompt) alignment count refuses — yesterday's
+    // response is not a valid replay for a different prompt
+    val drifted = df.withColumn("prompt",
+      when($"grp" === "A" && $"ord" === 1L, lit("ALPHA-EDITED")).otherwise($"prompt"))
+    assert(resume(drifted, results, cursor).count() == 0)
+  }
+
   test("checkpoint certificate binds the LANDED results, not a plan re-execution") {
     // a real pause checkpoints a NONDETERMINISTIC plan (the external
     // API answers differently per call): the certificate must be
