@@ -244,6 +244,31 @@ object Streaming {
     * micro-batches in the state store (checkpointable, resumable: the
     * streaming answer to the reference's pause/resume, main.py:631-638).
     * Rows within a micro-batch are folded in rowIndex order. */
+  /** The shared per-group fold body of [[conversationStream]] and
+    * [[conversationStreamResumed]]: fold arriving turns (rowIndex
+    * order within the batch) through the threaded history, starting
+    * from stored state — or, for a group never seen, from
+    * `systemPrompt` alone. */
+  private def convFold(enricher: Enricher, config: AiConfig,
+      systemPrompt: Option[String])
+      : (String, Iterator[ConvInput], GroupState[ConvState]) => Iterator[ConvOutput] =
+    (key, rows, state) => {
+      val init = state.getOption.getOrElse(
+        ConvState(0L, 0L, systemPrompt.map("system" -> _).toList))
+      var st = init
+      val out = rows.toSeq.sortBy(_.rowIndex).map { r =>
+        val messages = st.history.map { case (role, c) => Message(role, c) } :+
+          Message("user", r.prompt)
+        val resp = enricher.enrich(messages, config)
+        val priorChars = st.userChars
+        st = ConvState(st.turns + 1, st.userChars + r.prompt.length,
+          st.history ::: List("user" -> r.prompt, "assistant" -> resp))
+        ConvOutput(key, r.rowIndex, st.turns, priorChars, resp)
+      }
+      state.update(st)
+      out.iterator
+    }
+
   def conversationStream(
       ds: Dataset[ConvInput],
       enricher: Enricher,
@@ -251,23 +276,65 @@ object Streaming {
       systemPrompt: Option[String] = None): Dataset[ConvOutput] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.group)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[ConvInput], state: GroupState[ConvState]) =>
-          val init = state.getOption.getOrElse(
-            ConvState(0L, 0L, systemPrompt.map("system" -> _).toList))
-          var st = init
-          val out = rows.toSeq.sortBy(_.rowIndex).map { r =>
-            val messages = st.history.map { case (role, c) => Message(role, c) } :+
-              Message("user", r.prompt)
-            val resp = enricher.enrich(messages, config)
-            val priorChars = st.userChars
-            st = ConvState(st.turns + 1, st.userChars + r.prompt.length,
-              st.history ::: List("user" -> r.prompt, "assistant" -> resp))
-            ConvOutput(key, r.rowIndex, st.turns, priorChars, resp)
-          }
-          state.update(st)
-          out.iterator
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        convFold(enricher, config, systemPrompt))
+  }
+
+  /** [[conversationStream]] RESUMED from a
+    * [[graft.enrich.ConversationCheckpoint]] generation — the
+    * streaming face of the mid-group pause (q201's batch discipline):
+    * every group's state is REBUILT from the loaded checkpoint
+    * (history = checkpointed prompts × responses in turn order, turn
+    * and char counters refolded) and handed to the stateful fold as
+    * flatMapGroupsWithState INITIAL STATE, so the first arriving
+    * post-cursor turn of each group sees exactly the message history
+    * the uninterrupted stream would have held in the state store.
+    *
+    * Verification is EAGER — refuse at stream START, loudly: a stream
+    * cannot retract emitted rows, so the batch gate's zero-rows
+    * verdict becomes a throw before any micro-batch runs (same
+    * certificate join: untampered pair XOR + complete 1..k prefix per
+    * group). The batch gate's third check (input alignment) is the
+    * arrival CONTRACT here instead: arrivals are the post-cursor
+    * turns in per-group order — the same append-only ordering
+    * [[conversationStream]] already requires across micro-batches.
+    *
+    * `checkpointResults`/`checkpointCursor` are the conv_ckpt parts;
+    * `groupCol` casts to the stream's string group key. */
+  def conversationStreamResumed(
+      ds: Dataset[ConvInput],
+      checkpointResults: DataFrame,
+      checkpointCursor: DataFrame,
+      groupCol: String,
+      promptCol: String,
+      enricher: Enricher,
+      config: AiConfig,
+      systemPrompt: Option[String] = None): Dataset[ConvOutput] = {
+    import ds.sparkSession.implicits._
+    val verified = checkpointCursor.join(
+        graft.enrich.ConversationCheckpoint.certificate(
+          checkpointResults, groupCol, promptCol),
+        Seq("ck_n", "ck_groups", "ck_gaps", "ck_xor_pair"))
+      .filter(col("ck_gaps") === 0L).count() == 1L
+    require(verified, "conversation checkpoint failed certificate verification " +
+      "— refusing to serve a tampered or truncated history")
+    val sys = systemPrompt
+    val init = checkpointResults
+      .select(col(groupCol).cast("string"), col(promptCol),
+        col("turn_number"), col("response"))
+      .as[(String, String, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val turns = it.toSeq.sortBy(_._3)
+        val hist = sys.map("system" -> _).toList :::
+          turns.flatMap(t =>
+            List("user" -> t._2, "assistant" -> Option(t._4).getOrElse(""))).toList
+        g -> ConvState(turns.size.toLong, turns.map(_._2.length.toLong).sum, hist)
       }
+      .groupByKey(_._1).mapValues(_._2)
+    ds.groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout, init)(
+        convFold(enricher, config, sys))
   }
 
   /** Watermarked stream-stream interval join (click attribution):

@@ -83,6 +83,63 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.response == "[gpt-test] turn=1 ctx=0")
   }
 
+  test("resumed conversation stream restores mid-group history from the checkpoint") {
+    import graft.enrich.{ConversationCheckpoint, EnrichRunner}
+    // the q201 corpus shape: A has 4 turns, B has 1; the pause lands
+    // after turn 2, so A's stream arrivals are MID-GROUP
+    val df = Seq(
+      ("A", 1L, "alpha"), ("A", 2L, "bee"), ("A", 3L, "cedar"), ("A", 4L, "d"),
+      ("B", 1L, "solo")).toDF("grp", "ord", "prompt")
+    val uninterrupted = EnrichRunner.runConversations(df, "grp", Seq("ord"),
+        "prompt", ConversationalTestEnricher(), AiConfig.test())
+      .select($"grp", $"ord", $"turn_number", $"history_chars", $"response")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(t => (t._1, t._2)).toSeq
+    val pre = EnrichRunner.runConversations(df.filter($"ord" <= 2), "grp",
+        Seq("ord"), "prompt", ConversationalTestEnricher(), AiConfig.test())
+      .select($"grp", $"ord", $"prompt", $"turn_number", $"response")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-index/" +
+      s"convstream-${java.util.UUID.randomUUID.toString.take(8)}"
+    val v = ConversationCheckpoint.publish(spark, root, "ckpt", pre,
+      "grp", "prompt", cursorTurn = 2L)
+    val reg = graft.ext.ArtifactRegistry
+    val results = reg.read(spark, root, "ckpt", v, "results")
+    val cursor = reg.read(spark, root, "ckpt", v, "cursor")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.ConvInput]
+    val out = Streaming.conversationStreamResumed(input.toDS(), results, cursor,
+      "grp", "prompt", ConversationalTestEnricher(), AiConfig.test())
+    val q = out.writeStream.format("memory").queryName("conv_resume_out")
+      .outputMode("append").start()
+    try {
+      // post-cursor turns arrive across TWO micro-batches: the first
+      // sees the REBUILT initial state, the second the state store
+      input.addData(Streaming.ConvInput("A", 3L, "cedar"))
+      q.processAllAvailable()
+      input.addData(Streaming.ConvInput("A", 4L, "d"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("conv_resume_out").as[Streaming.ConvOutput]
+      .collect().sortBy(_.rowIndex).toSeq
+    // bit-exact parity with the UNINTERRUPTED batch fold's A turns 3-4:
+    // the rebuilt history carries both the turn counter and the chars
+    val batchTail = uninterrupted.filter(t => t._1 == "A" && t._3 >= 3L)
+      .map(t => ("A", t._3, t._4, t._5))
+    assert(rows.map(r => (r.group, r.turnNumber, r.historyChars, r.response))
+      == batchTail)
+    assert(rows.map(_.response) ==
+      Seq("[gpt-test] turn=3 ctx=8", "[gpt-test] turn=4 ctx=13"))
+    // a tampered checkpoint refuses EAGERLY — at stream construction,
+    // before any micro-batch can emit unretractable rows
+    val flipped = results.withColumn("response",
+      when($"grp" === "A" && $"turn_number" === 1L, lit("TAMPERED"))
+        .otherwise($"response"))
+    intercept[IllegalArgumentException] {
+      Streaming.conversationStreamResumed(input.toDS(), flipped, cursor,
+        "grp", "prompt", ConversationalTestEnricher(), AiConfig.test())
+    }
+  }
+
   test("streaming as-of join carries the latest right event across batches") {
     implicit val sqlCtx = spark.sqlContext
     import Streaming.{AsofEvent, AsofMatch}
