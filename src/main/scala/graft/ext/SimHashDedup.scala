@@ -25,12 +25,40 @@ object SimHashDedup {
   }
 
   /** Pairs at Hamming distance ≤ `maxHamming` (must be < Bands for the
-    * pigeonhole guarantee). */
+    * pigeonhole guarantee).
+    *
+    * `maxBucket` is the scale lever, OFF by default — deliberately the
+    * opposite default from [[MinHashLsh.nearDupPairs]], because the
+    * contracts differ: MinHash emission is an ESTIMATE (a capped
+    * bucket drops redundant evidence), while this operator's contract
+    * is EXACT equality with brute force (the q21 oracle brute-forces
+    * all pairs), and with 8-bit bands a bucket holds n/256 docs in
+    * expectation — at any real corpus size every bucket exceeds any
+    * cap, so a capped default would silently stop being exact at
+    * precisely the scale that matters. The 10× scale-stress measures
+    * the consequence honestly: exponent 1.77, because the TRUE
+    * Hamming-≤3 pair set itself grows quadratically on clone-heavy
+    * corpora (clone pairs are real pairs, not estimation artifacts).
+    * Exact all-pairs SimHash is therefore NOT a 100 TB primitive; the
+    * 100 TB paths are (a) exact-dedup clones upstream (q18/q34's
+    * stage order), then band the survivors, or (b) opt into the cap —
+    * q202 gates that form with an oracle that replays the exclusion.
+    *
+    * Uncapped, emission is first-match-band (a pure predicate: all
+    * earlier bands must disagree — one emission per pair, no dedup
+    * shuffle on the pair stream). Under a cap that argument is
+    * unsound (the first agreeing band may be a dropped oversized
+    * bucket), so the capped plan switches to distinct-pair emission,
+    * with the bucket size a COUNT WINDOW over the same (band, bval)
+    * keys the self-join shuffles on — one exchange, reused by the
+    * join's other side. The Hamming filter stays INSIDE the join
+    * either way, so failing candidates never expand. */
   def nearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming < Bands,
       s"maxHamming=$maxHamming needs > $maxHamming+1 bands for exact recall; use more/narrower bands")
     val sims = simhashes(df, idCol, textCol)
@@ -40,27 +68,33 @@ object SimHashDedup {
             shiftrightunsigned(col("sh"), b * BitsPerBand).bitwiseAND(lit(255L)).as("bval"))): _*))
           .as("bs"))
       .select(col("id"), col("sh"), col("bs.band").as("band"), col("bs.bval").as("bval"))
-    // hamming filter INSIDE the band join: candidates that fail the
-    // distance test never reach the output — at skewed band buckets
-    // this is the difference between emitting true pairs and the whole
-    // candidate blow-up.
-    //
-    // first-match-band emission replaces distinct(): a pair agreeing on
-    // several bands would be emitted once per band, but requiring every
-    // EARLIER band to disagree picks exactly one emission per pair —
-    // a pure predicate, so the (at corpus scale, huge) pair stream
-    // never pays a dedup shuffle.
-    def bandVal(sh: org.apache.spark.sql.Column, b: Int) =
-      shiftrightunsigned(sh, b * BitsPerBand).bitwiseAND(lit(255L))
-    val firstMatch = (0 until Bands).map(bp =>
-      when(col("a.band") > lit(bp), bandVal(col("a.sh"), bp) =!= bandVal(col("b.sh"), bp))
-        .otherwise(lit(true))).reduce(_ && _)
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          col("a.id") < col("b.id") &&
-          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming &&
-          firstMatch)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+    val hamming =
+      bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long")
+    if (maxBucket == Int.MaxValue) {
+      def bandVal(sh: org.apache.spark.sql.Column, b: Int) =
+        shiftrightunsigned(sh, b * BitsPerBand).bitwiseAND(lit(255L))
+      val firstMatch = (0 until Bands).map(bp =>
+        when(col("a.band") > lit(bp), bandVal(col("a.sh"), bp) =!= bandVal(col("b.sh"), bp))
+          .otherwise(lit(true))).reduce(_ && _)
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+            col("a.id") < col("b.id") &&
+            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming &&
+            firstMatch)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          hamming.as("hamming"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bval"))
+      val kept = bands
+        .withColumn("bsz", count(lit(1)).over(w))
+        .filter(col("bsz") <= maxBucket).drop("bsz")
+      kept.as("a").join(kept.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+            col("a.id") < col("b.id") &&
+            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming)
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(first(hamming).as("hamming"))
+    }
   }
 }

@@ -100,10 +100,11 @@ object HashDedupQueries {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** Oracle brute-forces all pairs; the engine bands. Identical results
-    * are guaranteed by the pigeonhole bound (see [[SimHashDedup]]). */
-  val q21Sql: String =
-    """WITH toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+  /** The SimHash computation chain (tokens → rolling hashes → 32-bit
+    * simhash), shared by q21's brute-force oracle and q202's capped
+    * replay so both audit the same signature arithmetic. */
+  private val simhashChainSql: String =
+    """toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
       |th AS (SELECT id, list_transform(ts, t ->
       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
       |      list_transform(generate_series(1, length(t)), i -> CAST(unicode(substr(t, i, 1)) AS BIGINT))),
@@ -111,11 +112,45 @@ object HashDedupQueries {
       |sh AS (SELECT id,
       |  list_sum(list_transform(generate_series(0,31), j ->
       |    CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-      |    THEN 1 << j ELSE 0 END)) AS sh FROM th),
+      |    THEN 1 << j ELSE 0 END)) AS sh FROM th)""".stripMargin
+
+  /** Oracle brute-forces all pairs; the engine bands. Identical results
+    * are guaranteed by the pigeonhole bound (see [[SimHashDedup]]). */
+  val q21Sql: String =
+    s"""WITH $simhashChainSql,
       |pairs AS (SELECT a.id AS id_a, b.id AS id_b, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
       |  FROM sh a JOIN sh b ON a.id < b.id)
       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q202: the bucket-CAPPED SimHash band join — the scale form the
+    * 10× stress drove in (exact all-pairs SimHash is inherently
+    * clone-quadratic: exponent 1.77 measured, because clone pairs are
+    * TRUE Hamming-0 pairs; and 8-bit bands hold n/256 docs per bucket
+    * in expectation, so at corpus scale every bucket is huge). The cap
+    * (32, biting at gate scale) excludes oversized band buckets before
+    * any pair expands; emission is distinct-pair because first-match-
+    * band is unsound under a cap (the q200 argument). The oracle
+    * replays the SAME exclusion from the shared simhash chain, so the
+    * green hash certifies the cap arithmetic — which buckets drop,
+    * which pairs survive — not just the happy path. */
+  def q202SimHashCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SimHashDedup.nearDupPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 3, maxBucket = 32)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q202Sql: String =
+    s"""WITH $simhashChainSql,
+      |bands AS (SELECT id, sh, bs.b AS b, (sh >> (bs.b * 8)) & 255 AS bval
+      |  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) bs),
+      |keptb AS (SELECT * FROM bands QUALIFY COUNT(*) OVER (PARTITION BY b, bval) <= 32),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      |  FROM keptb a JOIN keptb b ON a.b = b.b AND a.bval = b.bval AND a.id < b.id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3)
+      |SELECT id_a, id_b, hamming FROM cand ORDER BY id_a, id_b""".stripMargin
 
   /** q69: incremental dedup — a "new batch" (doc_id ≥ 250) deduped
     * against an already-ingested corpus (doc_id < 250) that travels
@@ -672,6 +707,7 @@ object HashDedupQueries {
     "q20_minhash_lsh" -> (q20MinHash _),
     "q200_lsh_bucket_cap" -> (q200LshBucketCap _),
     "q21_simhash" -> (q21SimHash _),
+    "q202_simhash_bucket_cap" -> (q202SimHashCap _),
     "q69_incremental_dedup" -> (q69IncrementalDedup _),
     "q120_incremental_lsh" -> (q120IncrementalLsh _))
 
@@ -691,6 +727,7 @@ object HashDedupQueries {
     "q20_minhash_lsh" -> q20Sql,
     "q200_lsh_bucket_cap" -> q200Sql,
     "q21_simhash" -> q21Sql,
+    "q202_simhash_bucket_cap" -> q202Sql,
     "q69_incremental_dedup" -> q69Sql,
     "q120_incremental_lsh" -> q120Sql)
 }

@@ -94,6 +94,28 @@ class HashDedupSpec extends SparkSpec {
     assert(banded.contains((10L, 20L))) // identical docs -> hamming 0
   }
 
+  test("SimHash bucket cap excludes clone clusters, keeps ordinary pairs") {
+    // a 6-doc verbatim clone cluster (one bucket in EVERY band — the
+    // 10x scale-stress shape whose true pair set is clone-quadratic)
+    // plus one ordinary near-dup pair that must survive the cap
+    val docs = (1L to 6L).map(i => (i, "cloned boilerplate page text alpha beta gamma")) ++
+      Seq((10L, "doc ten unique words zeta eta theta iota"),
+        (11L, "doc ten unique words zeta eta theta iota"),
+        (20L, "entirely different content kappa lambda mu nu xi"))
+    val df = docs.toDF("doc_id", "text")
+    val uncapped = SimHashDedup.nearDupPairs(df, "doc_id", "text",
+        maxHamming = 3, maxBucket = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.count(p => p._1 <= 6 && p._2 <= 6) == 15) // 6*5/2 clone pairs
+    val capped = SimHashDedup.nearDupPairs(df, "doc_id", "text",
+        maxHamming = 3, maxBucket = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the clone cluster is excluded whole; the ordinary pair survives
+    assert(!capped.exists(p => p._1 <= 6 || p._2 <= 6))
+    assert(capped == uncapped.filter(p => p._1 > 6 && p._2 > 6))
+    assert(capped.contains((10L, 11L)))
+  }
+
   test("LSH operating curve: counts shrink and thresholds nest as t rises (q147)") {
     val rows = graft.queries.HashDedupQueries.q147LshRoc(spark, sf)
       .select($"thr_ppm", $"tp", $"fp", $"fn")
