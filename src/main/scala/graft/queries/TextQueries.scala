@@ -818,7 +818,16 @@ object TextQueries {
     * vocabulary makes ~8% of ALL document pairs ≥0.9-similar, so an
     * unblocked run's output is quadratic in corpus size no matter how
     * good the candidate filter is. On a real corpus (large vocabulary,
-    * rare tokens actually rare) the same code runs unblocked. */
+    * rare tokens actually rare) the same code runs unblocked.
+    *
+    * Measured (10× verbatim-clone scale-stress, SCALESTRESS_r15):
+    * exponent 1.32 — super-linear and INHERENT, the q21 adjudication:
+    * the contract is exact (the brute-force oracle proves the prefix
+    * filter complete), clones are true J=1.0 pairs, so the OUTPUT
+    * grows quadratically in clone count; sub-2.0 is the prefix filter
+    * earning its keep per output row. The 100 TB posture is the q34
+    * stage order — exact-dedup clones upstream (which removes exactly
+    * the pairs that blow this up), then prefix-join the survivors. */
   def q116PrefixJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sets = Tables.load(s, dir, "documents")
