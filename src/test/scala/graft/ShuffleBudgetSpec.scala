@@ -43,7 +43,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q126_skyline" -> 3, // per-cost agg + range partition + final order (prefix max is scan-local)
     "q127_tpch_q7" -> 4, // lineitem-orders fact join (2) + final agg + order; both nation dims broadcast
     "q198_enrich_resume" -> 2, // resume anti-join + final order; the verdict side is all broadcast
-    "q201_conversation_resume" -> 6) // input window + prior replay join + group repartition + 2 certificate folds + final order
+    "q201_conversation_resume" -> 6, // input window + prior replay join + group repartition + 2 certificate folds + final order
+    "q202_simhash_bucket_cap" -> 4) // band window (reused by the self-join) + pair distinct + final order + sig build
 
   test("PageRank round plans ZERO exchanges against the pre-partitioned edge cache") {
     // the per-round plans are checkpointed away from the final query
