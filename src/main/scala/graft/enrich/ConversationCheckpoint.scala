@@ -33,10 +33,10 @@ import graft.model.AiConfig
   * the hash even though every response-only stat survives. Input
   * alignment is verified at resume by positioning today's input
   * (row_number per group — a partitioned window, scalable) and
-  * counting exact (group, turn, prompt) matches against the loaded
-  * results: the count must equal the certified row count. Any
-  * mismatch → empty verdict → the resume emits ZERO rows; refuse,
-  * never fabricate.
+  * counting exact (group, orderCols, turn, prompt) matches against
+  * the loaded results: the count must equal the certified row count.
+  * Any mismatch → empty verdict → the resume emits ZERO rows before
+  * any enrichment plan executes; refuse, never fabricate.
   */
 object ConversationCheckpoint {
 
@@ -79,13 +79,24 @@ object ConversationCheckpoint {
   /** Resume grouped conversations from loaded artifacts with
     * verification: re-fold the loaded results, join the fold against
     * the loaded cursor on every certificate stat, require zero
-    * per-group gaps AND exact (group, turn, prompt) alignment with
-    * today's input, then gate [[EnrichRunner.resumeConversations]]'s
-    * output on the (≤1-row) broadcast verdict. A valid checkpoint
-    * yields the full conversation output (completed turns replayed
-    * verbatim, fresh turns enriched against the restored history)
-    * with `cursor_turn` and `n_prior` riding every row; a corrupted
-    * or input-drifted one yields zero rows. */
+    * per-group gaps AND exact (group, orderCols, turn, prompt)
+    * alignment with today's input. The alignment join carries the
+    * ORDER columns as well as the turn/prompt — the replay join in
+    * [[EnrichRunner.resumeConversations]] keys on (group, orderCols),
+    * so a checkpoint whose order-column values were corrupted would
+    * pass a turn/prompt-only gate and then silently re-enrich turns
+    * that should replay verbatim; binding the order values here makes
+    * that tamper class refuse like every other.
+    *
+    * Verification is EAGER (the ≤1-row verdict is collected before
+    * any replay plan is built — the
+    * [[graft.streaming.Streaming.conversationStreamResumed]]
+    * posture): a refused checkpoint returns an EMPTY frame whose plan
+    * contains no enrichment at all, so no fresh-turn API call and no
+    * replay-fold tripwire can execute against a corrupted checkpoint.
+    * A valid one yields the full conversation output (completed turns
+    * replayed verbatim, fresh turns enriched against the restored
+    * history) with `cursor_turn` and `n_prior` riding every row. */
   def resumeVerified(
       df: DataFrame,
       groupCol: String,
@@ -98,25 +109,38 @@ object ConversationCheckpoint {
       systemPrompt: Option[String] = None,
       metrics: Option[EnrichMetrics] = None): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(orderCols.map(col): _*)
-    val positioned = df.select(col(groupCol), col(promptCol),
-      row_number().over(w).cast("long").as("turn_number"))
+    val alignKeys =
+      ((groupCol +: orderCols) ++ Seq("turn_number", promptCol)).distinct
+    val positioned = df.select(
+      ((groupCol +: orderCols) :+ promptCol).distinct.map(col) :+
+        row_number().over(w).cast("long").as("turn_number"): _*)
     val matched = positioned
-      .join(loadedResults.select(groupCol, "turn_number", promptCol),
-        Seq(groupCol, "turn_number", promptCol))
+      .join(loadedResults.select(alignKeys.map(col): _*), alignKeys)
       .agg(count(lit(1)).as("ck_match"))
-    val verdict = loadedCursor
+    val verdictRows = loadedCursor
       .join(certificate(loadedResults, groupCol, promptCol),
         Seq("ck_n", "ck_groups", "ck_gaps", "ck_xor_pair"))
       .filter(col("ck_gaps") === 0L)
       .crossJoin(matched)
       .filter(col("ck_match") === col("ck_n"))
       .select(col("cursor_turn"), col("ck_n").as("n_prior"))
-    // cache: callers restore order with a sort, whose range-sampling
-    // pass would otherwise run the fresh turns' enrichment twice
-    val resumed = EnrichRunner.resumeConversations(df, groupCol, orderCols,
+      .collect()
+    val resumedPlan = EnrichRunner.resumeConversations(df, groupCol, orderCols,
       promptCol, loadedResults, enricher, config, systemPrompt,
-      metrics = metrics).cache()
-    EnrichCheckpoint.trackResumedCache(df.sparkSession, resumed)
-    resumed.crossJoin(broadcast(verdict))
+      metrics = metrics)
+    if (verdictRows.isEmpty)
+      // refuse: zero rows, and the limit(0) collapses to an empty
+      // local relation — no replay join, no enricher call can run
+      resumedPlan.limit(0)
+        .withColumn("cursor_turn", lit(null).cast("long"))
+        .withColumn("n_prior", lit(null).cast("long"))
+    else {
+      // cache: callers restore order with a sort, whose range-sampling
+      // pass would otherwise run the fresh turns' enrichment twice
+      val resumed = resumedPlan.cache()
+      EnrichCheckpoint.trackResumedCache(df.sparkSession, resumed)
+      resumed.withColumn("cursor_turn", lit(verdictRows(0).getLong(0)))
+        .withColumn("n_prior", lit(verdictRows(0).getLong(1)))
+    }
   }
 }

@@ -81,12 +81,15 @@ object EnrichCheckpoint {
 
   /** Resume from loaded artifacts with verification: re-fold the
     * loaded results, join the fold against the loaded cursor on EVERY
-    * stat plus the complete-prefix requirement, and gate the resumed
-    * union on the (≤1-row) verdict. A valid checkpoint yields
-    * `resumeEnrichment`'s union (prior rows verbatim, only the
-    * remainder enriched) with `cursor_pos` and `n_prior` riding every
-    * row; a corrupted one yields zero rows. The verdict frame is
-    * one broadcast row — the gate costs nothing at any scale. */
+    * stat plus the complete-prefix requirement. Verification is EAGER
+    * — the ≤1-row verdict is collected before the resumed union is
+    * built, so a corrupted checkpoint returns an empty frame whose
+    * plan contains no enrichment at all (zero fresh API calls against
+    * a refused checkpoint — the
+    * [[graft.streaming.Streaming.conversationStreamResumed]]
+    * posture). A valid checkpoint yields `resumeEnrichment`'s union
+    * (prior rows verbatim, only the remainder enriched) with
+    * `cursor_pos` and `n_prior` riding every row. */
   def resumeVerified(
       indexed: DataFrame,
       loadedResults: DataFrame,
@@ -95,18 +98,27 @@ object EnrichCheckpoint {
       enricher: Enricher,
       config: AiConfig,
       metrics: Option[EnrichMetrics] = None): DataFrame = {
-    val verdict = loadedCursor.join(certificate(loadedResults),
+    val verdictRows = loadedCursor.join(certificate(loadedResults),
         Seq("ck_n", "ck_max_idx", "ck_xor_idx", "ck_xor_pair"))
       .filter(col("ck_n") === col("cursor_pos") &&
         col("ck_max_idx") === col("cursor_pos") - 1)
       .select(col("cursor_pos"), col("ck_n").as("n_prior"))
-    // cache: callers sort the resumed frame (order restore), and a
-    // sort's range-sampling pass would otherwise run the fresh
-    // enrichment a second time — 2× external API calls at scale (the
-    // BatchPipeline.run discipline, pipeline/BatchPipeline.scala:68)
-    val resumed = EnrichRunner.resumeEnrichment(
-      indexed, loadedResults, promptCol, enricher, config, metrics).cache()
-    trackResumedCache(indexed.sparkSession, resumed)
-    resumed.crossJoin(broadcast(verdict))
+      .collect()
+    val resumedPlan = EnrichRunner.resumeEnrichment(
+      indexed, loadedResults, promptCol, enricher, config, metrics)
+    if (verdictRows.isEmpty)
+      resumedPlan.limit(0)
+        .withColumn("cursor_pos", lit(null).cast("long"))
+        .withColumn("n_prior", lit(null).cast("long"))
+    else {
+      // cache: callers sort the resumed frame (order restore), and a
+      // sort's range-sampling pass would otherwise run the fresh
+      // enrichment a second time — 2× external API calls at scale (the
+      // BatchPipeline.run discipline, pipeline/BatchPipeline.scala:68)
+      val resumed = resumedPlan.cache()
+      trackResumedCache(indexed.sparkSession, resumed)
+      resumed.withColumn("cursor_pos", lit(verdictRows(0).getLong(0)))
+        .withColumn("n_prior", lit(verdictRows(0).getLong(1)))
+    }
   }
 }

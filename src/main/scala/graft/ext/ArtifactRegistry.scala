@@ -245,15 +245,24 @@ object ArtifactRegistry {
 
   /** Compact the pin log: rewrite the full flip history into ONE file
     * and delete the per-flip files it replaces. Reader-safe with ZERO
-    * coordination: the compacted file lands FIRST (as another append —
-    * a reader racing the compaction sees duplicate rows, which cannot
-    * change the max-seq row [[currentPin]] resolves), the replaced
-    * files are deleted after; [[pinLog]] dedupes on seq so even a
-    * crash between the two steps only leaves harmless duplicates.
-    * History is preserved in full — compaction changes the log's FILE
-    * layout, never its rows. Runs under [[setPin]]'s single-operator
-    * contract, so no flip can land between the listing and the
-    * deletes. */
+    * coordination on log CONTENT: the compacted file lands FIRST (as
+    * another append — a reader racing the compaction sees duplicate
+    * rows, which cannot change the max-seq row [[currentPin]]
+    * resolves), the replaced files are deleted after; [[pinLog]]
+    * dedupes on seq so even a crash between the two steps only leaves
+    * harmless duplicates. History is preserved in full — compaction
+    * changes the log's FILE layout, never its rows. Runs under
+    * [[setPin]]'s single-operator contract, so no flip can land
+    * between the listing and the deletes.
+    *
+    * One transient window remains at the FILE level: a reader that
+    * lists the directory before the compacted file lands but executes
+    * its scan after the old files are deleted sees a
+    * FileNotFoundException for a file the listing promised. That is a
+    * failed read, never a wrong pin — and [[currentPin]] absorbs it by
+    * re-resolving (a fresh listing) once before surfacing the error,
+    * so a rotating serve's per-batch pin resolution rides through a
+    * concurrent compaction. */
   def compactPinLog(s: SparkSession, root: String, kind: String): Unit = {
     val old = pinLogFiles(s, root, kind)
     if (old.length <= 1) return
@@ -275,10 +284,32 @@ object ArtifactRegistry {
   /** The currently pinned version of `kind`, if any — the version at
     * the pin log's highest seq. A serving path that re-resolves this
     * per batch picks up a flip WITHOUT restart (see
-    * [[graft.streaming.Streaming.nbServeStreamRotating]]). */
+    * [[graft.streaming.Streaming.nbServeStreamRotating]]). Retries
+    * ONCE on a FileNotFoundException anywhere in the failure chain:
+    * a read racing [[compactPinLog]]'s append-then-delete can list a
+    * per-flip file the delete step removes before the scan runs
+    * (transient by construction — the re-resolve lists the compacted
+    * file, which holds every row the deleted ones did). */
   def currentPin(s: SparkSession, root: String, kind: String): Option[Long] = {
-    val rows = pinLog(s, root, kind).orderBy(col("seq").desc).limit(1).collect()
-    rows.headOption.map(_.getLong(0))
+    def resolve(): Option[Long] =
+      pinLog(s, root, kind).orderBy(col("seq").desc).limit(1).collect()
+        .headOption.map(_.getLong(0))
+    try resolve() catch {
+      case e: Throwable if isFileNotFound(e) => resolve()
+    }
+  }
+
+  /** Walk the cause chain for a FileNotFoundException (Spark wraps
+    * task failures in SparkException layers). */
+  private def isFileNotFound(e: Throwable): Boolean = {
+    var t = e
+    var depth = 0
+    while (t != null && depth < 16) {
+      if (t.isInstanceOf[java.io.FileNotFoundException]) return true
+      t = t.getCause
+      depth += 1
+    }
+    false
   }
 
   /** Administrative garbage collection: delete the part directories of

@@ -237,7 +237,18 @@ object Streaming {
   final case class ConvInput(group: String, rowIndex: Long, prompt: String)
   final case class ConvOutput(group: String, rowIndex: Long, turnNumber: Long,
     historyChars: Long, response: String)
-  final case class ConvState(turns: Long, userChars: Long, history: List[(String, String)])
+  /** `maxRow` is the per-group arrival watermark: the highest
+    * `rowIndex` folded so far (`Long.MinValue` for a fresh group).
+    * The fold THROWS on an arrival at or below it — a producer
+    * replaying an already-folded turn (easy after a producer restart)
+    * would otherwise silently re-enrich it, append a duplicate turn
+    * to the history, and shift every later turn number, a corruption
+    * the batch twin detects and replays verbatim instead. For a
+    * checkpoint-resumed stream the watermark starts at the cursor
+    * (the checkpointed turns' max order value), so replays of
+    * completed turns refuse too. */
+  final case class ConvState(turns: Long, userChars: Long,
+    history: List[(String, String)], maxRow: Long = Long.MinValue)
 
   /** T7: the conversation fold as a stateful stream — same semantics as
     * EnrichRunner.runConversations, but state persists across
@@ -257,12 +268,17 @@ object Streaming {
         ConvState(0L, 0L, systemPrompt.map("system" -> _).toList))
       var st = init
       val out = rows.toSeq.sortBy(_.rowIndex).map { r =>
+        require(r.rowIndex > st.maxRow,
+          s"conversation arrival rowIndex=${r.rowIndex} of group $key is at " +
+            s"or below the folded watermark ${st.maxRow} — a replayed or " +
+            "out-of-order turn would corrupt the threaded history; refusing")
         val messages = st.history.map { case (role, c) => Message(role, c) } :+
           Message("user", r.prompt)
         val resp = enricher.enrich(messages, config)
         val priorChars = st.userChars
         st = ConvState(st.turns + 1, st.userChars + r.prompt.length,
-          st.history ::: List("user" -> r.prompt, "assistant" -> resp))
+          st.history ::: List("user" -> r.prompt, "assistant" -> resp),
+          r.rowIndex)
         ConvOutput(key, r.rowIndex, st.turns, priorChars, resp)
       }
       state.update(st)
@@ -300,7 +316,15 @@ object Streaming {
     * [[conversationStream]] already requires across micro-batches.
     *
     * `checkpointResults`/`checkpointCursor` are the conv_ckpt parts;
-    * `groupCol` casts to the stream's string group key. */
+    * `groupCol` casts to the stream's string group key. `orderCol`
+    * names the checkpoint column holding the same per-group ordering
+    * the stream's `rowIndex` continues — each group's arrival
+    * watermark starts at its checkpointed max, so a producer
+    * replaying a COMPLETED turn refuses (throws) instead of silently
+    * re-enriching it into a duplicate history entry. When `orderCol`
+    * is None the contract is that `rowIndex` continues the 1-based
+    * per-group turn numbering, and the watermark starts at the
+    * cursor's turn count. */
   def conversationStreamResumed(
       ds: Dataset[ConvInput],
       checkpointResults: DataFrame,
@@ -309,7 +333,8 @@ object Streaming {
       promptCol: String,
       enricher: Enricher,
       config: AiConfig,
-      systemPrompt: Option[String] = None): Dataset[ConvOutput] = {
+      systemPrompt: Option[String] = None,
+      orderCol: Option[String] = None): Dataset[ConvOutput] = {
     import ds.sparkSession.implicits._
     val verified = checkpointCursor.join(
         graft.enrich.ConversationCheckpoint.certificate(
@@ -321,15 +346,18 @@ object Streaming {
     val sys = systemPrompt
     val init = checkpointResults
       .select(col(groupCol).cast("string"), col(promptCol),
-        col("turn_number"), col("response"))
-      .as[(String, String, Long, String)]
+        col("turn_number"), col("response"),
+        orderCol.map(c => col(c).cast("long")).getOrElse(col("turn_number"))
+          .as("__ord"))
+      .as[(String, String, Long, String, Long)]
       .groupByKey(_._1)
       .mapGroups { (g, it) =>
         val turns = it.toSeq.sortBy(_._3)
         val hist = sys.map("system" -> _).toList :::
           turns.flatMap(t =>
             List("user" -> t._2, "assistant" -> Option(t._4).getOrElse(""))).toList
-        g -> ConvState(turns.size.toLong, turns.map(_._2.length.toLong).sum, hist)
+        g -> ConvState(turns.size.toLong, turns.map(_._2.length.toLong).sum,
+          hist, turns.map(_._5).foldLeft(Long.MinValue)(math.max))
       }
       .groupByKey(_._1).mapValues(_._2)
     ds.groupByKey(_.group)

@@ -240,6 +240,18 @@ class EnrichSpec extends SparkSpec {
     val drifted = df.withColumn("prompt",
       when($"grp" === "A" && $"ord" === 1L, lit("ALPHA-EDITED")).otherwise($"prompt"))
     assert(resume(drifted, results, cursor).count() == 0)
+    // ORDER-column tamper: the certificate hashes (group, turn,
+    // prompt, response) and would pass, but the replay join keys on
+    // (group, ord) — corrupted ord values would silently re-enrich
+    // turns that must replay verbatim. The alignment join binds the
+    // order columns too, so this refuses like every other tamper.
+    val ordTampered = results.withColumn("ord",
+      when($"grp" === "A", $"ord" + 100L).otherwise($"ord"))
+    val ordMetrics = new EnrichMetrics(spark)
+    assert(resume(df, ordTampered, cursor, Some(ordMetrics)).count() == 0)
+    assert(ordMetrics.processed.value == 0,
+      "a refused checkpoint must trigger ZERO enricher calls — " +
+        "verification is eager, the replay plan never executes")
   }
 
   test("checkpoint certificate binds the LANDED results, not a plan re-execution") {

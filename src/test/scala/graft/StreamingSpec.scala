@@ -108,7 +108,8 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Streaming.ConvInput]
     val out = Streaming.conversationStreamResumed(input.toDS(), results, cursor,
-      "grp", "prompt", ConversationalTestEnricher(), AiConfig.test())
+      "grp", "prompt", ConversationalTestEnricher(), AiConfig.test(),
+      orderCol = Some("ord"))
     val q = out.writeStream.format("memory").queryName("conv_resume_out")
       .outputMode("append").start()
     try {
@@ -118,6 +119,16 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData(Streaming.ConvInput("A", 4L, "d"))
       q.processAllAvailable()
+      // a producer REPLAYING an already-checkpointed turn (rowIndex 2
+      // ≤ the group's arrival watermark) must fail the micro-batch
+      // loudly — the silent alternative re-enriches the turn into a
+      // duplicate history entry and shifts every later turn number
+      input.addData(Streaming.ConvInput("A", 2L, "bee"))
+      val replayErr = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(replayErr.getMessage.contains("watermark") ||
+        Option(replayErr.getCause).exists(_.getMessage.contains("watermark")))
     } finally q.stop()
     val rows = spark.table("conv_resume_out").as[Streaming.ConvOutput]
       .collect().sortBy(_.rowIndex).toSeq
