@@ -33,6 +33,28 @@ object Dedup {
       .drop("__rn", "content_hash")
   }
 
+  /** [[exactDedup]] that also KEEPS the clone-group size: one full row
+    * (min id) per normalized content, plus `n_copies`. This is the
+    * upstream stage of the dedup-first posture for exact all-pairs
+    * operators (q203/q204): an exact near-dup self-join on a
+    * clone-heavy corpus has clone-quadratic OUTPUT by contract (clones
+    * are true distance-0 pairs), so the 100 TB form dedups clones
+    * FIRST — one hash shuffle, the text never moves — and pairs only
+    * the survivors, carrying `n_copies` so every dropped clone pair
+    * stays countable (a rep-level pair (a,b) stands for n_a·n_b
+    * original pairs; the within-group pairs are C(n_copies, 2) per
+    * group, q18's output). Both windows (row_number, count) share one
+    * exchange on the content hash. */
+  def exactDedupWithCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wOrd = Window.partitionBy("content_hash").orderBy(col(idCol))
+    val wAll = Window.partitionBy("content_hash")
+    df.withColumn("content_hash", contentHash(col(textCol)))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("n_copies", count(lit(1)).over(wAll))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "content_hash")
+  }
+
   /** Incremental dedup: drop rows of `newDocs` whose normalized content
     * already exists in a known corpus (supplied as its hash set — at
     * 100 TB the reference corpus travels as 16-byte digests, typically

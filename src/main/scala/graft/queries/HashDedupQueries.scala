@@ -101,10 +101,11 @@ object HashDedupQueries {
   }
 
   /** The SimHash computation chain (tokens → rolling hashes → 32-bit
-    * simhash), shared by q21's brute-force oracle and q202's capped
-    * replay so both audit the same signature arithmetic. */
-  private val simhashChainSql: String =
-    """toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS ts FROM documents),
+    * simhash), shared by q21's brute-force oracle, q202's capped
+    * replay, and q203's dedup-first replay so none lets the signature
+    * arithmetic fork. `src` is the CTE/table the chain reads. */
+  private def simhashChainSqlFrom(src: String): String =
+    s"""toks AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS ts FROM $src),
       |th AS (SELECT id, list_transform(ts, t ->
       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
       |      list_transform(generate_series(1, length(t)), i -> CAST(unicode(substr(t, i, 1)) AS BIGINT))),
@@ -117,7 +118,7 @@ object HashDedupQueries {
   /** Oracle brute-forces all pairs; the engine bands. Identical results
     * are guaranteed by the pigeonhole bound (see [[SimHashDedup]]). */
   val q21Sql: String =
-    s"""WITH $simhashChainSql,
+    s"""WITH ${simhashChainSqlFrom("documents")},
       |pairs AS (SELECT a.id AS id_a, b.id AS id_b, CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
       |  FROM sh a JOIN sh b ON a.id < b.id)
       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
@@ -142,7 +143,7 @@ object HashDedupQueries {
   }
 
   val q202Sql: String =
-    s"""WITH $simhashChainSql,
+    s"""WITH ${simhashChainSqlFrom("documents")},
       |bands AS (SELECT id, sh, bs.b AS b, (sh >> (bs.b * 8)) & 255 AS bval
       |  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) bs),
       |keptb AS (SELECT * FROM bands QUALIFY COUNT(*) OVER (PARTITION BY b, bval) <= 32),
@@ -151,6 +152,58 @@ object HashDedupQueries {
       |  FROM keptb a JOIN keptb b ON a.b = b.b AND a.bval = b.bval AND a.id < b.id
       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3)
       |SELECT id_a, id_b, hamming FROM cand ORDER BY id_a, id_b""".stripMargin
+
+  /** q203: the DEDUP-FIRST posture for exact SimHash near-dup — the
+    * composition the q21 scaladoc names as the 100 TB path for the
+    * EXACT contract, now gated. Stage order is q18/q34's: exact-dedup
+    * clones upstream (one hash shuffle on a 16-byte digest — on a
+    * clone-heavy corpus this removes exactly the pairs that make
+    * all-pairs SimHash quadratic, since verbatim clones are true
+    * Hamming-0 pairs), then band the SURVIVORS uncapped (exact, the
+    * pigeonhole guarantee intact). The output stays
+    * EXACT-reconstructible without ever materializing the quadratic:
+    * each rep-level pair (a, b) carries its clone-group sizes and
+    * `implied_pairs` = n_a·n_b (the original cross-group pairs it
+    * stands for, all at the same Hamming distance because clones are
+    * bit-identical), and the within-group Hamming-0 pairs are
+    * C(n_copies, 2) per group — q18's output. |q21| = Σ C(n,2) +
+    * Σ implied_pairs, with output linear in DISTINCT contents, not
+    * quadratic in clones. The oracle replays the whole chain (dedup →
+    * simhash → brute-force pairs over reps → size joins), so the
+    * green hash certifies the composition, not just the parts.
+    * Measured at 100× clone density (SCALESTRESS): sub-linear, vs
+    * q21's 1.77 — the clone-quadratic is gone from the exact path. */
+  def q203DedupFirstSimHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val reps = graft.ext.Dedup.exactDedupWithCounts(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      .select($"doc_id", $"text", $"n_copies")
+      .localCheckpoint(false) // feeds the band join and both size joins
+    val sizes = reps.select($"doc_id", $"n_copies")
+    SimHashDedup.nearDupPairs(reps, "doc_id", "text", maxHamming = 3)
+      .join(sizes.select($"doc_id".as("id_a"), $"n_copies".as("n_a")), "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"n_copies".as("n_b")), "id_b")
+      .select($"id_a", $"id_b", $"hamming", $"n_a", $"n_b",
+        ($"n_a" * $"n_b").as("implied_pairs"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q203Sql: String =
+    s"""WITH g AS (SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id,
+      |    CAST(count(*) AS BIGINT) AS n_copies
+      |  FROM documents GROUP BY 1),
+      |reps AS (SELECT d.doc_id, d.text, g.n_copies
+      |  FROM documents d JOIN g ON d.doc_id = g.keep_id),
+      |${simhashChainSqlFrom("reps")},
+      |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+      |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      |  FROM sh a JOIN sh b ON a.id < b.id
+      |  WHERE bit_count(xor(a.sh, b.sh)) <= 3)
+      |SELECT p.id_a, p.id_b, p.hamming, ra.n_copies AS n_a, rb.n_copies AS n_b,
+      |  CAST(ra.n_copies * rb.n_copies AS BIGINT) AS implied_pairs
+      |FROM pairs p JOIN reps ra ON p.id_a = ra.doc_id
+      |  JOIN reps rb ON p.id_b = rb.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** q69: incremental dedup — a "new batch" (doc_id ≥ 250) deduped
     * against an already-ingested corpus (doc_id < 250) that travels
@@ -708,6 +761,7 @@ object HashDedupQueries {
     "q200_lsh_bucket_cap" -> (q200LshBucketCap _),
     "q21_simhash" -> (q21SimHash _),
     "q202_simhash_bucket_cap" -> (q202SimHashCap _),
+    "q203_dedup_first_simhash" -> (q203DedupFirstSimHash _),
     "q69_incremental_dedup" -> (q69IncrementalDedup _),
     "q120_incremental_lsh" -> (q120IncrementalLsh _))
 
@@ -728,6 +782,7 @@ object HashDedupQueries {
     "q200_lsh_bucket_cap" -> q200Sql,
     "q21_simhash" -> q21Sql,
     "q202_simhash_bucket_cap" -> q202Sql,
+    "q203_dedup_first_simhash" -> q203Sql,
     "q69_incremental_dedup" -> q69Sql,
     "q120_incremental_lsh" -> q120Sql)
 }

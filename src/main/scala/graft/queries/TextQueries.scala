@@ -828,13 +828,13 @@ object TextQueries {
     * earning its keep per output row. The 100 TB posture is the q34
     * stage order — exact-dedup clones upstream (which removes exactly
     * the pairs that blow this up), then prefix-join the survivors. */
-  def q116PrefixJoin(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sets = Tables.load(s, dir, "documents")
-      .filter($"lang" === "de")
-      .select($"doc_id", array_sort(array_distinct(tokens(lower($"text")))).as("ts"))
-      .filter(size($"ts") > 0)
-      .localCheckpoint(false) // feeds df counts, prefixes, and the verify join
+  /** The ppjoin core shared by q116 (raw corpus) and q204 (exact-dedup
+    * survivors): `sets` is (doc_id, ts) with ts a sorted distinct
+    * token array; returns exact J ≥ 0.9 pairs (da, db, inter, un).
+    * Caller localCheckpoints `sets` — it feeds df counts, prefixes,
+    * and the verify join. */
+  private[queries] def prefixJoinPairs(sets: DataFrame): DataFrame = {
+    import sets.sparkSession.implicits._
     val dfreq = sets.select(explode($"ts").as("t"))
       .groupBy($"t").agg(count(lit(1)).as("df"))
     val prefix = sets.select($"doc_id", size($"ts").as("n"), explode($"ts").as("t"))
@@ -859,6 +859,16 @@ object TextQueries {
       .withColumn("un", (size($"tsa") + size($"tsb")).cast("long") - $"inter")
       .filter($"inter" * 10 >= $"un" * 9)
       .select($"da", $"db", $"inter", $"un")
+  }
+
+  def q116PrefixJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.load(s, dir, "documents")
+      .filter($"lang" === "de")
+      .select($"doc_id", array_sort(array_distinct(tokens(lower($"text")))).as("ts"))
+      .filter(size($"ts") > 0)
+      .localCheckpoint(false) // feeds df counts, prefixes, and the verify join
+    prefixJoinPairs(sets)
       .orderBy($"da", $"db")
   }
 
@@ -871,6 +881,57 @@ object TextQueries {
       |  len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS un
       |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
       |SELECT da, db, CAST(inter AS BIGINT) AS inter, CAST(un AS BIGINT) AS un
+      |FROM p WHERE inter*10 >= 9*un ORDER BY da, db""".stripMargin
+
+  /** q204: the DEDUP-FIRST posture for the exact set-similarity join —
+    * q116's 100 TB stage order (q203's discipline applied to the
+    * ppjoin): exact-dedup the de slice upstream (one digest shuffle;
+    * verbatim clones are true J=1.0 pairs, exactly the output that
+    * made q116 clone-quadratic — measured exponent 1.32), then
+    * prefix-join only the SURVIVORS. Each rep-level pair carries its
+    * clone-group sizes and `implied_pairs` = n_a·n_b (all at the same
+    * (inter, un) since clones tokenize identically); within-group
+    * J=1.0 pairs are C(n_copies, 2) per group, q18's output — so the
+    * full q116 relation stays exactly reconstructible while the
+    * materialized output is linear in distinct contents. The oracle
+    * replays dedup → brute-force Jaccard over reps → size joins.
+    * Measured at 100× clone density (SCALESTRESS): sub-linear, vs
+    * 1.32 for the undeduped exact join. */
+  def q204DedupFirstPrefixJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val reps = graft.ext.Dedup.exactDedupWithCounts(
+      Tables.load(s, dir, "documents").filter($"lang" === "de"),
+      "doc_id", "text")
+    val sets = reps
+      .select($"doc_id", array_sort(array_distinct(tokens(lower($"text")))).as("ts"),
+        $"n_copies")
+      .filter(size($"ts") > 0)
+      .localCheckpoint(false) // feeds df counts, prefixes, verify and size joins
+    val sizes = sets.select($"doc_id", $"n_copies")
+    prefixJoinPairs(sets.select($"doc_id", $"ts"))
+      .join(sizes.select($"doc_id".as("da"), $"n_copies".as("n_a")), "da")
+      .join(sizes.select($"doc_id".as("db"), $"n_copies".as("n_b")), "db")
+      .select($"da", $"db", $"inter", $"un", $"n_a", $"n_b",
+        ($"n_a" * $"n_b").as("implied_pairs"))
+      .orderBy($"da", $"db")
+  }
+
+  val q204Sql: String =
+    """WITH g AS (SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id,
+      |    CAST(count(*) AS BIGINT) AS n_copies
+      |  FROM documents WHERE lang = 'de' GROUP BY 1),
+      |reps AS (SELECT d.doc_id, d.text, g.n_copies
+      |  FROM documents d JOIN g ON d.doc_id = g.keep_id),
+      |s AS (SELECT doc_id,
+      |  list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS ts, n_copies
+      |  FROM reps WHERE trim(text) <> ''),
+      |p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+      |  len(list_intersect(a.ts, b.ts)) AS inter,
+      |  len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS un,
+      |  a.n_copies AS n_a, b.n_copies AS n_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT da, db, CAST(inter AS BIGINT) AS inter, CAST(un AS BIGINT) AS un,
+      |  n_a, n_b, CAST(n_a * n_b AS BIGINT) AS implied_pairs
       |FROM p WHERE inter*10 >= 9*un ORDER BY da, db""".stripMargin
 
   /** Number of BPE merges q143 trains (the vocabulary budget). */
@@ -1191,6 +1252,7 @@ object TextQueries {
     "q143_bpe_train" -> (q143BpeTrain _),
     "q145_bpe_tokenize" -> (q145BpeTokenize _),
     "q116_prefix_join" -> (q116PrefixJoin _),
+    "q204_dedup_first_prefix_join" -> (q204DedupFirstPrefixJoin _),
     "q16_text_stats" -> (q16TextStats _),
     "q17_lang_id" -> (q17LangId _),
     "q18_exact_dedup" -> (q18ExactDedup _),
@@ -1233,5 +1295,6 @@ object TextQueries {
     "q43_top_tokens" -> q43Sql,
     "q44_length_histogram" -> q44Sql,
     "q104_collocations" -> q104Sql,
-    "q116_prefix_join" -> q116Sql)
+    "q116_prefix_join" -> q116Sql,
+    "q204_dedup_first_prefix_join" -> q204Sql)
 }
