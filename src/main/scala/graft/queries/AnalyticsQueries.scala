@@ -505,20 +505,65 @@ object AnalyticsQueries {
       |e AS MATERIALIZED (SELECT c AS src, s AS dst FROM base UNION ALL SELECT s, c FROM base),
       |v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e)""".stripMargin
 
-  /** q119: PageRank run to its EXACT integer fixed point — data-driven
-    * convergence (a no-change round ends the loop, maxRounds throws)
-    * instead of q84's fixed unroll. Monotone-from-below iteration
-    * guarantees the fixed point exists (see [[PageRank.ranksToFixpoint]]);
-    * the oracle unrolls [[q119OracleRounds]] rounds, which the fixed
-    * point makes idempotent, so engine and oracle agree whenever the
-    * engine converged within the unroll — and [[graft.KCoreSpec]]'s
-    * twin in AnalyticsOpsSpec asserts the observed depth stays inside
-    * it. Every vertex's converged rank is checked (no top-k cut). */
+  /** The CONVERGED PageRank fixed point as a registry generation,
+    * published once per (session, dir) — a fixed point is a
+    * convergent ARTIFACT (~20–30 damped applications of the same
+    * update), so recomputing it per serve is the one cost the
+    * fixpoint family was still paying that every other trained
+    * artifact (IVF-PQ, NB, BM25, BPE) already amortizes through the
+    * registry. Build: [[PageRank.ranksToFixpointOn]] (data-driven
+    * convergence, maxRounds throws); fingerprint: XOR of edge srcs,
+    * the purchase_graph discipline. The THIRTEENTH registry kind,
+    * audited by q197 (expected rows = thin-graph |V|) and planned by
+    * q199. */
+  private val pagerankFixCache = SessionCaches.registerMap(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
+
+  private[queries] def sharedPagerankFixpoint(s: SparkSession, dir: String): DataFrame = {
+    SessionCaches.purgeStopped(pagerankFixCache)(_._1)
+    // resolve the session-built graph BEFORE entering the cache slot
+    val g = preparedGraph(s, dir, "thin")(thinPurchaseGraph(s, dir))
+    pagerankFixCache.computeIfAbsent((s, dir), _ => {
+      val reg = graft.ext.ArtifactRegistry
+      val root = RegistryRoots.root(s, dir)
+      val fp = g.e.agg(expr("bit_xor(src)")).collect()(0).getLong(0)
+      val v = reg.publish(s, root, "pagerank_fix", fp,
+        Seq("ranks" -> PageRank.ranksToFixpointOn(g)._1))
+      reg.read(s, root, "pagerank_fix", v, "ranks")
+    })
+  }
+
+  /** q119: PageRank's EXACT integer fixed point, SERVED from the
+    * registry (the q196 ingest-vs-serve split applied to the fixpoint
+    * family): the first call per (session, dir) runs
+    * [[PageRank.ranksToFixpointOn]] (data-driven convergence — a
+    * no-change round ends the loop, maxRounds throws; monotone-from-
+    * below iteration guarantees the fixed point exists) and publishes
+    * the converged ranks; every serve loads the pinned generation and
+    * RE-VERIFIES idempotency — one damped application over the loaded
+    * ranks must change NOTHING (an eager ≤|V|-row inequality count;
+    * a corrupted or stale artifact throws rather than serving
+    * near-converged ranks). The oracle unrolls [[q119OracleRounds]]
+    * rounds, which the fixed point makes idempotent, so engine and
+    * oracle agree whenever the engine converged within the unroll —
+    * and the AnalyticsOpsSpec twin asserts the observed depth stays
+    * inside it. Every vertex's converged rank is checked (no top-k
+    * cut). Serve cost: one application + one aggregate, independent
+    * of convergence depth — the depth × job-overhead product is paid
+    * once per corpus generation, not per query. */
   def q119PagerankFix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    PageRank.ranksToFixpointOn(
-        preparedGraph(s, dir, "thin")(thinPurchaseGraph(s, dir)))._1
-      .orderBy($"id")
+    val g = preparedGraph(s, dir, "thin")(thinPurchaseGraph(s, dir))
+    val loaded = sharedPagerankFixpoint(s, dir)
+    val applied = PageRank.stepPlan(g, loaded,
+        lit(PageRank.FixTeleport), "coalesce(m, 0L) DIV 2")
+      .select($"id", $"rank".as("rank_applied"))
+    val changed = loaded.join(applied, "id")
+      .filter($"rank" =!= $"rank_applied").count()
+    require(changed == 0L,
+      s"loaded pagerank_fix generation is NOT a fixed point ($changed vertices " +
+        "move under one application) — refusing to serve a stale or corrupted artifact")
+    loaded.orderBy($"id")
   }
 
   /** Unrolled rounds in the oracle — ≥ the max observed convergence

@@ -413,7 +413,7 @@ object MiscQueries {
   private val RegistryKinds = Seq("ivfpq", "epoch_loader", "purchase_graph",
     "nb_model", "bm25_index", "dupgram_dict", "dupgram_counts",
     "lsh_index", "bpe_tokenizer", "calib_registry", "enrich_ckpt",
-    "conv_ckpt")
+    "conv_ckpt", "pagerank_fix")
 
   private def forceAllPublishes(s: SparkSession, dir: String): Unit = {
     SketchQueries.sharedIvfPqRegistry(s, dir)
@@ -428,6 +428,7 @@ object MiscQueries {
     MiningQueries.sharedPersistedCalibRegistry(s, dir)
     Reference.sharedEnrichCheckpoint(s, dir)
     Reference.sharedConvCheckpoint(s, dir)
+    AnalyticsQueries.sharedPagerankFixpoint(s, dir)
   }
 
   /** The deployment's pin posture, set once per (session, dir): the
@@ -517,6 +518,7 @@ object MiscQueries {
       |  ('ivfpq', 2, 4, 1, 0, 0),
       |  ('lsh_index', 1, 1, 1, 1, 0),
       |  ('nb_model', 1, 2, 1, 1, 0),
+      |  ('pagerank_fix', 1, 1, 1, 1, 0),
       |  ('purchase_graph', 1, 3, 1, 1, 0))
       |  AS t(kind, version, n_parts, is_latest, is_pinned, collectible)
       |ORDER BY kind, version""".stripMargin
@@ -542,6 +544,13 @@ object MiscQueries {
       |    CAST(bit_xor(src) AS BIGINT) AS fp_g FROM ge),
       |gv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vert
       |  FROM (SELECT src AS id FROM ge UNION SELECT dst FROM ge) t),
+      |tbase AS (SELECT DISTINCT o.o_custkey*2 AS c, l.l_suppkey*2+1 AS s
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  WHERE l.l_quantity >= 45),
+      |tge AS (SELECT c AS src, s AS dst FROM tbase UNION ALL SELECT s, c FROM tbase),
+      |tgn AS (SELECT CAST(bit_xor(src) AS BIGINT) AS fp_tg FROM tge),
+      |tgv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tvert
+      |  FROM (SELECT src AS id FROM tge UNION SELECT dst FROM tge) t),
       |${TextQueries.gateCtesSql},
       |${TextQueries.nbTrainCtesSql},
       |fnb AS (SELECT CAST(bit_xor(doc_id) AS BIGINT) AS fp FROM documents
@@ -592,6 +601,8 @@ object MiscQueries {
       |  UNION ALL SELECT 'purchase_graph', 1, 'edges', n_edges, fp_g, 1 FROM gn
       |  UNION ALL SELECT 'purchase_graph', 1, 'vertices', gv.n_vert, gn.fp_g, 1
       |    FROM gv CROSS JOIN gn
+      |  UNION ALL SELECT 'pagerank_fix', 1, 'ranks', tgv.n_tvert, tgn.fp_tg, 1
+      |    FROM tgv CROSS JOIN tgn
       |  UNION ALL SELECT 'nb_model', 1, 'globals', 1, fp, 1 FROM fnb
       |  UNION ALL SELECT 'nb_model', 1, 'weights', wcnt.n, fnb.fp, 1
       |    FROM wcnt CROSS JOIN fnb

@@ -126,6 +126,30 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(depth >= 2 && depth <= 48, s"implausible convergence depth $depth")
   }
 
+  test("pagerank fixpoint serve gate detects a perturbed artifact") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // the q119 serve path loads persisted ranks and re-verifies
+    // idempotency with ONE application; a tampered artifact must fail
+    // that gate (node 0's recomputed rank comes from its unchanged
+    // predecessors, so any local perturbation is visible immediately)
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L), (3L, 0L), (2L, 3L),
+      (1L, 0L), (3L, 2L))
+    val g = PageRank.prepare(es.toDF("src", "dst"))
+    val (r, _) = PageRank.ranksToFixpointOn(g)
+    def changedUnderOneApplication(ranks: org.apache.spark.sql.DataFrame): Long = {
+      val applied = PageRank.stepPlan(g, ranks,
+          lit(PageRank.FixTeleport), "coalesce(m, 0L) DIV 2")
+        .select(col("id"), col("rank").as("rank_applied"))
+      ranks.join(applied, "id").filter(col("rank") =!= col("rank_applied")).count()
+    }
+    assert(changedUnderOneApplication(r) == 0L, "true fixed point must pass the gate")
+    val tampered = r.withColumn("rank",
+      when(col("id") === 0L, col("rank") + 7L).otherwise(col("rank")))
+    assert(changedUnderOneApplication(tampered) > 0L,
+      "a perturbed artifact must fail the serve gate")
+    g.unpersistAll()
+  }
+
   test("multi-source BFS: exact hop distances, frontier stop, unreachable absent") {
     import graft.ext.Bfs
     // path 1→2→3→4, shortcut 0→3, island 9→10; seeds {0, 1, 99}
