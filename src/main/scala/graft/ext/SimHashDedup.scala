@@ -24,25 +24,50 @@ object SimHashDedup {
     df.select(col(idCol).as("id"), simhash32(col(textCol)).as("sh"))
   }
 
+  /** A band bucket this large in an UNCAPPED call throws instead of
+    * expanding: 8192² / 2 ≈ 33M pairs from ONE bucket is past any
+    * legitimate exact workload (the sf0.1 gate corpus peaks at ~2.1k,
+    * 4× headroom; the 10× clone stress hits ~21k and would throw —
+    * it previously ran 80 s, and 100× ran half an hour), and buckets
+    * grow as n/256, so past this point the quadratic is certain: it
+    * should announce itself as an error naming the fix, not as a
+    * hung stage. Overridable per call (specs shrink it; a caller
+    * that truly wants unbounded exact all-pairs passes
+    * Int.MaxValue). */
+  val UncappedGuardBucket = 8192
+
   /** Pairs at Hamming distance ≤ `maxHamming` (must be < Bands for the
     * pigeonhole guarantee).
     *
-    * `maxBucket` is the scale lever, OFF by default — deliberately the
-    * opposite default from [[MinHashLsh.nearDupPairs]], because the
-    * contracts differ: MinHash emission is an ESTIMATE (a capped
-    * bucket drops redundant evidence), while this operator's contract
-    * is EXACT equality with brute force (the q21 oracle brute-forces
-    * all pairs), and with 8-bit bands a bucket holds n/256 docs in
-    * expectation — at any real corpus size every bucket exceeds any
-    * cap, so a capped default would silently stop being exact at
-    * precisely the scale that matters. The 10× scale-stress measures
-    * the consequence honestly: exponent 1.77, because the TRUE
-    * Hamming-≤3 pair set itself grows quadratically on clone-heavy
-    * corpora (clone pairs are real pairs, not estimation artifacts).
-    * Exact all-pairs SimHash is therefore NOT a 100 TB primitive; the
-    * 100 TB paths are (a) exact-dedup clones upstream (q18/q34's
-    * stage order), then band the survivors, or (b) opt into the cap —
-    * q202 gates that form with an oracle that replays the exclusion.
+    * DECISION TABLE — which form to call at which contract:
+    * {{{
+    * contract                         | call                      | gate
+    * ---------------------------------+---------------------------+------
+    * exact, corpus already deduped    | uncapped (default)        | q21
+    * exact, clone-heavy corpus        | Dedup.exactDedupWithCounts|
+    *   (the 100 TB posture)           |   upstream, then uncapped | q203
+    * scale/estimate, clones tolerated | maxBucket = 32            | q202
+    * }}}
+    * `maxBucket` is OFF by default — deliberately the opposite of
+    * [[MinHashLsh.nearDupPairs]], because the contracts differ:
+    * MinHash emission is an ESTIMATE (a capped bucket drops redundant
+    * evidence), while this operator's contract is EXACT equality with
+    * brute force (the q21 oracle brute-forces all pairs), and with
+    * 8-bit bands a bucket holds n/256 docs in expectation — at any
+    * real corpus size every bucket exceeds any cap, so a capped
+    * default would silently stop being exact at precisely the scale
+    * that matters. The 10× scale-stress measures the consequence
+    * honestly: exponent 1.77, because the TRUE Hamming-≤3 pair set
+    * itself grows quadratically on clone-heavy corpora (clone pairs
+    * are real pairs, not estimation artifacts). Exact all-pairs
+    * SimHash is therefore NOT a 100 TB primitive; the 100 TB paths
+    * are (a) exact-dedup clones upstream, then band the survivors —
+    * GATED as q203, measured flat (exponent 0.02) at 100× clone
+    * density — or (b) opt into the cap, gated as q202. An uncapped
+    * call that meets a bucket above `guardBucket` THROWS (a
+    * [[org.apache.spark.sql.functions.assert_true]] filter riding the
+    * join's own exchange) so the quadratic surfaces as an error
+    * naming q203's composition instead of a hung stage.
     *
     * Uncapped, emission is first-match-band (a pure predicate: all
     * earlier bands must disagree — one emission per pair, no dedup
@@ -58,7 +83,8 @@ object SimHashDedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue,
+      guardBucket: Int = UncappedGuardBucket): DataFrame = {
     require(maxHamming < Bands,
       s"maxHamming=$maxHamming needs > $maxHamming+1 bands for exact recall; use more/narrower bands")
     val sims = simhashes(df, idCol, textCol)
@@ -76,7 +102,24 @@ object SimHashDedup {
       val firstMatch = (0 until Bands).map(bp =>
         when(col("a.band") > lit(bp), bandVal(col("a.sh"), bp) =!= bandVal(col("b.sh"), bp))
           .otherwise(lit(true))).reduce(_ && _)
-      bands.as("a").join(bands.as("b"),
+      // the guard: bucket size over the same (band, bval) keys the
+      // self-join shuffles on (exchange reused); assert_true returns
+      // null for every surviving row, so results are untouched until
+      // the moment a bucket crosses the guard — then the stage fails
+      // with the fix in the message instead of hanging
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bval"))
+      val guarded =
+        if (guardBucket == Int.MaxValue) bands
+        else bands.withColumn("bsz", count(lit(1)).over(w))
+          .filter(assert_true(col("bsz") <= guardBucket,
+            concat(lit("uncapped SimHash band bucket of size "), col("bsz"),
+              lit(s" exceeds the guard ($guardBucket): the exact all-pairs output is" +
+                " clone-quadratic at this density — exact-dedup upstream" +
+                " (Dedup.exactDedupWithCounts, the q203 composition) or opt into" +
+                " maxBucket"))).isNull)
+          .drop("bsz")
+      guarded.as("a").join(guarded.as("b"),
           col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
             col("a.id") < col("b.id") &&
             bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming &&

@@ -1258,6 +1258,59 @@ object Streaming {
       graft.ext.Bm25.rankTopK(ix.scores(qterms), topK)
     }(sink)
 
+  /** Pin-rotating CONVERSATION serve — the rotating twin of
+    * [[conversationStreamResumed]], closing the one served artifact
+    * family (conv_ckpt) that had no rotation path. The durable-state
+    * posture: conversation state lives in the REGISTRY, not the state
+    * store. Each micro-batch resolves the current pin, eagerly
+    * verifies THAT generation's certificate (untampered pair XOR +
+    * complete 1..k prefix per group — refuse loudly, the
+    * [[conversationStreamResumed]] posture), then folds the batch's
+    * arrivals with the SAME batch resume the gated q201 uses
+    * ([[graft.enrich.EnrichRunner.resumeConversations]] over
+    * checkpointed prompts ∪ arrivals — parity by construction, not
+    * reimplementation): replayed turns cost zero enricher calls, each
+    * arrival enriches against the history the pinned generation
+    * implies, and only the ARRIVALS' rows are emitted (stamped
+    * `served_version` by [[rotatingServe]]).
+    *
+    * Rotation semantics: a re-pin between micro-batches flips which
+    * history subsequent batches fold from — upgrade (a newer
+    * checkpoint cut further into the conversations) or roll back,
+    * without restarting the query. Cross-batch continuity is BY
+    * GENERATION: a batch's enriched turns become durable
+    * conversation state only when published as the next conv_ckpt
+    * generation and pinned — the pause→resume cycle as a serving
+    * loop. An arrival at or below the pinned cursor (a replayed
+    * completed turn) fails the fold's turn-position tripwire — a
+    * failed batch, never a silently shifted history. Arrivals carry
+    * (`groupCol`, `orderCol`, `promptCol`). */
+  def conversationServeStreamRotating(arrivals: DataFrame, root: String,
+      kind: String, groupCol: String, orderCol: String, promptCol: String,
+      enricher: Enricher, config: AiConfig,
+      systemPrompt: Option[String] = None)(sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rotatingServe(arrivals, root, kind) { (batch, v) =>
+      val s = batch.sparkSession
+      val reg = graft.ext.ArtifactRegistry
+      val results = reg.read(s, root, kind, v, "results")
+      val cursor = reg.read(s, root, kind, v, "cursor")
+      val verified = cursor.join(
+          graft.enrich.ConversationCheckpoint.certificate(
+            results, groupCol, promptCol),
+          Seq("ck_n", "ck_groups", "ck_gaps", "ck_xor_pair"))
+        .filter(col("ck_gaps") === 0L).count() == 1L
+      require(verified, s"conv checkpoint generation $v of $kind failed " +
+        "certificate verification — refusing to serve a tampered or truncated history")
+      val cols = Seq(groupCol, orderCol, promptCol)
+      val full = results.select(cols.map(col): _*)
+        .unionByName(batch.select(cols.map(col): _*))
+      graft.enrich.EnrichRunner.resumeConversations(full, groupCol,
+          Seq(orderCol), promptCol, results, enricher, config, systemPrompt)
+        .join(batch.select(col(groupCol), col(orderCol)),
+          Seq(groupCol, orderCol), "left_semi")
+    }(sink)
+
   /** Pin-rotating IVF-PQ vector serve: arriving query vectors (`id`,
     * `codes`) probe the pinned generation through the SAME batch probe
     * the gated q165/q194 serves use

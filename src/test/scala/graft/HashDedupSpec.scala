@@ -116,6 +116,27 @@ class HashDedupSpec extends SparkSpec {
     assert(capped.contains((10L, 11L)))
   }
 
+  test("uncapped SimHash guard: an oversized bucket throws, naming the dedup-first fix") {
+    val docs = (1L to 6L).map(i =>
+      (i, "cloned boilerplate page text alpha beta gamma")) ++
+      Seq((20L, "entirely different content kappa lambda mu nu xi"))
+    val df = docs.toDF("doc_id", "text")
+    // buckets below the guard: exact result, guard invisible
+    assert(SimHashDedup.nearDupPairs(df, "doc_id", "text", maxHamming = 3)
+      .count() == 15)
+    // the clone cluster's 6-doc bucket crosses a guard of 4: the
+    // uncapped quadratic must ANNOUNCE itself, not expand
+    val e = intercept[Exception] {
+      SimHashDedup.nearDupPairs(df, "doc_id", "text", maxHamming = 3,
+        guardBucket = 4).count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(chain(e).exists(_.contains("clone-quadratic")),
+      s"guard failure must name the fix; got: ${chain(e).mkString(" | ")}")
+  }
+
   test("LSH operating curve: counts shrink and thresholds nest as t rises (q147)") {
     val rows = graft.queries.HashDedupQueries.q147LshRoc(spark, sf)
       .select($"thr_ppm", $"tp", $"fp", $"fn")

@@ -1057,6 +1057,59 @@ class StreamingSpec extends SparkSpec {
     assert(nonEmpty(0)._2 === twin1 && nonEmpty(1)._2 === twin2)
   }
 
+  test("the conversation serve rotates checkpoint pins mid-stream (durable-state fold)") {
+    import graft.enrich.{ConversationCheckpoint, EnrichRunner}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reg = graft.ext.ArtifactRegistry
+    val df = Seq(
+      ("A", 1L, "alpha"), ("A", 2L, "bee"), ("A", 3L, "cedar"), ("A", 4L, "d"),
+      ("B", 1L, "solo")).toDF("grp", "ord", "prompt")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-index/" +
+      s"rotc-${java.util.UUID.randomUUID.toString.take(8)}"
+    // two genuinely different generations: v1 pauses after turn 2,
+    // v2 after turn 3 — the serve's fold depth depends on the pin
+    def publishGen(cut: Long): Long = {
+      val pre = EnrichRunner.runConversations(df.filter($"ord" <= cut), "grp",
+          Seq("ord"), "prompt", ConversationalTestEnricher(), AiConfig.test())
+        .select($"grp", $"ord", $"prompt", $"turn_number", $"response")
+      ConversationCheckpoint.publish(spark, root, "conv_serve", pre,
+        "grp", "prompt", cursorTurn = cut)
+    }
+    val v1 = publishGen(2L)
+    val v2 = publishGen(3L)
+    reg.setPin(spark, root, "conv_serve", v1)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(String, Long, Long, Long, String)])]
+    val input = MemoryStream[(String, Long, String)]
+    val q = Streaming.conversationServeStreamRotating(
+        input.toDF().toDF("grp", "ord", "prompt"), root, "conv_serve",
+        "grp", "ord", "prompt",
+        ConversationalTestEnricher(), AiConfig.test()) { (v, out) =>
+      got += ((v, out.select($"grp", $"ord", $"turn_number", $"history_chars",
+          $"response", $"served_version")
+        .collect().map { r =>
+          assert(r.getLong(5) == v, "every row rides its serving generation")
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+        }.toSeq))
+    }
+    try {
+      // batch 1 folds A's turn 3 against the v1 checkpoint (replays
+      // turns 1-2, enriches turn 3 with the restored history)
+      input.addData(("A", 3L, "cedar"))
+      q.processAllAvailable()
+      reg.setPin(spark, root, "conv_serve", v2) // the rotation
+      // batch 2 folds A's turn 4 against v2 (replays 1-3, enriches 4)
+      input.addData(("A", 4L, "d"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val nonEmpty = got.filter(_._2.nonEmpty).toSeq
+    assert(nonEmpty.map(_._1) == Seq(v1, v2),
+      s"expected one batch served from each generation, got ${nonEmpty.map(_._1)}")
+    // bit-exact parity with the uninterrupted batch fold's turns 3 and 4
+    assert(nonEmpty(0)._2 == Seq(("A", 3L, 3L, 8L, "[gpt-test] turn=3 ctx=8")))
+    assert(nonEmpty(1)._2 == Seq(("A", 4L, 4L, 13L, "[gpt-test] turn=4 ctx=13")))
+  }
+
   test("the IVF-PQ serve rotates to the upgraded generation mid-stream") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val reg = graft.ext.ArtifactRegistry
