@@ -31,7 +31,18 @@ import org.apache.spark.sql.functions._
   * corpus-sized parts stay many-file parallel parquet, broadcast-sized
   * parts read whole. All path probing goes through the Hadoop
   * FileSystem API, so `root` can be any durable scheme Spark can reach
-  * (HDFS, S3A, local).
+  * (HDFS, S3A, local). The registry's OWN protocol performs no renames
+  * and never overwrites — every step appends NEW files under a fresh
+  * path, and cross-file atomicity comes from ORDERING (parts first,
+  * manifest last), not from file moves; per-directory write atomicity
+  * is delegated to whatever parquet committer the deployment
+  * configures (on object stores without atomic rename, an
+  * S3-optimized committer). The one store property the lazy read
+  * paths assume is listing-after-write consistency; on an
+  * eventually-listing store use [[readAudited]] (manifest-certified
+  * row counts make stale part listings detectable), and
+  * [[currentPin]] already absorbs the compaction listing race by
+  * re-resolving.
   *
   * `corpus_fp` is the publisher's fingerprint of the training corpus
   * (any stable integer — a count, an XOR checksum, a version tag); the
@@ -176,12 +187,50 @@ object ArtifactRegistry {
   /** Read one part of a PINNED version as a lazy parquet scan — the
     * serving entry point: execution against the result reads only that
     * generation's immutable files, so a concurrent newer publish
-    * cannot perturb it (spec-pinned in ArtifactRegistrySpec). */
+    * cannot perturb it (spec-pinned in ArtifactRegistrySpec).
+    *
+    * Durable-FS contract: on a store with LISTING-AFTER-WRITE
+    * consistency (HDFS, local FS, modern S3) this is complete by the
+    * manifest-last publish ordering — a manifest-visible version's
+    * part files are already visible. On an EVENTUALLY-listing store
+    * there is no cross-file ordering guarantee: the manifest row can
+    * surface while the part directory's listing still omits files, and
+    * this lazy read would then silently scan a PARTIAL part. Use
+    * [[readAudited]] there — the manifest's footer-certified row count
+    * makes the staleness detectable. */
   def read(s: SparkSession, root: String, kind: String,
       version: Long, part: String): DataFrame = {
     val path = s"${versionDir(root, kind, version)}/$part"
     require(exists(s, path),
       s"no published part '$part' at $kind v$version under $root")
+    s.read.parquet(path)
+  }
+
+  /** [[read]] for eventually-listing stores: before returning the
+    * scan, count the rows the CURRENT listing's footers hold
+    * ([[countLandedRows]] — KB-sized metadata reads) and require
+    * equality with the manifest's certified `n_rows`. A stale listing
+    * that omits part files surfaces as a loud refusal ("retry when the
+    * listing converges") instead of a silently truncated artifact.
+    * The returned frame re-lists immediately after the audit — the
+    * residual window is one listing round-trip, vs unbounded for the
+    * unaudited read (spec-pinned in ArtifactRegistrySpec against a
+    * stale-listing FS). */
+  def readAudited(s: SparkSession, root: String, kind: String,
+      version: Long, part: String): DataFrame = {
+    val path = s"${versionDir(root, kind, version)}/$part"
+    require(exists(s, path),
+      s"no published part '$part' at $kind v$version under $root")
+    val certified = manifest(s, root, kind)
+      .filter(col("version") === version && col("part") === part)
+      .agg(max(col("n_rows"))).collect()(0)
+    require(!certified.isNullAt(0),
+      s"part '$part' of $kind v$version has no manifest row under $root")
+    val listed = countLandedRows(s, path)
+    require(listed == certified.getLong(0),
+      s"part '$part' of $kind v$version lists $listed rows but the manifest " +
+        s"certifies ${certified.getLong(0)} — the store's listing is stale or the " +
+        "part is damaged; retry when the listing converges")
     s.read.parquet(path)
   }
 

@@ -297,4 +297,58 @@ class ArtifactRegistrySpec extends SparkSpec {
     assert(asg(2L) == asg(1L) + nArrivals,
       "generation 2's asg is not generation 1 plus the arrival batch")
   }
+
+  test("eventually-listing store: pin retry absorbs the compaction race; readAudited refuses a stale part") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.stale.impl", classOf[StaleListingFs].getName)
+    StaleListingFs.reset()
+    val root = "stale:" + freshRoot()
+    val pinDir = new org.apache.hadoop.fs.Path(s"$root/m/_pin")
+    val fs = pinDir.getFileSystem(conf)
+    try {
+      // a part spread over several files (the shape a stale listing
+      // can silently truncate) + a few pin flips
+      val v1 = ArtifactRegistry.publish(spark, root, "m", 7L,
+        Seq("part" -> (1L to 12L).toDF("x").repartition(3)))
+      ArtifactRegistry.setPin(spark, root, "m", v1)
+      ArtifactRegistry.setPin(spark, root, "m", v1)
+      ArtifactRegistry.setPin(spark, root, "m", v1)
+      // COMPACTION RACE: capture the pre-compaction listing, compact
+      // (append the folded file, DELETE the per-flip files), then
+      // serve the captured listing to the next reader — it promises
+      // files that no longer exist, the exact transient window a
+      // rotating serve can hit
+      val before = fs.listStatus(pinDir)
+      ArtifactRegistry.compactPinLog(spark, root, "m")
+      def dataNames(sts: Array[org.apache.hadoop.fs.FileStatus]): Set[String] =
+        sts.map(_.getPath.getName).filter(n => n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")).toSet
+      assert(dataNames(fs.listStatus(pinDir))
+          .intersect(dataNames(before)).isEmpty,
+        "compaction must have replaced every captured file for the race to be real")
+      StaleListingFs.staleSnapshot.set((pinDir.toUri.getPath, before))
+      // one resolve fails on the phantom files, the retry lists fresh
+      assert(ArtifactRegistry.currentPin(spark, root, "m").contains(v1))
+      assert(StaleListingFs.staleSnapshot.get() == null, "stale view was consumed")
+      // PARTIAL-PART RACE: the part directory's listing omits one data
+      // file (a write the store has not surfaced yet). The unaudited
+      // lazy read silently truncates — the hazard —
+      val partDir = new org.apache.hadoop.fs.Path(s"$root/m/v%06d/part".format(v1))
+      val dataFiles = fs.listStatus(partDir).map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+      assert(dataFiles.length == 3)
+      StaleListingFs.hiddenOnce.set((partDir.toUri.getPath, Set(dataFiles.head)))
+      assert(ArtifactRegistry.read(spark, root, "m", v1, "part").count() < 12L,
+        "an unaudited read against a stale listing silently under-reads (the documented hazard)")
+      // — while readAudited compares the listing's footer rows to the
+      // manifest's certified count and REFUSES
+      StaleListingFs.hiddenOnce.set((partDir.toUri.getPath, Set(dataFiles.head)))
+      val e = intercept[IllegalArgumentException] {
+        ArtifactRegistry.readAudited(spark, root, "m", v1, "part")
+      }
+      assert(e.getMessage.contains("listing is stale"))
+      // converged listing: the audit passes and the part is complete
+      assert(ArtifactRegistry.readAudited(spark, root, "m", v1, "part").count() == 12L)
+    } finally StaleListingFs.reset()
+  }
 }
