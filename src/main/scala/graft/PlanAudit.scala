@@ -139,15 +139,11 @@ object PlanAudit {
     // vectors) against the loaded generation; the corpus-side search
     // plan is unchanged
     "q194_registry_pinned_serve" -> Set(SinglePartition),
-    // the ≤1-row verification verdict (cursor certificate fold) rides
-    // a broadcast crossJoin onto the resumed rows — the refuse-gate is
-    // one KB-sized row at any scale, never data-sized; SinglePartition
-    // is the certificate fold itself (a global agg to ONE row)
-    "q198_enrich_resume" -> Set(SinglePartition, Bnlj),
-    // the grouped twin of q198: the same ≤1-row verdict (grouped
-    // certificate fold + alignment count, each a global agg to ONE
-    // row) broadcast-crossJoined onto the resumed conversations
-    "q201_conversation_resume" -> Set(SinglePartition, Bnlj),
+    // (the former q198/q201 entries — a broadcast-crossJoined ≤1-row
+    // verdict — were pruned when resume verification went EAGER: the
+    // verdict is collected before the replay plan is built, so the
+    // served plan carries only literal cursor columns, no crossJoin,
+    // no single-partition fold)
     "q114_sliding_hll" -> Set(Bnlj), // windows × 256-bucket skeleton (q91 class)
     // (type, window) groups × 256-bucket register skeleton (q91/q114
     // class — the dense-bucket crossJoin is groups×256 rows, constant
