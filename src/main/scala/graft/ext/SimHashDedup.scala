@@ -24,6 +24,63 @@ object SimHashDedup {
     df.select(col(idCol).as("id"), simhash32(col(textCol)).as("sh"))
   }
 
+  /** Explode signatures into the band layout (id, sh, band, bval) —
+    * one definition shared by the self-join and the cross-split probe
+    * so bucket shapes can never desynchronize. This is also the
+    * persisted/index shape of a SimHash corpus snapshot
+    * ([[MinHashLsh.bandedIndex]]'s twin): 4 rows of (8+8+1+1) bytes
+    * per doc, text never included. */
+  def bandedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    bandsOf(simhashes(df, idCol, textCol))
+
+  private def bandsOf(sims: DataFrame): DataFrame =
+    sims.select(col("id"), col("sh"),
+        explode(array((0 until Bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sh"), b * BitsPerBand).bitwiseAND(lit(255L)).as("bval"))): _*))
+          .as("bs"))
+      .select(col("id"), col("sh"), col("bs.band").as("band"), col("bs.bval").as("bval"))
+
+  private def bandVal(sh: org.apache.spark.sql.Column, b: Int) =
+    shiftrightunsigned(sh, b * BitsPerBand).bitwiseAND(lit(255L))
+
+  /** Emit a cross pair only at its FIRST agreeing band — a pure
+    * predicate over the two signatures already in the join (no dedup
+    * shuffle on the pair stream), exact by the pigeonhole bound. */
+  private def firstMatchPred: org.apache.spark.sql.Column =
+    (0 until Bands).map(bp =>
+      when(col("a.band") > lit(bp), bandVal(col("a.sh"), bp) =!= bandVal(col("b.sh"), bp))
+        .otherwise(lit(true))).reduce(_ && _)
+
+  /** Exact Hamming-≤`maxHamming` matches of `fresh` docs against an
+    * already-built corpus snapshot `index` ([[bandedIndex]] shape) —
+    * the incremental crawl-ingest twin of [[nearDupPairs]] and the
+    * SimHash analogue of [[MinHashLsh.nearDupAgainstIndex]]: only the
+    * NEW batch is signed; the snapshot travels as its 18-byte-a-row
+    * band index, never text. Returns (corpus_id, fresh_id, hamming),
+    * each qualifying cross pair exactly once (first-match-band).
+    * No bucket cap or guard here: the cross-split bucket cost is
+    * |corpus bucket| × |fresh bucket|, and the q205 composition
+    * controls both by exact-dedup upstream on each side — clone mass
+    * never reaches the band join. */
+  def nearDupAgainstIndex(
+      fresh: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < Bands,
+      s"maxHamming=$maxHamming needs > $maxHamming+1 bands for exact recall")
+    val fb = bandsOf(simhashes(fresh, idCol, textCol))
+    index.as("a").join(fb.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.id") =!= col("b.id") &&
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming &&
+          firstMatchPred)
+      .select(col("a.id").as("corpus_id"), col("b.id").as("fresh_id"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+  }
+
   /** A band bucket this large in an UNCAPPED call throws instead of
     * expanding: 8192² / 2 ≈ 33M pairs from ONE bucket is past any
     * legitimate exact workload (the sf0.1 gate corpus peaks at ~2.1k,
@@ -87,21 +144,11 @@ object SimHashDedup {
       guardBucket: Int = UncappedGuardBucket): DataFrame = {
     require(maxHamming < Bands,
       s"maxHamming=$maxHamming needs > $maxHamming+1 bands for exact recall; use more/narrower bands")
-    val sims = simhashes(df, idCol, textCol)
-    val bands = sims.select(col("id"), col("sh"),
-        explode(array((0 until Bands).map(b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("sh"), b * BitsPerBand).bitwiseAND(lit(255L)).as("bval"))): _*))
-          .as("bs"))
-      .select(col("id"), col("sh"), col("bs.band").as("band"), col("bs.bval").as("bval"))
+    val bands = bandsOf(simhashes(df, idCol, textCol))
     val hamming =
       bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long")
     if (maxBucket == Int.MaxValue) {
-      def bandVal(sh: org.apache.spark.sql.Column, b: Int) =
-        shiftrightunsigned(sh, b * BitsPerBand).bitwiseAND(lit(255L))
-      val firstMatch = (0 until Bands).map(bp =>
-        when(col("a.band") > lit(bp), bandVal(col("a.sh"), bp) =!= bandVal(col("b.sh"), bp))
-          .otherwise(lit(true))).reduce(_ && _)
+      val firstMatch = firstMatchPred
       // the guard: bucket size over the same (band, bval) keys the
       // self-join shuffles on (exchange reused); assert_true returns
       // null for every surviving row, so results are untouched until

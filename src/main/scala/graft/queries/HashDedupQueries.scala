@@ -205,6 +205,77 @@ object HashDedupQueries {
       |  JOIN reps rb ON p.id_b = rb.doc_id
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q205: the INCREMENTAL twin of q203 — the crawl-ingest shape of
+    * the exact-contract dedup-first posture. Stage order per side,
+    * then a cross-split probe:
+    *   1. standing corpus (doc_id < 250): exact-dedup with counts —
+    *      reps + n_copies, one digest exchange;
+    *   2. arrivals (doc_id ≥ 250): exact clones of the STANDING
+    *      corpus drop first (anti-join on 16-byte digests — the q69
+    *      discipline; at 100 TB a crawl batch is mostly known
+    *      content), then the remainder self-dedups with counts;
+    *   3. the fresh reps probe the standing reps' banded SimHash
+    *      index ([[graft.ext.SimHashDedup.nearDupAgainstIndex]] —
+    *      first-match-band emission, exact by pigeonhole; the
+    *      snapshot travels as 18-byte band rows, never text).
+    * Output carries both clone-group sizes and `implied_pairs` =
+    * n_corpus·n_fresh, so the full cross near-dup relation over the
+    * RAW split is exactly reconstructible (dropped arrival clones of
+    * standing content are exact dups, not near-dups of a DISTINCT
+    * content) while nothing quadratic materializes. The oracle
+    * replays all three stages plus the brute-force cross pairs. */
+  def q205DedupFirstProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ext.Dedup
+    import graft.functions.TextFunctions.contentHash
+    val docs = Tables.load(s, dir, "documents")
+    val standingReps = Dedup.exactDedupWithCounts(
+        docs.filter($"doc_id" < 250), "doc_id", "text")
+      .select($"doc_id", $"text", $"n_copies")
+      .localCheckpoint(false) // feeds the band index, digests, and the size join
+    val knownHashes = standingReps.select(contentHash($"text").as("__gch"))
+    val freshOnly = docs.filter($"doc_id" >= 250)
+      .withColumn("__gch", contentHash($"text"))
+      .join(knownHashes, Seq("__gch"), "left_anti")
+      .drop("__gch")
+    val freshReps = Dedup.exactDedupWithCounts(freshOnly, "doc_id", "text")
+      .select($"doc_id", $"text", $"n_copies")
+      .localCheckpoint(false)
+    SimHashDedup.nearDupAgainstIndex(freshReps, "doc_id", "text",
+        SimHashDedup.bandedIndex(standingReps, "doc_id", "text"))
+      .join(standingReps.select($"doc_id".as("corpus_id"), $"n_copies".as("n_corpus")),
+        "corpus_id")
+      .join(freshReps.select($"doc_id".as("fresh_id"), $"n_copies".as("n_fresh")),
+        "fresh_id")
+      .select($"corpus_id", $"fresh_id", $"hamming", $"n_corpus", $"n_fresh",
+        ($"n_corpus" * $"n_fresh").as("implied_pairs"))
+      .orderBy($"corpus_id", $"fresh_id")
+  }
+
+  val q205Sql: String =
+    s"""WITH sg AS (SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id,
+      |    CAST(count(*) AS BIGINT) AS n_copies
+      |  FROM documents WHERE doc_id < 250 GROUP BY 1),
+      |sreps AS (SELECT d.doc_id, d.text, sg.n_copies
+      |  FROM documents d JOIN sg ON d.doc_id = sg.keep_id),
+      |fg AS (SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id,
+      |    CAST(count(*) AS BIGINT) AS n_copies
+      |  FROM documents WHERE doc_id >= 250
+      |    AND md5(lower(trim(text))) NOT IN (SELECT h FROM sg)
+      |  GROUP BY 1),
+      |freps AS (SELECT d.doc_id, d.text, fg.n_copies
+      |  FROM documents d JOIN fg ON d.doc_id = fg.keep_id),
+      |allr AS (SELECT doc_id, text FROM sreps UNION ALL SELECT doc_id, text FROM freps),
+      |${simhashChainSqlFrom("allr")}
+      |SELECT a.doc_id AS corpus_id, b.doc_id AS fresh_id,
+      |  CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming,
+      |  a.n_copies AS n_corpus, b.n_copies AS n_fresh,
+      |  CAST(a.n_copies * b.n_copies AS BIGINT) AS implied_pairs
+      |FROM sreps a JOIN sh sa ON a.doc_id = sa.id
+      |  CROSS JOIN freps b JOIN sh sb ON b.doc_id = sb.id
+      |WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
+      |ORDER BY corpus_id, fresh_id""".stripMargin
+
   /** q69: incremental dedup — a "new batch" (doc_id ≥ 250) deduped
     * against an already-ingested corpus (doc_id < 250) that travels
     * only as 16-byte content digests, then self-deduped. The daily
@@ -762,6 +833,7 @@ object HashDedupQueries {
     "q21_simhash" -> (q21SimHash _),
     "q202_simhash_bucket_cap" -> (q202SimHashCap _),
     "q203_dedup_first_simhash" -> (q203DedupFirstSimHash _),
+    "q205_dedup_first_probe" -> (q205DedupFirstProbe _),
     "q69_incremental_dedup" -> (q69IncrementalDedup _),
     "q120_incremental_lsh" -> (q120IncrementalLsh _))
 
@@ -783,6 +855,7 @@ object HashDedupQueries {
     "q21_simhash" -> q21Sql,
     "q202_simhash_bucket_cap" -> q202Sql,
     "q203_dedup_first_simhash" -> q203Sql,
+    "q205_dedup_first_probe" -> q205Sql,
     "q69_incremental_dedup" -> q69Sql,
     "q120_incremental_lsh" -> q120Sql)
 }
