@@ -42,9 +42,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q113_tpch_q5" -> 2, // order-customer fact join + final agg; all dims broadcast
     "q126_skyline" -> 3, // per-cost agg + range partition + final order (prefix max is scan-local)
     "q127_tpch_q7" -> 4, // lineitem-orders fact join (2) + final agg + order; both nation dims broadcast
-    "q198_enrich_resume" -> 2, // resume anti-join + final order; the verdict side is all broadcast
-    "q201_conversation_resume" -> 6, // input window + prior replay join + group repartition + 2 certificate folds + final order
-    "q202_simhash_bucket_cap" -> 4) // band window (reused by the self-join) + pair distinct + final order + sig build
+    "q198_enrich_resume" -> 1, // resume anti-join reuses the index partitioning; final order (verdict collected eagerly at build)
+    "q201_conversation_resume" -> 2, // prior replay join + group repartition share keys; final order (certificate folds eager at build)
+    "q202_simhash_bucket_cap" -> 4, // band window (reused by the self-join) + pair distinct + final order + sig build
+    "q203_dedup_first_simhash" -> 3, // guarded band self-join + two size joins + order (rep dedup checkpointed)
+    "q204_dedup_first_prefix_join" -> 6, // df counts + prefix agg + candidate join + verify/size joins + order (rep sets checkpointed)
+    "q205_dedup_first_probe" -> 1) // cross-split probe + size joins fold into one exchange set (both rep sides checkpointed)
 
   test("PageRank round plans ZERO exchanges against the pre-partitioned edge cache") {
     // the per-round plans are checkpointed away from the final query
