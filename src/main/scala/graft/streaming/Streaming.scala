@@ -1291,24 +1291,93 @@ object Streaming {
       systemPrompt: Option[String] = None)(sink: (Long, DataFrame) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     rotatingServe(arrivals, root, kind) { (batch, v) =>
+      convServeFold(batch, v, root, kind, groupCol, orderCol, promptCol,
+        enricher, config, systemPrompt)
+    }(sink)
+
+  /** The per-batch conversation fold shared by the rotating and the
+    * self-publishing serve: eagerly verify the pinned generation's
+    * certificate, rebuild full input = checkpointed prompts ∪
+    * arrivals, run the q201 batch resume (replays free, arrivals
+    * enriched against restored history), emit only the arrivals'
+    * rows. Returned frame is CACHED — the self-publishing serve
+    * executes it twice (publish write + sink), and a second
+    * execution of an external-API enrichment would both double the
+    * calls and (with a real nondeterministic enricher) publish
+    * responses the sink never saw. */
+  private def convServeFold(batch: DataFrame, v: Long, root: String,
+      kind: String, groupCol: String, orderCol: String, promptCol: String,
+      enricher: Enricher, config: AiConfig,
+      systemPrompt: Option[String]): DataFrame = {
+    val s = batch.sparkSession
+    val reg = graft.ext.ArtifactRegistry
+    val results = reg.read(s, root, kind, v, "results")
+    val cursor = reg.read(s, root, kind, v, "cursor")
+    val verified = cursor.join(
+        graft.enrich.ConversationCheckpoint.certificate(
+          results, groupCol, promptCol),
+        Seq("ck_n", "ck_groups", "ck_gaps", "ck_xor_pair"))
+      .filter(col("ck_gaps") === 0L).count() == 1L
+    require(verified, s"conv checkpoint generation $v of $kind failed " +
+      "certificate verification — refusing to serve a tampered or truncated history")
+    val cols = Seq(groupCol, orderCol, promptCol)
+    val full = results.select(cols.map(col): _*)
+      .unionByName(batch.select(cols.map(col): _*))
+    val folded = graft.enrich.EnrichRunner.resumeConversations(full, groupCol,
+        Seq(orderCol), promptCol, results, enricher, config, systemPrompt)
+      .join(batch.select(col(groupCol), col(orderCol)),
+        Seq(groupCol, orderCol), "left_semi")
+      .cache()
+    // a long-lived stream folds forever: keep at most ONE batch's
+    // cache per (root, kind), unpersisting the previous batch's
+    Option(lastConvServeCache.put((root, kind), folded))
+      .foreach(_.unpersist(blocking = false))
+    folded
+  }
+
+  private val lastConvServeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  /** [[conversationServeStreamRotating]] with the durable-state LOOP
+    * closed: after folding a batch against the pinned generation, the
+    * serve PUBLISHES (prior turns ∪ the batch's enriched turns) as
+    * the next conv_ckpt generation and re-pins it — so the next
+    * micro-batch folds against the history this one just extended,
+    * with no state store and no manual re-pin. This is the
+    * pause→resume cycle as a serving loop: every micro-batch boundary
+    * is a durable pause point, restartable from the registry alone,
+    * and the pin history doubles as the conversation's audit log
+    * (roll back a generation to replay from any boundary).
+    *
+    * The publish follows [[graft.enrich.ConversationCheckpoint
+    * .publish]]'s staged discipline (certificate folded from the
+    * LANDED results part) and the fold frame is cached, so the
+    * enrichment executes exactly once per batch — the publish write
+    * populates the cache the sink then reads; with a real
+    * nondeterministic enricher nothing is certified that the sink
+    * did not see (spec-pinned by call counter). `corpus_fp` records
+    * the new global max turn. */
+  def conversationServeStreamPublishing(arrivals: DataFrame, root: String,
+      kind: String, groupCol: String, orderCol: String, promptCol: String,
+      enricher: Enricher, config: AiConfig,
+      systemPrompt: Option[String] = None)(sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rotatingServe(arrivals, root, kind) { (batch, v) =>
       val s = batch.sparkSession
       val reg = graft.ext.ArtifactRegistry
-      val results = reg.read(s, root, kind, v, "results")
-      val cursor = reg.read(s, root, kind, v, "cursor")
-      val verified = cursor.join(
-          graft.enrich.ConversationCheckpoint.certificate(
-            results, groupCol, promptCol),
-          Seq("ck_n", "ck_groups", "ck_gaps", "ck_xor_pair"))
-        .filter(col("ck_gaps") === 0L).count() == 1L
-      require(verified, s"conv checkpoint generation $v of $kind failed " +
-        "certificate verification — refusing to serve a tampered or truncated history")
-      val cols = Seq(groupCol, orderCol, promptCol)
-      val full = results.select(cols.map(col): _*)
-        .unionByName(batch.select(cols.map(col): _*))
-      graft.enrich.EnrichRunner.resumeConversations(full, groupCol,
-          Seq(orderCol), promptCol, results, enricher, config, systemPrompt)
-        .join(batch.select(col(groupCol), col(orderCol)),
-          Seq(groupCol, orderCol), "left_semi")
+      val out = convServeFold(batch, v, root, kind, groupCol, orderCol,
+        promptCol, enricher, config, systemPrompt)
+      val resultCols = Seq(groupCol, orderCol, promptCol, "turn_number", "response")
+      val newResults = reg.read(s, root, kind, v, "results")
+        .select(resultCols.map(col): _*)
+        .unionByName(out.select(resultCols.map(col): _*))
+      if (!out.isEmpty) {
+        val maxTurn = newResults.agg(max(col("turn_number"))).collect()(0).getLong(0)
+        val nv = graft.enrich.ConversationCheckpoint.publish(s, root, kind,
+          newResults, groupCol, promptCol, cursorTurn = maxTurn)
+        reg.setPin(s, root, kind, nv)
+      }
+      out
     }(sink)
 
   /** Pin-rotating IVF-PQ vector serve: arriving query vectors (`id`,

@@ -1110,6 +1110,100 @@ class StreamingSpec extends SparkSpec {
     assert(nonEmpty(1)._2 == Seq(("A", 4L, 4L, 13L, "[gpt-test] turn=4 ctx=13")))
   }
 
+  test("the self-publishing conversation serve closes the durable-state loop") {
+    import graft.enrich.{ConversationCheckpoint, EnrichRunner, NondeterministicEnricher}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reg = graft.ext.ArtifactRegistry
+    val df = Seq(
+      ("A", 1L, "alpha"), ("A", 2L, "bee"), ("A", 3L, "cedar"), ("A", 4L, "d"),
+      ("B", 1L, "solo")).toDF("grp", "ord", "prompt")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-index/" +
+      s"pubc-${java.util.UUID.randomUUID.toString.take(8)}"
+    // seed generation: the pause after turn 2, enriched by the real fold
+    val pre = EnrichRunner.runConversations(df.filter($"ord" <= 2), "grp",
+        Seq("ord"), "prompt", ConversationalTestEnricher(), AiConfig.test())
+      .select($"grp", $"ord", $"prompt", $"turn_number", $"response")
+    val v1 = ConversationCheckpoint.publish(spark, root, "conv_pub", pre,
+      "grp", "prompt", cursorTurn = 2L)
+    reg.setPin(spark, root, "conv_pub", v1)
+    val uninterrupted = EnrichRunner.runConversations(df, "grp", Seq("ord"),
+        "prompt", ConversationalTestEnricher(), AiConfig.test())
+      .select($"grp", $"ord", $"turn_number", $"history_chars", $"response")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(t => (t._1, t._2)).toSeq
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(String, Long, Long, Long, String)])]
+    val input = MemoryStream[(String, Long, String)]
+    val q = Streaming.conversationServeStreamPublishing(
+        input.toDF().toDF("grp", "ord", "prompt"), root, "conv_pub",
+        "grp", "ord", "prompt",
+        ConversationalTestEnricher(), AiConfig.test()) { (v, out) =>
+      got += ((v, out.select($"grp", $"ord", $"turn_number", $"history_chars",
+          $"response", $"served_version")
+        .collect().map { r =>
+          assert(r.getLong(5) == v)
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+        }.toSeq))
+    }
+    try {
+      // batch 1 folds A's turn 3 against v1, then AUTO-publishes and
+      // re-pins; batch 2 must fold A's turn 4 against THAT generation
+      // — cross-batch continuity with no state store and no manual pin
+      input.addData(("A", 3L, "cedar"))
+      q.processAllAvailable()
+      input.addData(("A", 4L, "d"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val nonEmpty = got.filter(_._2.nonEmpty).toSeq
+    assert(nonEmpty.map(_._1).distinct.size == 2 &&
+      nonEmpty(1)._1 > nonEmpty(0)._1,
+      s"second batch must serve from the generation the first published: ${nonEmpty.map(_._1)}")
+    assert(nonEmpty(0)._2 == Seq(("A", 3L, 3L, 8L, "[gpt-test] turn=3 ctx=8")))
+    assert(nonEmpty(1)._2 == Seq(("A", 4L, 4L, 13L, "[gpt-test] turn=4 ctx=13")))
+    // the final generation IS a complete resumable checkpoint: a batch
+    // resume from it replays the ENTIRE conversation set verbatim —
+    // bit-equal to the uninterrupted fold, with zero fresh turns
+    val vFinal = reg.currentPin(spark, root, "conv_pub").get
+    val resumed = ConversationCheckpoint.resumeVerified(df, "grp", Seq("ord"),
+        "prompt", reg.read(spark, root, "conv_pub", vFinal, "results"),
+        reg.read(spark, root, "conv_pub", vFinal, "cursor"),
+        ConversationalTestEnricher(), AiConfig.test())
+      .select($"grp", $"ord", $"turn_number", $"history_chars", $"response")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(resumed == uninterrupted,
+      "the published loop state must be a valid checkpoint of the uninterrupted run")
+    // single-execution discipline: with a NONDETERMINISTIC enricher the
+    // publish write populates the cache the sink reads — one enricher
+    // call per fresh turn per batch, and the certified responses are
+    // exactly the ones the sink saw (the next batch's verify proves it)
+    val root2 = s"${System.getProperty("java.io.tmpdir")}/graft-index/" +
+      s"pubn-${java.util.UUID.randomUUID.toString.take(8)}"
+    val preN = pre // deterministic seed is fine; only fresh turns count calls
+    val v1n = ConversationCheckpoint.publish(spark, root2, "conv_pub", preN,
+      "grp", "prompt", cursorTurn = 2L)
+    reg.setPin(spark, root2, "conv_pub", v1n)
+    NondeterministicEnricher.calls.set(0)
+    val input2 = MemoryStream[(String, Long, String)]
+    var sunk = 0
+    val q2 = Streaming.conversationServeStreamPublishing(
+        input2.toDF().toDF("grp", "ord", "prompt"), root2, "conv_pub",
+        "grp", "ord", "prompt",
+        new NondeterministicEnricher, AiConfig.test()) { (_, out) =>
+      sunk += out.collect().length
+    }
+    try {
+      input2.addData(("A", 3L, "cedar"))
+      q2.processAllAvailable()
+      input2.addData(("A", 4L, "d"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(sunk == 2)
+    assert(NondeterministicEnricher.calls.get == 2,
+      s"each fresh turn must hit the enricher exactly ONCE across publish+sink " +
+        s"(got ${NondeterministicEnricher.calls.get})")
+  }
+
   test("the IVF-PQ serve rotates to the upgraded generation mid-stream") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val reg = graft.ext.ArtifactRegistry
