@@ -171,6 +171,22 @@ object Streaming {
       .drop("__gch")
   }
 
+  /** Streaming SimHash near-dup probe — the streaming face of q205's
+    * probe stage: arriving docs sign and band ROW-LOCALLY
+    * ([[graft.ext.SimHashDedup.bandedIndex]] is a projection +
+    * explode, stream-safe, zero state) and join the STATIC corpus
+    * band index; first-match-band emission keeps each
+    * (corpus, fresh) pair single with no stream-side dedup state, so
+    * the pigeonhole-exact batch semantics carry over verbatim (same
+    * code path — parity by construction, spec-pinned). Redelivering
+    * sources dedupe upstream (the [[incrementalDedupStream]]
+    * discipline); at scale the index side is the persisted band
+    * snapshot, 18 bytes a row, never text. */
+  def simhashProbeStream(docs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.ext.SimHashDedup.nearDupAgainstIndex(docs, idCol, textCol,
+      index, maxHamming)
+
   final case class AsofEventT(key: Long, us: Long, isRight: Boolean,
     eventId: Long, payload: Long, eventTime: java.sql.Timestamp)
   final case class AsofOooState(

@@ -387,6 +387,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
   }
 
+  test("streaming SimHash probe matches the batch cross-split probe (q205 twin)") {
+    import graft.ext.SimHashDedup
+    // q205's probe stage as a stream: fresh docs sign+band row-locally
+    // and join the static standing band index; first-match-band is a
+    // pure predicate, so exactness carries over with zero state
+    val docs = Tables.load(spark, sf, "documents")
+    val index = SimHashDedup.bandedIndex(
+      docs.filter($"doc_id" < 250), "doc_id", "text").localCheckpoint(true)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+      .filter($"doc_id" >= 250)
+    val q = Streaming.simhashProbeStream(stream, "doc_id", "text", index)
+      .writeStream.format("memory").queryName("shprobe").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("shprobe")
+      .select($"corpus_id", $"fresh_id", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = SimHashDedup.nearDupAgainstIndex(
+        docs.filter($"doc_id" >= 250), "doc_id", "text", index)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "a vacuous probe proves nothing")
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+  }
+
   test("count-min sketch builds on a stream (complete-mode agg) and matches batch") {
     import graft.ext.CountMin
     // the sketch build is a plain bounded-state aggregation, so it runs
