@@ -1337,8 +1337,18 @@ object Streaming {
     require(verified, s"conv checkpoint generation $v of $kind failed " +
       "certificate verification — refusing to serve a tampered or truncated history")
     val cols = Seq(groupCol, orderCol, promptCol)
-    val full = results.select(cols.map(col): _*)
-      .unionByName(batch.select(cols.map(col): _*))
+    val prior = results.select(cols.map(col): _*)
+    // at-least-once hardening: foreachBatch can REDELIVER a batch (a
+    // failure between this batch's publish and the stream's commit) —
+    // an arrival already present in the pinned generation at the same
+    // (group, order, prompt) is a retry, not a new turn: it drops from
+    // the fold input (its persisted row replays through the semi-join
+    // below — same output rows, zero enricher calls, no duplicate
+    // turn). A CONFLICTING redelivery (same order key, different
+    // prompt) still fails the fold's turn-position tripwire loudly.
+    val freshArrivals = batch.select(cols.map(col): _*)
+      .join(prior, cols, "left_anti")
+    val full = prior.unionByName(freshArrivals)
     val folded = graft.enrich.EnrichRunner.resumeConversations(full, groupCol,
         Seq(orderCol), promptCol, results, enricher, config, systemPrompt)
       .join(batch.select(col(groupCol), col(orderCol)),
@@ -1372,7 +1382,17 @@ object Streaming {
     * populates the cache the sink then reads; with a real
     * nondeterministic enricher nothing is certified that the sink
     * did not see (spec-pinned by call counter). `corpus_fp` records
-    * the new global max turn. */
+    * the new global max turn.
+    *
+    * Idempotent under foreachBatch's at-least-once delivery: a
+    * redelivered batch (failure between publish and stream commit)
+    * finds its arrivals already in the pinned generation, re-emits
+    * their persisted rows verbatim (zero enricher calls), and
+    * publishes nothing — no duplicate generation, no pin churn, no
+    * duplicated turns (spec-pinned). Contrast with the state-store
+    * fold ([[conversationStreamResumed]]), which THROWS on a replay:
+    * it holds no persisted (prompt, response) to verify a replay
+    * against, so refusing loudly is the only sound posture there. */
   def conversationServeStreamPublishing(arrivals: DataFrame, root: String,
       kind: String, groupCol: String, orderCol: String, promptCol: String,
       enricher: Enricher, config: AiConfig,
@@ -1384,10 +1404,19 @@ object Streaming {
       val out = convServeFold(batch, v, root, kind, groupCol, orderCol,
         promptCol, enricher, config, systemPrompt)
       val resultCols = Seq(groupCol, orderCol, promptCol, "turn_number", "response")
-      val newResults = reg.read(s, root, kind, v, "results")
-        .select(resultCols.map(col): _*)
-        .unionByName(out.select(resultCols.map(col): _*))
-      if (!out.isEmpty) {
+      val prior = reg.read(s, root, kind, v, "results")
+        .select(resultCols.take(3).map(col): _*)
+      // idempotent under foreachBatch redelivery: a batch whose every
+      // arrival is already in the pinned generation replays (out comes
+      // from prior rows) and publishes NOTHING — no duplicate
+      // generation, no pin churn on a retried micro-batch
+      val hasFresh = !batch.select(resultCols.take(3).map(col): _*)
+        .join(prior, resultCols.take(3), "left_anti").isEmpty
+      if (hasFresh) {
+        val newResults = reg.read(s, root, kind, v, "results")
+          .select(resultCols.map(col): _*)
+          .unionByName(out.select(resultCols.map(col): _*)
+            .join(prior, resultCols.take(3), "left_anti"))
         val maxTurn = newResults.agg(max(col("turn_number"))).collect()(0).getLong(0)
         val nv = graft.enrich.ConversationCheckpoint.publish(s, root, kind,
           newResults, groupCol, promptCol, cursorTurn = maxTurn)

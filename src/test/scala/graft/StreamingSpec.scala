@@ -1177,13 +1177,24 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData(("A", 4L, "d"))
       q.processAllAvailable()
+      // REDELIVERY (foreachBatch is at-least-once): the same arrival
+      // again must re-emit its persisted row verbatim, publish no new
+      // generation, and leave the pin alone
+      val pinBefore = reg.currentPin(spark, root, "conv_pub")
+      input.addData(("A", 4L, "d"))
+      q.processAllAvailable()
+      assert(reg.currentPin(spark, root, "conv_pub") == pinBefore,
+        "a redelivered batch must not publish a duplicate generation")
     } finally q.stop()
     val nonEmpty = got.filter(_._2.nonEmpty).toSeq
-    assert(nonEmpty.map(_._1).distinct.size == 2 &&
-      nonEmpty(1)._1 > nonEmpty(0)._1,
-      s"second batch must serve from the generation the first published: ${nonEmpty.map(_._1)}")
+    assert(nonEmpty.size == 3 &&
+      nonEmpty(1)._1 > nonEmpty(0)._1 && nonEmpty(2)._1 > nonEmpty(1)._1,
+      s"each batch must serve from the generation the previous one published: ${nonEmpty.map(_._1)}")
     assert(nonEmpty(0)._2 == Seq(("A", 3L, 3L, 8L, "[gpt-test] turn=3 ctx=8")))
     assert(nonEmpty(1)._2 == Seq(("A", 4L, 4L, 13L, "[gpt-test] turn=4 ctx=13")))
+    // the redelivered batch re-emitted turn 4 bit-identically
+    assert(nonEmpty(2)._2 == nonEmpty(1)._2,
+      "a redelivered batch must replay its rows verbatim")
     // the final generation IS a complete resumable checkpoint: a batch
     // resume from it replays the ENTIRE conversation set verbatim —
     // bit-equal to the uninterrupted fold, with zero fresh turns
@@ -1221,10 +1232,14 @@ class StreamingSpec extends SparkSpec {
       q2.processAllAvailable()
       input2.addData(("A", 4L, "d"))
       q2.processAllAvailable()
+      // a redelivered batch makes ZERO fresh enricher calls even with
+      // a nondeterministic enricher — the persisted response replays
+      input2.addData(("A", 4L, "d"))
+      q2.processAllAvailable()
     } finally q2.stop()
-    assert(sunk == 2)
+    assert(sunk == 3)
     assert(NondeterministicEnricher.calls.get == 2,
-      s"each fresh turn must hit the enricher exactly ONCE across publish+sink " +
+      s"each fresh turn must hit the enricher exactly ONCE across publish+sink+retry " +
         s"(got ${NondeterministicEnricher.calls.get})")
   }
 
