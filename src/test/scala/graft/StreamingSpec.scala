@@ -1208,6 +1208,28 @@ class StreamingSpec extends SparkSpec {
         r.getLong(3), r.getString(4))).sortBy(t => (t._1, t._2)).toSeq
     assert(resumed == uninterrupted,
       "the published loop state must be a valid checkpoint of the uninterrupted run")
+    // RESTART: a brand-new query on the same root continues seamlessly
+    // — every bit of conversation state lives in the registry, so the
+    // stream needs no state store and no handoff from its predecessor
+    val restartGot = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long, String)]
+    val input3 = MemoryStream[(String, Long, String)]
+    val q3 = Streaming.conversationServeStreamPublishing(
+        input3.toDF().toDF("grp", "ord", "prompt"), root, "conv_pub",
+        "grp", "ord", "prompt",
+        ConversationalTestEnricher(), AiConfig.test()) { (_, out) =>
+      restartGot ++= out.select($"grp", $"ord", $"turn_number", $"history_chars",
+          $"response")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4)))
+    }
+    try {
+      input3.addData(("B", 2L, "next"))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    // B's turn 2 folds against B's checkpointed turn 1 ("solo", 4 chars)
+    assert(restartGot.toSeq == Seq(("B", 2L, 2L, 4L, "[gpt-test] turn=2 ctx=4")),
+      s"restarted query must continue from the registry alone: $restartGot")
     // single-execution discipline: with a NONDETERMINISTIC enricher the
     // publish write populates the cache the sink reads — one enricher
     // call per fresh turn per batch, and the certified responses are
