@@ -1297,8 +1297,11 @@ object Streaming {
     * GENERATION: a batch's enriched turns become durable
     * conversation state only when published as the next conv_ckpt
     * generation and pinned — the pause→resume cycle as a serving
-    * loop. An arrival at or below the pinned cursor (a replayed
-    * completed turn) fails the fold's turn-position tripwire — a
+    * loop. A redelivered arrival that matches a checkpointed turn at
+    * the same (group, order, prompt) REPLAYS its persisted row
+    * verbatim (zero enricher calls — the at-least-once posture the
+    * checkpoint makes cheap); a CONFLICTING one (same order key,
+    * different prompt) fails the fold's turn-position tripwire — a
     * failed batch, never a silently shifted history. Arrivals carry
     * (`groupCol`, `orderCol`, `promptCol`). */
   def conversationServeStreamRotating(arrivals: DataFrame, root: String,
