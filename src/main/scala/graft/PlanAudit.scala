@@ -153,7 +153,10 @@ object PlanAudit {
     "q134b_fd_sketch" -> Set(Bnlj),
     // same register skeleton, sketch-only 100 TB form (q134b minus the
     // exact pass — the constant-size dense-bucket crossJoin remains)
-    "q134c_fd_sketch_only" -> Set(Bnlj))
+    "q134c_fd_sketch_only" -> Set(Bnlj),
+    // q141's register skeleton, sketch-only 100 TB form (q141 minus
+    // the exact countDistinct measurement side)
+    "q141c_group_sliding_hll_only" -> Set(Bnlj))
 
   val flags = Seq(SinglePartition, Cartesian, Bnlj)
 

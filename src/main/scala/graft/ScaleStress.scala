@@ -52,7 +52,8 @@ object ScaleStress {
   private val dimTables =
     Seq("region", "nation", "customer", "supplier", "part")
 
-  def blowUp(s: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+  def blowUp(s: SparkSession, srcDir: String, outDir: String, factor: Int,
+      distinctText: Boolean = false): Unit = {
     val out = java.nio.file.Paths.get(outDir)
     if (java.nio.file.Files.isDirectory(out)) return // built once, reused
     java.nio.file.Files.createDirectories(out)
@@ -64,9 +65,34 @@ object ScaleStress {
       // identical for both sides of every key pair
       val blown = df.withColumn("__k",
           explode(sequence(lit(0), lit(factor - 1))))
-      idCols.foldLeft(blown) { (d, c) =>
-          d.withColumn(c, col(c) + col("__k").cast("long") * (10L << 32))
-        }.drop("__k")
+      val rekeyed = idCols.foldLeft(blown) { (d, c) =>
+        d.withColumn(c, col(c) + col("__k").cast("long") * (10L << 32))
+      }
+      // distinct-text mode: CORPUS growth instead of CLONE growth.
+      // Verbatim replication measures clone-density blowup (the right
+      // first stress for dedup paths); the dedup-first compositions
+      // also need the orthogonal question measured — how they grow
+      // when DISTINCT contents grow 10×. Each replica suffixes EVERY
+      // word with a replica tag ("the" → "thezq3x"): every token maps
+      // to a word-DEPENDENT new token, so per-replica token/shingle
+      // diversity matches the original corpus (token-hash diversity
+      // preserved — simhash/minhash signatures stay spread out) while
+      // replicas are neither exact dups nor near-dups of their source
+      // or of other replicas: factor× genuinely distinct content.
+      // (A first attempt inserted ONE fixed tag token between every
+      // word pair — that made ~half of every replica's token mass a
+      // single repeated token, i.e. templated near-identical content,
+      // and q203's survivor-scaled guard correctly refused the
+      // quadratic: the guard catching a bad corpus, not a bad query.)
+      // Replica 0 stays verbatim either way.
+      val mutated =
+        if (distinctText && t == "documents")
+          rekeyed.withColumn("text",
+            when(col("__k") === 0, col("text"))
+              .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+                concat(lit("$1zq"), col("__k"), lit("x")))))
+        else rekeyed
+      mutated.drop("__k")
         .write.mode("errorifexists").parquet(s"$outDir/$t.parquet")
     }
     dimTables.foreach { t =>
@@ -90,9 +116,13 @@ object ScaleStress {
     val srcDir = args(0)
     val outDir = args(1)
     val factor = args(2).toInt
-    val names = args.drop(3).toSeq
+    // optional mode flag before the query names: --distinct-text builds
+    // the blown corpus with genuinely DISTINCT replica texts (corpus
+    // growth) instead of verbatim clones (clone-density growth)
+    val distinctText = args.length > 3 && args(3) == "--distinct-text"
+    val names = args.drop(if (distinctText) 4 else 3).toSeq
     val spark = LocalSessions.create(logLevel = "ERROR")
-    blowUp(spark, srcDir, outDir, factor)
+    blowUp(spark, srcDir, outDir, factor, distinctText)
     val reps = 3
     println(f"SCALESTRESS factor=$factor reps=$reps (medians)")
     println(f"${"query"}%-28s ${"base_s"}%8s ${"big_s"}%8s ${"exponent"}%8s")
@@ -110,8 +140,9 @@ object ScaleStress {
     // cross-round exponent question reads a JSON table, not prose
     sys.env.get("SPARK_GRAFT_SCALE_OUT").foreach { path =>
       def n(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+      val mode = if (distinctText) "distinct" else "clones"
       val json = rows.map { case (q, b, g, e) =>
-        s"""{"factor":$factor,"reps":$reps,"query":"$q","base_s":${n(b)},"big_s":${n(g)},"exponent":${n(e)}}"""
+        s"""{"factor":$factor,"reps":$reps,"mode":"$mode","query":"$q","base_s":${n(b)},"big_s":${n(g)},"exponent":${n(e)}}"""
       }.mkString("", "\n", "\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json,
         java.nio.file.StandardOpenOption.CREATE,

@@ -76,6 +76,97 @@ object ConversationCheckpoint {
         certificate(landed("results"), groupCol, promptCol)
           .withColumn("cursor_turn", lit(cursorTurn))))
 
+  /** Publish a DELTA generation: the `results` part carries ONLY this
+    * batch's fresh turns, and the cursor records `base_version` — the
+    * generation whose full history this one extends (0 = none: the
+    * generation is self-contained, the [[publish]] shape). The cursor's
+    * certificate covers the FULL chain history (the base chain read
+    * back from its landed, immutable parts, plus this delta once
+    * landed), so verification of a pinned delta generation still
+    * guarantees the complete 1..k prefix per group over everything the
+    * chain holds — a tampered or half-collected ancestor fails the
+    * same gate a tampered monolithic checkpoint does. This is what
+    * bounds a long-lived publishing serve's storage: per batch it
+    * writes O(batch) rows, not O(history)
+    * ([[graft.streaming.Streaming.conversationServeStreamPublishing]]
+    * owns the compaction policy that keeps the chain short). */
+  def publishDelta(s: SparkSession, root: String, kind: String,
+      delta: DataFrame, groupCol: String, promptCol: String,
+      cursorTurn: Long, baseVersion: Long): Long =
+    graft.ext.ArtifactRegistry.publishStaged(s, root, kind, cursorTurn,
+      Seq("results" -> delta),
+      landed => {
+        val full =
+          if (baseVersion == 0L) landed("results")
+          else chainResults(s, root, kind, baseVersion)
+            .unionByName(landed("results"))
+        Seq("cursor" ->
+          certificate(full, groupCol, promptCol)
+            .withColumn("cursor_turn", lit(cursorTurn))
+            .withColumn("base_version", lit(baseVersion)))
+      })
+
+  /** `base_version` pointers, memoized: a generation's cursor is
+    * write-once (errorIfExists parts + manifest-last visibility) and
+    * version numbers are never reused (the publisher numbers past gc'd
+    * directories via the retained manifest rows), so a pointer read
+    * once is valid for the process lifetime — a serve that walks its
+    * chain every micro-batch pays ONE cursor collect per NEW
+    * generation instead of O(depth) per batch. Entries are a few
+    * dozen bytes; the size bound only guards a pathological
+    * million-generation process. */
+  private val baseVersionMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), Long]()
+
+  private def baseVersionOf(s: SparkSession, root: String, kind: String,
+      v: Long): Long = {
+    if (baseVersionMemo.size > 65536) baseVersionMemo.clear()
+    baseVersionMemo.computeIfAbsent((root, kind, v), { _ =>
+      val cur = graft.ext.ArtifactRegistry.read(s, root, kind, v, "cursor")
+      if (!cur.columns.contains("base_version")) 0L
+      else cur.select(col("base_version")).collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    })
+  }
+
+  /** The generation chain of `version`, newest first, ending at its
+    * self-contained root — one KB-sized cursor collect per link not
+    * yet memoized (a generation published by [[publish]] has no
+    * `base_version` column and roots the chain). Depth is bounded by
+    * the publisher's compaction policy; the 64-link guard turns a
+    * corrupted/looping pointer chain into an error instead of an
+    * unbounded walk. */
+  def chain(s: SparkSession, root: String, kind: String,
+      version: Long): Seq[Long] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var v = version
+    while (v != 0L) {
+      require(acc.length < 64,
+        s"conv checkpoint chain of $kind v$version exceeds 64 links under " +
+          s"$root — a corrupted base_version pointer or a publisher that " +
+          "never compacts; refusing the unbounded walk")
+      require(!acc.contains(v),
+        s"conv checkpoint chain of $kind v$version revisits v$v under $root")
+      acc += v
+      v = baseVersionOf(s, root, kind, v)
+    }
+    acc.toSeq
+  }
+
+  /** The FULL conversation history generation `version` represents:
+    * its own `results` part unioned with its base chain's — the frame
+    * a serve folds from and a compaction rewrites. Lazy scans over
+    * immutable landed parts only. */
+  def chainResults(s: SparkSession, root: String, kind: String,
+      version: Long): DataFrame = {
+    val reg = graft.ext.ArtifactRegistry
+    chain(s, root, kind, version)
+      .map(v => reg.read(s, root, kind, v, "results"))
+      .reduce(_ unionByName _)
+  }
+
   /** Resume grouped conversations from loaded artifacts with
     * verification: re-fold the loaded results, join the fold against
     * the loaded cursor on every certificate stat, require zero

@@ -37,7 +37,14 @@ import org.apache.spark.sql.functions._
   * manifest last), not from file moves; per-directory write atomicity
   * is delegated to whatever parquet committer the deployment
   * configures (on object stores without atomic rename, an
-  * S3-optimized committer). The one store property the lazy read
+  * S3-optimized committer). That delegation boundary is AUDITED, not
+  * asserted: ArtifactRegistrySpec's rename-audit runs the full
+  * publish→pin→read→compact→gc lifecycle through a rename-recording
+  * FS and proves every rename on the wire is the committer's, each
+  * inside the single directory being written — the registry's own
+  * steps contribute zero (no real S3 endpoint exists in the build
+  * environment; the audit pins the boundary an S3A+committer
+  * deployment relies on). The one store property the lazy read
   * paths assume is listing-after-write consistency; on an
   * eventually-listing store use [[readAudited]] (manifest-certified
   * row counts make stale part listings detectable), and

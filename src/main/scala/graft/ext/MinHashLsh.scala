@@ -149,13 +149,31 @@ object MinHashLsh {
       textCol: String,
       n: Int = 8,
       minEstSim: Double = 0.5,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      guardBucket: Int = SimHashDedup.UncappedGuardBucket): DataFrame = {
     val bands = banded(signatures(df, idCol, textCol, n))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bslice"))
-    val kept = bands
-      .withColumn("bsz", count(lit(1)).over(w))
-      .filter(col("bsz") <= maxBucket).drop("bsz")
+    val sized = bands.withColumn("bsz", count(lit(1)).over(w))
+    // an UNCAPPED call (maxBucket = Int.MaxValue) still guards: a band
+    // bucket past `guardBucket` means clone mass is about to expand
+    // quadratically, and with the cap explicitly disabled the sound
+    // move is a loud stage failure naming the fix, not a hung join —
+    // the [[SimHashDedup.UncappedGuardBucket]] pattern. The count
+    // window rides the same (band, bslice) exchange the self-join
+    // shuffles on, so the guard adds no exchange.
+    val kept =
+      if (maxBucket != Int.MaxValue || guardBucket == Int.MaxValue)
+        sized.filter(col("bsz") <= maxBucket).drop("bsz")
+      else sized.filter(assert_true(col("bsz") <= guardBucket,
+          concat(lit("uncapped MinHash LSH band bucket of size "), col("bsz"),
+            lit(s" exceeds the guard ($guardBucket): pair emission is" +
+              " clone-quadratic at this density — keep the default cap" +
+              " (DefaultMaxBucket), exact-dedup upstream" +
+              " (Dedup.exactDedupWithCounts, the q203 posture), or pass" +
+              " guardBucket = Int.MaxValue to accept unbounded expansion")))
+          .isNull)
+        .drop("bsz")
     val cand = kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bslice") === col("b.bslice") &&
           col("a.id") < col("b.id"))

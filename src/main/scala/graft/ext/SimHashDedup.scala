@@ -93,6 +93,16 @@ object SimHashDedup {
     * Int.MaxValue). */
   val UncappedGuardBucket = 8192
 
+  /** What the uncapped guard's error tells a NOT-yet-deduped caller.
+    * An already-deduped caller (q203) passes its own advice: there the
+    * oversized bucket is DISTINCT near-identical mass, and the fix is
+    * a conscious guard raise or the capped estimate, not a dedup it
+    * already did. */
+  val DefaultGuardAdvice: String =
+    "the exact all-pairs output is clone-quadratic at this density —" +
+      " exact-dedup upstream (Dedup.exactDedupWithCounts, the q203" +
+      " composition) or opt into maxBucket"
+
   /** Pairs at Hamming distance ≤ `maxHamming` (must be < Bands for the
     * pigeonhole guarantee).
     *
@@ -141,7 +151,8 @@ object SimHashDedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = Int.MaxValue,
-      guardBucket: Int = UncappedGuardBucket): DataFrame = {
+      guardBucket: Int = UncappedGuardBucket,
+      guardAdvice: String = DefaultGuardAdvice): DataFrame = {
     require(maxHamming < Bands,
       s"maxHamming=$maxHamming needs > $maxHamming+1 bands for exact recall; use more/narrower bands")
     val bands = bandsOf(simhashes(df, idCol, textCol))
@@ -161,10 +172,7 @@ object SimHashDedup {
         else bands.withColumn("bsz", count(lit(1)).over(w))
           .filter(assert_true(col("bsz") <= guardBucket,
             concat(lit("uncapped SimHash band bucket of size "), col("bsz"),
-              lit(s" exceeds the guard ($guardBucket): the exact all-pairs output is" +
-                " clone-quadratic at this density — exact-dedup upstream" +
-                " (Dedup.exactDedupWithCounts, the q203 composition) or opt into" +
-                " maxBucket"))).isNull)
+              lit(s" exceeds the guard ($guardBucket): " + guardAdvice))).isNull)
           .drop("bsz")
       guarded.as("a").join(guarded.as("b"),
           col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&

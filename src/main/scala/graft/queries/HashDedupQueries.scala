@@ -180,7 +180,25 @@ object HashDedupQueries {
       .select($"doc_id", $"text", $"n_copies")
       .localCheckpoint(false) // feeds the band join and both size joins
     val sizes = reps.select($"doc_id", $"n_copies")
-    SimHashDedup.nearDupPairs(reps, "doc_id", "text", maxHamming = 3)
+    // the guard scales with the SURVIVOR count: post-dedup, band
+    // buckets legitimately grow as n/256 (pigeonhole over 256 band
+    // values), so the default absolute guard would trip on any corpus
+    // past ~2M DISTINCT contents with no pathology at all. 64× the
+    // expected bucket still catches the thing the guard exists for —
+    // near-identical-but-not-equal mass (templated boilerplate) dense
+    // enough to make the exact output genuinely quadratic — and the
+    // advice names THAT fix, not the dedup this query already did.
+    // The count is one action over the checkpointed rep frame.
+    val guard = math.min(Int.MaxValue.toLong, math.max(
+      graft.ext.SimHashDedup.UncappedGuardBucket.toLong,
+      64L * (reps.count() / 256L + 1L))).toInt
+    SimHashDedup.nearDupPairs(reps, "doc_id", "text", maxHamming = 3,
+        guardBucket = guard,
+        guardAdvice = "this corpus is already exact-deduped, so the " +
+          "oversized bucket is DISTINCT near-identical mass (templated " +
+          "or boilerplate content) and the exact contract's output is " +
+          "genuinely quadratic here — raise guardBucket consciously or " +
+          "switch to the capped estimate (the q202 form)")
       .join(sizes.select($"doc_id".as("id_a"), $"n_copies".as("n_a")), "id_a")
       .join(sizes.select($"doc_id".as("id_b"), $"n_copies".as("n_b")), "id_b")
       .select($"id_a", $"id_b", $"hamming", $"n_a", $"n_b",
@@ -218,12 +236,21 @@ object HashDedupQueries {
     *      index ([[graft.ext.SimHashDedup.nearDupAgainstIndex]] —
     *      first-match-band emission, exact by pigeonhole; the
     *      snapshot travels as 18-byte band rows, never text).
-    * Output carries both clone-group sizes and `implied_pairs` =
-    * n_corpus·n_fresh, so the full cross near-dup relation over the
-    * RAW split is exactly reconstructible (dropped arrival clones of
-    * standing content are exact dups, not near-dups of a DISTINCT
-    * content) while nothing quadratic materializes. The oracle
-    * replays all three stages plus the brute-force cross pairs. */
+    * Output carries both clone-group sizes, `implied_pairs` =
+    * n_corpus·n_fresh, and `n_dropped_corpus` — how many arrivals
+    * were dropped at stage 2 as exact clones of THIS standing
+    * content. Reconstructibility is therefore precise, not total:
+    * the emitted rows imply every raw cross pair between a SURVIVING
+    * arrival copy and a standing copy (implied_pairs), and the
+    * within-group exact-dup pairs are q18's C(n,2) arithmetic; a
+    * DROPPED arrival is bit-identical to its standing twin, so its
+    * near-dup neighborhood EQUALS the twin's — raw pairs between a
+    * dropped arrival and some OTHER standing content are recoverable
+    * by joining `n_dropped_corpus` with the STANDING-side near-dup
+    * relation (the q203 composition over the standing split), not
+    * from this output alone. Nothing quadratic materializes at any
+    * stage. The oracle replays all three stages plus the brute-force
+    * cross pairs and the dropped-clone counts. */
   def q205DedupFirstProbe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.ext.Dedup
@@ -241,14 +268,24 @@ object HashDedupQueries {
     val freshReps = Dedup.exactDedupWithCounts(freshOnly, "doc_id", "text")
       .select($"doc_id", $"text", $"n_copies")
       .localCheckpoint(false)
+    // dropped-clone accounting: arrivals that matched a STANDING digest
+    // at stage 2, counted per standing rep — the piece that makes the
+    // raw relation recoverable (see scaladoc); digests only, no text
+    val dropped = docs.filter($"doc_id" >= 250)
+      .select(contentHash($"text").as("__gch"))
+      .join(standingReps.select($"doc_id".as("corpus_id"),
+        contentHash($"text").as("__gch")), Seq("__gch"))
+      .groupBy($"corpus_id").agg(count(lit(1)).as("n_dropped_corpus"))
     SimHashDedup.nearDupAgainstIndex(freshReps, "doc_id", "text",
         SimHashDedup.bandedIndex(standingReps, "doc_id", "text"))
       .join(standingReps.select($"doc_id".as("corpus_id"), $"n_copies".as("n_corpus")),
         "corpus_id")
       .join(freshReps.select($"doc_id".as("fresh_id"), $"n_copies".as("n_fresh")),
         "fresh_id")
+      .join(dropped, Seq("corpus_id"), "left_outer")
       .select($"corpus_id", $"fresh_id", $"hamming", $"n_corpus", $"n_fresh",
-        ($"n_corpus" * $"n_fresh").as("implied_pairs"))
+        ($"n_corpus" * $"n_fresh").as("implied_pairs"),
+        coalesce($"n_dropped_corpus", lit(0L)).as("n_dropped_corpus"))
       .orderBy($"corpus_id", $"fresh_id")
   }
 
@@ -266,13 +303,18 @@ object HashDedupQueries {
       |freps AS (SELECT d.doc_id, d.text, fg.n_copies
       |  FROM documents d JOIN fg ON d.doc_id = fg.keep_id),
       |allr AS (SELECT doc_id, text FROM sreps UNION ALL SELECT doc_id, text FROM freps),
+      |drops AS (SELECT sg2.keep_id AS corpus_id, CAST(count(*) AS BIGINT) AS n_dropped
+      |  FROM documents a JOIN sg sg2 ON md5(lower(trim(a.text))) = sg2.h
+      |  WHERE a.doc_id >= 250 GROUP BY sg2.keep_id),
       |${simhashChainSqlFrom("allr")}
       |SELECT a.doc_id AS corpus_id, b.doc_id AS fresh_id,
       |  CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming,
       |  a.n_copies AS n_corpus, b.n_copies AS n_fresh,
-      |  CAST(a.n_copies * b.n_copies AS BIGINT) AS implied_pairs
+      |  CAST(a.n_copies * b.n_copies AS BIGINT) AS implied_pairs,
+      |  CAST(COALESCE(dr.n_dropped, 0) AS BIGINT) AS n_dropped_corpus
       |FROM sreps a JOIN sh sa ON a.doc_id = sa.id
       |  CROSS JOIN freps b JOIN sh sb ON b.doc_id = sb.id
+      |  LEFT JOIN drops dr ON dr.corpus_id = a.doc_id
       |WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
       |ORDER BY corpus_id, fresh_id""".stripMargin
 

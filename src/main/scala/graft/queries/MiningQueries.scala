@@ -326,11 +326,32 @@ object MiningQueries {
     * is no single-partition stage at ANY group count, and the same
     * merge serves cross-key rollups: max-merging the per-type vectors
     * of a window reproduces q114's global window sketch exactly. */
-  def q141GroupSlidingHll(s: SparkSession, dir: String): DataFrame = {
+  def q141GroupSlidingHll(s: SparkSession, dir: String): DataFrame =
+    groupSlidingHll(s, dir, withExact = true)
+
+  /** q141c: q141's sketch path ALONE — the 100 TB form (the q134c
+    * treatment applied to the suite's top warm cost). q141's exact
+    * side (a per-(type, window) `countDistinct` over the 3×-exploded
+    * events) exists to MEASURE the sketch and is the right gate at
+    * verification scale, but at production scale the exact side IS
+    * the cost; this entry drops it, leaving one scan → one
+    * constant-size register exchange ((types × windows) × 256 longs)
+    * → the window merge. Same core builder as q141, so the two cannot
+    * fork; [[SketchOpsSpec]] pins that its estimate columns are
+    * byte-identical to q141's and that no distinct aggregate and no
+    * event-sized checkpoint remains in the plan. */
+  def q141cGroupSlidingHllOnly(s: SparkSession, dir: String): DataFrame =
+    groupSlidingHll(s, dir, withExact = false)
+
+  private def groupSlidingHll(s: SparkSession, dir: String,
+      withExact: Boolean): DataFrame = {
     import s.implicits._
-    val ev = Tables.loadEvents(s, dir)
+    val evRaw = Tables.loadEvents(s, dir)
       .select($"event_type", expr("sec DIV 600").as("grp0"), $"user_id")
-      .localCheckpoint(false) // feeds the register build AND the exact side
+    // checkpoint ONLY when the exact side gives the events a second
+    // consumer; sketch-only streams them straight into the register
+    // build (the q134b/q134c discipline)
+    val ev = if (withExact) evRaw.localCheckpoint(false) else evRaw
     val regs = graft.ext.Hll.groupRegisters(ev,
       struct($"event_type".as("et"), $"grp0".as("g0")), $"user_id")
     val slid = regs
@@ -341,13 +362,16 @@ object MiningQueries {
         slid.select(struct($"event_type", $"w").as("grp"), $"bucket", $"r"))
       .select($"grp.event_type".as("event_type"), $"grp.w".as("win"),
         $"m", $"n_zero", $"sum_pow", $"est_raw")
-    val exact = ev.withColumn("w", explode(sequence($"grp0", $"grp0" + 2)))
-      .groupBy($"event_type", $"w").agg(countDistinct($"user_id").as("n_exact"))
-    est.join(exact,
-        est("event_type") === exact("event_type") && est("win") === exact("w"))
-      .select(est("event_type"), $"win", $"m", $"n_zero", $"sum_pow",
-        $"est_raw", $"n_exact")
-      .orderBy($"event_type", $"win")
+    if (!withExact) est.orderBy($"event_type", $"win")
+    else {
+      val exact = ev.withColumn("w", explode(sequence($"grp0", $"grp0" + 2)))
+        .groupBy($"event_type", $"w").agg(countDistinct($"user_id").as("n_exact"))
+      est.join(exact,
+          est("event_type") === exact("event_type") && est("win") === exact("w"))
+        .select(est("event_type"), $"win", $"m", $"n_zero", $"sum_pow",
+          $"est_raw", $"n_exact")
+        .orderBy($"event_type", $"win")
+    }
   }
 
   val q141Sql: String =
@@ -372,6 +396,24 @@ object MiningQueries {
       |  ex.n_exact
       |FROM agg JOIN ex ON agg.event_type = ex.event_type AND agg.w = ex.w
       |ORDER BY agg.event_type, win""".stripMargin
+
+  /** q141's oracle chain minus the exact side — same register replay. */
+  val q141cSql: String =
+    s"""WITH ev AS (SELECT event_type,
+      |  CAST(floor(epoch(ts)) AS BIGINT) // 600 AS grp0, user_id FROM events),
+      |${AnalyticsQueries.regChainSql("", "ev", "CAST(user_id AS VARCHAR)",
+        Some("{'et': event_type, 'g0': grp0}"))},
+      |sl AS (SELECT t.grp.et AS event_type, w, bucket, MAX(r) AS r FROM
+      |  (SELECT grp, unnest(generate_series(grp.g0, grp.g0 + 2)) AS w, bucket, r
+      |   FROM reg) t
+      |  GROUP BY t.grp.et, w, bucket),
+      |agg AS (SELECT event_type, w, COUNT(*) AS m,
+      |    CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |    CAST(SUM(1::BIGINT << CAST(32 - r AS INT)) AS BIGINT) AS sum_pow
+      |  FROM sl GROUP BY event_type, w)
+      |SELECT agg.event_type, agg.w AS win, agg.m, agg.n_zero, agg.sum_pow,
+      |  round(${AnalyticsQueries.estSql.format("agg.sum_pow")}, 6) AS est_raw
+      |FROM agg ORDER BY agg.event_type, win""".stripMargin
 
   /** q124: winnowing fingerprints ([[graft.ext.Winnowing]], the MOSS
     * algorithm) — local-min sampling of 8-gram hashes in windows of 4,
@@ -1055,6 +1097,7 @@ object MiningQueries {
     "q124_winnowing" -> (q124Winnowing _),
     "q183_winnow_eval" -> (q183WinnowEval _),
     "q141_group_sliding_hll" -> (q141GroupSlidingHll _),
+    "q141c_group_sliding_hll_only" -> (q141cGroupSlidingHllOnly _),
     "q146_decontam" -> (q146Decontam _))
 
   val oracle: Map[String, String] = Map(
@@ -1074,5 +1117,6 @@ object MiningQueries {
     "q124_winnowing" -> q124Sql,
     "q183_winnow_eval" -> q183Sql,
     "q141_group_sliding_hll" -> q141Sql,
+    "q141c_group_sliding_hll_only" -> q141cSql,
     "q146_decontam" -> q146Sql)
 }

@@ -1308,11 +1308,15 @@ object Streaming {
       kind: String, groupCol: String, orderCol: String, promptCol: String,
       enricher: Enricher, config: AiConfig,
       systemPrompt: Option[String] = None)(sink: (Long, DataFrame) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val state = new ConvServeBatchState
     rotatingServe(arrivals, root, kind) { (batch, v) =>
       convServeFold(batch, v, root, kind, groupCol, orderCol, promptCol,
-        enricher, config, systemPrompt)
-    }(sink)
+        enricher, config, systemPrompt, state,
+        graft.enrich.ConversationCheckpoint.chainResults(
+          batch.sparkSession, root, kind, v))
+    }(convServeSink(sink, state, root, kind))
+  }
 
   /** The per-batch conversation fold shared by the rotating and the
     * self-publishing serve: eagerly verify the pinned generation's
@@ -1327,14 +1331,19 @@ object Streaming {
   private def convServeFold(batch: DataFrame, v: Long, root: String,
       kind: String, groupCol: String, orderCol: String, promptCol: String,
       enricher: Enricher, config: AiConfig,
-      systemPrompt: Option[String]): DataFrame = {
+      systemPrompt: Option[String], state: ConvServeBatchState,
+      results: DataFrame): DataFrame = {
     val s = batch.sparkSession
     val reg = graft.ext.ArtifactRegistry
-    val results = reg.read(s, root, kind, v, "results")
+    val ckpt = graft.enrich.ConversationCheckpoint
+    // `results` is the pinned generation's FULL history: the pinned
+    // generation may be a DELTA, so the caller passes the chain union
+    // ([[graft.enrich.ConversationCheckpoint.chainResults]]) — whose
+    // cursor certifies exactly that union, so one certificate compare
+    // still gates every ancestor
     val cursor = reg.read(s, root, kind, v, "cursor")
     val verified = cursor.join(
-        graft.enrich.ConversationCheckpoint.certificate(
-          results, groupCol, promptCol),
+        ckpt.certificate(results, groupCol, promptCol),
         Seq("ck_n", "ck_groups", "ck_gaps", "ck_xor_pair"))
       .filter(col("ck_gaps") === 0L).count() == 1L
     require(verified, s"conv checkpoint generation $v of $kind failed " +
@@ -1349,7 +1358,11 @@ object Streaming {
     // below — same output rows, zero enricher calls, no duplicate
     // turn). A CONFLICTING redelivery (same order key, different
     // prompt) still fails the fold's turn-position tripwire loudly.
-    val freshArrivals = batch.select(cols.map(col): _*)
+    // The distinct() collapses IN-BATCH duplicates first: a source that
+    // delivers the same arrival twice within one micro-batch is the
+    // same retry class, and without it the duplicate (group, order) key
+    // would fail the turn-position tripwire for what is just a dup.
+    val freshArrivals = batch.select(cols.map(col): _*).distinct()
       .join(prior, cols, "left_anti")
     val full = prior.unionByName(freshArrivals)
     val folded = graft.enrich.EnrichRunner.resumeConversations(full, groupCol,
@@ -1357,30 +1370,85 @@ object Streaming {
       .join(batch.select(col(groupCol), col(orderCol)),
         Seq(groupCol, orderCol), "left_semi")
       .cache()
-    // a long-lived stream folds forever: keep at most ONE batch's
-    // cache per (root, kind), unpersisting the previous batch's
-    Option(lastConvServeCache.put((root, kind), folded))
-      .foreach(_.unpersist(blocking = false))
+    state.cached = folded
     folded
   }
 
-  private val lastConvServeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  /** Per-SERVE-INSTANCE batch bookkeeping — each conversation serve
+    * allocates its own (two concurrent serves on one kind can no
+    * longer unpersist each other's live batch cache between fold and
+    * sink, and a stopped stream's last cache is released by its own
+    * final-batch cleanup, not leaked in a process-global map).
+    * `cached` is the batch's fold frame, unpersisted after the sink
+    * consumed it; `gcFloor` is a compaction's deferred gc floor,
+    * applied only AFTER the sink — the sink's re-execution path (a
+    * cache eviction under memory pressure) re-reads the chain the
+    * compaction replaced, so its files must outlive the batch. */
+  private final class ConvServeBatchState {
+    @volatile var cached: DataFrame = null
+    @volatile var gcFloor: Long = 0L
+  }
+
+  /** Wrap a serve's sink with the per-batch cleanup: unpersist the
+    * fold cache once the sink consumed it (even on sink failure — the
+    * retried batch rebuilds its own), then apply any compaction gc
+    * the serve deferred past the sink. */
+  private def convServeSink(sink: (Long, DataFrame) => Unit,
+      state: ConvServeBatchState, root: String, kind: String)
+      : (Long, DataFrame) => Unit = { (v, df) =>
+    try sink(v, df)
+    finally {
+      Option(state.cached).foreach(_.unpersist(blocking = false))
+      state.cached = null
+      if (state.gcFloor > 0L) {
+        graft.ext.ArtifactRegistry.gc(df.sparkSession, root, kind, state.gcFloor)
+        state.gcFloor = 0L
+      }
+    }
+  }
+
+  /** A publishing serve compacts its generation chain once it reaches
+    * this depth (or earlier, when the geometric trigger fires) — the
+    * knob trading read amplification (a fold opens one `results` part
+    * per chain link) against write amplification (a compaction
+    * rewrites the full history). */
+  val DefaultMaxChainDepth = 16
 
   /** [[conversationServeStreamRotating]] with the durable-state LOOP
     * closed: after folding a batch against the pinned generation, the
-    * serve PUBLISHES (prior turns ∪ the batch's enriched turns) as
-    * the next conv_ckpt generation and re-pins it — so the next
-    * micro-batch folds against the history this one just extended,
-    * with no state store and no manual re-pin. This is the
-    * pause→resume cycle as a serving loop: every micro-batch boundary
-    * is a durable pause point, restartable from the registry alone,
-    * and the pin history doubles as the conversation's audit log
-    * (roll back a generation to replay from any boundary).
+    * serve PUBLISHES the batch's enriched turns as the next conv_ckpt
+    * generation and re-pins it — so the next micro-batch folds against
+    * the history this one just extended, with no state store and no
+    * manual re-pin. This is the pause→resume cycle as a serving loop:
+    * every micro-batch boundary is a durable pause point, restartable
+    * from the registry alone.
     *
-    * The publish follows [[graft.enrich.ConversationCheckpoint
-    * .publish]]'s staged discipline (certificate folded from the
-    * LANDED results part) and the fold frame is cached, so the
+    * Storage is BOUNDED on a long-lived stream (the LSM posture): a
+    * normal batch publishes a DELTA generation — results part = only
+    * this batch's fresh turns, cursor certifying the full chain via
+    * `base_version` ([[graft.enrich.ConversationCheckpoint
+    * .publishDelta]]) — so the per-batch durable write is O(batch),
+    * not O(history). When the chain's cumulative delta rows reach its
+    * base's size (the geometric trigger: each turn is rewritten
+    * O(log history) times in total) or the chain reaches
+    * `maxChainDepth` (the read-amplification cap: a fold never opens
+    * more than that many parts), the batch publishes a self-contained
+    * COMPACTION generation instead and, after the sink consumed the
+    * batch, garbage-collects every generation below it — live
+    * generations stay ≤ maxChainDepth + 1 and live rows O(history)
+    * forever. The gc is deferred past the sink because the sink's
+    * recompute path (a fold-cache eviction) re-reads the chain the
+    * compaction replaced. Collected generations keep their manifest
+    * and pin-log rows (the audit trail); their STORAGE goes — a
+    * deployment that wants replay-from-any-boundary uses the
+    * non-publishing [[conversationServeStreamRotating]] with
+    * administrative checkpoints, or re-seeds from any surviving
+    * compaction. Runs under the registry's single-operator-per-(root,
+    * kind) contract: the auto-gc makes a concurrent second serve on
+    * the same kind unsound, same as a concurrent publisher always was.
+    *
+    * The publish follows the staged discipline (certificate folded
+    * from LANDED parts) and the fold frame is cached, so the
     * enrichment executes exactly once per batch — the publish write
     * populates the cache the sink then reads; with a real
     * nondeterministic enricher nothing is certified that the sink
@@ -1389,44 +1457,71 @@ object Streaming {
     *
     * Idempotent under foreachBatch's at-least-once delivery: a
     * redelivered batch (failure between publish and stream commit)
-    * finds its arrivals already in the pinned generation, re-emits
-    * their persisted rows verbatim (zero enricher calls), and
-    * publishes nothing — no duplicate generation, no pin churn, no
-    * duplicated turns (spec-pinned). Contrast with the state-store
-    * fold ([[conversationStreamResumed]]), which THROWS on a replay:
-    * it holds no persisted (prompt, response) to verify a replay
+    * finds its arrivals already in the pinned chain, re-emits their
+    * persisted rows verbatim (zero enricher calls), and publishes
+    * nothing — no duplicate generation, no pin churn, no duplicated
+    * turns (spec-pinned). Contrast with the state-store fold
+    * ([[conversationStreamResumed]]), which THROWS on a replay: it
+    * holds no persisted (prompt, response) to verify a replay
     * against, so refusing loudly is the only sound posture there. */
   def conversationServeStreamPublishing(arrivals: DataFrame, root: String,
       kind: String, groupCol: String, orderCol: String, promptCol: String,
       enricher: Enricher, config: AiConfig,
-      systemPrompt: Option[String] = None)(sink: (Long, DataFrame) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      systemPrompt: Option[String] = None,
+      maxChainDepth: Int = DefaultMaxChainDepth)(sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(maxChainDepth >= 1, "maxChainDepth bounds a non-empty chain")
+    val state = new ConvServeBatchState
     rotatingServe(arrivals, root, kind) { (batch, v) =>
       val s = batch.sparkSession
       val reg = graft.ext.ArtifactRegistry
+      val ckpt = graft.enrich.ConversationCheckpoint
+      val prior = ckpt.chainResults(s, root, kind, v)
       val out = convServeFold(batch, v, root, kind, groupCol, orderCol,
-        promptCol, enricher, config, systemPrompt)
-      val resultCols = Seq(groupCol, orderCol, promptCol, "turn_number", "response")
-      val prior = reg.read(s, root, kind, v, "results")
-        .select(resultCols.take(3).map(col): _*)
+        promptCol, enricher, config, systemPrompt, state, prior)
+      val keys = Seq(groupCol, orderCol, promptCol)
+      val priorKeys = prior.select(keys.map(col): _*)
       // idempotent under foreachBatch redelivery: a batch whose every
-      // arrival is already in the pinned generation replays (out comes
-      // from prior rows) and publishes NOTHING — no duplicate
-      // generation, no pin churn on a retried micro-batch
-      val hasFresh = !batch.select(resultCols.take(3).map(col): _*)
-        .join(prior, resultCols.take(3), "left_anti").isEmpty
-      if (hasFresh) {
-        val newResults = reg.read(s, root, kind, v, "results")
-          .select(resultCols.map(col): _*)
-          .unionByName(out.select(resultCols.map(col): _*)
-            .join(prior, resultCols.take(3), "left_anti"))
-        val maxTurn = newResults.agg(max(col("turn_number"))).collect()(0).getLong(0)
-        val nv = graft.enrich.ConversationCheckpoint.publish(s, root, kind,
-          newResults, groupCol, promptCol, cursorTurn = maxTurn)
+      // arrival is already in the pinned chain replays (out comes from
+      // prior rows) and publishes NOTHING — no duplicate generation,
+      // no pin churn on a retried micro-batch. This count is over the
+      // batch's KEY columns only, so deciding it never executes the
+      // enrichment plan.
+      val freshCount = batch.select(keys.map(col): _*).distinct()
+        .join(priorKeys, keys, "left_anti").count()
+      if (freshCount > 0L) {
+        val resultCols = Seq(groupCol, orderCol, promptCol,
+          "turn_number", "response")
+        val delta = out.select(resultCols.map(col): _*)
+          .join(priorKeys, keys, "left_anti")
+        // compaction policy inputs, all KB-sized: the chain's per-link
+        // results sizes come from the manifest, never a data scan
+        val chain = ckpt.chain(s, root, kind, v)
+        val sizes = reg.manifest(s, root, kind)
+          .filter(col("part") === "results" && col("version").isin(chain: _*))
+          .select(col("version"), col("n_rows"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val baseRows = sizes.getOrElse(chain.last, 0L)
+        val deltaRows = chain.init.map(sizes.getOrElse(_, 0L)).sum + freshCount
+        val priorTurn = reg.read(s, root, kind, v, "cursor")
+          .select(col("cursor_turn")).collect()(0).getLong(0)
+        // executes the cached fold (its first execution — the cache
+        // populates here, the sink then reads it)
+        val deltaTurn = delta.agg(max(col("turn_number"))).collect()(0).getLong(0)
+        val maxTurn = math.max(priorTurn, deltaTurn)
+        val compact = chain.length + 1 > maxChainDepth || deltaRows >= baseRows
+        val nv =
+          if (compact) ckpt.publishDelta(s, root, kind,
+            prior.unionByName(delta.select(prior.columns.map(col): _*)),
+            groupCol, promptCol, cursorTurn = maxTurn, baseVersion = 0L)
+          else ckpt.publishDelta(s, root, kind, delta, groupCol, promptCol,
+            cursorTurn = maxTurn, baseVersion = v)
         reg.setPin(s, root, kind, nv)
+        if (compact) state.gcFloor = nv
       }
       out
-    }(sink)
+    }(convServeSink(sink, state, root, kind))
+  }
 
   /** Pin-rotating IVF-PQ vector serve: arriving query vectors (`id`,
     * `codes`) probe the pinned generation through the SAME batch probe

@@ -298,6 +298,48 @@ class ArtifactRegistrySpec extends SparkSpec {
       "generation 2's asg is not generation 1 plus the arrival batch")
   }
 
+  test("rename audit: the registry's own protocol is rename-free end to end") {
+    // the object-store contract, validated mechanically (no S3 endpoint
+    // exists in this environment — see RenameAuditFs): run the FULL
+    // lifecycle publish → pin → serve-read → re-publish → re-pin →
+    // pin-log compaction → gc through a rename-recording FS, then
+    // assert every rename on the wire was the parquet COMMITTER's, each
+    // strictly inside the one directory being written. The registry's
+    // own steps — manifest append, pin append, compaction's
+    // append-then-delete, gc's deletes — contribute ZERO renames, so
+    // cross-file atomicity really does come from ordering alone and the
+    // committer is the only piece a rename-less store needs to swap.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.audit.impl", classOf[RenameAuditFs].getName)
+    RenameAuditFs.reset()
+    val root = "audit:" + freshRoot()
+    val v1 = ArtifactRegistry.publish(spark, root, "m", 1L,
+      Seq("part" -> (1L to 12L).toDF("x").repartition(3)))
+    ArtifactRegistry.setPin(spark, root, "m", v1)
+    assert(ArtifactRegistry.read(spark, root, "m", v1, "part").count() == 12L)
+    assert(ArtifactRegistry.readAudited(spark, root, "m", v1, "part").count() == 12L)
+    val v2 = ArtifactRegistry.publish(spark, root, "m", 2L,
+      Seq("part" -> (1L to 6L).toDF("x")))
+    ArtifactRegistry.setPin(spark, root, "m", v2)
+    ArtifactRegistry.compactPinLog(spark, root, "m")
+    assert(ArtifactRegistry.currentPin(spark, root, "m").contains(v2))
+    assert(ArtifactRegistry.gc(spark, root, "m", keepFrom = v2) == Seq(v1))
+    val renames = RenameAuditFs.snapshot()
+    assert(renames.nonEmpty, "the default committer renames — audit must see them")
+    renames.foreach { case (src, dst) =>
+      val t = src.indexOf("/_temporary/")
+      assert(t > 0,
+        s"rename NOT committer-internal (src outside _temporary): $src -> $dst")
+      assert(dst.startsWith(src.substring(0, t + 1)),
+        s"rename crosses its write directory: $src -> $dst")
+    }
+    // and none of the registry's own structures were renamed into place
+    renames.foreach { case (src, _) =>
+      assert(src.contains("/_temporary/"),
+        s"registry-owned path renamed: $src")
+    }
+  }
+
   test("eventually-listing store: pin retry absorbs the compaction race; readAudited refuses a stale part") {
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.stale.impl", classOf[StaleListingFs].getName)

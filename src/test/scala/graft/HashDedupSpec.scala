@@ -135,6 +135,43 @@ class HashDedupSpec extends SparkSpec {
         .flatMap(x => Option(x.getMessage)).toSeq
     assert(chain(e).exists(_.contains("clone-quadratic")),
       s"guard failure must name the fix; got: ${chain(e).mkString(" | ")}")
+    // an already-deduped caller passes its own advice: the error names
+    // the conscious-raise/capped-estimate choice, not a dedup redo
+    val e2 = intercept[Exception] {
+      SimHashDedup.nearDupPairs(df, "doc_id", "text", maxHamming = 3,
+        guardBucket = 4,
+        guardAdvice = "already exact-deduped: raise guardBucket consciously")
+        .count()
+    }
+    assert(chain(e2).exists(_.contains("already exact-deduped")),
+      s"deduped-case advice must ride the error; got: ${chain(e2).mkString(" | ")}")
+  }
+
+  test("uncapped MinHash LSH guard: cap disabled + oversized bucket throws loudly") {
+    val docs = (1L to 6L).map(i =>
+      (i, "cloned boilerplate page text alpha beta gamma delta")) ++
+      Seq((20L, "entirely different content kappa lambda mu nu xi"))
+    val df = docs.toDF("doc_id", "text")
+    // default cap path: untouched (guard applies only when the cap is
+    // explicitly disabled) — the 6-clone bucket is under the cap of 64
+    assert(MinHashLsh.nearDupPairs(df, "doc_id", "text").count() == 15)
+    // cap disabled, bucket under the guard: exact result, guard invisible
+    assert(MinHashLsh.nearDupPairs(df, "doc_id", "text",
+      maxBucket = Int.MaxValue).count() == 15)
+    // cap disabled, bucket past the guard: a loud stage failure naming
+    // the fix — the SimHash UncappedGuardBucket pattern, ported
+    val e = intercept[Exception] {
+      MinHashLsh.nearDupPairs(df, "doc_id", "text",
+        maxBucket = Int.MaxValue, guardBucket = 4).count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(chain(e).exists(_.contains("clone-quadratic")),
+      s"guard failure must name the fix; got: ${chain(e).mkString(" | ")}")
+    // and a caller that truly wants unbounded expansion can say so
+    assert(MinHashLsh.nearDupPairs(df, "doc_id", "text",
+      maxBucket = Int.MaxValue, guardBucket = Int.MaxValue).count() == 15)
   }
 
   test("LSH operating curve: counts shrink and thresholds nest as t rises (q147)") {

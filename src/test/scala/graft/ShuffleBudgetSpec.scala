@@ -47,7 +47,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q202_simhash_bucket_cap" -> 4, // band window (reused by the self-join) + pair distinct + final order + sig build
     "q203_dedup_first_simhash" -> 3, // guarded band self-join + two size joins + order (rep dedup checkpointed)
     "q204_dedup_first_prefix_join" -> 6, // df counts + prefix agg + candidate join + verify/size joins + order (rep sets checkpointed)
-    "q205_dedup_first_probe" -> 1) // cross-split probe + size joins fold into one exchange set (both rep sides checkpointed)
+    // cross-split probe + size joins fold into one exchange set (both
+    // rep sides checkpointed); +2 deliberate r17 exchanges for the
+    // n_dropped_corpus accounting (dropped-clone count agg + its join)
+    // — both digest/rep-sized, never raw-corpus-sized
+    "q205_dedup_first_probe" -> 3)
 
   test("PageRank round plans ZERO exchanges against the pre-partitioned edge cache") {
     // the per-round plans are checkpointed away from the final query

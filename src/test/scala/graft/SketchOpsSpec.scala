@@ -168,6 +168,43 @@ class SketchOpsSpec extends SparkSpec {
       "per-type max-merge must equal the directly-built global registers")
   }
 
+  test("q141c sketch-only form: estimates byte-identical to q141, no exact pass") {
+    import graft.queries.MiningQueries
+    // q141/q141c core is shared; this pins that it stays shared
+    val full = MiningQueries.q141GroupSlidingHll(spark, sf)
+      .select($"event_type", $"win", $"m", $"n_zero", $"sum_pow", $"est_raw")
+      .collect().map(_.toSeq).toSeq
+    val lean = MiningQueries.q141cGroupSlidingHllOnly(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(full == lean)
+    // the 100 TB form carries NO exact-distinct aggregate and no
+    // event-sized checkpoint (the q134c discipline: assert on the
+    // optimized plan TREE, not explain-text substrings)
+    val optimized = MiningQueries.q141cGroupSlidingHllOnly(spark, sf)
+      .queryExecution.optimizedPlan
+    val distinctAggs = optimized.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.aggregateExpressions.exists(_.exists {
+            case e: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+              e.isDistinct
+            case _ => false
+          }) => a
+    }
+    assert(distinctAggs.isEmpty,
+      s"sketch-only sliding-HLL plan runs an exact distinct aggregate:\n$optimized")
+    // checkpoints (LogicalRDD) are allowed ONLY for the constant-size
+    // register state ((types × buckets) × 256 registers) inside
+    // Hll.groupRegisters — an event-sized checkpoint would carry
+    // row-level columns, not the sketch schema
+    val sketchCols = Set("grp", "bucket", "max_rho")
+    val oversized = optimized.collect {
+      case p if p.getClass.getSimpleName == "LogicalRDD" &&
+        !p.output.map(_.name).forall(sketchCols) => p
+    }
+    assert(oversized.isEmpty,
+      s"sketch-only sliding-HLL plan checkpoints event-sized state:\n$optimized")
+  }
+
   test("hll registers of a union are the elementwise max (mergeability)") {
     val a = spark.range(0, 1000).select($"id".cast("long").as("k"))
     val b = spark.range(500, 1500).select($"id".cast("long").as("k"))

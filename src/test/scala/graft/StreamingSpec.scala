@@ -1197,10 +1197,20 @@ class StreamingSpec extends SparkSpec {
       "a redelivered batch must replay its rows verbatim")
     // the final generation IS a complete resumable checkpoint: a batch
     // resume from it replays the ENTIRE conversation set verbatim —
-    // bit-equal to the uninterrupted fold, with zero fresh turns
+    // bit-equal to the uninterrupted fold, with zero fresh turns. The
+    // generation may be a DELTA, so the history is the chain union
+    // (chainResults); its cursor certifies exactly that union — and a
+    // resume that loaded only the raw delta part would REFUSE (the
+    // certificate compare fails), never silently serve a truncated
+    // history
     val vFinal = reg.currentPin(spark, root, "conv_pub").get
-    val resumed = ConversationCheckpoint.resumeVerified(df, "grp", Seq("ord"),
+    assert(ConversationCheckpoint.resumeVerified(df, "grp", Seq("ord"),
         "prompt", reg.read(spark, root, "conv_pub", vFinal, "results"),
+        reg.read(spark, root, "conv_pub", vFinal, "cursor"),
+        ConversationalTestEnricher(), AiConfig.test()).isEmpty,
+      "a bare delta part must refuse to resume — it is not the full history")
+    val resumed = ConversationCheckpoint.resumeVerified(df, "grp", Seq("ord"),
+        "prompt", ConversationCheckpoint.chainResults(spark, root, "conv_pub", vFinal),
         reg.read(spark, root, "conv_pub", vFinal, "cursor"),
         ConversationalTestEnricher(), AiConfig.test())
       .select($"grp", $"ord", $"turn_number", $"history_chars", $"response")
@@ -1263,6 +1273,97 @@ class StreamingSpec extends SparkSpec {
     assert(NondeterministicEnricher.calls.get == 2,
       s"each fresh turn must hit the enricher exactly ONCE across publish+sink+retry " +
         s"(got ${NondeterministicEnricher.calls.get})")
+  }
+
+  test("a 100-batch publishing serve holds O(1) generations and O(history) rows") {
+    import graft.enrich.{ConversationCheckpoint, EnrichRunner}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reg = graft.ext.ArtifactRegistry
+    val n = 100
+    val depth = 8
+    val df = (1 to n).map(k => ("A", k.toLong, s"p$k"))
+      .toDF("grp", "ord", "prompt")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-index/" +
+      s"pubb-${java.util.UUID.randomUUID.toString.take(8)}"
+    // bit-identity oracle: the uninterrupted batch fold over all turns
+    val expected = EnrichRunner.runConversations(df, "grp", Seq("ord"),
+        "prompt", ConversationalTestEnricher(), AiConfig.test())
+      .select($"ord", $"turn_number", $"history_chars", $"response")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val pre = EnrichRunner.runConversations(df.filter($"ord" <= 1), "grp",
+        Seq("ord"), "prompt", ConversationalTestEnricher(), AiConfig.test())
+      .select($"grp", $"ord", $"prompt", $"turn_number", $"response")
+    reg.setPin(spark, root, "conv_bnd", ConversationCheckpoint.publish(
+      spark, root, "conv_bnd", pre, "grp", "prompt", cursorTurn = 1L))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    val input = MemoryStream[(String, Long, String)]
+    val q = Streaming.conversationServeStreamPublishing(
+        input.toDF().toDF("grp", "ord", "prompt"), root, "conv_bnd",
+        "grp", "ord", "prompt", ConversationalTestEnricher(), AiConfig.test(),
+        maxChainDepth = depth) { (_, out) =>
+      got ++= out.select($"ord", $"turn_number", $"history_chars", $"response")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    }
+    // 99 micro-batches of KB-sized data: per-batch cost is pure
+    // per-job overhead, so run them single-partition and without AQE's
+    // extra materialization stages (both restored after)
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try (2 to n).foreach { k =>
+      // one batch carries an IN-BATCH duplicate delivery of the same
+      // arrival (single addData call = single block = one micro-batch):
+      // it must collapse to ONE fold input row — not trip the
+      // turn-position check, not double-enrich, not double-emit
+      if (k == 37) input.addData(("A", k.toLong, s"p$k"), ("A", k.toLong, s"p$k"))
+      else input.addData(("A", k.toLong, s"p$k"))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    // every batch's emission, bit-identical to the uninterrupted fold
+    assert(got.size == n - 1, s"one emission per turn, got ${got.size}")
+    assert(got.map(_._1).toSet == (2 to n).map(_.toLong).toSet)
+    got.foreach { case (ord, t, h, resp) =>
+      assert(expected(ord) == ((t, h, resp)), s"turn $ord diverged: ($t,$h,$resp)")
+    }
+    // storage bound, the point of delta+compaction+gc: live generation
+    // DIRECTORIES stay O(1) (≤ maxChainDepth + 1, vs 100 for a
+    // republish-per-batch loop with no gc) and live results rows stay
+    // O(history) (vs O(batches × history) ≈ n²/2 ≈ 5050)
+    val dirs = new java.io.File(s"$root/conv_bnd").listFiles()
+      .map(_.getName).filter(_.matches("v\\d+"))
+    assert(dirs.length <= depth + 1,
+      s"${dirs.length} live generations exceed the maxChainDepth=$depth bound")
+    val liveRows = dirs.map(d =>
+      spark.read.parquet(s"$root/conv_bnd/$d/results").count()).sum
+    assert(liveRows <= 2L * n, s"live rows $liveRows not O(history)")
+    // write amplification: TOTAL rows ever published (the manifest
+    // remembers collected generations) stays far below the quadratic
+    // full-republish loop's n²/2
+    val everRows = reg.manifest(spark, root, "conv_bnd")
+      .filter($"part" === "results").agg(sum($"n_rows")).collect()(0).getLong(0)
+    assert(everRows < n.toLong * n / 4,
+      s"total published rows $everRows suggest quadratic write amplification")
+    // the audit trail survives gc: every published generation keeps its
+    // manifest rows even after its storage is collected
+    assert(reg.manifest(spark, root, "conv_bnd")
+      .filter($"part" === "results").count() > dirs.length)
+    // and the surviving chain is a complete, certified checkpoint: a
+    // batch resume replays ALL 100 turns bit-equal to the oracle
+    val vFinal = reg.currentPin(spark, root, "conv_bnd").get
+    val resumed = ConversationCheckpoint.resumeVerified(df, "grp", Seq("ord"),
+        "prompt",
+        ConversationCheckpoint.chainResults(spark, root, "conv_bnd", vFinal),
+        reg.read(spark, root, "conv_bnd", vFinal, "cursor"),
+        ConversationalTestEnricher(), AiConfig.test())
+      .select($"ord", $"turn_number", $"history_chars", $"response")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(resumed == expected,
+      "the surviving chain must checkpoint the whole conversation bit-identically")
   }
 
   test("the IVF-PQ serve rotates to the upgraded generation mid-stream") {
