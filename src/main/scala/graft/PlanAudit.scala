@@ -144,19 +144,18 @@ object PlanAudit {
     // verdict is collected before the replay plan is built, so the
     // served plan carries only literal cursor columns, no crossJoin,
     // no single-partition fold)
-    "q114_sliding_hll" -> Set(Bnlj), // windows × 256-bucket skeleton (q91 class)
-    // (type, window) groups × 256-bucket register skeleton (q91/q114
-    // class — the dense-bucket crossJoin is groups×256 rows, constant
-    // per group, never data-sized)
-    "q141_group_sliding_hll" -> Set(Bnlj),
-    // 16 sketches × 256-bucket register skeleton (q91 class)
+    // (q114/q141/q141c allowlist entries for the dense 256-bucket
+    // skeleton crossJoin were PRUNED in r17: their data-scaled group
+    // counts moved to the sparse register path — hit buckets only,
+    // no skeleton join in the plan at all)
+    // 16 sketches × 256-bucket register skeleton (q91 class — the
+    // dense-bucket crossJoin is sketches×256 rows, constant, never
+    // data-sized; dense stays RIGHT here because the group count is
+    // a constant 16, unlike q141's data-scaled groups)
     "q134b_fd_sketch" -> Set(Bnlj),
     // same register skeleton, sketch-only 100 TB form (q134b minus the
     // exact pass — the constant-size dense-bucket crossJoin remains)
-    "q134c_fd_sketch_only" -> Set(Bnlj),
-    // q141's register skeleton, sketch-only 100 TB form (q141 minus
-    // the exact countDistinct measurement side)
-    "q141c_group_sliding_hll_only" -> Set(Bnlj))
+    "q134c_fd_sketch_only" -> Set(Bnlj))
 
   val flags = Seq(SinglePartition, Cartesian, Bnlj)
 

@@ -40,19 +40,28 @@ import graft.model.AiConfig
   */
 object ConversationCheckpoint {
 
-  /** The grouped certificate fold over a results frame carrying the
-    * group/prompt columns plus (`turn_number`, `response`): ONE row —
-    * (ck_n, ck_groups, ck_gaps, ck_xor_pair). Two partial-aggregate
-    * passes (per-group, then global), KB-sized output at any scale.
-    * Empty results fold to (0, 0, 0, 0). */
-  def certificate(results: DataFrame, groupCol: String,
-      promptCol: String): DataFrame = {
-    val perGroup = results.groupBy(col(groupCol)).agg(
+  /** Per-GROUP certificate stats — the mergeable decomposition of
+    * [[certificate]]: one row per group, (groupCol, g_n, g_max, g_sum,
+    * g_xor). This is also the `gcert` PART a delta generation persists
+    * for its touched groups (see [[publishDelta]]): every global stat
+    * is a fold of these rows, so a publisher can re-certify a
+    * 100-batch chain by recomputing ONLY the touched groups' rows and
+    * folding — O(touched history + groups) per publish instead of a
+    * full-history scan. */
+  def groupCertificate(results: DataFrame, groupCol: String,
+      promptCol: String): DataFrame =
+    results.groupBy(col(groupCol)).agg(
       count(lit(1)).as("g_n"),
       max(col("turn_number")).as("g_max"),
       sum(col("turn_number")).as("g_sum"),
       expr(s"bit_xor(xxhash64($groupCol, turn_number, $promptCol, response))")
         .as("g_xor"))
+
+  /** Fold per-group stats ([[groupCertificate]] shape) to the global
+    * certificate row — bit-identical to [[certificate]] over the same
+    * data (sums, counts, the arithmetic gap test, and XOR are all
+    * order-insensitive merges of the per-group rows). */
+  def foldGroupCertificate(perGroup: DataFrame): DataFrame =
     perGroup.agg(
       coalesce(sum(col("g_n")), lit(0L)).as("ck_n"),
       count(lit(1)).as("ck_groups"),
@@ -60,7 +69,15 @@ object ConversationCheckpoint {
           col("g_sum") * 2 === col("g_max") * (col("g_max") + 1), 0L)
         .otherwise(1L)), lit(0L)).as("ck_gaps"),
       coalesce(expr("bit_xor(g_xor)"), lit(0L)).as("ck_xor_pair"))
-  }
+
+  /** The grouped certificate fold over a results frame carrying the
+    * group/prompt columns plus (`turn_number`, `response`): ONE row —
+    * (ck_n, ck_groups, ck_gaps, ck_xor_pair). Two partial-aggregate
+    * passes (per-group, then global), KB-sized output at any scale.
+    * Empty results fold to (0, 0, 0, 0). */
+  def certificate(results: DataFrame, groupCol: String,
+      promptCol: String): DataFrame =
+    foldGroupCertificate(groupCertificate(results, groupCol, promptCol))
 
   /** Persist the mid-group pause: the completed turns plus their
     * certificate (with the cutoff turn) as one write-once registry
@@ -80,31 +97,97 @@ object ConversationCheckpoint {
     * batch's fresh turns, and the cursor records `base_version` — the
     * generation whose full history this one extends (0 = none: the
     * generation is self-contained, the [[publish]] shape). The cursor's
-    * certificate covers the FULL chain history (the base chain read
-    * back from its landed, immutable parts, plus this delta once
-    * landed), so verification of a pinned delta generation still
-    * guarantees the complete 1..k prefix per group over everything the
-    * chain holds — a tampered or half-collected ancestor fails the
-    * same gate a tampered monolithic checkpoint does. This is what
-    * bounds a long-lived publishing serve's storage: per batch it
-    * writes O(batch) rows, not O(history)
+    * certificate covers the FULL chain history, so verification of a
+    * pinned delta generation still guarantees the complete 1..k prefix
+    * per group over everything the chain holds — a tampered or
+    * half-collected ancestor fails the same gate a tampered monolithic
+    * checkpoint does. This is what bounds a long-lived publishing
+    * serve's storage: per batch it writes O(batch) rows, not O(history)
     * ([[graft.streaming.Streaming.conversationServeStreamPublishing]]
-    * owns the compaction policy that keeps the chain short). */
+    * owns the compaction policy that keeps the chain short).
+    *
+    * Each generation also lands a `gcert` part: per-group certificate
+    * rows ([[groupCertificate]]) for the groups THIS delta touches
+    * (full history stats for those groups — prior chain rows of the
+    * touched groups plus the landed delta; for a self-contained
+    * generation, all its groups). Newest-wins along the chain
+    * ([[effectiveGroupCerts]]), which makes the publish itself
+    * incremental: when the base chain is fully gcert-covered, the
+    * cursor folds (untouched groups' standing rows ∪ the recomputed
+    * touched rows) — O(touched history + groups) per publish, never a
+    * full-history scan; bit-identical to the data-derived certificate
+    * because every global stat is an order-insensitive merge of the
+    * per-group rows. A chain containing pre-gcert generations (a plain
+    * [[publish]] seed) falls back to the data-derived cursor until the
+    * first compaction roots a fully-covered chain. */
   def publishDelta(s: SparkSession, root: String, kind: String,
       delta: DataFrame, groupCol: String, promptCol: String,
       cursorTurn: Long, baseVersion: Long): Long =
     graft.ext.ArtifactRegistry.publishStaged(s, root, kind, cursorTurn,
       Seq("results" -> delta),
       landed => {
-        val full =
-          if (baseVersion == 0L) landed("results")
-          else chainResults(s, root, kind, baseVersion)
-            .unionByName(landed("results"))
-        Seq("cursor" ->
-          certificate(full, groupCol, promptCol)
+        val gNew =
+          if (baseVersion == 0L)
+            groupCertificate(landed("results"), groupCol, promptCol)
+          else {
+            val touchedGroups = landed("results").select(col(groupCol)).distinct()
+            val priorTouched = chainResults(s, root, kind, baseVersion)
+              .join(touchedGroups, Seq(groupCol), "left_semi")
+            groupCertificate(
+              priorTouched.unionByName(
+                landed("results").select(priorTouched.columns.map(col): _*)),
+              groupCol, promptCol)
+          }
+        val curStats =
+          if (baseVersion == 0L) foldGroupCertificate(gNew)
+          else effectiveGroupCerts(s, root, kind, baseVersion) match {
+            case Some(standing) =>
+              val touchedGroups = landed("results").select(col(groupCol)).distinct()
+              foldGroupCertificate(
+                standing.join(touchedGroups, Seq(groupCol), "left_anti")
+                  .unionByName(gNew))
+            case None =>
+              certificate(
+                chainResults(s, root, kind, baseVersion).unionByName(
+                  landed("results")),
+                groupCol, promptCol)
+          }
+        Seq("gcert" -> gNew,
+          "cursor" -> curStats
             .withColumn("cursor_turn", lit(cursorTurn))
             .withColumn("base_version", lit(baseVersion)))
       })
+
+  /** The chain's EFFECTIVE per-group certificates: for every group,
+    * the newest chain generation's `gcert` row (a delta re-states its
+    * touched groups' full-history stats, so newest wins). None if any
+    * chain generation lacks a gcert part (published before the
+    * incremental certificate existed) — callers fall back to the
+    * data-derived certificate. One manifest read decides coverage;
+    * the merge shuffles O(chain gcert rows), never history. */
+  def effectiveGroupCerts(s: SparkSession, root: String, kind: String,
+      version: Long): Option[DataFrame] = {
+    val reg = graft.ext.ArtifactRegistry
+    val vs = chain(s, root, kind, version)
+    val covered = reg.manifest(s, root, kind)
+      .filter(col("part") === "gcert" && col("version").isin(vs: _*))
+      .select(col("version")).collect().map(_.getLong(0)).toSet
+    if (!vs.forall(covered)) None
+    else {
+      val ranked = vs.zipWithIndex.map { case (v, i) =>
+        reg.read(s, root, kind, v, "gcert").withColumn("__rank", lit(i))
+      }.reduce(_ unionByName _)
+      // the gcert schema is (group column, 4 stat columns); the group
+      // column is whatever the publisher grouped by
+      val gc = ranked.columns
+        .filterNot(Set("g_n", "g_max", "g_sum", "g_xor", "__rank")).head
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(gc)).orderBy(col("__rank"))
+      Some(ranked
+        .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rank", "__rn"))
+    }
+  }
 
   /** `base_version` pointers, memoized: a generation's cursor is
     * write-once (errorIfExists parts + manifest-last visibility) and

@@ -74,13 +74,61 @@ object ArtifactRegistry {
 
   /** The full manifest for `kind` — (version, part, corpus_fp, n_rows,
     * created_at_ms), one row per published part; empty frame with that
-    * schema if nothing was ever published. */
+    * schema if nothing was ever published. Rows are unique on
+    * (version, part) by construction; the ONE exception is a
+    * manifest-compaction crash window (compacted file landed, replaced
+    * files not yet deleted), which can show duplicate rows — same
+    * values either way — until the next compaction folds them away.
+    * Every registry reader is duplicate-safe (max/limit/Map-building
+    * aggregations), so reads stay a plain scan rather than paying a
+    * dedup exchange on every manifest consult; row-level consumers
+    * that cannot tolerate a post-crash duplicate should dedupe on
+    * (version, part) themselves. */
   def manifest(s: SparkSession, root: String, kind: String): DataFrame = {
     val path = s"$root/$kind/$ManifestDir"
     if (exists(s, path)) s.read.parquet(path)
     else s.range(0).select(
       col("id").as("version"), lit("").as("part"), col("id").as("corpus_fp"),
       col("id").as("n_rows"), col("id").as("created_at_ms"))
+  }
+
+  /** One publish = one appended manifest file; compaction folds them
+    * periodically so a long-lived publishing LOOP (the conversation
+    * serve publishes every micro-batch) pays O(1) file opens per
+    * manifest read instead of O(total publishes) — the same bound
+    * [[compactPinLog]] gives the pin log. */
+  private val ManifestCompactThreshold = 16
+
+  private def dataFiles(s: SparkSession, path: String)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    if (!exists(s, path)) Array.empty
+    else {
+      val (f, p) = fs(s, path)
+      f.listStatus(p).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+  }
+
+  /** Compact the manifest directory: rewrite all rows into ONE file
+    * (another APPEND — a reader racing the compaction sees at worst
+    * duplicate (version, part) rows, same values either way), then
+    * delete the per-publish files it replaced. The fold dedupes on
+    * (version, part), so a PREVIOUS compaction's crash-window
+    * duplicates are cleaned permanently here rather than taxing every
+    * read with a dedup exchange. History preserved in full; runs under
+    * the single-publisher contract, so no publish can land between the
+    * listing and the deletes. */
+  def compactManifest(s: SparkSession, root: String, kind: String): Unit = {
+    val old = dataFiles(s, s"$root/$kind/$ManifestDir")
+    if (old.length <= 1) return
+    s.read.parquet(old.map(_.getPath.toString).toIndexedSeq: _*)
+      .dropDuplicates("version", "part")
+      .coalesce(1).write.mode("append").parquet(s"$root/$kind/$ManifestDir")
+    val (f, _) = fs(s, s"$root/$kind/$ManifestDir")
+    old.foreach(st => f.delete(st.getPath, false))
   }
 
   /** Latest published version of `kind`, 0 if none — resolved from the
@@ -160,6 +208,12 @@ object ArtifactRegistry {
       .toDF("version", "part", "corpus_fp", "n_rows", "created_at_ms")
       .coalesce(1) // parts-count rows — one manifest file per publish
       .write.mode("append").parquet(s"$root/$kind/$ManifestDir")
+    // keep the manifest's FILE count bounded: a publishing loop reads
+    // the manifest several times per micro-batch, so without
+    // compaction a long-lived stream pays O(total publishes) file
+    // opens per read forever (the pin-log lesson)
+    if (dataFiles(s, s"$root/$kind/$ManifestDir").length > ManifestCompactThreshold)
+      compactManifest(s, root, kind)
     v
   }
 
@@ -190,6 +244,16 @@ object ArtifactRegistry {
     }
     total
   }
+
+  /** Whether `version` published a part named `part` — resolved from
+    * the manifest (the reader authority), one KB-sized scan. Lets a
+    * reader branch on optional parts (e.g. a generation published
+    * before a derived part existed) without try/catch on [[read]]. */
+  def hasPart(s: SparkSession, root: String, kind: String,
+      version: Long, part: String): Boolean =
+    manifest(s, root, kind)
+      .filter(col("version") === version && col("part") === part)
+      .limit(1).count() > 0
 
   /** Read one part of a PINNED version as a lazy parquet scan — the
     * serving entry point: execution against the result reads only that
@@ -286,18 +350,8 @@ object ArtifactRegistry {
   private val PinCompactThreshold = 16
 
   private def pinLogFiles(s: SparkSession, root: String, kind: String)
-      : Array[org.apache.hadoop.fs.FileStatus] = {
-    val path = s"$root/$kind/$PinDir"
-    if (!exists(s, path)) Array.empty
-    else {
-      val (f, p) = fs(s, path)
-      f.listStatus(p).filter { st =>
-        val n = st.getPath.getName
-        st.isFile && n.endsWith(".parquet") &&
-          !n.startsWith("_") && !n.startsWith(".")
-      }
-    }
-  }
+      : Array[org.apache.hadoop.fs.FileStatus] =
+    dataFiles(s, s"$root/$kind/$PinDir")
 
   /** Compact the pin log: rewrite the full flip history into ONE file
     * and delete the per-flip files it replaces. Reader-safe with ZERO

@@ -121,6 +121,41 @@ object Hll {
       .select(col("grp"), col("bucket"), coalesce(col("max_rho"), lit(0L)).as("r"))
   }
 
+  /** SPARSE per-group registers: only the HIT buckets (grp, bucket,
+    * r ≥ 1), untouched buckets implicit (r = 0) — the scale form of
+    * [[groupRegisters]] for DATA-SCALED group counts. The dense
+    * skeleton is groups × 256 rows no matter how sparse the hits are
+    * (q141's (type, window) groups made it a 55× row amplification of
+    * the input at gate scale); the sparse aggregate is bounded by
+    * min(input rows, groups × 256) and feeds max-merges and
+    * [[groupEstimateSparse]] with identical arithmetic. One partial
+    * aggregation, shuffle bytes bounded by the same min. */
+  def groupRegistersSparse(df: DataFrame, grp: Column, key: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(grp.as("grp"), hash31(key).as("h"))
+      .select(col("grp"), (col("h") % M).as("bucket"), rho(expr("h DIV 256")).as("rho"))
+      .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("r"))
+  }
+
+  /** [[groupEstimate]] over SPARSE registers (the
+    * [[groupRegistersSparse]] shape, possibly max-merged across
+    * windows first). Bit-identical integer output to the dense chain:
+    * hit rhos are ≥ 1 by construction (rho(w) ∈ 1..24), so n_zero is
+    * exactly the untouched-bucket count 256 − hits, and each untouched
+    * bucket contributes exactly 2^(32−0) = 2^32 to the harmonic sum —
+    * both recovered arithmetically instead of materializing groups ×
+    * 256 zero rows. */
+  def groupEstimateSparse(sparse: DataFrame): DataFrame =
+    sparse.groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("hits"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - r AS INT))")).as("hit_pow"))
+      .select(col("grp"), lit(M.toLong).as("m"),
+        (lit(M.toLong) - col("hits")).as("n_zero"),
+        (col("hit_pow") + (lit(M.toLong) - col("hits")) * 4294967296L).as("sum_pow"))
+      .select(col("grp"), col("m"), col("n_zero"), col("sum_pow"),
+        round(estExpr(col("sum_pow")), 6).as("est_raw"))
+
   /** Per-group one-row summaries (same columns as [[estimate]] plus
     * grp). */
   def groupEstimate(registers: DataFrame): DataFrame =

@@ -276,18 +276,24 @@ object MiningQueries {
     * 3-bucket sliding window by elementwise max, plus the exact
     * distinct count per window for comparison. THE argument for
     * sketches at 100 TB: the exact side re-shuffles raw (window, user)
-    * pairs — W× the stream — while the sketch side merges W×256 longs
-    * per window regardless of data size, and the same merge serves
+    * pairs — W× the stream — while the sketch side merges at most
+    * W×256 longs per window regardless of data size (sparse: hit
+    * buckets only, zero terms recovered arithmetically), and the same
+    * merge serves
     * cross-day rollups, stream checkpoints, and backfill unions. */
   def q114SlidingHll(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.loadEvents(s, dir)
       .select(expr("sec DIV 600").as("grp0"), $"user_id")
       .localCheckpoint(false) // feeds the register build AND the exact side
-    val slid = graft.ext.Hll.groupRegisters(ev, $"grp0", $"user_id")
+    // sparse registers (q141's r17 treatment): windows are data-scaled,
+    // so the dense windows × 256 skeleton amplifies rows for nothing —
+    // the max-merge works on hit rows and groupEstimateSparse recovers
+    // the zero-bucket terms arithmetically, bit-identical integers
+    val slid = graft.ext.Hll.groupRegistersSparse(ev, $"grp0", $"user_id")
       .withColumn("w", explode(sequence($"grp", $"grp" + 2)))
       .groupBy($"w", $"bucket").agg(max($"r").as("r"))
-    val est = graft.ext.Hll.groupEstimate(
+    val est = graft.ext.Hll.groupEstimateSparse(
       slid.select($"w".as("grp"), $"bucket", $"r"))
     val exact = ev.withColumn("w", explode(sequence($"grp0", $"grp0" + 2)))
       .groupBy($"w").agg(countDistinct($"user_id").as("n_exact"))
@@ -318,14 +324,20 @@ object MiningQueries {
   /** q141: GROUPED sliding-window distinct sketch — distinct users per
     * (event_type, 3-bucket sliding 10-minute window): q114's sliding
     * HLL merge, but with one register vector per (event_type, bucket)
-    * via a composite struct group ([[graft.ext.Hll.groupRegisters]]),
-    * merged across the window by elementwise max — the live-dashboard
-    * shape (distinct-per-key-per-window). Exact per-(type, window)
-    * distinct counts ride alongside for comparison. State stays
-    * (types × windows) × 256 longs regardless of event volume, there
-    * is no single-partition stage at ANY group count, and the same
-    * merge serves cross-key rollups: max-merging the per-type vectors
-    * of a window reproduces q114's global window sketch exactly. */
+    * via a composite struct group
+    * ([[graft.ext.Hll.groupRegistersSparse]] — HIT buckets only, the
+    * zero-bucket terms recovered arithmetically by
+    * [[graft.ext.Hll.groupEstimateSparse]]; bit-identical to the dense
+    * chain the oracle replays), merged across the window by
+    * elementwise max — the live-dashboard shape
+    * (distinct-per-key-per-window). Exact per-(type, window) distinct
+    * counts ride alongside for comparison. State is bounded by
+    * min(input rows, (types × windows) × 256) — sparse matters here
+    * precisely because the groups are DATA-scaled: the dense skeleton
+    * was a 55× row amplification of the gate input — there is no
+    * single-partition stage at ANY group count, and the same merge
+    * serves cross-key rollups: max-merging the per-type vectors of a
+    * window reproduces q114's global window sketch exactly. */
   def q141GroupSlidingHll(s: SparkSession, dir: String): DataFrame =
     groupSlidingHll(s, dir, withExact = true)
 
@@ -334,8 +346,8 @@ object MiningQueries {
     * side (a per-(type, window) `countDistinct` over the 3×-exploded
     * events) exists to MEASURE the sketch and is the right gate at
     * verification scale, but at production scale the exact side IS
-    * the cost; this entry drops it, leaving one scan → one
-    * constant-size register exchange ((types × windows) × 256 longs)
+    * the cost; this entry drops it, leaving one scan → one sparse
+    * register exchange (hit buckets only, ≤ min(input, groups × 256))
     * → the window merge. Same core builder as q141, so the two cannot
     * fork; [[SketchOpsSpec]] pins that its estimate columns are
     * byte-identical to q141's and that no distinct aggregate and no
@@ -352,13 +364,21 @@ object MiningQueries {
     // consumer; sketch-only streams them straight into the register
     // build (the q134b/q134c discipline)
     val ev = if (withExact) evRaw.localCheckpoint(false) else evRaw
-    val regs = graft.ext.Hll.groupRegisters(ev,
+    // SPARSE registers end to end: (type, window) groups are
+    // data-scaled here, and the dense 256-bucket skeleton was a 55×
+    // row amplification of the input (5.5M skeleton rows from 100k
+    // events at sf0.1, 16M after the 3× window explode). The sliding
+    // max-merge is max over hit rows (absent = 0 implicitly) and the
+    // estimate recovers the zero-bucket terms arithmetically
+    // (groupEstimateSparse) — bit-identical integers, the oracle's
+    // dense replay unchanged.
+    val regs = graft.ext.Hll.groupRegistersSparse(ev,
       struct($"event_type".as("et"), $"grp0".as("g0")), $"user_id")
     val slid = regs
       .select($"grp.et".as("event_type"),
         explode(sequence($"grp.g0", $"grp.g0" + 2)).as("w"), $"bucket", $"r")
       .groupBy($"event_type", $"w", $"bucket").agg(max($"r").as("r"))
-    val est = graft.ext.Hll.groupEstimate(
+    val est = graft.ext.Hll.groupEstimateSparse(
         slid.select(struct($"event_type", $"w").as("grp"), $"bucket", $"r"))
       .select($"grp.event_type".as("event_type"), $"grp.w".as("win"),
         $"m", $"n_zero", $"sum_pow", $"est_raw")

@@ -1338,18 +1338,56 @@ object Streaming {
     val ckpt = graft.enrich.ConversationCheckpoint
     // `results` is the pinned generation's FULL history: the pinned
     // generation may be a DELTA, so the caller passes the chain union
-    // ([[graft.enrich.ConversationCheckpoint.chainResults]]) — whose
-    // cursor certifies exactly that union, so one certificate compare
-    // still gates every ancestor
+    // ([[graft.enrich.ConversationCheckpoint.chainResults]]).
     val cursor = reg.read(s, root, kind, v, "cursor")
-    val verified = cursor.join(
-        ckpt.certificate(results, groupCol, promptCol),
-        Seq("ck_n", "ck_groups", "ck_gaps", "ck_xor_pair"))
-      .filter(col("ck_gaps") === 0L).count() == 1L
-    require(verified, s"conv checkpoint generation $v of $kind failed " +
-      "certificate verification — refusing to serve a tampered or truncated history")
+    val statKeys = Seq("ck_n", "ck_groups", "ck_gaps", "ck_xor_pair")
+    // fold only the TOUCHED conversations: emission is the batch's
+    // rows alone and groups fold independently, so replaying untouched
+    // groups' histories is pure waste — per-batch fold cost scales
+    // with the batch's conversations (O(touched history)), not with
+    // everything the chain holds.
+    val touched = results.join(batch.select(col(groupCol)).distinct(),
+      Seq(groupCol), "left_semi")
+    ckpt.effectiveGroupCerts(s, root, kind, v) match {
+      case Some(g) =>
+        // INCREMENTAL verification — verify what you serve:
+        // (a) gcert↔cursor summary consistency, once per (root, kind,
+        //     version) per process (the chain is write-once, so this
+        //     never changes for a version; a rotation to a NEW pin
+        //     re-verifies that version) — O(groups), no history scan;
+        if (!verifiedConvVersions.contains((root, kind, v))) {
+          val ok = cursor.join(ckpt.foldGroupCertificate(g), statKeys)
+            .filter(col("ck_gaps") === 0L).count() == 1L
+          require(ok, s"conv checkpoint generation $v of $kind failed " +
+            "certificate verification — refusing to serve a tampered or truncated history")
+          if (verifiedConvVersions.size > 65536) verifiedConvVersions.clear()
+          verifiedConvVersions.add((root, kind, v))
+        }
+        // (b) the groups THIS batch folds from: their stored rows must
+        //     fold to exactly their standing per-group stats, in BOTH
+        //     directions — a tampered row mismatches, and a group whose
+        //     rows were deleted entirely (present in gcert, absent in
+        //     data) would otherwise silently restart as a fresh
+        //     conversation. O(touched history) per batch.
+        val dataCert = ckpt.groupCertificate(touched, groupCol, promptCol)
+        val gKeys = Seq(groupCol, "g_n", "g_max", "g_sum", "g_xor")
+        val gTouched = g.join(batch.select(col(groupCol)).distinct(),
+          Seq(groupCol), "left_semi")
+        require(dataCert.join(gTouched, gKeys, "left_anti").isEmpty &&
+            gTouched.join(dataCert, gKeys, "left_anti").isEmpty,
+          s"conv checkpoint generation $v of $kind: a group this batch folds " +
+            "from does not match its certified per-group stats — refusing to serve")
+      case None =>
+        // pre-gcert chain (a plain-publish seed not yet compacted):
+        // the full data-derived check each batch, the original posture
+        val verified = cursor.join(
+            ckpt.certificate(results, groupCol, promptCol), statKeys)
+          .filter(col("ck_gaps") === 0L).count() == 1L
+        require(verified, s"conv checkpoint generation $v of $kind failed " +
+          "certificate verification — refusing to serve a tampered or truncated history")
+    }
     val cols = Seq(groupCol, orderCol, promptCol)
-    val prior = results.select(cols.map(col): _*)
+    val prior = touched.select(cols.map(col): _*)
     // at-least-once hardening: foreachBatch can REDELIVER a batch (a
     // failure between this batch's publish and the stream's commit) —
     // an arrival already present in the pinned generation at the same
@@ -1366,7 +1404,7 @@ object Streaming {
       .join(prior, cols, "left_anti")
     val full = prior.unionByName(freshArrivals)
     val folded = graft.enrich.EnrichRunner.resumeConversations(full, groupCol,
-        Seq(orderCol), promptCol, results, enricher, config, systemPrompt)
+        Seq(orderCol), promptCol, touched, enricher, config, systemPrompt)
       .join(batch.select(col(groupCol), col(orderCol)),
         Seq(groupCol, orderCol), "left_semi")
       .cache()
@@ -1388,6 +1426,13 @@ object Streaming {
     @volatile var cached: DataFrame = null
     @volatile var gcFloor: Long = 0L
   }
+
+  /** (root, kind, version) triples whose gcert↔cursor summary already
+    * verified in this process — write-once chains make the result
+    * permanent for a version; the bound only guards a pathological
+    * million-rotation process. */
+  private val verifiedConvVersions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String, Long)]()
 
   /** Wrap a serve's sink with the per-batch cleanup: unpersist the
     * fold cache once the sink consumed it (even on sink failure — the
@@ -1511,10 +1556,25 @@ object Streaming {
         val maxTurn = math.max(priorTurn, deltaTurn)
         val compact = chain.length + 1 > maxChainDepth || deltaRows >= baseRows
         val nv =
-          if (compact) ckpt.publishDelta(s, root, kind,
-            prior.unionByName(delta.select(prior.columns.map(col): _*)),
-            groupCol, promptCol, cursorTurn = maxTurn, baseVersion = 0L)
-          else ckpt.publishDelta(s, root, kind, delta, groupCol, promptCol,
+          if (compact) {
+            // a compaction REWRITES the full chain into a fresh
+            // self-contained generation: re-verify the full data
+            // against the pinned summary first — the per-batch
+            // incremental checks only cover groups batches actually
+            // read, and without this a tampered UNTOUCHED group would
+            // be laundered into a freshly-certified compaction.
+            // O(history), paid only at compactions (amortized O(log)).
+            val ok = reg.read(s, root, kind, v, "cursor")
+              .join(graft.enrich.ConversationCheckpoint.certificate(
+                prior, groupCol, promptCol),
+                Seq("ck_n", "ck_groups", "ck_gaps", "ck_xor_pair"))
+              .filter(col("ck_gaps") === 0L).count() == 1L
+            require(ok, s"refusing to compact $kind v$v: the chain's data no " +
+              "longer matches its certified summary")
+            ckpt.publishDelta(s, root, kind,
+              prior.unionByName(delta.select(prior.columns.map(col): _*)),
+              groupCol, promptCol, cursorTurn = maxTurn, baseVersion = 0L)
+          } else ckpt.publishDelta(s, root, kind, delta, groupCol, promptCol,
             cursorTurn = maxTurn, baseVersion = v)
         reg.setPin(s, root, kind, nv)
         if (compact) state.gcFloor = nv

@@ -1366,6 +1366,82 @@ class StreamingSpec extends SparkSpec {
       "the surviving chain must checkpoint the whole conversation bit-identically")
   }
 
+  test("incremental conv verification: verify-what-you-serve; compaction refuses laundering") {
+    import graft.enrich.{ConversationCheckpoint, EnrichRunner}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reg = graft.ext.ArtifactRegistry
+    val df = Seq(
+      ("A", 1L, "a1"), ("A", 2L, "a2"), ("A", 3L, "a3"), ("A", 4L, "a4"), ("A", 5L, "a5"),
+      ("B", 1L, "b1"), ("B", 2L, "b2"), ("B", 3L, "b3"), ("B", 4L, "b4"))
+      .toDF("grp", "ord", "prompt")
+    val expected = EnrichRunner.runConversations(df, "grp", Seq("ord"),
+        "prompt", ConversationalTestEnricher(), AiConfig.test())
+      .select($"grp", $"ord", $"turn_number", $"response")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-index/" +
+      s"vwys-${java.util.UUID.randomUUID.toString.take(8)}"
+    val kind = "conv_vwys"
+    val pre = EnrichRunner.runConversations(
+        df.filter($"grp" === "A" && $"ord" <= 2 || $"grp" === "B" && $"ord" <= 1),
+        "grp", Seq("ord"), "prompt", ConversationalTestEnricher(), AiConfig.test())
+      .select($"grp", $"ord", $"prompt", $"turn_number", $"response")
+    reg.setPin(spark, root, kind, ConversationCheckpoint.publish(
+      spark, root, kind, pre, "grp", "prompt", cursorTurn = 2L))
+    def serve(batches: Seq[(String, Long, String)], depth: Int = 8)
+        : Seq[(String, Long, Long, String)] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, String)]
+      val input = MemoryStream[(String, Long, String)]
+      val q = Streaming.conversationServeStreamPublishing(
+          input.toDF().toDF("grp", "ord", "prompt"), root, kind,
+          "grp", "ord", "prompt", ConversationalTestEnricher(), AiConfig.test(),
+          maxChainDepth = depth) { (_, out) =>
+        got ++= out.select($"grp", $"ord", $"turn_number", $"response")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      }
+      try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      got.toSeq
+    }
+    // build a gcert-covered chain: two deltas, then a geometric
+    // compaction (deltas 2+1 >= base 3) that roots full coverage + gc
+    serve(Seq(("A", 3L, "a3"), ("B", 2L, "b2"), ("A", 4L, "a4")))
+    val vCompact = reg.currentPin(spark, root, kind).get
+    assert(ConversationCheckpoint.chain(spark, root, kind, vCompact) == Seq(vCompact),
+      "the third batch must have compacted to a self-contained generation")
+    assert(ConversationCheckpoint.effectiveGroupCerts(spark, root, kind, vCompact).isDefined,
+      "a compaction must root full gcert coverage")
+    // one more delta on top, then TAMPER group A's stored history in
+    // the compaction's results part (data only — gcert/cursor untouched)
+    serve(Seq(("B", 3L, "b3")))
+    val resPath = f"$root/$kind/v$vCompact%06d/results"
+    val frozen = spark.read.parquet(resPath).localCheckpoint(true)
+    frozen.withColumn("response",
+        when($"grp" === "A" && $"ord" === 2L, lit("TAMPERED"))
+          .otherwise($"response"))
+      .write.mode("overwrite").parquet(resPath)
+    // a batch touching only B still serves — verify-what-you-serve:
+    // B's rows fold to exactly their certified per-group stats
+    val gotB = serve(Seq(("B", 4L, "b4")))
+    assert(gotB.map(t => ((t._1, t._2), (t._3, t._4))).toMap ==
+      Map(("B", 4L) -> expected(("B", 4L))),
+      s"an untouched-tamper batch must serve bit-identically: $gotB")
+    // a batch touching A REFUSES: its data no longer folds to the
+    // standing per-group certificate
+    val eA = intercept[Exception] { serve(Seq(("A", 5L, "a5"))) }
+    def chainMsgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .flatMap(x => Option(x.getMessage)).toSeq
+    assert(chainMsgs(eA).exists(_.contains("certified per-group stats")),
+      s"tampered-group fold must refuse: ${chainMsgs(eA).mkString(" | ")}")
+    // and a compaction (which would REWRITE the tampered history into a
+    // freshly-certified generation) refuses via the full-data check —
+    // even though the triggering batch touches only a brand-new group
+    val eC = intercept[Exception] { serve(Seq(("C", 1L, "c1")), depth = 1) }
+    assert(chainMsgs(eC).exists(_.contains("refusing to compact")),
+      s"compaction must not launder a tampered chain: ${chainMsgs(eC).mkString(" | ")}")
+  }
+
   test("the IVF-PQ serve rotates to the upgraded generation mid-stream") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val reg = graft.ext.ArtifactRegistry
