@@ -55,7 +55,24 @@ object ScaleStress {
   def blowUp(s: SparkSession, srcDir: String, outDir: String, factor: Int,
       distinctText: Boolean = false): Unit = {
     val out = java.nio.file.Paths.get(outDir)
-    if (java.nio.file.Files.isDirectory(out)) return // built once, reused
+    val mode = if (distinctText) "distinct" else "clones"
+    val marker = out.resolve("_mode")
+    if (java.nio.file.Files.isDirectory(out)) {
+      // built once, reused — but ONLY in the same mode: the blown
+      // corpus's mode is stamped in a marker file, and a run that
+      // requests the other mode (or finds a pre-marker directory)
+      // refuses loudly rather than measuring clone exponents under a
+      // "distinct" label (or vice versa) in the cross-round table
+      require(java.nio.file.Files.exists(marker) &&
+          java.nio.file.Files.readString(marker).trim == mode,
+        s"$outDir was built in mode '" +
+          (if (java.nio.file.Files.exists(marker))
+            java.nio.file.Files.readString(marker).trim
+          else "unknown (pre-marker)") +
+          s"' but this run requests '$mode' — point it at a different " +
+          "outDir (or delete this one) so exponents are never mislabeled")
+      return
+    }
     java.nio.file.Files.createDirectories(out)
     factTables.foreach { case (t, idCols) =>
       val df = s.read.parquet(s"$srcDir/$t.parquet")
@@ -100,6 +117,9 @@ object ScaleStress {
         out.resolve(s"$t.parquet"),
         java.nio.file.Paths.get(s"$srcDir/$t.parquet"))
     }
+    // marker lands LAST: a crashed half-build has no marker and the
+    // next run refuses it instead of reusing a partial corpus
+    java.nio.file.Files.writeString(marker, mode)
   }
 
   private def medianSecs(s: SparkSession, name: String, dir: String,

@@ -40,6 +40,42 @@ import graft.model.AiConfig
   */
 object ConversationCheckpoint {
 
+  /** Hive-partition column of a delta/compaction generation's
+    * `results` part: `hash(group) % NumBuckets`. All rows of a group
+    * land in ONE bucket subdirectory, so a per-batch fold that knows
+    * its touched groups reads only the touched buckets' files
+    * (partition pruning at the parquet listing) — O(touched) IO per
+    * micro-batch instead of scanning every chain generation's full
+    * results part. The column is DERIVED (recomputable from the group
+    * value), so readers drop it after pruning and nothing downstream
+    * changes. */
+  val BucketCol = "__bucket"
+
+  /** Bucket count is a FIXED constant, deliberately not a knob: the
+    * pruned chain read filters every chain link with bucket ids
+    * computed once from the batch's groups, which is only sound if
+    * every bucketed generation in a chain used the same modulus. (A
+    * deployment that must re-bucket can do so at a compaction
+    * boundary — the compaction rewrites the full history — but then
+    * the OLD chain must be fully collected first.) 64 buckets bound
+    * read amplification at 1/64th of history per touched group while
+    * keeping small deltas from scattering into thousands of
+    * directories. */
+  val NumBuckets = 64
+
+  /** The bucket expression over a group column — pinned to
+    * xxhash64 % NumBuckets; shared by the writer ([[publishDelta]])
+    * and every pruned reader so the two can never disagree. */
+  def bucketExpr(groupCol: String): org.apache.spark.sql.Column =
+    pmod(xxhash64(col(groupCol)), lit(NumBuckets.toLong)).cast("int")
+
+  /** The bucket ids a batch's groups hash to — ≤ [[NumBuckets]] values
+    * (a KB-sized driver collect), the partition-pruning key a serve
+    * passes to [[chainResults]] each micro-batch. */
+  def touchedBuckets(batch: DataFrame, groupCol: String): Seq[Int] =
+    batch.select(bucketExpr(groupCol).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
   /** Per-GROUP certificate stats — the mergeable decomposition of
     * [[certificate]]: one row per group, (groupCol, g_n, g_max, g_sum,
     * g_xor). This is also the `gcert` PART a delta generation persists
@@ -124,39 +160,54 @@ object ConversationCheckpoint {
       delta: DataFrame, groupCol: String, promptCol: String,
       cursorTurn: Long, baseVersion: Long): Long =
     graft.ext.ArtifactRegistry.publishStaged(s, root, kind, cursorTurn,
-      Seq("results" -> delta),
+      // the results part lands GROUP-BUCKETED (hash(group) % NumBuckets
+      // partition directories): a group's full history lives in one
+      // bucket per generation, so the serve's per-batch fold
+      // partition-prunes every chain link to its touched buckets —
+      // O(touched) IO, completing the O(touched)-compute story
+      Seq("results" -> delta.withColumn(BucketCol, bucketExpr(groupCol))),
       landed => {
+        // the landed read re-discovers BucketCol as a partition column;
+        // certificates are over the logical rows, so drop it — but keep
+        // the landed frame for the touched-bucket ids (read from the
+        // partition values, no recompute)
+        val landedResults = landed("results").drop(BucketCol)
+        lazy val landedBuckets = landed("results")
+          .select(col(BucketCol).cast("int")).distinct()
+          .collect().map(_.getInt(0)).toSeq
         val gNew =
           if (baseVersion == 0L)
-            groupCertificate(landed("results"), groupCol, promptCol)
+            groupCertificate(landedResults, groupCol, promptCol)
           else {
-            val touchedGroups = landed("results").select(col(groupCol)).distinct()
-            val priorTouched = chainResults(s, root, kind, baseVersion)
-              .join(touchedGroups, Seq(groupCol), "left_semi")
+            val touchedGroups = landedResults.select(col(groupCol)).distinct()
+            val priorTouched =
+              chainResults(s, root, kind, baseVersion, Some(landedBuckets))
+                .join(touchedGroups, Seq(groupCol), "left_semi")
             groupCertificate(
               priorTouched.unionByName(
-                landed("results").select(priorTouched.columns.map(col): _*)),
+                landedResults.select(priorTouched.columns.map(col): _*)),
               groupCol, promptCol)
           }
         val curStats =
           if (baseVersion == 0L) foldGroupCertificate(gNew)
           else effectiveGroupCerts(s, root, kind, baseVersion) match {
             case Some(standing) =>
-              val touchedGroups = landed("results").select(col(groupCol)).distinct()
+              val touchedGroups = landedResults.select(col(groupCol)).distinct()
               foldGroupCertificate(
                 standing.join(touchedGroups, Seq(groupCol), "left_anti")
                   .unionByName(gNew))
             case None =>
               certificate(
                 chainResults(s, root, kind, baseVersion).unionByName(
-                  landed("results")),
+                  landedResults),
                 groupCol, promptCol)
           }
         Seq("gcert" -> gNew,
           "cursor" -> curStats
             .withColumn("cursor_turn", lit(cursorTurn))
             .withColumn("base_version", lit(baseVersion)))
-      })
+      },
+      partitionCols = Map("results" -> Seq(BucketCol)))
 
   /** The chain's EFFECTIVE per-group certificates: for every group,
     * the newest chain generation's `gcert` row (a delta re-states its
@@ -169,9 +220,12 @@ object ConversationCheckpoint {
       version: Long): Option[DataFrame] = {
     val reg = graft.ext.ArtifactRegistry
     val vs = chain(s, root, kind, version)
-    val covered = reg.manifest(s, root, kind)
-      .filter(col("part") === "gcert" && col("version").isin(vs: _*))
-      .select(col("version")).collect().map(_.getLong(0)).toSet
+    // retryFnf: a rotating serve resolves this per micro-batch and can
+    // race a concurrent publisher's manifest compaction (append-then-
+    // delete) — same one-shot posture as currentPin
+    val covered = reg.retryFnf(reg.manifest(s, root, kind)
+        .filter(col("part") === "gcert" && col("version").isin(vs: _*))
+        .select(col("version")).collect()).map(_.getLong(0)).toSet
     if (!vs.forall(covered)) None
     else {
       val ranked = vs.zipWithIndex.map { case (v, i) =>
@@ -241,13 +295,76 @@ object ConversationCheckpoint {
   /** The FULL conversation history generation `version` represents:
     * its own `results` part unioned with its base chain's — the frame
     * a serve folds from and a compaction rewrites. Lazy scans over
-    * immutable landed parts only. */
+    * immutable landed parts only.
+    *
+    * `buckets` (from [[touchedBuckets]]) prunes every bucketed chain
+    * link to those [[BucketCol]] subdirectories — sound because a
+    * group's rows always land in its own bucket, so the pruned union
+    * still holds the COMPLETE history of every group that hashes into
+    * `buckets`; a per-batch fold passes its batch's buckets and pays
+    * O(touched) IO instead of O(history). The prune reads the touched
+    * subdirectory PATHS directly (existence-checked, no partition
+    * filter over the whole part), so an untouched bucket's files are
+    * never opened — not even for schema inference — which is what the
+    * open-audit spec pins. Only sound for group-scoped consumers:
+    * certificate-against-cursor checks of the WHOLE chain need the
+    * unpruned frame. Links published before bucketing (a plain
+    * [[publish]] seed) carry no bucket layout and are read whole —
+    * correct, just unpruned. */
   def chainResults(s: SparkSession, root: String, kind: String,
-      version: Long): DataFrame = {
+      version: Long, buckets: Option[Seq[Int]] = None): DataFrame = {
+    require(version != 0L,
+      s"no published generation of $kind under $root (version 0 is the " +
+        "never-published sentinel, not a readable chain)")
     val reg = graft.ext.ArtifactRegistry
-    chain(s, root, kind, version)
-      .map(v => reg.read(s, root, kind, v, "results"))
-      .reduce(_ unionByName _)
+    val vs = chain(s, root, kind, version)
+    def whole(v: Long): DataFrame =
+      reg.read(s, root, kind, v, "results").drop(BucketCol)
+    val frames = buckets match {
+      case None => vs.map(whole)
+      case Some(bs) => vs.flatMap { v =>
+        if (!isBucketed(s, root, kind, v)) Some(whole(v))
+        else {
+          // read only the touched buckets' EXISTING subdirectories — a
+          // generation holding none of the touched groups' rows
+          // contributes nothing and is skipped without a single open
+          val base = reg.partPath(root, kind, v, "results")
+          val (f, _) = fsPath(s, base)
+          val dirs = bs.map(b => s"$base/$BucketCol=$b")
+            .filter(d => f.exists(new org.apache.hadoop.fs.Path(d)))
+          if (dirs.isEmpty) None
+          // leaf-dir reads see no partition column — already the
+          // logical row schema the unioned fold wants
+          else Some(s.read.parquet(dirs: _*))
+        }
+      }
+    }
+    if (frames.nonEmpty) frames.reduce(_ unionByName _)
+    // every touched bucket empty across the whole chain: an empty
+    // frame in the chain's row schema (one footer read, zero rows)
+    else whole(vs.head).filter(lit(false))
+  }
+
+  private def fsPath(s: SparkSession, p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(s.sparkContext.hadoopConfiguration), hp)
+  }
+
+  /** Whether generation `v`'s results part landed group-bucketed —
+    * one directory listing per call, deliberately NOT memoized:
+    * generations are write-once by contract, but the pruned read must
+    * stay honest about what storage HOLDS (the verify-what-you-serve
+    * posture) — after an out-of-contract rewrite, a stale "bucketed"
+    * answer would silently prune against directories that no longer
+    * exist and truncate a healthy group's history; the per-group
+    * certificate check would then refuse a batch the data still
+    * supports. A listing is one metadata op per chain link per batch,
+    * noise next to the parquet reads it guards. */
+  private def isBucketed(s: SparkSession, root: String, kind: String,
+      v: Long): Boolean = {
+    val (f, p) = fsPath(s, graft.ext.ArtifactRegistry.partPath(root, kind, v, "results"))
+    f.exists(p) && f.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
   }
 
   /** Resume grouped conversations from loaded artifacts with

@@ -63,6 +63,15 @@ object ArtifactRegistry {
   private def versionDir(root: String, kind: String, version: Long): String =
     f"$root/$kind/v$version%06d"
 
+  /** Storage path of one part of a version — for graft-internal readers
+    * that prune a partitioned part to specific subdirectories
+    * ([[graft.enrich.ConversationCheckpoint.chainResults]]) and so
+    * cannot go through [[read]]'s whole-directory scan. Callers must
+    * hold a manifest-visible version (e.g. a chain link already
+    * resolved through [[read]]). */
+  private[graft] def partPath(root: String, kind: String, version: Long,
+      part: String): String = s"${versionDir(root, kind, version)}/$part"
+
   private def fs(s: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
@@ -131,12 +140,27 @@ object ArtifactRegistry {
     old.foreach(st => f.delete(st.getPath, false))
   }
 
+  /** One-shot retry on a FileNotFoundException anywhere in the failure
+    * chain — the [[currentPin]] posture generalized to every
+    * manifest-consuming collect: [[compactManifest]]'s append-then-
+    * delete (like [[compactPinLog]]'s) leaves a transient window where
+    * a reader lists a per-publish file the delete step removes before
+    * the scan runs. The retry re-plans against a fresh listing, which
+    * holds the compacted file with every row the deleted ones had —
+    * a racing STREAMING reader (the rotating serves resolve manifests
+    * per micro-batch) rides through instead of failing its batch.
+    * Row-level batch consumers that scan the manifest lazily inside a
+    * larger plan (the q194/q197 audits) can retry at their own action
+    * the same way. */
+  private[graft] def retryFnf[T](body: => T): T =
+    try body catch { case e: Throwable if isFileNotFound(e) => body }
+
   /** Latest published version of `kind`, 0 if none — resolved from the
     * manifest (the only authority a READER consults: a part directory
     * without manifest rows is an invisible half-publish). KB-sized
     * scan. */
   def latestVersion(s: SparkSession, root: String, kind: String): Long = {
-    val m = manifest(s, root, kind).agg(max(col("version"))).collect()(0)
+    val m = retryFnf(manifest(s, root, kind).agg(max(col("version"))).collect())(0)
     if (m.isNullAt(0)) 0L else m.getLong(0)
   }
 
@@ -175,18 +199,31 @@ object ArtifactRegistry {
     * responses that never landed, so verification would refuse every
     * healthy checkpoint. The manifest rows for primary AND derived
     * parts land LAST, so the half-publish invisibility guarantee is
-    * unchanged. */
+    * unchanged.
+    *
+    * `partitionCols` (part name → Hive-partition columns) lands that
+    * part as a partitioned directory layout, so a reader with a filter
+    * on those columns partition-prunes to the touched subdirectories —
+    * the lever behind the conversation chain's group-bucketed results
+    * ([[graft.enrich.ConversationCheckpoint.publishDelta]]); the
+    * landed-part reads (row counts, derived-part inputs) discover the
+    * partitions transparently. */
   def publishStaged(s: SparkSession, root: String, kind: String,
       corpusFp: Long, parts: Seq[(String, DataFrame)],
-      derived: Map[String, DataFrame] => Seq[(String, DataFrame)]): Long = {
+      derived: Map[String, DataFrame] => Seq[(String, DataFrame)],
+      partitionCols: Map[String, Seq[String]] = Map.empty): Long = {
     require(parts.nonEmpty, "an artifact has at least one part")
     val v = math.max(latestVersion(s, root, kind),
       maxDirVersion(s, root, kind)) + 1
     def land(name: String, df: DataFrame): (String, Long) = {
       require(name.nonEmpty && !name.startsWith("_"),
         s"part name '$name' is reserved")
-      df.write.mode("errorifexists")
-        .parquet(s"${versionDir(root, kind, v)}/$name")
+      val w = df.write.mode("errorifexists")
+      partitionCols.getOrElse(name, Nil) match {
+        case Nil => w.parquet(s"${versionDir(root, kind, v)}/$name")
+        case cs => w.partitionBy(cs: _*)
+          .parquet(s"${versionDir(root, kind, v)}/$name")
+      }
       // count the LANDED parquet, not the input plan: the manifest
       // certifies what storage holds — from the footers' row-group
       // metadata, never a data re-scan (a corpus-sized part would
@@ -251,9 +288,9 @@ object ArtifactRegistry {
     * before a derived part existed) without try/catch on [[read]]. */
   def hasPart(s: SparkSession, root: String, kind: String,
       version: Long, part: String): Boolean =
-    manifest(s, root, kind)
+    retryFnf(manifest(s, root, kind)
       .filter(col("version") === version && col("part") === part)
-      .limit(1).count() > 0
+      .limit(1).count()) > 0
 
   /** Read one part of a PINNED version as a lazy parquet scan — the
     * serving entry point: execution against the result reads only that
@@ -292,9 +329,9 @@ object ArtifactRegistry {
     val path = s"${versionDir(root, kind, version)}/$part"
     require(exists(s, path),
       s"no published part '$part' at $kind v$version under $root")
-    val certified = manifest(s, root, kind)
+    val certified = retryFnf(manifest(s, root, kind)
       .filter(col("version") === version && col("part") === part)
-      .agg(max(col("n_rows"))).collect()(0)
+      .agg(max(col("n_rows"))).collect())(0)
     require(!certified.isNullAt(0),
       s"part '$part' of $kind v$version has no manifest row under $root")
     val listed = countLandedRows(s, path)
@@ -311,8 +348,8 @@ object ArtifactRegistry {
     * seen (an orphan half-publish directory is not servable). */
   def versionPath(s: SparkSession, root: String, kind: String,
       version: Long): String = {
-    val known = manifest(s, root, kind)
-      .filter(col("version") === version).limit(1).count() > 0
+    val known = retryFnf(manifest(s, root, kind)
+      .filter(col("version") === version).limit(1).count()) > 0
     require(known, s"version $version of $kind is not manifest-visible under $root")
     versionDir(root, kind, version)
   }
@@ -329,8 +366,8 @@ object ArtifactRegistry {
     * forever (rows = flips, never data-sized). Single-operator per
     * (root, kind) by the same contract as [[publish]]. */
   def setPin(s: SparkSession, root: String, kind: String, version: Long): Unit = {
-    val known = manifest(s, root, kind)
-      .filter(col("version") === version).limit(1).count() > 0
+    val known = retryFnf(manifest(s, root, kind)
+      .filter(col("version") === version).limit(1).count()) > 0
     require(known, s"cannot pin $kind v$version under $root: not manifest-visible")
     val seq = pinLog(s, root, kind).agg(max(col("seq"))).collect()(0) match {
       case r if r.isNullAt(0) => 1L

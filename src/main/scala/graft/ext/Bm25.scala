@@ -163,4 +163,107 @@ object Bm25 {
     val ix = index(corpus, idCol, textCol)
     rankTopK(ix.scores(ix.queryTerms(nQueries, termsPerQuery)), k)
   }
+
+  /** Per-term IMPACT bounds — (term, ub_fp): the maximum fixed-point
+    * contribution any document gives the term, i.e. the classic
+    * impact-ordered-postings upper bound behind WAND/MaxScore
+    * early exit. A BUILD-TIME artifact: one pass over the index's own
+    * (tf, dl) postings when the index is built (vocab-sized output, a
+    * serve persists it beside `dfreq` and never recomputes it per
+    * query). Exact, not an estimate — scores are integers, so the
+    * max is a hard ceiling. */
+  def impacts(ix: Index): DataFrame =
+    ix.tf.join(ix.dl, "id")
+      .join(ix.dfreq.select(col("term"), col("idf_bits")), "term")
+      .withColumn("c", contribExpr(ix.n, ix.t))
+      .groupBy(col("term")).agg(max(col("c")).as("ub_fp"))
+
+  /** [[rankTopK]]∘[[Index.scores]] with a MaxScore-style prune — the
+    * same EXACT top-k (gated against q118's oracle via q208), reached
+    * without aggregating every matched posting:
+    *
+    *   1. per query, rank its terms by impact bound ([[impacts]],
+    *      descending) and take suffix sums S_i = Σ_{j ≥ i} ub_j — a
+    *      document whose best (highest-impact) matched term sits at
+    *      rank i can score at most S_i;
+    *   2. THRESHOLD phase: exactly score only the documents matching
+    *      the query's TOP-impact term (its posting list is the one
+    *      any top-k contender at full strength lives in) and take the
+    *      k-th best as θ_q — a LOWER bound on the true k-th score,
+    *      because these candidates are a subset of all matches;
+    *   3. PRUNE phase (the df/idf-ordered prune before the id-keyed
+    *      agg): a document with S_best(d) < θ_q strictly cannot reach
+    *      θ_q, and since the true k-th score is ≥ θ_q it cannot enter
+    *      the top-k even on ties (ties need equality, pruning needs
+    *      strict inequality) — drop it before the dl join and the
+    *      (qid, id) aggregation. Everything surviving is scored
+    *      exactly; the final ranking equals the unpruned one.
+    *
+    * θ_q values are nQueries scalars (a KB-sized driver collect —
+    * the loaded-globals class). With the df-DESC derived workload the
+    * top-impact posting list is the corpus's longest, so the
+    * threshold phase is itself bounded by one posting list; selective
+    * (rare-term) real-world queries prune hardest, which is the
+    * WAND/MaxScore shape. */
+  def topKMaxScore(ix: Index, qterms: DataFrame, k: Int,
+      termImpacts: DataFrame): DataFrame = {
+    val s = ix.tf.sparkSession
+    // per-query impact ranking + suffix bounds over ≤ |query| rows
+    val qi = qterms.join(broadcast(termImpacts), "term")
+    val rw = Window.partitionBy(col("qid"))
+      .orderBy(col("ub_fp").desc, col("term"))
+    val sw = Window.partitionBy(col("qid"))
+      .orderBy(col("ub_fp").desc, col("term"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val ranked = qi
+      .withColumn("ti", row_number().over(rw))
+      .withColumn("suffix_ub", sum(col("ub_fp")).over(sw))
+    // matched postings of the query's terms (the only corpus-sized
+    // frame; reused by both phases — checkpointed so the threshold
+    // phase's collect and the prune phase share one scan, and the
+    // self-derived semi-joins below carry no common lineage)
+    val matched = ix.tf.join(broadcast(ranked), "term").localCheckpoint(false)
+    // threshold phase: full exact scores of the top-term's documents
+    val topDocs = matched.filter(col("ti") === 1)
+      .select(col("qid").as("qid1"), col("id").as("id1"))
+    val thetaRows = matched
+      .join(topDocs, matched("qid") === topDocs("qid1") &&
+        matched("id") === topDocs("id1"), "left_semi")
+      .join(ix.dl, "id")
+      .withColumn("c", contribExpr(ix.n, ix.t))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("c")).as("score_fp"))
+      .withColumn("r", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score_fp").desc, col("id"))))
+      .filter(col("r") === k)
+      .select(col("qid"), col("score_fp")).collect()
+    import scala.jdk.CollectionConverters._
+    // contribExpr's DIV yields BIGINT, so score_fp (its sum) is LONG
+    val thetaType = thetaRows.headOption.map(_.schema("score_fp").dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType
+        : org.apache.spark.sql.types.DataType)
+    val thetaDf = s.createDataFrame(
+      thetaRows.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("theta", thetaType))))
+    // prune phase: a doc's reachable ceiling is the suffix bound at
+    // its BEST matched term; strictly below θ_q → gone before the
+    // dl join and the (qid, id) aggregation. A query with no θ row
+    // (fewer than k docs match its top term) prunes nothing.
+    val bestBound = matched.groupBy(col("qid"), col("id"))
+      .agg(max(col("suffix_ub")).as("best_ub"))
+    val survivors = bestBound.join(broadcast(thetaDf), Seq("qid"), "left_outer")
+      .filter(col("theta").isNull || col("best_ub") >= col("theta"))
+      .select(col("qid").as("qid2"), col("id").as("id2"))
+    val scored = matched
+      .join(survivors, matched("qid") === survivors("qid2") &&
+        matched("id") === survivors("id2"), "left_semi")
+      .join(ix.dl, "id")
+      .withColumn("c", contribExpr(ix.n, ix.t))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("c")).as("score_fp"))
+    rankTopK(scored, k)
+  }
 }

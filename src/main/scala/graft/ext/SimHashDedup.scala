@@ -19,10 +19,30 @@ object SimHashDedup {
   val Bands = 4
   val BitsPerBand = 8
 
+  /** WIDE band geometry: 4 disjoint 16-bit bands over the 64-bit
+    * signature ([[graft.functions.HashUtil.simHash64]]) — the SAME
+    * ≤3-Hamming pigeonhole guarantee, but expected band-bucket mass
+    * n/65536 instead of n/256. This is the distinct-corpus scale
+    * path the factor-100 `--distinct-text` stress motivated: past
+    * ~10⁵ genuinely distinct contents the 8-bit geometry's banded
+    * candidates (Θ(n²/256)) turn super-linear (q203 read marginal
+    * exponent ≈ 1.3 over the 10×→100× decade), while the 16-bit
+    * geometry defers the quadratic by another 256×. Hamming here is
+    * measured on the 64-bit signature (the sum of the two halves'
+    * distances), so the wide operating point is a DIFFERENT, tighter
+    * near-dup criterion than the 32-bit one — its oracle brute-forces
+    * the same 64-bit metric. */
+  val WideBands = 4
+  val WideBitsPerBand = 16
+
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"), simhash32(col(textCol)).as("sh"))
   }
+
+  def simhashes64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.simhash64(col(textCol)).as("sh"))
 
   /** Explode signatures into the band layout (id, sh, band, bval) —
     * one definition shared by the self-join and the cross-split probe
@@ -33,24 +53,35 @@ object SimHashDedup {
   def bandedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
     bandsOf(simhashes(df, idCol, textCol))
 
-  private def bandsOf(sims: DataFrame): DataFrame =
+  private def bandsOfG(sims: DataFrame, nBands: Int, bits: Int): DataFrame =
     sims.select(col("id"), col("sh"),
-        explode(array((0 until Bands).map(b =>
+        explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"),
-            shiftrightunsigned(col("sh"), b * BitsPerBand).bitwiseAND(lit(255L)).as("bval"))): _*))
+            shiftrightunsigned(col("sh"), b * bits)
+              .bitwiseAND(lit((1L << bits) - 1L)).as("bval"))): _*))
           .as("bs"))
       .select(col("id"), col("sh"), col("bs.band").as("band"), col("bs.bval").as("bval"))
 
+  private def bandsOf(sims: DataFrame): DataFrame =
+    bandsOfG(sims, Bands, BitsPerBand)
+
+  private def bandValG(sh: org.apache.spark.sql.Column, b: Int, bits: Int) =
+    shiftrightunsigned(sh, b * bits).bitwiseAND(lit((1L << bits) - 1L))
+
   private def bandVal(sh: org.apache.spark.sql.Column, b: Int) =
-    shiftrightunsigned(sh, b * BitsPerBand).bitwiseAND(lit(255L))
+    bandValG(sh, b, BitsPerBand)
 
   /** Emit a cross pair only at its FIRST agreeing band — a pure
     * predicate over the two signatures already in the join (no dedup
     * shuffle on the pair stream), exact by the pigeonhole bound. */
-  private def firstMatchPred: org.apache.spark.sql.Column =
-    (0 until Bands).map(bp =>
-      when(col("a.band") > lit(bp), bandVal(col("a.sh"), bp) =!= bandVal(col("b.sh"), bp))
+  private def firstMatchPredG(nBands: Int, bits: Int): org.apache.spark.sql.Column =
+    (0 until nBands).map(bp =>
+      when(col("a.band") > lit(bp),
+        bandValG(col("a.sh"), bp, bits) =!= bandValG(col("b.sh"), bp, bits))
         .otherwise(lit(true))).reduce(_ && _)
+
+  private def firstMatchPred: org.apache.spark.sql.Column =
+    firstMatchPredG(Bands, BitsPerBand)
 
   /** Exact Hamming-≤`maxHamming` matches of `fresh` docs against an
     * already-built corpus snapshot `index` ([[bandedIndex]] shape) —
@@ -194,5 +225,44 @@ object SimHashDedup {
         .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .agg(first(hamming).as("hamming"))
     }
+  }
+
+  /** [[nearDupPairs]] at the WIDE geometry ([[WideBands]] ×
+    * [[WideBitsPerBand]] over the 64-bit signature) — exact
+    * Hamming-≤`maxHamming` pairs on [[graft.functions.HashUtil
+    * .simHash64]], uncapped with the same loud guard. The operating
+    * point for corpora whose DISTINCT content count makes 8-bit band
+    * buckets (n/256) quadratic — see the geometry note on
+    * [[WideBands]]; callers compose it dedup-first exactly like q203
+    * (gated as q207). */
+  def nearDupPairsWide(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      guardBucket: Int = UncappedGuardBucket,
+      guardAdvice: String = DefaultGuardAdvice): DataFrame = {
+    require(maxHamming < WideBands,
+      s"maxHamming=$maxHamming needs > $maxHamming+1 bands for exact recall")
+    val bands = bandsOfG(simhashes64(df, idCol, textCol),
+      WideBands, WideBitsPerBand)
+    val hamming =
+      bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bval"))
+    val guarded =
+      if (guardBucket == Int.MaxValue) bands
+      else bands.withColumn("bsz", count(lit(1)).over(w))
+        .filter(assert_true(col("bsz") <= guardBucket,
+          concat(lit("uncapped wide SimHash band bucket of size "), col("bsz"),
+            lit(s" exceeds the guard ($guardBucket): " + guardAdvice))).isNull)
+        .drop("bsz")
+    guarded.as("a").join(guarded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id") &&
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming &&
+          firstMatchPredG(WideBands, WideBitsPerBand))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming.as("hamming"))
   }
 }

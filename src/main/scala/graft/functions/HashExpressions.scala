@@ -16,14 +16,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *                     result is 1 iff Σ_tokens (bit_j(h) ? +1 : -1) > 0
   */
 object HashUtil {
-  def polyHash(s: UTF8String, mod: Long): Long = {
+  def polyHash(s: UTF8String, mod: Long): Long = polyHashB(s, 31L, mod)
+
+  /** [[polyHash]] with an explicit base — the second, independent hash
+    * family the 64-bit SimHash's high half votes on. */
+  def polyHashB(s: UTF8String, base: Long, mod: Long): Long = {
     val str = s.toString
     var acc = 0L
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
       i += Character.charCount(cp)
-      acc = (acc * 31 + cp) % mod
+      acc = (acc * base + cp) % mod
     }
     acc
   }
@@ -67,6 +71,39 @@ object HashUtil {
     var out = 0L
     var j = 0
     while (j < 32) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** 64-bit SimHash: the CONCATENATION of two independent 32-bit
+    * SimHashes over the same whitespace tokens — the low half votes on
+    * the base-31 token polyhash (bit-identical to [[simHash32]]), the
+    * high half on base-131 ([[polyHashB]]). Hamming distance on the
+    * result is the SUM of the halves' distances, so the oracle
+    * brute-forces it as two 32-bit halves and no unsigned-64
+    * arithmetic exists anywhere. The point of the width is band
+    * GEOMETRY at distinct-corpus scale: 16-bit bands over 64 bits keep
+    * the ≤3-Hamming pigeonhole guarantee while shrinking expected band
+    * buckets from n/256 to n/65536 — the factor-100 distinct-text
+    * stress showed the 8-bit geometry's candidate mass turning
+    * super-linear past ~10⁵ distinct contents (SCALESTRESS r18). */
+  def simHash64(s: UTF8String): Long = {
+    val text = s.toString.trim
+    if (text.isEmpty) return 0L
+    val counts = new Array[Int](64)
+    for (tok <- text.split("\\s+")) {
+      val t = UTF8String.fromString(tok)
+      val h1 = polyHash(t, 4294967296L)
+      val h2 = polyHashB(t, 131L, 4294967296L)
+      var j = 0
+      while (j < 32) {
+        if (((h1 >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        if (((h2 >>> j) & 1L) == 1L) counts(32 + j) += 1 else counts(32 + j) -= 1
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
     out
   }
 }
@@ -339,6 +376,19 @@ case class SimHash32(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash32"
 }
 
+/** 64-bit SimHash of a text column ([[HashUtil.simHash64]]) — one
+  * pass, codegen'd; the wide-band near-dup geometry's signature. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashUtil.simHash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.simHash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
 /** Dense integer text embedding ([[HashUtil.hashEmbed]]) — array<long>
   * of length `dims` (1..31: signs come from the 31-bit token hash). */
 case class HashEmbed(child: Expression, dims: Int) extends UnaryExpression {
@@ -370,6 +420,11 @@ object GraftFunctions {
 
   def simhash32(c: Column): Column =
     call_function("simhash32", c)
+
+  /** Registration-free (expression→Column bridge), like [[tokenStats]]. */
+  def simhash64(c: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      SimHash64(org.apache.spark.sql.GraftShim.expression(c)))
 
   /** Registration-free (built via the expression→Column bridge): works
     * on any session's DataFrames, like a builtin. The registry entry

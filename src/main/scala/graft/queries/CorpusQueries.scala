@@ -157,7 +157,9 @@ object CorpusQueries {
     * Chunk identity packs as doc_id·100000 + chunk_no (chunk_no is
     * bounded by text-length/stride ≪ 100000) so the ranking operator
     * keys on one BIGINT. */
-  def q118Bm25(s: SparkSession, dir: String): DataFrame = {
+  /** The q100-shaped kept-chunk corpus q118/q208 rank over — one
+    * definition so the retrieval twins can never fork upstream. */
+  private def bm25KeptChunks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.{GraftFunctions, TextFunctions}
     val gated = Tables.load(s, dir, "documents")
@@ -174,14 +176,38 @@ object CorpusQueries {
     val signed = emb.select($"doc_id", $"chunk_no", $"chunk", signature.as("sig"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"sig").orderBy($"doc_id", $"chunk_no")
-    val kept = signed.withColumn("rn", row_number().over(w))
+    signed.withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select(($"doc_id" * 100000L + $"chunk_no").as("id"), $"chunk")
-    graft.ext.Bm25.topK(kept, "id", "chunk")
-      .select($"qid", $"rank",
+  }
+
+  private def bm25RankedSelect(ranked: DataFrame): DataFrame = {
+    import ranked.sparkSession.implicits._
+    ranked.select($"qid", $"rank",
         expr("id DIV 100000").as("doc_id"), ($"id" % 100000L).as("chunk_no"),
         $"score_fp")
       .orderBy($"qid", $"rank")
+  }
+
+  def q118Bm25(s: SparkSession, dir: String): DataFrame =
+    bm25RankedSelect(graft.ext.Bm25.topK(bm25KeptChunks(s, dir), "id", "chunk"))
+
+  /** q208: q118's exact top-k through the MaxScore prune
+    * ([[graft.ext.Bm25.topKMaxScore]] — per-term impact bounds from
+    * the index's own postings, a threshold from the top-impact term's
+    * candidates, and a suffix-bound prune ahead of the id-keyed
+    * aggregation). Shares q118's oracle VERBATIM: the prune is
+    * exactness-preserving by the bound argument in its scaladoc, and
+    * the green hash certifies precisely that. On THIS corpus the
+    * prune is honestly a no-op (word-salad text: every chunk matches
+    * a high-impact term — Bm25Spec pins prunable = 0 here and
+    * prunable ≥ 20 on a skewed corpus with a genuine low-impact tail,
+    * the selective-query shape MaxScore exists for). */
+  def q208Bm25MaxScore(s: SparkSession, dir: String): DataFrame = {
+    val kept = bm25KeptChunks(s, dir)
+    val ix = graft.ext.Bm25.index(kept, "id", "chunk")
+    bm25RankedSelect(graft.ext.Bm25.topKMaxScore(
+      ix, ix.queryTerms(8, 3), 10, graft.ext.Bm25.impacts(ix)))
   }
 
   val q118Sql: String =
@@ -558,6 +584,7 @@ object CorpusQueries {
     "q36_async_enrich" -> (q36AsyncEnrich _),
     "q100_retrieval_prep" -> (q100RetrievalPrep _),
     "q118_bm25" -> (q118Bm25 _),
+    "q208_bm25_maxscore" -> (q208Bm25MaxScore _),
     "q142_triple_rrf" -> (q142TripleRrf _),
     "q121_rrf_fusion" -> (q121RrfFusion _))
 
@@ -568,6 +595,9 @@ object CorpusQueries {
     "q36_async_enrich" -> q36Sql,
     "q100_retrieval_prep" -> q100Sql,
     "q118_bm25" -> q118Sql,
+    // q208 shares q118's oracle on purpose: the MaxScore prune is
+    // exactness-preserving, so identical SQL gates identical output
+    "q208_bm25_maxscore" -> q118Sql,
     "q142_triple_rrf" -> q142Sql,
     "q121_rrf_fusion" -> q121Sql)
 }

@@ -223,6 +223,81 @@ object HashDedupQueries {
       |  JOIN reps rb ON p.id_b = rb.doc_id
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** The 64-bit SimHash chain (tokens → TWO rolling hash families →
+    * per-half bit votes), kept as two 32-bit halves `sh64(id, sh_lo,
+    * sh_hi)` so the replay never needs unsigned-64 arithmetic —
+    * Hamming on the 64-bit signature is the sum of the halves'
+    * distances. Mirrors [[graft.functions.HashUtil.simHash64]]
+    * (low half = the base-31 chain `simhashChainSqlFrom` replays,
+    * high half = base-131). */
+  private def simhash64ChainSqlFrom(src: String): String =
+    s"""toks64 AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS ts FROM $src),
+      |th64 AS (SELECT id,
+      |    list_transform(ts, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(t)), i -> CAST(unicode(substr(t, i, 1)) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 4294967296)) AS hs_lo,
+      |    list_transform(ts, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, length(t)), i -> CAST(unicode(substr(t, i, 1)) AS BIGINT))),
+      |      (acc, x) -> (acc * 131 + x) % 4294967296)) AS hs_hi FROM toks64),
+      |sh64 AS (SELECT id,
+      |  list_sum(list_transform(generate_series(0,31), j ->
+      |    CASE WHEN list_sum(list_transform(hs_lo, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |    THEN 1 << j ELSE 0 END)) AS sh_lo,
+      |  list_sum(list_transform(generate_series(0,31), j ->
+      |    CASE WHEN list_sum(list_transform(hs_hi, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |    THEN 1 << j ELSE 0 END)) AS sh_hi FROM th64)""".stripMargin
+
+  /** q207: q203's dedup-first composition at the WIDE band geometry
+    * ([[graft.ext.SimHashDedup.nearDupPairsWide]] — 4 × 16-bit bands
+    * over the 64-bit signature) — the operating point the factor-100
+    * distinct-text stress motivated: with genuinely distinct contents
+    * growing past ~10⁵, q203's 8-bit banded candidates (Θ(n²/256))
+    * turned super-linear in the 10×→100× decade (marginal exponent
+    * ≈ 1.3, SCALESTRESS r18), while 16-bit buckets (n/65536) defer
+    * the same quadratic by 256×. Hamming is measured on the 64-bit
+    * signature (a tighter near-dup criterion than q203's 32-bit one);
+    * the oracle brute-forces the identical metric over the deduped
+    * reps, so the green hash certifies both the two-family signature
+    * arithmetic and the wide pigeonhole banding. */
+  def q207DedupFirstSimHashWide(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val reps = graft.ext.Dedup.exactDedupWithCounts(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      .select($"doc_id", $"text", $"n_copies")
+      .localCheckpoint(false) // feeds the band join and both size joins
+    val sizes = reps.select($"doc_id", $"n_copies")
+    // the default absolute guard suffices here: wide buckets grow as
+    // survivors/65536, so 8192 holds headroom past ~5·10⁸ DISTINCT
+    // contents — no survivor-scaled raise needed at any plausible sf
+    SimHashDedup.nearDupPairsWide(reps, "doc_id", "text", maxHamming = 3,
+        guardAdvice = "this corpus is already exact-deduped and wide-banded, " +
+          "so the oversized bucket is an extreme density of near-identical " +
+          "DISTINCT mass — raise guardBucket consciously or switch to the " +
+          "capped estimate (the q202 form)")
+      .join(sizes.select($"doc_id".as("id_a"), $"n_copies".as("n_a")), "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"n_copies".as("n_b")), "id_b")
+      .select($"id_a", $"id_b", $"hamming", $"n_a", $"n_b",
+        ($"n_a" * $"n_b").as("implied_pairs"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q207Sql: String =
+    s"""WITH g AS (SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id,
+      |    CAST(count(*) AS BIGINT) AS n_copies
+      |  FROM documents GROUP BY 1),
+      |reps AS (SELECT d.doc_id, d.text, g.n_copies
+      |  FROM documents d JOIN g ON d.doc_id = g.keep_id),
+      |${simhash64ChainSqlFrom("reps")},
+      |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+      |    CAST(bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) AS BIGINT) AS hamming
+      |  FROM sh64 a JOIN sh64 b ON a.id < b.id
+      |  WHERE bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3)
+      |SELECT p.id_a, p.id_b, p.hamming, ra.n_copies AS n_a, rb.n_copies AS n_b,
+      |  CAST(ra.n_copies * rb.n_copies AS BIGINT) AS implied_pairs
+      |FROM pairs p JOIN reps ra ON p.id_a = ra.doc_id
+      |  JOIN reps rb ON p.id_b = rb.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** q205: the INCREMENTAL twin of q203 — the crawl-ingest shape of
     * the exact-contract dedup-first posture. Stage order per side,
     * then a cross-split probe:
@@ -875,6 +950,7 @@ object HashDedupQueries {
     "q21_simhash" -> (q21SimHash _),
     "q202_simhash_bucket_cap" -> (q202SimHashCap _),
     "q203_dedup_first_simhash" -> (q203DedupFirstSimHash _),
+    "q207_dedup_first_simhash_wide" -> (q207DedupFirstSimHashWide _),
     "q205_dedup_first_probe" -> (q205DedupFirstProbe _),
     "q69_incremental_dedup" -> (q69IncrementalDedup _),
     "q120_incremental_lsh" -> (q120IncrementalLsh _))
@@ -897,6 +973,7 @@ object HashDedupQueries {
     "q21_simhash" -> q21Sql,
     "q202_simhash_bucket_cap" -> q202Sql,
     "q203_dedup_first_simhash" -> q203Sql,
+    "q207_dedup_first_simhash_wide" -> q207Sql,
     "q205_dedup_first_probe" -> q205Sql,
     "q69_incremental_dedup" -> q69Sql,
     "q120_incremental_lsh" -> q120Sql)

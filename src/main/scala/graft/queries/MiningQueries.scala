@@ -608,6 +608,94 @@ object MiningQueries {
       |  CAST(n_shared > 0 AS INT) AS is_contaminated
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** q146b: DECONTAMINATION with an exact-verify stage — q146's
+    * span-level train/eval report made EXACT with bounded extra work,
+    * at the LONG-span operating point (k = 20, w = 8 → guarantee 27)
+    * where q183 measured the raw detector's honest price (TP 111 /
+    * FP 331, 25% precision: docs sharing only a 20–26-char
+    * window-min gram). The winnowing theorem guarantees RECALL — a
+    * train doc sharing a ≥27-char span with the eval slice always
+    * shares a selected fingerprint — so fingerprint candidates are a
+    * SUPERSET of true contamination, and verifying ONLY candidates
+    * (the q151 full-set-verify discipline) yields the exact report
+    * without ever exploding all (train, eval) pairs:
+    *   1. candidate fps = fingerprints present on BOTH sides;
+    *   2. candidate docs = train/eval docs holding a candidate fp
+    *      (both sides shrink — the eval gram set is built over
+    *      candidate eval docs only, sound by the same theorem);
+    *   3. exact stage: a candidate train doc is contaminated iff one
+    *      of its raw 27-grams occurs in the candidate eval slice's
+    *      distinct 27-gram set (collision-free string equality).
+    * FN stays structurally zero (spec-pinned against the brute-force
+    * truth) and FP is zero BY CONSTRUCTION — the verify stage IS the
+    * exact criterion. Scale shape: the gram explode touches candidate
+    * docs only; grams semi-join on their 27-char keys (at 100 TB the
+    * key would be a 128-bit content hash — same plan); everything
+    * else is the q146 rollup. */
+  def q146bDecontamVerified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (k, w) = (20, 8)
+    val guarantee = k + w - 1 // 27
+    val docs = Tables.load(s, dir, "documents")
+    val fps = sharedWinnowFps(s, dir, k, w)
+    val evalFps = fps.filter($"id" % 10 === 0)
+    val trainFps = fps.filter($"id" % 10 =!= 0)
+    val hitFps = evalFps.select($"fp").distinct()
+      .join(trainFps.select($"fp").distinct(), Seq("fp"), "left_semi")
+    val trainCand = trainFps.join(hitFps, Seq("fp"), "left_semi")
+      .select($"id").distinct()
+    val evalCand = evalFps.join(hitFps, Seq("fp"), "left_semi")
+      .select($"id").distinct()
+    def grams(ids: DataFrame): DataFrame = docs
+      .join(ids.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
+      .filter(length($"text") >= guarantee)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(1, length(text) - ${guarantee - 1}), " +
+          s"i -> substring(text, i, $guarantee))")).as("g"))
+    val verified = grams(trainCand)
+      .join(grams(evalCand).select($"g").distinct(), Seq("g"), "left_semi")
+      .select($"doc_id").distinct()
+    trainFps
+      .join(evalFps.select($"fp").distinct().withColumn("hit", lit(1)),
+        Seq("fp"), "left")
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n_fp"), count($"hit").as("n_shared"))
+      .join(verified.withColumnRenamed("doc_id", "id")
+        .withColumn("v", lit(1)), Seq("id"), "left")
+      .select($"id".as("doc_id"), $"n_fp", $"n_shared",
+        ($"n_shared" > 0).cast("int").as("is_candidate"),
+        coalesce($"v", lit(0)).cast("int").as("is_contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  val q146bSql: String =
+    s"""WITH ${winnowFpsSqlFor(20, 8)},
+      |evalf AS (SELECT doc_id, fp FROM fps WHERE doc_id % 10 = 0),
+      |trainf AS (SELECT doc_id, fp FROM fps WHERE doc_id % 10 <> 0),
+      |hit AS (SELECT DISTINCT t.fp FROM (SELECT DISTINCT fp FROM trainf) t
+      |  JOIN (SELECT DISTINCT fp FROM evalf) e ON t.fp = e.fp),
+      |tcand AS (SELECT DISTINCT doc_id FROM trainf JOIN hit USING (fp)),
+      |ecand AS (SELECT DISTINCT doc_id FROM evalf JOIN hit USING (fp)),
+      |eg AS (SELECT DISTINCT substr(d.text, i, 27) AS g
+      |  FROM documents d JOIN ecand USING (doc_id),
+      |    unnest(generate_series(1, length(d.text) - 26)) AS u(i)
+      |  WHERE length(d.text) >= 27),
+      |tg AS (SELECT d.doc_id, substr(d.text, i, 27) AS g
+      |  FROM documents d JOIN tcand USING (doc_id),
+      |    unnest(generate_series(1, length(d.text) - 26)) AS u(i)
+      |  WHERE length(d.text) >= 27),
+      |ver AS (SELECT DISTINCT tg.doc_id FROM tg JOIN eg USING (g)),
+      |agg AS (SELECT t.doc_id, COUNT(*) AS n_fp,
+      |    CAST(COUNT(e.fp) AS BIGINT) AS n_shared
+      |  FROM trainf t LEFT JOIN (SELECT DISTINCT fp FROM evalf) e
+      |    ON t.fp = e.fp
+      |  GROUP BY t.doc_id)
+      |SELECT a.doc_id, a.n_fp, a.n_shared,
+      |  CAST(a.n_shared > 0 AS INT) AS is_candidate,
+      |  CAST(v.doc_id IS NOT NULL AS INT) AS is_contaminated
+      |FROM agg a LEFT JOIN ver v ON a.doc_id = v.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+
   /** q136: market-basket association rules — co-purchase (part, part)
     * pairs within orders, with support, integer-ppm confidence
     * (`n_ab·10^6 DIV n_a`), and lift kept as the EXACT rational pair
@@ -1118,7 +1206,8 @@ object MiningQueries {
     "q183_winnow_eval" -> (q183WinnowEval _),
     "q141_group_sliding_hll" -> (q141GroupSlidingHll _),
     "q141c_group_sliding_hll_only" -> (q141cGroupSlidingHllOnly _),
-    "q146_decontam" -> (q146Decontam _))
+    "q146_decontam" -> (q146Decontam _),
+    "q146b_decontam_verified" -> (q146bDecontamVerified _))
 
   val oracle: Map[String, String] = Map(
     "q188_quality_ensemble" -> q188Sql,
@@ -1138,5 +1227,6 @@ object MiningQueries {
     "q183_winnow_eval" -> q183Sql,
     "q141_group_sliding_hll" -> q141Sql,
     "q141c_group_sliding_hll_only" -> q141cSql,
-    "q146_decontam" -> q146Sql)
+    "q146_decontam" -> q146Sql,
+    "q146b_decontam_verified" -> q146bSql)
 }

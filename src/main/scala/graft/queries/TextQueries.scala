@@ -1246,7 +1246,91 @@ object TextQueries {
       |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q206: markup/boilerplate extraction
+    * ([[graft.functions.MarkupExtract]]) — HTML → clean training
+    * prose, the first stage of a crawl pipeline ahead of the
+    * quality/language gates. The driver's documents carry no markup,
+    * so the query wraps each document in a DETERMINISTIC synthetic
+    * page (title/style/script head, a link-only nav, an h1, the text
+    * as two paragraphs — the second with entities and an inline
+    * anchor — and a link-dense footer), built by the same expression
+    * in both engines; the extraction rule (script/style strip →
+    * block segmentation → per-block text/link-text cleaning →
+    * min-length + link-density keep) is replayed 1:1 in the oracle.
+    * What the green hash certifies: the nav and footer are dropped
+    * (link density), head fragments are dropped (length), both
+    * paragraphs are kept verbatim with entities decoded — and the
+    * shortest documents' first half drops at the 25-char floor, so
+    * the threshold itself is exercised on real rows. Row-local,
+    * shuffle-free (one final order). */
+  def q206MarkupExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.MarkupExtract
+    val html = concat(
+      lit("<html><head><title>Doc "), $"doc_id", lit("</title>"),
+      lit("<style>body { margin: 0; }</style>"),
+      lit("<script>var page = "), $"doc_id", lit(";</script></head><body>"),
+      lit("<div id=\"nav\"><a href=\"/home\">Home</a> <a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></div>"),
+      lit("<h1>"), $"source", lit(" report</h1>"),
+      lit("<p>"), expr("substring(text, 1, length(text) DIV 2)"), lit("</p>"),
+      lit("<p>"), expr("substring(text, length(text) DIV 2 + 1)"),
+      lit(" see &quot;the docs&quot; &amp; <a href=\"/ref\">this reference</a> &lt;ok&gt;</p>"),
+      lit("<div class=\"footer\"><a href=\"/t\">Terms of service</a> <a href=\"/p\">Privacy policy</a> ok</div>"),
+      lit("</body></html>"))
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", html.as("html"))
+      .select($"doc_id",
+        size(MarkupExtract.blockStats($"html")).cast("long").as("n_blocks"),
+        size(MarkupExtract.keptBlocks($"html")).cast("long").as("n_kept"),
+        MarkupExtract.extractText($"html").as("extracted"))
+      .withColumn("extracted_chars", length($"extracted").cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  private def q206CleanSql(x: String): String =
+    "trim(regexp_replace(replace(replace(replace(replace(replace(replace(" +
+      s"regexp_replace($x, '<[^>]*>', ' ', 'g')," +
+      "'&lt;','<'),'&gt;','>'),'&quot;','\"'),'&#39;', chr(39)),'&nbsp;',' '),'&amp;','&')," +
+      "'\\s+', ' ', 'g'))"
+
+  val q206Sql: String = {
+    val anchorText = "array_to_string(regexp_extract_all(b, " +
+      "'(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1), ' ')"
+    s"""WITH h AS (SELECT doc_id,
+      |    '<html><head><title>Doc ' || doc_id || '</title>' ||
+      |    '<style>body { margin: 0; }</style>' ||
+      |    '<script>var page = ' || doc_id || ';</script></head><body>' ||
+      |    '<div id="nav"><a href="/home">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>' ||
+      |    '<h1>' || source || ' report</h1>' ||
+      |    '<p>' || substr(text, 1, length(text) // 2) || '</p>' ||
+      |    '<p>' || substr(text, length(text) // 2 + 1) ||
+      |    ' see &quot;the docs&quot; &amp; <a href="/ref">this reference</a> &lt;ok&gt;</p>' ||
+      |    '<div class="footer"><a href="/t">Terms of service</a> <a href="/p">Privacy policy</a> ok</div>' ||
+      |    '</body></html>' AS html
+      |  FROM documents),
+      |ns AS (SELECT doc_id,
+      |    regexp_replace(regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS html2 FROM h),
+      |bs AS (SELECT doc_id,
+      |    list_filter(list_transform(
+      |      string_split_regex(html2, '(?i)</?(?:html|head|body|title|h[1-6]|p|div|ul|ol|li|table|thead|tbody|tr|td|th|section|article|header|footer|nav|blockquote|pre|br|hr)(?:\\s[^>]*)?/?>'),
+      |      b -> struct_pack(
+      |        btext := ${q206CleanSql("b")},
+      |        llen := coalesce(length(${q206CleanSql(anchorText)}), 0))),
+      |      s -> s.btext <> '') AS blocks FROM ns),
+      |agg AS (SELECT doc_id,
+      |    CAST(len(blocks) AS BIGINT) AS n_blocks,
+      |    list_filter(blocks, s -> length(s.btext) >= 25 AND s.llen * 2 <= length(s.btext)) AS kept
+      |  FROM bs)
+      |SELECT doc_id, n_blocks,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  array_to_string(list_transform(kept, s -> s.btext), chr(10)) AS extracted,
+      |  CAST(length(array_to_string(list_transform(kept, s -> s.btext), chr(10))) AS BIGINT) AS extracted_chars
+      |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_markup_extract" -> (q206MarkupExtract _),
     "q185_persisted_bpe_apply" -> (q185PersistedBpeApply _),
     "q149_bpe_fertility" -> (q149BpeFertility _),
     "q143_bpe_train" -> (q143BpeTrain _),
@@ -1272,6 +1356,7 @@ object TextQueries {
     "q104_collocations" -> (q104Collocations _))
 
   val oracle: Map[String, String] = Map(
+    "q206_markup_extract" -> q206Sql,
     "q185_persisted_bpe_apply" -> q185Sql,
     "q149_bpe_fertility" -> q149Sql,
     "q143_bpe_train" -> q143Sql,

@@ -1311,10 +1311,11 @@ object Streaming {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val state = new ConvServeBatchState
     rotatingServe(arrivals, root, kind) { (batch, v) =>
+      val ckpt = graft.enrich.ConversationCheckpoint
       convServeFold(batch, v, root, kind, groupCol, orderCol, promptCol,
         enricher, config, systemPrompt, state,
-        graft.enrich.ConversationCheckpoint.chainResults(
-          batch.sparkSession, root, kind, v))
+        ckpt.touchedBuckets(batch, groupCol),
+        bs => ckpt.chainResults(batch.sparkSession, root, kind, v, bs))
     }(convServeSink(sink, state, root, kind))
   }
 
@@ -1332,15 +1333,23 @@ object Streaming {
       kind: String, groupCol: String, orderCol: String, promptCol: String,
       enricher: Enricher, config: AiConfig,
       systemPrompt: Option[String], state: ConvServeBatchState,
-      results: DataFrame): DataFrame = {
+      buckets: Seq[Int],
+      resultsFor: Option[Seq[Int]] => DataFrame): DataFrame = {
     val s = batch.sparkSession
     val reg = graft.ext.ArtifactRegistry
     val ckpt = graft.enrich.ConversationCheckpoint
-    // `results` is the pinned generation's FULL history: the pinned
-    // generation may be a DELTA, so the caller passes the chain union
-    // ([[graft.enrich.ConversationCheckpoint.chainResults]]).
+    // `resultsFor` builds the pinned generation's history (the pinned
+    // generation may be a DELTA, so callers pass the chain union —
+    // [[graft.enrich.ConversationCheckpoint.chainResults]]), optionally
+    // partition-pruned to the batch's touched buckets. The fold and
+    // the per-group checks are group-scoped, so they read the PRUNED
+    // chain (O(touched) IO per batch); only the pre-gcert fallback's
+    // whole-chain certificate check needs the full frame.
     val cursor = reg.read(s, root, kind, v, "cursor")
     val statKeys = Seq("ck_n", "ck_groups", "ck_gaps", "ck_xor_pair")
+    val certsOpt = ckpt.effectiveGroupCerts(s, root, kind, v)
+    val results =
+      if (certsOpt.isDefined) resultsFor(Some(buckets)) else resultsFor(None)
     // fold only the TOUCHED conversations: emission is the batch's
     // rows alone and groups fold independently, so replaying untouched
     // groups' histories is pure waste — per-batch fold cost scales
@@ -1348,7 +1357,7 @@ object Streaming {
     // everything the chain holds.
     val touched = results.join(batch.select(col(groupCol)).distinct(),
       Seq(groupCol), "left_semi")
-    ckpt.effectiveGroupCerts(s, root, kind, v) match {
+    certsOpt match {
       case Some(g) =>
         // INCREMENTAL verification — verify what you serve:
         // (a) gcert↔cursor summary consistency, once per (root, kind,
@@ -1521,11 +1530,16 @@ object Streaming {
       val s = batch.sparkSession
       val reg = graft.ext.ArtifactRegistry
       val ckpt = graft.enrich.ConversationCheckpoint
-      val prior = ckpt.chainResults(s, root, kind, v)
+      val buckets = ckpt.touchedBuckets(batch, groupCol)
       val out = convServeFold(batch, v, root, kind, groupCol, orderCol,
-        promptCol, enricher, config, systemPrompt, state, prior)
+        promptCol, enricher, config, systemPrompt, state, buckets,
+        bs => ckpt.chainResults(s, root, kind, v, bs))
       val keys = Seq(groupCol, orderCol, promptCol)
-      val priorKeys = prior.select(keys.map(col): _*)
+      // an arrival can only collide with standing history inside its
+      // own group's bucket, so the redelivery/freshness checks read
+      // the bucket-PRUNED chain — O(touched) IO, like the fold
+      val priorKeys = ckpt.chainResults(s, root, kind, v, Some(buckets))
+        .select(keys.map(col): _*)
       // idempotent under foreachBatch redelivery: a batch whose every
       // arrival is already in the pinned chain replays (out comes from
       // prior rows) and publishes NOTHING — no duplicate generation,
@@ -1562,8 +1576,11 @@ object Streaming {
             // against the pinned summary first — the per-batch
             // incremental checks only cover groups batches actually
             // read, and without this a tampered UNTOUCHED group would
-            // be laundered into a freshly-certified compaction.
-            // O(history), paid only at compactions (amortized O(log)).
+            // be laundered into a freshly-certified compaction. The
+            // UNPRUNED chain read is deliberate here (the only one in
+            // the serve loop): O(history), paid at compactions only
+            // (amortized O(log) per turn).
+            val prior = ckpt.chainResults(s, root, kind, v)
             val ok = reg.read(s, root, kind, v, "cursor")
               .join(graft.enrich.ConversationCheckpoint.certificate(
                 prior, groupCol, promptCol),

@@ -89,6 +89,83 @@ class Bm25Spec extends SparkSpec {
     assert(out.map(_.getLong(3)).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  /** Prunable (qid, doc) count, recomputed exactly the way
+    * [[Bm25.topKMaxScore]] bounds it — the spec's window into how much
+    * work the prune actually removed. */
+  private def prunableCount(ix: Bm25.Index,
+      q: org.apache.spark.sql.DataFrame, k: Int): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val qi = q.join(Bm25.impacts(ix), "term")
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"ub_fp".desc, $"term")
+    val sw = rw.rowsBetween(0, Long.MaxValue)
+    val ranked = qi.withColumn("ti", row_number().over(rw))
+      .withColumn("suffix_ub", sum($"ub_fp").over(sw))
+    val matched = ix.tf.join(ranked, "term")
+    val topIds = matched.filter($"ti" === 1)
+      .select($"qid".as("q1"), $"id".as("i1"))
+    val theta = matched
+      .join(topIds, matched("qid") === topIds("q1") && matched("id") === topIds("i1"), "left_semi")
+      .join(ix.dl, "id").withColumn("c", Bm25.contribExpr(ix.n, ix.t))
+      .groupBy($"qid", $"id").agg(sum($"c").as("s"))
+      .withColumn("r", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"qid").orderBy($"s".desc, $"id")))
+      .filter($"r" === k).select($"qid", $"s".as("theta"))
+    matched.groupBy($"qid", $"id")
+      .agg(max($"suffix_ub").as("best_ub"))
+      .join(theta, Seq("qid"))
+      .filter($"best_ub" < $"theta").count()
+  }
+
+  test("MaxScore prune: identical top-k to the unpruned ranking (documents corpus)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id".as("id"), $"text")
+    val ix = Bm25.index(docs, "id", "text")
+    val q = ix.queryTerms(8, 3)
+    val pruned = Bm25.topKMaxScore(ix, q, 10, Bm25.impacts(ix))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val full = Bm25.rankTopK(ix.scores(q), 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(pruned == full, "the prune changed the exact top-k")
+    // impact bounds are hard ceilings: every actual contribution of a
+    // query term is <= its term's ub_fp
+    import org.apache.spark.sql.functions._
+    val viol = ix.tf.join(q, "term").join(ix.dl, "id")
+      .withColumn("c", Bm25.contribExpr(ix.n, ix.t))
+      .join(Bm25.impacts(ix), "term")
+      .filter($"c" > $"ub_fp").count()
+    assert(viol == 0L)
+    // the word-salad documents corpus is honestly UNPRUNABLE (every
+    // doc matches a high-impact term — common words everywhere), which
+    // is itself worth pinning: the prune must be a no-op, not a loss
+    assert(prunableCount(ix, q, 10) == 0L)
+  }
+
+  test("MaxScore prune: non-vacuous on a skewed corpus, still exact") {
+    import spark.implicits._
+    // 10 strong docs carry the high-impact terms; 30 docs match ONLY
+    // the low-impact term 'weak' (tf 1 in a long doc) whose suffix
+    // bound cannot reach the θ set by the strong docs — the classic
+    // selective-query shape MaxScore exists for
+    val strong = (1L to 10L).map(i =>
+      (i, "alpha alpha alpha alpha beta beta gamma"))
+    val weakOnly = (11L to 40L).map(i =>
+      (i, s"weak f${i}a f${i}b f${i}c f${i}d f${i}e f${i}f f${i}g f${i}h f${i}i f${i}j f${i}k"))
+    val ix = Bm25.index((strong ++ weakOnly).toDF("id", "text"), "id", "text")
+    val q = ix.queryTerms(1, 3) // top-3 df terms: weak, alpha, beta
+    val k = 2
+    val pruned = Bm25.topKMaxScore(ix, q, k, Bm25.impacts(ix))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val full = Bm25.rankTopK(ix.scores(q), k)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(pruned == full, "the prune changed the exact top-k")
+    val prunable = prunableCount(ix, q, k)
+    assert(prunable >= 20L,
+      s"expected the weak-only docs prunable, got $prunable — the spec is vacuous")
+  }
+
   test("RRF fuses two ranked lists by integer reciprocal rank, nulls contribute 0") {
     import spark.implicits._
     import graft.ext.Rrf

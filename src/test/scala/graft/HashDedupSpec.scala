@@ -94,6 +94,53 @@ class HashDedupSpec extends SparkSpec {
     assert(banded.contains((10L, 20L))) // identical docs -> hamming 0
   }
 
+  test("wide SimHash: 64-bit signature halves and banded pairs equal brute force") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 10 == 0) "shared base text repeated tokens alpha beta gamma"
+          else s"doc $i unique words ${i * 7} ${i * 13} zeta eta theta iota kappa"))
+    val df = docs.toDF("doc_id", "text")
+    // the low half IS simhash32 (base-31 votes), bit for bit — the two
+    // operating points share one signature family
+    val halves = df.select(GraftFunctions.simhash32($"text").as("s32"),
+        GraftFunctions.simhash64($"text").as("s64"))
+      .as[(Long, Long)].collect()
+    halves.foreach { case (s32, s64) =>
+      assert((s64 & 0xFFFFFFFFL) == s32, f"low half $s64%x != simhash32 $s32%x")
+    }
+    // identical texts agree on BOTH halves; the high half is a
+    // genuinely different family (some doc must differ from its own
+    // low half pattern — i.e. high != low somewhere)
+    assert(halves.exists { case (s32, s64) => (s64 >>> 32) != s32.toLong })
+    // wide banded pairs = brute force over the 64-bit metric
+    val banded = SimHashDedup.nearDupPairsWide(df, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sims = SimHashDedup.simhashes64(df, "doc_id", "text")
+    val brute = sims.as("a").crossJoin(sims.as("b"))
+      .filter($"a.id" < $"b.id")
+      .filter(bit_count($"a.sh".bitwiseXOR($"b.sh")) <= 3)
+      .select($"a.id", $"b.id").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+    assert(banded.contains((10L, 20L))) // identical docs -> hamming 0
+    // the wide metric is TIGHTER than or equal to the 32-bit one:
+    // every wide-<=3 pair is 32-bit-<=3 (the low half is a summand)
+    val narrow = SimHashDedup.nearDupPairs(df, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded.subsetOf(narrow))
+  }
+
+  test("wide SimHash guard: an oversized 16-bit band bucket throws loudly") {
+    // 20 verbatim clones share every wide band bucket; guardBucket=8
+    // must trip with the advice in the message
+    val df = (1L to 20L).map(i => (i, "identical clone mass every time"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      SimHashDedup.nearDupPairsWide(df, "doc_id", "text", maxHamming = 3,
+        guardBucket = 8).collect()
+    }
+    assert(e.getMessage.contains("exceeds the guard"),
+      s"unexpected message: ${e.getMessage}")
+  }
+
   test("SimHash bucket cap excludes clone clusters, keeps ordinary pairs") {
     // a 6-doc verbatim clone cluster (one bucket in EVERY band — the
     // 10x scale-stress shape whose true pair set is clone-quadratic)

@@ -281,6 +281,40 @@ class MiningOpsSpec extends SparkSpec {
     }
   }
 
+  test("q146b: exact-verify decontamination — FN structurally zero, FP zero after verify") {
+    val out = graft.queries.MiningQueries.q146bDecontamVerified(spark, sf)
+      .select($"doc_id", $"is_candidate", $"is_contaminated")
+      .as[(Long, Int, Int)].collect()
+    // brute-force truth, independent of winnowing: a train doc is
+    // contaminated iff it shares an exact 27-char substring with the
+    // eval slice (computed over ALL docs — no candidate narrowing, so
+    // the comparison also proves narrowing the verify sets was sound)
+    val docs = graft.Tables.load(spark, sf, "documents")
+    def grams(side: org.apache.spark.sql.DataFrame) = side
+      .filter(length($"text") >= 27)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, length(text) - 26), i -> substring(text, i, 27))")).as("g"))
+    val truth = grams(docs.filter($"doc_id" % 10 =!= 0))
+      .join(grams(docs.filter($"doc_id" % 10 === 0)).select($"g").distinct(),
+        Seq("g"), "left_semi")
+      .select($"doc_id").as[Long].collect().toSet
+    // FP = 0: the verified flag IS the exact truth, on every row
+    out.foreach { case (id, _, v) =>
+      assert((v == 1) == truth.contains(id),
+        s"doc $id verified=$v but exact truth=${truth.contains(id)}")
+    }
+    // FN structurally zero: every truly contaminated doc is a candidate
+    out.foreach { case (id, cand, _) =>
+      if (truth.contains(id))
+        assert(cand == 1, s"doc $id contaminated but not a candidate — recall broken")
+    }
+    // and the verify stage is non-vacuous at this operating point:
+    // some candidates must be refuted (q183 measured FP 331 raw)
+    assert(out.exists { case (_, cand, v) => cand == 1 && v == 0 },
+      "no refuted candidates — the exact-verify stage proved nothing")
+    assert(out.exists(_._3 == 1), "no contaminated docs at all — degenerate corpus")
+  }
+
   test("q183: winnowing long-span guarantee holds — no FN class on the corpus") {
     val out = graft.queries.MiningQueries.q183WinnowEval(spark, sf)
       .as[(String, Long)].collect().toMap

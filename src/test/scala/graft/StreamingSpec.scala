@@ -1366,6 +1366,109 @@ class StreamingSpec extends SparkSpec {
       "the surviving chain must checkpoint the whole conversation bit-identically")
   }
 
+  test("publishing serve IO is O(touched): per-batch opens stay in touched buckets") {
+    // the files-read audit behind the group-bucketed chain layout
+    // (ConversationCheckpoint.BucketCol): every non-compaction
+    // micro-batch may OPEN results-part data files only inside the
+    // batch's own groups' bucket subdirectories — partition pruning
+    // proved on the wire through an open-recording FileSystem, while
+    // emissions stay bit-identical to the uninterrupted fold
+    import graft.enrich.{ConversationCheckpoint, EnrichRunner}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reg = graft.ext.ArtifactRegistry
+    val ckpt = ConversationCheckpoint
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.oaudit.impl", classOf[OpenAuditFs].getName)
+    // three groups in three DISTINCT buckets (names probed against the
+    // pinned bucket hash, so the test cannot silently degenerate to a
+    // single bucket)
+    val groups = ('A' to 'Z').map(g => s"conv$g")
+      .map(g => g -> ckpt.touchedBuckets(Seq(g).toDF("grp"), "grp").head)
+      .distinctBy(_._2).take(3).map(_._1)
+    assert(groups.size == 3)
+    val turnsPerGroup = 7
+    val df = groups.flatMap(g => (1 to turnsPerGroup).map(k =>
+      (g, k.toLong, s"$g-p$k"))).toDF("grp", "ord", "prompt")
+    val expected = EnrichRunner.runConversations(df, "grp", Seq("ord"),
+        "prompt", ConversationalTestEnricher(), AiConfig.test())
+      .select($"grp", $"ord", $"turn_number", $"history_chars", $"response")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val localRoot = s"${System.getProperty("java.io.tmpdir")}/graft-index/" +
+      s"oaud-${java.util.UUID.randomUUID.toString.take(8)}"
+    val root = "oaudit://" + localRoot
+    val kind = "conv_oaud"
+    // seed with a DELTA-shape publish (baseVersion = 0): bucketed
+    // results + gcert from generation one, so the serve's pruned path
+    // is active for every audited batch
+    val pre = EnrichRunner.runConversations(df.filter($"ord" === 1L), "grp",
+        Seq("ord"), "prompt", ConversationalTestEnricher(), AiConfig.test())
+      .select($"grp", $"ord", $"prompt", $"turn_number", $"response")
+    reg.setPin(spark, root, kind, ckpt.publishDelta(
+      spark, root, kind, pre, "grp", "prompt", cursorTurn = 1L,
+      baseVersion = 0L))
+    val audited = scala.collection.mutable.ArrayBuffer
+      .empty[(Set[Int], Boolean, Seq[String])] // (touched, compacted, results opens)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long, String)]
+    var currentTouched: Set[Int] = Set.empty
+    val input = MemoryStream[(String, Long, String)]
+    val q = Streaming.conversationServeStreamPublishing(
+        input.toDF().toDF("grp", "ord", "prompt"), root, kind,
+        "grp", "ord", "prompt", ConversationalTestEnricher(), AiConfig.test(),
+        maxChainDepth = 4) { (_, out) =>
+      got ++= out.select($"grp", $"ord", $"turn_number", $"history_chars", $"response")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4)))
+      val nv = reg.currentPin(spark, root, kind).get
+      val compacted = ckpt.chain(spark, root, kind, nv).length == 1
+      audited += ((currentTouched, compacted,
+        OpenAuditFs.snapshot().filter(p =>
+          p.contains("/results/") && p.endsWith(".parquet"))))
+    }
+    try (2 to turnsPerGroup).foreach { k =>
+      groups.foreach { g =>
+        currentTouched =
+          ckpt.touchedBuckets(Seq(g).toDF("grp"), "grp").toSet
+        OpenAuditFs.reset()
+        input.addData((g, k.toLong, s"$g-p$k"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // bit-identity first: pruning must not change a single emission
+    assert(got.size == groups.size * (turnsPerGroup - 1))
+    got.foreach { case (g, ord, t, h, resp) =>
+      assert(expected((g, ord)) == ((t, h, resp)),
+        s"($g, $ord) diverged under the pruned fold: ($t,$h,$resp)")
+    }
+    // the audit itself: a non-compaction batch opened results data
+    // files ONLY under its own touched buckets' partition directories
+    val bucketRe = ".*/__bucket=(\\d+)/.*".r
+    val nonCompact = audited.filterNot(_._2)
+    assert(nonCompact.size >= groups.size,
+      "the run must include several non-compaction batches to audit")
+    nonCompact.foreach { case (touched, _, opens) =>
+      opens.foreach {
+        case p @ bucketRe(b) =>
+          assert(touched.contains(b.toInt),
+            s"batch touching buckets $touched opened a foreign bucket's file: $p")
+        case p =>
+          fail(s"unbucketed results file read in a pruned batch: $p")
+      }
+    }
+    // non-vacuous: audited batches really did read results files, and
+    // the store really held OTHER buckets' files they skipped
+    assert(nonCompact.count(_._3.nonEmpty) >= groups.size,
+      "the audit never saw a results read — the probe is vacuous")
+    val allBuckets = nonCompact.flatMap(_._3).flatMap {
+      case bucketRe(b) => Some(b.toInt); case _ => None
+    }.toSet
+    assert(allBuckets.size >= 3,
+      s"expected 3 distinct buckets on the wire, saw $allBuckets")
+    // and at least one compaction happened (depth 4), whose full-chain
+    // re-verification is the one legitimate O(history) read
+    assert(audited.exists(_._2), "expected a compaction under maxChainDepth=4")
+  }
+
   test("incremental conv verification: verify-what-you-serve; compaction refuses laundering") {
     import graft.enrich.{ConversationCheckpoint, EnrichRunner}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
