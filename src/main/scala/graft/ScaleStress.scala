@@ -56,20 +56,25 @@ object ScaleStress {
       distinctText: Boolean = false): Unit = {
     val out = java.nio.file.Paths.get(outDir)
     val mode = if (distinctText) "distinct" else "clones"
+    // the stamp carries BOTH axes a reuse can mislabel: mode AND
+    // factor (a factor-10 corpus reused by a factor-100 run would
+    // record factor-100 exponents over factor-10 data just as
+    // silently as a mode mismatch would)
+    val stamp = s"$mode:$factor"
     val marker = out.resolve("_mode")
     if (java.nio.file.Files.isDirectory(out)) {
-      // built once, reused — but ONLY in the same mode: the blown
-      // corpus's mode is stamped in a marker file, and a run that
-      // requests the other mode (or finds a pre-marker directory)
-      // refuses loudly rather than measuring clone exponents under a
-      // "distinct" label (or vice versa) in the cross-round table
+      // built once, reused — but ONLY at the same (mode, factor): the
+      // blown corpus's provenance is stamped in a marker file, and a
+      // run that requests anything else (or finds a pre-marker or
+      // half-built directory) refuses loudly rather than recording
+      // mislabeled exponents in the cross-round table
       require(java.nio.file.Files.exists(marker) &&
-          java.nio.file.Files.readString(marker).trim == mode,
-        s"$outDir was built in mode '" +
+          java.nio.file.Files.readString(marker).trim == stamp,
+        s"$outDir was built as '" +
           (if (java.nio.file.Files.exists(marker))
             java.nio.file.Files.readString(marker).trim
           else "unknown (pre-marker)") +
-          s"' but this run requests '$mode' — point it at a different " +
+          s"' but this run requests '$stamp' — point it at a different " +
           "outDir (or delete this one) so exponents are never mislabeled")
       return
     }
@@ -119,7 +124,7 @@ object ScaleStress {
     }
     // marker lands LAST: a crashed half-build has no marker and the
     // next run refuses it instead of reusing a partial corpus
-    java.nio.file.Files.writeString(marker, mode)
+    java.nio.file.Files.writeString(marker, stamp)
   }
 
   private def medianSecs(s: SparkSession, name: String, dir: String,

@@ -167,14 +167,14 @@ object ConversationCheckpoint {
       // O(touched) IO, completing the O(touched)-compute story
       Seq("results" -> delta.withColumn(BucketCol, bucketExpr(groupCol))),
       landed => {
-        // the landed read re-discovers BucketCol as a partition column;
-        // certificates are over the logical rows, so drop it — but keep
-        // the landed frame for the touched-bucket ids (read from the
-        // partition values, no recompute)
+        // the landed read re-discovers BucketCol as a partition column
+        // (unless the delta was EMPTY — a zero-row partitioned write
+        // lands as an unpartitioned schema file); certificates are
+        // over the logical rows, so drop it. Touched-bucket ids come
+        // from bucketExpr over the landed groups — the same pinned
+        // expression the writer used, present in every layout
         val landedResults = landed("results").drop(BucketCol)
-        lazy val landedBuckets = landed("results")
-          .select(col(BucketCol).cast("int")).distinct()
-          .collect().map(_.getInt(0)).toSeq
+        lazy val landedBuckets = touchedBuckets(landedResults, groupCol)
         val gNew =
           if (baseVersion == 0L)
             groupCertificate(landedResults, groupCol, promptCol)
@@ -205,7 +205,13 @@ object ConversationCheckpoint {
         Seq("gcert" -> gNew,
           "cursor" -> curStats
             .withColumn("cursor_turn", lit(cursorTurn))
-            .withColumn("base_version", lit(baseVersion)))
+            .withColumn("base_version", lit(baseVersion))
+            // the results row schema rides the KB-sized cursor so a
+            // pruned chain read whose every touched bucket is empty
+            // can build its empty frame WITHOUT opening any foreign
+            // bucket's data file for schema inference (the open-audit
+            // O(touched) contract covers that batch shape too)
+            .withColumn("results_schema", lit(landedResults.schema.json)))
       },
       partitionCols = Map("results" -> Seq(BucketCol)))
 
@@ -340,9 +346,26 @@ object ConversationCheckpoint {
       }
     }
     if (frames.nonEmpty) frames.reduce(_ unionByName _)
-    // every touched bucket empty across the whole chain: an empty
-    // frame in the chain's row schema (one footer read, zero rows)
-    else whole(vs.head).filter(lit(false))
+    else {
+      // every touched bucket empty across the whole chain (an
+      // all-new-groups batch): an empty frame in the chain's row
+      // schema. Reaching this branch means every link is bucketed,
+      // i.e. published by [[publishDelta]], whose cursor records the
+      // results schema — so the empty frame builds from that KB-sized
+      // part with ZERO data-file opens (a whole-part schema inference
+      // would open a foreign bucket's footer and break the open-audit
+      // O(touched) contract). A pre-schema-cursor generation falls
+      // back to the one-footer inference, documented and honest.
+      val cur = reg.read(s, root, kind, vs.head, "cursor")
+      val schema =
+        if (cur.columns.contains("results_schema"))
+          org.apache.spark.sql.types.DataType.fromJson(
+              cur.select(col("results_schema")).collect()(0).getString(0))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+        else whole(vs.head).schema
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
   private def fsPath(s: SparkSession, p: String) = {

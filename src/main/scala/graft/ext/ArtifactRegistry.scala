@@ -221,8 +221,20 @@ object ArtifactRegistry {
       val w = df.write.mode("errorifexists")
       partitionCols.getOrElse(name, Nil) match {
         case Nil => w.parquet(s"${versionDir(root, kind, v)}/$name")
-        case cs => w.partitionBy(cs: _*)
-          .parquet(s"${versionDir(root, kind, v)}/$name")
+        case cs =>
+          val dir = s"${versionDir(root, kind, v)}/$name"
+          w.partitionBy(cs: _*).parquet(dir)
+          // a dynamic-partition write of ZERO rows lands no parquet
+          // file at all (files are created lazily per row) — a later
+          // read of the part would fail schema inference, a regression
+          // vs the unpartitioned path's schema-bearing empty file.
+          // Land the schema explicitly: one empty UNPARTITIONED file
+          // at the part root (partition columns dropped — limit(0)
+          // optimizes to an empty relation, so the input plan never
+          // re-executes), which readers then see as an ordinary
+          // unpartitioned empty part
+          if (!hasDataFile(s, dir))
+            df.limit(0).drop(cs: _*).write.mode("append").parquet(dir)
       }
       // count the LANDED parquet, not the input plan: the manifest
       // certifies what storage holds — from the footers' row-group
@@ -263,6 +275,21 @@ object ArtifactRegistry {
     * scale the per-file reads are independent and could fan out, but
     * even driver-side they are O(files) footer fetches, never O(rows).
     */
+  /** Whether any parquet DATA file exists under `path` (recursive) —
+    * the zero-row-partitioned-write probe: metadata listing only, no
+    * footer reads. */
+  private def hasDataFile(s: SparkSession, path: String): Boolean = {
+    val (f, p) = fs(s, path)
+    val it = f.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith(".")) return true
+    }
+    false
+  }
+
   private[graft] def countLandedRows(s: SparkSession, path: String): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile

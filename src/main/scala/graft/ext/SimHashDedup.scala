@@ -189,30 +189,10 @@ object SimHashDedup {
     val bands = bandsOf(simhashes(df, idCol, textCol))
     val hamming =
       bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long")
-    if (maxBucket == Int.MaxValue) {
-      val firstMatch = firstMatchPred
-      // the guard: bucket size over the same (band, bval) keys the
-      // self-join shuffles on (exchange reused); assert_true returns
-      // null for every surviving row, so results are untouched until
-      // the moment a bucket crosses the guard — then the stage fails
-      // with the fix in the message instead of hanging
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bval"))
-      val guarded =
-        if (guardBucket == Int.MaxValue) bands
-        else bands.withColumn("bsz", count(lit(1)).over(w))
-          .filter(assert_true(col("bsz") <= guardBucket,
-            concat(lit("uncapped SimHash band bucket of size "), col("bsz"),
-              lit(s" exceeds the guard ($guardBucket): " + guardAdvice))).isNull)
-          .drop("bsz")
-      guarded.as("a").join(guarded.as("b"),
-          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-            col("a.id") < col("b.id") &&
-            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming &&
-            firstMatch)
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          hamming.as("hamming"))
-    } else {
+    if (maxBucket == Int.MaxValue)
+      uncappedBandedPairs(bands, Bands, BitsPerBand, maxHamming,
+        guardBucket, guardAdvice, guardLabel = "SimHash")
+    else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("bval"))
       val kept = bands
@@ -244,8 +224,25 @@ object SimHashDedup {
       guardAdvice: String = DefaultGuardAdvice): DataFrame = {
     require(maxHamming < WideBands,
       s"maxHamming=$maxHamming needs > $maxHamming+1 bands for exact recall")
-    val bands = bandsOfG(simhashes64(df, idCol, textCol),
-      WideBands, WideBitsPerBand)
+    uncappedBandedPairs(
+      bandsOfG(simhashes64(df, idCol, textCol), WideBands, WideBitsPerBand),
+      WideBands, WideBitsPerBand, maxHamming, guardBucket, guardAdvice,
+      guardLabel = "wide SimHash")
+  }
+
+  /** The ONE uncapped banded self-join, shared by both geometries
+    * (8-bit/32-bit [[nearDupPairs]] and 16-bit/64-bit
+    * [[nearDupPairsWide]]) so a fix to the guard or the
+    * first-match-band emission can never apply to one and silently
+    * miss the other. The guard: bucket size as a COUNT WINDOW over
+    * the same (band, bval) keys the self-join shuffles on (exchange
+    * reused); assert_true returns null for every surviving row, so
+    * results are untouched until the moment a bucket crosses the
+    * guard — then the stage fails with the fix in the message instead
+    * of hanging. */
+  private def uncappedBandedPairs(bands: DataFrame, nBands: Int, bits: Int,
+      maxHamming: Int, guardBucket: Int, guardAdvice: String,
+      guardLabel: String): DataFrame = {
     val hamming =
       bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long")
     val w = org.apache.spark.sql.expressions.Window
@@ -254,14 +251,14 @@ object SimHashDedup {
       if (guardBucket == Int.MaxValue) bands
       else bands.withColumn("bsz", count(lit(1)).over(w))
         .filter(assert_true(col("bsz") <= guardBucket,
-          concat(lit("uncapped wide SimHash band bucket of size "), col("bsz"),
+          concat(lit(s"uncapped $guardLabel band bucket of size "), col("bsz"),
             lit(s" exceeds the guard ($guardBucket): " + guardAdvice))).isNull)
         .drop("bsz")
     guarded.as("a").join(guarded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.id") < col("b.id") &&
           bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming &&
-          firstMatchPredG(WideBands, WideBitsPerBand))
+          firstMatchPredG(nBands, bits))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming.as("hamming"))
   }

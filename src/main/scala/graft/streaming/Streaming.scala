@@ -1531,15 +1531,22 @@ object Streaming {
       val reg = graft.ext.ArtifactRegistry
       val ckpt = graft.enrich.ConversationCheckpoint
       val buckets = ckpt.touchedBuckets(batch, groupCol)
+      // ONE pruned chain construction per batch, shared by the fold
+      // and the redelivery/freshness checks below: the chain walk,
+      // per-link bucket listing, and per-bucket existence probes are
+      // driver-side filesystem metadata work, and building the
+      // identical frame twice doubles those round-trips on the hot
+      // serving path (dozens per batch on an object store)
+      lazy val prunedChain = ckpt.chainResults(s, root, kind, v, Some(buckets))
       val out = convServeFold(batch, v, root, kind, groupCol, orderCol,
         promptCol, enricher, config, systemPrompt, state, buckets,
-        bs => ckpt.chainResults(s, root, kind, v, bs))
+        { case Some(_) => prunedChain
+          case None => ckpt.chainResults(s, root, kind, v) })
       val keys = Seq(groupCol, orderCol, promptCol)
       // an arrival can only collide with standing history inside its
       // own group's bucket, so the redelivery/freshness checks read
       // the bucket-PRUNED chain — O(touched) IO, like the fold
-      val priorKeys = ckpt.chainResults(s, root, kind, v, Some(buckets))
-        .select(keys.map(col): _*)
+      val priorKeys = prunedChain.select(keys.map(col): _*)
       // idempotent under foreachBatch redelivery: a batch whose every
       // arrival is already in the pinned chain replays (out comes from
       // prior rows) and publishes NOTHING — no duplicate generation,

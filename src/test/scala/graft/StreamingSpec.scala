@@ -1275,6 +1275,40 @@ class StreamingSpec extends SparkSpec {
         s"(got ${NondeterministicEnricher.calls.get})")
   }
 
+  test("publishDelta: an EMPTY delta lands readable; nowhere-bucket pruned read opens no data file") {
+    import graft.enrich.ConversationCheckpoint
+    val reg = graft.ext.ArtifactRegistry
+    val ckpt = ConversationCheckpoint
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-index/" +
+      s"edel-${java.util.UUID.randomUUID.toString.take(8)}"
+    val kind = "conv_edelta"
+    val seed = Seq(("A", 1L, "p1", 1L, "r1"))
+      .toDF("grp", "ord", "prompt", "turn_number", "response")
+    val v1 = ckpt.publishDelta(spark, root, kind, seed, "grp", "prompt",
+      cursorTurn = 1L, baseVersion = 0L)
+    // a ZERO-ROW delta is a legal publish (e.g. a caller without the
+    // serve's freshness guard publishing a fully-redelivered batch):
+    // a dynamic-partition write of zero rows lands no file, so the
+    // registry lands the schema explicitly — the publish must not die
+    // in schema inference mid-publish, and the generation must read
+    val v2 = ckpt.publishDelta(spark, root, kind, seed.filter(lit(false)),
+      "grp", "prompt", cursorTurn = 1L, baseVersion = v1)
+    assert(reg.read(spark, root, kind, v2, "results").isEmpty)
+    assert(ckpt.chainResults(spark, root, kind, v2).count() == 1L)
+    // pruned read on the seed's bucket still yields the full history
+    // through the empty link
+    val aBuckets = ckpt.touchedBuckets(Seq("A").toDF("grp"), "grp")
+    assert(ckpt.chainResults(spark, root, kind, v2, Some(aBuckets))
+      .count() == 1L)
+    // a pruned read whose buckets exist NOWHERE in a fully-bucketed
+    // chain builds its empty frame from the cursor's recorded results
+    // schema: correct columns, zero rows, no whole-part inference
+    val foreign = (0 until ConversationCheckpoint.NumBuckets)
+      .filterNot(aBuckets.toSet).take(1)
+    val none = ckpt.chainResults(spark, root, kind, v1, Some(foreign))
+    assert(none.columns.toSeq == seed.columns.toSeq && none.isEmpty)
+  }
+
   test("a 100-batch publishing serve holds O(1) generations and O(history) rows") {
     import graft.enrich.{ConversationCheckpoint, EnrichRunner}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -1425,19 +1459,54 @@ class StreamingSpec extends SparkSpec {
         OpenAuditFs.snapshot().filter(p =>
           p.contains("/results/") && p.endsWith(".parquet"))))
     }
-    try (2 to turnsPerGroup).foreach { k =>
-      groups.foreach { g =>
-        currentTouched =
-          ckpt.touchedBuckets(Seq(g).toDF("grp"), "grp").toSet
-        OpenAuditFs.reset()
-        input.addData((g, k.toLong, s"$g-p$k"))
-        q.processAllAvailable()
+    // an ALL-NEW-GROUPS batch first (deterministically non-compacting
+    // at chain depth 1): its bucket exists in NO chain generation, so
+    // the pruned read's empty prior must build from the cursor's
+    // recorded results schema — ZERO results data-file opens (the
+    // first cut inferred schema from the whole part, opening a foreign
+    // bucket's footer on exactly this batch shape)
+    val seededBuckets = groups
+      .map(g => ckpt.touchedBuckets(Seq(g).toDF("grp"), "grp").head).toSet
+    val gNova = ('A' to 'Z').map(c => s"nova$c").find(g =>
+      !seededBuckets.contains(
+        ckpt.touchedBuckets(Seq(g).toDF("grp"), "grp").head)).get
+    val novaExpected = EnrichRunner.runConversations(
+        Seq((gNova, 1L, s"$gNova-p1")).toDF("grp", "ord", "prompt"), "grp",
+        Seq("ord"), "prompt", ConversationalTestEnricher(), AiConfig.test())
+      .select($"grp", $"ord", $"turn_number", $"history_chars", $"response")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    try {
+      currentTouched = ckpt.touchedBuckets(Seq(gNova).toDF("grp"), "grp").toSet
+      OpenAuditFs.reset()
+      input.addData((gNova, 1L, s"$gNova-p1"))
+      q.processAllAvailable()
+      // the batch's own delta publish reads its LANDED file (own
+      // bucket — touched); what must never appear is a foreign
+      // bucket's file or a root-level (unbucketed) schema read
+      val novaRe = ".*/__bucket=(\\d+)/.*".r
+      audited.last._3.foreach {
+        case p @ novaRe(b) =>
+          assert(currentTouched.contains(b.toInt),
+            s"all-new-groups batch opened a foreign bucket's file: $p")
+        case p =>
+          fail(s"all-new-groups batch did an unbucketed results read " +
+            s"(schema inference from a whole part): $p")
+      }
+      (2 to turnsPerGroup).foreach { k =>
+        groups.foreach { g =>
+          currentTouched =
+            ckpt.touchedBuckets(Seq(g).toDF("grp"), "grp").toSet
+          OpenAuditFs.reset()
+          input.addData((g, k.toLong, s"$g-p$k"))
+          q.processAllAvailable()
+        }
       }
     } finally q.stop()
     // bit-identity first: pruning must not change a single emission
-    assert(got.size == groups.size * (turnsPerGroup - 1))
+    assert(got.size == groups.size * (turnsPerGroup - 1) + 1)
     got.foreach { case (g, ord, t, h, resp) =>
-      assert(expected((g, ord)) == ((t, h, resp)),
+      assert((expected ++ novaExpected)((g, ord)) == ((t, h, resp)),
         s"($g, $ord) diverged under the pruned fold: ($t,$h,$resp)")
     }
     // the audit itself: a non-compaction batch opened results data
