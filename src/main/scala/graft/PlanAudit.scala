@@ -93,13 +93,10 @@ object PlanAudit {
     // rank-locating non-equi joins against the ≤1024-row cumulative
     // histogram (q83/q82 class) — all constant-size sides
     "q152_hist_quantiles" -> Set(Bnlj),
-    // dense-baseline scoring broadcasts the 8-row query-vector table
-    // under a cross join (the q22/q94 class). BM25's vocabulary ranking
-    // window runs eagerly into the checkpointed query-term table, so
-    // its justified SinglePartition never reaches the audited plan.
-    "q121_rrf_fusion" -> Set(Bnlj),
-    // same dense-baseline 8-row query-vector cross join as q121
-    "q142_triple_rrf" -> Set(Bnlj),
+    // (q121/q142's former dense-baseline BNLJ entries were pruned in
+    // r18: the sparse/dense rankings are session-cached checkpointed
+    // ≤ 80-row frames now, so the 8-row query-vector cross join runs
+    // at cache-build time and never reaches the audited plans)
     // KMV assembly: every frame past the TakeOrdered sketches is ≤ 64
     // rows — the scalar aggs and 1-row crossJoins are the q82 class
     "q125_kmv_overlap" -> Set(SinglePartition, Bnlj),

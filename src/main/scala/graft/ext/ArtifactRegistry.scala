@@ -93,9 +93,22 @@ object ArtifactRegistry {
     * dedup exchange on every manifest consult; row-level consumers
     * that cannot tolerate a post-crash duplicate should dedupe on
     * (version, part) themselves. */
+  /** The manifest's fixed schema, supplied EXPLICITLY on every read:
+    * the control-plane queries (q194–q199 plus every rotating serve)
+    * plan dozens of manifest/pin scans per action, and without a
+    * user-supplied schema each `spark.read.parquet` pays a driver-side
+    * footer fetch + schema merge at PLAN time — pure metadata overhead
+    * on files whose schema is a write-side constant of this module. */
+  private val ManifestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("part", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("corpus_fp", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("created_at_ms", org.apache.spark.sql.types.LongType)))
+
   def manifest(s: SparkSession, root: String, kind: String): DataFrame = {
     val path = s"$root/$kind/$ManifestDir"
-    if (exists(s, path)) s.read.parquet(path)
+    if (exists(s, path)) s.read.schema(ManifestSchema).parquet(path)
     else s.range(0).select(
       col("id").as("version"), lit("").as("part"), col("id").as("corpus_fp"),
       col("id").as("n_rows"), col("id").as("created_at_ms"))
@@ -396,7 +409,8 @@ object ArtifactRegistry {
     val known = retryFnf(manifest(s, root, kind)
       .filter(col("version") === version).limit(1).count()) > 0
     require(known, s"cannot pin $kind v$version under $root: not manifest-visible")
-    val seq = pinLog(s, root, kind).agg(max(col("seq"))).collect()(0) match {
+    val seq = pinLog(s, root, kind, dedup = false) // max(seq) is duplicate-safe
+      .agg(max(col("seq"))).collect()(0) match {
       case r if r.isNullAt(0) => 1L
       case r => r.getLong(0) + 1L
     }
@@ -446,13 +460,27 @@ object ArtifactRegistry {
     old.foreach(st => f.delete(st.getPath, false))
   }
 
+  /** The pin log's fixed schema — see [[ManifestSchema]]'s rationale. */
+  private val PinSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType)))
+
   /** The pin log of `kind` (version, seq), empty frame if never pinned.
     * Deduped on seq: a compaction crash can leave a flip row present
-    * both compacted and raw — same row either way. */
-  def pinLog(s: SparkSession, root: String, kind: String): DataFrame = {
+    * both compacted and raw — same row either way. Consumers whose
+    * aggregation is itself duplicate-safe (max/max_by/limit-1 on seq —
+    * a duplicate carries identical values, so the resolved row cannot
+    * change) pass `dedup = false` and skip the per-read dedup
+    * exchange; row-level history readers keep the default. */
+  def pinLog(s: SparkSession, root: String, kind: String): DataFrame =
+    pinLog(s, root, kind, dedup = true)
+
+  def pinLog(s: SparkSession, root: String, kind: String, dedup: Boolean): DataFrame = {
     val path = s"$root/$kind/$PinDir"
-    if (exists(s, path)) s.read.parquet(path).dropDuplicates("seq")
-    else s.range(0).select(col("id").as("version"), col("id").as("seq"))
+    if (exists(s, path)) {
+      val raw = s.read.schema(PinSchema).parquet(path)
+      if (dedup) raw.dropDuplicates("seq") else raw
+    } else s.range(0).select(col("id").as("version"), col("id").as("seq"))
   }
 
   /** The currently pinned version of `kind`, if any — the version at
@@ -465,9 +493,9 @@ object ArtifactRegistry {
     * (transient by construction — the re-resolve lists the compacted
     * file, which holds every row the deleted ones did). */
   def currentPin(s: SparkSession, root: String, kind: String): Option[Long] = {
-    def resolve(): Option[Long] =
-      pinLog(s, root, kind).orderBy(col("seq").desc).limit(1).collect()
-        .headOption.map(_.getLong(0))
+    def resolve(): Option[Long] = // top-1 by seq is duplicate-safe
+      pinLog(s, root, kind, dedup = false).orderBy(col("seq").desc).limit(1)
+        .collect().headOption.map(_.getLong(0))
     try resolve() catch {
       case e: Throwable if isFileNotFound(e) => resolve()
     }

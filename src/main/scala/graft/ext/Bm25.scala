@@ -100,7 +100,13 @@ object Bm25 {
     val tf = toks.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
+    // dl and dfreq are each consumed by SEVERAL downstream actions
+    // (scores, impacts, the MaxScore threshold and prune phases, the
+    // query-term selection) — eagerly materialized so consumers read
+    // the doc- / vocab-sized result instead of re-aggregating the
+    // term-frequency table per action
     val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint(true)
     // N counts docs WITH tokens: exactly the BM25 candidate set
     val stats = dl.agg(count(lit(1)), sum(col("dl"))).head()
     require(!stats.isNullAt(1), "BM25 corpus has no tokenized rows")
@@ -108,6 +114,7 @@ object Bm25 {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("idf_bits",
         (length(bin(lit(2 * n + 1))) - length(bin(col("df") * 2 + 1))).cast("long"))
+      .localCheckpoint(true)
     Index(tf, dl, n, t, dfreq)
   }
 
@@ -171,12 +178,27 @@ object Bm25 {
     * (tf, dl) postings when the index is built (vocab-sized output, a
     * serve persists it beside `dfreq` and never recomputes it per
     * query). Exact, not an estimate — scores are integers, so the
-    * max is a hard ceiling. */
-  def impacts(ix: Index): DataFrame =
-    ix.tf.join(ix.dl, "id")
+    * max is a hard ceiling.
+    *
+    * `onlyTerms`: restrict the bound computation to the given terms
+    * (a KB-sized broadcast semi-join on the postings BEFORE the
+    * per-term max) — each surviving term's bound is still taken over
+    * its FULL posting list, so the values are identical to the
+    * unrestricted artifact's; only the vocabulary-wide aggregation
+    * shrinks to the posting lists a caller's query batch can consult.
+    * The build-time artifact passes None; a per-batch prune passes its
+    * query terms. */
+  def impacts(ix: Index, onlyTerms: Option[DataFrame] = None): DataFrame = {
+    val tf = onlyTerms match {
+      case Some(ts) => ix.tf.join(
+        broadcast(ts.select(col("term")).distinct()), Seq("term"), "left_semi")
+      case None => ix.tf
+    }
+    tf.join(ix.dl, "id")
       .join(ix.dfreq.select(col("term"), col("idf_bits")), "term")
       .withColumn("c", contribExpr(ix.n, ix.t))
       .groupBy(col("term")).agg(max(col("c")).as("ub_fp"))
+  }
 
   /** [[rankTopK]]∘[[Index.scores]] with a MaxScore-style prune — the
     * same EXACT top-k (gated against q118's oracle via q208), reached

@@ -145,8 +145,21 @@ object Dedup {
   def ngramJaccardPairsFromSets(
       sets: DataFrame,
       threshold: Double,
-      maxShingleDf: Int): DataFrame = {
-    val withSets = candidateSetPairs(sets, maxShingleDf)
+      maxShingleDf: Int): DataFrame =
+    jaccardVerify(candidateSetPairs(sets, maxShingleDf), threshold)
+
+  /** [[ngramJaccardPairsFromSets]] with candidates derived from a
+    * prebuilt [[shingleBuckets]] table (same sets frame) — identical
+    * output, minus the per-query corpus-sized index aggregation. */
+  def ngramJaccardPairsFromBuckets(
+      sets: DataFrame,
+      buckets: DataFrame,
+      threshold: Double,
+      maxShingleDf: Int): DataFrame =
+    jaccardVerify(
+      candidateSetPairsFromBuckets(sets, buckets, 0, maxShingleDf), threshold)
+
+  private def jaccardVerify(withSets: DataFrame, threshold: Double): DataFrame = {
     // lossless size prefilter before the merge kernel: |A∩B| ≤ min and
     // |A∪B| ≥ max, so J ≤ min(|A|,|B|)/max(|A|,|B|) — pairs whose size
     // ratio is below the threshold cannot pass and skip the O(|A|+|B|)
@@ -178,6 +191,51 @@ object Dedup {
       .groupBy(col("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxShingleDf))
+    expandAndFetch(buckets, docs)
+  }
+
+  /** The ANNOTATED inverted shingle index — one row per shingle with
+    * its id-ascending member list carrying each member's set size:
+    * (sh, members: array<struct<id, nsh>>). The ONE corpus-sized
+    * explode + shuffle the whole pairwise-dedup family needs: every
+    * family member's candidate generation (q19's all-docs cap, q151's
+    * min-shingle-filtered cap, q155's parity-split probe) is a
+    * row-local filter/transform of these buckets — the df cap and the
+    * min-shingle floor commute with per-member filtering because nsh
+    * rides IN the bucket (a bucket's capped size under a filter is the
+    * size of its filtered member list, exactly what building the index
+    * from the filtered corpus would produce). Memory shape identical
+    * to [[candidateSetPairs]]'s interior: the aggregation collects
+    * uncapped lists and filters after, as before. */
+  def shingleBuckets(sets: DataFrame): DataFrame =
+    sets.select(col("id"), size(col("sh_set")).cast("long").as("nsh"),
+        explode(col("sh_set")).as("sh"))
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(struct(col("id"), col("nsh")))).as("members"))
+
+  /** [[candidateSetPairs]] candidate generation DERIVED from a
+    * prebuilt [[shingleBuckets]] table instead of re-running the
+    * corpus-sized explode+aggregate: members below `minShingles` drop
+    * row-locally (struct order is id-ascending, and filtering
+    * preserves it), then the same cap + in-bucket expansion + fetch.
+    * `docs` must be the correspondingly filtered (id, sh_set) frame
+    * for the verification fetch. */
+  private def candidateSetPairsFromBuckets(docs: DataFrame, buckets: DataFrame,
+      minShingles: Int, maxShingleDf: Int): DataFrame = {
+    val kept =
+      if (minShingles > 0)
+        filter(col("members"), m => m.getField("nsh") >= minShingles)
+      else col("members")
+    val b2 = buckets
+      .select(transform(kept, m => m.getField("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxShingleDf))
+    expandAndFetch(b2, docs)
+  }
+
+  /** Shared tail of the pairwise candidate generation: in-bucket pair
+    * expansion over the (≤ maxShingleDf) id lists, dedup, and the
+    * two-sided sort-merge set fetch. */
+  private def expandAndFetch(buckets: DataFrame, docs: DataFrame): DataFrame = {
     val cand = buckets
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
@@ -258,7 +316,29 @@ object Dedup {
       minShingles: Int,
       maxShingleDf: Int): DataFrame = {
     val docs = sets.filter(size(col("sh_set")) >= minShingles)
-    val scored = candidateSetPairs(docs, maxShingleDf)
+    containmentVerifyPairs(candidateSetPairs(docs, maxShingleDf), thresholdBp)
+  }
+
+  /** [[containmentPairsFromSets]] with candidates derived from a
+    * prebuilt [[shingleBuckets]] table over the SAME (unfiltered) sets
+    * frame — the min-shingle floor applies per member inside each
+    * bucket (so the df cap counts exactly the floored corpus, as
+    * building the index from the filtered corpus would). Identical
+    * output, minus the per-query corpus-sized index aggregation. */
+  def containmentPairsFromBuckets(
+      sets: DataFrame,
+      buckets: DataFrame,
+      thresholdBp: Int,
+      minShingles: Int,
+      maxShingleDf: Int): DataFrame = {
+    val docs = sets.filter(size(col("sh_set")) >= minShingles)
+    containmentVerifyPairs(
+      candidateSetPairsFromBuckets(docs, buckets, minShingles, maxShingleDf),
+      thresholdBp)
+  }
+
+  private def containmentVerifyPairs(withSets: DataFrame, thresholdBp: Int): DataFrame = {
+    val scored = withSets
       // arrays are distinct by construction, so the built-in intersect
       // size is the exact integer overlap — computed ONCE per unordered
       // pair, then fanned into the two directed tests
@@ -450,6 +530,18 @@ object Dedup {
     val cand = docs.select(col("doc_id"), explode(col("sh_set")).as("sh"))
       .join(postings, Seq("sh"))
       .select(col("doc_id"), col("corpus_id")).distinct()
+    containmentVerifyProbe(cand, docs, sets, thresholdBp)
+  }
+
+  /** The probe family's exact-verification tail — (doc_id, corpus_id)
+    * candidates joined to both sides' full sets, the two-pointer
+    * intersection, and the either-direction threshold. Shared by
+    * [[containmentAgainstCorpusFromSets]] and bucket-derived candidate
+    * generators (the q155 in-bucket path), so the verification
+    * arithmetic cannot fork. */
+  private[graft] def containmentVerifyProbe(
+      cand: DataFrame, docs: DataFrame, sets: DataFrame,
+      thresholdBp: Int): DataFrame = {
     // same no-broadcast contract as candidateSetPairs: both set sides
     // carry inflated hash arrays the scan-size estimate cannot see
     cand.join(docs.hint("merge"), Seq("doc_id"))

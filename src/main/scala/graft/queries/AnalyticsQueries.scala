@@ -36,16 +36,37 @@ object AnalyticsQueries {
       _ => PageRank.prepare(edges, prePartition = true))
   }
 
+  /** Session-scoped cache of the DISTINCT customer–supplier purchase
+    * pairs (raw ids) — the ONE orders⋈lineitem scan + distinct that
+    * the full purchase graph (q84/q111/q196 via [[fullPurchaseEdges]]),
+    * q131's HITS rounds and q138's degree histogram all start from;
+    * each previously re-ran the join+distinct independently. Two longs
+    * per edge, |E| ≪ lineitem. The graph consumers derive their
+    * even/odd node encoding by bijective row-local projection, so
+    * every downstream value is unchanged. */
+  private val purchaseBaseCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]())
+
+  private def sharedPurchaseBase(s: SparkSession, dir: String): DataFrame = {
+    SessionCaches.purgeStopped(purchaseBaseCache)(_._1)
+    purchaseBaseCache.computeIfAbsent((s, dir), _ => {
+      import s.implicits._
+      Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        .join(Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("c"), $"l_suppkey".as("p"))
+        .distinct()
+        .localCheckpoint(true)
+    })
+  }
+
   /** The full customer↔supplier purchase graph shared by q84 (global
     * PageRank) and q111 (personalized PageRank) — both directions,
     * node ids disambiguated even/odd. */
   private def fullPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-      .join(Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("s"))
-      .distinct()
+    val base = sharedPurchaseBase(s, dir)
+      .select(($"c" * 2).as("c"), ($"p" * 2 + 1).as("s"))
     base.select($"c".as("src"), $"s".as("dst"))
       .unionByName(base.select($"s".as("src"), $"c".as("dst")))
   }
@@ -787,12 +808,10 @@ object AnalyticsQueries {
     * after two rounds). Top 20 of each side by (score DESC, id). */
   def q131Hits(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-      .join(Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("c"), $"l_suppkey".as("p"))
-      .distinct()
-      .localCheckpoint(true) // four consumers across the two rounds
+    // the session purchase-base artifact IS this query's (c, p) edge
+    // set — already distinct and eagerly checkpointed for the four
+    // consumers across the two rounds
+    val e = sharedPurchaseBase(s, dir)
     val hub0 = lit(1000000L)
     val auth1 = e.groupBy($"p").agg(sum(hub0).as("a1"))
     val hub1 = e.join(auth1, "p").groupBy($"c").agg(sum($"a1").as("h1"))
@@ -877,11 +896,10 @@ object AnalyticsQueries {
     * signature that says "orient wedges / salt this key". */
   def q138DegreePowerlaw(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-      .join(Tables.load(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select(($"o_custkey" * 2).as("c"), ($"l_suppkey" * 2 + 1).as("p"))
-      .distinct()
+    // derive the even/odd-encoded edge set from the session purchase
+    // base (bijective projection of the same distinct pair set)
+    val e = sharedPurchaseBase(s, dir)
+      .select(($"c" * 2).as("c"), ($"p" * 2 + 1).as("p"))
     val deg = e.select($"c".as("id")).unionAll(e.select($"p".as("id")))
       .groupBy($"id").agg(count(lit(1)).as("deg"))
     val hist = deg

@@ -189,8 +189,27 @@ object CorpusQueries {
       .orderBy($"qid", $"rank")
   }
 
-  def q118Bm25(s: SparkSession, dir: String): DataFrame =
-    bm25RankedSelect(graft.ext.Bm25.topK(bm25KeptChunks(s, dir), "id", "chunk"))
+  /** Session-scoped cache of the BM25 index over the kept-chunk corpus
+    * — the retrieval twins q118/q208 rank over the IDENTICAL artifact
+    * (one tokenize+aggregate pass, eagerly checkpointed inside
+    * [[graft.ext.Bm25.index]]); without sharing each twin re-runs the
+    * full gate→chunk→signature→dedup→tokenize chain. The
+    * [[TextQueries]] shingleCache discipline applied to the retrieval
+    * family's corpus-version artifact. */
+  private val keptBm25Cache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.ext.Bm25.Index]())
+
+  private def sharedKeptChunksBm25(s: SparkSession, dir: String): graft.ext.Bm25.Index = {
+    SessionCaches.purgeStopped(keptBm25Cache)(_._1)
+    keptBm25Cache.computeIfAbsent((s, dir), _ =>
+      graft.ext.Bm25.index(bm25KeptChunks(s, dir), "id", "chunk"))
+  }
+
+  def q118Bm25(s: SparkSession, dir: String): DataFrame = {
+    val ix = sharedKeptChunksBm25(s, dir)
+    bm25RankedSelect(graft.ext.Bm25.rankTopK(
+      ix.scores(ix.queryTerms(8, 3)), 10))
+  }
 
   /** q208: q118's exact top-k through the MaxScore prune
     * ([[graft.ext.Bm25.topKMaxScore]] — per-term impact bounds from
@@ -204,10 +223,16 @@ object CorpusQueries {
     * prunable ≥ 20 on a skewed corpus with a genuine low-impact tail,
     * the selective-query shape MaxScore exists for). */
   def q208Bm25MaxScore(s: SparkSession, dir: String): DataFrame = {
-    val kept = bm25KeptChunks(s, dir)
-    val ix = graft.ext.Bm25.index(kept, "id", "chunk")
+    val ix = sharedKeptChunksBm25(s, dir)
+    // 24 rows feeding impacts + both prune phases — checkpoint so the
+    // dfreq top-k selection runs once (the hybridRankers discipline)
+    val qt = ix.queryTerms(8, 3).localCheckpoint(true)
+    // impact bounds restricted to the query's own terms: the bound per
+    // term is computed over that term's FULL posting list either way
+    // (identical values), but the vocabulary-wide aggregation shrinks
+    // to the ≤ 24 posting lists the prune can ever consult
     bm25RankedSelect(graft.ext.Bm25.topKMaxScore(
-      ix, ix.queryTerms(8, 3), 10, graft.ext.Bm25.impacts(ix)))
+      ix, qt, 10, graft.ext.Bm25.impacts(ix, Some(qt))))
   }
 
   val q118Sql: String =
@@ -258,16 +283,46 @@ object CorpusQueries {
     * nested-loop over the 8-row query-vector table (the q22/q94 class —
     * allowlisted); its ANN twins (q68/q95) are the billion-doc path.
     * Fusion itself touches ≤ 20 rows per query. */
+  /** Session-scoped cache of the BM25 index over the (non-empty-text)
+    * documents corpus — ONE tokenize+aggregate build feeding the
+    * hybrid rankers (q121/q142) and the persisted-serve publisher
+    * (q180, which writes these very frames to the registry). */
+  private val docsBm25Cache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.ext.Bm25.Index]())
+
+  private def sharedDocsBm25Index(s: SparkSession, dir: String): graft.ext.Bm25.Index = {
+    SessionCaches.purgeStopped(docsBm25Cache)(_._1)
+    docsBm25Cache.computeIfAbsent((s, dir), _ =>
+      graft.ext.Bm25.index(
+        Tables.load(s, dir, "documents").filter(length(trim(col("text"))) > 0),
+        "doc_id", "text"))
+  }
+
+  /** Session-scoped cache of the full hybrid-ranker construction —
+    * q121 and q142 consume the IDENTICAL index, query-term groups and
+    * sparse/dense top-10 rankings (q142 adds only its set ranker and
+    * the 3-way fusion), so the corpus-sized scoring passes materialize
+    * once per (session, dir). The ranking frames are ≤ 80 rows each. */
+  private val hybridCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (graft.ext.Bm25.Index, DataFrame, DataFrame, DataFrame)]())
+
   /** Shared sparse+dense ranker construction for q121/q142: the BM25
     * index over the corpus, its derived query-term groups, and the two
     * per-query top-10 rankings. One index build feeds everything. */
   private def hybridRankers(s: SparkSession, dir: String): (graft.ext.Bm25.Index, DataFrame, DataFrame, DataFrame) = {
+    SessionCaches.purgeStopped(hybridCache)(_._1)
+    val ix0 = sharedDocsBm25Index(s, dir) // resolve BEFORE the slot (nest-safety)
+    hybridCache.computeIfAbsent((s, dir), _ =>
+      buildHybridRankers(s, dir, ix0))
+  }
+
+  private def buildHybridRankers(s: SparkSession, dir: String,
+      ix: graft.ext.Bm25.Index): (graft.ext.Bm25.Index, DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     import graft.functions.GraftFunctions
     import graft.ext.Bm25
     val docs = Tables.load(s, dir, "documents")
       .filter(length(trim($"text")) > 0)
-    val ix = Bm25.index(docs, "doc_id", "text")
     // 24 rows feeding every retriever — checkpoint so the top-k term
     // selection runs once
     val qt = ix.queryTerms(nQueries = 8, termsPerQuery = 3).localCheckpoint(true)
@@ -285,7 +340,9 @@ object CorpusQueries {
       .partitionBy($"qid").orderBy($"dot".desc, $"id")
     val dense = dot.withColumn("rank", row_number().over(kw).cast("long"))
       .filter($"rank" <= 10).select($"qid", $"id", $"rank")
-    (ix, qt, sparse, dense)
+    // ≤ 80 rows each, eagerly materialized: the cached tuple must not
+    // re-run the corpus-sized scoring passes for the second consumer
+    (ix, qt, sparse.localCheckpoint(true), dense.localCheckpoint(true))
   }
 
   def q121RrfFusion(s: SparkSession, dir: String): DataFrame = {
@@ -537,12 +594,13 @@ object CorpusQueries {
 
   private[queries] def sharedPersistedBm25(s: SparkSession, dir: String): graft.ext.Bm25.Index = {
     SessionCaches.purgeStopped(bm25StoreCache)(_._1)
+    val ix0 = sharedDocsBm25Index(s, dir) // resolve BEFORE the slot (nest-safety)
     bm25StoreCache.computeIfAbsent((s, dir), _ => {
       val docs = Tables.load(s, dir, "documents")
         .filter(length(trim(col("text"))) > 0)
       val reg = graft.ext.ArtifactRegistry
       val root = RegistryRoots.root(s, dir)
-      val ix = graft.ext.Bm25.index(docs, "doc_id", "text")
+      val ix = ix0
       val fp = docs.agg(expr("bit_xor(doc_id)")).collect()(0).getLong(0)
       val v = reg.publish(s, root, "bm25_index", fp, Seq(
         "tf" -> ix.tf, "dl" -> ix.dl, "dfreq" -> ix.dfreq,

@@ -12,10 +12,51 @@ import graft.ext.{MinHashLsh, SimHashDedup}
   */
 object HashDedupQueries {
 
+  /** Session-scoped cache of the canonical documents near-dup pair set
+    * — `MinHashLsh.nearDupPairs(documents, n=8, minEstSim=0.5)`, the
+    * exact frame SIX consumers re-derive independently (q20, q137's
+    * est side, q170's source-overlap, and the q47/q89/q153 clustering
+    * chain via [[sharedLshCcLabels]]): signature+banding re-scans every
+    * document's full text, the dominant upstream cost of the family.
+    * Same per-(session, dir) discipline as [[TextQueries]]'
+    * shingleCache — hash-neutral (consumers run identical operators
+    * over the identical pair rows), evicted when the owning session's
+    * context stops. Pair rows are (id_a, id_b, est_sim): three numbers,
+    * ≪ corpus-sized. */
+  private val lshPairsCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]())
+
+  private[queries] def sharedLshPairs(s: SparkSession, dir: String): DataFrame = {
+    SessionCaches.purgeStopped(lshPairsCache)(_._1)
+    lshPairsCache.computeIfAbsent((s, dir), _ =>
+      MinHashLsh.nearDupPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 8, minEstSim = 0.5)
+        .localCheckpoint(true))
+  }
+
+  /** Session-scoped cache of the near-dup CLUSTER labels — the
+    * [[graft.ext.ConnectedComponents]] closure over [[sharedLshPairs]]
+    * that q47 (clusters), q89 (best representative) and q153
+    * (leakage-safe split) each re-ran end to end: the iterative
+    * hash-min/pointer-jumping rounds are the family's second dominant
+    * cost after the pair generation itself. Output (id, cluster_id) —
+    * two longs per document. */
+  private val lshCcLabelsCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]())
+
+  private[queries] def sharedLshCcLabels(s: SparkSession, dir: String): DataFrame = {
+    SessionCaches.purgeStopped(lshCcLabelsCache)(_._1)
+    val pairs = sharedLshPairs(s, dir) // resolve BEFORE the slot (nest-safety)
+    lshCcLabelsCache.computeIfAbsent((s, dir), _ =>
+      graft.ext.ConnectedComponents.assign(
+          Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id",
+          pairs, "id_a", "id_b")
+        .localCheckpoint(true))
+  }
+
   def q20MinHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    MinHashLsh.nearDupPairs(Tables.load(s, dir, "documents"),
-        "doc_id", "text", n = 8, minEstSim = 0.5)
+    sharedLshPairs(s, dir)
       .orderBy($"id_a", $"id_b")
   }
 
@@ -472,16 +513,19 @@ object HashDedupQueries {
   private def sharedLshEvalPairs(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     SessionCaches.purgeStopped(lshEvalCache)(_._1)
-    lshEvalCache.computeIfAbsent((s, dir), _ => {
-      val docs = graft.Tables.load(s, dir, "documents")
-      (graft.ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 8,
-          threshold = 0.5, maxShingleDf = 20)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-        .localCheckpoint(true),
-        MinHashLsh.nearDupPairs(docs, "doc_id", "text", n = 8, minEstSim = 0.5)
-          .select(col("id_a"), col("id_b"), col("est_sim"))
-          .localCheckpoint(true))
-    })
+    // resolve the shared upstreams BEFORE the slot (nest-safety). The
+    // truth side is a row FILTER of the session θ=0.2 verified-pairs
+    // artifact: the exact verification is deterministic over the
+    // identical candidate set, and J ≥ 0.5 pairs all clear the θ=0.2
+    // size prefilter (J ≤ size ratio), so the filtered frame equals a
+    // direct θ=0.5 run row for row. The est side is the canonical pair
+    // cache. Neither re-scans the corpus text here.
+    val truthPairs = TextQueries.sharedJaccardPairs(s, dir)
+    val estPairs = sharedLshPairs(s, dir)
+    lshEvalCache.computeIfAbsent((s, dir), _ =>
+      (truthPairs.filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("jaccard")),
+        estPairs.select(col("id_a"), col("id_b"), col("est_sim"))))
   }
 
   def q137LshEval(s: SparkSession, dir: String): DataFrame = {
@@ -655,7 +699,7 @@ object HashDedupQueries {
   def q170SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
-    val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", n = 8, minEstSim = 0.5)
+    val pairs = sharedLshPairs(s, dir)
     val src = docs.select($"doc_id", $"source")
     pairs
       .join(src.select($"doc_id".as("id_a"), $"source".as("src_a")), "id_a")

@@ -212,11 +212,8 @@ object MiningQueries {
     * per (partition, cluster)). */
   def q89BestRep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.ext.{ConnectedComponents, MinHashLsh}
     val docs = Tables.load(s, dir, "documents")
-    val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", n = 8, minEstSim = 0.5)
-    val labels = ConnectedComponents.assign(
-      docs.select($"doc_id"), "doc_id", pairs, "id_a", "id_b")
+    val labels = HashDedupQueries.sharedLshCcLabels(s, dir)
     val quality = docs.select($"doc_id",
       graft.functions.TextFunctions.qualityScore($"text").as("quality"))
     labels.join(quality, labels("id") === quality("doc_id"))

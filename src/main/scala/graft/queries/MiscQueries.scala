@@ -482,7 +482,10 @@ object MiscQueries {
       .map(k => reg.manifest(s, root, k).withColumn("kind", lit(k)))
       .reduce(_ unionByName _)
     val pins = RegistryKinds
-      .map(k => reg.pinLog(s, root, k).withColumn("kind", lit(k)))
+      // max_by(version, seq) is duplicate-safe (a crash-window
+      // duplicate carries identical values), so skip the 13 per-kind
+      // dedup exchanges the default pinLog read would plan
+      .map(k => reg.pinLog(s, root, k, dedup = false).withColumn("kind", lit(k)))
       .reduce(_ unionByName _)
       .groupBy($"kind")
       .agg(max_by($"version", $"seq").as("pinned_v"))

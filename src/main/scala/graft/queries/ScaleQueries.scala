@@ -24,10 +24,7 @@ object ScaleQueries {
     * cluster label (singletons label themselves). */
   def q47DupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.load(s, dir, "documents")
-    val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", n = 8, minEstSim = 0.5)
-    val labels = ConnectedComponents.assign(
-      docs.select($"doc_id"), "doc_id", pairs, "id_a", "id_b")
+    val labels = HashDedupQueries.sharedLshCcLabels(s, dir)
     labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy($"cluster_id")).cast("long"))
@@ -94,12 +91,9 @@ object ScaleQueries {
     * signatures and id pairs shuffle) + a row-local hash projection. */
   def q153LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.ext.{ConnectedComponents, Mixing, MinHashLsh}
+    import graft.ext.Mixing
     GraftFunctions.register(s) // keyBp's polyhash resolves at analysis
-    val docs = Tables.load(s, dir, "documents")
-    val pairs = MinHashLsh.nearDupPairs(docs, "doc_id", "text", n = 8, minEstSim = 0.5)
-    val labels = ConnectedComponents.assign(
-      docs.select($"doc_id"), "doc_id", pairs, "id_a", "id_b")
+    val labels = HashDedupQueries.sharedLshCcLabels(s, dir)
     labels
       .withColumn("hk", Mixing.keyBp($"cluster_id"))
       .select($"id".as("doc_id"), $"cluster_id",

@@ -32,11 +32,47 @@ object TextQueries {
   private val shingleCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]())
 
-  private def sharedShingleSets(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def sharedShingleSets(s: SparkSession, dir: String): DataFrame = {
     SessionCaches.purgeStopped(shingleCache)(_._1)
     shingleCache.computeIfAbsent((s, dir), _ =>
       Dedup.hashedShingleSets(Tables.load(s, dir, "documents"),
         "doc_id", "text", n = 8).localCheckpoint(true))
+  }
+
+  /** Session-scoped cache of the ANNOTATED inverted shingle index over
+    * [[sharedShingleSets]] ([[Dedup.shingleBuckets]] — (sh, members
+    * with set sizes)): the ONE corpus-sized explode+aggregate the
+    * pairwise family needs; q19, q151, q155 and q137's truth side each
+    * previously re-ran it with their own doc filter, which is a
+    * row-local member filter of THESE buckets (nsh rides in the
+    * bucket, so cap-after-filter commutes). */
+  private val bucketCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]())
+
+  private[queries] def sharedShingleBuckets(s: SparkSession, dir: String): DataFrame = {
+    SessionCaches.purgeStopped(bucketCache)(_._1)
+    val sets = sharedShingleSets(s, dir) // resolve BEFORE the slot (nest-safety)
+    bucketCache.computeIfAbsent((s, dir), _ =>
+      Dedup.shingleBuckets(sets).localCheckpoint(true))
+  }
+
+  /** Session-scoped cache of the verified n-gram Jaccard pairs at the
+    * family's LOWEST gate (θ = 0.2, the q19 operator): the exact
+    * verification is deterministic over the identical candidate set,
+    * so any consumer at a HIGHER threshold (q137/q147's truth side at
+    * θ = 0.5) is a row filter of this frame — J ≥ 0.5 pairs all clear
+    * the θ = 0.2 size prefilter (J ≤ size ratio), so nothing a direct
+    * θ = 0.5 run would emit is missing. Candidate-bounded rows. */
+  private val jaccardPairsCache = SessionCaches.registerMap(new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]())
+
+  private[queries] def sharedJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    SessionCaches.purgeStopped(jaccardPairsCache)(_._1)
+    val sets = sharedShingleSets(s, dir) // resolve BEFORE the slot
+    val buckets = sharedShingleBuckets(s, dir)
+    jaccardPairsCache.computeIfAbsent((s, dir), _ =>
+      Dedup.ngramJaccardPairsFromBuckets(sets, buckets,
+        threshold = 0.2, maxShingleDf = 20).localCheckpoint(true))
   }
 
   /** q16: per-document text statistics — token counts, average token
@@ -131,8 +167,7 @@ object TextQueries {
     * operator (rare-shingle candidate pruning + exact verification). */
   def q19NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.ngramJaccardPairsFromSets(sharedShingleSets(s, dir),
-        threshold = 0.2, maxShingleDf = 20)
+    sharedJaccardPairs(s, dir)
       .orderBy($"id_a", $"id_b")
   }
 
@@ -173,7 +208,8 @@ object TextQueries {
     * mirrored in the oracle. */
   def q151Containment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Dedup.containmentPairsFromSets(sharedShingleSets(s, dir),
+    Dedup.containmentPairsFromBuckets(sharedShingleSets(s, dir),
+        sharedShingleBuckets(s, dir),
         thresholdBp = 9000, minShingles = 20, maxShingleDf = 20)
       .orderBy($"src_id", $"dst_id")
   }
@@ -220,11 +256,27 @@ object TextQueries {
   def q155ContainmentProbe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val shingles = sharedShingleSets(s, dir)
-    val (postings, sets) = Dedup.containmentCorpusIndexFromSets(
-      shingles.filter($"id" % 2 === 0), minShingles = 20, maxShingleDf = 20)
-    Dedup.containmentAgainstCorpusFromSets(
-        shingles.filter($"id" % 2 === 1), postings, sets,
-        thresholdBp = 9000, minShingles = 20)
+    // candidates derived IN-BUCKET from the shared annotated index:
+    // within each shingle's member list, the corpus side is the even
+    // ids at ≥ 20 shingles (df cap counts exactly those — nsh and
+    // parity filter row-locally, as building the index from the even
+    // half would) and the fresh side the odd ids at ≥ 20 shingles;
+    // their in-bucket cross product IS the posting-join candidate set,
+    // with no per-query explode/shuffle of either half.
+    val m = (pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =>
+      filter($"members", mm => mm.getField("nsh") >= 20 && pred(mm.getField("id")))
+    val cand = sharedShingleBuckets(s, dir)
+      .select(m(id => id % 2 === 0).as("cm"), m(id => id % 2 === 1).as("fm"))
+      .filter(size($"cm").between(1, 20) && size($"fm") >= 1)
+      .select(explode(flatten(transform($"fm", f =>
+        transform($"cm", c =>
+          struct(f.getField("id").as("doc_id"), c.getField("id").as("corpus_id")))))).as("p"))
+      .select($"p.doc_id", $"p.corpus_id").distinct()
+    val sets = shingles.select($"id".as("corpus_id"), $"sh_set".as("set_c"))
+      .filter($"corpus_id" % 2 === 0 && size($"set_c") >= 20)
+    val docs = shingles.select($"id".as("doc_id"), $"sh_set")
+      .filter($"doc_id" % 2 === 1 && size($"sh_set") >= 20)
+    Dedup.containmentVerifyProbe(cand, docs, sets, thresholdBp = 9000)
       .orderBy($"doc_id", $"corpus_id")
   }
 
