@@ -45,7 +45,11 @@ object Bfs {
         .localCheckpoint(true)
       if (next.isEmpty) converged = true
       else {
-        dist = dist.unionByName(next).localCheckpoint(true)
+        // NO re-checkpoint of the visited table: it is a union of
+        // already-checkpointed per-round frames, so its lineage is
+        // flat (depth = rounds, over materialized blocks) and the
+        // per-round re-materialization job it paid was pure overhead
+        dist = dist.unionByName(next)
         frontier = next
         rounds += 1
       }

@@ -250,6 +250,13 @@ object Dedup {
     // merge hint pins sort-merge: id-keyed, spillable, the join a
     // 100 TB corpus needs anyway; at toy scale it costs two sorts of
     // candidate-bounded rows.
+    //
+    // (A union-fetch variant — explode each pair into two (side, id)
+    // legs, ONE merge join, reassemble by pair key — was measured in
+    // r18's optimization round and REVERTED: candidates outnumber
+    // docs here, so shipping 2·|cand| array rows through the
+    // reassembly exchange costs more than the one docs-sized
+    // exchange it saves. Keep the two-join form unless |cand| ≪ |docs|.)
     cand
       .join(docs.select(col("id").as("id_a"), col("sh_set").as("set_a"))
         .hint("merge"), Seq("id_a"))

@@ -959,6 +959,12 @@ object HashDedupQueries {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     val grams = graft.ext.DupNgrams.gramPositions(docs, "doc_id", "text")
+    // (A gram-keyed collect_set + in-row pair expansion variant was
+    // measured in r18's optimization round and REVERTED: the distinct
+    // below dedups map-side in codegen'd HashAggregate and the
+    // self-join REUSES its exchange, while collect_set plans a
+    // non-codegen ObjectHashAggregate over every position row — same
+    // shuffle bytes, slower operator.)
     val gs = grams
       .join(docs.select($"doc_id".as("id"), $"source"), "id")
       .select($"gram", $"source").distinct()
