@@ -31,7 +31,9 @@ object PlanAudit {
     "q02_filter_pushdown" -> Set(SinglePartition), // scalar final agg
     "q51_profile" -> Set(SinglePartition), // single-row profile agg
     "q22_cosine_topk" -> Set(Bnlj), // broadcast query set, non-equi
-    "q32_ivf_assign" -> Set(Bnlj), // broadcast centroid seed set
+    // (q32's former seed-set BNLJ entry was pruned in r18's
+    // optimization round: the nearest-seed argmax is row-local now —
+    // the seeds ride the assignment expression as literals)
     "q56_fuzzy_match" -> Set(Bnlj), // deduped dim broadcast, edit-distance cond
     "q64_sq8_quantize" -> Set(Bnlj), // 1-row dim-stats broadcast cross join
     "q66_ivf_search" -> Set(Bnlj), // nClusters-row seed table × query set

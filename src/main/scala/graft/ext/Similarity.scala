@@ -316,14 +316,25 @@ object Similarity {
     graft.functions.VectorFunctions.register(df.sparkSession)
     val v = df.select(col(idCol).as("id"), vecD(col(vecCol)).as("e"))
       .withColumn("nrm", norm(col("e")))
-    val seeds = ivfSeeds(df, idCol, vecCol, nClusters)
-    val scored = v.crossJoin(broadcast(seeds))
+    // nClusters driver-side seed rows (the loaded-globals class): the
+    // nearest-seed argmax is then a ROW-LOCAL codegen'd expression —
+    // array_max over (cos, −seed_id) structs reproduces the former
+    // (cos DESC, seed_id ASC) window order exactly (Spark's one binary
+    // struct ordering on both paths, NaN-largest included). The old
+    // crossJoin+window shape duplicated every VECTOR nClusters× through
+    // a per-id exchange+sort just to pick its maximum — corpus×16
+    // array rows shuffled for a decision that needs no shuffle at all.
+    val seeds = ivfSeeds(df, idCol, vecCol, nClusters).collect()
+    require(seeds.nonEmpty, "ivfAssign needs a non-empty corpus")
+    val cands = seeds.toIndexedSeq.map { r =>
+      val se = r.getSeq[Double](1)
+      struct(
+        (dot(col("e"), typedlit(se)) / (col("nrm") * lit(r.getDouble(2)))).as("cos"),
+        (lit(0) - lit(r.get(0))).as("nseed"))
+    }
+    v.withColumn("best", array_max(array(cands: _*)))
       .select(col("id"), col("e"), col("nrm"),
-        col("seed_id"), (dot(col("e"), col("se")) / (col("nrm") * col("snrm"))).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("cos").desc, col("seed_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("id"), col("e"), col("nrm"), col("seed_id").as("cluster"))
+        (lit(0) - col("best.nseed")).as("cluster"))
   }
 
   /** Full IVF ANN search: assign all candidates to their nearest seed
